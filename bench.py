@@ -1,0 +1,85 @@
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query timing includes plan + execution + result fetch (collect of the
+small result set), excludes session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from infinidb_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline queries — one per major operator family; missing names are
+#: skipped so bench.py stays valid as coverage grows round-over-round.
+HEADLINE = [
+    "q1_pricing_summary",      # scan + filter + 2-phase agg (TPC-H Q1)
+    "groupby_join_agg",        # perf group 200: join + group-by agg
+    "join_multiway",           # 3-way broadcast join (perf group 104)
+    "join_semi",               # EXISTS → left-semi
+    "agg_distinct",            # multi-distinct aggregation
+    "derived_table",           # subquery + join + agg
+    "topn_order_limit",        # TakeOrderedAndProject top-N
+    "group_concat",            # ordered string agg
+    "window_rank",             # ranking window functions
+    "window_agg_frame",        # framed window aggregation
+    "dedup_exact",             # exact dedup (hash groupBy)
+    "dedup_minhash_lsh",       # MinHash+LSH near-dup
+    "ann_cosine_topk",         # brute-force cosine top-k
+    "text_quality",            # text quality scoring
+    "events_tumbling_window",  # time-window aggregation
+]
+
+
+def main() -> None:
+    spark = get_spark("infinidb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # JVM/codegen warmup on a trivial action (not counted).
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Registry for (query, oracle) pairs.
+
+Contract (driver, __spark_entry__.py): a query is a callable
+``(spark, sf_dir) -> DataFrame``; an oracle is an ANSI-SQL string DuckDB
+runs on the same Parquet tables registered as views.  Column names are
+aligned on both sides (the driver sorts columns by name before hashing).
+
+Determinism rules applied throughout the registered corpus:
+
+* every floating aggregate is ``round``-ed identically on both sides so
+  summation-order differences between engines can't flip the value hash;
+* every LIMIT/top-N query orders by a key that is unique, so the selected
+  set is well-defined;
+* both engines run with UTC session semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle=None`` → driver runs a rows-only check
+    (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,905 @@
+"""Core relational operator corpus: scans, filters, joins, aggregation,
+sort/limit, set ops, subqueries.
+
+Each query demonstrates one (or a few) rows of SURVEY.md §2 and is paired
+with a DuckDB oracle.  Reference citations are per-query docstrings.
+
+Spark-first notes: filters/projections are plain DataFrame expressions so
+Catalyst pushes them into the Parquet scan (the analog of the reference's
+PM-side block primitives, ``primitives/linux-port/column.cpp:105``);
+dimension-table joins use ``F.broadcast`` — the analog of the reference's
+PM join with its 64 MB small-side cap
+(``dbcon/joblist/resourcemanager.h:56``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from infinidb_spark.plans.registry import query
+from infinidb_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, register=True, names=names)
+    return [tables[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections  (SURVEY §2.1, §2.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+      AND l_quantity > 45
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column scan + vectorized predicate + projection.
+
+    Reference: ``pColScanStep`` (``dbcon/joblist/primitivestep.h:357``) +
+    ``p_Col`` compare primitives (``primitives/linux-port/column.cpp:105``).
+    Spark: Parquet vectorized scan; both predicates and the 4-column
+    projection reach the scan (PushedFilters / ReadSchema).
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "filter_between_in_like",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 200000
+      AND o_orderstatus IN ('F', 'O')
+      AND o_orderpriority LIKE '%URGENT%'
+    """,
+)
+def filter_between_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IN / LIKE predicate shapes.
+
+    Reference op codes COMPARE_* + LIKE (``dbcon/joblist/primitivemsg.h:49-63``);
+    string LIKE ran as a dictionary scan (``primitivestep.h:674``) — Parquet
+    dictionary filtering makes that free.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_totalprice").between(100000, 200000)
+        & F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_orderpriority").like("%URGENT%")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "filter_regexp_null",
+    oracle="""
+    SELECT c_custkey, c_name, nullif(c_mktsegment, 'BUILDING') AS seg
+    FROM customer
+    WHERE regexp_matches(c_name, '.*[02468]$')
+      AND nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+    """,
+)
+def filter_regexp_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP predicate + IS [NOT] NULL semantics.
+
+    Reference: ``utils/funcexp/func_regexp.cpp`` and NULL-sentinel filters
+    (``dbcon/joblist/joblisttypes.h:37-80``); Spark nulls are first-class.
+    Nulls are synthesized via ``nullif`` (testdata has none).
+    """
+    (customer,) = _t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return (
+        customer.withColumn("seg", seg)
+        .filter(F.col("c_name").rlike(".*[02468]$") & F.col("seg").isNotNull())
+        .select("c_custkey", "c_name", "seg")
+    )
+
+
+@query(
+    "filter_col_vs_col",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount, l_tax
+    FROM lineitem
+    WHERE l_discount > l_tax AND l_returnflag = 'R'
+    """,
+)
+def filter_col_vs_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-vs-column predicate.
+
+    Reference: ``FilterStep`` combining two filtered RID streams
+    (``dbcon/joblist/primitivestep.h:1216``).  Spark: a plain comparison
+    between two columns inside one codegen stage.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_discount") > F.col("l_tax")) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_discount", "l_tax"
+    )
+
+
+@query(
+    "filter_expression",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    WHERE l_extendedprice * (1 - l_discount) > 90000
+    """,
+)
+def filter_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary scalar-expression filter + computed projection.
+
+    Reference: ``ExpressionStep`` + interpreted ``FuncExp``
+    (``dbcon/joblist/expressionstep.h:49``,
+    ``utils/funcexp/funcexpwrapper.cpp``) — Spark compiles the same
+    expression into whole-stage codegen instead of interpreting it.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(disc > 90000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (disc * (1 + F.col("l_tax"))).alias("charge"),
+        )
+    )
+
+
+@query(
+    "constant_select",
+    oracle="""
+    SELECT o_orderkey, 'infinidb' AS engine, CAST(42 AS BIGINT) AS answer
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def constant_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant columns attached to rows.
+
+    Reference: ``TupleConstantStep`` (``dbcon/joblist/tupleconstantstep.h:32``).
+    Spark: ``F.lit`` folded by Catalyst ConstantFolding.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") <= 100).select(
+        "o_orderkey",
+        F.lit("infinidb").alias("engine"),
+        F.lit(42).cast("bigint").alias("answer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation  (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 pricing summary — scan + filter + 2-phase agg.
+
+    Reference: the group-by perf corpus (``utils/scenarios/perf/sql/200``,
+    ``sql/300``) + ``TupleAggregateStep`` 2-phase PM-partial/UM-final
+    aggregation (``dbcon/joblist/tupleaggregatestep.cpp:710-766``).
+    Spark: partial/final HashAggregateExec — identical plan shape, free.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "groupby_join_agg",
+    oracle="""
+    SELECT c_nationkey,
+           count(*)                      AS cnt,
+           round(sum(o_totalprice), 2)   AS sum_price,
+           round(avg(c_acctbal), 6)      AS avg_bal
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def groupby_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own representative agg query (perf group 200).
+
+    Reference: ``utils/scenarios/perf/sql/200`` —
+    ``count(*), sum(o_totalprice), avg(c_acctbal) … group by c_nationkey``;
+    join via ``TupleHashJoinStep`` (``dbcon/joblist/tuplehashjoin.h:42``).
+    Spark: broadcast the customer side (PM-join analog), then 2-phase agg.
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)                         AS uniq_custs,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)   AS uniq_prios,
+           round(sum(DISTINCT o_totalprice), 2)              AS sum_distinct_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM DISTINCT incl. multiple distinct columns in one agg.
+
+    Reference: ``RowAggregationDistinct`` / ``RowAggregationMultiDistinct``
+    (``utils/rowgroup/rowaggregation.h:348``).  Spark rewrites
+    multi-distinct via Expand — free.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("uniq_custs"),
+        F.countDistinct("o_orderpriority").alias("uniq_prios"),
+        F.round(F.sum_distinct(F.col("o_totalprice")), 2).alias("sum_distinct_price"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_pop(l_quantity), 6)  AS std_pop,
+           round(stddev_samp(l_quantity), 6) AS std_samp,
+           round(var_pop(l_quantity), 6)     AS v_pop,
+           round(var_samp(l_quantity), 6)    AS v_samp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV/VARIANCE pop+samp aggregates.
+
+    Reference: ``RowAggFunctionType`` STDDEV_POP/SAMP, VAR_POP/SAMP
+    (``utils/rowgroup/rowaggregation.h:74-116``), computed in LONGDOUBLE
+    (``calpontsystemcatalog.h:156``) — Spark computes in double.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop("l_quantity"), 6).alias("std_pop"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_samp"),
+        F.round(F.var_pop("l_quantity"), 6).alias("v_pop"),
+        F.round(F.var_samp("l_quantity"), 6).alias("v_samp"),
+    )
+
+
+@query(
+    "agg_bit",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS b_and,
+           bit_or(l_linenumber)  AS b_or,
+           bit_xor(l_linenumber) AS b_xor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIT_AND / BIT_OR / BIT_XOR aggregates.
+
+    Reference: ``RowAggFunctionType`` ROWAGG_BIT_AND/OR/XOR
+    (``utils/rowgroup/rowaggregation.h:74-116``).
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_linenumber)").alias("b_and"),
+        F.expr("bit_or(l_linenumber)").alias("b_or"),
+        F.expr("bit_xor(l_linenumber)").alias("b_xor"),
+    )
+
+
+@query(
+    "group_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name)                   AS names,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name)          AS names_distinct
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT(DISTINCT expr ORDER BY expr SEPARATOR sep).
+
+    Reference: ``GroupConcator`` / ``GroupConcatOrderBy``
+    (``dbcon/joblist/groupconcat.h:100-159``).  Spark has no ordered
+    GROUP_CONCAT; composition: collect_list → array_sort → concat_ws
+    (see operators.aggregates.group_concat for the general helper).
+    """
+    (nation,) = _t(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("names_distinct"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation filter.
+
+    Reference: ``TupleHavingStep`` (``dbcon/joblist/tuplehavingstep.h:39``).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("cnt") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins  (SURVEY §2.3, §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join, small dimension broadcast.
+
+    Reference: PM join — small side serialized to every PM and probed
+    during the scan (``primitives/primproc/batchprimitiveprocessor.h:257``),
+    small-side cap 64 MB (``resourcemanager.h:56``).  Spark:
+    ``F.broadcast`` = the same decision made explicit.
+    """
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("bal"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    WHERE c_custkey <= 50
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join — the reference's own perf group 3 query shape.
+
+    Reference: ``utils/scenarios/perf/sql/3`` (customer left outer join
+    orders); LARGEOUTER join flag (``dbcon/joblist/joblisttypes.h:83-95``).
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.filter(F.col("c_custkey") <= 50)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT k, a_val, b_val FROM
+      (SELECT o_custkey AS k, count(*) AS a_val FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+      FULL OUTER JOIN
+      (SELECT o_custkey AS k2, count(*) AS b_val FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) b
+      ON a.k = b.k2
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (LARGEOUTER+SMALLOUTER flag combination).
+
+    Reference: join-type flags (``dbcon/joblist/joblisttypes.h:83-95``) —
+    LARGE+SMALL outer = full outer.  Note: the oracle's ``k`` comes from
+    side ``a`` only, so we reproduce exactly that (nulls where only b
+    matched) rather than coalescing.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("a_val"))
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k2"))
+        .agg(F.count(F.lit(1)).alias("b_val"))
+    )
+    return a.join(b, a.k == b.k2, "full").select("k", "a_val", "b_val")
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join.
+
+    Reference: ``doCorrelatedExists`` (``dbcon/joblist/jlf_subquery.cpp:339``)
+    → SEMI join flag.  Spark: ``left_semi``.
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join.
+
+    Reference: ANTI join flag (``dbcon/joblist/joblisttypes.h:83-95``),
+    ``doNonCorrelatedExists`` (``jlf_subquery.cpp:359``).
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_not_in_nullaware",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+    """,
+)
+def join_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN — null-aware anti join (MATCHNULLS flag).
+
+    Reference: ``ha_in_sub.cpp`` + MATCHNULLS
+    (``dbcon/joblist/joblisttypes.h:93``).  Expressed via spark.sql so
+    Catalyst plans the null-aware anti join exactly as the reference's
+    MATCHNULLS semantics require.
+    """
+    _t(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+        """
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS cnt,
+           round(min(s_acctbal), 2) AS min_bal,
+           round(max(s_acctbal), 2) AS max_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + MIN/MAX — the reference's perf group 104 shape.
+
+    Reference: ``utils/scenarios/perf/sql/104`` (3-way join min/max);
+    N-way ``TupleHashJoinStep`` with multiple small sides
+    (``dbcon/joblist/tuplehashjoin.h:42``) → chained broadcast joins.
+    """
+    supplier, nation, region = _t(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS r1, r2.r_name AS r2, n_name
+    FROM region r CROSS JOIN region r2 JOIN nation ON n_regionkey = r.r_regionkey
+    WHERE r.r_regionkey < r2.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (+ self-join aliasing) with post-filter.
+
+    Reference: expression-step cross-like joins (theta handled as
+    post-filter, SURVEY §2.3 preamble).
+    """
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    r1 = region.select(F.col("r_name").alias("r1"), F.col("r_regionkey").alias("rk1"))
+    r2 = region.select(F.col("r_name").alias("r2"), F.col("r_regionkey").alias("rk2"))
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("rk1") < F.col("rk2"))
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("rk1"))
+        .select("r1", "r2", "n_name")
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s_suppkey, count(*) AS richer_customers
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a theta (non-equi) residual condition.
+
+    Reference: WITHFCNEXP join flag + ``joinFEFilters`` — theta conditions
+    evaluated as post-filters on an equi-hash join
+    (``primitives/primproc/batchprimitiveprocessor.h:257-280``).
+    Spark plans exactly this: hash join on the equi key, residual filter.
+    """
+    supplier, customer = _t(spark, sf_dir, "supplier", "customer")
+    return (
+        supplier.join(
+            customer,
+            (supplier.s_nationkey == customer.c_nationkey)
+            & (customer.c_acctbal > supplier.s_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("richer_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / derived tables  (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) + 2000 FROM customer)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-correlated scalar subquery in WHERE.
+
+    Reference: SCALAR join flag, >1-row runtime error
+    (``dbcon/mysql/ha_scalar_sub.cpp``).  Catalyst subquery — free.
+    """
+    _t(spark, sf_dir, "customer")
+    return spark.sql(
+        "SELECT c_custkey, c_acctbal FROM customer "
+        "WHERE c_acctbal > (SELECT avg(c_acctbal) + 2000 FROM customer)"
+    )
+
+
+@query(
+    "select_list_subquery",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT round(max(o_totalprice), 2) FROM orders WHERE o_custkey = c_custkey) AS max_price
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def select_list_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list.
+
+    Reference: ``doSelectSubquery`` (``dbcon/joblist/jlf_subquery.cpp:426``).
+    """
+    _t(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT round(max(o_totalprice), 2) FROM orders WHERE o_custkey = c_custkey) AS max_price
+        FROM customer WHERE c_custkey <= 100
+        """
+    )
+
+
+@query(
+    "in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > 300000
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → semi join.
+
+    Reference: ``ha_in_sub.cpp`` → SEMI flag.
+    """
+    _t(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 300000
+        """
+    )
+
+
+@query(
+    "derived_table",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_big, round(avg(tot), 2) AS avg_tot
+    FROM (
+      SELECT o_custkey, sum(o_totalprice) AS tot FROM orders GROUP BY o_custkey
+    ) t JOIN customer ON c_custkey = t.o_custkey
+    WHERE tot > 1000000
+    GROUP BY c_mktsegment
+    """,
+)
+def derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM-clause derived table feeding a join + agg.
+
+    Reference: ``FromSubQuery::transform`` → ``SubQueryStep``
+    (``dbcon/mysql/ha_from_sub.cpp:304``, ``dbcon/joblist/subquerystep.h:39``).
+    Spark: nested DataFrames — the plan IS the derived table.
+    """
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    t = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("tot"))
+    return (
+        t.filter(F.col("tot") > 1000000)
+        .join(F.broadcast(customer), t.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_big"), F.round(F.avg("tot"), 2).alias("avg_tot"))
+    )
+
+
+@query(
+    "view_query",
+    oracle="""
+    SELECT n_name, cnt FROM (
+      SELECT n_name, count(*) AS cnt
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ) v WHERE cnt > 3
+    """,
+)
+def view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views merged into the plan at translate time.
+
+    Reference: ``dbcon/mysql/ha_view.cpp`` — views expand inline.
+    Spark: ``createOrReplaceTempView`` + reference in SQL, same inlining.
+    """
+    _t(spark, sf_dir, "customer", "nation")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW cust_by_nation AS
+        SELECT n_name, count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+    return spark.sql("SELECT n_name, cnt FROM cust_by_nation WHERE cnt > 3")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / distinct / set ops  (SURVEY §2.6, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topn_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topn_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → top-N with a bounded heap.
+
+    Reference: ``LimitedOrderBy`` priority queue
+    (``dbcon/joblist/limitedorderby.h:43``).  Spark plans
+    ``TakeOrderedAndProject`` — per-partition heaps then merge, no global
+    sort: exactly the reference's structure, distributed.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT with OFFSET (fStart/fCount).
+
+    Reference: ``limitedorderby.h:57-58`` (``fStart``, ``fCount``).
+    Spark 3.4+ supports OFFSET natively in SQL.
+    """
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10"
+    )
+
+
+@query(
+    "order_nulls_last",
+    oracle="""
+    SELECT c_custkey, nullif(c_mktsegment, 'MACHINERY') AS seg
+    FROM customer
+    ORDER BY seg ASC NULLS LAST, c_custkey LIMIT 120
+    """,
+)
+def order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS LAST ordering (MySQL default is nulls-first ASC;
+    Spark's too, but we pin explicitly — SURVEY §2.6 sort-spec row).
+
+    Reference: ``IdbSortSpec`` per-key asc/desc + nulls-first/last
+    (``utils/windowfunction/idborderby.h:70-138``).  The LIMIT makes null
+    placement observable through the selected set.
+    """
+    (customer,) = _t(spark, sf_dir, "customer")
+    return (
+        customer.select(
+            "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg")
+        )
+        .orderBy(F.col("seg").asc_nulls_last(), F.col("c_custkey"))
+        .limit(120)
+    )
+
+
+@query(
+    "distinct_select",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT.
+
+    Reference: distinct handled in ``TupleAnnexStep``
+    (``dbcon/joblist/tupleannexstep.h:46``) via hash dedup — Spark
+    HashAggregate on all columns.
+    """
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "union_all_normalize",
+    oracle="""
+    SELECT CAST(c_custkey AS DOUBLE) AS id, c_name AS name FROM customer WHERE c_custkey <= 30
+    UNION ALL
+    SELECT s_acctbal AS id, s_name AS name FROM supplier
+    """,
+)
+def union_all_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with cross-branch type normalization (long vs double).
+
+    Reference: ``TupleUnion::normalize`` — widest type wins
+    (``dbcon/joblist/tupleunion.h:136``).  Spark's
+    ``WidenSetOperationTypes`` does the same; we use unionByName after an
+    explicit widening cast to keep the schema deterministic.
+    """
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    a = customer.filter(F.col("c_custkey") <= 30).select(
+        F.col("c_custkey").cast("double").alias("id"), F.col("c_name").alias("name")
+    )
+    b = supplier.select(F.col("s_acctbal").alias("id"), F.col("s_name").alias("name"))
+    return a.unionByName(b)
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    UNION
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup) over N inputs.
+
+    Reference: ``TupleUnion`` with per-input distinctFlags + hash-set
+    dedup (``dbcon/joblist/tupleunion.h:47,96,144``).
+    """
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("k"))
+        .union(supplier.select(F.col("s_nationkey").alias("k")))
+        .distinct()
+    )
+
+
+@query(
+    "intersect_except",
+    oracle="""
+    SELECT k, 'both' AS side FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT k, 'cust_only' AS side FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — absent in the reference's MySQL-5.1 surface
+    (SURVEY §2.7: "may exceed reference"), provided as a capability bonus.
+    """
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.select(F.col("c_nationkey").alias("k"))
+    s = supplier.select(F.col("s_nationkey").alias("k"))
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    only = c.subtract(s).withColumn("side", F.lit("cust_only"))
+    return both.unionByName(only)

@@ -1,0 +1,135 @@
+"""Session + catalog management.
+
+Replaces the reference's mysqld→ExeMgr front half (plan translation in
+``dbcon/mysql/ha_calpont_execplan.cpp:4076`` ``getSelectPlan`` and JobList
+compilation in ``dbcon/joblist/joblistfactory.cpp:1788``) with a configured
+``SparkSession``: ``spark.sql()`` / DataFrame IS the plan IR, Catalyst the
+compiler, Spark stages the JobList.
+
+Scale notes (tuned for local[32] testing, designed for a 1000-executor
+cluster reading 100 TB):
+
+* AQE on — runtime re-plan replaces the reference's RowEstimator-based
+  join ordering (ref ``dbcon/joblist/rowestimator.h:43``) and its
+  CP-extent row estimates; AQE also coalesces post-shuffle partitions
+  and handles skew joins (ref grace-hash ``DiskJoinStep``,
+  ``dbcon/joblist/diskjoinstep.h:28``, is Spark-native spill).
+* autoBroadcastJoinThreshold 64 MB mirrors the reference's PM-join
+  small-side cap ``PmMaxMemorySmallSide``
+  (ref ``dbcon/joblist/resourcemanager.h:56``).
+* shuffle.partitions is a local default; on a real cluster set it to
+  2-3× total cores or rely on AQE coalescing.
+* session timezone pinned UTC so date/time semantics are deterministic
+  and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes (TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "infinidb-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's default tuning."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime join-strategy switch, partition coalescing, skew-join
+        # splitting — replaces reference RowEstimator + DiskJoinStep logic.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # PM-join small-side cap 64MB (resourcemanager.h:56) → broadcast cap.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas_udf path (dedup/similarity/multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # ANSI off: reference is MySQL-5.1-permissive (silent NULL on bad
+        # casts, no overflow errors) — matches oracle-facing semantics.
+        .config("spark.sql.ansi.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS); read as long then
+        # convert (see load_tables) — Spark has no native nanos reader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    register: bool = True,
+    names: tuple[str, ...] | None = None,
+) -> dict[str, DataFrame]:
+    """Register the driver's Parquet tables as temp views.
+
+    The analog of InfiniDB's system catalog lookup
+    (``CalpontSystemCatalog::makeCalpontSystemCatalog``,
+    ref ``dbcon/execplan/calpontsystemcatalog.h:107``): a table is a
+    directory of columnar data; here a Parquet file read through Spark's
+    vectorized reader (which subsumes pColScanStep / pDictionaryScan,
+    ref ``dbcon/joblist/primitivestep.h:357,674``).
+    """
+    from pyspark.sql import functions as F
+
+    out: dict[str, DataFrame] = {}
+    for name in names or TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # TIMESTAMP(NANOS) read as long (nanosAsLong) → truncate to
+            # micros, matching DuckDB's ns→µs truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+class InfiniSession:
+    """User-facing engine session — the mysqld+ExeMgr surface in one object.
+
+    ``sql()`` is the SELECT entry point (ref lifecycle SURVEY.md §3.1);
+    Catalyst replaces CSEP translation + JobList compilation entirely.
+    """
+
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = spark or get_spark()
+        self.tables: dict[str, DataFrame] = {}
+        if sf_dir:
+            self.load(sf_dir)
+
+    def load(self, sf_dir: str) -> "InfiniSession":
+        self.tables = load_tables(self.spark, sf_dir)
+        return self
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    def explain(self, query: str) -> str:
+        return self.spark.sql(query)._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
