@@ -1,0 +1,90 @@
+"""MySQL ↔ Spark datetime format-string translation.
+
+The reference implements MySQL ``DATE_FORMAT`` / ``STR_TO_DATE`` /
+``TIME_FORMAT`` token semantics in ``utils/funcexp/func_date_format.cpp``
+and ``func_str_to_date.cpp``.  Spark uses Java-style patterns
+(``yyyy-MM-dd``), so the dialect layer is exactly this translation —
+SURVEY.md §7 names it the main "hard part" of function parity.
+"""
+
+from __future__ import annotations
+
+#: MySQL '%x' token → Spark/Java datetime pattern fragment.
+#: Tokens with no Spark-pattern equivalent are handled in registry.py by
+#: expression composition (see ``date_format_mysql``) and marked None here.
+_TOKENS: dict[str, str | None] = {
+    "a": "EEE",        # abbreviated weekday  Sun..Sat
+    "b": "MMM",        # abbreviated month    Jan..Dec
+    "c": "M",          # month 1..12
+    "D": None,         # day with english suffix 1st, 2nd ... (composed)
+    "d": "dd",         # day 00..31
+    "e": "d",          # day 0..31
+    "f": "SSSSSS",     # microseconds
+    "H": "HH",         # hour 00..23
+    "h": "hh",         # hour 01..12
+    "I": "hh",         # hour 01..12
+    "i": "mm",         # minutes
+    "j": "DDD",        # day of year 001..366
+    "k": "H",          # hour 0..23
+    "l": "h",          # hour 1..12
+    "M": "MMMM",       # month name
+    "m": "MM",         # month 00..12
+    "p": "a",          # AM/PM
+    "r": "hh:mm:ss a", # 12-hour time
+    "S": "ss",         # seconds
+    "s": "ss",         # seconds
+    "T": "HH:mm:ss",   # 24-hour time
+    "U": None,         # week (Sunday first) 00..53 (composed)
+    "u": None,         # week (Monday first) 00..53 (composed)
+    "V": None,         # week 01..53 (with %X)
+    "v": None,         # ISO week 01..53 (composed: use 'ww'-ISO below)
+    "W": "EEEE",       # weekday name
+    "w": None,         # day of week 0=Sunday..6 (composed)
+    "X": None,         # year for %V
+    "x": "YYYY",       # ISO week-year
+    "Y": "yyyy",       # 4-digit year
+    "y": "yy",         # 2-digit year
+    "%": "%",          # literal percent
+}
+
+
+def mysql_datetime_format_to_spark(fmt: str) -> str:
+    """Translate a MySQL format string to a Spark datetime pattern.
+
+    Literal (non-token) characters that are letters must be quoted in
+    Java patterns; we quote every literal run defensively.  Raises
+    ``ValueError`` for tokens that need expression composition
+    (``%D %U %u %V %X %w``) — ``date_format_mysql`` in registry.py
+    handles those above the pattern layer.
+    """
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            s = "".join(lit)
+            if any(c.isalpha() for c in s):
+                out.append("'" + s.replace("'", "''") + "'")
+            else:
+                out.append(s)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            tok = fmt[i + 1]
+            mapped = _TOKENS.get(tok)
+            if mapped is None and tok in _TOKENS:
+                raise ValueError(f"MySQL token %{tok} needs expression composition")
+            flush()
+            if mapped is not None:
+                out.append(mapped)
+            else:
+                lit.append(tok)  # unknown token: MySQL emits it literally
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    return "".join(out)

@@ -1,0 +1,274 @@
+"""Scalar-function parity queries — SURVEY.md §2.8.
+
+Each query projects a batch of the MySQL-dialect function library
+(infinidb_spark.functions, the rebuild of ``utils/funcexp``) over real
+table columns, with a DuckDB oracle computing the same values through
+DuckDB's own function surface.  Functions whose semantics DuckDB can't
+express (week modes, crc32, conv, format translation) are pinned by unit
+tests in tests/test_functions.py instead — both layers together cover
+the ~140-name registry.
+
+All expressions here are per-row and deterministic, so no rounding is
+needed: both engines produce bit-identical IEEE doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from infinidb_spark.functions import func
+from infinidb_spark.plans.registry import query
+from infinidb_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, register=True, names=names)
+    return [tables[n] for n in names]
+
+
+@query(
+    "func_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - l_tax)                 AS f_abs,
+           ceil(l_quantity / 7)                    AS f_ceil,
+           floor(l_extendedprice / 1000)           AS f_floor,
+           round(l_extendedprice / 7, 3)           AS f_round,
+           CAST(l_orderkey % 7 AS BIGINT)          AS f_mod,
+           sqrt(l_quantity)                        AS f_sqrt,
+           power(l_discount, 2)                    AS f_pow,
+           sign(l_discount - 0.05)                 AS f_sign,
+           ln(l_extendedprice)                     AS f_ln,
+           log10(l_extendedprice)                  AS f_log10,
+           greatest(l_discount, l_tax)             AS f_greatest,
+           least(l_discount, l_tax)                AS f_least
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions over lineitem (ref func_math.cpp & friends)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 300).select(
+        "l_orderkey",
+        "l_linenumber",
+        func("abs", F.col("l_discount") - F.col("l_tax")).alias("f_abs"),
+        func("ceil", F.col("l_quantity") / 7).alias("f_ceil"),
+        func("floor", F.col("l_extendedprice") / 1000).alias("f_floor"),
+        func("round", F.col("l_extendedprice") / 7, 3).alias("f_round"),
+        func("mod", F.col("l_orderkey"), 7).alias("f_mod"),
+        func("sqrt", F.col("l_quantity")).alias("f_sqrt"),
+        func("pow", F.col("l_discount"), 2).alias("f_pow"),
+        func("sign", F.col("l_discount") - 0.05).cast("double").alias("f_sign"),
+        func("ln", F.col("l_extendedprice")).alias("f_ln"),
+        func("log10", F.col("l_extendedprice")).alias("f_log10"),
+        func("greatest", F.col("l_discount"), F.col("l_tax")).alias("f_greatest"),
+        func("least", F.col("l_discount"), F.col("l_tax")).alias("f_least"),
+    )
+
+
+@query(
+    "func_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS f_upper,
+           lower(c_mktsegment)                             AS f_lower,
+           length(c_name)                                  AS f_length,
+           ascii(c_name)                                   AS f_ascii,
+           concat(c_name, '#', c_mktsegment)               AS f_concat,
+           concat_ws('-', c_name, c_mktsegment)            AS f_concat_ws,
+           substr(c_name, 1, 8)                            AS f_substr,
+           left(c_name, 4)                                 AS f_left,
+           right(c_name, 3)                                AS f_right,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')        AS f_lpad,
+           rpad(c_mktsegment, 12, '.')                     AS f_rpad,
+           replace(c_name, 'Customer', 'Cust')             AS f_replace,
+           reverse(c_mktsegment)                           AS f_reverse,
+           repeat(c_mktsegment[1:1], 3)                    AS f_repeat,
+           trim('  ' || c_name || ' ')                     AS f_trim,
+           instr(c_name, 'er')                             AS f_instr,
+           split_part(c_name, 'r', 1)                      AS f_sidx,
+           md5(c_name)                                     AS f_md5
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions over customer (ref func_str family)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    seg = F.col("c_mktsegment")
+    return customer.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        func("ucase", name).alias("f_upper"),
+        func("lcase", seg).alias("f_lower"),
+        func("length", name).cast("bigint").alias("f_length"),
+        func("ascii", name).alias("f_ascii"),
+        func("concat", name, F.lit("#"), seg).alias("f_concat"),
+        func("concat_ws", "-", name, seg).alias("f_concat_ws"),
+        func("substr", name, 1, 8).alias("f_substr"),
+        func("left", name, 4).alias("f_left"),
+        func("right", name, 3).alias("f_right"),
+        func("lpad", F.col("c_custkey").cast("string"), 8, "0").alias("f_lpad"),
+        func("rpad", seg, 12, ".").alias("f_rpad"),
+        func("replace", name, F.lit("Customer"), F.lit("Cust")).alias("f_replace"),
+        func("reverse", seg).alias("f_reverse"),
+        func("repeat", F.substring(seg, 1, 1), 3).alias("f_repeat"),
+        func("trim", F.concat(F.lit("  "), name, F.lit(" "))).alias("f_trim"),
+        func("instr", name, "er").cast("bigint").alias("f_instr"),
+        func("substring_index", name, "r", 1).alias("f_sidx"),
+        func("md5", name).alias("f_md5"),
+    )
+
+
+@query(
+    "func_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                        AS f_year,
+           month(o_orderdate)                                       AS f_month,
+           dayofmonth(o_orderdate)                                  AS f_day,
+           quarter(o_orderdate)                                     AS f_quarter,
+           dayofyear(o_orderdate)                                   AS f_doy,
+           CAST(isodow(o_orderdate) % 7 + 1 AS BIGINT)              AS f_dow,
+           CAST(isodow(o_orderdate) - 1 AS BIGINT)                  AS f_weekday,
+           weekofyear(o_orderdate)                                  AS f_week_iso,
+           strftime(o_orderdate, '%Y-%m')                           AS f_fmt,
+           strftime(o_orderdate, '%d/%m/%Y')                        AS f_fmt2,
+           last_day(o_orderdate)                                    AS f_last_day,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) + 719528 AS BIGINT) AS f_to_days,
+           CAST(epoch(o_orderdate) AS BIGINT)                       AS f_unix,
+           o_orderdate + INTERVAL 31 DAY                            AS f_plus31,
+           o_orderdate - INTERVAL 2 MONTH                           AS f_minus2m,
+           CAST(date_diff('day', TIMESTAMP '1995-06-17', o_orderdate) AS INTEGER) AS f_datediff,
+           monthname(o_orderdate)                                   AS f_monthname,
+           dayname(o_orderdate)                                     AS f_dayname
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions over orders (ref func_date*/func_day* family).
+
+    MySQL DAYOFWEEK (Sun=1) == DuckDB ``isodow % 7 + 1``; MySQL WEEKDAY
+    (Mon=0) == ``isodow - 1``; TO_DAYS == days-since-epoch + 719528.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.filter(F.col("o_orderkey") <= 300).select(
+        "o_orderkey",
+        func("year", d).cast("bigint").alias("f_year"),
+        func("month", d).cast("bigint").alias("f_month"),
+        func("day", d).cast("bigint").alias("f_day"),
+        func("quarter", d).cast("bigint").alias("f_quarter"),
+        func("dayofyear", d).cast("bigint").alias("f_doy"),
+        func("dayofweek", d).cast("bigint").alias("f_dow"),
+        func("weekday", d).cast("bigint").alias("f_weekday"),
+        func("weekofyear", d).cast("bigint").alias("f_week_iso"),
+        func("date_format", d, "%Y-%m").alias("f_fmt"),
+        func("date_format", d, "%d/%m/%Y").alias("f_fmt2"),
+        func("last_day", d).alias("f_last_day"),
+        func("to_days", d).cast("bigint").alias("f_to_days"),
+        func("unix_timestamp", d).alias("f_unix"),
+        func("date_add", d, 31, "day").cast("timestamp").alias("f_plus31"),
+        func("date_sub", d, 2, "month").alias("f_minus2m"),
+        func("datediff", d, F.lit("1995-06-17")).alias("f_datediff"),
+        func("monthname", d).alias("f_monthname"),
+        func("dayname", d).alias("f_dayname"),
+    )
+
+
+@query(
+    "func_control",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                                     AS f_case,
+           CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
+                ELSE 'other' END                                     AS f_case_simple,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END           AS f_if,
+           coalesce(nullif(o_orderstatus, 'P'), 'pending')           AS f_ifnull,
+           nullif(o_orderstatus, 'F')                                AS f_nullif,
+           (o_totalprice BETWEEN 50000 AND 60000)                    AS f_between,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH'))               AS f_in,
+           (nullif(o_orderstatus, 'F') IS NULL)                      AS f_isnull
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def func_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-flow / null functions (ref func_case/if/ifnull/nullif/...)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    status = F.col("o_orderstatus")
+    return orders.filter(F.col("o_orderkey") <= 400).select(
+        "o_orderkey",
+        func(
+            "case",
+            (price > 300000, F.lit("big")),
+            (price > 100000, F.lit("mid")),
+            default=F.lit("small"),
+        ).alias("f_case"),
+        func(
+            "case",
+            (status == "F", F.lit("final")),
+            (status == "O", F.lit("open")),
+            default=F.lit("other"),
+        ).alias("f_case_simple"),
+        func("if", status == "F", 1, 0).alias("f_if"),
+        func("ifnull", func("nullif", status, F.lit("P")), F.lit("pending")).alias("f_ifnull"),
+        func("nullif", status, F.lit("F")).alias("f_nullif"),
+        func("between", price, 50000, 60000).alias("f_between"),
+        func("in", F.col("o_orderpriority"), "1-URGENT", "2-HIGH").alias("f_in"),
+        func("isnull", func("nullif", status, F.lit("F"))).alias("f_isnull"),
+    )
+
+
+@query(
+    "func_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice, 0) AS BIGINT)          AS c_signed,
+           CAST(o_orderkey AS VARCHAR)                     AS c_char,
+           CAST(o_orderdate AS DATE)                       AS c_date,
+           CAST(round(o_totalprice, 1) AS DECIMAL(18,2))   AS c_decimal,
+           CAST(o_orderkey AS DOUBLE)                      AS c_double,
+           TRY_CAST(o_orderstatus AS BIGINT)               AS c_bad
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def func_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family (ref func_cast.cpp; funcexp.cpp:83-88).
+
+    MySQL CAST(double AS SIGNED) rounds half-away; DuckDB's BIGINT cast
+    rounds too — same semantics.  Bad casts → NULL (non-ANSI mode), the
+    reference's permissive MySQL behavior.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") <= 300).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("c_signed"),
+        func("cast_char", F.col("o_orderkey")).alias("c_char"),
+        func("cast_date", F.col("o_orderdate")).alias("c_date"),
+        func("cast_decimal", F.round(F.col("o_totalprice"), 1), 18, 2).alias("c_decimal"),
+        func("cast_double", F.col("o_orderkey")).alias("c_double"),
+        func("cast_signed", F.col("o_orderstatus")).alias("c_bad"),
+    )
+
+
+@query(
+    "func_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS VARCHAR)          AS k_raw,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_num
+    FROM events WHERE event_id <= 300
+    """,
+)
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props — capability bonus beyond the
+    reference (no JSON in InfiniDB's type system, SURVEY §1.1)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") <= 300).select(
+        "event_id",
+        func("json_extract", F.col("props"), "$.k").alias("k_raw"),
+        func("json_extract", F.col("props"), "$.k").cast("bigint").alias("k_num"),
+    )
