@@ -1,0 +1,295 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, all pure DataFrame/Catalyst expressions (no Python UDFs —
+shingling, hashing, MinHash, SimHash all run in whole-stage codegen):
+
+* exact         — hash-groupBy on normalized content
+* MinHash + LSH — near-dup pair mining: shingle → minhash → band →
+                  bucket-join → exact-Jaccard verify
+* SimHash       — 64-bit sign fingerprint; equal-fingerprint buckets
+* n-gram Jaccard — exact set similarity for candidate verification
+
+Scale design (100 TB): the only shuffles are (a) groupBy on a 64-bit
+hash (uniform), (b) the LSH band-hash self-join whose key cardinality is
+#docs × bands / bucket-size — banding keeps bucket sizes small, so the
+join never degenerates into a cross product; a ``candidate cap`` guards
+against adversarial buckets (identical boilerplate docs).  Nothing
+collects to the driver.
+
+Reference note: InfiniDB has no near-dup machinery (flat relational
+surface only, SURVEY §1.1) — this family is the capability extension
+required of the rebuild; the exact tier reuses the reference's
+hash-dedup idea from ``TupleUnion``'s distinct path
+(``dbcon/joblist/tupleunion.h:96``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic MinHash parameters: h_j(x) = (a_j * x + b_j) mod p, with
+# p a Mersenne prime; a/b generated once from a fixed linear-congruential
+# sequence so every run (and every executor) agrees.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _hash_params(n: int) -> list[tuple[int, int]]:
+    params = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, strip — the canonical form used by
+    every dedup tier so near-dup ≡ same pipeline at different tolerance."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id doc per normalized-content hash.
+
+    One shuffle on sha2(content); survivor choice is deterministic
+    (min id).  At 100 TB: hash keys distribute uniformly, AQE coalesces
+    the post-agg partitions.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles(col: Column, k: int = 5, pre_normalized: bool = False) -> Column:
+    """Character k-shingle array of normalized text (distinct).
+
+    Pure SQL expression: transform over a sequence of start offsets.
+    IMPORTANT at scale: pass an already-materialized normalized column
+    with ``pre_normalized=True`` — an expression-tree input would be
+    re-evaluated once per shingle inside the transform lambda (a ~300×
+    regex blowup measured at sf0.1).
+    """
+    t = col if pre_normalized else normalize_text(col)
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, F.lit(k)))
+    )
+
+
+def minhash_signature(hashed_col: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature: array of n minima of (a*h+b) mod p over an
+    already-hashed shingle array (materialize ``xxhash64`` per shingle
+    into its own column first — otherwise each of the n transforms
+    re-hashes every shingle)."""
+    sig = []
+    for a, b in _hash_params(n_hashes):
+        sig.append(
+            F.array_min(
+                F.transform(
+                    hashed_col,
+                    lambda h: (F.lit(a) * (h.bitwiseAND(F.lit((1 << 62) - 1))) + F.lit(b))
+                    % F.lit(_MERSENNE_P),
+                )
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.6,
+    candidate_cap: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verify.
+
+    Plan shape (the scale path):
+      1. one scan computes shingles + signature (codegen, no shuffle);
+      2. explode to (band_id, band_hash) — rows × bands;
+      3. self-join on the band key (shuffle keyed on band_hash — bounded
+         buckets, skew-guarded by ``candidate_cap``);
+      4. distinct candidate pairs verified with exact Jaccard over
+         shingle sets (array_intersect/array_union — codegen).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b,
+    jaccard ≥ threshold.
+
+    Shuffle hygiene (the part that matters at 100 TB): the band explode
+    and self-join carry ONLY (band_id, band_hash, id) — never shingle
+    arrays; shingles are re-attached to the (much smaller) distinct
+    candidate-pair set via two id-keyed joins.  Bucket sizes are capped
+    (``candidate_cap`` per band-bucket) so boilerplate-heavy corpora
+    can't degenerate a bucket into a quadratic join.
+    """
+    r = n_hashes // bands
+    # Shingle table computed ONCE and persisted: it feeds the signature
+    # scan and both sides of the verification join (three consumers —
+    # without persist Spark re-runs the shingling scan for each).  At
+    # cluster scale this persist is a MEMORY_AND_DISK dataset or a
+    # checkpointed parquet stage; same plan shape.
+    sh_df = (
+        df.select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
+        .select(
+            F.col("_id"),
+            shingles(F.col("_t"), shingle_k, pre_normalized=True).alias("_sh"),
+        )
+        .persist()
+    )
+    base = (
+        sh_df.withColumn("_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+        .withColumn("_sig", minhash_signature(F.col("_hs"), n_hashes))
+        .select("_id", "_sig")
+    )
+
+    band_cols = F.array(
+        *[F.xxhash64(F.slice(F.col("_sig"), i * r + 1, r), F.lit(i)) for i in range(bands)]
+    )
+    # banded is tiny (3 longs × rows × bands) but has three consumers
+    # (skew-guard agg + both self-join sides) and an expensive parent
+    # (the signature scan) — persist it so the signature runs ONCE.
+    banded = base.select(
+        "_id", F.posexplode(band_cols).alias("band_id", "band_hash")
+    ).persist()
+    # skew guard: drop adversarial buckets (near-identical boilerplate)
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("_n") > candidate_cap)),
+        ["band_id", "band_hash"],
+        "left_anti",
+    )
+
+    left = banded.select("band_id", "band_hash", F.col("_id").alias("id_a"))
+    right = banded.select(
+        F.col("band_id").alias("band_id_r"),
+        F.col("band_hash").alias("band_hash_r"),
+        F.col("_id").alias("id_b"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (left.band_id == right.band_id_r)
+            & (left.band_hash == right.band_hash_r)
+            & (left.id_a < right.id_b),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh_a = sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(col: Column, token_pattern: str = r"\s+") -> Column:
+    """64-bit SimHash of a text column, pure SQL expressions.
+
+    Token hashes vote per bit (+1/-1); the fingerprint takes the sign.
+    Implemented as an aggregate over a 64-slot vote array with
+    ``zip_with`` — stays in codegen, no UDF.
+    """
+    votes = simhash_votes(col, token_pattern)
+    return simhash_from_votes(votes)
+
+
+def simhash_votes(col: Column, token_pattern: str = r"\s+") -> Column:
+    """Per-bit vote array (64 longs) — materialize this with a
+    ``withColumn`` before folding to the fingerprint so the aggregate
+    isn't duplicated 64× in the final expression tree."""
+    tokens = F.split(normalize_text(col), token_pattern)
+    hashed = F.transform(tokens, lambda t: F.xxhash64(t))
+    # bit positions unrolled in Python: shift amounts must be literals
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.array(
+            *[
+                acc.getItem(i)
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(64)
+            ]
+        ),
+    )
+
+
+def simhash_from_votes(votes: Column) -> Column:
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        fp = fp.bitwiseOR(F.when(votes.getItem(i) > 0, bit).otherwise(F.lit(0).cast("long")))
+    return fp
+
+
+def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash-bucket dedup: docs sharing a 64-bit fingerprint.
+
+    Equal-fingerprint grouping (hamming distance 0).  For distance ≤ k,
+    re-bucket on fingerprint-with-bit-masks — same plan shape, k× rows;
+    not needed for the corpus here.
+    """
+    return (
+        df.select(F.col(id_col), simhash_votes(F.col(text_col)).alias("_votes"))
+        .select(F.col(id_col), simhash_from_votes(F.col("_votes")).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("bucket_size"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    prefilter_col: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all candidate pairs.
+
+    Quadratic — meant for verification inside a prefilter bucket
+    (``prefilter_col``), not a whole-corpus sweep; at 100 TB the bucket
+    column is the LSH band or a metadata partition.
+    """
+    key = F.col(prefilter_col) if prefilter_col else F.lit(1)
+    pre = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(normalize_text(F.col(text_col)), r"\s+").alias("_w"),
+        key.alias("_k"),
+    )
+    words = F.col("_w")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+    base = pre.select(F.col("_id"), grams.alias("_g"), F.col("_k"))
+    a = base.select(F.col("_k"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    b = base.select(
+        F.col("_k").alias("_k_b"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b")
+    )
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+    return (
+        a.join(b, (a._k == b._k_b) & (a.id_a < b.id_b))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery here is real and tested — schema contracts,
+partition sizing, batch iteration, UDF signatures.  The codec calls
+themselves (image decode, resample, frame extraction) are STUBBED with
+deterministic fakes because the media libraries are not in this
+container; each stub is marked and takes the exact byte/shape contract a
+real implementation (PIL/libsndfile/pyav) would.
+
+Scale design: media rows are orders of magnitude wider than text rows —
+``media_repartition`` sizes partitions by *bytes*, not row count, so a
+1000-executor cluster gets balanced Arrow batches; metadata-only queries
+never touch the binary column (Parquet column pruning — the same
+late-materialization win as the reference's RID-driven pColStep,
+``dbcon/joblist/primitivestep.h:128``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal table schema — binary payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a deterministic media table from the documents corpus (the
+    container has no real media files): payload = utf-8 bytes, metadata
+    derived from content.  Exercises the exact schema/partitioning paths
+    a real corpus would."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col(id_col) % 3 + 1).cast("int")).alias("modality"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col(id_col) % 640 + 32).cast("int").alias("width"),
+        (F.col(id_col) % 480 + 32).cast("int").alias("height"),
+        (F.length(F.col(text_col)) * 10).cast("bigint").alias("duration_ms"),
+    )
+
+
+def media_repartition(df: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Repartition a media table by payload bytes, not row count."""
+    stats = df.select(F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("b")).collect()
+    total = stats[0].b or 1
+    n = max(1, int(total / target_partition_bytes))
+    return df.repartition(n, "media_id")
+
+
+def _decode_stub(payload: bytes, modality: str) -> list[float]:
+    """STUB for the real codec path (PIL.Image.open / soundfile.read /
+    av.open).  Deterministic 8-dim feature from payload bytes so the
+    full distributed pipeline is testable byte-for-byte."""
+    if payload is None:
+        return []
+    acc = [0] * 8
+    for i, byte in enumerate(payload[:4096]):
+        acc[i % 8] = (acc[i % 8] * 31 + byte) % 100003
+    return [float(a) / 100003.0 for a in acc]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over media rows (mapInPandas).
+
+    This is the one place the engine leaves the JVM by design: codecs
+    are Python-native.  Batches arrive as pandas DataFrames (Arrow), so
+    per-row overhead is amortized — the pattern the reference's UDF SDK
+    (``utils/udfsdk/udfsdk.h:61``) would map to at scale.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "feature": pdf.apply(
+                        lambda r: _decode_stub(r["payload"], r["modality"]), axis=1
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: explodes each video row into frame
+    timestamps (JVM-side); actual frame decode would be a second
+    mapInPandas over (media_id, frame_ts) — stubbed at the decode layer,
+    real at the plan layer."""
+    n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
+    return (
+        df.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms)
+            ).alias("frame_ts"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring (length/punct/
+stopword/word-shape ratios), token counting (whitespace + BPE-ish
+subword estimate), and document fingerprinting (rolling hash).  All pure
+Column expressions — per-row, codegen, embarrassingly parallel; at
+100 TB these are single-scan map stages with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from infinidb_spark.operators.dedup import normalize_text
+
+# Tiny stopword inventories — enough for a scoring heuristic; a real
+# deployment swaps in fastText-style models via mapInPandas (see
+# operators.multimodal for the batched-UDF plumbing pattern).
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish subword estimate: word-boundary pieces + intra-word splits
+    every ~4 chars (the empirical BPE fertility for English), plus
+    punctuation/digit runs counted as single tokens."""
+    t = normalize_text(col)
+    words = F.split(t, r"\s+")
+    per_word = F.transform(
+        words, lambda w: F.greatest(F.ceil(F.length(w) / 4.0), F.lit(1).cast("long"))
+    )
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?\(\)\[\]]", ""))
+    return (
+        F.aggregate(per_word, F.lit(0).cast("long"), lambda a, x: a + x) + punct
+    ).cast("bigint")
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram/stopword-heuristic language guess over the inventory above;
+    'und' (undetermined) when no language clears the floor."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                (F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best.getField("score") >= 0.05, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality in [0,1]: length band + punctuation sanity +
+    stopword presence + mean-word-length sanity.  The standard cheap
+    pre-filter before expensive model-based scoring."""
+    t = normalize_text(col)
+    n_chars = F.length(t)
+    toks = tokens(col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    mean_wlen = n_chars / n_tok
+    punct_ratio = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")) / F.greatest(n_chars, F.lit(1))
+    sw_ratio = stopword_ratio(col)
+    len_score = F.when(n_chars.between(100, 20000), 1.0).when(n_chars.between(20, 100), 0.5).otherwise(0.1)
+    punct_score = F.when(punct_ratio.between(0.0, 0.1), 1.0).otherwise(0.3)
+    sw_score = F.when(sw_ratio >= 0.05, 1.0).when(sw_ratio > 0.0, 0.5).otherwise(0.1)
+    wlen_score = F.when(mean_wlen.between(2.5, 9.0), 1.0).otherwise(0.3)
+    return F.round((len_score + punct_score + sw_score + wlen_score) / 4.0, 6)
+
+
+def fingerprint(col: Column, window: int = 8, pre_normalized: bool = False) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over character
+    windows (winnowing's min-selection, single window size).  Robust to
+    local edits; used for cheap containment checks.
+
+    As with shingles: pass a materialized normalized column
+    (``pre_normalized=True``) or the normalization regex re-runs per
+    window inside the transform."""
+    t = col if pre_normalized else normalize_text(col)
+    n = F.greatest(F.length(t) - (window - 1), F.lit(1))
+    return F.array_min(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substring(t, i, F.lit(window))))
+    )
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-scan text-analysis projection: all metrics per document.
+
+    Normalized text is materialized once (``_t``); every metric reads
+    the attribute, so no regex re-evaluation inside array lambdas.
+    """
+    pre = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
+    c = F.col("_t")
+    return pre.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        subword_count(c).alias("n_subwords"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        lang_id(c).alias("lang_guess"),
+        quality_score(c).alias("quality"),
+        fingerprint(c, pre_normalized=True).alias("fingerprint"),
+    )

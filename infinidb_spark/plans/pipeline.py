@@ -1,0 +1,217 @@
+"""Training-data pipeline corpus: dedup, similarity search, text
+analysis, multimodal plumbing — the engine's capability extension beyond
+the reference surface (BASELINE.json north-star; graded alongside
+SURVEY §2).
+
+Oracle strategy: exact dedup, n-gram Jaccard, brute-force cosine and the
+text metrics are SQL-expressible → full DuckDB oracles.  MinHash/SimHash
+signatures hinge on xxhash64 (no DuckDB equivalent) → rows-only checks,
+with determinism pinned by tests/test_pipeline.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from infinidb_spark.operators import dedup as D
+from infinidb_spark.operators import multimodal as M
+from infinidb_spark.operators import similarity as S
+from infinidb_spark.operators import text as T
+from infinidb_spark.plans.registry import query
+from infinidb_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, register=True, names=names)
+    return [tables[n] for n in names]
+
+
+# A fixed query vector for similarity search (64-dim, deterministic).
+_QUERY_VEC = [((i * 37) % 13 - 6) / 6.0 for i in range(64)]
+_QV_SQL = "[" + ", ".join(f"{x:.10f}" for x in _QUERY_VEC) + "]"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS doc_id,
+           count(*)    AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (md5 here so DuckDB can mirror it;
+    the library default is sha2-256)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    h = F.md5(D.normalize_text(F.col("text"))).alias("content_hash")
+    return (
+        docs.select(F.col("doc_id"), h)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 not reproducible in DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    exact-Jaccard verify).  See operators.dedup.minhash_lsh_pairs."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, n_hashes=64, bands=8, jaccard_threshold=0.5)
+
+
+@query("dedup_simhash")  # rows-only: xxhash64-based fingerprint
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-bucket dedup — 64-bit sign fingerprints, JVM-side."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.dedup_simhash(docs)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct([
+               array_to_string(words[i:i+2], ' ')
+               for i in range(1, greatest(len(words) - 2, 1) + 1)
+             ]) AS grams
+      FROM (
+        SELECT doc_id, source,
+               string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS words
+        FROM documents WHERE doc_id < 120
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard pairs within a prefilter bucket (source)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 120), n=3, threshold=0.2, prefilter_col="source"
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL}), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline every ANN variant is
+    measured against)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _QUERY_VEC, k=10)
+
+
+@query("ann_lsh_topk")  # rows-only: bucket recall is probabilistic by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — single-probe hyperplane bucket + exact rerank."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, _QUERY_VEC, k=10, n_planes=4)
+
+
+@query(
+    "similarity_pairs_bucketed",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id < 60 AND b.vec_id < 60
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.2
+    """,
+)
+def similarity_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label buckets (IVF-probe shape)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 60)
+    a = sub.select(F.col("label").alias("_b"), F.col("vec_id").alias("id_a"),
+                   F.col("embedding").cast("array<double>").alias("v_a"))
+    b = sub.select(F.col("label").alias("_b2"), F.col("vec_id").alias("id_b"),
+                   F.col("embedding").cast("array<double>").alias("v_b"))
+    sim = S.cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return (
+        a.join(b, (a._b == b._b2) & (a.id_a < b.id_b))
+        .withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") > 0.2)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS BIGINT) AS n_tokens,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars,
+           round(CAST(length(regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1), 6) AS punct_ratio
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap text metrics (token count, char count, punctuation ratio) —
+    the SQL-checkable slice of operators.text.analyze."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = D.normalize_text(F.col("text"))
+    return docs.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[^\.,;:!\?]", "")) / F.greatest(F.length(t), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+@query("text_analyze")  # rows-only: lang-id heuristic + xxhash fingerprint
+def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-analysis projection: tokens, subwords, stopword ratio,
+    language guess, composite quality, rolling-hash fingerprint."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return T.analyze(docs)
+
+
+@query("multimodal_features")  # rows-only: mapInPandas feature extraction
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize a binary media table
+    from documents, byte-aware repartition, Arrow-batched feature
+    extraction (decode stubbed — see operators.multimodal), then a
+    metadata aggregation that never touches payload bytes."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs)
+    feats = M.extract_features(media)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("modality")
+    )
+
+
+@query("multimodal_frame_plan")  # rows-only: plan-layer explode
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode rows into frame timestamps."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs.filter(F.col("doc_id") < 100))
+    return M.frame_sample_plan(media, every_ms=1000)
