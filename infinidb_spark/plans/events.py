@@ -1,0 +1,117 @@
+"""Event-table corpus: time-window aggregation (batch twins of the
+streaming operators), sessionization, and JSON-props analytics.
+
+The reference has no streaming and no time-window operators — these are
+the post-parity extension flagged in SURVEY §2.10/§7, validated through
+DuckDB ``time_bucket`` oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from infinidb_spark.plans.registry import query
+from infinidb_spark.session import load_tables
+from infinidb_spark.streaming.events import (
+    sessionize,
+    sliding_event_counts,
+    tumbling_event_stats,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, register=True, names=names)
+    return [tables[n] for n in names]
+
+
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)                    AS n_events,
+           round(sum(value), 4)        AS sum_value,
+           round(avg(value), 6)        AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch twin of the
+    streaming operator; approx_count_distinct omitted — not oracle-able)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return tumbling_event_stats(events).drop("approx_users")
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w.window_start, w.event_type, CAST(sum(b2.n) AS BIGINT) AS n_events
+    FROM (SELECT DISTINCT b - INTERVAL 1 HOUR AS window_start, event_type FROM buckets
+          UNION SELECT DISTINCT b, event_type FROM buckets) w
+    JOIN buckets b2
+      ON b2.event_type = w.event_type
+     AND b2.b >= w.window_start AND b2.b < w.window_start + INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows (each event in 2 windows)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return sliding_event_counts(events, "2 hours", "1 hour")
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           user_id || '-' || CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS session_id
+    FROM g
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — lag + running sum."""
+    (events,) = _t(spark, sf_dir, "events")
+    return sessionize(events, gap_minutes=30)
+
+
+@query(
+    "events_json_funnel",
+    oracle="""
+    SELECT event_type,
+           count(*)                                             AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT)              AS uniq_users,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def events_json_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-prop filter + per-type aggregation over the event stream
+    shape (get_json_object stays JVM-side)."""
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.withColumn("_k", k)
+        .filter(F.col("_k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("uniq_users"),
+            F.round(F.avg(F.col("_k").cast("double")), 6).alias("avg_k"),
+        )
+    )
