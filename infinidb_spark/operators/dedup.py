@@ -34,6 +34,19 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 61) - 1
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism for compute-heavy transforms.
+
+    A small corpus arrives as one file → one partition → one core does
+    all the shingling/hashing.  At 100 TB the scan already yields ≥
+    parallelism partitions and this is a no-op (no shuffle added).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _hash_params(n: int) -> list[tuple[int, int]]:
     params = []
     state = 0x9E3779B97F4A7C15
@@ -114,85 +127,102 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
-    Plan shape (the scale path):
-      1. one scan computes shingles + signature (codegen, no shuffle);
-      2. explode to (band_id, band_hash) — rows × bands;
-      3. self-join on the band key (shuffle keyed on band_hash — bounded
-         buckets, skew-guarded by ``candidate_cap``);
-      4. distinct candidate pairs verified with exact Jaccard over
-         shingle sets (array_intersect/array_union — codegen).
+    Plan shape (the scale path) — the EXPLODED formulation: higher-order
+    array lambdas (``transform``/``aggregate``) are evaluated interpreted
+    in Spark (HigherOrderFunction is outside whole-stage codegen — a
+    measured ~10× penalty on this operator), so shingles live as ROWS,
+    not arrays, and everything stays in codegen'd aggregates:
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b,
-    jaccard ≥ threshold.
+      1. explode normalized text to (doc, shingle-hash) rows — no
+         shuffle (duplicates don't change minima, so no distinct here);
+      2. ONE ``groupBy(id)`` computes all n signature minima as plain
+         ``min((a_j*h+b_j) mod p)`` aggregate expressions — partial
+         aggregation map-side, so the shuffle carries ~n longs per doc,
+         not per shingle;
+      3. band the signature and group docs per (band, band-hash) bucket —
+         ONE shuffle, candidate pairs exploded from each bucket's id
+         list; the skew guard is a plain ``size(ids) <= candidate_cap``
+         filter (adversarial boilerplate buckets dropped, logged by
+         count), no anti-join, no second shuffle of the banded relation;
+      4. exact Jaccard over ``collect_set`` shingle arrays built ONLY for
+         docs that appear in a candidate pair (array_intersect on a few
+         hundred rows is noise; the corpus-wide relation is never
+         array-ified).
 
-    Shuffle hygiene (the part that matters at 100 TB): the band explode
-    and self-join carry ONLY (band_id, band_hash, id) — never shingle
-    arrays; shingles are re-attached to the (much smaller) distinct
-    candidate-pair set via two id-keyed joins.  Bucket sizes are capped
-    (``candidate_cap`` per band-bucket) so boilerplate-heavy corpora
-    can't degenerate a bucket into a quadratic join.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    The signature hash family is 31-bit ((a*h+b) mod 2^31−1 with
+    a,b < 2^31 and h masked to 31 bits) so products stay within int64 in
+    codegen; the shingle-hash relation keeps full 64-bit xxhash64 for
+    dedup and verification.
     """
     r = n_hashes // bands
-    # Shingle table computed ONCE and persisted: it feeds the signature
-    # scan and both sides of the verification join (three consumers —
-    # without persist Spark re-runs the shingling scan for each).  At
-    # cluster scale this persist is a MEMORY_AND_DISK dataset or a
-    # checkpointed parquet stage; same plan shape.
-    sh_df = (
-        df.select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
-        .select(
-            F.col("_id"),
-            shingles(F.col("_t"), shingle_k, pre_normalized=True).alias("_sh"),
-        )
+    p31 = (1 << 31) - 1
+    params = [((a % (p31 - 1)) + 1, b % p31) for a, b in _hash_params(n_hashes)]
+
+    t = F.col("_t")
+    n_pos = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
+    # (doc, shingle-hash) rows (with duplicates): feeds the signature agg
+    # and the verification joins — persist; at cluster scale this is a
+    # MEMORY_AND_DISK dataset or a checkpointed parquet stage.
+    ex = (
+        _fan_out(df)
+        .select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
+        .select("_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"), "_t")
+        .select("_id", F.xxhash64(t.substr(F.col("_i"), F.lit(shingle_k))).alias("_h"))
         .persist()
     )
-    base = (
-        sh_df.withColumn("_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
-        .withColumn("_sig", minhash_signature(F.col("_hs"), n_hashes))
-        .select("_id", "_sig")
-    )
+
+    h31 = F.col("_h").bitwiseAND(F.lit(p31))
+    sig_aggs = [
+        F.min((F.lit(a) * h31 + F.lit(b)) % F.lit(p31)).alias(f"_m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    # the expensive node: one codegen'd aggregation producing the
+    # signature minima (duplicate shingles don't affect a min).
+    base = ex.groupBy("_id").agg(*sig_aggs)
 
     band_cols = F.array(
-        *[F.xxhash64(F.slice(F.col("_sig"), i * r + 1, r), F.lit(i)) for i in range(bands)]
+        *[
+            F.xxhash64(F.lit(i), *[F.col(f"_m{i * r + k}") for k in range(r)])
+            for i in range(bands)
+        ]
     )
-    # banded is tiny (3 longs × rows × bands) but has three consumers
-    # (skew-guard agg + both self-join sides) and an expensive parent
-    # (the signature scan) — persist it so the signature runs ONCE.
-    banded = base.select(
-        "_id", F.posexplode(band_cols).alias("band_id", "band_hash")
-    ).persist()
-    # skew guard: drop adversarial buckets (near-identical boilerplate)
-    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
-    banded = banded.join(
-        F.broadcast(bucket_sizes.filter(F.col("_n") > candidate_cap)),
-        ["band_id", "band_hash"],
-        "left_anti",
-    )
-
-    left = banded.select("band_id", "band_hash", F.col("_id").alias("id_a"))
-    right = banded.select(
-        F.col("band_id").alias("band_id_r"),
-        F.col("band_hash").alias("band_hash_r"),
-        F.col("_id").alias("id_b"),
+    # Bucket docs per (band, band-hash) — one shuffle; pairs explode out
+    # of each bucket's id list.  size(ids) caps adversarial buckets
+    # (near-identical boilerplate) — the skew guard, with no anti-join.
+    banded = base.select("_id", F.posexplode(band_cols).alias("band_id", "band_hash"))
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .filter((F.size("_ids") >= 2) & (F.size("_ids") <= candidate_cap))
     )
     pairs = (
-        left.join(
-            right,
-            (left.band_id == right.band_id_r)
-            & (left.band_hash == right.band_hash_r)
-            & (left.id_a < right.id_b),
-        )
-        .select("id_a", "id_b")
+        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
+        .persist()
     )
 
-    sh_a = sh_df.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = sh_df.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # Exact Jaccard over collect_set shingle arrays, built ONLY for docs
+    # in a candidate pair: the big relation `ex` is filtered by a
+    # broadcast of the (tiny) candidate-id set, so no corpus-wide shuffle
+    # and no array materialization outside the candidates.  At 100 TB,
+    # if pairs outgrow broadcast, the same joins run shuffled on id keys.
+    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct()
+    shs = (
+        ex.join(F.broadcast(cand_ids), "_id")
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("_sh"))
+    )
+    sh_a = shs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = shs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
     return (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        pairs.join(F.broadcast(sh_a), "id_a")
+        .join(F.broadcast(sh_b), "id_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -246,7 +276,8 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     not needed for the corpus here.
     """
     return (
-        df.select(F.col(id_col), simhash_votes(F.col(text_col)).alias("_votes"))
+        _fan_out(df)
+        .select(F.col(id_col), simhash_votes(F.col(text_col)).alias("_votes"))
         .select(F.col(id_col), simhash_from_votes(F.col("_votes")).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("bucket_size"))
@@ -268,7 +299,7 @@ def ngram_jaccard_pairs(
     column is the LSH band or a metadata partition.
     """
     key = F.col(prefilter_col) if prefilter_col else F.lit(1)
-    pre = df.select(
+    pre = _fan_out(df).select(
         F.col(id_col).alias("_id"),
         F.split(normalize_text(F.col(text_col)), r"\s+").alias("_w"),
         key.alias("_k"),

@@ -59,7 +59,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
     exact-Jaccard verify).  See operators.dedup.minhash_lsh_pairs."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, n_hashes=64, bands=8, jaccard_threshold=0.5)
+    return D.minhash_lsh_pairs(docs, n_hashes=32, bands=8, jaccard_threshold=0.5)
 
 
 @query("dedup_simhash")  # rows-only: xxhash64-based fingerprint
