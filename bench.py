@@ -48,8 +48,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # JVM/codegen warmup on a trivial action (not counted).
+    # JVM/codegen + Parquet-reader-stack warmup (not counted): session
+    # startup and one tiny-table scan, so the first measured query pays
+    # for its own plan, not for initializing the scan machinery.
     spark.range(1000).count()
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,131 @@
+"""Source/sink corpus: bulk load roundtrip, pseudo-columns, cross-engine
+JDBC — the SURVEY §2.1 operators that aren't plain Parquet scans.
+
+The bulk-load and cross-engine queries route the DATA through the
+source under test (CSV roundtrip / an embedded Derby database) and then
+aggregate, so the DuckDB oracle hash-verifies the source's fidelity,
+not just the aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from infinidb_spark.plans.registry import query
+from infinidb_spark.session import load_tables
+from infinidb_spark.sources.bulk_load import bulk_load_csv
+from infinidb_spark.sources.cross_engine import (
+    DERBY_DRIVER,
+    read_jdbc_table,
+    write_jdbc_table,
+)
+from infinidb_spark.sources.pseudocol import extent_min_max, with_pseudo_columns
+
+
+def _workdir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"/tmp/infinidb_spark_{kind}_{tag}"
+
+
+@query(
+    "bulk_load_csv_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+           count(*)                  AS n_suppliers,
+           round(sum(s_acctbal), 4)  AS sum_acctbal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def bulk_load_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cpimport equivalent (`writeengine/bulk/cpimport.cpp:102`): export
+    supplier to delimited text, bulk-load it back with an explicit
+    schema, aggregate the LOADED rows — the oracle runs on the original
+    table, so a hash match proves the load is lossless."""
+    supplier = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
+    work = _workdir(sf_dir, "bulk")
+    csv_dir = os.path.join(work, "supplier_csv")
+    done = os.path.join(work, "_csv_done")
+    if not os.path.exists(done):
+        supplier.write.mode("overwrite").option("sep", "|").option("header", False).csv(
+            csv_dir
+        )
+        open(done, "w").close()
+    result = bulk_load_csv(spark, csv_dir, supplier.schema, delimiter="|")
+    assert result.rows_rejected == 0, "clean export must load without rejects"
+    return (
+        result.loaded.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+@query("pseudo_columns")  # rows-only: file paths/partition ids aren't view-expressible
+def pseudo_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PseudoColStep (`dbcon/joblist/primitivestep.h:1348`,
+    `ha_pseudocolumn.cpp:29-51`): per-segment-file row counts + extent
+    min/max of the key — the `idb*` storage-metadata family on a
+    Parquet scan."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    li = spark.read.parquet(path)
+    enriched = extent_min_max(
+        with_pseudo_columns(li, ["idbsegment", "idbextentid", "idbblockid"]),
+        "l_orderkey",
+    )
+    return (
+        enriched.groupBy("idbsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("idbextentmin").alias("key_min"),
+            F.max("idbextentmax").alias("key_max"),
+            F.count_distinct("idbextentid").alias("n_extents"),
+        )
+        .orderBy("idbsegment")
+    )
+
+
+@query(
+    "cross_engine_join",
+    oracle="""
+    SELECT r_name,
+           count(*)                 AS n_nations,
+           min(n_name)              AS first_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def cross_engine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrossEngineStep (`dbcon/joblist/crossenginestep.h:47`): the
+    nation dim lives in a foreign row-store (embedded Derby), is read
+    over JDBC inside the plan and joined with the columnar region table;
+    the oracle runs on the original — a hash match proves JDBC-path
+    fidelity.  Foreign dim ⋈ broadcast — the reference's canonical
+    cross-engine shape."""
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty("derby.system.home", "/tmp")
+    tables = load_tables(spark, sf_dir, names=("nation", "region"))
+    work = _workdir(sf_dir, "derby")
+    url = f"jdbc:derby:{work}/db;create=true"
+    done = os.path.join(work, "_loaded")
+    if not os.path.exists(done):
+        write_jdbc_table(
+            tables["nation"], url, "nation", driver=DERBY_DRIVER, mode="overwrite"
+        )
+        open(done, "w").close()
+    foreign_nation = read_jdbc_table(spark, url, "nation", driver=DERBY_DRIVER)
+    return (
+        foreign_nation.join(
+            F.broadcast(tables["region"]),
+            foreign_nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )

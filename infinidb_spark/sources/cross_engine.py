@@ -1,0 +1,72 @@
+"""Cross-engine table access — query foreign-DBMS tables inside a plan.
+
+Reference: `dbcon/joblist/crossenginestep.h:47` / `crossenginestep.cpp:
+60-81` — `CrossEngineStep` queries a non-InfiniDB MySQL table (InnoDB
+etc.) over a client connection, streaming rows into the joblist so they
+can join with column-store tables.
+
+Spark analog: `spark.read.jdbc`.  Semantics preserved:
+
+* the foreign table participates in joins/filters like any DataFrame;
+* simple predicates and column pruning are pushed into the remote SQL
+  (Catalyst JDBC pushdown ≅ the reference building a WHERE clause into
+  its drizzle query, `crossenginestep.cpp` makeQuery path);
+* small dimension tables read serially then broadcast — the common
+  cross-engine shape (foreign dim ⋈ columnar fact).
+
+Scale notes: a single JDBC connection is the default (fine for dims —
+the reference's CrossEngineStep is likewise single-connection); for
+large foreign tables pass ``partition_column``/``num_partitions`` to
+fan out range-partitioned parallel reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a foreign table (or `(subquery) alias`) over JDBC."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def write_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Write a DataFrame to a foreign table over JDBC (the reverse path;
+    the reference only reads foreign engines — this is a superset)."""
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
+    df.write.jdbc(url, table, mode=mode, properties=props)
