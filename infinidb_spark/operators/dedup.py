@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 61) - 1
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame) -> DataFrame:
     """Repartition up to cluster parallelism for compute-heavy transforms.
 
     A small corpus arrives as one file → one partition → one core does
@@ -166,7 +166,7 @@ def minhash_lsh_pairs(
     # and the verification joins — persist; at cluster scale this is a
     # MEMORY_AND_DISK dataset or a checkpointed parquet stage.
     ex = (
-        _fan_out(df)
+        fan_out(df)
         .select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
         .select("_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"), "_t")
         .select("_id", F.xxhash64(t.substr(F.col("_i"), F.lit(shingle_k))).alias("_h"))
@@ -276,7 +276,7 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     not needed for the corpus here.
     """
     return (
-        _fan_out(df)
+        fan_out(df)
         .select(F.col(id_col), simhash_votes(F.col(text_col)).alias("_votes"))
         .select(F.col(id_col), simhash_from_votes(F.col("_votes")).alias("simhash"))
         .groupBy("simhash")
@@ -299,7 +299,7 @@ def ngram_jaccard_pairs(
     column is the LSH band or a metadata partition.
     """
     key = F.col(prefilter_col) if prefilter_col else F.lit(1)
-    pre = _fan_out(df).select(
+    pre = fan_out(df).select(
         F.col(id_col).alias("_id"),
         F.split(normalize_text(F.col(text_col)), r"\s+").alias("_w"),
         key.alias("_k"),

@@ -1,18 +1,23 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Baseline: brute-force cosine top-k — one scan, dot products in codegen
-(``zip_with`` + ``aggregate``), global top-k via ``TakeOrderedAndProject``
+Baseline: brute-force cosine top-k — one scan, dot products via
+``zip_with`` + ``aggregate``, global top-k via ``TakeOrderedAndProject``
 (the same bounded-heap structure the reference uses for ORDER BY+LIMIT,
 ``dbcon/joblist/limitedorderby.h:43``, generalized per-partition).
+
+Formulation note (measured at 64-dim): higher-order array lambdas are
+evaluated interpreted in Spark, but at 64 ops/row they still beat the
+alternatives — unrolling the dot product to 64 element_at terms blows
+the 64 KB Janino method limit (whole-stage codegen falls back to fully
+interpreted: 4-10× slower), and an exploded groupBy formulation pays a
+shuffle + compile that only amortizes at much larger row counts.  If
+dims grow 10×, switch to an Arrow-batched pandas_udf (numpy matmul).
 
 Scale path: LSH random-hyperplane bucketing (IVF-style) — probe only the
 buckets the query falls in, turning a full scan into a partition-pruned
 scan.  At 100 TB the bucket id becomes a parquet partition column so
 pruning happens at file level, the analog of the reference's extent
 elimination (``dbcon/joblist/lbidlist.h:80``).
-
-All math is JVM-side; a Pandas-UDF path is deliberately NOT used — at
-64-dim the codegen expressions beat Arrow round-trips.
 """
 
 from __future__ import annotations
