@@ -1,0 +1,65 @@
+"""System catalog exposed as queryable tables — `systable` / `syscolumn`.
+
+Reference: the catalog IS SQL tables (`dbcon/mysql/syscatalog_mysql.sql`,
+`dbcon/execplan/calpontsystemcatalog.h:107` — `systable`, `syscolumn`
+with columnname/datatype/columnlength...).  Spark analog: `spark.catalog`
+introspection materialized as DataFrames and registered as temp views,
+so `engine.sql("select * from syscolumn where ...")` works like the
+reference's `calpontsys` schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from infinidb_spark.plans.registry import query
+from infinidb_spark.session import load_tables
+
+
+def systable(spark: SparkSession) -> DataFrame:
+    """One row per registered table (≅ calpontsys.systable)."""
+    rows = [
+        (t.name, t.catalog, t.namespace[0] if t.namespace else None, t.tableType, t.isTemporary)
+        for t in spark.catalog.listTables()
+    ]
+    return spark.createDataFrame(
+        rows, "tablename string, catalog string, schema string, tabletype string, istemporary boolean"
+    )
+
+
+def syscolumn(spark: SparkSession) -> DataFrame:
+    """One row per column of every registered table (≅ syscolumn)."""
+    rows = []
+    for t in spark.catalog.listTables():
+        for c in spark.catalog.listColumns(t.name):
+            rows.append((t.name, c.name, c.dataType, c.nullable, c.isPartition, c.isBucket))
+    return spark.createDataFrame(
+        rows,
+        "tablename string, columnname string, datatype string, "
+        "nullable boolean, ispartition boolean, isbucket boolean",
+    )
+
+
+def register_system_catalog(spark: SparkSession) -> None:
+    """Register systable/syscolumn as temp views (the calpontsys schema)."""
+    systable(spark).createOrReplaceTempView("systable")
+    syscolumn(spark).createOrReplaceTempView("syscolumn")
+
+
+@query("system_catalog")  # rows-only: catalog views aren't duckdb-oracle-able
+def system_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syscolumn over the registered TPC-H tables: per-table column
+    counts + a type histogram — proves the catalog surface works."""
+    load_tables(spark, sf_dir, register=True)
+    return (
+        syscolumn(spark)
+        .filter(F.col("tablename").isin("lineitem", "orders", "customer", "nation", "region"))
+        .groupBy("tablename")
+        .agg(
+            F.count(F.lit(1)).alias("n_columns"),
+            F.sum(F.when(F.col("datatype") == "string", 1).otherwise(0)).alias("n_string"),
+            F.sum(F.when(F.col("datatype").isin("bigint", "int"), 1).otherwise(0)).alias("n_int"),
+        )
+        .orderBy("tablename")
+    )

@@ -903,3 +903,92 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = c.intersect(s).withColumn("side", F.lit("both"))
     only = c.subtract(s).withColumn("side", F.lit("cust_only"))
     return both.unionByName(only)
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag, l_linestatus) AS gid,
+           count(*)                  AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation.  The reference REJECTS rollup
+    (``ha_calpont_execplan.cpp:4088-4092`` "rollup is currently not
+    supported") — capability bonus flagged in SURVEY §2.4; free via
+    Catalyst's Expand-based grouping sets."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus, o_orderpriority) AS gid,
+           count(*)                     AS n,
+           round(sum(o_totalprice), 4)  AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over all grouping-key subsets (SURVEY §2.4
+    bonus; one Expand, one shuffle — same plan class as plain rollup)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube compile to
+    (SURVEY §2.4 bonus)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    SELECT k, 'inter_all' AS side FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT k, 'except_all' AS side FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag-semantics set ops (multiplicity
+    min / difference), beyond the reference's UNION-only surface."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.select(F.col("c_nationkey").alias("k"))
+    s = supplier.select(F.col("s_nationkey").alias("k"))
+    inter = c.intersectAll(s).withColumn("side", F.lit("inter_all"))
+    exc = c.exceptAll(s).withColumn("side", F.lit("except_all"))
+    return inter.unionByName(exc)
