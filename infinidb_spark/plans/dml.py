@@ -1,0 +1,88 @@
+"""DML corpus query: the full INSERT/UPDATE/DELETE lifecycle, verified.
+
+The Spark side materializes a scratch copy of `nation`, runs real DML
+(append, copy-on-write update, delete), and aggregates the final table;
+the DuckDB oracle computes the same end-state relationally from the
+original view — a hash match proves the DML engine's semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from infinidb_spark.operators.dml import (
+    create_table,
+    delete_from,
+    insert_into,
+    update_table,
+)
+from infinidb_spark.plans.registry import query
+from infinidb_spark.session import load_tables
+
+
+@query(
+    "dml_lifecycle",
+    oracle="""
+    WITH final AS (
+      -- UPDATE nation SET n_name = n_name || '_X' WHERE n_regionkey = 2
+      -- DELETE FROM nation WHERE n_regionkey = 4
+      -- INSERT (99, 'NEWLAND', 0), (100, 'OLDLAND', 1)
+      SELECT n_nationkey,
+             CASE WHEN n_regionkey = 2 THEN n_name || '_X' ELSE n_name END AS n_name,
+             n_regionkey
+      FROM nation WHERE n_regionkey <> 4
+      UNION ALL SELECT 99, 'NEWLAND', 0
+      UNION ALL SELECT 100, 'OLDLAND', 1
+    )
+    SELECT n_regionkey,
+           count(*)                       AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           sum(CASE WHEN right(n_name, 2) = '_X' THEN 1 ELSE 0 END) AS n_updated
+    FROM final
+    GROUP BY n_regionkey
+    """,
+)
+def dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT + UPDATE + DELETE on a scratch Parquet table
+    (`operators/dml.py` ≅ DMLProc, `ha_calpont_dml.cpp:605`), end state
+    hash-checked against the oracle's relational equivalent."""
+    nation = load_tables(spark, sf_dir, names=("nation",))["nation"]
+    workdir = tempfile.mkdtemp(prefix="infinidb_dml_q_")
+    table = os.path.join(workdir, "nation")
+    try:
+        create_table(nation, table)
+        insert_into(
+            spark.createDataFrame(
+                [(99, "NEWLAND", 0), (100, "OLDLAND", 1)],
+                schema=nation.schema,
+            ),
+            table,
+        )
+        update_table(
+            spark,
+            table,
+            F.col("n_regionkey") == 2,
+            {"n_name": F.concat(F.col("n_name"), F.lit("_X"))},
+        )
+        delete_from(spark, table, F.col("n_regionkey") == 4)
+        out = (
+            spark.read.parquet(table)
+            .groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").alias("key_sum"),
+                F.sum(F.when(F.col("n_name").endswith("_X"), 1).otherwise(0)).alias(
+                    "n_updated"
+                ),
+            )
+        )
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
