@@ -1,0 +1,84 @@
+"""Custom stateful streaming operators — session windows and
+arbitrary per-key state (`applyInPandasWithState`).
+
+This is the operator class the reference fundamentally cannot express
+(SURVEY §2.10: no streaming, no state): unbounded keyed state evolving
+per micro-batch with timeout-driven emission.
+
+Scale notes: state lives in the executor state store partitioned by
+key (user_id) — uniform hash, no driver involvement; watermark/timeout
+bounds retention.  `applyInPandasWithState` moves one Arrow batch per
+key-group per trigger — the Python hop prices in only on the (small)
+grouped state path, never on the main event stream.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_session_windows(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows: per-user sessions closed after `gap` of
+    inactivity (`F.session_window` — the streaming twin of the batch
+    lag/cumsum sessionize in plans/events.py)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+#: output/state schemas for the running-totals stateful operator
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_running_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Arbitrary-state update function: accumulate per-user event count
+    and value sum across micro-batches, emitting the running totals on
+    every batch that touches the key."""
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += int(len(pdf))
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def stream_running_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running totals via applyInPandasWithState — the
+    'custom stateful operator' extension point (a keyed accumulator the
+    engine keeps alive across triggers)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_totals,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
