@@ -1,0 +1,82 @@
+"""Skew mitigation — salted joins and salted two-stage aggregation.
+
+Context: AQE's skew-join splitting (`spark.sql.adaptive.skewJoin`,
+enabled in session.py) handles most skew automatically at runtime by
+splitting oversized shuffle partitions.  These explicit operators cover
+the cases AQE can't:
+
+* a hot key so dominant that even a split partition's single key-group
+  exceeds one task's memory in a shuffled hash join;
+* skewed `groupBy` on high-cardinality aggregation states (collect_*,
+  exact distinct) where partial aggregation doesn't shrink the hot key.
+
+Reference analog: InfiniDB had neither — its UM hash join simply spills
+(`DiskJoinStep`), serializing the hot key through one thread; salting is
+the distributed answer.
+
+Mechanics: the skewed (probe) side gets a random-ish per-row salt in
+[0, n); the build side is replicated n× (one copy per salt value); the
+join key becomes (key, salt), spreading each hot key over n tasks.
+Replication multiplies the build side — size n so build×n stays well
+under executor memory; at 100 TB pick n ≈ hot-key rows / healthy
+partition rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt__"
+
+
+def salted_join(
+    skewed: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `skewed`'s key distribution has hot keys and
+    `build` is modest (but not broadcastable).  Result is identical to
+    `skewed.join(build, on, how)`; only the shuffle layout changes.
+
+    `how` is restricted to skewed-side-preserving types: a right/full
+    outer would emit one null-extended row PER REPLICA for unmatched
+    build rows — semantically wrong under replication.
+    """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, not {how!r}")
+    salted = skewed.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    replicated = build.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return salted.join(replicated, on + [_SALT], how).drop(_SALT)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage COUNT/SUM aggregation for hot grouping keys: stage 1
+    aggregates on (keys, salt) — the hot key spreads over n tasks —
+    stage 2 merges the n partials per key.  Algebraic aggregates only
+    (count/sum here; min/max/avg extend the same way)."""
+    sum_cols = sum_cols or {}
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    stage1 = salted.groupBy(*keys, _SALT).agg(
+        F.count(F.lit(1)).alias("_pc"),
+        *[F.sum(src).alias(f"_ps_{alias}") for src, alias in sum_cols.items()],
+    )
+    return stage1.groupBy(*keys).agg(
+        F.sum("_pc").alias(count_col),
+        *[F.sum(f"_ps_{alias}").alias(alias) for alias in sum_cols.values()],
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from infinidb_spark.operators.dedup import normalize_text
+from infinidb_spark.operators.dedup import fan_out, normalize_text
 
 # Tiny stopword inventories — enough for a scoring heuristic; a real
 # deployment swaps in fastText-style models via mapInPandas (see
@@ -112,8 +112,10 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     Normalized text is materialized once (``_t``); every metric reads
     the attribute, so no regex re-evaluation inside array lambdas.
+    Fan-out: the per-row metric lambdas are the heavy part — spread a
+    single-file corpus across cores (no-op on multi-partition input).
     """
-    pre = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
+    pre = fan_out(df).select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
     c = F.col("_t")
     return pre.select(
         F.col(id_col),
