@@ -1,0 +1,73 @@
+"""Streaming ingestion sink: file stream → Parquet table, resumable via
+checkpoint (no reprocessing), and empty-input robustness across the
+operator corpus."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from infinidb_spark.operators import dedup as D
+from infinidb_spark.operators import text as T
+from infinidb_spark.session import load_tables
+from infinidb_spark.streaming.events import events_stream_from_directory
+from infinidb_spark.streaming.sink import stream_to_table
+
+
+def test_stream_to_table_ingests_and_resumes_without_dupes(spark, sf_dir):
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    workdir = tempfile.mkdtemp(prefix="infinidb_sink_")
+    in_dir, out_dir, ckpt = (os.path.join(workdir, d) for d in ("in", "out", "ckpt"))
+    try:
+        events.limit(500).repartition(2).write.parquet(in_dir)
+        total = spark.read.parquet(in_dir).count()
+
+        stream = events_stream_from_directory(spark, in_dir, max_files_per_trigger=1)
+        q = stream_to_table(stream, out_dir, ckpt)
+        q.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == total
+
+        # restart against the same checkpoint: nothing new -> no dupes
+        q2 = stream_to_table(
+            events_stream_from_directory(spark, in_dir, max_files_per_trigger=1),
+            out_dir,
+            ckpt,
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == total
+
+        # land one more file; only IT is processed on resume
+        extra = events.limit(50)
+        extra.coalesce(1).write.mode("append").parquet(in_dir)
+        n_extra = 50
+        q3 = stream_to_table(
+            events_stream_from_directory(spark, in_dir, max_files_per_trigger=1),
+            out_dir,
+            ckpt,
+        )
+        q3.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == total + n_extra
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_operators_tolerate_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert D.dedup_exact(empty).count() == 0
+    assert D.minhash_lsh_pairs(empty, n_hashes=16, bands=4).count() == 0
+    assert D.dedup_simhash(empty).count() == 0
+    assert T.analyze(empty).count() == 0
+
+
+def test_operators_tolerate_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None, "a"), (2, "", "a"), (3, "   ", "a"), (4, "real text here", "a")],
+        "doc_id long, text string, source string",
+    )
+    # must not throw; null/empty normalize to empty shingle sets
+    D.dedup_exact(docs).collect()
+    D.minhash_lsh_pairs(docs, n_hashes=16, bands=4).collect()
+    T.analyze(docs).collect()
