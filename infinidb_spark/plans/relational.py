@@ -992,3 +992,32 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = c.intersectAll(s).withColumn("side", F.lit("inter_all"))
     exc = c.exceptAll(s).withColumn("side", F.lit("except_all"))
     return inter.unionByName(exc)
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT s_nationkey,
+           count(*)                    AS n,
+           round(sum(l_quantity), 4)   AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-join (operators/skew.py): result must be identical to
+    the plain equi-join the oracle runs — only the shuffle layout
+    differs (hot keys spread over salt buckets; build side replicated)."""
+    from infinidb_spark.operators.skew import salted_join
+
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    joined = salted_join(
+        lineitem.withColumnRenamed("l_suppkey", "k"),
+        supplier.withColumnRenamed("s_suppkey", "k"),
+        ["k"],
+        n_salt=8,
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
