@@ -1021,3 +1021,30 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)))                AS sum_price_dec,
+           sum(CAST(l_quantity AS DECIMAL(12,2)))                     AS sum_qty_dec,
+           CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(22,6)) AS avg_price_dec
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT decimal aggregation — the reference stores DECIMAL as
+    scaled int64 (`dbcon/execplan/simplecolumn_decimal.h`) so sums are
+    exact, never float-drifty; Spark's DecimalType(+Sum with precision
+    widening) gives the same guarantee, hash-checked against DuckDB's
+    exact decimal engine with NO rounding on either side."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.sum(price).alias("sum_price_dec"),
+        F.sum(qty).alias("sum_qty_dec"),
+        F.avg(price).cast("decimal(22,6)").alias("avg_price_dec"),
+    )

@@ -35,6 +35,8 @@ PSEUDO_COLUMNS = {
     "idbblockid": lambda df: F.col("_metadata.file_block_start"),
     # extent id ≅ file identity (hashed for a stable int64)
     "idbextentid": lambda df: F.xxhash64(F.col("_metadata.file_path")),
+    # row id within the segment file ≅ extent-relative RID
+    "idbrowid": lambda df: F.col("_metadata.row_index"),
 }
 
 
