@@ -296,31 +296,89 @@ def monthname(c) -> Column:
     return F.date_format(_c(c), "MMMM")
 
 
+def _calc_week(c: Column, mode: int, force_week_year: bool) -> tuple[Column, Column]:
+    """MySQL `calc_week` (documented WEEK() behavior, all 8 modes) as
+    Column expressions, returning (year, week).  Mode flags — Monday
+    first (bit 0), week-of-year 1-53 semantics (bit 1), 'first week has
+    the first weekday' vs '≥4 days' rule (bit 2, xor-adjusted exactly
+    like MySQL's week_mode()); YEARWEEK forces the week-year flag.
+    All flags are Python constants, so each mode compiles to a small
+    when-tree (ref parity target: `utils/funcexp/func_week.cpp`)."""
+    mode &= 7
+    if not (mode & 1):
+        mode ^= 4
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2) or force_week_year
+    first_weekday = bool(mode & 4)
+
+    cd = c.cast("date")
+    y = F.year(cd)
+    doy = F.dayofyear(cd)
+    jan1 = F.trunc(cd, "year")
+    # weekday of Jan 1: 0=Monday if monday_first else 0=Sunday
+    wd = ((F.dayofweek(jan1) + 5) % 7) if monday_first else (F.dayofweek(jan1) - 1)
+    days_prev = F.dayofyear(F.make_date(y - 1, F.lit(12), F.lit(31)))
+    days_cur = F.dayofyear(F.make_date(y, F.lit(12), F.lit(31)))
+
+    def shift(wd_: Column) -> Column:
+        return (wd_ != 0) if first_weekday else (wd_ >= 4)
+
+    def roll_cond(wd2: Column) -> Column:
+        return (wd2 == 0) if first_weekday else (wd2 < 4)
+
+    in_partial_first = (F.month(cd) == 1) & (F.dayofmonth(cd) <= F.lit(7) - wd)
+
+    # --- previous-year path (date in the partial first week that isn't week 0)
+    wd_p = (wd + F.lit(53 * 7) - days_prev) % 7
+    days_p = F.when(shift(wd_p), doy - 1 + days_prev - (F.lit(7) - wd_p)).otherwise(
+        doy - 1 + days_prev + wd_p
+    )
+    wd2_p = (wd_p + days_prev) % 7
+    roll_p = (days_p >= 52 * 7) & roll_cond(wd2_p)
+    week_p = F.when(roll_p, 1).otherwise((days_p / 7).cast("int") + 1)
+    year_p = F.when(roll_p, y).otherwise(y - 1)
+
+    # --- normal path
+    days_n = F.when(shift(wd), doy - 1 - (F.lit(7) - wd)).otherwise(doy - 1 + wd)
+    if week_year:
+        wd2 = (wd + days_cur) % 7
+        roll_n = (days_n >= 52 * 7) & roll_cond(wd2)
+        week_n = F.when(roll_n, 1).otherwise((days_n / 7).cast("int") + 1)
+        year_n = F.when(roll_n, y + 1).otherwise(y)
+    else:
+        week_n = (days_n / 7).cast("int") + 1
+        year_n = y
+
+    if week_year:
+        week_out = F.when(in_partial_first, week_p).otherwise(week_n)
+        year_out = F.when(in_partial_first, year_p).otherwise(year_n)
+    else:
+        week_out = (
+            F.when(in_partial_first & shift(wd), 0)
+            .when(in_partial_first, week_p)
+            .otherwise(week_n)
+        )
+        year_out = (
+            F.when(in_partial_first & shift(wd), y)
+            .when(in_partial_first, year_p)
+            .otherwise(year_n)
+        )
+    return year_out, week_out.cast("int")
+
+
 @_reg("week")
 def week(c, mode: int = 0) -> Column:
-    """MySQL WEEK(); modes 0 (default, Sunday-start, week 0 exists) and
-    3 (ISO) implemented — the two the reference's corpus uses."""
-    c = _c(c)
-    if mode == 3:
-        return F.weekofyear(c)
-    if mode != 0:
-        raise NotImplementedError(f"WEEK mode {mode}")
-    jan1 = F.trunc(c, "year")
-    # days 1..N before the first Sunday belong to week 0
-    first_sunday_doy = ((F.lit(8) - F.dayofweek(jan1)) % 7) + 1  # doy of first Sunday
-    doy = F.dayofyear(c)
-    return F.when(doy < first_sunday_doy, 0).otherwise(
-        ((doy - first_sunday_doy).cast("int") / 7).cast("int") + 1
-    )
+    """MySQL WEEK(date, mode) — all 8 modes (`func_week.cpp`)."""
+    _, w = _calc_week(_c(c), mode, force_week_year=False)
+    return w
 
 
 @_reg("yearweek")
 def yearweek(c, mode: int = 0) -> Column:
-    c = _c(c)
-    w = week(c, mode)
-    # week 0 rolls into previous year's last week per MySQL; approximate
-    # with the dominant case (same year) — corpus pins non-week-0 dates.
-    return F.year(c) * 100 + w
+    """MySQL YEARWEEK(date, mode): year*100+week with week-year
+    semantics forced (weeks never 0; year shifts at boundaries)."""
+    yr, w = _calc_week(_c(c), mode, force_week_year=True)
+    return (yr * 100 + w).cast("long")
 
 
 @_reg("to_days")
