@@ -762,3 +762,55 @@ def _colname(c) -> str:
     if isinstance(c, Column):
         return c._jc.toString()
     return str(c)
+
+
+# ---------------------------------------------------------------------------
+# Reference-name aliases — every name the reference's fFuncMap registers
+# (utils/funcexp/funcexp.cpp:68-207) resolves here too, including the
+# operator spellings and MySQL's alternate function names.  `idbpartition`
+# lives in sources/pseudocol.py (it needs the scan's _metadata, not a value).
+_ALIASES = {
+    "%": "mod",
+    "&": "bitand",
+    "|": "bitor",
+    "^": "bitxor",
+    "<<": "leftshift",
+    ">>": "rightshift",
+    " in ": "in",
+    "not in ": "in",
+    "notin": "in",
+    "notbetween": "between",
+    "case_searched": "case",
+    "case_simple": "case",
+    "cast_as_signed": "cast_signed",
+    "cast_as_unsigned": "cast_unsigned",
+    "cast_as_char": "cast_char",
+    "cast_as_date": "cast_date",
+    "cast_as_datetime": "cast_datetime",
+    "cast_as_time": "cast_datetime",
+    "convert": "cast_char",
+    "character_length": "char_length",
+    "add_time": "addtime",
+    "date_add_interval": "date_add",
+}
+for _alias, _target in _ALIASES.items():
+    FUNC_MAP[_alias] = FUNC_MAP[_target]
+
+
+@_reg("div_int")
+def div_int(a, b) -> Column:
+    """MySQL `a DIV b` — integer division truncating toward zero
+    (`funcexp.cpp` '%'/DIV operator family)."""
+    a, b = _c(a), _c(b)
+    return (a / b).cast("bigint")
+
+
+FUNC_MAP["div"] = div_int
+
+
+@_reg("not_between")
+def not_between(c, lo, hi) -> Column:
+    return ~_c(c).between(_c(lo), _c(hi))
+
+
+FUNC_MAP["notbetween"] = not_between
