@@ -88,3 +88,36 @@ def test_semi_join_rewrite(queries, spark, sf_dir):
 def test_not_in_null_aware_anti(queries, spark, sf_dir):
     plan = _optimized(queries["join_not_in_nullaware"](spark, sf_dir))
     assert "LeftAnti" in plan, plan
+
+
+def test_always_false_filter_short_circuits(spark, sf_dir):
+    """WHERE FALSE must collapse to an empty LocalRelation with NO file
+    scan (≅ TupleConstantBooleanStep, tupleconstantstep.h:137)."""
+    from infinidb_spark.session import load_tables
+
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    df = li.filter("1 = 0").select("l_orderkey")
+    plan = _physical(df)
+    assert "FileScan" not in plan, plan
+    assert df.count() == 0
+
+
+def test_broadcast_hint_is_honored(spark, sf_dir):
+    """Join-strategy hints ≅ the reference's infinidb_ordered session
+    hint (ha_calpont_execplan.cpp:4126) — user can force the PM-join."""
+    from infinidb_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = t["lineitem"].join(
+            t["orders"].hint("broadcast"),
+            t["lineitem"].l_orderkey == t["orders"].o_orderkey,
+        )
+        assert "BroadcastHashJoin" in _physical(hinted)
+        unhinted = t["lineitem"].join(
+            t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey
+        )
+        assert "BroadcastHashJoin" not in _physical(unhinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
