@@ -117,9 +117,51 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, _QUERY_VEC, k=10)
 
 
-@query("ann_lsh_topk")  # rows-only: bucket recall is probabilistic by design
+def _lsh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """The deterministic hyperplanes operators.similarity uses (same LCG)."""
+    state = 0x5DEECE66D
+    planes = []
+    for _ in range(n_planes):
+        coeffs = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            coeffs.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(coeffs)
+    return planes
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB oracle replicating the hyperplane bucketing exactly: the
+    planes are deterministic constants, embedded as SQL literals; the
+    query's bucket is computed driver-side the same way Spark does."""
+    planes = _lsh_planes()
+    qb = 0
+    for p, coeffs in enumerate(planes):
+        if sum(q * c for q, c in zip(_QUERY_VEC, coeffs)) >= 0:
+            qb |= 1 << p
+    plane_sql = [
+        "[" + ", ".join(f"{c:.17g}" for c in coeffs) + "]" for coeffs in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {ps}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, ps in enumerate(plane_sql)
+    )
+    return f"""
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL}), 6) AS cosine
+    FROM embeddings
+    WHERE ({bucket_expr}) = {qb}
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — single-probe hyperplane bucket + exact rerank."""
+    """LSH-bucketed ANN — single-probe hyperplane bucket + exact rerank.
+    Hash-checked: the oracle reproduces the deterministic hyperplane
+    bucketing with the planes embedded as SQL literals."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, _QUERY_VEC, k=10, n_planes=4)
 
