@@ -82,3 +82,34 @@ def stream_running_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: click events joined to the
+    same user's view events within ``max_delay`` — both sides buffer
+    state bounded by the watermark (the interval condition lets Spark
+    evict rows older than watermark+delay; without it state grows
+    forever).  The operator class the reference cannot express at all:
+    a join whose both inputs are unbounded.
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    v = views.withWatermark("ts", watermark).alias("v")
+    from pyspark.sql import functions as F
+
+    return c.join(
+        v,
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("c.ts") - F.expr(f"INTERVAL {max_delay}"))
+        & (F.col("v.ts") <= F.col("c.ts")),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("v.ts").alias("view_ts"),
+    )

@@ -98,3 +98,54 @@ def test_running_totals_accumulate_across_batches(spark, sf_dir):
         assert got == want, f"{len(got)} vs {len(want)}: {sorted(got)[:3]} {sorted(want)[:3]}"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_stream_join_converges_to_batch(spark, sf_dir):
+    from infinidb_spark.streaming.stateful import stream_stream_join
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    events = events.filter(F.col("user_id") < 30)
+    clicks_b = events.filter(F.col("event_type") == "click")
+    views_b = events.filter(F.col("event_type") == "view")
+    workdir = tempfile.mkdtemp(prefix="infinidb_ssj_")
+    c_dir, v_dir = os.path.join(workdir, "c"), os.path.join(workdir, "v")
+    try:
+        clicks_b.repartition(2).write.parquet(c_dir)
+        views_b.repartition(2).write.parquet(v_dir)
+        joined = stream_stream_join(
+            events_stream_from_directory(spark, c_dir),
+            events_stream_from_directory(spark, v_dir),
+            max_delay="1 hour",
+            watermark="100 days",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.user_id, r.click_id, r.view_id)
+            for r in spark.sql("select * from ssj").collect()
+        }
+        want = {
+            (r.user_id, r.click_id, r.view_id)
+            for r in clicks_b.alias("c")
+            .join(
+                views_b.alias("v"),
+                (F.col("c.user_id") == F.col("v.user_id"))
+                & (F.col("v.ts") >= F.col("c.ts") - F.expr("INTERVAL 1 hour"))
+                & (F.col("v.ts") <= F.col("c.ts")),
+            )
+            .select(
+                F.col("c.user_id").alias("user_id"),
+                F.col("c.event_id").alias("click_id"),
+                F.col("v.event_id").alias("view_id"),
+            )
+            .collect()
+        }
+        assert got == want, f"{len(got)} vs {len(want)}"
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
