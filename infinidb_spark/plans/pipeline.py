@@ -257,3 +257,44 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     media = M.synthesize_media(docs.filter(F.col("doc_id") < 100))
     return M.frame_sample_plan(media, every_ms=1000)
+
+
+@query(
+    "data_validation",
+    oracle="""
+    WITH counts AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN l_quantity IS NULL OR NOT (l_quantity > 0 AND l_quantity <= 60)
+                      THEN 1 ELSE 0 END) AS qty_in_range,
+             sum(CASE WHEN l_discount IS NULL OR NOT (l_discount >= 0 AND l_discount <= 0.2)
+                      THEN 1 ELSE 0 END) AS discount_band,
+             sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS key_not_null,
+             sum(CASE WHEN l_shipdate IS NULL OR NOT (l_shipdate >= DATE '1992-01-01')
+                      THEN 1 ELSE 0 END) AS shipdate_floor
+      FROM lineitem
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           round(CAST(n_violations AS DOUBLE) / greatest(total, 1), 6) AS violation_rate
+    FROM (
+      SELECT total, 'qty_in_range' AS rule, qty_in_range AS n_violations FROM counts
+      UNION ALL SELECT total, 'discount_band', discount_band FROM counts
+      UNION ALL SELECT total, 'key_not_null', key_not_null FROM counts
+      UNION ALL SELECT total, 'shipdate_floor', shipdate_floor FROM counts
+    )
+    """,
+)
+def data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint check over lineitem (operators/validate.py)
+    — all rules fused into one scan+aggregate; counts hash-checked."""
+    from infinidb_spark.operators.validate import check
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return check(
+        lineitem,
+        {
+            "qty_in_range": (F.col("l_quantity") > 0) & (F.col("l_quantity") <= 60),
+            "discount_band": (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.2),
+            "key_not_null": F.col("l_orderkey").isNotNull(),
+            "shipdate_floor": F.col("l_shipdate") >= F.lit("1992-01-01").cast("timestamp"),
+        },
+    )

@@ -95,3 +95,20 @@ def test_frame_plan_counts(spark, sf_dir):
         by_id[r.media_id] = by_id.get(r.media_id, 0) + 1
     for mid, dur in videos.items():
         assert by_id[mid] == max(dur // 1000, 1)
+
+
+def test_validation_violations_are_tagged(spark):
+    from infinidb_spark.operators.validate import check, violations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 70.0)], "id long, qty double"
+    )
+    rules = {
+        "qty_positive": F.col("qty") > 0,
+        "qty_max": F.col("qty") <= 60,
+    }
+    counts = {r.rule: r.n_violations for r in check(df, rules).collect()}
+    # NULL counts as a violation of both rules (conservative gate)
+    assert counts == {"qty_positive": 2, "qty_max": 2}
+    bad = {r.id: sorted(r.violated_rules) for r in violations(df, rules).collect()}
+    assert bad == {2: ["qty_positive"], 3: ["qty_max", "qty_positive"], 4: ["qty_max"]}
