@@ -76,3 +76,16 @@ def apply_udaf(df_grouped, name: str) -> DataFrame:
     """Apply a registered UDAF to a GroupedData (applyInPandas)."""
     fn, schema = UDAF_MAP[name.lower()]
     return df_grouped.applyInPandas(fn, schema)
+
+
+def apply_cogrouped(
+    grouped_a, grouped_b, fn: Callable, output_schema: str
+) -> DataFrame:
+    """Co-grouped two-table Python processing (applyInPandas over a
+    cogroup): ``fn(key, pdf_a, pdf_b) -> pdf``.  The two sides are
+    co-shuffled on the group key and delivered to Python together — the
+    extension point for per-key logic spanning two tables (e.g. doc
+    text + its embeddings) that no single-table UDAF can express.
+    Tier 4b of the SDK; same Arrow-batched cost profile as applyInPandas.
+    """
+    return grouped_a.cogroup(grouped_b).applyInPandas(fn, output_schema)

@@ -73,3 +73,34 @@ def test_system_catalog_views(spark, sf_dir):
         "select count(*) as n from syscolumn where tablename = 'lineitem'"
     ).collect()[0].n
     assert n >= 10
+
+
+def test_cogrouped_apply(spark, sf_dir):
+    import pandas as pd
+    from infinidb_spark.functions.udf_sdk import apply_cogrouped
+
+    cust = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+
+    def spend_per_customer(key, c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "n_orders": [len(o_pdf)],
+                "acctbal": [float(c_pdf["c_acctbal"].iloc[0]) if len(c_pdf) else None],
+            }
+        )
+
+    out = apply_cogrouped(
+        cust.groupBy("c_custkey"),
+        orders.groupBy("o_custkey"),
+        spend_per_customer,
+        "c_custkey long, n_orders long, acctbal double",
+    )
+    got = {r.c_custkey: r.n_orders for r in out.collect()}
+    want = {
+        r.o_custkey: r["count"]
+        for r in orders.groupBy("o_custkey").count().collect()
+    }
+    for k, n in want.items():
+        assert got.get(k) == n
