@@ -121,3 +121,18 @@ def test_broadcast_hint_is_honored(spark, sf_dir):
         assert "BroadcastHashJoin" not in _physical(unhinted)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_no_accidental_cartesian_anywhere(queries, spark, sf_dir):
+    """Sweep EVERY registered query's physical plan: no CartesianProduct
+    or BroadcastNestedLoopJoin except the intentional cross join —
+    quadratic plans at 100 TB are outages, not slowdowns."""
+    allowed = {"join_cross"}
+    offenders = []
+    for name, fn in sorted(queries.items()):
+        if name in allowed:
+            continue
+        plan = _physical(fn(spark, sf_dir))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"quadratic join plans in: {offenders}"
