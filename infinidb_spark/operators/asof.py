@@ -1,0 +1,116 @@
+"""As-of joins and range joins — the temporal operators Spark lacks.
+
+Reference: InfiniDB has neither (hash-equi joins only, SURVEY §2.3);
+both are named extension targets for this engine.
+
+**As-of join** (backward): for each left row, the latest right row with
+the same key and `right.ts <= left.ts` (within an optional tolerance).
+Implemented WITHOUT a join: the two sides are unioned into one tagged
+stream, sorted per key by (ts, side-order), and the right payload is
+carried forward with `last(ignorenulls=True)` over an unbounded-
+preceding window — one shuffle + one sort, no row explosion.  This is
+the only formulation that survives 100 TB: a naive `t1 <= t2` theta
+join is a per-key cross product; the merged-stream window is O(n log n)
+per key and partitions by key hash.
+
+**Range join**: equi-key + value-in-[lo, hi] predicate, binned: both
+sides bucket by `value // bin_width` and join on (key, bin) with the
+exact predicate as a post-filter — each row lands in the bins its range
+overlaps, so the join never degenerates to nested loops; bin width
+trades replication (interval_width / bin_width copies) against bucket
+selectivity, exactly the reference's extent-elimination granularity
+trade-off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join; right columns arrive suffixed.  Left rows
+    with no prior right row (or outside tolerance) keep NULLs."""
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    lt = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ats"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+
+    # right rows sort before left rows at equal ts (<= semantics)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in rcols]
+    carried_ts = F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True).over(w)
+
+    # explicit projection: left payload + the carried (window) values —
+    # never the union's raw suffixed columns, which share these names
+    out = merged.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_side"),
+        *carried,
+        carried_ts.alias("_matched_ts"),
+    ).filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("_matched_ts").isNotNull()
+            & (
+                F.unix_timestamp(left_ts) - F.unix_timestamp("_matched_ts")
+                <= F.lit(tolerance_seconds)
+            )
+        )
+        out = out.select(
+            *[F.col(c) for c in left.columns],
+            F.col("_side"),
+            *[F.when(in_tol, F.col(f"{c}{suffix}")).otherwise(F.lit(None)).alias(f"{c}{suffix}") for c in rcols],
+            F.when(in_tol, F.col("_matched_ts")).otherwise(F.lit(None)).alias("_matched_ts"),
+        )
+    return out.drop("_side").withColumnRenamed("_matched_ts", f"{right_ts}{suffix}")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | None,
+    left_value: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows to right intervals containing their value
+    (`right_lo <= left_value <= right_hi`), equi-binned.
+
+    `on=None` joins on bins alone (global ranges).  At scale pick
+    `bin_width` ≈ typical interval width so each interval replicates
+    into O(1) bins.
+    """
+    lbin = F.floor(F.col(left_value) / bin_width).cast("long")
+    lo_bin = F.floor(F.col(right_lo) / bin_width).cast("long")
+    hi_bin = F.floor(F.col(right_hi) / bin_width).cast("long")
+
+    l2 = left.withColumn("_bin", lbin)
+    r2 = right.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_bin)))
+
+    keys = ["_bin"] if on is None else [on, "_bin"]
+    cond = (F.col(right_lo) <= F.col(left_value)) & (F.col(left_value) <= F.col(right_hi))
+    return l2.join(r2, keys, how).filter(cond).drop("_bin")

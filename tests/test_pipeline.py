@@ -112,3 +112,31 @@ def test_validation_violations_are_tagged(spark):
     assert counts == {"qty_positive": 2, "qty_max": 2}
     bad = {r.id: sorted(r.violated_rules) for r in violations(df, rules).collect()}
     assert bad == {2: ["qty_positive"], 3: ["qty_max", "qty_positive"], 4: ["qty_max"]}
+
+
+def test_asof_join_tolerance_and_no_match(spark):
+    from infinidb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 13:00:00"), (2, "2024-01-01 09:00:00")],
+        "k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 100.0), (1, "2024-01-01 10:30:00", 200.0)],
+        "k long, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {
+        (r.k, r.ts.hour): r.px_right
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out[(1, 10)] == 100.0      # latest right <= 10:00
+    assert out[(1, 13)] == 200.0      # latest right <= 13:00
+    assert out[(2, 9)] is None        # key with no right rows
+
+    tol = {
+        (r.k, r.ts.hour): r.px_right
+        for r in asof_join(left, right, on="k", tolerance_seconds=3600).collect()
+    }
+    assert tol[(1, 10)] == 100.0      # 30 min back - inside tolerance
+    assert tol[(1, 13)] is None       # 2.5 h back - outside tolerance
