@@ -115,3 +115,62 @@ def events_json_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("_k").cast("double")), 6).alias("avg_k"),
         )
     )
+
+
+@query(
+    "events_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             count(*) AS n, sum(value) AS sv,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL '1 day', h) AS day_start,
+           event_type,
+           CAST(sum(n) AS BIGINT)   AS n_events,
+           round(sum(sv), 4)        AS sum_value,
+           round(min(mn), 4)        AS min_value,
+           round(max(mx), 4)        AS max_value,
+           CAST(count(*) AS BIGINT) AS hours_with_data
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: the daily aggregate is
+    computed FROM the hourly aggregate (aggregate-of-aggregates over
+    decomposable functions), not from raw events — at 100 TB the hourly
+    layer is a materialized continuous aggregate and the daily cascade
+    reads ~1/3600th of the data.  The oracle mirrors the two-level
+    cascade exactly."""
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .select(F.col("w.start").alias("h"), "event_type", "n", "sv", "mn", "mx")
+    )
+    return (
+        hourly.groupBy(F.window("h", "1 day").alias("w"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+            F.round(F.min("mn"), 4).alias("min_value"),
+            F.round(F.max("mx"), 4).alias("max_value"),
+            F.count(F.lit(1)).alias("hours_with_data"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+            "hours_with_data",
+        )
+    )
