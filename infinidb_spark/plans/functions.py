@@ -8,8 +8,10 @@ express (week modes, crc32, conv, format translation) are pinned by unit
 tests in tests/test_functions.py instead — both layers together cover
 the ~140-name registry.
 
-All expressions here are per-row and deterministic, so no rounding is
-needed: both engines produce bit-identical IEEE doubles.
+Most expressions here are per-row and deterministic and hash bit-identically.
+Transcendentals (ln/log10) drift in the last ULP between the JVM's StrictMath
+and DuckDB's libm, so those two are rounded to 9 decimals on BOTH sides —
+the same pinning rule the aggregate corpus uses.
 """
 
 from __future__ import annotations
@@ -32,15 +34,15 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - l_tax)                 AS f_abs,
-           ceil(l_quantity / 7)                    AS f_ceil,
-           floor(l_extendedprice / 1000)           AS f_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT)    AS f_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f_floor,
            round(l_extendedprice / 7, 3)           AS f_round,
            CAST(l_orderkey % 7 AS BIGINT)          AS f_mod,
            sqrt(l_quantity)                        AS f_sqrt,
            power(l_discount, 2)                    AS f_pow,
-           sign(l_discount - 0.05)                 AS f_sign,
-           ln(l_extendedprice)                     AS f_ln,
-           log10(l_extendedprice)                  AS f_log10,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS f_sign,
+           round(ln(l_extendedprice), 9)           AS f_ln,
+           round(log10(l_extendedprice), 9)        AS f_log10,
            greatest(l_discount, l_tax)             AS f_greatest,
            least(l_discount, l_tax)                AS f_least
     FROM lineitem WHERE l_orderkey <= 300
@@ -53,15 +55,15 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         func("abs", F.col("l_discount") - F.col("l_tax")).alias("f_abs"),
-        func("ceil", F.col("l_quantity") / 7).alias("f_ceil"),
-        func("floor", F.col("l_extendedprice") / 1000).alias("f_floor"),
+        func("ceil", F.col("l_quantity") / 7).cast("bigint").alias("f_ceil"),
+        func("floor", F.col("l_extendedprice") / 1000).cast("bigint").alias("f_floor"),
         func("round", F.col("l_extendedprice") / 7, 3).alias("f_round"),
         func("mod", F.col("l_orderkey"), 7).alias("f_mod"),
         func("sqrt", F.col("l_quantity")).alias("f_sqrt"),
         func("pow", F.col("l_discount"), 2).alias("f_pow"),
         func("sign", F.col("l_discount") - 0.05).cast("double").alias("f_sign"),
-        func("ln", F.col("l_extendedprice")).alias("f_ln"),
-        func("log10", F.col("l_extendedprice")).alias("f_log10"),
+        F.round(func("ln", F.col("l_extendedprice")), 9).alias("f_ln"),
+        F.round(func("log10", F.col("l_extendedprice")), 9).alias("f_log10"),
         func("greatest", F.col("l_discount"), F.col("l_tax")).alias("f_greatest"),
         func("least", F.col("l_discount"), F.col("l_tax")).alias("f_least"),
     )
