@@ -81,16 +81,40 @@ def media_repartition(df: DataFrame, target_partition_bytes: int = 128 * 1024 * 
     return df.repartition(n, "media_id")
 
 
+_STUB_MOD = 100003
+_STUB_CAP = 4096
+# 31^k mod p for k < cap/8 — lets the per-slot polynomial hash evaluate
+# as one vectorized dot product instead of a per-byte Python loop.
+_STUB_POWS: list[int] = [1]
+for _ in range(_STUB_CAP // 8):
+    _STUB_POWS.append((_STUB_POWS[-1] * 31) % _STUB_MOD)
+
+
 def _decode_stub(payload: bytes, modality: str) -> list[float]:
     """STUB for the real codec path (PIL.Image.open / soundfile.read /
     av.open).  Deterministic 8-dim feature from payload bytes so the
-    full distributed pipeline is testable byte-for-byte."""
+    full distributed pipeline is testable byte-for-byte.
+
+    Math: slot s accumulates acc = acc*31 + byte over bytes at positions
+    i % 8 == s, i.e. a polynomial hash sum(b_j * 31^(m-1-j)) mod p —
+    evaluated here vectorized (numpy) with premodded powers; products are
+    < 2^25 and partial sums < 2^35, safely inside int64.
+    """
     if payload is None:
         return []
-    acc = [0] * 8
-    for i, byte in enumerate(payload[:4096]):
-        acc[i % 8] = (acc[i % 8] * 31 + byte) % 100003
-    return [float(a) / 100003.0 for a in acc]
+    import numpy as np
+
+    data = np.frombuffer(payload[:_STUB_CAP], dtype=np.uint8).astype(np.int64)
+    out = []
+    for s in range(8):
+        slot = data[s::8]
+        m = len(slot)
+        if m == 0:
+            out.append(0.0)
+            continue
+        pows = np.array(_STUB_POWS[m - 1 :: -1][:m], dtype=np.int64)
+        out.append(float(int((slot * pows).sum() % _STUB_MOD)) / _STUB_MOD)
+    return out
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -109,9 +133,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "feature": pdf.apply(
-                        lambda r: _decode_stub(r["payload"], r["modality"]), axis=1
-                    ),
+                    "feature": [
+                        _decode_stub(p, m)
+                        for p, m in zip(pdf["payload"], pdf["modality"])
+                    ],
                 }
             )
 

@@ -92,6 +92,14 @@ def load_tables(
 
     out: dict[str, DataFrame] = {}
     for name in names or TPCH_TABLES:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            if register and key not in _REGISTERED:
+                cached.createOrReplaceTempView(name)
+                _REGISTERED.add(key)
+            out[name] = cached
+            continue
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
@@ -100,10 +108,19 @@ def load_tables(
             # TIMESTAMP(NANOS) read as long (nanosAsLong) → truncate to
             # micros, matching DuckDB's ns→µs truncation.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _TABLE_CACHE[key] = df
         if register:
             df.createOrReplaceTempView(name)
+            _REGISTERED.add(key)
         out[name] = df
     return out
+
+
+#: Memoized table handles — a DataFrame is an immutable logical plan, so
+#: re-reading the Parquet footer per query is pure overhead; keyed by
+#: application id so fresh sessions (tests) never see stale plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_REGISTERED: set[tuple[str, str, str]] = set()
 
 
 class InfiniSession:
