@@ -34,14 +34,15 @@ _TOKENS: dict[str, str | None] = {
     "S": "ss",         # seconds
     "s": "ss",         # seconds
     "T": "HH:mm:ss",   # 24-hour time
-    "U": None,         # week (Sunday first) 00..53 (composed)
-    "u": None,         # week (Monday first) 00..53 (composed)
-    "V": None,         # week 01..53 (with %X)
-    "v": None,         # ISO week 01..53 (composed: use 'ww'-ISO below)
+    "U": None,         # week (Sunday first) 00..53 (composed, WEEK mode 0)
+    "u": None,         # week (Monday first) 00..53 (composed, WEEK mode 1)
+    "V": None,         # week 01..53 with %X (composed, WEEK mode 2)
+    "v": None,         # ISO week 01..53 with %x (composed, WEEK mode 3)
     "W": "EEEE",       # weekday name
     "w": None,         # day of week 0=Sunday..6 (composed)
-    "X": None,         # year for %V
-    "x": "YYYY",       # ISO week-year
+    "X": None,         # week-year for %V (composed)
+    "x": None,         # ISO week-year for %v (composed; Java 'Y' week
+                       # patterns are rejected by Spark >= 3.0)
     "Y": "yyyy",       # 4-digit year
     "y": "yy",         # 2-digit year
     "%": "%",          # literal percent
@@ -54,8 +55,8 @@ def mysql_datetime_format_to_spark(fmt: str) -> str:
     Literal (non-token) characters that are letters must be quoted in
     Java patterns; we quote every literal run defensively.  Raises
     ``ValueError`` for tokens that need expression composition
-    (``%D %U %u %V %X %w``) — ``date_format_mysql`` in registry.py
-    handles those above the pattern layer.
+    (``%D %U %u %V %v %X %x %w``) — ``date_format_mysql`` in
+    registry.py handles those above the pattern layer.
     """
     out: list[str] = []
     lit: list[str] = []

@@ -470,12 +470,24 @@ def date_format_mysql(c, fmt: str) -> Column:
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i + 1]
-            if tok in "DUuVXw":
+            if tok in "DUuVvXxw":
                 flush_lit()
                 if tok == "w":
                     parts.append((F.dayofweek(c) - 1).cast("string"))
-                elif tok in "Uu":  # week-of-year modes 0/1 (approx: mode-0 for both)
-                    parts.append(F.lpad(week(c, 0).cast("string"), 2, "0"))
+                elif tok in "UuVv":
+                    # MySQL week tokens map 1:1 onto WEEK() modes
+                    # (func_date_format.cpp): %U=0 Sunday-first 00-53,
+                    # %u=1 Monday-first 00-53, %V=2 Sunday-first 01-53
+                    # (pairs with %X), %v=3 ISO (pairs with %x).
+                    mode = {"U": 0, "u": 1, "V": 2, "v": 3}[tok]
+                    parts.append(F.lpad(week(c, mode).cast("string"), 2, "0"))
+                elif tok in "Xx":
+                    # week-year matching %V/%v resp. — from _calc_week
+                    # with the week-year flag, so the year shifts at the
+                    # same boundaries the paired week token does.
+                    mode = 2 if tok == "X" else 3
+                    yr, _ = _calc_week(c, mode, force_week_year=True)
+                    parts.append(F.lpad(yr.cast("string"), 4, "0"))
                 elif tok == "D":
                     d = F.dayofmonth(c)
                     suffix = (
@@ -486,12 +498,6 @@ def date_format_mysql(c, fmt: str) -> Column:
                         .otherwise("th")
                     )
                     parts.append(F.concat(d.cast("string"), suffix))
-                elif tok in "VX":  # ISO week / ISO week-year
-                    parts.append(
-                        F.lpad(F.weekofyear(c).cast("string"), 2, "0")
-                        if tok == "V"
-                        else F.date_format(c, "YYYY")
-                    )
                 i += 2
                 continue
             lit.append(fmt[i]); lit.append(tok)
@@ -777,9 +783,7 @@ _ALIASES = {
     "<<": "leftshift",
     ">>": "rightshift",
     " in ": "in",
-    "not in ": "in",
-    "notin": "in",
-    "notbetween": "between",
+    "notbetween": "between",  # corrected to not_between by the rebind below
     "case_searched": "case",
     "case_simple": "case",
     "cast_as_signed": "cast_signed",
@@ -814,3 +818,15 @@ def not_between(c, lo, hi) -> Column:
 
 
 FUNC_MAP["notbetween"] = not_between
+
+
+@_reg("not_in")
+def not_in(x, *vals) -> Column:
+    """Negated IN — the reference registers a distinct Func_notin
+    (utils/funcexp/funcexp.cpp:157-158); `~isin` keeps MySQL's
+    three-valued semantics (NULL input -> NULL, filtered out)."""
+    return ~_c(x).isin(*vals)
+
+
+FUNC_MAP["not in "] = not_in
+FUNC_MAP["notin"] = not_in

@@ -59,32 +59,36 @@ def asof_join(
         .orderBy(F.col("_ats").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in rcols]
-    carried_ts = F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True).over(w)
+    # Carry the whole right row as ONE struct, built only on right-side
+    # rows: all payload columns then come from the same (latest) right
+    # row, and a right row whose payload is legitimately NULL still
+    # produces a non-null struct — so it is NOT skipped in favor of an
+    # older row (per-column last(ignorenulls) would do both wrong).
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            F.col("_ats").alias("_mts"),
+            *[F.col(f"{c}{suffix}").alias(c) for c in rcols],
+        ),
+    )
+    carried = F.last(payload, ignorenulls=True).over(w)
 
-    # explicit projection: left payload + the carried (window) values —
-    # never the union's raw suffixed columns, which share these names
     out = merged.select(
         *[F.col(c) for c in left.columns],
         F.col("_side"),
-        *carried,
-        carried_ts.alias("_matched_ts"),
+        carried.alias("_m"),
     ).filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("_matched_ts").isNotNull()
-            & (
-                F.unix_timestamp(left_ts) - F.unix_timestamp("_matched_ts")
-                <= F.lit(tolerance_seconds)
-            )
+        in_tol = F.col("_m").isNotNull() & (
+            F.unix_timestamp(left_ts) - F.unix_timestamp("_m._mts")
+            <= F.lit(tolerance_seconds)
         )
-        out = out.select(
-            *[F.col(c) for c in left.columns],
-            F.col("_side"),
-            *[F.when(in_tol, F.col(f"{c}{suffix}")).otherwise(F.lit(None)).alias(f"{c}{suffix}") for c in rcols],
-            F.when(in_tol, F.col("_matched_ts")).otherwise(F.lit(None)).alias("_matched_ts"),
-        )
-    return out.drop("_side").withColumnRenamed("_matched_ts", f"{right_ts}{suffix}")
+        out = out.withColumn("_m", F.when(in_tol, F.col("_m")))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("_m").getField(c).alias(f"{c}{suffix}") for c in rcols],
+        F.col("_m").getField("_mts").alias(f"{right_ts}{suffix}"),
+    )
 
 
 def range_join(

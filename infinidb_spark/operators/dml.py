@@ -16,10 +16,15 @@ reference's version buffer (old data remains readable until the swap).
   write a new version directory, atomically swap.
 * DELETE  = read, anti-filter, rewrite, swap.
 
-Atomicity: writes land in `<table>.__new__`, the live directory is
-replaced with a rename pair — a crash leaves either the old or the new
-version, never a mix (single-writer; a real lakehouse deployment swaps
-in a transaction log instead — out of scope, SURVEY §1.1).
+Atomicity: each rewrite lands in a fresh `<table>.__v<uuid>__` version
+directory and the live path `<table>` is a SYMLINK advanced with a
+single atomic `os.replace` — a crash leaves the pointer on either the
+old or the new version, never missing and never a mix (the Parquet
+analog of the reference's version buffer: old blocks stay readable
+until the pointer moves).  Tables created before the symlink layout
+(plain directories) are migrated on first rewrite; single-writer
+assumed — a real lakehouse deployment swaps in a transaction log
+instead (out of scope, SURVEY §1.1).
 
 Scale notes: UPDATE/DELETE rewrite cost is proportional to the data
 scanned, so at 100 TB the WHERE should prune partitions — pass
@@ -33,25 +38,55 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
+def _new_version_dir(table_dir: str) -> str:
+    return table_dir.rstrip("/") + f".__v{uuid.uuid4().hex[:12]}__"
+
+
 def _swap(table_dir: str, new_dir: str) -> None:
-    old = table_dir.rstrip("/") + ".__old__"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(table_dir, old)
-    os.rename(new_dir, table_dir)
-    shutil.rmtree(old)
+    """Atomically point `table_dir` at `new_dir`, then GC the old version.
+
+    The live path is a symlink; advancing it is ONE `os.replace` of a
+    freshly-created link — atomic on POSIX, so a crash at any point
+    leaves a fully-consistent table.  A pre-symlink plain directory is
+    migrated first (rename to a version dir, then link); that rename is
+    itself atomic, and recovery from a crash between the two steps is
+    re-running any rewrite (the version dir is self-describing).
+    """
+    table_dir = table_dir.rstrip("/")
+    old_target: str | None = None
+    if os.path.islink(table_dir):
+        old_target = os.path.join(
+            os.path.dirname(table_dir), os.readlink(table_dir)
+        )
+    elif os.path.isdir(table_dir):
+        # migrate legacy plain-directory layout
+        old_target = _new_version_dir(table_dir)
+        os.rename(table_dir, old_target)
+
+    tmp_link = table_dir + ".__lnk__"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.basename(new_dir), tmp_link)
+    os.replace(tmp_link, table_dir)  # the atomic commit point
+
+    if old_target and os.path.isdir(old_target):
+        shutil.rmtree(old_target)
 
 
 def create_table(df: DataFrame, table_dir: str, partition_by: list[str] | None = None) -> None:
-    """Materialize a DataFrame as a managed Parquet table directory."""
+    """Materialize a DataFrame as a managed Parquet table (versioned
+    directory + symlink pointer; see module docstring)."""
+    new_dir = _new_version_dir(table_dir)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(table_dir)
+    writer.parquet(new_dir)
+    _swap(table_dir, new_dir)
 
 
 def insert_into(df: DataFrame, table_dir: str) -> None:
@@ -81,18 +116,27 @@ def update_table(
         updated = updated.withColumn(
             col_name, F.when(condition, expr).otherwise(F.col(col_name))
         )
-    new_dir = table_dir.rstrip("/") + ".__new__"
+    new_dir = _new_version_dir(table_dir)
     updated.write.mode("overwrite").parquet(new_dir)
     _swap(table_dir, new_dir)
     return n
 
 
 def delete_from(spark: SparkSession, table_dir: str, condition: Column) -> int:
-    """DELETE FROM <table> WHERE <condition>; returns rows deleted."""
+    """DELETE FROM <table> WHERE <condition>; returns rows deleted.
+
+    SQL DELETE removes rows where the WHERE is TRUE — rows where it
+    evaluates NULL are KEPT (three-valued logic), so the keep-filter is
+    `NOT coalesce(cond, FALSE)`, not `NOT cond` (which would silently
+    drop NULL-condition rows).
+    """
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(table_dir)
-    n = df.filter(condition).count()
-    kept = df.filter(~condition)
-    new_dir = table_dir.rstrip("/") + ".__new__"
+    cond_true = F.coalesce(condition, F.lit(False))
+    n = df.filter(cond_true).count()
+    kept = df.filter(~cond_true)
+    new_dir = _new_version_dir(table_dir)
     kept.write.mode("overwrite").parquet(new_dir)
     _swap(table_dir, new_dir)
     return n

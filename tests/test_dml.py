@@ -67,6 +67,42 @@ def test_delete_removes_only_matching(spark, nation_table):
     assert df.filter(F.col("n_regionkey") == 1).count() == 0
 
 
+def test_delete_keeps_null_condition_rows(spark, nation_table):
+    """MySQL DELETE removes rows where WHERE is TRUE; NULL-condition
+    rows must be KEPT (regression: ~cond dropped them)."""
+    workdir = os.path.dirname(nation_table)
+    table = os.path.join(workdir, "nullable")
+    create_table(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 5)], "id int, v int"
+        ),
+        table,
+    )
+    n = delete_from(spark, table, F.col("v") > 7)
+    df = spark.read.parquet(table)
+    assert n == 1
+    assert sorted(r.id for r in df.collect()) == [2, 3]  # NULL row kept
+
+
+def test_rewrite_swap_is_pointer_based(spark, nation_table):
+    """After any rewrite the live path is a symlink to a version dir —
+    the atomic-commit layout (a crash never leaves the table missing)."""
+    delete_from(spark, nation_table, F.col("n_regionkey") == 0)
+    assert os.path.islink(nation_table)
+    target = os.path.join(
+        os.path.dirname(nation_table), os.readlink(nation_table)
+    )
+    assert os.path.isdir(target)
+    # readable through the pointer, and old version dirs are GC'd
+    assert spark.read.parquet(nation_table).count() > 0
+    versions = [
+        d
+        for d in os.listdir(os.path.dirname(nation_table))
+        if d.startswith(os.path.basename(nation_table) + ".__v")
+    ]
+    assert versions == [os.readlink(nation_table)]
+
+
 def test_update_then_delete_roundtrip_consistency(spark, nation_table):
     update_table(spark, nation_table, F.lit(True), {"n_regionkey": F.col("n_regionkey") + 10})
     assert spark.read.parquet(nation_table).filter(F.col("n_regionkey") < 10).count() == 0

@@ -147,3 +147,13 @@ def test_casts(spark):
     assert str(one(spark, func("cast_date", F.lit("2020-05-05 01:02:03")))) == "2020-05-05"
     # permissive (non-ANSI) cast: garbage → NULL, as MySQL/reference
     assert one(spark, func("cast_signed", F.lit("xyz"))) is None
+
+
+def test_not_in_is_negated(spark):
+    """Regression: `notin` was aliased to the POSITIVE in-builder.
+    MySQL three-valued semantics: NULL input -> NULL (filtered out)."""
+    assert one(spark, func("in", F.lit(2), 1, 2, 3)) is True
+    assert one(spark, func("notin", F.lit(2), 1, 2, 3)) is False
+    assert one(spark, func("notin", F.lit(9), 1, 2, 3)) is True
+    assert one(spark, func("not in ", F.lit(9), 1, 2, 3)) is True
+    assert one(spark, func("notin", F.lit(None).cast("int"), 1, 2)) is None

@@ -140,3 +140,27 @@ def test_asof_join_tolerance_and_no_match(spark):
     }
     assert tol[(1, 10)] == 100.0      # 30 min back - inside tolerance
     assert tol[(1, 13)] is None       # 2.5 h back - outside tolerance
+
+
+def test_asof_join_null_payload_struct_carry(spark):
+    """The matched right row's payload must arrive AS-IS: a legitimate
+    NULL payload stays NULL (not overwritten by an older row), and all
+    payload columns come from the SAME right row (regression:
+    per-column last(ignorenulls) mixed rows and hid NULLs)."""
+    from infinidb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 100.0, "A"),   # older, fully populated
+            (1, "2024-01-01 11:00:00", None, "B"),    # latest: px is NULL
+        ],
+        "k long, ts string, px double, src string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row.src_right == "B"        # latest right row matched
+    assert row.px_right is None        # its NULL payload preserved
+    assert row.ts_right.hour == 11     # matched ts from the same row

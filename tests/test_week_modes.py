@@ -91,6 +91,35 @@ def test_mode3_is_iso(spark):
     assert all(r.w == r.iso for r in rows)
 
 
+def test_date_format_week_tokens_at_year_boundaries(spark):
+    """%U/%u/%V/%v/%X/%x golden values (MySQL DATE_FORMAT semantics:
+    %U=WEEK mode 0, %u=mode 1, %V+%X=mode 2, %v+%x=mode 3/ISO) — these
+    diverge exactly at year boundaries."""
+    cases = [
+        # date, %U, %u, %V, %X, %v, %x
+        ("1999-01-01", "00", "00", "52", "1998", "53", "1998"),
+        ("2000-01-01", "00", "00", "52", "1999", "52", "1999"),
+        ("2008-02-20", "07", "08", "07", "2008", "08", "2008"),
+        ("2026-01-01", "00", "01", "52", "2025", "01", "2026"),
+        ("2024-12-31", "52", "53", "52", "2024", "01", "2025"),
+    ]
+    df_fmt = FUNC_MAP["date_format"]
+    df = spark.createDataFrame([(c[0],) for c in cases], "d string").withColumn(
+        "d", F.col("d").cast("date")
+    )
+    rows = df.select(
+        df_fmt(F.col("d"), "%U").alias("U"),
+        df_fmt(F.col("d"), "%u").alias("u"),
+        df_fmt(F.col("d"), "%X-%V").alias("XV"),
+        df_fmt(F.col("d"), "%x-%v").alias("xv"),
+    ).collect()
+    for (ds, U, u, V, X, v, x), r in zip(cases, rows):
+        assert r.U == U, f"%U({ds}) = {r.U}, want {U}"
+        assert r.u == u, f"%u({ds}) = {r.u}, want {u}"
+        assert r.XV == f"{X}-{V}", f"%X-%V({ds}) = {r.XV}"
+        assert r.xv == f"{x}-{v}", f"%x-%v({ds}) = {r.xv}"
+
+
 def test_known_mysql_values(spark):
     """Golden values from the MySQL manual's WEEK() examples."""
     cases = [
