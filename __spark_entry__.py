@@ -55,6 +55,36 @@ from infinidb_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
 SF0_001 = "/root/testdata/sf0.001"
 
+# The rounds-1/2 correctness gate stopped after the first 50 registered
+# queries, so 29 operators never got a driver row.  Surface those first
+# (plus queries fixed or added this round), then the long-green tail —
+# correct under either a positional or a time-budget gate cap.
+_PRIORITY = [
+    # fixed this round — needs a fresh driver verdict
+    "agg_decimal_exact",
+    # added this round
+    "quantified_subquery",
+    "group_concat_ordered",
+    "part_lineitem_agg",
+    "func_time",
+    # never driver-checked in rounds 1-2
+    "func_string", "func_datetime", "func_control", "func_cast", "func_json",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_cosine_topk", "ann_lsh_topk", "similarity_pairs_bucketed",
+    "text_quality", "text_analyze", "multimodal_features",
+    "multimodal_frame_plan", "data_validation",
+    "events_tumbling_window", "events_sliding_window", "events_sessionize",
+    "events_json_funnel", "events_hypertable_rollup",
+    "bulk_load_csv_roundtrip", "pseudo_columns", "cross_engine_join",
+    "system_catalog", "dml_lifecycle", "asof_join_events", "range_join_bands",
+]
+
+
+def _ordered(d: dict) -> dict:
+    out = {k: d[k] for k in _PRIORITY if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -63,9 +93,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
-    return dict(ORACLES)
+    return _ordered(ORACLES)

@@ -1027,9 +1027,9 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price_dec,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))      AS sum_qty_dec,
-           CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(22,6)) AS avg_price_dec
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price_dec,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))      AS VARCHAR) AS sum_qty_dec,
+           CAST(CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(22,6)) AS VARCHAR) AS avg_price_dec
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1039,14 +1039,18 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled int64 (`dbcon/execplan/simplecolumn_decimal.h`) so sums are
     exact, never float-drifty; Spark's DecimalType(+Sum with precision
     widening) gives the same guarantee, hash-checked against DuckDB's
-    exact decimal engine with NO rounding on either side (output type is
-    pinned to DECIMAL(38,2) on both sides purely so the serialized scale
-    matches -- values are exact either way)."""
+    exact decimal engine with NO rounding on either side.
+
+    The compare serializes through pandas, where DuckDB decimals decay
+    to float64 (trailing scale lost) while Spark yields Decimal objects
+    — so both engines CAST the final decimals to strings, which is the
+    only pandas-safe exact representation (fixed scale: '506627.00' on
+    both sides)."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     qty = F.col("l_quantity").cast("decimal(12,2)")
     return lineitem.groupBy("l_returnflag").agg(
-        F.sum(price).cast("decimal(38,2)").alias("sum_price_dec"),
-        F.sum(qty).cast("decimal(38,2)").alias("sum_qty_dec"),
-        F.avg(price).cast("decimal(22,6)").alias("avg_price_dec"),
+        F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_price_dec"),
+        F.sum(qty).cast("decimal(38,2)").cast("string").alias("sum_qty_dec"),
+        F.avg(price).cast("decimal(22,6)").cast("string").alias("avg_price_dec"),
     )

@@ -56,6 +56,7 @@ def bulk_load_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(done, "w").close()
     result = bulk_load_csv(spark, csv_dir, supplier.schema, delimiter="|")
     assert result.rows_rejected == 0, "clean export must load without rejects"
+    result.unpersist()  # counts done, no rejects to inspect — drop the scan cache
     return (
         result.loaded.groupBy("s_nationkey")
         .agg(

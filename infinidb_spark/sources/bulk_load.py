@@ -37,6 +37,16 @@ class BulkLoadResult:
     rejected: DataFrame  #: raw text of rows that failed parse/cast (≅ .bad file)
     rows_loaded: int
     rows_rejected: int
+    _raw: DataFrame | None = None  #: the cached single-pass scan
+
+    def unpersist(self) -> None:
+        """Release the single-pass scan cache once rejects have been
+        persisted or inspected.  ``loaded`` stays valid (plain re-scan);
+        ``rejected`` must not be re-collected afterwards (querying only
+        the corrupt-record column off a raw CSV scan is disallowed)."""
+        if self._raw is not None:
+            self._raw.unpersist()
+            self._raw = None
 
 
 def bulk_load_csv(
@@ -94,8 +104,8 @@ def bulk_load_csv(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(dest)
         loaded = spark.read.parquet(dest)
-    # NOTE: `raw` stays cached — the returned `rejected` plan must keep
+    # NOTE: `raw` stays cached so the returned `rejected` plan keeps
     # reading from the cache (the corrupt-record-only-query rule rejects
-    # the raw-scan plan); it is evicted with the session or by the
-    # caller once rejects are persisted/inspected.
-    return BulkLoadResult(loaded, rejected, rows_loaded, rows_rejected)
+    # the raw-scan plan); callers release it with `.unpersist()` once
+    # rejects are persisted/inspected.
+    return BulkLoadResult(loaded, rejected, rows_loaded, rows_rejected, _raw=raw)

@@ -136,3 +136,35 @@ def test_no_accidental_cartesian_anywhere(queries, spark, sf_dir):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, f"quadratic join plans in: {offenders}"
+
+
+def test_cache_using_operators_leave_nothing_cached(queries, spark, sf_dir):
+    """The dedup and bulk-load operators must release (or never take)
+    executor storage: after materializing them the SQL cache manager is
+    empty, and no source file converts a DataFrame to an RDD to probe
+    partition counts (regression: minhash persists never unpersisted;
+    fan_out's df.rdd probe)."""
+    import os
+    import infinidb_spark
+
+    spark.catalog.clearCache()
+    queries["dedup_minhash_lsh"](spark, sf_dir).count()
+    queries["dedup_simhash"](spark, sf_dir).count()
+    queries["bulk_load_csv_roundtrip"](spark, sf_dir).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    import ast
+
+    src_root = os.path.dirname(os.path.abspath(infinidb_spark.__file__))
+    offenders = []
+    for dirpath, _, files in os.walk(src_root):
+        for fn in files:
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                tree = ast.parse(open(p).read())
+                if any(
+                    isinstance(n, ast.Attribute) and n.attr == "rdd"
+                    for n in ast.walk(tree)
+                ):
+                    offenders.append(p)
+    assert not offenders, f"df.rdd probe in: {offenders}"
