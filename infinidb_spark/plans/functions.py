@@ -274,3 +274,56 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         func("json_extract", F.col("props"), "$.k").alias("k_raw"),
         func("json_extract", F.col("props"), "$.k").cast("bigint").alias("k_num"),
     )
+
+
+@query(
+    "func_time",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS TIMESTAMP) AS ts0,
+             CAST(o_orderdate AS TIMESTAMP)
+               + ((o_orderkey * 977) % 200000) * INTERVAL 1 SECOND AS ts1,
+             o_orderkey % 90000 AS s
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           lpad(CAST(s // 3600 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST((s % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST(s % 60 AS VARCHAR), 2, '0')                      AS f_s2t,
+           lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST((o_orderkey * 7) % 60 AS VARCHAR), 2, '0')       AS f_maketime,
+           CAST(s AS BIGINT)                                            AS f_tts,
+           CASE WHEN epoch(ts0) < epoch(ts1) THEN '-' ELSE '' END ||
+             lpad(CAST(CAST(abs(epoch(ts0) - epoch(ts1)) AS BIGINT) // 3600 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST((CAST(abs(epoch(ts0) - epoch(ts1)) AS BIGINT) % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+             lpad(CAST(CAST(abs(epoch(ts0) - epoch(ts1)) AS BIGINT) % 60 AS VARCHAR), 2, '0') AS f_timediff,
+           strftime(ts1, '%H:%M:%S')                                    AS f_tf,
+           CAST(hour(ts1) AS BIGINT)                                    AS f_hour,
+           CAST(minute(ts1) AS BIGINT)                                  AS f_minute,
+           CAST(second(ts1) AS BIGINT)                                  AS f_second
+    FROM t
+    """,
+)
+def func_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-family functions (ref func_maketime/sec_to_time/timediff/
+    time_format .cpp) — hash-checked against DuckDB arithmetic that
+    reproduces MySQL's HH:MM:SS rendering (hours unbounded, zero-padded
+    to ≥2; TIMEDIFF keeps the sign of a−b)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s = k % 90000
+    ts0 = F.col("o_orderdate").cast("timestamp")
+    ts1 = func("addtime", ts0, (k * 977) % 200000)
+    return orders.filter(k <= 300).select(
+        "o_orderkey",
+        func("sec_to_time", s).alias("f_s2t"),
+        func("maketime", k % 24, k % 60, (k * 7) % 60).alias("f_maketime"),
+        func("time_to_sec", func("sec_to_time", s)).cast("bigint").alias("f_tts"),
+        func("timediff", ts0, ts1).alias("f_timediff"),
+        func("time_format", ts1, "%H:%i:%s").alias("f_tf"),
+        func("hour", ts1).cast("bigint").alias("f_hour"),
+        func("minute", ts1).cast("bigint").alias("f_minute"),
+        func("second", ts1).cast("bigint").alias("f_second"),
+    )

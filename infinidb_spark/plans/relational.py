@@ -1054,3 +1054,115 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty).cast("decimal(38,2)").cast("string").alias("sum_qty_dec"),
         F.avg(price).cast("decimal(22,6)").cast("string").alias("avg_price_dec"),
     )
+
+
+@query(
+    "quantified_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_acctbal > ALL (SELECT c_acctbal FROM customer
+                           WHERE c_nationkey = 3 AND c_acctbal < 1000)
+      AND s_acctbal < ANY (SELECT c_acctbal FROM customer
+                           WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def quantified_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL / ANY quantified comparisons (ref
+    ``dbcon/execplan/calpontselectexecutionplan.h:120-133``,
+    ``dbcon/mysql/ha_scalar_sub.cpp``), rewritten to one broadcast
+    aggregate each with exact three-valued semantics — see
+    operators.quantified.  DuckDB runs its native ALL/ANY as the oracle.
+    """
+    from infinidb_spark.operators.quantified import quantified_filter
+
+    supplier, customer = _t(spark, sf_dir, "supplier", "customer")
+    out = quantified_filter(
+        supplier,
+        F.col("s_acctbal"),
+        ">",
+        customer.filter((F.col("c_nationkey") == 3) & (F.col("c_acctbal") < 1000)).select(
+            "c_acctbal"
+        ),
+        "all",
+    )
+    out = quantified_filter(
+        out,
+        F.col("s_acctbal"),
+        "<",
+        customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_acctbal"),
+        "any",
+    )
+    return out.select("s_suppkey", "s_name", "s_acctbal")
+
+
+@query(
+    "group_concat_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, '|' ORDER BY c_acctbal DESC, c_name) AS names_by_bal,
+           string_agg(c_mktsegment, ',' ORDER BY c_custkey)        AS segs_by_key
+    FROM customer WHERE c_custkey <= 200
+    GROUP BY c_nationkey
+    """,
+)
+def group_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT ordered by an INDEPENDENT expression (ref
+    ``GroupConcatOrderBy``, ``dbcon/joblist/groupconcat.h:100-159``):
+    the sort key (account balance / custkey) is not the concatenated
+    value.  Composition: collect_list(struct(keys..., value)) →
+    sort_array → transform — see operators.aggregates.group_concat.
+    Descending numeric keys sort by negation; c_name tiebreaks DESC
+    balances so both engines agree on equal keys."""
+    from infinidb_spark.operators.aggregates import group_concat
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_custkey") <= 200)
+        .groupBy("c_nationkey")
+        .agg(
+            group_concat(
+                F.col("c_name"),
+                order_by=[-F.col("c_acctbal"), F.col("c_name")],
+                separator="|",
+            ).alias("names_by_bal"),
+            group_concat(
+                F.col("c_mktsegment"), order_by=[F.col("c_custkey")], separator=","
+            ).alias("segs_by_key"),
+        )
+    )
+
+
+@query(
+    "part_lineitem_agg",
+    oracle="""
+    SELECT p_type,
+           count(*)                                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_quantity), 4)                         AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 15
+    GROUP BY p_type
+    """,
+)
+def part_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part ⋈ lineitem + revenue aggregation — mirrors the reference's
+    perf scenario groups 5/104 (`utils/scenarios/perf/sql/5/`,
+    `sql/104/`), which join fact to the part dim.  part is a dim →
+    broadcast (PM-join); at 100 TB part outgrows broadcast and the same
+    plan shuffles on partkey."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_size") <= 15)),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )

@@ -164,3 +164,48 @@ def test_asof_join_null_payload_struct_carry(spark):
     assert row.src_right == "B"        # latest right row matched
     assert row.px_right is None        # its NULL payload preserved
     assert row.ts_right.hour == 11     # matched ts from the same row
+
+
+def test_quantified_three_valued_semantics(spark):
+    """ALL/ANY rewrite keeps SQL three-valued logic: empty set -> ALL
+    TRUE / ANY FALSE; NULLs in the set poison would-be TRUE (ALL) /
+    would-be FALSE (ANY) rows into NULL (dropped by WHERE)."""
+    from infinidb_spark.operators.quantified import quantified_filter
+
+    df = spark.createDataFrame([(1, 5), (2, 15), (3, None)], "id int, x int")
+    sub = spark.createDataFrame([(10,), (12,)], "v int")
+    sub_null = spark.createDataFrame([(10,), (None,)], "v int")
+    empty = sub.filter("v > 100")
+
+    ids = lambda out: sorted(r.id for r in out.collect())
+    # x > ALL {10,12}: only 15
+    assert ids(quantified_filter(df, F.col("x"), ">", sub, "all")) == [2]
+    # x > ANY {10,12}: only 15
+    assert ids(quantified_filter(df, F.col("x"), ">", sub, "any")) == [2]
+    # x < ANY {10,12}: only 5
+    assert ids(quantified_filter(df, F.col("x"), "<", sub, "any")) == [1]
+    # empty subquery: ALL keeps every row (even NULL x), ANY keeps none
+    assert ids(quantified_filter(df, F.col("x"), ">", empty, "all")) == [1, 2, 3]
+    assert ids(quantified_filter(df, F.col("x"), ">", empty, "any")) == []
+    # NULL in set: 15 > ALL {10, NULL} is NULL -> dropped;
+    # 15 > ANY {10, NULL} is TRUE (10 satisfies) -> kept
+    assert ids(quantified_filter(df, F.col("x"), ">", sub_null, "all")) == []
+    assert ids(quantified_filter(df, F.col("x"), ">", sub_null, "any")) == [2]
+
+
+def test_group_concat_independent_order_and_nulls(spark):
+    from infinidb_spark.operators.aggregates import group_concat
+
+    df = spark.createDataFrame(
+        [(1, "a", 3.0), (1, "b", 9.0), (1, None, 5.0), (1, "c", 9.0)],
+        "g int, v string, k double",
+    )
+    row = df.groupBy("g").agg(
+        group_concat(
+            F.col("v"), order_by=[-F.col("k"), F.col("v")], separator="|"
+        ).alias("s"),
+        group_concat(F.col("v"), distinct=True).alias("d"),
+    ).collect()[0]
+    # k DESC: 9.0 ties broken by v asc -> b,c then 5.0 (NULL v skipped) then 3.0
+    assert row.s == "b|c|a"
+    assert row.d == "a,b,c"
