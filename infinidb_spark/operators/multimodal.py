@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -74,20 +75,37 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def media_repartition(df: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024) -> DataFrame:
-    """Repartition a media table by payload bytes, not row count."""
-    stats = df.select(F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("b")).collect()
-    total = stats[0].b or 1
-    n = max(1, int(total / target_partition_bytes))
+    """Repartition a media table by payload bytes, not row count.
+
+    Sizing comes from FILE metadata when the table is file-backed (sum
+    of input-file sizes — free, no scan); only a synthesized in-memory
+    relation falls back to a one-row aggregate over payload lengths.
+    """
+    import os
+
+    files = df.inputFiles()
+    if files:
+        total = sum(os.path.getsize(f[7:] if f.startswith("file:") else f)
+                    for f in files if os.path.exists(f[7:] if f.startswith("file:") else f))
+    else:
+        stats = df.select(F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("b")).collect()
+        total = stats[0].b
+    n = max(1, int((total or 1) / target_partition_bytes))
     return df.repartition(n, "media_id")
 
 
 _STUB_MOD = 100003
 _STUB_CAP = 4096
-# 31^k mod p for k < cap/8 — lets the per-slot polynomial hash evaluate
-# as one vectorized dot product instead of a per-byte Python loop.
-_STUB_POWS: list[int] = [1]
+# 31^k mod p, laid out DESCENDING as one module-level int64 array: the
+# tail slice _STUB_POWS_DESC[-m:] is exactly [31^(m-1) … 31^0] — a view,
+# so the per-slot hash is one dot product with zero per-row allocation
+# (rebuilding this array 8× per row measurably ate the vectorization
+# win).
+_pows = [1]
 for _ in range(_STUB_CAP // 8):
-    _STUB_POWS.append((_STUB_POWS[-1] * 31) % _STUB_MOD)
+    _pows.append((_pows[-1] * 31) % _STUB_MOD)
+_STUB_POWS_DESC = np.array(_pows[::-1], dtype=np.int64)
+del _pows
 
 
 def _decode_stub(payload: bytes, modality: str) -> list[float]:
@@ -102,8 +120,6 @@ def _decode_stub(payload: bytes, modality: str) -> list[float]:
     """
     if payload is None:
         return []
-    import numpy as np
-
     data = np.frombuffer(payload[:_STUB_CAP], dtype=np.uint8).astype(np.int64)
     out = []
     for s in range(8):
@@ -112,8 +128,7 @@ def _decode_stub(payload: bytes, modality: str) -> list[float]:
         if m == 0:
             out.append(0.0)
             continue
-        pows = np.array(_STUB_POWS[m - 1 :: -1][:m], dtype=np.int64)
-        out.append(float(int((slot * pows).sum() % _STUB_MOD)) / _STUB_MOD)
+        out.append(float(int((slot * _STUB_POWS_DESC[-m:]).sum() % _STUB_MOD)) / _STUB_MOD)
     return out
 
 

@@ -8,8 +8,10 @@ the same rewrite lives here as a DataFrame transform:
 
 * ordering comparisons reduce to ONE aggregate over the subquery —
   ``x > ALL(S)`` ≡ ``x > max(S)``, ``x > ANY(S)`` ≡ ``x > min(S)`` (and
-  dually for ``<``) — broadcast as a 1-row relation, so the operator
-  costs a single aggregate + a map-side filter at any scale;
+  dually for ``<``) — injected as a scalar-subquery expression
+  (``DataFrame.scalar()``), so the main plan has NO join node at all:
+  Spark runs the one-row aggregate as a subquery job and feeds the
+  result into a map-side filter, constant cost at any scale;
 * SQL three-valued logic is preserved exactly: empty S → ALL is TRUE /
   ANY is FALSE regardless of x; a NULL in S can only turn a would-be
   TRUE (ALL) or would-be FALSE (ANY) into NULL; NULL x with non-empty S
@@ -53,27 +55,30 @@ def quantified_filter(
     (sub_col,) = sub.columns
 
     # ALL with >/>= races against the maximum; ANY against the minimum
-    # (mirrored for </<=).  One row out, broadcast below.
+    # (mirrored for </<=).  All three stats pack into ONE struct so the
+    # scalar subquery runs a single aggregate job.
     use_max = (op in (">", ">=")) == (quantifier == "all")
-    bound_agg = (F.max if use_max else F.min)(sub_col).alias("_q_bound")
+    bound_agg = (F.max if use_max else F.min)(sub_col).alias("b")
     stats = sub.agg(
-        bound_agg,
-        F.count(sub_col).alias("_q_cnt"),
-        (F.count(F.lit(1)) - F.count(sub_col)).alias("_q_nulls"),
-    )
+        F.struct(
+            bound_agg,
+            F.count(sub_col).alias("cnt"),
+            (F.count(F.lit(1)) - F.count(sub_col)).alias("nulls"),
+        ).alias("_q")
+    ).scalar()
 
-    joined = df.crossJoin(F.broadcast(stats))
-    base = _OPS[op](left, F.col("_q_bound"))  # NULL iff x NULL or S empty
+    base = _OPS[op](left, stats.getField("b"))  # NULL iff x NULL or S empty
+    cnt, nulls = stats.getField("cnt"), stats.getField("nulls")
     if quantifier == "all":
         cond = (
-            F.when(F.col("_q_cnt") + F.col("_q_nulls") == 0, F.lit(True))
-            .when(base & (F.col("_q_nulls") > 0), F.lit(None).cast("boolean"))
+            F.when(cnt + nulls == 0, F.lit(True))
+            .when(base & (nulls > 0), F.lit(None).cast("boolean"))
             .otherwise(base)
         )
     else:
         cond = (
-            F.when(F.col("_q_cnt") + F.col("_q_nulls") == 0, F.lit(False))
-            .when((~base) & (F.col("_q_nulls") > 0), F.lit(None).cast("boolean"))
+            F.when(cnt + nulls == 0, F.lit(False))
+            .when((~base) & (nulls > 0), F.lit(None).cast("boolean"))
             .otherwise(base)
         )
-    return joined.filter(cond).drop("_q_bound", "_q_cnt", "_q_nulls")
+    return df.filter(cond)

@@ -11,7 +11,11 @@ the ~140-name registry.
 Most expressions here are per-row and deterministic and hash bit-identically.
 Transcendentals (ln/log10) drift in the last ULP between the JVM's StrictMath
 and DuckDB's libm, so those two are rounded to 9 decimals on BOTH sides —
-the same pinning rule the aggregate corpus uses.
+the same pinning rule the aggregate corpus uses.  Caveat inherent to
+round-based pinning: two values 1 ULP apart can still straddle a 9-dp
+rounding boundary and flip the hash on unlucky data; if that ever flakes,
+drop to 6-7 dp or hash a quantized integer (round(x*1e9) AS BIGINT) on
+both sides.
 """
 
 from __future__ import annotations

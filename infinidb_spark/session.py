@@ -90,18 +90,29 @@ def load_tables(
     """
     from pyspark.sql import functions as F
 
+    app_id = spark.sparkContext.applicationId
+    # evict handles from dead applications — the cache never outgrows
+    # one app's table set
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        _TABLE_CACHE.pop(k, None)
+        _REGISTERED.discard(k)
+
     out: dict[str, DataFrame] = {}
     for name in names or TPCH_TABLES:
-        key = (spark.sparkContext.applicationId, sf_dir, name)
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        st = os.stat(path)
+        # DataFrames and temp views are per-SparkSession (id(spark)),
+        # not per-context; mtime+size catch a rewritten/regenerated file
+        # whose first-read file listing would otherwise be served stale.
+        key = (app_id, id(spark), sf_dir, name, st.st_mtime_ns, st.st_size)
         cached = _TABLE_CACHE.get(key)
         if cached is not None:
             if register and key not in _REGISTERED:
                 cached.createOrReplaceTempView(name)
                 _REGISTERED.add(key)
             out[name] = cached
-            continue
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
             continue
         df = spark.read.parquet(path)
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -117,10 +128,11 @@ def load_tables(
 
 
 #: Memoized table handles — a DataFrame is an immutable logical plan, so
-#: re-reading the Parquet footer per query is pure overhead; keyed by
-#: application id so fresh sessions (tests) never see stale plans.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_REGISTERED: set[tuple[str, str, str]] = set()
+#: re-reading the Parquet footer per query is pure overhead.  Keyed by
+#: (app id, session identity, dir, name, file mtime+size); dead-app
+#: entries are evicted on every call.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_REGISTERED: set[tuple] = set()
 
 
 class InfiniSession:
