@@ -147,3 +147,56 @@ def ann_lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup (the vector-space analog of
+    MinHash dedup): hyperplane-LSH buckets prefilter candidates, exact
+    cosine >= ``threshold`` within a bucket marks a near-dup edge, and
+    each vector's representative is the minimum id among its lower-id
+    neighbors (itself if none) — the one-pass min-rep approximation of
+    connected components; iterate the pair/rep stages to converge the
+    transitive closure if full clustering is required.
+
+    Scale shape: the candidate join is an equi-join on the bucket id
+    (shuffle-partitioned, never all-pairs — same candidate-generation
+    contract as ``dedup.minhash_lsh_pairs``); the rep assignment is one
+    groupBy plus a left join back to the id spine.  At 100 TB the bucket
+    id becomes a parquet partition column, like ``ann_lsh_topk``.
+
+    Returns (vec_id, rep_id, is_dup) for every input row.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        vec.alias("_v"),
+        hyperplane_bucket(vec, n_planes, dim).alias("_bkt"),
+    )
+    a = base.select(F.col("_bkt"), F.col("vec_id").alias("id_a"), F.col("_v").alias("v_a"))
+    b = base.select(
+        F.col("_bkt").alias("_bkt2"), F.col("vec_id").alias("id_b"), F.col("_v").alias("v_b")
+    )
+    edges = (
+        a.join(b, (F.col("_bkt") == F.col("_bkt2")) & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine_similarity(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    reps = edges.groupBy("id_b").agg(F.min("id_a").alias("_rep"))
+    spine = df.select(F.col(id_col).alias("vec_id"))
+    return (
+        spine.join(reps, spine["vec_id"] == reps["id_b"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("_rep"), F.col("vec_id")).alias("rep_id"),
+            (F.coalesce(F.col("_rep"), F.col("vec_id")) != F.col("vec_id"))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )

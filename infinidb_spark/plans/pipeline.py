@@ -135,6 +135,20 @@ def _lsh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
     return planes
 
 
+def _bucket_expr_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """DuckDB expression computing the hyperplane bucket of ``vec_sql``
+    with the planes embedded as SQL literals (exact mirror of
+    operators.similarity.hyperplane_bucket)."""
+    plane_sql = [
+        "[" + ", ".join(f"{c:.17g}" for c in coeffs) + "]" for coeffs in planes
+    ]
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_sql}, {ps}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, ps in enumerate(plane_sql)
+    )
+
+
 def _lsh_oracle_sql() -> str:
     """DuckDB oracle replicating the hyperplane bucketing exactly: the
     planes are deterministic constants, embedded as SQL literals; the
@@ -144,14 +158,7 @@ def _lsh_oracle_sql() -> str:
     for p, coeffs in enumerate(planes):
         if sum(q * c for q, c in zip(_QUERY_VEC, coeffs)) >= 0:
             qb |= 1 << p
-    plane_sql = [
-        "[" + ", ".join(f"{c:.17g}" for c in coeffs) + "]" for coeffs in planes
-    ]
-    bucket_expr = " + ".join(
-        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {ps}) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p, ps in enumerate(plane_sql)
-    )
+    bucket_expr = _bucket_expr_sql("CAST(embedding AS DOUBLE[])", planes)
     return f"""
     SELECT vec_id,
            round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_QV_SQL}), 6) AS cosine
@@ -169,6 +176,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing with the planes embedded as SQL literals."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, _QUERY_VEC, k=10, n_planes=4)
+
+
+def _embedding_dedup_oracle_sql() -> str:
+    """DuckDB oracle for the full embedding-cosine dedup pipeline:
+    hyperplane bucketing (plane literals), same-bucket cosine edges at
+    the same threshold, min-lower-neighbor representative."""
+    bucket_expr = _bucket_expr_sql("v", _lsh_planes())
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({bucket_expr}) AS bkt FROM e),
+    p AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+      WHERE list_cosine_similarity(a.v, c.v) >= 0.3
+    ),
+    r AS (SELECT id_b AS vec_id, min(id_a) AS rep FROM p GROUP BY id_b)
+    SELECT e.vec_id,
+           coalesce(r.rep, e.vec_id) AS rep_id,
+           CAST(CASE WHEN r.rep IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM e LEFT JOIN r USING (vec_id)
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_embedding_dedup_oracle_sql())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: LSH-bucketed candidate pairs,
+    exact cosine >= 0.3, min-id representative per vector — the
+    vector-space member of the dedup family (exact / MinHash / SimHash /
+    n-gram Jaccard / embedding-cosine).  Hash-checked: the oracle
+    reproduces the hyperplane bucketing and rep assignment exactly."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return S.embedding_dedup(emb, threshold=0.3, n_planes=4)
 
 
 @query(

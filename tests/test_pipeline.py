@@ -209,3 +209,26 @@ def test_group_concat_independent_order_and_nulls(spark):
     # k DESC: 9.0 ties broken by v asc -> b,c then 5.0 (NULL v skipped) then 3.0
     assert row.s == "b|c|a"
     assert row.d == "a,b,c"
+
+
+def test_embedding_dedup_identical_vectors_share_rep(spark):
+    # two identical vectors (cosine 1.0) must land in the same bucket
+    # and collapse to the lower id; the orthogonal third stays its own rep
+    rows = [
+        (1, [1.0] * 8 + [0.0] * 56),
+        (2, [1.0] * 8 + [0.0] * 56),
+        (3, [0.0] * 56 + [-1.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.rep_id, r.is_dup) for r in S.embedding_dedup(df, threshold=0.95).collect()}
+    assert out[1] == (1, 0)
+    assert out[2] == (1, 1)
+    assert out[3] == (3, 0)
+
+
+def test_embedding_dedup_covers_every_row(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    out = S.embedding_dedup(emb, threshold=0.3)
+    assert out.count() == emb.count()
+    # rep is never above the member id (min-lower-neighbor contract)
+    assert out.filter(F.col("rep_id") > F.col("vec_id")).count() == 0
