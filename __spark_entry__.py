@@ -70,7 +70,7 @@ _PRIORITY = [
     # never driver-checked in rounds 1-2
     "func_string", "func_datetime", "func_control", "func_cast", "func_json",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine", "dedup_minhash_portable", "dedup_simhash_portable",
     "ann_cosine_topk", "ann_lsh_topk", "similarity_pairs_bucketed",
     "text_quality", "text_analyze", "multimodal_features",
     "multimodal_frame_plan", "data_validation",

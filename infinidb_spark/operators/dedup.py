@@ -131,6 +131,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.6,
     candidate_cap: int = 1000,
     scratch_dir: str | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
@@ -162,6 +163,13 @@ def minhash_lsh_pairs(
     a,b < 2^31 and h masked to 31 bits) so products stay within int64 in
     codegen; the shingle-hash relation keeps full 64-bit xxhash64 for
     dedup and verification.
+
+    ``portable_hash=True`` swaps the engine-specific primitives for ones
+    every SQL engine shares — shingle hash = first 7 hex chars of md5 as
+    an int (< 2^28), band bucket key = the '_'-joined minima string
+    instead of an xxhash64 — making the WHOLE pipeline reproducible as
+    plain SQL (the DuckDB oracle uses this mode).  Same plan shape;
+    xxhash64 stays the fast default.
     """
     r = n_hashes // bands
     p31 = (1 << 31) - 1
@@ -178,11 +186,16 @@ def minhash_lsh_pairs(
     # call — the small candidate relations below are materialized
     # eagerly, then the cache is released before returning, so the
     # operator leaves nothing cached (asserted in tests).
+    shingle = t.substr(F.col("_i"), F.lit(shingle_k))
+    if portable_hash:
+        h_expr = F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
+    else:
+        h_expr = F.xxhash64(shingle)
     ex = (
         fan_out(df)
         .select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
         .select("_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"), "_t")
-        .select("_id", F.xxhash64(t.substr(F.col("_i"), F.lit(shingle_k))).alias("_h"))
+        .select("_id", h_expr.alias("_h"))
     )
     if scratch_dir is not None:
         import os
@@ -203,12 +216,20 @@ def minhash_lsh_pairs(
     # signature minima (duplicate shingles don't affect a min).
     base = ex.groupBy("_id").agg(*sig_aggs)
 
-    band_cols = F.array(
-        *[
-            F.xxhash64(F.lit(i), *[F.col(f"_m{i * r + k}") for k in range(r)])
-            for i in range(bands)
-        ]
-    )
+    if portable_hash:
+        band_cols = F.array(
+            *[
+                F.concat_ws("_", *[F.col(f"_m{i * r + k}") for k in range(r)])
+                for i in range(bands)
+            ]
+        )
+    else:
+        band_cols = F.array(
+            *[
+                F.xxhash64(F.lit(i), *[F.col(f"_m{i * r + k}") for k in range(r)])
+                for i in range(bands)
+            ]
+        )
     # Bucket docs per (band, band-hash) — one shuffle; pairs explode out
     # of each bucket's id list.  size(ids) caps adversarial buckets
     # (near-identical boilerplate) — the skew guard, with no anti-join.
@@ -297,7 +318,12 @@ def simhash_from_votes(votes: Column) -> Column:
     return fp
 
 
-def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> DataFrame:
     """SimHash-bucket dedup: docs sharing a 64-bit fingerprint.
 
     Equal-fingerprint grouping (hamming distance 0).  For distance ≤ k,
@@ -312,22 +338,31 @@ def dedup_simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     vote columns in a post-agg projection over #docs rows.  Duplicate
     tokens keep their votes (frequency-weighted), identical to the
     array formulation.
+
+    ``portable_hash=True``: 56-bit fingerprint from md5-derived token
+    ints (14 hex chars), reproducible as plain SQL in any engine — the
+    DuckDB oracle mode, same contract as ``minhash_lsh_pairs``.
     """
+    n_bits = 56 if portable_hash else 64
+    if portable_hash:
+        h_expr = F.conv(F.substring(F.md5(F.col("_tok")), 1, 14), 16, 10).cast("long")
+    else:
+        h_expr = F.xxhash64(F.col("_tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     per_bit = (
         fan_out(df)
         .select(F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("_tok"))
-        .select(F.col(id_col), F.xxhash64(F.col("_tok")).alias("_h"))
+        .select(F.col(id_col), h_expr.alias("_h"))
         .groupBy(id_col)
         .agg(*votes)
     )
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
         fp = fp.bitwiseOR(
             F.when(F.col(f"_v{i}") > 0, bit).otherwise(F.lit(0).cast("long"))

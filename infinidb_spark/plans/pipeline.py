@@ -67,11 +67,126 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, n_hashes=16, bands=4, jaccard_threshold=0.5)
 
 
+def _minhash_oracle_sql(
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.3,
+    cap: int = 1000,
+    doc_filter: str = "doc_id < 150",
+) -> str:
+    """DuckDB oracle reproducing minhash_lsh_pairs(portable_hash=True)
+    END TO END: md5-derived shingle hashes, the same (a*h+b) mod 2^31-1
+    signature family (a/b embedded as literals), string band keys,
+    capped buckets, exact-Jaccard verify."""
+    p31 = (1 << 31) - 1
+    params = [((a % (p31 - 1)) + 1, b % p31) for a, b in D._hash_params(n_hashes)]
+    r = n_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {p31}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, "
+        f"concat_ws('_', {', '.join(f'm{i * r + kk}' for kk in range(r))}) AS bkey "
+        "FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE {doc_filter}
+    ),
+    sh AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest([substr(t, i, {shingle_k})
+                       for i in range(1, greatest(length(t) - {shingle_k - 1}, 1) + 1)]) AS g
+        FROM d
+      )
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    buckets AS (
+      SELECT band_id, bkey, list(doc_id) AS ids
+      FROM banded GROUP BY band_id, bkey
+      HAVING len(list(doc_id)) BETWEEN 2 AND {cap}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.did AS id_a, b.did AS id_b
+      FROM (SELECT unnest(ids) AS did, band_id, bkey FROM buckets) a
+      JOIN (SELECT unnest(ids) AS did, band_id, bkey FROM buckets) b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.did < b.did
+    ),
+    sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM sh GROUP BY doc_id)
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+    FROM pairs
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= {threshold}
+    """
+
+
+@query("dedup_minhash_portable", oracle=_minhash_oracle_sql())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MinHash+LSH pipeline as dedup_minhash_lsh, run in
+    portable-hash mode (md5-derived shingle ints, string band keys) so
+    DuckDB can replay every stage — upgrading the MinHash family from a
+    rows-only check to a full hash-verified one.  xxhash64 remains the
+    production default; this query pins the algorithm."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs.filter(F.col("doc_id") < 150),
+        n_hashes=16,
+        bands=4,
+        jaccard_threshold=0.3,
+        portable_hash=True,
+    )
+
+
 @query("dedup_simhash")  # rows-only: xxhash64-based fingerprint
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-bucket dedup — 64-bit sign fingerprints, JVM-side."""
     (docs,) = _t(spark, sf_dir, "documents")
     return D.dedup_simhash(docs)
+
+
+def _simhash_oracle_sql(n_bits: int = 56, doc_filter: str = "doc_id < 300") -> str:
+    """DuckDB oracle replaying dedup_simhash(portable_hash=True): token
+    md5-ints vote per bit, fingerprint folds the vote signs."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(n_bits)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE {doc_filter}
+    ),
+    tok AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 14))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS w FROM d)
+    ),
+    votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM votes)
+    SELECT simhash, min(doc_id) AS doc_id, count(*) AS bucket_size
+    FROM fp GROUP BY simhash
+    """
+
+
+@query("dedup_simhash_portable", oracle=_simhash_oracle_sql())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash in portable-hash mode (56-bit md5-derived votes) —
+    the hash-verified pin of the SimHash algorithm; xxhash64 remains the
+    production default."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return D.dedup_simhash(docs.filter(F.col("doc_id") < 300), portable_hash=True)
 
 
 @query(
