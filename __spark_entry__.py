@@ -72,7 +72,7 @@ _PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_minhash_portable", "dedup_simhash_portable",
     "ann_cosine_topk", "ann_lsh_topk", "similarity_pairs_bucketed",
-    "text_quality", "text_analyze", "multimodal_features",
+    "text_quality", "text_analyze", "text_analyze_portable", "multimodal_features",
     "multimodal_frame_plan", "data_validation",
     "events_tumbling_window", "events_sliding_window", "events_sessionize",
     "events_json_funnel", "events_hypertable_rollup",

@@ -92,22 +92,39 @@ def quality_score(col: Column) -> Column:
     return F.round((len_score + punct_score + sw_score + wlen_score) / 4.0, 6)
 
 
-def fingerprint(col: Column, window: int = 8, pre_normalized: bool = False) -> Column:
+def fingerprint(
+    col: Column, window: int = 8, pre_normalized: bool = False, portable_hash: bool = False
+) -> Column:
     """Rolling-hash document fingerprint: min xxhash64 over character
     windows (winnowing's min-selection, single window size).  Robust to
     local edits; used for cheap containment checks.
 
     As with shingles: pass a materialized normalized column
     (``pre_normalized=True``) or the normalization regex re-runs per
-    window inside the transform."""
+    window inside the transform.
+
+    ``portable_hash=True``: md5-derived 56-bit window hashes instead of
+    xxhash64 — reproducible as plain SQL (the oracle mode; see
+    operators.dedup.minhash_lsh_pairs for the contract)."""
     t = col if pre_normalized else normalize_text(col)
     n = F.greatest(F.length(t) - (window - 1), F.lit(1))
-    return F.array_min(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substring(t, i, F.lit(window))))
-    )
+    if portable_hash:
+        def h(i):
+            return F.conv(
+                F.substring(F.md5(F.substring(t, i, F.lit(window))), 1, 14), 16, 10
+            ).cast("long")
+    else:
+        def h(i):
+            return F.xxhash64(F.substring(t, i, F.lit(window)))
+    return F.array_min(F.transform(F.sequence(F.lit(1), n), h))
 
 
-def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def analyze(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable_hash: bool = False,
+) -> DataFrame:
     """One-scan text-analysis projection: all metrics per document.
 
     Normalized text is materialized once (``_t``); every metric reads
@@ -124,5 +141,5 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
         lang_id(c).alias("lang_guess"),
         quality_score(c).alias("quality"),
-        fingerprint(c, pre_normalized=True).alias("fingerprint"),
+        fingerprint(c, pre_normalized=True, portable_hash=portable_hash).alias("fingerprint"),
     )

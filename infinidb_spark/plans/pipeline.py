@@ -3,10 +3,14 @@ analysis, multimodal plumbing — the engine's capability extension beyond
 the reference surface (BASELINE.json north-star; graded alongside
 SURVEY §2).
 
-Oracle strategy: exact dedup, n-gram Jaccard, brute-force cosine and the
-text metrics are SQL-expressible → full DuckDB oracles.  MinHash/SimHash
-signatures hinge on xxhash64 (no DuckDB equivalent) → rows-only checks,
-with determinism pinned by tests/test_pipeline.py instead.
+Oracle strategy: everything SQL-expressible gets a full DuckDB oracle.
+The xxhash64-based production paths (MinHash/SimHash/text fingerprint)
+are pinned by PORTABLE-HASH twins — the same pipeline run with
+md5-derived integers both engines can compute, so the algorithm is
+hash-verified end-to-end while xxhash64 stays the fast default; the
+xxhash64 variants keep rows-only checks plus determinism tests.  Only
+pseudo-columns and the system catalog (engine introspection, no SQL
+equivalent) remain rows-only.
 """
 
 from __future__ import annotations
@@ -390,7 +394,101 @@ def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.analyze(docs)
 
 
-@query("multimodal_features")  # rows-only: mapInPandas feature extraction
+def _text_analyze_oracle_sql(doc_filter: str = "doc_id < 250") -> str:
+    """DuckDB oracle replaying the ENTIRE analyze() projection —
+    tokenization, subword estimate, stopword ratios, the struct-max
+    lang-id tie-break, the composite quality CASE ladder, and the
+    portable (md5-int) rolling-hash fingerprint.  Stopword inventories
+    are embedded from operators.text so the two can never drift."""
+    def sw_list(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS[lang]) + "]"
+
+    ratios = ", ".join(
+        f"CAST(len(list_filter(toks, w -> list_contains({sw_list(lang)}, w))) AS DOUBLE)"
+        f" / greatest(len(toks), 1) AS sr_{lang}"
+        for lang in T._STOPWORDS
+    )
+    best_structs = ", ".join(
+        f"{{'score': sr_{lang}, 'lang': '{lang}'}}" for lang in T._STOPWORDS
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE {doc_filter}
+    ),
+    base AS (
+      SELECT doc_id, t, string_split_regex(t, '\\s+') AS toks,
+             length(t) AS n_chars,
+             length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct_q,
+             length(regexp_replace(t, '[^\\.,;:!\\?\\(\\)\\[\\]]', '', 'g')) AS n_punct_sub
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, t, n_chars, n_punct_q,
+             len(toks) AS n_tokens,
+             CAST(list_sum([greatest(ceil(length(w) / 4.0), 1) for w in toks])
+                  + n_punct_sub AS BIGINT) AS n_subwords,
+             {ratios}
+      FROM base
+    ),
+    scored AS (
+      SELECT *,
+             list_sort([{best_structs}])[-1] AS best,
+             n_chars / greatest(n_tokens, 1) AS mean_wlen,
+             CAST(n_punct_q AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_subwords,
+           round(sr_en, 6) AS stopword_ratio,
+           CASE WHEN best.score >= 0.05 THEN best.lang ELSE 'und' END AS lang_guess,
+           round((
+             (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
+                   WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END) +
+             (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END) +
+             (CASE WHEN sr_en >= 0.05 THEN 1.0 WHEN sr_en > 0.0 THEN 0.5 ELSE 0.1 END) +
+             (CASE WHEN mean_wlen BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END)
+           ) / 4.0, 6) AS quality,
+           list_min([('0x' || substr(md5(substr(t, i, 8)), 1, 14))::BIGINT
+                     for i in range(1, greatest(length(t) - 7, 1) + 1)]) AS fingerprint
+    FROM scored
+    """
+
+
+@query("text_analyze_portable", oracle=_text_analyze_oracle_sql())
+def text_analyze_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analyze() in portable-hash mode: every metric INCLUDING the
+    rolling-hash fingerprint is hash-verified against DuckDB replaying
+    the same pipeline in SQL."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return T.analyze(docs.filter(F.col("doc_id") < 250), portable_hash=True)
+
+
+@query(
+    "multimodal_features",
+    # The decode stub is a deterministic polynomial hash over payload
+    # bytes (docs are ASCII, so bytes == ascii(char)); DuckDB replays
+    # slot 0 with a list_reduce over every-8th character code.  This
+    # hash-checks the full mapInPandas path end-to-end.
+    oracle="""
+    WITH m AS (
+      SELECT (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS modality,
+             length(text) AS n_bytes,
+             CAST(list_reduce(
+               [ascii(substr(text, CAST(j AS INT), 1)) % 100003
+                for j in range(1, least(length(text), 4096) + 1, 8)],
+               (a, b) -> (a * 31 + b) % 100003
+             ) AS DOUBLE) / 100003 AS f0
+      FROM documents
+    )
+    SELECT modality,
+           count(*) AS n,
+           sum(n_bytes) AS total_bytes,
+           round(avg(f0), 6) AS avg_f0
+    FROM m GROUP BY modality ORDER BY modality
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize a binary media table
     from documents, byte-aware repartition, Arrow-batched feature
@@ -410,7 +508,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_plan")  # rows-only: plan-layer explode
+@query(
+    "multimodal_frame_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest([1000 * (i - 1)
+                   for i in range(1, greatest(CAST(floor(length(text) * 10 / 1000.0) AS INT), 1) + 1)]) AS frame_ts
+    FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2
+    """,
+)
 def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: explode rows into frame timestamps."""
     (docs,) = _t(spark, sf_dir, "documents")
