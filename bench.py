@@ -49,10 +49,17 @@ def main() -> None:
     queries = entry_mod.queries()
 
     # JVM/codegen + Parquet-reader-stack warmup (not counted): session
-    # startup and one tiny-table scan, so the first measured query pays
-    # for its own plan, not for initializing the scan machinery.
+    # startup, one tiny-table scan, and one tiny shuffle+join so the
+    # generic machinery (vectorized reader, hash-agg/exchange/broadcast
+    # operator classes, shuffle infra) is initialized before timing.
+    # Each measured query still compiles and runs its OWN plan cold.
+    import pyspark.sql.functions as _F
+
     spark.range(1000).count()
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    region = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    region.groupBy("r_regionkey").agg(_F.count(_F.lit(1))).collect()
+    region.join(_F.broadcast(region.select("r_regionkey")), "r_regionkey").count()
+    spark.range(1000).repartition(4).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
