@@ -47,7 +47,21 @@ def register_system_catalog(spark: SparkSession) -> None:
     syscolumn(spark).createOrReplaceTempView("syscolumn")
 
 
-@query("system_catalog")  # rows-only: catalog views aren't duckdb-oracle-able
+@query(
+    "system_catalog",
+    # both engines derive their catalog from the SAME parquet schemas,
+    # so the per-table column counts and type-class histograms must
+    # agree: string≅VARCHAR, int/bigint≅INTEGER/BIGINT.
+    oracle="""
+    SELECT table_name AS tablename,
+           CAST(count(*) AS BIGINT) AS n_columns,
+           sum(CASE WHEN data_type = 'VARCHAR' THEN 1 ELSE 0 END) AS n_string,
+           sum(CASE WHEN data_type IN ('BIGINT', 'INTEGER') THEN 1 ELSE 0 END) AS n_int
+    FROM information_schema.columns
+    WHERE table_name IN ('lineitem', 'orders', 'customer', 'nation', 'region')
+    GROUP BY table_name ORDER BY table_name
+    """,
+)
 def system_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """syscolumn over the registered TPC-H tables: per-table column
     counts + a type histogram — proves the catalog surface works."""

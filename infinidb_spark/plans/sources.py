@@ -66,7 +66,21 @@ def bulk_load_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pseudo_columns")  # rows-only: file paths/partition ids aren't view-expressible
+@query(
+    "pseudo_columns",
+    # the testdata tables are single parquet files, so the per-segment
+    # grouping collapses to one row whose stats (row count, extent
+    # min/max of the key) DuckDB computes from the view; the segment
+    # name and extent count pin the file-identity plumbing.
+    oracle="""
+    SELECT 'lineitem.parquet'   AS idbsegment,
+           count(*)             AS n_rows,
+           min(l_orderkey)      AS key_min,
+           max(l_orderkey)      AS key_max,
+           CAST(1 AS BIGINT)    AS n_extents
+    FROM lineitem
+    """,
+)
 def pseudo_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PseudoColStep (`dbcon/joblist/primitivestep.h:1348`,
     `ha_pseudocolumn.cpp:29-51`): per-segment-file row counts + extent
