@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from infinidb_spark.plans.registry import query
 from infinidb_spark.session import load_tables
 from infinidb_spark.sources.bulk_load import bulk_load_csv
+from infinidb_spark.sources.manifest import scan_with_manifest
 from infinidb_spark.sources.cross_engine import (
     DERBY_DRIVER,
     read_jdbc_table,
@@ -101,6 +102,45 @@ def pseudo_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("idbextentid").alias("n_extents"),
         )
         .orderBy("idbsegment")
+    )
+
+
+@query(
+    "extent_elimination_scan",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                         AS n_rows,
+           round(sum(l_extendedprice), 2)   AS revenue,
+           min(l_orderkey)                  AS key_min,
+           max(l_orderkey)                  AS key_max
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 100 AND 900 AND l_quantity >= 5
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def extent_elimination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casual-partitioning extent elimination (`dbcon/joblist/
+    lbidlist.h:80-114`, `tuple-bps.cpp:258-260`): the scan is planned
+    against a footer-stats manifest so files whose [min, max] cannot
+    satisfy the filter never become input splits; predicates are
+    re-applied after pruning, so the oracle (plain WHERE over the full
+    table) hash-verifies that elimination is result-transparent."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    pruned = scan_with_manifest(
+        spark,
+        path,
+        [("l_orderkey", "between", 100, 900), ("l_quantity", ">=", 5)],
+    )
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.min("l_orderkey").alias("key_min"),
+            F.max("l_orderkey").alias("key_max"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

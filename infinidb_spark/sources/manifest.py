@@ -1,0 +1,205 @@
+"""Extent map + casual-partitioning elimination — file-level min/max skip.
+
+The reference's signature scan optimization: every 8M-row *extent*
+carries min/max "casual partitioning" stats in the BRM extent map
+(`versioning/BRM/extentmap.h:103`), and `TupleBPS` drops whole extents
+whose [min, max] cannot satisfy the filter before any I/O is issued
+(`dbcon/joblist/lbidlist.h:80-114` `GetMinMax` /
+`CasualPartitionPredicate`, `dbcon/joblist/tuple-bps.cpp:258-260`).
+
+Spark analog, two layers:
+
+* **row-group / page skip** — free: the vectorized Parquet reader prunes
+  row groups against pushed filters (SURVEY §4).  Nothing to build.
+* **file-level skip at PLAN time** — this module.  Parquet footers are
+  harvested once into a persistable manifest (extent map ≅ one row per
+  file); a scan is then planned against only the surviving file list, so
+  eliminated files never become input splits at all.  On a 100 TB /
+  100k-file table that is the difference between scheduling tasks that
+  each open a footer just to skip it, and never scheduling them — the
+  same plan-time-vs-run-time distinction the reference draws between
+  extent elimination (ExeMgr, before dispatch) and block filtering (PM).
+
+Scale notes: footers are a few KB each; harvesting is a driver-side
+metadata pass exactly like a Delta/Iceberg log replay, done ONCE and
+persisted (``write_manifest``/``read_manifest``), not per query.  The
+manifest itself stays small (one row per file × stat columns) and can be
+loaded as a DataFrame (``manifest_df``) for introspection — the analog
+of the reference's `editem -i` extent-map dump.
+
+Elimination is conservative: a file survives unless its stats PROVE no
+row can match (missing stats, all-NULL columns, or unknown operators
+never eliminate).  Predicates are re-applied as real filters after the
+scan, so pruning can only remove whole-file no-ops, never change
+results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: predicate tuple forms accepted by prune()/scan_with_manifest():
+#:   (col, "=",  v)   (col, "<", v)   (col, "<=", v)
+#:   (col, ">",  v)   (col, ">=", v)
+#:   (col, "between", lo, hi)         (col, "in", [v, ...])
+Predicate = tuple
+
+
+def build_manifest(path: str) -> list[dict[str, Any]]:
+    """Harvest per-file stats (the extent map) from Parquet footers.
+
+    ``path`` is a single parquet file or a directory of part files.
+    Returns one entry per file: ``{"file", "rows", "columns": {col:
+    {"min", "max", "null_count"}}}`` with column-chunk stats merged
+    across row groups (file-level min/max, like one extent per file).
+    """
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        files = [path]
+
+    manifest: list[dict[str, Any]] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols: dict[str, dict[str, Any]] = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                chunk = rg.column(c_i)
+                st = chunk.statistics
+                name = chunk.path_in_schema
+                entry = cols.setdefault(
+                    name, {"min": None, "max": None, "null_count": 0}
+                )
+                if st is None:
+                    # a chunk without stats poisons the whole column:
+                    # min/max no longer cover every row → never eliminate
+                    entry["min"] = entry["max"] = None
+                    entry["null_count"] = None
+                    continue
+                if st.null_count is not None and entry["null_count"] is not None:
+                    entry["null_count"] += st.null_count
+                if st.has_min_max:
+                    if entry["min"] is None or st.min < entry["min"]:
+                        entry["min"] = st.min
+                    if entry["max"] is None or st.max > entry["max"]:
+                        entry["max"] = st.max
+        manifest.append({"file": f, "rows": md.num_rows, "columns": cols})
+    return manifest
+
+
+def _may_match(entry: dict[str, Any], pred: Predicate) -> bool:
+    """Could ANY row in this file satisfy ``pred``?  (CasualPartitionPredicate
+    semantics, `lbidlist.h:96` — conservative: unknown → True.)"""
+    col, op = pred[0], pred[1]
+    st = entry["columns"].get(col)
+    if st is None or st["min"] is None or st["max"] is None:
+        return True
+    mn, mx = st["min"], st["max"]
+    try:
+        if op == "=":
+            return mn <= pred[2] <= mx
+        if op == "<":
+            return mn < pred[2]
+        if op == "<=":
+            return mn <= pred[2]
+        if op == ">":
+            return mx > pred[2]
+        if op == ">=":
+            return mx >= pred[2]
+        if op == "between":
+            return not (mx < pred[2] or mn > pred[3])
+        if op == "in":
+            return any(mn <= v <= mx for v in pred[2])
+    except TypeError:
+        return True  # incomparable literal/stat types → keep the file
+    return True  # unknown operator → keep the file
+
+
+def prune(manifest: list[dict[str, Any]], predicates: list[Predicate]) -> list[str]:
+    """Files that survive extent elimination (AND of all predicates)."""
+    return [
+        e["file"]
+        for e in manifest
+        if all(_may_match(e, p) for p in predicates)
+    ]
+
+
+def _as_filter(pred: Predicate) -> Column:
+    col, op = F.col(pred[0]), pred[1]
+    if op == "=":
+        return col == pred[2]
+    if op in ("<", "<=", ">", ">="):
+        return {"<": col < pred[2], "<=": col <= pred[2],
+                ">": col > pred[2], ">=": col >= pred[2]}[op]
+    if op == "between":
+        return col.between(pred[2], pred[3])
+    if op == "in":
+        return col.isin(*pred[2])
+    raise ValueError(f"unsupported predicate op: {op!r}")
+
+
+def scan_with_manifest(
+    spark: SparkSession,
+    path: str,
+    predicates: list[Predicate],
+    manifest: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """Plan a scan over only the files that can match, filters re-applied.
+
+    The returned DataFrame's file list is the pruned one — eliminated
+    files never become input splits.  Row-group skip within surviving
+    files still happens natively (predicates are pushed down as usual).
+    """
+    manifest = manifest if manifest is not None else build_manifest(path)
+    files = prune(manifest, predicates)
+    residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
+    if not files:
+        # all extents eliminated: plan over one file for the schema, with
+        # an always-false residual Catalyst folds to an empty relation
+        anchor = [manifest[0]["file"]] if manifest else [path]
+        return spark.read.parquet(*anchor).filter(F.lit(False) & residual)
+    return spark.read.parquet(*files).filter(residual)
+
+
+def manifest_df(spark: SparkSession, manifest: list[dict[str, Any]]) -> DataFrame:
+    """The extent map as a queryable relation (ref `editem -i` dump):
+    one row per (file, column) with rows/min/max/null_count."""
+    rows = [
+        (
+            os.path.basename(e["file"]),
+            int(e["rows"]),
+            col,
+            None if st["min"] is None else str(st["min"]),
+            None if st["max"] is None else str(st["max"]),
+            None if st["null_count"] is None else int(st["null_count"]),
+        )
+        for e in manifest
+        for col, st in sorted(e["columns"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "file string, rows bigint, column string, min string, max string, null_count bigint"
+    )
+
+
+def write_manifest(manifest: list[dict[str, Any]], out_path: str) -> None:
+    """Persist the extent map (BRM save-file analog, `extentmap.h:103`).
+    Stats serialize via repr-safe JSON (str for non-JSON scalars)."""
+    with open(out_path, "w") as fh:
+        json.dump(manifest, fh, default=str)
+
+
+def read_manifest(in_path: str) -> list[dict[str, Any]]:
+    with open(in_path) as fh:
+        return json.load(fh)

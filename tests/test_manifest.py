@@ -1,0 +1,116 @@
+"""Extent map / casual-partitioning elimination (sources/manifest.py).
+
+Mirrors the reference's extent-elimination tests: min/max stats are
+harvested per file, files provably outside a predicate's range are
+dropped at plan time, and pruning never changes results
+(`dbcon/joblist/lbidlist.h:80-114`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from infinidb_spark.sources.manifest import (
+    build_manifest,
+    manifest_df,
+    prune,
+    read_manifest,
+    scan_with_manifest,
+    write_manifest,
+)
+
+from conftest import SF_DIR
+
+LINEITEM = os.path.join(SF_DIR, "lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def multi_file_dir(spark, tmp_path_factory):
+    """A range-partitioned multi-file copy of lineitem: each file holds a
+    disjoint l_orderkey range, so its footer min/max form true extents."""
+    out = str(tmp_path_factory.mktemp("extents") / "lineitem_ranged")
+    (
+        spark.read.parquet(LINEITEM)
+        .repartitionByRange(4, "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def test_manifest_matches_actual_stats(spark):
+    m = build_manifest(LINEITEM)
+    assert len(m) == 1 and m[0]["rows"] > 0
+    st = m[0]["columns"]["l_orderkey"]
+    actual = (
+        spark.read.parquet(LINEITEM)
+        .agg(F.min("l_orderkey"), F.max("l_orderkey"), F.count(F.lit(1)))
+        .collect()[0]
+    )
+    assert (st["min"], st["max"], m[0]["rows"]) == tuple(actual)
+
+
+def test_prune_drops_out_of_range_files(spark, multi_file_dir):
+    m = build_manifest(multi_file_dir)
+    assert len(m) == 4
+    full_key_max = max(e["columns"]["l_orderkey"]["max"] for e in m)
+    # a range covering only the lowest extent: at least 2 files must go
+    survivors = prune(m, [("l_orderkey", "between", 0, 10)])
+    assert 1 <= len(survivors) < 4
+    # point lookup beyond the max: every extent eliminated
+    assert prune(m, [("l_orderkey", "=", full_key_max + 1)]) == []
+    # predicate on a column with no stats entry: conservative keep-all
+    assert len(prune(m, [("no_such_col", "=", 1)])) == 4
+
+
+def test_pruned_scan_is_result_transparent(spark, multi_file_dir):
+    preds = [("l_orderkey", "between", 0, 10), ("l_quantity", ">=", 5)]
+    pruned = scan_with_manifest(spark, multi_file_dir, preds)
+    plain = (
+        spark.read.parquet(multi_file_dir)
+        .filter(F.col("l_orderkey").between(0, 10) & (F.col("l_quantity") >= 5))
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, plain.collect()))
+    # the pruned plan really reads fewer files
+    assert len(pruned.inputFiles()) < len(plain.inputFiles())
+
+
+def test_all_extents_eliminated_yields_empty(spark, multi_file_dir):
+    m = build_manifest(multi_file_dir)
+    hi = max(e["columns"]["l_orderkey"]["max"] for e in m)
+    df = scan_with_manifest(spark, multi_file_dir, [("l_orderkey", ">", hi)], m)
+    assert df.count() == 0
+    assert df.schema == spark.read.parquet(multi_file_dir).schema
+
+
+def test_manifest_roundtrip_and_df(spark, multi_file_dir, tmp_path):
+    m = build_manifest(multi_file_dir)
+    path = str(tmp_path / "extent_map.json")
+    write_manifest(m, path)
+    m2 = read_manifest(path)
+    assert prune(m2, [("l_orderkey", "between", 0, 10)]) == prune(
+        m, [("l_orderkey", "between", 0, 10)]
+    )
+    mdf = manifest_df(spark, m)
+    key_rows = mdf.filter(F.col("column") == "l_orderkey")
+    assert key_rows.count() == 4
+    assert key_rows.agg(F.sum("rows")).collect()[0][0] == (
+        spark.read.parquet(multi_file_dir).count()
+    )
+
+
+def test_in_and_comparison_ops(multi_file_dir):
+    m = build_manifest(multi_file_dir)
+    by_min = sorted(m, key=lambda e: e["columns"]["l_orderkey"]["min"])
+    lowest, highest = by_min[0], by_min[-1]
+    # IN entirely inside the lowest extent eliminates the highest
+    vals = [lowest["columns"]["l_orderkey"]["min"]]
+    survivors = prune(m, [("l_orderkey", "in", vals)])
+    assert lowest["file"] in survivors and highest["file"] not in survivors
+    # strict < at the global min keeps nothing; <= keeps at least one
+    gmin = lowest["columns"]["l_orderkey"]["min"]
+    assert prune(m, [("l_orderkey", "<", gmin)]) == []
+    assert lowest["file"] in prune(m, [("l_orderkey", "<=", gmin)])
