@@ -50,6 +50,10 @@ try:
     import infinidb_spark.plans.temporal  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import infinidb_spark.plans.dialect  # noqa: F401,E402
+except ImportError:
+    pass
 
 from infinidb_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 

@@ -1,0 +1,335 @@
+"""MySQL-dialect SQL front-end — the mysqld surface of the reference.
+
+The reference's users type MySQL SQL: mysqld parses it and the engine
+translates `Item` trees into its own plan IR
+(`dbcon/mysql/ha_calpont_execplan.cpp:4076` ``getSelectPlan``).  Here
+Spark SQL is the parser/planner, so the front-end's job reduces to a
+TEXT-level dialect translation for the constructs Spark spells
+differently (SURVEY §3.1: "nothing to build except API surface"; §4:
+the "MySQL-dialect function translation layer").
+
+Much of MySQL already parses natively in Spark SQL — backtick
+identifiers, double-quoted strings (non-ANSI mode), ``DIV``/``%``,
+``RLIKE``/``REGEXP``, ``<=>``, ``IF``/``IFNULL``, ``LIMIT n OFFSET m``
+— and passes through untouched.  This module rewrites the rest:
+
+* ``LIMIT offset, count``            → ``LIMIT count OFFSET offset``
+* ``GROUP_CONCAT([DISTINCT] x [ORDER BY ...] [SEPARATOR s])``
+                                     → ``listagg(...) WITHIN GROUP (...)``
+* ``DATE_FORMAT/TIME_FORMAT(x, '%…')`` → ``date_format(x, java-pattern)``
+* ``STR_TO_DATE(x, '%…')``           → ``to_timestamp(x, java-pattern)``
+  (format tokens translated by ``functions/mysql_format.py``; tokens
+  that need expression composition — %D %U %u %V %v %X %x %w — raise
+  ``DialectError`` rather than silently diverging; use the Column-level
+  ``func("date_format", …)`` registry path for those)
+* MySQL-only functions expanded to equivalent Spark expressions:
+  ``TO_DAYS FROM_DAYS PERIOD_ADD PERIOD_DIFF TIME_TO_SEC SEC_TO_TIME
+  INET_ATON INET_NTOA`` (same templates the function registry
+  implements Column-wise; semantics cited there)
+* spelling renames: ``UCASE/LCASE/MID`` → ``upper/lower/substring``
+* version comments ``/*!40101 … */`` execute their body (MySQL
+  behavior); plain comments pass through
+
+The rewriter is tokenizer-based: string literals, backtick identifiers
+and comments are lexed first and NEVER rewritten, so a literal
+containing ``LIMIT 1, 2`` or ``GROUP_CONCAT`` stays intact.
+"""
+
+from __future__ import annotations
+
+from infinidb_spark.functions.mysql_format import mysql_datetime_format_to_spark
+
+Token = tuple[str, str]  # (kind, text); kind ∈ ws|comment|string|bident|word|number|sym|code
+
+
+class DialectError(ValueError):
+    """A MySQL construct this translator refuses to guess at."""
+
+
+# ---------------------------------------------------------------- lexer
+
+_MULTI_OPS = ("<=>", "<<", ">>", "<=", ">=", "<>", "!=", ":=", "||", "&&")
+
+
+def tokenize(sql: str) -> list[Token]:
+    out: list[Token] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in " \t\r\n":
+            j = i
+            while j < n and sql[j] in " \t\r\n":
+                j += 1
+            out.append(("ws", sql[i:j]))
+            i = j
+        elif c in ("'", '"'):
+            out.append(("string", _scan_quoted(sql, i, c)))
+            i += len(out[-1][1])
+        elif c == "`":
+            j = i + 1
+            while j < n and sql[j] != "`":
+                j += 1
+            out.append(("bident", sql[i : j + 1]))
+            i = j + 1
+        elif sql.startswith("--", i) or c == "#":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(("comment", sql[i:j]))
+            i = j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n - 2 if j < 0 else j
+            body = sql[i + 2 : j]
+            if body.startswith("!"):
+                # executable version comment: strip marker + version digits,
+                # splice the body back into the token stream (MySQL runs it)
+                inner = body[1:].lstrip("0123456789")
+                out.extend(tokenize(inner))
+            else:
+                out.append(("comment", sql[i : j + 2]))
+            i = j + 2
+        elif c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            out.append(("word", sql[i:j]))
+            i = j
+        elif c.isdigit() or (c == "." and i + 1 < n and sql[i + 1].isdigit()):
+            j = i
+            while j < n and (sql[j].isdigit() or sql[j] in ".eE" or
+                             (sql[j] in "+-" and sql[j - 1] in "eE")):
+                j += 1
+            out.append(("number", sql[i:j]))
+            i = j
+        else:
+            for op in _MULTI_OPS:
+                if sql.startswith(op, i):
+                    out.append(("sym", op))
+                    i += len(op)
+                    break
+            else:
+                out.append(("sym", c))
+                i += 1
+    return out
+
+
+def _scan_quoted(sql: str, i: int, quote: str) -> str:
+    j, n = i + 1, len(sql)
+    while j < n:
+        if sql[j] == "\\":
+            j += 2
+        elif sql[j] == quote:
+            if j + 1 < n and sql[j + 1] == quote:  # '' doubling
+                j += 2
+            else:
+                return sql[i : j + 1]
+        else:
+            j += 1
+    return sql[i:]
+
+
+def render(tokens: list[Token]) -> str:
+    return "".join(t for _, t in tokens)
+
+
+def _unquote(tok: str) -> str:
+    q = tok[0]
+    return tok[1:-1].replace(q + q, q).replace("\\" + q, q).replace("\\\\", "\\")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+# ------------------------------------------------------------- rewrites
+
+#: MySQL-only function → Spark expression template ({0}, {1} = args,
+#: already parenthesized).  Mirrors the Column-level builders in
+#: functions/registry.py (reference: utils/funcexp/func_*.cpp).
+_TEMPLATES = {
+    # days since year 0 (func_to_days.cpp); 719528 = TO_DAYS('1970-01-01')
+    "TO_DAYS": "CAST(datediff(CAST({0} AS DATE), DATE '1970-01-01') + 719528 AS BIGINT)",
+    "FROM_DAYS": "date_add(DATE '1970-01-01', CAST({0} - 719528 AS INT))",
+    "PERIOD_ADD": (
+        "((({0} DIV 100) * 12 + ({0} % 100) - 1 + {1}) DIV 12 * 100"
+        " + (({0} DIV 100) * 12 + ({0} % 100) - 1 + {1}) % 12 + 1)"
+    ),
+    "PERIOD_DIFF": (
+        "((({0} DIV 100) * 12 + ({0} % 100)) - (({1} DIV 100) * 12 + ({1} % 100)))"
+    ),
+    "TIME_TO_SEC": (
+        "(CAST(split({0}, ':')[0] AS BIGINT) * 3600"
+        " + CAST(split({0}, ':')[1] AS BIGINT) * 60"
+        " + CAST(split({0}, ':')[2] AS BIGINT))"
+    ),
+    "SEC_TO_TIME": (
+        "concat(lpad(CAST({0} DIV 3600 AS STRING), 2, '0'), ':',"
+        " lpad(CAST(({0} % 3600) DIV 60 AS STRING), 2, '0'), ':',"
+        " lpad(CAST({0} % 60 AS STRING), 2, '0'))"
+    ),
+    "INET_ATON": (
+        "(CAST(split({0}, '\\\\.')[0] AS BIGINT) * 16777216"
+        " + CAST(split({0}, '\\\\.')[1] AS BIGINT) * 65536"
+        " + CAST(split({0}, '\\\\.')[2] AS BIGINT) * 256"
+        " + CAST(split({0}, '\\\\.')[3] AS BIGINT))"
+    ),
+    "INET_NTOA": (
+        "concat(CAST(({0} DIV 16777216) % 256 AS STRING), '.',"
+        " CAST(({0} DIV 65536) % 256 AS STRING), '.',"
+        " CAST(({0} DIV 256) % 256 AS STRING), '.',"
+        " CAST({0} % 256 AS STRING))"
+    ),
+}
+
+_RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring"}
+
+_FMT_FUNCS = {"DATE_FORMAT": "date_format", "TIME_FORMAT": "date_format",
+              "STR_TO_DATE": "to_timestamp"}
+
+
+def _next_code(toks: list[Token], i: int) -> int | None:
+    while i < len(toks) and toks[i][0] in ("ws", "comment"):
+        i += 1
+    return i if i < len(toks) else None
+
+
+def _match_paren(toks: list[Token], open_i: int) -> int:
+    depth = 0
+    for i in range(open_i, len(toks)):
+        if toks[i] == ("sym", "("):
+            depth += 1
+        elif toks[i] == ("sym", ")"):
+            depth -= 1
+            if depth == 0:
+                return i
+    raise DialectError("unbalanced parentheses")
+
+
+def _split_args(toks: list[Token]) -> list[list[Token]]:
+    args: list[list[Token]] = [[]]
+    depth = 0
+    for tok in toks:
+        if tok == ("sym", "("):
+            depth += 1
+        elif tok == ("sym", ")"):
+            depth -= 1
+        if tok == ("sym", ",") and depth == 0:
+            args.append([])
+        else:
+            args[-1].append(tok)
+    return args
+
+
+def _arg_text(toks: list[Token]) -> str:
+    return "(" + render(toks).strip() + ")"
+
+
+def _group_concat(inner: list[Token]) -> list[Token]:
+    first = _next_code(inner, 0)
+    distinct = ""
+    if first is not None and inner[first][0] == "word" and inner[first][1].upper() == "DISTINCT":
+        distinct = "DISTINCT "
+        inner = inner[first + 1 :]
+    depth, order_i, sep_i = 0, None, None
+    for i, (k, t) in enumerate(inner):
+        if (k, t) == ("sym", "("):
+            depth += 1
+        elif (k, t) == ("sym", ")"):
+            depth -= 1
+        elif depth == 0 and k == "word":
+            u = t.upper()
+            if u == "ORDER" and order_i is None:
+                order_i = i
+            elif u == "SEPARATOR" and sep_i is None:
+                sep_i = i
+    expr_end = min(x for x in (order_i, sep_i, len(inner)) if x is not None)
+    expr = render(inner[:expr_end]).strip()
+    order = (
+        render(inner[order_i : sep_i if sep_i is not None else len(inner)]).strip()
+        if order_i is not None
+        else None
+    )
+    sep = render(inner[sep_i + 1 :]).strip() if sep_i is not None else "','"
+    text = f"listagg({distinct}{expr}, {sep})"
+    if order:
+        text += f" WITHIN GROUP ({order})"
+    return [("code", text)]
+
+
+def _fmt_func(name: str, inner: list[Token]) -> list[Token]:
+    args = _split_args(inner)
+    if len(args) != 2:
+        raise DialectError(f"{name} expects 2 arguments")
+    fmt_toks = [t for t in args[1] if t[0] not in ("ws", "comment")]
+    if len(fmt_toks) != 1 or fmt_toks[0][0] != "string":
+        raise DialectError(f"{name}: format must be a string literal to translate")
+    try:
+        pattern = mysql_datetime_format_to_spark(_unquote(fmt_toks[0][1]))
+    except ValueError as ex:
+        raise DialectError(
+            f"{name}: {ex} — use the Column-level registry builder for composed tokens"
+        ) from ex
+    text = f"{_FMT_FUNCS[name]}({render(args[0]).strip()}, {_sql_str(pattern)})"
+    return [("code", text)]
+
+
+def _limit(toks: list[Token], i: int) -> tuple[int, list[Token]] | None:
+    """LIMIT <n> , <m>  →  LIMIT m OFFSET n (only fires on that shape)."""
+    a = _next_code(toks, i + 1)
+    if a is None or toks[a][0] != "number":
+        return None
+    comma = _next_code(toks, a + 1)
+    if comma is None or toks[comma] != ("sym", ","):
+        return None
+    b = _next_code(toks, comma + 1)
+    if b is None or toks[b][0] != "number":
+        return None
+    return b + 1, [("code", f"LIMIT {toks[b][1]} OFFSET {toks[a][1]}")]
+
+
+def _rewrite(toks: list[Token]) -> list[Token]:
+    out: list[Token] = []
+    i = 0
+    while i < len(toks):
+        kind, text = toks[i]
+        if kind == "word":
+            upper = text.upper()
+            nxt = _next_code(toks, i + 1)
+            if nxt is not None and toks[nxt] == ("sym", "("):
+                close = _match_paren(toks, nxt)
+                inner = _rewrite(toks[nxt + 1 : close])
+                if upper == "GROUP_CONCAT":
+                    out.extend(_group_concat(inner))
+                    i = close + 1
+                    continue
+                if upper in _FMT_FUNCS:
+                    out.extend(_fmt_func(upper, inner))
+                    i = close + 1
+                    continue
+                if upper in _TEMPLATES:
+                    args = [_arg_text(a) for a in _split_args(inner)]
+                    try:
+                        out.append(("code", _TEMPLATES[upper].format(*args)))
+                    except IndexError:
+                        raise DialectError(f"{upper}: wrong argument count") from None
+                    i = close + 1
+                    continue
+                if upper in _RENAMES:
+                    out.append(("word", _RENAMES[upper]))
+                    i += 1
+                    continue
+            if upper == "LIMIT":
+                hit = _limit(toks, i)
+                if hit is not None:
+                    end, repl = hit
+                    out.extend(repl)
+                    i = end
+                    continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def translate_mysql(sql: str) -> str:
+    """MySQL-dialect SQL → Spark SQL (the ``getSelectPlan`` analog)."""
+    return render(_rewrite(tokenize(sql)))

@@ -152,7 +152,14 @@ class InfiniSession:
         self.tables = load_tables(self.spark, sf_dir)
         return self
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, dialect: str = "spark") -> DataFrame:
+        """Run SQL; ``dialect="mysql"`` first routes the text through the
+        MySQL-dialect translator (the mysqld front-end analog,
+        infinidb_spark/dialect.py)."""
+        if dialect == "mysql":
+            from infinidb_spark.dialect import translate_mysql
+
+            query = translate_mysql(query)
         return self.spark.sql(query)
 
     def table(self, name: str) -> DataFrame:

@@ -1,0 +1,102 @@
+"""MySQL-dialect front-end (dialect.py) — translation + execution.
+
+Expected values follow MySQL's documented semantics for each function
+(the reference implements them in utils/funcexp/func_*.cpp; the
+translator expands them to Spark expressions).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from infinidb_spark.dialect import DialectError, translate_mysql
+
+
+def one(spark, expr_sql: str):
+    return spark.sql(f"SELECT {translate_mysql(expr_sql)} AS v").collect()[0].v
+
+
+# ------------------------------------------------------------ pure text
+
+
+def test_limit_offset_rewrite():
+    assert "LIMIT 3 OFFSET 1" in translate_mysql("SELECT a FROM t LIMIT 1, 3")
+    # plain LIMIT untouched
+    assert translate_mysql("SELECT a FROM t LIMIT 5").strip().endswith("LIMIT 5")
+    # nested subquery LIMIT also rewritten
+    out = translate_mysql("SELECT * FROM (SELECT a FROM t LIMIT 2, 4) s")
+    assert "LIMIT 4 OFFSET 2" in out
+
+
+def test_literals_and_comments_never_rewritten():
+    sql = "SELECT 'LIMIT 1, 3 GROUP_CONCAT(x)' AS s, `TO_DAYS` FROM t -- TO_DAYS(a)"
+    out = translate_mysql(sql)
+    assert "'LIMIT 1, 3 GROUP_CONCAT(x)'" in out
+    assert "`TO_DAYS`" in out
+    assert "-- TO_DAYS(a)" in out
+
+
+def test_version_comment_executes_body():
+    out = translate_mysql("SELECT a /*!40101 , b */ FROM t /* plain */")
+    assert ", b" in out and "/*!" not in out
+    assert "/* plain */" in out
+
+
+def test_group_concat_forms():
+    assert translate_mysql("SELECT GROUP_CONCAT(x) FROM t") == (
+        "SELECT listagg(x, ',') FROM t"
+    )
+    out = translate_mysql(
+        "SELECT GROUP_CONCAT(DISTINCT x ORDER BY y DESC SEPARATOR '|') FROM t"
+    )
+    assert out == "SELECT listagg(DISTINCT x, '|') WITHIN GROUP (ORDER BY y DESC) FROM t"
+
+
+def test_date_format_token_translation():
+    out = translate_mysql("SELECT DATE_FORMAT(d, '%Y-%m-%d %H:%i:%s') FROM t")
+    assert "date_format(d, 'yyyy-MM-dd HH:mm:ss')" in out
+    with pytest.raises(DialectError):  # composed token → explicit refusal
+        translate_mysql("SELECT DATE_FORMAT(d, '%V') FROM t")
+    with pytest.raises(DialectError):  # non-literal format
+        translate_mysql("SELECT DATE_FORMAT(d, f) FROM t")
+
+
+# ----------------------------------------------------- executed semantics
+
+
+def test_mysql_function_values(spark):
+    # MySQL: TO_DAYS('2008-10-07') = 733687; FROM_DAYS inverts
+    assert one(spark, "TO_DAYS(DATE '2008-10-07')") == 733687
+    assert str(one(spark, "FROM_DAYS(733687)")) == "2008-10-07"
+    # MySQL doc examples
+    assert one(spark, "PERIOD_ADD(200801, 2)") == 200803
+    assert one(spark, "PERIOD_DIFF(200802, 200703)") == 11
+    assert one(spark, "TIME_TO_SEC('22:23:00')") == 80580
+    assert one(spark, "SEC_TO_TIME(80580)") == "22:23:00"
+    assert one(spark, "INET_ATON('10.0.5.9')") == 167773449
+    assert one(spark, "INET_NTOA(167773449)") == "10.0.5.9"
+    assert one(spark, "UCASE('ab')") == "AB"
+    assert one(spark, "MID('quadratically', 5, 6)") == "ratica"
+
+
+def test_str_to_date_roundtrip(spark):
+    v = one(spark, "STR_TO_DATE('2024-03-01 10:30:00', '%Y-%m-%d %H:%i:%s')")
+    assert str(v) == "2024-03-01 10:30:00"
+
+
+def test_session_mysql_dialect_end_to_end(spark, sf_dir):
+    from infinidb_spark.plans.dialect import MYSQL_QUERY, mysql_dialect_query
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    via_session = sess.sql(MYSQL_QUERY, dialect="mysql")
+    via_query = mysql_dialect_query(spark, sf_dir)
+    rows = via_query.collect()
+    assert rows == via_session.collect()
+    assert 0 < len(rows) <= 3
+    assert set(via_query.columns) == {
+        "o_orderpriority", "statuses", "first_month", "last_days", "n_orders"
+    }
+    # statuses is an ordered, deduped concat like 'F|O|P'
+    parts = rows[0].statuses.split("|")
+    assert parts == sorted(set(parts))
