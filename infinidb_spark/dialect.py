@@ -333,3 +333,120 @@ def _rewrite(toks: list[Token]) -> list[Token]:
 def translate_mysql(sql: str) -> str:
     """MySQL-dialect SQL → Spark SQL (the ``getSelectPlan`` analog)."""
     return render(_rewrite(tokenize(sql)))
+
+
+# ------------------------------------------------------- DML statements
+#
+# The reference routes INSERT/UPDATE/DELETE through DMLProc
+# (`dbcon/mysql/ha_calpont_dml.cpp:605`, grammar
+# `dbcon/dmlpackage/dml.y:424-530`); UPDATE/DELETE internally run a
+# SELECT to locate rows.  Here the statement is parsed at token level
+# and handed to the copy-on-write operators in operators/dml.py by
+# ``InfiniSession.execute`` — expressions inside SET/WHERE/VALUES go
+# through the same dialect rewrites as SELECT text.
+
+
+def _ident_text(tok: Token) -> str:
+    return tok[1][1:-1] if tok[0] == "bident" else tok[1]
+
+
+def _expect_ident(toks: list[Token], i: int | None, what: str) -> tuple[str, int]:
+    if i is None or toks[i][0] not in ("word", "bident"):
+        raise DialectError(f"expected {what}")
+    return _ident_text(toks[i]), i
+
+
+def _top_level_word(toks: list[Token], *words: str) -> int | None:
+    depth = 0
+    for i, (k, t) in enumerate(toks):
+        if (k, t) == ("sym", "("):
+            depth += 1
+        elif (k, t) == ("sym", ")"):
+            depth -= 1
+        elif depth == 0 and k == "word" and t.upper() in words:
+            return i
+    return None
+
+
+def parse_statement(sql: str) -> dict:
+    """Classify + parse one statement.  Returns a dict with ``kind`` ∈
+    select|insert|update|delete; SELECTs carry the translated ``sql``,
+    DML carries table/columns/assignments/where parts (text, already
+    dialect-rewritten)."""
+    toks = _rewrite(tokenize(sql))
+    i = _next_code(toks, 0)
+    if i is None:
+        raise DialectError("empty statement")
+    kind = toks[i][1].upper() if toks[i][0] == "word" else ""
+    if kind == "INSERT":
+        return _parse_insert(toks, i)
+    if kind == "UPDATE":
+        return _parse_update(toks, i)
+    if kind == "DELETE":
+        return _parse_delete(toks, i)
+    return {"kind": "select", "sql": render(toks)}
+
+
+def _parse_insert(toks: list[Token], i: int) -> dict:
+    j = _next_code(toks, i + 1)
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "INTO":
+        j = _next_code(toks, j + 1)  # INTO is optional in MySQL
+    table, j = _expect_ident(toks, j, "table name after INSERT")
+    j = _next_code(toks, j + 1)
+    columns: list[str] | None = None
+    if j is not None and toks[j] == ("sym", "("):
+        close = _match_paren(toks, j)
+        first = _next_code(toks, j + 1)
+        is_subquery = (
+            first is not None
+            and toks[first][0] == "word"
+            and toks[first][1].upper() == "SELECT"
+        )
+        if not is_subquery:
+            columns = [
+                _ident_text(t) for t in toks[j + 1 : close] if t[0] in ("word", "bident")
+            ]
+            j = _next_code(toks, close + 1)
+    if j is None:
+        raise DialectError("INSERT without VALUES or SELECT")
+    if toks[j][0] == "word" and toks[j][1].upper() in ("VALUES", "VALUE"):
+        select_sql = "SELECT * FROM VALUES " + render(toks[j + 1 :]).strip()
+    else:
+        select_sql = render(toks[j:]).strip()
+    return {"kind": "insert", "table": table, "columns": columns, "select_sql": select_sql}
+
+
+def _parse_update(toks: list[Token], i: int) -> dict:
+    j = _next_code(toks, i + 1)
+    table, j = _expect_ident(toks, j, "table name after UPDATE")
+    j = _next_code(toks, j + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "SET":
+        raise DialectError("UPDATE without SET")
+    tail = toks[j + 1 :]
+    where_i = _top_level_word(tail, "WHERE")
+    set_toks = tail[:where_i] if where_i is not None else tail
+    where = render(tail[where_i + 1 :]).strip() if where_i is not None else None
+    if _top_level_word(set_toks, "LIMIT", "ORDER") is not None:
+        raise DialectError("UPDATE ... ORDER BY/LIMIT is not supported")
+    assignments: dict[str, str] = {}
+    for part in _split_args(set_toks):
+        k = _next_code(part, 0)
+        col, k = _expect_ident(part, k, "column in SET")
+        eq = _next_code(part, k + 1)
+        if eq is None or part[eq] != ("sym", "="):
+            raise DialectError(f"SET {col}: expected '='")
+        assignments[col] = render(part[eq + 1 :]).strip()
+    return {"kind": "update", "table": table, "assignments": assignments, "where": where}
+
+
+def _parse_delete(toks: list[Token], i: int) -> dict:
+    j = _next_code(toks, i + 1)
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "FROM":
+        j = _next_code(toks, j + 1)
+    table, j = _expect_ident(toks, j, "table name after DELETE")
+    tail = toks[j + 1 :]
+    if _top_level_word(tail, "LIMIT", "ORDER") is not None:
+        raise DialectError("DELETE ... ORDER BY/LIMIT is not supported")
+    where_i = _top_level_word(tail, "WHERE")
+    where = render(tail[where_i + 1 :]).strip() if where_i is not None else None
+    return {"kind": "delete", "table": table, "where": where}

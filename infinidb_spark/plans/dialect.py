@@ -54,3 +54,61 @@ def mysql_dialect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plan out — the oracle hand-writes the same semantics."""
     load_tables(spark, sf_dir, names=("orders",))
     return spark.sql(translate_mysql(MYSQL_QUERY))
+
+
+@query(
+    "mysql_dml_statements",
+    oracle="""
+    WITH final AS (
+      -- the MySQL statements below, relationally
+      SELECT s_suppkey,
+             CASE WHEN s_nationkey = 2 THEN s_acctbal + 100.0 ELSE s_acctbal END AS s_acctbal,
+             s_nationkey
+      FROM supplier WHERE NOT coalesce(s_nationkey = 4, FALSE)
+      UNION ALL SELECT 90001, 1234.5, 0
+      UNION ALL SELECT 90002, NULL, 1
+    )
+    SELECT s_nationkey,
+           count(*)                            AS n,
+           round(sum(s_acctbal), 4)            AS bal_sum,
+           sum(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS n_null
+    FROM final
+    GROUP BY s_nationkey
+    """,
+)
+def mysql_dml_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML lifecycle §3.2 via statement TEXT (`dml.y:424-530` grammar →
+    DMLProc ≅ parse_statement → operators/dml.py): INSERT (incl. a NULL
+    and a column-list gap), UPDATE, DELETE issued as MySQL strings on a
+    managed copy of supplier; end state hash-checked against the
+    relational equivalent on the original table."""
+    import shutil
+
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    supplier = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
+    # supplier columns: s_suppkey, s_name, s_nationkey, s_acctbal, ...
+    sess.create_table_as("supplier_m", supplier.select("s_suppkey", "s_acctbal", "s_nationkey"))
+    try:
+        sess.execute(
+            "INSERT INTO supplier_m (s_suppkey, s_acctbal, s_nationkey) "
+            "VALUES (90001, 1234.5, 0), (90002, NULL, 1)"
+        )
+        sess.execute(
+            "UPDATE supplier_m SET s_acctbal = s_acctbal + 100.0 WHERE s_nationkey = 2"
+        )
+        sess.execute("DELETE FROM supplier_m WHERE s_nationkey = 4")
+        out = sess.execute("""
+            SELECT s_nationkey,
+                   COUNT(*) AS n,
+                   ROUND(SUM(s_acctbal), 4) AS bal_sum,
+                   SUM(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS n_null
+            FROM supplier_m
+            GROUP BY s_nationkey
+        """)
+        rows = out.collect()  # materialize before the scratch dir goes away
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if sess._managed_root:
+            shutil.rmtree(sess._managed_root, ignore_errors=True)

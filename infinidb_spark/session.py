@@ -145,6 +145,8 @@ class InfiniSession:
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = spark or get_spark()
         self.tables: dict[str, DataFrame] = {}
+        self._managed: dict[str, str] = {}  # writable tables: name -> dir
+        self._managed_root: str | None = None
         if sf_dir:
             self.load(sf_dir)
 
@@ -164,6 +166,88 @@ class InfiniSession:
 
     def table(self, name: str) -> DataFrame:
         return self.tables[name]
+
+    def create_table_as(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Materialize ``df`` as a MANAGED (writable, versioned) table —
+        the DDL surface DML statements operate on.  The sf_dir tables
+        stay read-only; managed tables live under a session scratch root
+        (operators/dml.py copy-on-write layout)."""
+        import tempfile
+
+        from infinidb_spark.operators.dml import create_table
+
+        if self._managed_root is None:
+            self._managed_root = tempfile.mkdtemp(prefix="infinidb_tables_")
+        path = os.path.join(self._managed_root, name)
+        create_table(df, path, partition_by)
+        self._managed[name] = path
+        self._refresh(name)
+        return path
+
+    def _refresh(self, name: str) -> None:
+        df = self.spark.read.parquet(self._managed[name])
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+
+    def execute(self, statement: str, dialect: str = "mysql"):
+        """Statement router — the full mysqld surface (SURVEY §3.1-3.2):
+        SELECTs return a DataFrame; INSERT/UPDATE/DELETE run against a
+        managed table through the copy-on-write DML operators and return
+        the affected-row count."""
+        from pyspark.sql import functions as F
+
+        from infinidb_spark import dialect as d
+        from infinidb_spark.operators.dml import (
+            delete_from,
+            insert_into,
+            update_table,
+        )
+
+        if dialect != "mysql":
+            return self.spark.sql(statement)
+        st = d.parse_statement(statement)
+        if st["kind"] == "select":
+            return self.spark.sql(st["sql"])
+        path = self._managed.get(st["table"])
+        if path is None:
+            raise KeyError(
+                f"{st['table']!r} is not a managed table — create_table_as() first "
+                "(sf_dir source tables are read-only)"
+            )
+        if st["kind"] == "insert":
+            src = self.spark.sql(st["select_sql"])
+            target = self.spark.read.parquet(path).schema
+            # positional when no column list (MySQL full-row form),
+            # else named with NULL-filled, type-coerced gaps
+            src = src.toDF(*(st["columns"] or [f.name for f in target.fields]))
+            aligned = src.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in src.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+            n = aligned.count()
+            insert_into(aligned, path)
+        elif st["kind"] == "update":
+            n = update_table(
+                self.spark,
+                path,
+                F.expr(st["where"] or "true"),
+                {c: F.expr(e) for c, e in st["assignments"].items()},
+            )
+        else:
+            n = delete_from(self.spark, path, F.expr(st["where"] or "true"))
+        self._refresh(st["table"])
+        return n
 
     def explain(self, query: str) -> str:
         return self.spark.sql(query)._jdf.queryExecution().explainString(

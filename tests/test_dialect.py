@@ -84,6 +84,83 @@ def test_str_to_date_roundtrip(spark):
     assert str(v) == "2024-03-01 10:30:00"
 
 
+def test_parse_statement_shapes():
+    from infinidb_spark.dialect import parse_statement
+
+    st = parse_statement("INSERT INTO `t` (a, b) VALUES (1, 'x'), (2, 'y')")
+    assert st == {
+        "kind": "insert", "table": "t", "columns": ["a", "b"],
+        "select_sql": "SELECT * FROM VALUES (1, 'x'), (2, 'y')",
+    }
+    st = parse_statement("INSERT INTO t SELECT a, b FROM s LIMIT 1, 2")
+    assert st["columns"] is None and "LIMIT 2 OFFSET 1" in st["select_sql"]
+    st = parse_statement("UPDATE t SET a = a + 1, b = UCASE(b) WHERE a > 3")
+    assert st["assignments"] == {"a": "a + 1", "b": "upper(b)"}
+    assert st["where"] == "a > 3"
+    st = parse_statement("DELETE FROM t WHERE b IN (SELECT b FROM s WHERE x = 1)")
+    assert st["kind"] == "delete" and st["where"].startswith("b IN")
+    # no-WHERE forms hit every row; ORDER BY/LIMIT tails are refused
+    assert parse_statement("DELETE FROM t")["where"] is None
+    with pytest.raises(DialectError):
+        parse_statement("DELETE FROM t ORDER BY a LIMIT 5")
+    with pytest.raises(DialectError):
+        parse_statement("UPDATE t SET a = 1 LIMIT 5")
+
+
+def test_mysql_dml_lifecycle_via_execute(spark, sf_dir):
+    """The dml_lifecycle scenario issued as MySQL statement text."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    nation = sess.table("nation")
+    sess.create_table_as("nation_m", nation)
+    n0 = nation.count()
+
+    assert sess.execute(
+        "INSERT INTO nation_m (n_nationkey, n_name, n_regionkey) "
+        "VALUES (99, 'NEWLAND', 0), (100, 'OLDLAND', 1)"
+    ) == 2
+    updated = sess.execute(
+        "UPDATE nation_m SET n_name = CONCAT(n_name, '_X') WHERE n_regionkey = 2"
+    )
+    assert updated == nation.filter("n_regionkey = 2").count()
+    deleted = sess.execute("DELETE FROM `nation_m` WHERE n_regionkey = 4")
+    assert deleted == nation.filter("n_regionkey = 4").count()
+
+    # end state queryable through the same session (view refreshed)
+    final = sess.execute("SELECT COUNT(*) AS n FROM nation_m").collect()[0].n
+    assert final == n0 + 2 - deleted
+    marked = sess.execute(
+        "SELECT GROUP_CONCAT(DISTINCT n_regionkey) AS r FROM nation_m "
+        "WHERE n_name LIKE '%\\_X'"
+    ).collect()[0].r
+    assert marked == "2"
+
+
+def test_execute_null_condition_rows_kept(spark, sf_dir):
+    """DELETE/UPDATE with a NULL-evaluating WHERE keeps those rows
+    (three-valued logic, operators/dml.py)."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 20)], "id bigint, v bigint"
+    )
+    sess.create_table_as("t_null", df)
+    assert sess.execute("DELETE FROM t_null WHERE v < 10") == 1  # only id=2
+    left = sorted(r.id for r in sess.execute("SELECT id FROM t_null").collect())
+    assert left == [1, 3]
+    assert sess.execute("UPDATE t_null SET v = 0 WHERE v > 100") == 0
+
+
+def test_execute_refuses_unmanaged_table(spark, sf_dir):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    with pytest.raises(KeyError):
+        sess.execute("DELETE FROM nation WHERE n_regionkey = 0")
+
+
 def test_session_mysql_dialect_end_to_end(spark, sf_dir):
     from infinidb_spark.plans.dialect import MYSQL_QUERY, mysql_dialect_query
     from infinidb_spark.session import InfiniSession
