@@ -1,0 +1,145 @@
+"""Dataset-assembly operators for LLM training pipelines: deterministic
+train/val/test splitting and sequence packing.
+
+These are the last mile of a 100 TB corpus pipeline (after dedup /
+quality filtering, operators/{dedup,text}.py): carve the corpus into
+stable splits and pack documents into fixed-token-budget training rows.
+
+Scale design:
+
+* ``hash_split`` is MAP-ONLY (zero shuffle): a document's split comes
+  from a salted hash of its own key, so membership is **recomputation-
+  stable** — adding or removing other documents never moves a doc
+  between train and test (the property that prevents eval contamination
+  across corpus versions).  Weights are approximate per stratum
+  (law of large numbers at corpus scale).
+* ``exact_stratified_split`` trades one shuffle (per-stratum window)
+  for EXACT proportions within every stratum — for small/skewed strata
+  where hash proportions drift.
+* ``pack_sequences`` packs within hash shards, not globally: a global
+  ordered window is a single-reducer bottleneck at 100 TB, while
+  per-shard packing is embarrassingly parallel and loses at most one
+  partially-filled bin per shard.
+
+All pure Column/window expressions (codegen, no UDFs); ``portable=True``
+switches the hash family to md5-derived integers that DuckDB reproduces
+literally (same idiom as operators/dedup.py portable modes), keeping
+every operator hash-verifiable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: bucket space for split assignment — 10k buckets ≙ 0.01% weight grain.
+N_BUCKETS = 10_000
+
+
+def split_bucket(
+    key: Column, salt: str = "split", n_buckets: int = N_BUCKETS, portable: bool = False
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a salted key hash.
+
+    ``portable``: md5-derived 56-bit integer (DuckDB-reproducible);
+    default xxhash64 (faster, production path).
+    """
+    s = F.concat(key.cast("string"), F.lit(":" + salt))
+    if portable:
+        h = F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(s)
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    portable: bool = False,
+) -> DataFrame:
+    """Assign a ``split`` label by salted key hash — map-only, stable.
+
+    ``weights`` maps label → fraction in iteration order (e.g.
+    ``{"train": .8, "val": .1, "test": .1}``); fractions must sum to 1.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = split_bucket(F.col(key_col), salt, N_BUCKETS, portable)
+    expr: Column | None = None
+    cum = 0.0
+    for label, w in weights.items():
+        cum += w
+        hi = int(round(cum * N_BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn("split", expr)
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    portable: bool = False,
+) -> DataFrame:
+    """Exact per-stratum proportions: rank rows within each stratum by
+    their salted hash (stable pseudo-random order, key tie-break) and
+    cut at the cumulative weight boundaries.  One shuffle on strata."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = split_bucket(F.col(key_col), salt, N_BUCKETS, portable)
+    w = Window.partitionBy(strata_col).orderBy(bucket, F.col(key_col))
+    n = Window.partitionBy(strata_col)
+    frac = (F.row_number().over(w) - F.lit(1)) / F.count(F.lit(1)).over(n)
+    expr: Column | None = None
+    cum = 0.0
+    for label, wt in weights.items():
+        cum += wt
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """Greedy sequential packing into fixed-token-budget bins, per shard.
+
+    Documents are sharded by key hash, ordered by id within the shard,
+    and assigned ``bin_id = floor(cumulative_tokens_before / budget)`` —
+    the streaming-packing approximation: every bin's total stays below
+    ``budget + max(doc tokens in shard)``, and a doc longer than the
+    budget gets bins to itself.  Adds ``shard`` and ``bin_id``.
+    """
+    shard = split_bucket(F.col(id_col), "shard", n_shards, portable)
+    out = df.withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return out.withColumn("bin_id", F.floor(cum_before / F.lit(budget)))
+
+
+def pack_stats(packed: DataFrame, token_col: str, budget: int) -> DataFrame:
+    """Per-bin packing stats: docs, token total, fill ratio."""
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).alias("tokens_total"),
+        )
+        .withColumn("fill", F.round(F.col("tokens_total") / F.lit(budget), 6))
+    )

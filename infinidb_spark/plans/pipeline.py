@@ -563,3 +563,88 @@ def data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shipdate_floor": F.col("l_shipdate") >= F.lit("1992-01-01").cast("timestamp"),
         },
     )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 14))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END          AS split,
+           lang,
+           count(*)                      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS chars_total
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split (operators/datasets.
+    hash_split, portable-hash mode): map-only salted-key bucketing, so
+    membership is recomputation-stable across corpus versions; the
+    oracle reproduces the md5 bucket math literally."""
+    from infinidb_spark.operators.datasets import hash_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':shard')), 1, 14))::BIGINT
+               % 8 AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM d
+    )
+    SELECT shard,
+           CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
+           count(*)                                 AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)            AS tokens_total,
+           round(sum(n_tokens) / 2048.0, 6)         AS fill
+    FROM c
+    GROUP BY shard, bin_id
+    ORDER BY shard, bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into 2048-token training
+    bins within 8 hash shards (operators/datasets.pack_sequences,
+    portable-hash mode) — per-shard windows keep packing embarrassingly
+    parallel at corpus scale; per-bin stats hash-checked."""
+    from infinidb_spark.operators.datasets import pack_sequences, pack_stats
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        with_tokens, "doc_id", "n_tokens", budget=2048, n_shards=8, portable=True
+    )
+    return pack_stats(packed, "n_tokens", 2048).orderBy("shard", "bin_id")

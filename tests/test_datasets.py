@@ -1,0 +1,110 @@
+"""Dataset-assembly operators (operators/datasets.py): split stability,
+exact stratification, packing bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from infinidb_spark.operators.datasets import (
+    exact_stratified_split,
+    hash_split,
+    pack_sequences,
+    pack_stats,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from infinidb_spark.session import load_tables
+
+    return load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+
+def test_hash_split_proportions_and_coverage(docs):
+    counts = dict(
+        hash_split(docs, "doc_id", WEIGHTS)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    total = sum(counts.values())
+    assert total == docs.count()  # every row labeled
+    assert set(counts) == set(WEIGHTS)
+    for label, w in WEIGHTS.items():
+        assert abs(counts[label] / total - w) < 0.05  # LLN at sf size
+
+
+def test_hash_split_is_recomputation_stable(docs):
+    """A doc's split must not change when the rest of the corpus does."""
+    full = hash_split(docs, "doc_id", WEIGHTS).select("doc_id", "split")
+    half = hash_split(docs.filter("doc_id % 2 = 0"), "doc_id", WEIGHTS).select(
+        "doc_id", F.col("split").alias("split_half")
+    )
+    moved = (
+        full.join(half, "doc_id")
+        .filter("split <> split_half")
+        .count()
+    )
+    assert moved == 0
+
+
+def test_hash_split_weights_must_sum_to_one(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.1})
+
+
+def test_exact_stratified_split_proportions(docs):
+    out = exact_stratified_split(docs, "doc_id", "lang", WEIGHTS)
+    per = (
+        out.groupBy("lang")
+        .pivot("split", list(WEIGHTS))
+        .count()
+        .na.fill(0)
+        .collect()
+    )
+    for row in per:
+        n = sum(row[label] or 0 for label in WEIGHTS)
+        # exact to within 1 row per boundary
+        assert abs((row["train"] or 0) - round(0.8 * n)) <= 1
+        assert abs((row["val"] or 0) - round(0.1 * n)) <= 1
+
+
+def test_pack_sequences_bounds_and_order(spark):
+    from infinidb_spark.operators import text as T
+
+    budget = 100
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 40))) for i in range(500)],
+        "doc_id bigint, text string",
+    ).select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=budget, n_shards=4)
+    stats = pack_stats(packed, "n_tokens", budget)
+    max_doc = df.agg(F.max("n_tokens")).collect()[0][0]
+    rows = stats.collect()
+    # every bin stays under budget + one document
+    assert all(r.tokens_total < budget + max_doc for r in rows)
+    # all docs packed exactly once
+    assert sum(r.n_docs for r in rows) == 500
+    # bins are dense per shard: 0..max consecutive
+    for shard in {r.shard for r in rows}:
+        bins = sorted(r.bin_id for r in rows if r.shard == shard)
+        assert bins == list(range(len(bins)))
+
+
+def test_pack_sequences_oversized_doc_overflow_semantics(spark):
+    """Streaming packing: an oversized doc OVERFLOWS its current bin
+    (bound: < budget + max doc), and the doc after it skips ahead by
+    the overflow — bin ids from the cum_before formula exactly."""
+    df = spark.createDataFrame(
+        [(1, 50), (2, 500), (3, 50)], "doc_id bigint, n_tokens bigint"
+    )
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=100, n_shards=1)
+    rows = {r.doc_id: r.bin_id for r in packed.collect()}
+    # cum_before: doc1=0 → bin 0; doc2=50 → bin 0; doc3=550 → bin 5
+    assert rows == {1: 0, 2: 0, 3: 5}
+    stats = {r.bin_id: r.tokens_total for r in pack_stats(packed, "n_tokens", 100).collect()}
+    assert stats == {0: 550, 5: 50}
+    assert stats[0] < 100 + 500  # the documented overflow bound
