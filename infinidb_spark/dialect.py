@@ -384,6 +384,8 @@ def parse_statement(sql: str) -> dict:
         return _parse_update(toks, i)
     if kind == "DELETE":
         return _parse_delete(toks, i)
+    if kind == "EXPLAIN":
+        return {"kind": "explain", "sql": render(toks[i + 1 :]).strip()}
     return {"kind": "select", "sql": render(toks)}
 
 

@@ -66,6 +66,10 @@ def get_spark(app_name: str = "infinidb-spark", cpus: int | None = None) -> Spar
         # ANSI off: reference is MySQL-5.1-permissive (silent NULL on bad
         # casts, no overflow errors) — matches oracle-facing semantics.
         .config("spark.sql.ansi.enabled", "false")
+        # FAIR scheduling so per-query priority pools work (the query-
+        # priority / resource-governor analog, ref
+        # joblist/resourcedistributor.cpp; see InfiniSession.priority).
+        .config("spark.scheduler.mode", "FAIR")
         # events.parquet carries TIMESTAMP(NANOS); read as long then
         # convert (see load_tables) — Spark has no native nanos reader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -213,6 +217,8 @@ class InfiniSession:
         st = d.parse_statement(statement)
         if st["kind"] == "select":
             return self.spark.sql(st["sql"])
+        if st["kind"] == "explain":
+            return self.explain(st["sql"])
         path = self._managed.get(st["table"])
         if path is None:
             raise KeyError(
@@ -253,3 +259,24 @@ class InfiniSession:
         return self.spark.sql(query)._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
+
+    def priority(self, pool: str):
+        """Scope queries to a FAIR-scheduler pool — the query-priority /
+        resource-governor analog (ref `joblist/resourcedistributor.cpp`,
+        ExeMgr session priorities): `with sess.priority("etl"): ...`
+        tags every job submitted in the block; pools are created on
+        demand, weights configurable via a scheduler allocation file on
+        a real cluster."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _scope():
+            sc = self.spark.sparkContext
+            prev = sc.getLocalProperty("spark.scheduler.pool")
+            sc.setLocalProperty("spark.scheduler.pool", pool)
+            try:
+                yield self
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", prev)
+
+        return _scope()

@@ -153,6 +153,24 @@ def test_execute_null_condition_rows_kept(spark, sf_dir):
     assert sess.execute("UPDATE t_null SET v = 0 WHERE v > 100") == 0
 
 
+def test_explain_statement_and_priority_pool(spark, sf_dir):
+    from infinidb_spark.dialect import parse_statement
+    from infinidb_spark.session import InfiniSession
+
+    st = parse_statement("EXPLAIN SELECT a FROM t LIMIT 1, 2")
+    assert st["kind"] == "explain" and "LIMIT 2 OFFSET 1" in st["sql"]
+
+    sess = InfiniSession(spark, sf_dir)
+    plan = sess.execute("EXPLAIN SELECT COUNT(*) FROM nation")
+    assert isinstance(plan, str) and "Physical Plan" in plan
+
+    sc = spark.sparkContext
+    with sess.priority("etl"):
+        assert sc.getLocalProperty("spark.scheduler.pool") == "etl"
+        sess.sql("SELECT 1").collect()
+    assert sc.getLocalProperty("spark.scheduler.pool") is None
+
+
 def test_execute_refuses_unmanaged_table(spark, sf_dir):
     from infinidb_spark.session import InfiniSession
 
