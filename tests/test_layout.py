@@ -1,0 +1,77 @@
+"""Physical layout (sources/layout.py): clustering sharpens manifest
+elimination; compaction collapses DML-append small files atomically."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from infinidb_spark.operators.dml import create_table, insert_into
+from infinidb_spark.sources.layout import (
+    cluster_write,
+    compact_table,
+    table_file_stats,
+)
+from infinidb_spark.sources.manifest import build_manifest, prune
+
+from conftest import SF_DIR
+
+LINEITEM = os.path.join(SF_DIR, "lineitem.parquet")
+
+
+def test_clustering_sharpens_manifest_elimination(spark, tmp_path):
+    """Random layout → overlapping per-file ranges → little pruning.
+    Clustered layout → disjoint ranges → all but one file eliminated."""
+    li = spark.read.parquet(LINEITEM).select("l_orderkey", "l_quantity")
+
+    shuffled = str(tmp_path / "shuffled")
+    # round-robin on an unrelated expression: every file spans the key range
+    li.repartition(8, F.col("l_quantity")).write.parquet(shuffled)
+    clustered = str(tmp_path / "clustered")
+    cluster_write(li, clustered, ["l_orderkey"], n_files=8)
+
+    pred = [("l_orderkey", "between", 0, 50)]
+    kept_shuffled = prune(build_manifest(shuffled), pred)
+    kept_clustered = prune(build_manifest(clustered), pred)
+    assert len(kept_shuffled) == 8          # stats useless on random layout
+    assert len(kept_clustered) == 1         # disjoint ranges → one survivor
+
+    # clustered scan is still the same relation
+    a = spark.read.parquet(clustered).agg(F.sum("l_orderkey"), F.count(F.lit(1)))
+    b = li.agg(F.sum("l_orderkey"), F.count(F.lit(1)))
+    assert a.collect() == b.collect()
+
+
+def test_compact_table_collapses_appends(spark, tmp_path):
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    table = str(tmp_path / "nation_m")
+    create_table(nation, table)
+    for _ in range(5):
+        insert_into(nation.limit(3), table)
+    n_before, total = table_file_stats(table)
+    assert n_before >= 6                    # base + 5 appended file sets
+    expected = nation.count() + 15
+
+    n_after = compact_table(spark, table, target_file_bytes=total + 1)
+    assert n_after == 1
+    assert table_file_stats(table)[0] == 1
+    assert spark.read.parquet(table).count() == expected
+    # still a symlinked managed table (atomic-swap protocol intact)
+    assert os.path.islink(table)
+
+
+def test_compact_with_recluster(spark, tmp_path):
+    li = spark.read.parquet(LINEITEM).select("l_orderkey", "l_quantity")
+    table = str(tmp_path / "li_m")
+    create_table(li.repartition(6, "l_quantity"), table)
+    _, total = table_file_stats(table)
+    compact_table(
+        spark, table, target_file_bytes=total // 3, cluster_by=["l_orderkey"]
+    )
+    kept = prune(
+        build_manifest(os.path.realpath(table)),
+        [("l_orderkey", "between", 0, 10)],
+    )
+    assert len(kept) == 1                   # re-clustered → prunable again
+    assert spark.read.parquet(table).count() == li.count()
