@@ -230,6 +230,12 @@ class InfiniSession:
             target = self.spark.read.parquet(path).schema
             # positional when no column list (MySQL full-row form),
             # else named with NULL-filled, type-coerced gaps
+            if st["columns"]:
+                unknown = set(st["columns"]) - {f.name for f in target.fields}
+                if unknown:
+                    raise ValueError(
+                        f"INSERT column(s) {sorted(unknown)} not in {st['table']}"
+                    )
             src = src.toDF(*(st["columns"] or [f.name for f in target.fields]))
             aligned = src.select(
                 *[

@@ -82,15 +82,18 @@ def build_manifest(path: str) -> list[dict[str, Any]]:
                 entry = cols.setdefault(
                     name, {"min": None, "max": None, "null_count": 0}
                 )
-                if st is None:
-                    # a chunk without stats poisons the whole column:
-                    # min/max no longer cover every row → never eliminate
+                if st is None or not st.has_min_max:
+                    # a chunk without stats poisons the whole column
+                    # PERMANENTLY for this file: its min/max would no
+                    # longer cover every row, so elimination must never
+                    # fire — even if a later row group has stats
                     entry["min"] = entry["max"] = None
                     entry["null_count"] = None
+                    entry["_poisoned"] = True
                     continue
                 if st.null_count is not None and entry["null_count"] is not None:
                     entry["null_count"] += st.null_count
-                if st.has_min_max:
+                if not entry.get("_poisoned"):
                     if entry["min"] is None or st.min < entry["min"]:
                         entry["min"] = st.min
                     if entry["max"] is None or st.max > entry["max"]:

@@ -151,6 +151,9 @@ def test_execute_null_condition_rows_kept(spark, sf_dir):
     left = sorted(r.id for r in sess.execute("SELECT id FROM t_null").collect())
     assert left == [1, 3]
     assert sess.execute("UPDATE t_null SET v = 0 WHERE v > 100") == 0
+    # MySQL errors on unknown INSERT columns — so do we (no silent drop)
+    with pytest.raises(ValueError, match="nope"):
+        sess.execute("INSERT INTO t_null (id, nope) VALUES (9, 9)")
 
 
 def test_explain_statement_and_priority_pool(spark, sf_dir):

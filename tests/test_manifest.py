@@ -102,6 +102,19 @@ def test_manifest_roundtrip_and_df(spark, multi_file_dir, tmp_path):
     )
 
 
+def test_statless_file_is_never_eliminated(tmp_path):
+    """A file written without column statistics must survive every
+    predicate (conservative keep — elimination needs proof)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    f = str(tmp_path / "nostats.parquet")
+    pq_.write_table(pa.table({"k": [1, 2, 3]}), f, write_statistics=False)
+    m = build_manifest(f)
+    assert m[0]["columns"]["k"]["min"] is None
+    assert prune(m, [("k", "=", 999)]) == [f]
+
+
 def test_in_and_comparison_ops(multi_file_dir):
     m = build_manifest(multi_file_dir)
     by_min = sorted(m, key=lambda e: e["columns"]["l_orderkey"]["min"])
