@@ -61,6 +61,26 @@ def test_date_format_token_translation():
         translate_mysql("SELECT DATE_FORMAT(d, f) FROM t")
 
 
+def test_tokenize_render_roundtrip_property():
+    """The lexer must be lossless: render(tokenize(s)) == s for any
+    input (version comments excepted — they unwrap by design)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    from infinidb_spark.dialect import render, tokenize
+
+    alphabet = list("abcXY01 \t\n'\"`\\%._,()<>=!-#/*;:+")
+
+    @given(hst.text(alphabet=hst.sampled_from(alphabet), max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        if "/*!" in s:
+            return
+        assert render(tokenize(s)) == s
+
+    check()
+
+
 # ----------------------------------------------------- executed semantics
 
 
