@@ -26,12 +26,14 @@ until the pointer moves).  Tables created before the symlink layout
 assumed — a real lakehouse deployment swaps in a transaction log
 instead (out of scope, SURVEY §1.1).
 
-Scale notes: UPDATE/DELETE rewrite cost is proportional to the data
-scanned, so at 100 TB the WHERE should prune partitions — pass
-`partition_by` at table-creation time and predicate on those columns;
-unfiltered partitions could be hard-linked rather than rewritten in a
-future optimization (the reference's block-level version buffer is the
-same idea at 8 KB granularity).
+Scale notes: plain ``update_table``/``delete_from`` rewrite the whole
+table; at 100 TB use ``update_table_pruned``/``delete_from_pruned`` —
+files whose manifest min/max cannot match the WHERE are HARD-LINKED
+into the new version instead of rewritten (the reference's block-level
+version buffer is the same idea at 8 KB granularity), so a key-ranged
+DML on a clustered table (sources/layout.py) rewrites O(matching
+files).  For directory-partitioned tables, predicate on the partition
+column — Spark prunes those natively.
 """
 
 from __future__ import annotations
@@ -120,6 +122,99 @@ def update_table(
     updated.write.mode("overwrite").parquet(new_dir)
     _swap(table_dir, new_dir)
     return n
+
+
+def _pruned_rewrite(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list,
+    transform,
+) -> int:
+    """Shared engine for manifest-pruned UPDATE/DELETE.
+
+    The reference's version buffer rewrites only the 8 KB blocks a DML
+    touches (`versioning/BRM/vss.h:180`); the file-granularity analog:
+    extent-eliminate the table's files against the WHERE (sources/
+    manifest.py), rewrite only survivors, and HARD-LINK every other
+    file into the new version directory — zero data movement for the
+    untouched span, still one atomic swap.  At 100 TB with clustered
+    layout (sources/layout.py) a key-ranged DML rewrites O(matching
+    files), not the table.
+
+    ``transform(df, cond) -> (new_df, affected_count)`` applies the
+    operation to the scanned survivors.
+    """
+    from functools import reduce
+
+    from infinidb_spark.sources.manifest import _as_filter, build_manifest, prune
+
+    real = os.path.realpath(table_dir.rstrip("/"))
+    if any(
+        os.path.isdir(os.path.join(real, f))
+        for f in os.listdir(real)
+        if not f.startswith(("_", "."))
+    ):
+        raise ValueError(
+            "pruned DML supports flat table layouts only — for a "
+            "partitioned table, filter on the partition column instead "
+            "(Spark prunes those directories natively)"
+        )
+    manifest = build_manifest(real)
+    if not manifest:
+        return 0
+    touched = set(prune(manifest, predicates))
+    cond = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
+
+    new_dir = _new_version_dir(table_dir)
+    os.makedirs(new_dir)
+    for entry in manifest:
+        if entry["file"] not in touched:
+            os.link(entry["file"], os.path.join(new_dir, os.path.basename(entry["file"])))
+    n = 0
+    if touched:
+        df = spark.read.parquet(*sorted(touched))
+        new_df, n = transform(df, cond)
+        # append alongside the hard links — part-file names are unique
+        new_df.write.mode("append").parquet(new_dir)
+    _swap(table_dir, new_dir)
+    return n
+
+
+def update_table_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list,
+    assignments: dict[str, Column],
+) -> int:
+    """UPDATE rewriting only files whose min/max can match the WHERE
+    (predicate-tuple form, sources/manifest.py); others hard-linked."""
+    from pyspark.sql import functions as F
+
+    def transform(df: DataFrame, cond: Column):
+        n = df.filter(cond).count()
+        out = df
+        for col_name, expr in assignments.items():
+            out = out.withColumn(
+                col_name, F.when(cond, expr).otherwise(F.col(col_name))
+            )
+        return out, n
+
+    return _pruned_rewrite(spark, table_dir, predicates, transform)
+
+
+def delete_from_pruned(
+    spark: SparkSession, table_dir: str, predicates: list
+) -> int:
+    """DELETE rewriting only files whose min/max can match the WHERE;
+    NULL-condition rows kept (same three-valued rule as delete_from)."""
+    from pyspark.sql import functions as F
+
+    def transform(df: DataFrame, cond: Column):
+        cond_true = F.coalesce(cond, F.lit(False))
+        n = df.filter(cond_true).count()
+        return df.filter(~cond_true), n
+
+    return _pruned_rewrite(spark, table_dir, predicates, transform)
 
 
 def delete_from(spark: SparkSession, table_dir: str, condition: Column) -> int:
