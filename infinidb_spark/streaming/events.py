@@ -104,6 +104,20 @@ def events_stream_from_directory(
     )
 
 
+def stream_deduplicate(
+    stream: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked streaming exact-dedup — the streaming twin of
+    ``operators/dedup.dedup_exact``: duplicate keys arriving within the
+    watermark horizon are dropped, and the dedup state itself is evicted
+    past it (``dropDuplicatesWithinWatermark``), so state stays bounded
+    no matter how long the stream runs — the property that makes
+    exactly-once ingest dedup viable on an unbounded 100 TB/day feed."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_tumbling_counts(
     stream: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ):

@@ -102,3 +102,33 @@ def test_watermark_drops_late_rows(spark):
         assert ten and ten[0].n_events == 1, f"late row leaked into closed window: {rows}"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_stream_dedup_converges_to_distinct(spark, sf_dir):
+    """Duplicated ingest (the same file set landed twice) must come out
+    of the watermarked dedup exactly once per event_id."""
+    from infinidb_spark.streaming.events import stream_deduplicate
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"].limit(1500)
+    workdir = tempfile.mkdtemp(prefix="infinidb_stream_dedup_")
+    in_dir = os.path.join(workdir, "in")
+    try:
+        events.repartition(3).write.parquet(in_dir)
+        events.repartition(2).write.mode("append").parquet(in_dir)  # dupes
+
+        stream = events_stream_from_directory(spark, in_dir, max_files_per_trigger=2)
+        deduped = stream_deduplicate(stream, keys=("event_id",), watermark="100 days")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("stream_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.sql("select count(*) n, count(distinct event_id) d from stream_dedup").collect()[0]
+        want = events.select("event_id").distinct().count()
+        assert (got.n, got.d) == (want, want)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
