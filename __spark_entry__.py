@@ -71,6 +71,11 @@ _PRIORITY = [
     "group_concat_ordered",
     "part_lineitem_agg",
     "func_time",
+    "extent_elimination_scan",
+    "mysql_dialect_query",
+    "mysql_dml_statements",
+    "dataset_split",
+    "sequence_packing",
     # never driver-checked in rounds 1-2
     "func_string", "func_datetime", "func_control", "func_cast", "func_json",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
