@@ -386,6 +386,10 @@ def parse_statement(sql: str) -> dict:
         return _parse_delete(toks, i)
     if kind == "EXPLAIN":
         return {"kind": "explain", "sql": render(toks[i + 1 :]).strip()}
+    if kind == "CREATE":
+        return _parse_create(toks, i)
+    if kind in ("DROP", "TRUNCATE"):
+        return _parse_drop_truncate(toks, i, kind)
     return {"kind": "select", "sql": render(toks)}
 
 
@@ -439,6 +443,35 @@ def _parse_update(toks: list[Token], i: int) -> dict:
             raise DialectError(f"SET {col}: expected '='")
         assignments[col] = render(part[eq + 1 :]).strip()
     return {"kind": "update", "table": table, "assignments": assignments, "where": where}
+
+
+def _parse_create(toks: list[Token], i: int) -> dict:
+    """CREATE TABLE <name> AS <select> (DDL grammar analog:
+    `dbcon/ddlpackage/ddl.y:280-296`).  Column-typed CREATE (no AS) is
+    not supported — the engine is schema-on-read over Parquet."""
+    j = _next_code(toks, i + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "TABLE":
+        raise DialectError("only CREATE TABLE is supported")
+    j = _next_code(toks, j + 1)
+    table, j = _expect_ident(toks, j, "table name after CREATE TABLE")
+    j = _next_code(toks, j + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "AS":
+        raise DialectError("CREATE TABLE requires AS SELECT (CTAS)")
+    return {"kind": "create", "table": table, "select_sql": render(toks[j + 1 :]).strip()}
+
+
+def _parse_drop_truncate(toks: list[Token], i: int, kind: str) -> dict:
+    j = _next_code(toks, i + 1)
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "TABLE":
+        j = _next_code(toks, j + 1)
+    if_exists = False
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "IF":
+        nxt = _next_code(toks, j + 1)
+        if nxt is not None and toks[nxt][0] == "word" and toks[nxt][1].upper() == "EXISTS":
+            if_exists = True
+            j = _next_code(toks, nxt + 1)
+    table, j = _expect_ident(toks, j, f"table name after {kind}")
+    return {"kind": kind.lower(), "table": table, "if_exists": if_exists}
 
 
 def _parse_delete(toks: list[Token], i: int) -> dict:

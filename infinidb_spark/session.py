@@ -219,6 +219,39 @@ class InfiniSession:
             return self.spark.sql(st["sql"])
         if st["kind"] == "explain":
             return self.explain(st["sql"])
+        if st["kind"] == "create":
+            df = self.spark.sql(st["select_sql"])
+            n = df.count()
+            self.create_table_as(st["table"], df)
+            return n
+        if st["kind"] in ("drop", "truncate"):
+            path = self._managed.get(st["table"])
+            if path is None:
+                if st["kind"] == "drop" and st["if_exists"]:
+                    return 0
+                raise KeyError(f"{st['table']!r} is not a managed table")
+            if st["kind"] == "drop":
+                import shutil
+
+                real = os.path.realpath(path)
+                for p in (path, real):
+                    if os.path.islink(p):
+                        os.remove(p)
+                    elif os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                self.spark.catalog.dropTempView(st["table"])
+                self._managed.pop(st["table"])
+                self.tables.pop(st["table"], None)
+                return 0
+            empty = self.spark.read.parquet(path).limit(0)
+            from infinidb_spark.operators.dml import create_table
+
+            # materialize the empty relation first — create_table's
+            # overwrite would otherwise read from the dir it replaces
+            empty = self.spark.createDataFrame([], empty.schema)
+            create_table(empty, path)
+            self._refresh(st["table"])
+            return 0
         path = self._managed.get(st["table"])
         if path is None:
             raise KeyError(

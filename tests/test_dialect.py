@@ -194,6 +194,33 @@ def test_explain_statement_and_priority_pool(spark, sf_dir):
     assert sc.getLocalProperty("spark.scheduler.pool") is None
 
 
+def test_ddl_ctas_truncate_drop(spark, sf_dir):
+    from infinidb_spark.dialect import DialectError, parse_statement
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    n = sess.execute(
+        "CREATE TABLE nation_ctas AS SELECT n_nationkey, UCASE(n_name) AS nm "
+        "FROM nation WHERE n_regionkey < 2"
+    )
+    assert n == sess.table("nation").filter("n_regionkey < 2").count() > 0
+    got = sess.execute("SELECT COUNT(*) AS c FROM nation_ctas").collect()[0].c
+    assert got == n
+    # round-trips through DML on the created table
+    sess.execute("DELETE FROM nation_ctas WHERE n_nationkey < 5")
+    assert sess.execute("TRUNCATE TABLE nation_ctas") == 0
+    assert sess.execute("SELECT COUNT(*) AS c FROM nation_ctas").collect()[0].c == 0
+    # schema survives truncate
+    assert set(sess.table("nation_ctas").columns) == {"n_nationkey", "nm"}
+    sess.execute("DROP TABLE nation_ctas")
+    assert "nation_ctas" not in sess._managed
+    assert sess.execute("DROP TABLE IF EXISTS nation_ctas") == 0
+    with pytest.raises(KeyError):
+        sess.execute("DROP TABLE nation_ctas")
+    with pytest.raises(DialectError):
+        parse_statement("CREATE TABLE t (a INT)")
+
+
 def test_execute_refuses_unmanaged_table(spark, sf_dir):
     from infinidb_spark.session import InfiniSession
 
