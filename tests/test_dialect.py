@@ -221,6 +221,18 @@ def test_ddl_ctas_truncate_drop(spark, sf_dir):
         parse_statement("CREATE TABLE t (a INT)")
 
 
+def test_show_tables_and_describe_pass_through(spark, sf_dir):
+    """MySQL introspection statements are native Spark SQL — the dialect
+    router passes them through untouched."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    tables = {r.tableName for r in sess.execute("SHOW TABLES").collect()}
+    assert {"nation", "region", "orders", "lineitem"} <= tables
+    cols = {r.col_name for r in sess.execute("DESCRIBE nation").collect()}
+    assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
+
+
 def test_execute_refuses_unmanaged_table(spark, sf_dir):
     from infinidb_spark.session import InfiniSession
 
