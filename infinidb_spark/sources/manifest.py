@@ -102,6 +102,32 @@ def build_manifest(path: str) -> list[dict[str, Any]]:
     return manifest
 
 
+#: mtime/size-keyed manifest memo — the in-process analog of the
+#: persisted extent map (the BRM keeps it resident; re-reading footers
+#: per query is pure overhead).  Same keying idiom as session.py's
+#: table cache; stale keys for a path are evicted on refresh.
+_MANIFEST_CACHE: dict[tuple, list[dict[str, Any]]] = {}
+
+
+def _path_key(path: str) -> tuple:
+    real = os.path.realpath(path)
+    st = os.stat(real)
+    return (real, st.st_mtime_ns, st.st_size)
+
+
+def cached_manifest(path: str) -> list[dict[str, Any]]:
+    """``build_manifest`` with an mtime-keyed memo: a rewritten or
+    swapped table (operators/dml.py bumps the directory) misses the
+    cache and re-harvests; unchanged tables never re-read footers."""
+    key = _path_key(path)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is None:
+        for k in [k for k in _MANIFEST_CACHE if k[0] == key[0]]:
+            _MANIFEST_CACHE.pop(k, None)
+        hit = _MANIFEST_CACHE[key] = build_manifest(path)
+    return hit
+
+
 def _may_match(entry: dict[str, Any], pred: Predicate) -> bool:
     """Could ANY row in this file satisfy ``pred``?  (CasualPartitionPredicate
     semantics, `lbidlist.h:96` — conservative: unknown → True.)"""
@@ -165,7 +191,7 @@ def scan_with_manifest(
     files never become input splits.  Row-group skip within surviving
     files still happens natively (predicates are pushed down as usual).
     """
-    manifest = manifest if manifest is not None else build_manifest(path)
+    manifest = manifest if manifest is not None else cached_manifest(path)
     files = prune(manifest, predicates)
     residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
     if not files:

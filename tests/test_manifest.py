@@ -115,6 +115,19 @@ def test_statless_file_is_never_eliminated(tmp_path):
     assert prune(m, [("k", "=", 999)]) == [f]
 
 
+def test_cached_manifest_memoizes_and_invalidates(spark, tmp_path):
+    from infinidb_spark.sources.manifest import cached_manifest
+
+    p = str(tmp_path / "t")
+    li = spark.read.parquet(LINEITEM).limit(100)
+    li.repartition(2).write.parquet(p)
+    m1 = cached_manifest(p)
+    assert cached_manifest(p) is m1          # memo hit, no re-harvest
+    li.limit(10).write.mode("append").parquet(p)
+    m2 = cached_manifest(p)                  # dir mtime bumped → refresh
+    assert m2 is not m1 and len(m2) > len(m1)
+
+
 def test_in_and_comparison_ops(multi_file_dir):
     m = build_manifest(multi_file_dir)
     by_min = sorted(m, key=lambda e: e["columns"]["l_orderkey"]["min"])
