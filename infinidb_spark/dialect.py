@@ -173,6 +173,10 @@ _TEMPLATES = {
         " + CAST(split({0}, '\\\\.')[2] AS BIGINT) * 256"
         " + CAST(split({0}, '\\\\.')[3] AS BIGINT))"
     ),
+    "STRCMP": (
+        "(CASE WHEN {0} IS NULL OR {1} IS NULL THEN NULL"
+        " WHEN {0} = {1} THEN 0 WHEN {0} < {1} THEN -1 ELSE 1 END)"
+    ),
     "INET_NTOA": (
         "concat(CAST(({0} DIV 16777216) % 256 AS STRING), '.',"
         " CAST(({0} DIV 65536) % 256 AS STRING), '.',"
@@ -181,7 +185,50 @@ _TEMPLATES = {
     ),
 }
 
-_RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring"}
+_RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring",
+            "FORMAT": "format_number"}
+
+#: MySQL INTERVAL units → (multiplier, Spark unit).  WEEK/QUARTER have
+#: no Spark literal form and normalize to DAY/MONTH.
+_INTERVAL_UNITS = {
+    "SECOND": (1, "SECOND"), "MINUTE": (1, "MINUTE"), "HOUR": (1, "HOUR"),
+    "DAY": (1, "DAY"), "WEEK": (7, "DAY"),
+    "MONTH": (1, "MONTH"), "QUARTER": (3, "MONTH"), "YEAR": (1, "YEAR"),
+}
+
+
+def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
+    """DATE_ADD/DATE_SUB/ADDDATE/SUBDATE → interval arithmetic.
+
+    ``INTERVAL <n> <unit>`` with a literal n emits the typed-literal
+    form (preserves DATE-ness); an expression n emits
+    ``(n * mult) * INTERVAL '1' unit`` (Spark returns TIMESTAMP for
+    day-time intervals — MySQL keeps DATE; acceptable drift, documented).
+    The 2-arg day form (``ADDDATE(d, n)``) maps to date_add/date_sub.
+    """
+    args = _split_args(inner)
+    if len(args) != 2:
+        raise DialectError(f"{name} expects 2 arguments")
+    plus = name in ("DATE_ADD", "ADDDATE")
+    base = render(args[0]).strip()
+    second = [t for t in args[1] if t[0] not in ("ws", "comment")]
+    if second and second[0][0] == "word" and second[0][1].upper() == "INTERVAL":
+        unit_tok = second[-1]
+        spec = _INTERVAL_UNITS.get(unit_tok[1].upper()) if unit_tok[0] == "word" else None
+        if spec is None:
+            raise DialectError(f"{name}: unsupported INTERVAL unit {unit_tok[1]!r}")
+        mult, unit = spec
+        qty = second[1:-1]
+        op = "+" if plus else "-"
+        if len(qty) == 1 and qty[0][0] == "number" and mult == 1:
+            ival = f"INTERVAL {qty[0][1]} {unit}"
+        else:
+            n = render(qty).strip()
+            n = f"({n}) * {mult}" if mult != 1 else f"({n})"
+            ival = f"({n}) * INTERVAL '1' {unit}"
+        return [("code", f"(({base}) {op} {ival})")]
+    fn = "date_add" if plus else "date_sub"
+    return [("code", f"{fn}({base}, {render(args[1]).strip()})")]
 
 _FMT_FUNCS = {"DATE_FORMAT": "date_format", "TIME_FORMAT": "date_format",
               "STR_TO_DATE": "to_timestamp"}
@@ -304,6 +351,10 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     continue
                 if upper in _FMT_FUNCS:
                     out.extend(_fmt_func(upper, inner))
+                    i = close + 1
+                    continue
+                if upper in ("DATE_ADD", "DATE_SUB", "ADDDATE", "SUBDATE"):
+                    out.extend(_date_addsub(upper, inner))
                     i = close + 1
                     continue
                 if upper in _TEMPLATES:

@@ -99,6 +99,28 @@ def test_mysql_function_values(spark):
     assert one(spark, "MID('quadratically', 5, 6)") == "ratica"
 
 
+def test_date_addsub_interval_forms(spark):
+    # literal intervals keep DATE-ness; MySQL doc examples
+    assert str(one(spark, "DATE_ADD(DATE '2008-01-02', INTERVAL 31 DAY)")) == "2008-02-02"
+    assert str(one(spark, "DATE_SUB(DATE '2008-02-02', INTERVAL 31 DAY)")) == "2008-01-02"
+    assert str(one(spark, "ADDDATE(DATE '2008-01-02', 31)")) == "2008-02-02"
+    # WEEK/QUARTER normalize (×7 DAY / ×3 MONTH)
+    assert str(one(spark, "DATE_ADD(DATE '2024-01-01', INTERVAL 2 WEEK)")).startswith("2024-01-15")
+    assert str(one(spark, "DATE_ADD(DATE '2024-01-31', INTERVAL 1 QUARTER)")).startswith("2024-04-30")
+    # expression quantity
+    assert str(one(spark, "DATE_ADD(DATE '2024-01-01', INTERVAL 1 + 2 DAY)")).startswith("2024-01-04")
+    with pytest.raises(DialectError):
+        translate_mysql("SELECT DATE_ADD(d, INTERVAL 1 FORTNIGHT) FROM t")
+
+
+def test_strcmp_and_format(spark):
+    assert one(spark, "STRCMP('text', 'text2')") == -1
+    assert one(spark, "STRCMP('text2', 'text')") == 1
+    assert one(spark, "STRCMP('text', 'text')") == 0
+    assert one(spark, "STRCMP(NULL, 'x')") is None
+    assert one(spark, "FORMAT(1234567.891, 2)") == "1,234,567.89"
+
+
 def test_str_to_date_roundtrip(spark):
     v = one(spark, "STR_TO_DATE('2024-03-01 10:30:00', '%Y-%m-%d %H:%i:%s')")
     assert str(v) == "2024-03-01 10:30:00"
