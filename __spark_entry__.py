@@ -73,6 +73,7 @@ _PRIORITY = [
     "func_time",
     "extent_elimination_scan",
     "mysql_dialect_query",
+    "mysql_dialect_datetime",
     "mysql_dml_statements",
     "dataset_split",
     "sequence_packing",

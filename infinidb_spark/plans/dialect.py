@@ -112,3 +112,36 @@ def mysql_dml_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+
+
+@query(
+    "mysql_dialect_datetime",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(MIN(o_orderdate) + INTERVAL 3 MONTH AS DATE) AS due_q,
+           CAST(MAX(o_orderdate) - INTERVAL 14 DAY  AS DATE) AS cutoff,
+           CASE WHEN MIN(o_orderpriority) = MAX(o_orderpriority) THEN 0
+                WHEN MIN(o_orderpriority) < MAX(o_orderpriority) THEN -1
+                ELSE 1 END AS pri_cmp,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def mysql_dialect_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic through the dialect layer (`DATE_ADD ...
+    INTERVAL n QUARTER/WEEK` normalization) + STRCMP — hand-written
+    ANSI interval math on the oracle side pins calendar semantics
+    (month clamping included)."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(translate_mysql("""
+        SELECT o_orderstatus,
+               CAST(DATE_ADD(MIN(o_orderdate), INTERVAL 1 QUARTER) AS DATE) AS due_q,
+               CAST(DATE_SUB(MAX(o_orderdate), INTERVAL 2 WEEK) AS DATE)    AS cutoff,
+               STRCMP(MIN(o_orderpriority), MAX(o_orderpriority))           AS pri_cmp,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """))
