@@ -77,6 +77,7 @@ _PRIORITY = [
     "mysql_dml_statements",
     "dataset_split",
     "sequence_packing",
+    "token_heavy_hitters_cms",
     # never driver-checked in rounds 1-2
     "func_string", "func_datetime", "func_control", "func_cast", "func_json",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",

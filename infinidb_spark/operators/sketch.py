@@ -1,0 +1,82 @@
+"""Count-min sketch — sublinear frequency estimation (heavy hitters).
+
+The classic streaming sketch (Cormode & Muthukrishnan 2005): a d×w
+counter matrix; each key increments one counter per row (bucket =
+hash_j(key) mod w), and the frequency estimate is the MIN over the d
+counters — always an over-estimate, within εN with probability 1−δ for
+w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+
+Spark-first shape: the sketch IS a (depth × width)-row relation built
+by one codegen'd explode + groupBy — fixed output size regardless of
+input (the whole point: a 100 TB key stream reduces to d·w counters,
+and the partial/final aggregation Spark already does makes the build
+map-side-combining).  Estimation joins candidate keys back against the
+tiny sketch relation (broadcast).
+
+``portable=True`` derives bucket hashes from md5 (the established
+portable idiom, operators/dedup.py) so the ENTIRE sketch — every
+counter — is reproducible as plain SQL; the DuckDB oracle rebuilds it
+literally.  xxhash64 is the fast production default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, j: Column, width: int, portable: bool) -> Column:
+    s = F.concat(key.cast("string"), F.lit(":cms:"), j.cast("string"))
+    if portable:
+        h = F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(s)
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """Build the sketch relation: one row per non-empty (j, bucket) with
+    its counter.  One explode (×depth) + one groupBy — fixed ≤ d·w
+    output rows whatever the input size."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    return (
+        df.select(F.col(key_col).alias("_k"))
+        .select("_k", j)
+        .select("j", _bucket(F.col("_k"), F.col("j"), width, portable).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """Estimate each key's frequency: min over its d counters.  The
+    sketch is tiny (≤ d·w rows) — broadcast it; a missing (j, bucket)
+    row means a zero counter, so such keys estimate to 0."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    probes = (
+        keys.select(F.col(key_col))
+        .select(key_col, j)
+        .select(
+            key_col,
+            "j",
+            _bucket(F.col(key_col), F.col("j"), width, portable).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("est_n"))
+    )

@@ -648,3 +648,64 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tokens, "doc_id", "n_tokens", budget=2048, n_shards=8, portable=True
     )
     return pack_stats(packed, "n_tokens", 2048).orderBy("shard", "bin_id")
+
+
+@query(
+    "token_heavy_hitters_cms",
+    oracle="""
+    WITH tok0 AS (
+      SELECT unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
+      FROM documents
+    ),
+    tok AS (SELECT tok FROM tok0 WHERE tok <> ''),
+    j AS (SELECT unnest(range(4)) AS j),
+    sketch AS (
+      SELECT j.j,
+             ('0x' || substr(md5(concat(tok, ':cms:', CAST(j.j AS VARCHAR))), 1, 14))::BIGINT % 512 AS bucket,
+             count(*) AS counter
+      FROM tok, j
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, count(*) AS exact_n FROM tok GROUP BY tok
+      ORDER BY exact_n DESC, tok LIMIT 12
+    ),
+    probes AS (
+      SELECT e.tok, e.exact_n, j.j,
+             ('0x' || substr(md5(concat(e.tok, ':cms:', CAST(j.j AS VARCHAR))), 1, 14))::BIGINT % 512 AS bucket
+      FROM exact e, j
+    )
+    SELECT p.tok                                       AS tok,
+           CAST(p.exact_n AS BIGINT)                   AS exact_n,
+           CAST(min(coalesce(s.counter, 0)) AS BIGINT) AS est_n
+    FROM probes p LEFT JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+    GROUP BY p.tok, p.exact_n
+    ORDER BY exact_n DESC, tok
+    """,
+)
+def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketch.py, portable-
+    hash mode): the d×w counter matrix AND the min-probe estimates are
+    rebuilt literally by the DuckDB oracle — a hash match verifies every
+    counter of the sketch, not just the final ranking.  Sketch size is
+    fixed (≤ 4×512 rows) whatever the corpus size — the 100 TB shape."""
+    from infinidb_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    sketch = count_min_sketch(toks, "tok", depth=4, width=512, portable=True)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(12)
+    )
+    est = cms_estimate(sketch, exact, "tok", depth=4, width=512, portable=True)
+    return (
+        exact.join(est, "tok")
+        .select("tok", "exact_n", "est_n")
+        .orderBy(F.desc("exact_n"), "tok")
+    )

@@ -1,0 +1,58 @@
+"""Count-min sketch (operators/sketch.py): over-estimate guarantee,
+fixed size, exactness when buckets don't collide."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from infinidb_spark.operators.sketch import cms_estimate, count_min_sketch
+
+DEPTH, WIDTH = 4, 256
+
+
+def _tokens(spark, sf_dir):
+    from infinidb_spark.operators.text import tokens
+    from infinidb_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    return docs.select(F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    sketch = count_min_sketch(toks, "tok", DEPTH, WIDTH)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(sketch, exact, "tok", DEPTH, WIDTH)
+    joined = exact.join(est, "tok")
+    assert joined.filter(F.col("est_n") < F.col("exact_n")).count() == 0
+    # the guarantee is tight for heavy hitters: the top token estimates
+    # within εN of truth (ε = e/width)
+    top = joined.orderBy(F.desc("exact_n")).first()
+    n_total = toks.count()
+    assert top.est_n - top.exact_n <= (2.72 / WIDTH) * n_total * DEPTH
+
+
+def test_cms_fixed_size_and_mass(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    sketch = count_min_sketch(toks, "tok", DEPTH, WIDTH).collect()
+    assert len(sketch) <= DEPTH * WIDTH
+    n = len(toks.collect())
+    # every row of the matrix holds the full stream mass
+    for j in range(DEPTH):
+        assert sum(r.counter for r in sketch if r.j == j) == n
+
+
+def test_cms_exact_without_collisions(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "k string")
+    sketch = count_min_sketch(df, "k", depth=4, width=4096)
+    est = {
+        r.k: r.est_n
+        for r in cms_estimate(sketch, df.select("k").distinct(), "k", 4, 4096).collect()
+    }
+    assert est == {"a": 3, "b": 2, "c": 1}
+    # an unseen key probes empty buckets (or small collisions) — with a
+    # wide sketch and 3 distinct keys, it must estimate 0
+    probe = spark.createDataFrame([("zzz",)], "k string")
+    assert cms_estimate(sketch, probe, "k", 4, 4096).collect()[0].est_n == 0
