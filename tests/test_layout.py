@@ -75,3 +75,39 @@ def test_compact_with_recluster(spark, tmp_path):
     )
     assert len(kept) == 1                   # re-clustered → prunable again
     assert spark.read.parquet(table).count() == li.count()
+
+
+def test_zorder_keeps_both_dimensions_prunable(spark, tmp_path):
+    """Single-column clustering makes only that column prunable; Z-order
+    prunes meaningfully on EITHER clustered column."""
+    from infinidb_spark.sources.layout import zorder_write
+
+    li = spark.read.parquet(LINEITEM).select("l_orderkey", "l_partkey")
+    n_files = 16
+
+    single = str(tmp_path / "single")
+    cluster_write(li, single, ["l_orderkey"], n_files=n_files)
+    zed = str(tmp_path / "zorder")
+    zorder_write(li, zed, ["l_orderkey", "l_partkey"], n_files=n_files)
+
+    # identical relation either way
+    assert (
+        spark.read.parquet(zed).orderBy("l_orderkey", "l_partkey").collect()
+        == li.orderBy("l_orderkey", "l_partkey").collect()
+    )
+
+    key_hi = li.agg(F.max("l_orderkey")).collect()[0][0]
+    part_hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    key_pred = [("l_orderkey", "between", 0, key_hi // 10)]
+    part_pred = [("l_partkey", "between", 0, part_hi // 10)]
+
+    def kept(path, pred):
+        return len(prune(build_manifest(path), pred))
+
+    # the secondary column is unprunable under single-column clustering…
+    assert kept(single, part_pred) == n_files
+    # …while z-order prunes BOTH dimensions well below the file count
+    assert kept(zed, key_pred) <= n_files // 2
+    assert kept(zed, part_pred) <= n_files // 2
+    # and the primary column stays prunable too (sanity on single)
+    assert kept(single, key_pred) <= 2
