@@ -168,3 +168,41 @@ def test_cache_using_operators_leave_nothing_cached(queries, spark, sf_dir):
                 ):
                     offenders.append(p)
     assert not offenders, f"df.rdd probe in: {offenders}"
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """When neither side broadcasts, Spark can inject a runtime Bloom
+    filter from the selective side into the big side's scan (the
+    shuffle-join analog of extent elimination) — the scale path for
+    fact-fact joins; assert the rewrite engages when enabled."""
+    from infinidb_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # sf-test-sized relations are far below the production thresholds
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = t["lineitem"].join(
+            t["orders"].filter("o_totalprice > 500000"),
+            t["lineitem"].l_orderkey == t["orders"].o_orderkey,
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
