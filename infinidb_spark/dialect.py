@@ -71,11 +71,25 @@ def tokenize(sql: str) -> list[Token]:
                 j += 1
             out.append(("bident", sql[i : j + 1]))
             i = j + 1
-        elif sql.startswith("--", i) or c == "#":
+        elif sql.startswith("--", i) and (i + 2 >= n or sql[i + 2] in " \t\n\r"):
+            # MySQL comment rule: '--' needs following whitespace;
+            # '5--3' is double negation (handled below), not a comment
             j = sql.find("\n", i)
             j = n if j < 0 else j
             out.append(("comment", sql[i:j]))
             i = j
+        elif c == "#":
+            # '#' comments aren't Spark SQL: re-emit as '--' style
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(("comment", "-- " + sql[i + 1 : j]))
+            i = j
+        elif sql.startswith("--", i):
+            # no-whitespace '--' = double negation in MySQL; Spark would
+            # lex it as a comment, so split with a space
+            out.append(("sym", "-"))
+            out.append(("ws", " "))
+            i += 1
         elif sql.startswith("/*", i):
             j = sql.find("*/", i + 2)
             j = n - 2 if j < 0 else j
@@ -188,6 +202,12 @@ _TEMPLATES = {
 _RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring",
             "FORMAT": "format_number"}
 
+
+def _template_arity(name: str) -> int:
+    import re as _re
+
+    return max(int(m) for m in _re.findall(r"\{(\d)\}", _TEMPLATES[name])) + 1
+
 #: MySQL INTERVAL units → (multiplier, Spark unit).  WEEK/QUARTER have
 #: no Spark literal form and normalize to DAY/MONTH.
 _INTERVAL_UNITS = {
@@ -290,7 +310,13 @@ def _group_concat(inner: list[Token]) -> list[Token]:
             elif u == "SEPARATOR" and sep_i is None:
                 sep_i = i
     expr_end = min(x for x in (order_i, sep_i, len(inner)) if x is not None)
-    expr = render(inner[:expr_end]).strip()
+    expr_args = _split_args(inner[:expr_end])
+    # GROUP_CONCAT(a, '-', b) concatenates per row in MySQL
+    expr = (
+        "concat(" + ", ".join(render(a).strip() for a in expr_args) + ")"
+        if len(expr_args) > 1
+        else render(inner[:expr_end]).strip()
+    )
     order = (
         render(inner[order_i : sep_i if sep_i is not None else len(inner)]).strip()
         if order_i is not None
@@ -359,10 +385,12 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     continue
                 if upper in _TEMPLATES:
                     args = [_arg_text(a) for a in _split_args(inner)]
-                    try:
-                        out.append(("code", _TEMPLATES[upper].format(*args)))
-                    except IndexError:
-                        raise DialectError(f"{upper}: wrong argument count") from None
+                    arity = _template_arity(upper)
+                    if len(args) != arity:
+                        raise DialectError(
+                            f"{upper} expects {arity} argument(s), got {len(args)}"
+                        )
+                    out.append(("code", _TEMPLATES[upper].format(*args)))
                     i = close + 1
                     continue
                 if upper in _RENAMES:
@@ -480,11 +508,11 @@ def _parse_update(toks: list[Token], i: int) -> dict:
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "SET":
         raise DialectError("UPDATE without SET")
     tail = toks[j + 1 :]
+    if _top_level_word(tail, "LIMIT", "ORDER") is not None:
+        raise DialectError("UPDATE ... ORDER BY/LIMIT is not supported")
     where_i = _top_level_word(tail, "WHERE")
     set_toks = tail[:where_i] if where_i is not None else tail
     where = render(tail[where_i + 1 :]).strip() if where_i is not None else None
-    if _top_level_word(set_toks, "LIMIT", "ORDER") is not None:
-        raise DialectError("UPDATE ... ORDER BY/LIMIT is not supported")
     assignments: dict[str, str] = {}
     for part in _split_args(set_toks):
         k = _next_code(part, 0)

@@ -114,9 +114,12 @@ def update_table(
     df = spark.read.parquet(table_dir)
     n = df.filter(condition).count()
     updated = df
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     for col_name, expr in assignments.items():
+        # SET keeps the column's declared type (MySQL semantics)
         updated = updated.withColumn(
-            col_name, F.when(condition, expr).otherwise(F.col(col_name))
+            col_name,
+            F.when(condition, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
         )
     new_dir = _new_version_dir(table_dir)
     updated.write.mode("overwrite").parquet(new_dir)
@@ -148,6 +151,11 @@ def _pruned_rewrite(
 
     from infinidb_spark.sources.manifest import _as_filter, build_manifest, prune
 
+    if not predicates:
+        raise ValueError(
+            "pruned DML needs at least one predicate — for a full-table "
+            "rewrite use update_table/delete_from"
+        )
     real = os.path.realpath(table_dir.rstrip("/"))
     if any(
         os.path.isdir(os.path.join(real, f))
@@ -193,9 +201,14 @@ def update_table_pruned(
     def transform(df: DataFrame, cond: Column):
         n = df.filter(cond).count()
         out = df
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
         for col_name, expr in assignments.items():
+            # SET keeps the column's declared type (MySQL semantics);
+            # essential here — hard-linked files retain the old type, so
+            # a type-changing SET would otherwise split the table schema
             out = out.withColumn(
-                col_name, F.when(cond, expr).otherwise(F.col(col_name))
+                col_name,
+                F.when(cond, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
             )
         return out, n
 

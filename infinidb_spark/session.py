@@ -220,10 +220,10 @@ class InfiniSession:
         if st["kind"] == "explain":
             return self.explain(st["sql"])
         if st["kind"] == "create":
-            df = self.spark.sql(st["select_sql"])
-            n = df.count()
-            self.create_table_as(st["table"], df)
-            return n
+            # count AFTER materializing (Parquet footer sum — metadata
+            # only) so the source query runs exactly once
+            path = self.create_table_as(st["table"], self.spark.sql(st["select_sql"]))
+            return self.spark.read.parquet(path).count()
         if st["kind"] in ("drop", "truncate"):
             path = self._managed.get(st["table"])
             if path is None:
@@ -280,8 +280,11 @@ class InfiniSession:
                     for f in target.fields
                 ]
             )
-            n = aligned.count()
+            # footer-sum counts before/after: the source query runs only
+            # once (inside the write), never twice
+            before = self.spark.read.parquet(path).count()
             insert_into(aligned, path)
+            n = self.spark.read.parquet(path).count() - before
         elif st["kind"] == "update":
             n = update_table(
                 self.spark,

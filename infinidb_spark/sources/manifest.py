@@ -110,7 +110,17 @@ _MANIFEST_CACHE: dict[tuple, list[dict[str, Any]]] = {}
 
 
 def _path_key(path: str) -> tuple:
+    """Keyed on every member file's (name, mtime, size) — a file
+    rewritten IN PLACE (same name) changes its own mtime even though
+    the directory's doesn't, so stale stats can never mis-prune."""
     real = os.path.realpath(path)
+    if os.path.isdir(real):
+        stats = []
+        for f in sorted(os.listdir(real)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                st = os.stat(os.path.join(real, f))
+                stats.append((f, st.st_mtime_ns, st.st_size))
+        return (real, tuple(stats))
     st = os.stat(real)
     return (real, st.st_mtime_ns, st.st_size)
 
@@ -192,6 +202,8 @@ def scan_with_manifest(
     files still happens natively (predicates are pushed down as usual).
     """
     manifest = manifest if manifest is not None else cached_manifest(path)
+    if not predicates:  # nothing to eliminate with — plain full scan
+        return spark.read.parquet(path)
     files = prune(manifest, predicates)
     residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
     if not files:

@@ -74,7 +74,10 @@ def test_tokenize_render_roundtrip_property():
     @given(hst.text(alphabet=hst.sampled_from(alphabet), max_size=60))
     @settings(max_examples=300, deadline=None)
     def check(s):
-        if "/*!" in s:
+        # three constructs intentionally normalize: version comments
+        # unwrap, '#' comments become '--', no-space '--' splits into
+        # double negation (MySQL rules Spark doesn't share)
+        if "/*!" in s or "#" in s or "--" in s:
             return
         assert render(tokenize(s)) == s
 
@@ -97,6 +100,26 @@ def test_mysql_function_values(spark):
     assert one(spark, "INET_NTOA(167773449)") == "10.0.5.9"
     assert one(spark, "UCASE('ab')") == "AB"
     assert one(spark, "MID('quadratically', 5, 6)") == "ratica"
+
+
+def test_mysql_comment_and_negation_rules(spark):
+    # '#' comments execute (normalized to '--')
+    assert spark.sql(translate_mysql("SELECT 7 AS v # seven")).collect()[0].v == 7
+    # MySQL: '--' without whitespace is double negation, not a comment
+    assert one(spark, "5--3") == 8
+    # with whitespace it IS a comment
+    assert "-- tail" in translate_mysql("SELECT 1 -- tail")
+
+
+def test_wrong_arity_and_multi_expr_group_concat(spark):
+    with pytest.raises(DialectError, match="TO_DAYS expects 1"):
+        translate_mysql("SELECT TO_DAYS(a, b) FROM t")
+    out = translate_mysql("SELECT GROUP_CONCAT(a, '-', b) FROM t")
+    assert "listagg(concat(a, '-', b), ',')" in out
+    with pytest.raises(DialectError):  # guard now covers the WHERE tail
+        from infinidb_spark.dialect import parse_statement
+
+        parse_statement("UPDATE t SET a = 1 WHERE x > 1 LIMIT 5")
 
 
 def test_date_addsub_interval_forms(spark):

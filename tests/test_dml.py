@@ -197,3 +197,28 @@ def test_pruned_dml_refuses_partitioned_layout(spark, sf_dir, tmp_path):
     create_table(nation, table, partition_by=["n_regionkey"])
     with pytest.raises(ValueError, match="flat table layouts"):
         delete_from_pruned(spark, table, [("n_nationkey", "<", 5)])
+
+
+def test_update_pruned_type_changing_set_keeps_schema(spark, clustered_lineitem_table):
+    """A type-changing SET must not split the table schema between
+    rewritten and hard-linked files: SET keeps the declared type."""
+    from infinidb_spark.operators.dml import update_table_pruned
+
+    table = clustered_lineitem_table
+    schema_before = spark.read.parquet(table).schema
+    update_table_pruned(
+        spark,
+        table,
+        [("l_orderkey", "between", 0, 20)],
+        {"l_quantity": F.col("l_quantity").cast("string")},  # coerced back
+    )
+    after = spark.read.parquet(table)
+    assert after.schema == schema_before
+    after.count()  # whole table still readable
+
+
+def test_pruned_dml_requires_predicates(spark, clustered_lineitem_table):
+    from infinidb_spark.operators.dml import delete_from_pruned
+
+    with pytest.raises(ValueError, match="at least one predicate"):
+        delete_from_pruned(spark, clustered_lineitem_table, [])

@@ -140,3 +140,28 @@ def test_in_and_comparison_ops(multi_file_dir):
     gmin = lowest["columns"]["l_orderkey"]["min"]
     assert prune(m, [("l_orderkey", "<", gmin)]) == []
     assert lowest["file"] in prune(m, [("l_orderkey", "<=", gmin)])
+
+
+def test_empty_predicates_full_scan(spark, multi_file_dir):
+    df = scan_with_manifest(spark, multi_file_dir, [])
+    assert df.count() == spark.read.parquet(multi_file_dir).count()
+
+
+def test_cached_manifest_detects_in_place_rewrite(spark, tmp_path):
+    """A file rewritten IN PLACE (same name) must invalidate the memo —
+    stale stats could otherwise mis-prune."""
+    import shutil
+
+    from infinidb_spark.sources.manifest import cached_manifest
+
+    p = str(tmp_path / "t")
+    spark.read.parquet(LINEITEM).limit(50).coalesce(1).write.parquet(p)
+    m1 = cached_manifest(p)
+    part = next(f for f in os.listdir(p) if f.endswith(".parquet"))
+    alt = str(tmp_path / "alt")
+    spark.read.parquet(LINEITEM).limit(200).coalesce(1).write.parquet(alt)
+    alt_part = next(f for f in os.listdir(alt) if f.endswith(".parquet"))
+    shutil.copyfile(os.path.join(alt, alt_part), os.path.join(p, part))
+    m2 = cached_manifest(p)
+    assert m2 is not m1
+    assert m2[0]["rows"] == 200
