@@ -28,7 +28,10 @@ identifiers, double-quoted strings (non-ANSI mode), ``DIV``/``%``,
   implements Column-wise; semantics cited there)
 * spelling renames: ``UCASE/LCASE/MID`` → ``upper/lower/substring``
 * version comments ``/*!40101 … */`` execute their body (MySQL
-  behavior); plain comments pass through
+  behavior); ``--``-with-whitespace and ``/* */`` comments pass
+  through; ``#`` comments normalize to ``--`` (Spark doesn't lex
+  ``#``); ``--`` WITHOUT following whitespace is MySQL double
+  negation and splits into ``- -``
 
 The rewriter is tokenizer-based: string literals, backtick identifiers
 and comments are lexed first and NEVER rewritten, so a literal
