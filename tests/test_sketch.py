@@ -56,3 +56,42 @@ def test_cms_exact_without_collisions(spark):
     # wide sketch and 3 distinct keys, it must estimate 0
     probe = spark.createDataFrame([("zzz",)], "k string")
     assert cms_estimate(sketch, probe, "k", 4, 4096).collect()[0].est_n == 0
+
+
+def test_cms_builds_incrementally_on_stream(spark, sf_dir):
+    """The sketch is a plain groupBy aggregation, so Structured
+    Streaming incrementalizes it for free — the streaming heavy-hitter
+    path (complete mode; state = the fixed d×w matrix, never the keys)."""
+    import os
+    import shutil
+    import tempfile
+
+    from infinidb_spark.session import load_tables
+    from infinidb_spark.streaming.events import events_stream_from_directory
+
+    events = load_tables(spark, sf_dir, names=("events",))["events"].limit(2000)
+    workdir = tempfile.mkdtemp(prefix="infinidb_cms_stream_")
+    in_dir = os.path.join(workdir, "in")
+    try:
+        events.repartition(4).write.parquet(in_dir)
+        stream = events_stream_from_directory(spark, in_dir, max_files_per_trigger=1)
+        q = (
+            count_min_sketch(stream, "event_type", DEPTH, WIDTH)
+            .writeStream.format("memory")
+            .queryName("cms_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.j, r.bucket): r.counter
+            for r in spark.sql("select * from cms_stream").collect()
+        }
+        want = {
+            (r.j, r.bucket): r.counter
+            for r in count_min_sketch(events, "event_type", DEPTH, WIDTH).collect()
+        }
+        assert got == want  # stream converges to the batch sketch exactly
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
