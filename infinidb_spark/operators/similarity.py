@@ -149,6 +149,101 @@ def ann_lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """IVF index-build ("training") step: deterministic stride-sampled
+    centroids, returned driver-side as the model parameters.
+
+    This is the ONE deliberate collect in the similarity family and it is
+    bounded by construction: K = N/stride rows of dim floats — the
+    centroid table IS the trained model, shipped to executors as literals
+    (the broadcast-variable pattern), never the corpus.  In production
+    the centroids come from an offline k-means over a sample; the serving
+    plan (``ann_ivf_topk``) is identical either way.
+    """
+    rows = (
+        df.filter((F.col(id_col) % stride) == 0)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id as a pure projection — no join, no shuffle.
+
+    ``array_max`` over (rounded cosine, -cid) structs; ties break to the
+    lowest centroid id.  The cosine is rounded to 9 dp before the argmax
+    so the assignment decision is reproducible across engines (the same
+    pinning discipline as the corpus oracles).
+    """
+    entries = []
+    for cid, cv in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cv])
+        s = F.round(cosine_similarity(vec, c), 9)
+        entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
+    best = F.array_max(F.array(*entries))
+    return (-best["nc"]).cast("long")
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-Flat ANN: assign vectors to their nearest centroid, probe the
+    ``n_probe`` centroids nearest the query, exact-cosine rerank inside
+    the probed cells only.
+
+    Serving plan shape (the scale contract): scan → nearest-centroid
+    projection → ``cid IN probes`` filter → ``TakeOrderedAndProject``.
+    Zero joins, zero shuffles.  At 100 TB the assignment is materialized
+    once (``df.withColumn("cid", ivf_assign_expr(...)).write
+    .partitionBy("cid")``) and the probe filter prunes files before any
+    vector math runs — the IVF cell ≅ the reference's extent with its
+    casual-partition min/max (``dbcon/joblist/lbidlist.h:80``); recall
+    trades off against ``n_probe`` exactly as extent elimination trades
+    scan cost against filter selectivity.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, stride, vec_col, id_col)
+
+    # probe selection driver-side over the K-row model, same rounding and
+    # tie rules as the executor-side assignment
+    def _pycos(a: list[float], b: list[float]) -> float:
+        import math
+
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    q = [float(x) for x in query_vec]
+    ranked = sorted(
+        ((round(_pycos(q, cv), 9), -cid) for cid, cv in centroids), reverse=True
+    )
+    probes = [-nc for _s, nc in ranked[:n_probe]]
+
+    vec = F.col(vec_col).cast("array<double>")
+    qcol = F.array(*[F.lit(x) for x in q])
+    return (
+        df.withColumn("_cid", ivf_assign_expr(vec, centroids))
+        .filter(F.col("_cid").isin(probes))
+        .select(F.col(id_col), F.round(cosine_similarity(vec, qcol), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_dedup(
     df: DataFrame,
     threshold: float = 0.3,

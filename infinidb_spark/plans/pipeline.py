@@ -297,6 +297,48 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, _QUERY_VEC, k=10, n_planes=4)
 
 
+def _ivf_oracle_sql(k: int = 10, n_probe: int = 2, stride: int = 50) -> str:
+    """DuckDB oracle replaying the WHOLE IVF pipeline from the raw table:
+    the same stride-sampled centroids, the same 9-dp-rounded
+    nearest-centroid argmax (ties → lowest cid), the same top-``n_probe``
+    probe selection, the same exact-cosine rerank."""
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    c AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id % {stride} = 0),
+    asg AS (
+      SELECT v.vec_id, v.ev, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.ev, c.cv), 9) DESC, c.cid
+             ) AS rn
+      FROM v, c
+    ),
+    a1 AS (SELECT vec_id, ev, cid FROM asg WHERE rn = 1),
+    probes AS (
+      SELECT cid FROM c
+      ORDER BY round(list_cosine_similarity(cv, {_QV_SQL}), 9) DESC, cid
+      LIMIT {n_probe}
+    )
+    SELECT vec_id, round(list_cosine_similarity(ev, {_QV_SQL}), 6) AS cosine
+    FROM a1 JOIN probes USING (cid)
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle_sql())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN — the third member of the similarity family
+    (brute-force exact / LSH single-probe / IVF multi-probe).  Centroids
+    are stride-sampled (the deterministic stand-in for offline k-means);
+    serving is scan → assign-projection → probe filter → bounded-heap
+    top-k with zero joins and zero shuffles.  Hash-checked: the oracle
+    re-derives centroids, assignment, probes, and rerank from the raw
+    table in SQL."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50)
+
+
 def _embedding_dedup_oracle_sql() -> str:
     """DuckDB oracle for the full embedding-cosine dedup pipeline:
     hyperplane bucketing (plane literals), same-bucket cosine edges at

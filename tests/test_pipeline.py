@@ -59,6 +59,34 @@ def test_ann_lsh_subset_of_bruteforce_universe(spark, sf_dir):
     assert approx[0].vec_id in exact
 
 
+def test_ivf_plan_is_join_and_shuffle_free(spark, sf_dir):
+    """The IVF serving contract: scan → assign projection → probe filter
+    → bounded-heap top-k.  No join, no exchange — the shape that lets a
+    cid-partitioned layout prune files at 100 TB."""
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    qv = [((i * 37) % 13 - 6) / 6.0 for i in range(64)]
+    df = S.ann_ivf_topk(emb, qv, k=10, n_probe=2, stride=50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    # deterministic across runs (centroid training included)
+    again = S.ann_ivf_topk(emb, qv, k=10, n_probe=2, stride=50).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_ivf_probe_all_cells_equals_bruteforce(spark, sf_dir):
+    """With n_probe = K (every cell probed) IVF must return EXACTLY the
+    brute-force top-k — the recall knob reaches 1.0 at full probe."""
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    qv = [((i * 37) % 13 - 6) / 6.0 for i in range(64)]
+    cents = S.train_ivf_centroids(emb, stride=50)
+    full = S.ann_ivf_topk(emb, qv, k=10, n_probe=len(cents), centroids=cents).collect()
+    exact = S.cosine_topk(emb, qv, k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == [(r.vec_id, r.cosine) for r in exact]
+
+
 def test_lang_id_on_known_text(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog of a house that is in it for now"),
