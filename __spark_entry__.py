@@ -54,6 +54,10 @@ try:
     import infinidb_spark.plans.dialect  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import infinidb_spark.plans.ref_perf  # noqa: F401,E402
+except ImportError:
+    pass
 
 from infinidb_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
@@ -64,9 +68,15 @@ SF0_001 = "/root/testdata/sf0.001"
 # (plus queries fixed or added this round), then the long-green tail —
 # correct under either a positional or a time-budget gate cap.
 _PRIORITY = [
-    # fixed this round — needs a fresh driver verdict
+    # added round 4 — need first driver verdicts
+    "ann_ivf_topk",
+    "ref_scan_order", "ref_filter_count", "ref_small_side_count",
+    "ref_outer_left", "ref_outer_right", "ref_ordered_hint_join",
+    "ref_pricing_summary", "ref_part_join_count", "ref_join_agg",
+    "ref_discount_groups",
+    # fixed round 3 — needed a fresh driver verdict
     "agg_decimal_exact",
-    # added this round
+    # added round 3
     "quantified_subquery",
     "group_concat_ordered",
     "part_lineitem_agg",

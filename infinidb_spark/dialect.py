@@ -407,14 +407,79 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.extend(repl)
                     i = end
                     continue
+            if upper == "INFINIDB_ORDERED":
+                # The reference's join-order session hint, written as
+                # /*! INFINIDB_ORDERED */ in its own perf corpus
+                # (utils/scenarios/perf/sql/3/q4.3.sql) and read by the
+                # handler (ha_calpont_execplan.cpp:4126): forces the
+                # FROM-clause order as the join order.  Catalyst + AQE
+                # own join ordering here, so the hint is accepted and
+                # dropped; per-join control is available via Spark's
+                # /*+ BROADCAST/MERGE */ hints instead.
+                i += 1
+                continue
         out.append(toks[i])
         i += 1
     return out
 
 
+#: Words after which a single-quoted string is an OPERAND, not a MySQL
+#: expression alias (``SELECT count(*) 'Total'``).  Everything else —
+#: ``)``, identifiers, numbers, expression terminators like END/NULL —
+#: puts a following bare string in alias position.
+_ALIAS_BLOCKERS = frozenset(
+    """AND OR NOT XOR LIKE RLIKE REGEXP SOUNDS BETWEEN IN IS ESCAPE THEN
+    ELSE WHEN CASE BY FROM WHERE SELECT HAVING ON USING AS JOIN SET
+    VALUES DATE TIME TIMESTAMP INTERVAL BINARY COLLATE DIV MOD
+    SEPARATOR LIMIT OFFSET UNION ALL DISTINCT EXISTS IF RETURNING""".split()
+)
+
+#: Tokens that may FOLLOW an alias (select-list boundary).
+_ALIAS_FOLLOWERS = frozenset("FROM LIMIT UNION ORDER GROUP HAVING WHERE".split())
+
+
+def _prev_code(toks: list[Token], i: int) -> int | None:
+    for j in range(i - 1, -1, -1):
+        if toks[j][0] not in ("ws", "comment"):
+            return j
+    return None
+
+
+def _string_aliases(toks: list[Token]) -> list[Token]:
+    """MySQL allows a plain string literal as an expression alias
+    (``SELECT count(*) 'Small Side Join Count'`` — the reference's own
+    perf corpus uses this, utils/scenarios/perf/sql/110/q110.1.sql);
+    Spark requires an identifier.  Convert strings in alias position to
+    backtick identifiers.  Both neighbors are checked, so operand
+    strings (``BETWEEN 'a' AND 'b'``, ``IN ('a','b')``, adjacent-string
+    concatenation) are never touched."""
+    out = list(toks)
+    for idx, (k, t) in enumerate(out):
+        if k != "string" or not t.startswith("'"):
+            continue
+        p = _prev_code(out, idx)
+        if p is None:
+            continue
+        pk, pt = out[p]
+        prev_ok = (
+            (pk, pt) == ("sym", ")")
+            or pk in ("bident", "number")
+            or (pk == "word" and (pt.upper() == "AS" or pt.upper() not in _ALIAS_BLOCKERS))
+        )
+        nx = _next_code(out, idx + 1)
+        next_ok = (
+            nx is None
+            or out[nx] in (("sym", ","), ("sym", ";"))
+            or (out[nx][0] == "word" and out[nx][1].upper() in _ALIAS_FOLLOWERS)
+        )
+        if prev_ok and next_ok:
+            out[idx] = ("bident", "`" + _unquote(t).replace("`", "``") + "`")
+    return out
+
+
 def translate_mysql(sql: str) -> str:
     """MySQL-dialect SQL → Spark SQL (the ``getSelectPlan`` analog)."""
-    return render(_rewrite(tokenize(sql)))
+    return render(_string_aliases(_rewrite(tokenize(sql))))
 
 
 # ------------------------------------------------------- DML statements

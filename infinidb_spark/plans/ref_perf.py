@@ -1,0 +1,250 @@
+"""Reference perf-corpus twins — the reference's OWN test queries,
+executed through this engine's MySQL-dialect front-end.
+
+The reference validates itself with a numbered SQL corpus on the TPC-H
+schema (``utils/scenarios/perf/sql/<group>/*.sql``, driven by
+``perf/test/pfSubmitGroupTest.sh``; SURVEY §5).  Each query here is one
+of those files run as-is: the ORIGINAL MySQL text (cited per query) goes
+through ``translate_mysql`` — the mysqld-surface analog — and Spark SQL
+plans it.  A user of the reference can paste their group queries at this
+entry point unchanged.
+
+Two adaptations, applied uniformly and only where unavoidable:
+
+* **constants** (key ranges / date literals) are scaled to the driver
+  testdata's value domain — the reference files target a multi-hundred-
+  GB TPC-H install (``l_orderkey < 1000000`` on tables this testdata
+  doesn't reach); semantics and shape are untouched;
+* **aliases** are added to unaliased aggregate columns (``count(*)
+  cnt``) because the correctness gate matches result column NAMES;
+  MySQL's auto-generated header names aren't reproducible in either
+  engine.  Floating aggregates are round-pinned on both sides per the
+  corpus-wide determinism rules (plans/registry.py).
+
+Queries whose columns the driver testdata lacks (l_shipmode,
+l_receiptdate, l_commitdate, o_shippriority, partsupp.*) are out of
+scope — TESTDATA.md fixes the schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from infinidb_spark.dialect import translate_mysql
+from infinidb_spark.plans.registry import query
+from infinidb_spark.session import load_tables
+
+
+def _mysql(spark: SparkSession, sf_dir: str, text: str, *tables: str) -> DataFrame:
+    load_tables(spark, sf_dir, register=True, names=tables)
+    return spark.sql(translate_mysql(text))
+
+
+def _pin_doubles(df: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Round every double column to ``ndigits`` (identically mirrored in
+    the oracle text) so cross-engine summation-order drift can't flip
+    the value hash — the corpus determinism rule."""
+    return df.select(
+        *[
+            F.round(F.col(c), ndigits).alias(c) if t == "double" else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
+
+
+# --- group 1: scans + multi-key ORDER BY -------------------------------
+
+#: utils/scenarios/perf/sql/1/q2.3.1.1.1.sql (key range scaled)
+_SCAN_ORDER = """Select l_shipdate, l_orderkey, l_partkey from lineitem
+where l_orderkey < 1000 order by 1, 2, 3"""
+
+
+@query("ref_scan_order", oracle=_SCAN_ORDER)
+def ref_scan_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 1 (q2.3.1.1.1.sql): projection scan with
+    ordinal ORDER BY — through the MySQL front-end."""
+    return _mysql(spark, sf_dir, _SCAN_ORDER, "lineitem")
+
+
+# --- group 107: selective filter counts --------------------------------
+
+#: utils/scenarios/perf/sql/107/q107.1.sql (constants scaled; alias added)
+_FILTER_COUNT = """select count(*) cnt from orders
+where o_orderdate > '1997-08-01' and o_totalprice < 150000"""
+
+
+@query("ref_filter_count", oracle=_FILTER_COUNT)
+def ref_filter_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 107 (q107.1.sql): conjunctive range filter
+    + count — the pm-scan primitive shape."""
+    return _mysql(spark, sf_dir, _FILTER_COUNT, "orders")
+
+
+# --- group 110: small-side cardinality probe ---------------------------
+
+#: utils/scenarios/perf/sql/110/q110.1.sql VERBATIM — including the
+#: MySQL string-literal column alias the dialect layer must convert.
+_SMALL_SIDE = """select count(*) 'Small Side Join Count' from customer
+where c_acctbal > 9963 and c_nationkey < 5"""
+
+
+@query(
+    "ref_small_side_count",
+    oracle="""select count(*) AS "Small Side Join Count" from customer
+    where c_acctbal > 9963 and c_nationkey < 5""",
+)
+def ref_small_side_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 110 (q110.1.sql), byte-for-byte original
+    text: the broadcast-side cardinality probe, with MySQL's
+    string-literal alias (``count(*) 'Small Side Join Count'``)."""
+    return _mysql(spark, sf_dir, _SMALL_SIDE, "customer")
+
+
+# --- group 3: outer joins + the INFINIDB_ORDERED hint ------------------
+
+#: utils/scenarios/perf/sql/3/q4.6.1.sql VERBATIM
+_OUTER_LEFT = """select c_custkey, o_orderkey from customer
+left outer join orders on c_custkey = o_custkey
+where c_custkey < 10000 and c_nationkey = 4 order by 1, 2"""
+
+
+@query("ref_outer_left", oracle=_OUTER_LEFT)
+def ref_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 3 (q4.6.1.sql), original text: LARGEOUTER
+    join with a WHERE on the preserved side."""
+    return _mysql(spark, sf_dir, _OUTER_LEFT, "customer", "orders")
+
+
+#: utils/scenarios/perf/sql/3/q4.6.2.sql VERBATIM
+_OUTER_RIGHT = """select c_custkey, o_orderkey from customer
+right outer join orders on c_custkey = o_custkey
+where c_custkey < 10000 and c_nationkey = 4 order by 1, 2"""
+
+
+@query("ref_outer_right", oracle=_OUTER_RIGHT)
+def ref_outer_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 3 (q4.6.2.sql), original text: SMALLOUTER
+    (right outer) join — WHERE on c_* columns filters null-extended
+    rows, MySQL semantics preserved by both engines."""
+    return _mysql(spark, sf_dir, _OUTER_RIGHT, "customer", "orders")
+
+
+#: utils/scenarios/perf/sql/3/q4.3.sql (key range scaled) — keeps the
+#: /*! INFINIDB_ORDERED */ session hint the reference's corpus uses.
+_ORDERED_HINT = """Select /*! INFINIDB_ORDERED */ o_orderdate, o_custkey
+from orders,lineitem
+where l_partkey < 300 and l_orderkey = o_orderkey order by 1, 2"""
+
+
+@query(
+    "ref_ordered_hint_join",
+    oracle="""Select o_orderdate, o_custkey from orders,lineitem
+    where l_partkey < 300 and l_orderkey = o_orderkey order by 1, 2""",
+)
+def ref_ordered_hint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 3 (q4.3.sql): comma-join + equi predicate
+    with the reference's /*! INFINIDB_ORDERED */ join-order hint
+    (ha_calpont_execplan.cpp:4126) — accepted and delegated to
+    Catalyst/AQE by the dialect layer."""
+    return _mysql(spark, sf_dir, _ORDERED_HINT, "orders", "lineitem")
+
+
+# --- group 4: aggregate battery ----------------------------------------
+
+#: utils/scenarios/perf/sql/4/q4.8.9.sql VERBATIM — the reference's own
+#: TPC-H-Q1-style pricing summary (its aliases, its date literal).
+_REF_Q1 = """select
+\tl_returnflag,
+\tl_linestatus,
+\tsum(l_quantity) as sum_qty,
+\tsum(l_extendedprice) as sum_base_price,
+\tavg(l_quantity) as avg_qty,
+\tavg(l_extendedprice) as avg_price,
+\tavg(l_discount) as avg_disc,
+\tcount(*) as count_order
+from
+\tlineitem
+where
+\tl_shipdate <= date '1998-09-26'
+
+group by l_returnflag,
+\tl_linestatus
+order by
+\tl_returnflag,
+\tl_linestatus"""
+
+
+@query(
+    "ref_pricing_summary",
+    oracle=f"""SELECT l_returnflag, l_linestatus,
+    round(sum_qty, 6) AS sum_qty, round(sum_base_price, 6) AS sum_base_price,
+    round(avg_qty, 6) AS avg_qty, round(avg_price, 6) AS avg_price,
+    round(avg_disc, 6) AS avg_disc, count_order
+    FROM ({_REF_Q1})""",
+)
+def ref_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 4 (q4.8.9.sql), original text: the
+    reference's own pricing-summary aggregate battery (2-phase hash agg
+    over a date-filtered scan)."""
+    return _pin_doubles(_mysql(spark, sf_dir, _REF_Q1, "lineitem"))
+
+
+# --- group 5: part ⋈ lineitem selective count --------------------------
+
+#: utils/scenarios/perf/sql/5/q2.3.2.1.1.sql (date year scaled; alias
+#: added).  The join key is the file's own (p_partkey = l_suppkey).
+_PART_JOIN = """select count(*) cnt from part, lineitem
+\twhere p_retailprice < 913.65
+\tand  p_partkey = l_suppkey
+\tand l_shipdate < '1997-04-09'"""
+
+
+@query("ref_part_join_count", oracle=_PART_JOIN)
+def ref_part_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 5 (q2.3.2.1.1.sql): filtered dimension
+    broadcast-joined into a date-filtered fact scan, count only."""
+    return _mysql(spark, sf_dir, _PART_JOIN, "part", "lineitem")
+
+
+# --- group 200: the join+group-by workhorse ----------------------------
+
+#: utils/scenarios/perf/sql/200/week_scenario_jt_1.sql (constants
+#: scaled; aliases added to the unaliased count/avg columns).
+_JOIN_AGG = """select c_nationkey, count(*) cnt, sum(o_totalprice) Revenue,
+avg(c_acctbal) avg_bal
+from customer, orders
+where c_acctbal > 9000 and c_nationkey < 5
+and o_custkey = c_custkey
+and o_orderdate <= '1999-03-13'
+group by c_nationkey
+order by 1"""
+
+
+@query(
+    "ref_join_agg",
+    oracle=f"""SELECT c_nationkey, cnt, round(Revenue, 6) AS Revenue,
+    round(avg_bal, 6) AS avg_bal FROM ({_JOIN_AGG})""",
+)
+def ref_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 200 (week_scenario_jt_1.sql): the dwweek
+    scenario's daytime workhorse — selective dim filter, fact join,
+    group-by aggregate battery."""
+    return _pin_doubles(_mysql(spark, sf_dir, _JOIN_AGG, "customer", "orders"))
+
+
+# --- group 112: date-range group-by ------------------------------------
+
+#: utils/scenarios/perf/sql/112/q112.3.sql (dates scaled; alias added)
+_DISCOUNT_GROUPS = """select l_discount, count(*) cnt from lineitem
+where l_shipdate between '1995-12-01' and '1996-01-31'
+     group by 1 order by 1"""
+
+
+@query("ref_discount_groups", oracle=_DISCOUNT_GROUPS)
+def ref_discount_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 112 (q112.3.sql): date-range filter with
+    ordinal GROUP BY — the casual-partition elimination shape (the
+    l_shipdate range prunes extents in the reference, row groups /
+    manifest files here)."""
+    return _mysql(spark, sf_dir, _DISCOUNT_GROUPS, "lineitem")

@@ -36,6 +36,30 @@ def test_literals_and_comments_never_rewritten():
     assert "-- TO_DAYS(a)" in out
 
 
+def test_infinidb_ordered_hint_dropped():
+    # the reference's perf corpus writes /*! INFINIDB_ORDERED */ in the
+    # select list (utils/scenarios/perf/sql/3/q4.3.sql); the hint is
+    # accepted and dropped, never left as a bare token
+    out = translate_mysql("Select /*! INFINIDB_ORDERED */ a, b from t")
+    assert "INFINIDB_ORDERED" not in out
+    assert "a, b from t" in out
+
+
+def test_string_alias_becomes_backtick_identifier():
+    out = translate_mysql("select count(*) 'Total Count' from t")
+    assert "`Total Count`" in out and "'Total Count'" not in out
+    out = translate_mysql("select c_acctbal AS 'bal', c_name 'nm' from customer")
+    assert "`bal`" in out and "`nm`" in out
+    out = translate_mysql("select case when a=1 then 'x' else 'y' end 'flag' from t")
+    assert out.count("`flag`") == 1 and "'x'" in out and "'y'" in out
+
+
+def test_operand_strings_never_aliased():
+    sql = ("select 'lit', concat('a', 'b') from t where x in ('p','q') "
+           "and y between 'l' and 'h' and z like 'm%' and d > date '2020-01-01'")
+    assert translate_mysql(sql) == sql
+
+
 def test_version_comment_executes_body():
     out = translate_mysql("SELECT a /*!40101 , b */ FROM t /* plain */")
     assert ", b" in out and "/*!" not in out
