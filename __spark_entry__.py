@@ -73,7 +73,7 @@ _PRIORITY = [
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",
     "ref_outer_left", "ref_outer_right", "ref_ordered_hint_join",
     "ref_pricing_summary", "ref_part_join_count", "ref_join_agg",
-    "ref_discount_groups",
+    "ref_discount_groups", "mysql_ddl_alter",
     # fixed round 3 — needed a fresh driver verdict
     "agg_decimal_exact",
     # added round 3

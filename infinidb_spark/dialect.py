@@ -537,7 +537,124 @@ def parse_statement(sql: str) -> dict:
         return _parse_create(toks, i)
     if kind in ("DROP", "TRUNCATE"):
         return _parse_drop_truncate(toks, i, kind)
+    if kind == "ALTER":
+        return _parse_alter(toks, i)
     return {"kind": "select", "sql": render(toks)}
+
+
+#: MySQL column type → Spark SQL type (SURVEY §1.2 mapping; reference
+#: enum `dbcon/execplan/calpontsystemcatalog.h:129-158`).  Display
+#: widths are ignored; UNSIGNED widens per the survey (Spark has no
+#: unsigned integers).
+_MYSQL_TYPES = {
+    "BIT": "boolean", "BOOLEAN": "boolean", "BOOL": "boolean",
+    "TINYINT": ("tinyint", "smallint"), "SMALLINT": ("smallint", "int"),
+    "MEDIUMINT": ("int", "int"), "INT": ("int", "bigint"),
+    "INTEGER": ("int", "bigint"), "BIGINT": ("bigint", "decimal(20,0)"),
+    "FLOAT": "float", "DOUBLE": "double", "REAL": "double",
+    "CHAR": "string", "VARCHAR": "string", "TEXT": "string",
+    "TINYTEXT": "string", "MEDIUMTEXT": "string", "LONGTEXT": "string",
+    "DATE": "date", "DATETIME": "timestamp", "TIMESTAMP": "timestamp",
+    "TIME": "string", "VARBINARY": "binary", "BLOB": "binary",
+    "CLOB": "string",
+}
+
+
+def _parse_mysql_type(toks: list[Token], i: int | None) -> tuple[str, int]:
+    """Parse a MySQL column type at ``i`` → (spark_type, next_index)."""
+    if i is None or toks[i][0] != "word":
+        raise DialectError("expected a column type")
+    name = toks[i][1].upper()
+    args: list[str] = []
+    j = _next_code(toks, i + 1)
+    if j is not None and toks[j] == ("sym", "("):
+        close = _match_paren(toks, j)
+        args = [render(a).strip() for a in _split_args(toks[j + 1 : close])]
+        j = _next_code(toks, close + 1)
+    unsigned = False
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() in ("UNSIGNED", "SIGNED"):
+        unsigned = toks[j][1].upper() == "UNSIGNED"
+        j = _next_code(toks, j + 1)
+    if name in ("DECIMAL", "NUMERIC"):
+        p = args[0] if args else "10"
+        s = args[1] if len(args) > 1 else "0"
+        return f"decimal({p},{s})", j if j is not None else len(toks)
+    spark = _MYSQL_TYPES.get(name)
+    if spark is None:
+        raise DialectError(f"unsupported column type {name}")
+    if isinstance(spark, tuple):
+        spark = spark[1] if unsigned else spark[0]
+    return spark, j if j is not None else len(toks)
+
+
+def _parse_alter(toks: list[Token], i: int) -> dict:
+    """ALTER TABLE <name> <action> [, <action>]* — the reference's DDL
+    surface (`dbcon/ddlpackage/ddl.y:477-560`): ADD [COLUMN], DROP
+    [COLUMN], MODIFY [COLUMN], CHANGE [COLUMN] old new type, RENAME TO.
+    Column options beyond DEFAULT <literal> (NOT NULL, COMMENT, ...) are
+    accepted and ignored where harmless or rejected where semantic."""
+    j = _next_code(toks, i + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "TABLE":
+        raise DialectError("only ALTER TABLE is supported")
+    j = _next_code(toks, j + 1)
+    table, j = _expect_ident(toks, j, "table name after ALTER TABLE")
+    actions = []
+    for part in _split_args(toks[j + 1 :]):
+        k = _next_code(part, 0)
+        if k is None:
+            raise DialectError("empty ALTER action")
+        verb = part[k][1].upper() if part[k][0] == "word" else ""
+
+        def skip_col_kw(idx):
+            n = _next_code(part, idx)
+            if n is not None and part[n][0] == "word" and part[n][1].upper() == "COLUMN":
+                n = _next_code(part, n + 1)
+            return n
+
+        if verb == "RENAME":
+            n = _next_code(part, k + 1)
+            if n is not None and part[n][0] == "word" and part[n][1].upper() == "TO":
+                n = _next_code(part, n + 1)
+            new, _ = _expect_ident(part, n, "new table name after RENAME TO")
+            actions.append({"op": "rename_table", "new": new})
+        elif verb == "ADD":
+            n = skip_col_kw(k + 1)
+            col, n = _expect_ident(part, n, "column name after ADD")
+            typ, n = _parse_mysql_type(part, _next_code(part, n + 1))
+            default = None
+            while n is not None and n < len(part) and part[n][0] == "word":
+                w = part[n][1].upper()
+                if w == "DEFAULT":
+                    dflt_toks = part[_next_code(part, n + 1) :]
+                    default = render(dflt_toks).strip()
+                    n = len(part)
+                elif w in ("NULL", "NOT"):  # NOT NULL / NULL accepted, not enforced
+                    n = _next_code(part, n + 1)
+                else:
+                    raise DialectError(f"unsupported ADD COLUMN option {w}")
+            if default is not None and default.upper() == "NULL":
+                default = None
+            actions.append({"op": "add", "column": col, "type": typ, "default": default})
+        elif verb == "DROP":
+            n = skip_col_kw(k + 1)
+            col, _ = _expect_ident(part, n, "column name after DROP")
+            actions.append({"op": "drop", "column": col})
+        elif verb == "MODIFY":
+            n = skip_col_kw(k + 1)
+            col, n = _expect_ident(part, n, "column name after MODIFY")
+            typ, _ = _parse_mysql_type(part, _next_code(part, n + 1))
+            actions.append({"op": "modify", "column": col, "type": typ})
+        elif verb == "CHANGE":
+            n = skip_col_kw(k + 1)
+            old, n = _expect_ident(part, n, "old column name after CHANGE")
+            new, n = _expect_ident(part, _next_code(part, n + 1), "new column name")
+            typ, _ = _parse_mysql_type(part, _next_code(part, n + 1))
+            actions.append({"op": "change", "old": old, "new": new, "type": typ})
+        else:
+            raise DialectError(f"unsupported ALTER action {verb}")
+    if not actions:
+        raise DialectError("ALTER TABLE requires at least one action")
+    return {"kind": "alter", "table": table, "actions": actions}
 
 
 def _parse_insert(toks: list[Token], i: int) -> dict:

@@ -111,7 +111,7 @@ def update_table(
     """
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(table_dir)
+    df = read_table(spark, table_dir)
     n = df.filter(condition).count()
     updated = df
     dtypes = {f.name: f.dataType for f in df.schema.fields}
@@ -180,7 +180,7 @@ def _pruned_rewrite(
             os.link(entry["file"], os.path.join(new_dir, os.path.basename(entry["file"])))
     n = 0
     if touched:
-        df = spark.read.parquet(*sorted(touched))
+        df = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
         new_df, n = transform(df, cond)
         # append alongside the hard links — part-file names are unique
         new_df.write.mode("append").parquet(new_dir)
@@ -230,6 +230,92 @@ def delete_from_pruned(
     return _pruned_rewrite(spark, table_dir, predicates, transform)
 
 
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read a managed table with schema merging across part files.
+
+    Needed because metadata-only ADD COLUMN (below) leaves older files
+    without the new column; Parquet footer merging resolves the union
+    schema and older rows surface NULLs.  At 100 TB a metastore/
+    transaction log holds the schema instead of per-file footers — for
+    the scratch-table sizes managed tables serve, footer merging is
+    fine.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(table_dir)
+
+
+def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
+    """ALTER TABLE, one action (reference DDL surface
+    ``dbcon/ddlpackage/ddl.y:477-560``: AtaAddColumn, AtaDropColumn,
+    AtaModifyColumnType, AtaRenameColumn).
+
+    Scale design: ``ADD COLUMN`` with a NULL default is METADATA-ONLY —
+    every existing file is hard-linked into the new version and one
+    zero-row file carries the widened schema (old rows read as NULL via
+    schema merge); no data is rewritten at any table size.  Type-
+    changing actions (MODIFY/CHANGE/non-NULL DEFAULT) and DROP must
+    materialize new values, so they are copy-on-write rewrites — same
+    contract as UPDATE.
+    """
+    from pyspark.sql import functions as F
+
+    op = action["op"]
+    real = os.path.realpath(table_dir.rstrip("/"))
+    flat = not any(
+        os.path.isdir(os.path.join(real, f))
+        for f in os.listdir(real)
+        if not f.startswith(("_", "."))
+    )
+    if op == "add" and action.get("default") is None and flat:
+        df = read_table(spark, table_dir)
+        if action["column"] in df.columns:
+            raise ValueError(f"column {action['column']!r} already exists")
+        widened = df.limit(0).withColumn(
+            action["column"], F.lit(None).cast(action["type"])
+        )
+        new_dir = _new_version_dir(table_dir)
+        os.makedirs(new_dir)
+        for f in os.listdir(real):
+            if not f.startswith(("_", ".")):
+                os.link(os.path.join(real, f), os.path.join(new_dir, f))
+        widened.write.mode("append").parquet(new_dir)
+        _swap(table_dir, new_dir)
+        return
+
+    df = read_table(spark, table_dir)
+    if op == "add":
+        if action["column"] in df.columns:
+            raise ValueError(f"column {action['column']!r} already exists")
+        dflt = action.get("default")
+        out = df.withColumn(
+            action["column"],
+            (F.expr(dflt) if dflt is not None else F.lit(None)).cast(action["type"]),
+        )
+    elif op == "drop":
+        if action["column"] not in df.columns:
+            raise ValueError(f"no such column {action['column']!r}")
+        out = df.drop(action["column"])
+    elif op == "modify":
+        out = df.withColumn(action["column"], F.col(action["column"]).cast(action["type"]))
+    elif op == "change":
+        out = df.withColumn(
+            action["old"], F.col(action["old"]).cast(action["type"])
+        ).withColumnRenamed(action["old"], action["new"])
+    else:
+        raise ValueError(f"unknown ALTER action {op!r}")
+    new_dir = _new_version_dir(table_dir)
+    out.write.mode("overwrite").parquet(new_dir)
+    _swap(table_dir, new_dir)
+
+
+def rename_table(table_dir: str, new_dir: str) -> None:
+    """ALTER TABLE ... RENAME TO — move the live pointer (symlink or
+    plain directory).  The link target is version-dir BASENAME-relative
+    (same parent), so renaming only the link preserves resolution."""
+    if os.path.lexists(new_dir):
+        raise ValueError(f"target {new_dir!r} already exists")
+    os.rename(table_dir.rstrip("/"), new_dir.rstrip("/"))
+
+
 def delete_from(spark: SparkSession, table_dir: str, condition: Column) -> int:
     """DELETE FROM <table> WHERE <condition>; returns rows deleted.
 
@@ -240,7 +326,7 @@ def delete_from(spark: SparkSession, table_dir: str, condition: Column) -> int:
     """
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(table_dir)
+    df = read_table(spark, table_dir)
     cond_true = F.coalesce(condition, F.lit(False))
     n = df.filter(cond_true).count()
     kept = df.filter(~cond_true)

@@ -86,3 +86,57 @@ def dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "mysql_ddl_alter",
+    oracle="""
+    -- relational equivalent of the ALTER sequence:
+    --   ADD note VARCHAR (NULL), UPDATE fills r<region> for region<3,
+    --   ADD flag INT DEFAULT 7, CHANGE note remark, MODIFY flag BIGINT,
+    --   DROP n_name, RENAME TO target name
+    WITH final AS (
+      SELECT n_nationkey, n_regionkey,
+             CASE WHEN n_regionkey < 3 THEN 'r' || CAST(n_regionkey AS VARCHAR) END AS remark,
+             CAST(7 AS BIGINT) AS flag
+      FROM nation
+    )
+    SELECT coalesce(remark, '~none~') AS remark,
+           count(*) AS n,
+           CAST(sum(flag) AS BIGINT) AS flag_sum,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM final GROUP BY 1
+    """,
+)
+def mysql_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ALTER TABLE surface (`dbcon/ddlpackage/ddl.y:477`:
+    AtaAddColumn / AtaRenameColumn / AtaModifyColumnType / AtaDropColumn
+    / RENAME TO) executed as MySQL text through InfiniSession.execute on
+    a managed table; the end state is hash-checked against the oracle's
+    relational equivalent.  ADD COLUMN with NULL default is metadata-only
+    (hard-linked files + a schema-carrying empty file; operators/dml.py
+    alter_table)."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    load_tables(spark, sf_dir, names=("nation",))
+    try:
+        sess.execute("CREATE TABLE alter_t AS SELECT n_nationkey, n_name, n_regionkey FROM nation")
+        sess.execute("ALTER TABLE alter_t ADD COLUMN note VARCHAR(20)")
+        sess.execute("UPDATE alter_t SET note = concat('r', n_regionkey) WHERE n_regionkey < 3")
+        sess.execute("ALTER TABLE alter_t ADD flag INT DEFAULT 7, CHANGE note remark VARCHAR(40)")
+        sess.execute("ALTER TABLE alter_t MODIFY flag BIGINT")
+        sess.execute("ALTER TABLE alter_t DROP COLUMN n_name")
+        sess.execute("ALTER TABLE alter_t RENAME TO alter_done")
+        out = sess.sql(
+            """SELECT coalesce(remark, '~none~') AS remark, count(*) AS n,
+                      sum(flag) AS flag_sum, sum(n_nationkey) AS key_sum
+               FROM alter_done GROUP BY 1"""
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        if sess._managed_root:
+            shutil.rmtree(sess._managed_root, ignore_errors=True)

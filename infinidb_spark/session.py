@@ -194,7 +194,11 @@ class InfiniSession:
         return path
 
     def _refresh(self, name: str) -> None:
-        df = self.spark.read.parquet(self._managed[name])
+        from infinidb_spark.operators.dml import read_table
+
+        # schema-merged read: metadata-only ADD COLUMN leaves older part
+        # files without the new column (operators/dml.py alter_table)
+        df = read_table(self.spark, self._managed[name])
         df.createOrReplaceTempView(name)
         self.tables[name] = df
 
@@ -209,6 +213,7 @@ class InfiniSession:
         from infinidb_spark.operators.dml import (
             delete_from,
             insert_into,
+            read_table,
             update_table,
         )
 
@@ -243,7 +248,7 @@ class InfiniSession:
                 self._managed.pop(st["table"])
                 self.tables.pop(st["table"], None)
                 return 0
-            empty = self.spark.read.parquet(path).limit(0)
+            empty = read_table(self.spark, path).limit(0)
             from infinidb_spark.operators.dml import create_table
 
             # materialize the empty relation first — create_table's
@@ -258,9 +263,26 @@ class InfiniSession:
                 f"{st['table']!r} is not a managed table — create_table_as() first "
                 "(sf_dir source tables are read-only)"
             )
+        if st["kind"] == "alter":
+            from infinidb_spark.operators.dml import alter_table, rename_table
+
+            name = st["table"]
+            for action in st["actions"]:
+                if action["op"] == "rename_table":
+                    new_path = os.path.join(os.path.dirname(path), action["new"])
+                    rename_table(path, new_path)
+                    self.spark.catalog.dropTempView(name)
+                    self._managed.pop(name)
+                    self.tables.pop(name, None)
+                    name, path = action["new"], new_path
+                    self._managed[name] = path
+                else:
+                    alter_table(self.spark, path, action)
+            self._refresh(name)
+            return 0
         if st["kind"] == "insert":
             src = self.spark.sql(st["select_sql"])
-            target = self.spark.read.parquet(path).schema
+            target = read_table(self.spark, path).schema
             # positional when no column list (MySQL full-row form),
             # else named with NULL-filled, type-coerced gaps
             if st["columns"]:
@@ -282,9 +304,9 @@ class InfiniSession:
             )
             # footer-sum counts before/after: the source query runs only
             # once (inside the write), never twice
-            before = self.spark.read.parquet(path).count()
+            before = read_table(self.spark, path).count()
             insert_into(aligned, path)
-            n = self.spark.read.parquet(path).count() - before
+            n = read_table(self.spark, path).count() - before
         elif st["kind"] == "update":
             n = update_table(
                 self.spark,

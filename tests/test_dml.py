@@ -222,3 +222,85 @@ def test_pruned_dml_requires_predicates(spark, clustered_lineitem_table):
 
     with pytest.raises(ValueError, match="at least one predicate"):
         delete_from_pruned(spark, clustered_lineitem_table, [])
+
+
+def test_alter_add_null_column_is_metadata_only(spark, nation_table):
+    """ADD COLUMN with NULL default must hard-link every existing file
+    (inode-identical — zero data rewritten) and surface NULLs for old
+    rows via schema merge."""
+    from infinidb_spark.operators.dml import alter_table, read_table
+
+    real0 = os.path.realpath(nation_table)
+    inodes0 = {
+        f: os.stat(os.path.join(real0, f)).st_ino
+        for f in os.listdir(real0)
+        if f.endswith(".parquet")
+    }
+    alter_table(spark, nation_table, {"op": "add", "column": "note", "type": "string"})
+    real1 = os.path.realpath(nation_table)
+    assert real1 != real0  # new version dir, atomically swapped
+    inodes1 = {
+        f: os.stat(os.path.join(real1, f)).st_ino
+        for f in os.listdir(real1)
+        if f.endswith(".parquet")
+    }
+    for f, ino in inodes0.items():
+        assert inodes1.get(f) == ino, "existing file was rewritten, not hard-linked"
+    df = read_table(spark, nation_table)
+    assert dict(df.dtypes)["note"] == "string"
+    assert df.filter(F.col("note").isNull()).count() == df.count()
+
+
+def test_alter_modify_change_drop(spark, nation_table):
+    from infinidb_spark.operators.dml import alter_table, read_table
+
+    alter_table(
+        spark, nation_table,
+        {"op": "add", "column": "flag", "type": "int", "default": "5"},
+    )
+    alter_table(spark, nation_table, {"op": "modify", "column": "flag", "type": "bigint"})
+    alter_table(
+        spark, nation_table,
+        {"op": "change", "old": "flag", "new": "marker", "type": "bigint"},
+    )
+    alter_table(spark, nation_table, {"op": "drop", "column": "n_name"})
+    df = read_table(spark, nation_table)
+    assert dict(df.dtypes) == {
+        "n_nationkey": "int", "n_regionkey": "int", "marker": "bigint"
+    }
+    assert df.filter(F.col("marker") == 5).count() == df.count()
+    with pytest.raises(ValueError, match="already exists"):
+        alter_table(spark, nation_table, {"op": "add", "column": "marker", "type": "int"})
+    with pytest.raises(ValueError, match="no such column"):
+        alter_table(spark, nation_table, {"op": "drop", "column": "ghost"})
+
+
+def test_parse_alter_statements():
+    from infinidb_spark.dialect import DialectError, parse_statement
+
+    st = parse_statement(
+        "ALTER TABLE t ADD COLUMN note VARCHAR(20), DROP COLUMN old, "
+        "MODIFY n BIGINT UNSIGNED, CHANGE a b DECIMAL(10,2), RENAME TO t2"
+    )
+    assert st["kind"] == "alter" and st["table"] == "t"
+    assert st["actions"] == [
+        {"op": "add", "column": "note", "type": "string", "default": None},
+        {"op": "drop", "column": "old"},
+        {"op": "modify", "column": "n", "type": "decimal(20,0)"},
+        {"op": "change", "old": "a", "new": "b", "type": "decimal(10,2)"},
+        {"op": "rename_table", "new": "t2"},
+    ]
+    st = parse_statement("ALTER TABLE t ADD flag INT DEFAULT 7")
+    assert st["actions"] == [
+        {"op": "add", "column": "flag", "type": "int", "default": "7"}
+    ]
+    # DEFAULT NULL normalizes to the metadata-only path
+    st = parse_statement("ALTER TABLE t ADD c DATETIME DEFAULT NULL")
+    assert st["actions"][0]["default"] is None
+    assert st["actions"][0]["type"] == "timestamp"
+    import pytest as _pytest
+
+    with _pytest.raises(DialectError):
+        parse_statement("ALTER TABLE t ADD c FANCYTYPE")
+    with _pytest.raises(DialectError):
+        parse_statement("ALTER VIEW v ADD c INT")
