@@ -711,21 +711,52 @@ def _parse_update(toks: list[Token], i: int) -> dict:
 
 def _parse_create(toks: list[Token], i: int) -> dict:
     """CREATE TABLE <name> AS <select> (DDL grammar analog:
-    `dbcon/ddlpackage/ddl.y:280-296`).  Column-typed CREATE (no AS) is
-    not supported — the engine is schema-on-read over Parquet."""
+    `dbcon/ddlpackage/ddl.y:280-296`) and CREATE [OR REPLACE] VIEW
+    <name> AS <select> (views are first-class in the reference, merged
+    into the plan at translate time — `dbcon/mysql/ha_view.cpp`).
+    Column-typed CREATE (no AS) is not supported — the engine is
+    schema-on-read over Parquet."""
     j = _next_code(toks, i + 1)
-    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "TABLE":
-        raise DialectError("only CREATE TABLE is supported")
+    or_replace = False
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "OR":
+        nxt = _next_code(toks, j + 1)
+        if nxt is None or toks[nxt][1].upper() != "REPLACE":
+            raise DialectError("expected REPLACE after CREATE OR")
+        or_replace = True
+        j = _next_code(toks, nxt + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() not in ("TABLE", "VIEW"):
+        raise DialectError("only CREATE [OR REPLACE] TABLE/VIEW is supported")
+    obj = toks[j][1].upper()
+    if obj == "TABLE" and or_replace:
+        raise DialectError("CREATE OR REPLACE TABLE is not supported")
     j = _next_code(toks, j + 1)
-    table, j = _expect_ident(toks, j, "table name after CREATE TABLE")
+    table, j = _expect_ident(toks, j, f"name after CREATE {obj}")
     j = _next_code(toks, j + 1)
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "AS":
-        raise DialectError("CREATE TABLE requires AS SELECT (CTAS)")
-    return {"kind": "create", "table": table, "select_sql": render(toks[j + 1 :]).strip()}
+        raise DialectError(f"CREATE {obj} requires AS SELECT")
+    select_sql = render(toks[j + 1 :]).strip()
+    if obj == "VIEW":
+        return {
+            "kind": "create_view",
+            "table": table,
+            "select_sql": select_sql,
+            "or_replace": or_replace,
+        }
+    return {"kind": "create", "table": table, "select_sql": select_sql}
 
 
 def _parse_drop_truncate(toks: list[Token], i: int, kind: str) -> dict:
     j = _next_code(toks, i + 1)
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "VIEW":
+        j = _next_code(toks, j + 1)
+        if_exists = False
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "IF":
+            nxt = _next_code(toks, j + 1)
+            if nxt is not None and toks[nxt][1].upper() == "EXISTS":
+                if_exists = True
+                j = _next_code(toks, nxt + 1)
+        view, _ = _expect_ident(toks, j, "view name after DROP VIEW")
+        return {"kind": "drop_view", "table": view, "if_exists": if_exists}
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "TABLE":
         j = _next_code(toks, j + 1)
     if_exists = False

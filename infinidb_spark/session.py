@@ -224,6 +224,21 @@ class InfiniSession:
             return self.spark.sql(st["sql"])
         if st["kind"] == "explain":
             return self.explain(st["sql"])
+        if st["kind"] == "create_view":
+            # views merge into the plan at translate time, exactly the
+            # reference's View handling (dbcon/mysql/ha_view.cpp) — a
+            # temp view IS a named logical subplan in Spark
+            if not st["or_replace"] and st["table"] in [
+                v.name for v in self.spark.catalog.listTables() if v.tableType == "TEMPORARY"
+            ]:
+                raise ValueError(f"view {st['table']!r} already exists (use OR REPLACE)")
+            self.spark.sql(st["select_sql"]).createOrReplaceTempView(st["table"])
+            return 0
+        if st["kind"] == "drop_view":
+            dropped = self.spark.catalog.dropTempView(st["table"])
+            if not dropped and not st["if_exists"]:
+                raise KeyError(f"no such view {st['table']!r}")
+            return 0
         if st["kind"] == "create":
             # count AFTER materializing (Parquet footer sum — metadata
             # only) so the source query runs exactly once
