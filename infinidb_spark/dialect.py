@@ -539,7 +539,68 @@ def parse_statement(sql: str) -> dict:
         return _parse_drop_truncate(toks, i, kind)
     if kind == "ALTER":
         return _parse_alter(toks, i)
+    if kind == "SELECT":
+        adm = _parse_admin(toks, i)
+        if adm is not None:
+            return adm
     return {"kind": "select", "sql": render(toks)}
+
+
+#: The reference's administrative UDFs, registered into mysqld and
+#: invoked as ``select calfoo(...)`` (`dbcon/mysql/ha_calpont_impl.cpp:
+#: 1713-2254`, `ha_calpont_partition.cpp:854-1160`).  A SELECT whose
+#: entire select-list is one of these calls with literal arguments is an
+#: ADMIN statement, routed to the session's admin dispatcher rather
+#: than planned as a query.
+_ADMIN_FUNCS = frozenset(
+    {
+        "calshowpartitions",
+        "caldisablepartitions",
+        "calenablepartitions",
+        "caldroppartitions",
+        "calflushcache",
+        "calsettrace",
+        "calgettrace",
+        "calgetstats",
+        "calviewtablelock",
+        "calcleartablelock",
+    }
+)
+
+
+def _parse_admin(toks: list[Token], i: int) -> dict | None:
+    """``SELECT cal<admin>('a', 'b', ...)`` → {"kind": "admin", "func",
+    "args"} — or None if the statement is a real query (any FROM,
+    non-literal args, extra select-list items)."""
+    j = _next_code(toks, i + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].lower() not in _ADMIN_FUNCS:
+        return None
+    name = toks[j][1].lower()
+    k = _next_code(toks, j + 1)
+    if k is None or toks[k] != ("sym", "("):
+        return None
+    try:
+        close = _match_paren(toks, k)
+    except DialectError:
+        return None
+    args: list = []
+    for part in _split_args(toks[k + 1 : close]):
+        codes = [t for t in part if t[0] not in ("ws", "comment")]
+        if not codes:
+            continue
+        if len(codes) != 1:
+            return None
+        knd, text = codes[0]
+        if knd == "string":
+            args.append(_unquote(text))
+        elif knd == "number":
+            args.append(int(text) if text.isdigit() else float(text))
+        else:
+            return None
+    rest = _next_code(toks, close + 1)
+    if rest is not None and toks[rest] != ("sym", ";"):
+        return None
+    return {"kind": "admin", "func": name, "args": args}
 
 
 #: MySQL column type → Spark SQL type (SURVEY §1.2 mapping; reference

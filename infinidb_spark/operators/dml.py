@@ -38,15 +38,88 @@ column — Spark prunes those natively.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
 def _new_version_dir(table_dir: str) -> str:
     return table_dir.rstrip("/") + f".__v{uuid.uuid4().hex[:12]}__"
+
+
+# --- table locks -------------------------------------------------------
+# The reference serializes DML/bulk-load per table through DMLProc's
+# lock table, inspectable with calviewtablelock() and recoverable with
+# calcleartablelock(id) after a crash (`dbcon/mysql/ha_calpont_impl.cpp:
+# 1966-2061`).  Analog: an O_EXCL lock file `<table>.__lock__` held for
+# the duration of a rewrite; a crash leaves it behind exactly like a
+# dangling DMLProc lock, and clear_table_lock is the manual recovery.
+
+
+def _lock_path(table_dir: str) -> str:
+    return table_dir.rstrip("/") + ".__lock__"
+
+
+@contextmanager
+def _table_lock(table_dir: str, op: str):
+    path = _lock_path(table_dir)
+    payload = {
+        # integer id — the reference's calcleartablelock takes the
+        # lockID as an INT argument
+        "lock_id": uuid.uuid4().int % 1_000_000_000,
+        "table": os.path.basename(table_dir.rstrip("/")),
+        "op": op,
+        "pid": os.getpid(),
+        "since": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        with open(path) as fh:
+            holder = json.load(fh)
+        raise RuntimeError(
+            f"table {payload['table']!r} is locked by {holder.get('op')} "
+            f"(lock_id {holder.get('lock_id')}, pid {holder.get('pid')}) — "
+            "calcleartablelock to clear a stale lock"
+        ) from None
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh)
+        yield
+    finally:
+        if os.path.exists(path):
+            os.remove(path)
+
+
+def view_table_locks(root: str, table: str | None = None) -> list[dict]:
+    """Active lock records under a managed-table root
+    (calviewtablelock's listing)."""
+    out = []
+    for f in sorted(os.listdir(root)):
+        if f.endswith(".__lock__"):
+            with open(os.path.join(root, f)) as fh:
+                rec = json.load(fh)
+            if table is None or rec.get("table") == table:
+                out.append(rec)
+    return out
+
+
+def clear_table_lock(root: str, lock_id) -> str:
+    """Remove a (stale) lock by id — calcleartablelock's recovery path."""
+    for f in os.listdir(root):
+        if f.endswith(".__lock__"):
+            p = os.path.join(root, f)
+            with open(p) as fh:
+                rec = json.load(fh)
+            if str(rec.get("lock_id")) == str(lock_id):
+                os.remove(p)
+                return f"Lock {lock_id} is cleared"
+    return f"No lock with id {lock_id}"
 
 
 def _swap(table_dir: str, new_dir: str) -> None:
@@ -111,19 +184,23 @@ def update_table(
     """
     from pyspark.sql import functions as F
 
-    df = read_table(spark, table_dir)
-    n = df.filter(condition).count()
-    updated = df
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
-    for col_name, expr in assignments.items():
-        # SET keeps the column's declared type (MySQL semantics)
-        updated = updated.withColumn(
-            col_name,
-            F.when(condition, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
-        )
-    new_dir = _new_version_dir(table_dir)
-    updated.write.mode("overwrite").parquet(new_dir)
-    _swap(table_dir, new_dir)
+    from infinidb_spark.operators.partitions import carry_disabled
+
+    with _table_lock(table_dir, "UPDATE"):
+        df = read_table(spark, table_dir)
+        n = df.filter(condition).count()
+        updated = df
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        for col_name, expr in assignments.items():
+            # SET keeps the column's declared type (MySQL semantics)
+            updated = updated.withColumn(
+                col_name,
+                F.when(condition, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
+            )
+        new_dir = _new_version_dir(table_dir)
+        updated.write.mode("overwrite").parquet(new_dir)
+        carry_disabled(table_dir, new_dir)
+        _swap(table_dir, new_dir)
     return n
 
 
@@ -167,24 +244,31 @@ def _pruned_rewrite(
             "partitioned table, filter on the partition column instead "
             "(Spark prunes those directories natively)"
         )
-    manifest = build_manifest(real)
-    if not manifest:
+    from infinidb_spark.operators.partitions import carry_disabled, disabled_partitions
+
+    off = disabled_partitions(table_dir)
+    manifest = [
+        e for e in build_manifest(real) if os.path.basename(e["file"]) not in off
+    ]
+    if not manifest and not off:
         return 0
     touched = set(prune(manifest, predicates))
     cond = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
 
-    new_dir = _new_version_dir(table_dir)
-    os.makedirs(new_dir)
-    for entry in manifest:
-        if entry["file"] not in touched:
-            os.link(entry["file"], os.path.join(new_dir, os.path.basename(entry["file"])))
-    n = 0
-    if touched:
-        df = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
-        new_df, n = transform(df, cond)
-        # append alongside the hard links — part-file names are unique
-        new_df.write.mode("append").parquet(new_dir)
-    _swap(table_dir, new_dir)
+    with _table_lock(table_dir, "DML"):
+        new_dir = _new_version_dir(table_dir)
+        os.makedirs(new_dir)
+        for entry in manifest:
+            if entry["file"] not in touched:
+                os.link(entry["file"], os.path.join(new_dir, os.path.basename(entry["file"])))
+        n = 0
+        if touched:
+            df = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
+            new_df, n = transform(df, cond)
+            # append alongside the hard links — part-file names are unique
+            new_df.write.mode("append").parquet(new_dir)
+        carry_disabled(table_dir, new_dir)
+        _swap(table_dir, new_dir)
     return n
 
 
@@ -239,7 +323,20 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     transaction log holds the schema instead of per-file footers — for
     the scratch-table sizes managed tables serve, footer merging is
     fine.
+
+    Partitions marked out of service (operators/partitions.py) are
+    excluded at PLAN time — their files never become input splits, the
+    same way the BRM filters EXTENTOUTOFSERVICE extents before job
+    dispatch.
     """
+    from infinidb_spark.operators.partitions import disabled_partitions, enabled_files
+
+    if disabled_partitions(table_dir):
+        files = enabled_files(table_dir)
+        if not files:
+            # every partition disabled: schema-only empty relation
+            return spark.read.option("mergeSchema", "true").parquet(table_dir).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
     return spark.read.option("mergeSchema", "true").parquet(table_dir)
 
 
@@ -258,8 +355,18 @@ def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
     """
     from pyspark.sql import functions as F
 
+    from infinidb_spark.operators.partitions import disabled_partitions
+
     op = action["op"]
     real = os.path.realpath(table_dir.rstrip("/"))
+    if disabled_partitions(table_dir):
+        # a rewrite from the enabled files only would fork the schema
+        # away from the out-of-service data; the reference likewise
+        # refuses DDL over disabled partitions
+        raise RuntimeError(
+            "ALTER TABLE with out-of-service partitions — "
+            "calenablepartitions or caldroppartitions first"
+        )
     flat = not any(
         os.path.isdir(os.path.join(real, f))
         for f in os.listdir(real)
@@ -272,13 +379,14 @@ def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
         widened = df.limit(0).withColumn(
             action["column"], F.lit(None).cast(action["type"])
         )
-        new_dir = _new_version_dir(table_dir)
-        os.makedirs(new_dir)
-        for f in os.listdir(real):
-            if not f.startswith(("_", ".")):
-                os.link(os.path.join(real, f), os.path.join(new_dir, f))
-        widened.write.mode("append").parquet(new_dir)
-        _swap(table_dir, new_dir)
+        with _table_lock(table_dir, "ALTER"):
+            new_dir = _new_version_dir(table_dir)
+            os.makedirs(new_dir)
+            for f in os.listdir(real):
+                if not f.startswith(("_", ".")):
+                    os.link(os.path.join(real, f), os.path.join(new_dir, f))
+            widened.write.mode("append").parquet(new_dir)
+            _swap(table_dir, new_dir)
         return
 
     df = read_table(spark, table_dir)
@@ -302,9 +410,10 @@ def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
         ).withColumnRenamed(action["old"], action["new"])
     else:
         raise ValueError(f"unknown ALTER action {op!r}")
-    new_dir = _new_version_dir(table_dir)
-    out.write.mode("overwrite").parquet(new_dir)
-    _swap(table_dir, new_dir)
+    with _table_lock(table_dir, "ALTER"):
+        new_dir = _new_version_dir(table_dir)
+        out.write.mode("overwrite").parquet(new_dir)
+        _swap(table_dir, new_dir)
 
 
 def rename_table(table_dir: str, new_dir: str) -> None:
@@ -326,11 +435,15 @@ def delete_from(spark: SparkSession, table_dir: str, condition: Column) -> int:
     """
     from pyspark.sql import functions as F
 
-    df = read_table(spark, table_dir)
-    cond_true = F.coalesce(condition, F.lit(False))
-    n = df.filter(cond_true).count()
-    kept = df.filter(~cond_true)
-    new_dir = _new_version_dir(table_dir)
-    kept.write.mode("overwrite").parquet(new_dir)
-    _swap(table_dir, new_dir)
+    from infinidb_spark.operators.partitions import carry_disabled
+
+    with _table_lock(table_dir, "DELETE"):
+        df = read_table(spark, table_dir)
+        cond_true = F.coalesce(condition, F.lit(False))
+        n = df.filter(cond_true).count()
+        kept = df.filter(~cond_true)
+        new_dir = _new_version_dir(table_dir)
+        kept.write.mode("overwrite").parquet(new_dir)
+        carry_disabled(table_dir, new_dir)
+        _swap(table_dir, new_dir)
     return n

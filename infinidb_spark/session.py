@@ -151,6 +151,11 @@ class InfiniSession:
         self.tables: dict[str, DataFrame] = {}
         self._managed: dict[str, str] = {}  # writable tables: name -> dir
         self._managed_root: str | None = None
+        # admin-UDF state (ref ha_calpont_impl.cpp cal* UDFs): trace flag
+        # mirrors calsettrace/calgettrace, stats mirrors calgetstats
+        self._trace: bool = False
+        self._last_trace: str = ""
+        self._last_stats: str = ""
         if sf_dir:
             self.load(sf_dir)
 
@@ -166,7 +171,16 @@ class InfiniSession:
             from infinidb_spark.dialect import translate_mysql
 
             query = translate_mysql(query)
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        if self._trace:
+            # calsettrace(1) semantics: capture the plan of every query
+            # run while tracing, retrievable with calgettrace()
+            self._last_trace = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        return df
 
     def table(self, name: str) -> DataFrame:
         return self.tables[name]
@@ -206,7 +220,22 @@ class InfiniSession:
         """Statement router — the full mysqld surface (SURVEY §3.1-3.2):
         SELECTs return a DataFrame; INSERT/UPDATE/DELETE run against a
         managed table through the copy-on-write DML operators and return
-        the affected-row count."""
+        the affected-row count; ``select cal*(...)`` admin UDF calls
+        (ref `ha_calpont_impl.cpp:1713-2254`) dispatch to the admin
+        surface and return the reference's message/scalar."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        result = self._execute_inner(statement, dialect)
+        # calgetstats() analog: wall time + affected rows of the last
+        # statement (rows only for eagerly-executed DML/DDL — a SELECT
+        # returns a lazy DataFrame, its fetch happens at the caller)
+        ms = round((_time.perf_counter() - t0) * 1000, 1)
+        rows = result if isinstance(result, int) else "n/a"
+        self._last_stats = f"Query Stats: QueryTime-{ms}ms; RowsAffected-{rows}"
+        return result
+
+    def _execute_inner(self, statement: str, dialect: str):
         from pyspark.sql import functions as F
 
         from infinidb_spark import dialect as d
@@ -220,8 +249,10 @@ class InfiniSession:
         if dialect != "mysql":
             return self.spark.sql(statement)
         st = d.parse_statement(statement)
+        if st["kind"] == "admin":
+            return self._admin(st["func"], st["args"])
         if st["kind"] == "select":
-            return self.spark.sql(st["sql"])
+            return self.sql(st["sql"])
         if st["kind"] == "explain":
             return self.explain(st["sql"])
         if st["kind"] == "create_view":
@@ -333,6 +364,77 @@ class InfiniSession:
             n = delete_from(self.spark, path, F.expr(st["where"] or "true"))
         self._refresh(st["table"])
         return n
+
+    def _admin(self, func: str, args: list):
+        """Admin-UDF dispatch — the cal* surface registered into mysqld
+        (`dbcon/mysql/ha_calpont_impl.cpp:1713-2254` trace/stats/cache/
+        locks, `ha_calpont_partition.cpp:854-1160` partition management).
+        Schema-qualified forms (``'schema','table',...``) are accepted;
+        the session is single-schema, so a leading schema argument is
+        ignored the way the reference substitutes ``current_thd->db``.
+
+        ``callastinsertid`` is NOT implemented: it reads the table's
+        AUTO_INCREMENT high-water mark and this engine has no
+        auto-increment columns (SURVEY §1.2)."""
+        from infinidb_spark.operators import partitions as P
+        from infinidb_spark.operators.dml import clear_table_lock, view_table_locks
+
+        def tbl(name: str) -> str:
+            path = self._managed.get(name)
+            if path is None:
+                raise KeyError(
+                    f"{name!r} is not a managed table — partition/lock admin "
+                    "applies to managed tables (create_table_as first)"
+                )
+            return path
+
+        if func == "calshowpartitions":
+            # (table, column) or (schema, table, column)
+            table, column = args[-2], args[-1]
+            return P.format_partitions(self.spark, tbl(table), column)
+        if func in ("caldisablepartitions", "calenablepartitions", "caldroppartitions"):
+            table, parts = args[-2], str(args[-1])
+            op = {
+                "caldisablepartitions": P.disable_partitions,
+                "calenablepartitions": P.enable_partitions,
+                "caldroppartitions": P.drop_partitions,
+            }[func]
+            msg = op(tbl(table), parts)
+            self._refresh(table)  # visibility changed: re-register the view
+            return msg
+        if func == "calflushcache":
+            # drops every cached relation (ref: clears PrimProc's block
+            # cache); data on disk is untouched
+            self.spark.catalog.clearCache()
+            return 0
+        if func == "calsettrace":
+            prev = int(self._trace)
+            self._trace = bool(args[0]) if args else True
+            return prev
+        if func == "calgettrace":
+            return self._last_trace
+        if func == "calgetstats":
+            return self._last_stats
+        if func == "calviewtablelock":
+            table = args[-1]
+            tbl(table)  # validate
+            recs = view_table_locks(self._managed_root or ".", table)
+            if not recs:
+                return f" table {table} is not locked by any session. "
+            return "; ".join(
+                f"lockID {r['lock_id']} op {r['op']} pid {r['pid']} since {r['since']}"
+                for r in recs
+            )
+        if func == "calcleartablelock":
+            return clear_table_lock(self._managed_root or ".", args[0])
+        raise ValueError(f"unknown admin function {func!r}")
+
+    def show_partitions(self, table: str, column: str | None = None) -> DataFrame:
+        """Partition stats as a relation (the DataFrame-native twin of
+        ``select calshowpartitions(...)``)."""
+        from infinidb_spark.operators import partitions as P
+
+        return P.show_partitions(self.spark, self._managed[table], column)
 
     def explain(self, query: str) -> str:
         return self.spark.sql(query)._jdf.queryExecution().explainString(
