@@ -68,6 +68,9 @@ SF0_001 = "/root/testdata/sf0.001"
 # (plus queries fixed or added this round), then the long-green tail —
 # correct under either a positional or a time-budget gate cap.
 _PRIORITY = [
+    # added round 5 — need first driver verdicts
+    "embedding_quantize",
+    "corpus_mixture",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

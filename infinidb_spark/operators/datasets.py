@@ -133,6 +133,51 @@ def pack_sequences(
     return out.withColumn("bin_id", F.floor(cum_before / F.lit(budget)))
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    salt: str = "mixture",
+    portable: bool = False,
+) -> DataFrame:
+    """Weighted corpus mixture: re-sample each source to its target
+    weight, deterministically.
+
+    ``weights`` maps source value → sampling weight ``w``:
+
+    * ``w < 1``  — downsample: keep a doc iff its salted hash bucket
+      falls under ``w`` (stable subset, same property as hash_split);
+    * ``w >= 1`` — upsample: every doc appears ``floor(w)`` times, plus
+      one more for the hash-selected ``w - floor(w)`` fraction.  Copies
+      get an ``epoch`` column (0-based) so downstream shuffling can
+      spread repeats across training batches.
+
+    Map-only + explode — zero shuffle, recomputation-stable (a doc's
+    fate depends only on its own key), the mixture-weighting step of an
+    LLM data pipeline (sources are weighted by quality/diversity, not
+    size).  At 100 TB upsampling by explode costs no extra input I/O;
+    the duplicate rows materialize only in the shuffle of whatever
+    consumer follows.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be non-negative")
+    bucket = split_bucket(F.col(key_col), salt, N_BUCKETS, portable)
+    w_expr: Column = F.lit(float(default_weight))
+    for src, w in weights.items():
+        w_expr = F.when(F.col(source_col) == src, float(w)).otherwise(w_expr)
+    whole = F.floor(w_expr).cast("bigint")
+    frac = w_expr - F.floor(w_expr)
+    reps = whole + (bucket < (frac * N_BUCKETS)).cast("bigint")
+    return (
+        df.withColumn("_reps", reps)
+        .filter(F.col("_reps") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)))
+        .drop("_reps")
+    )
+
+
 def pack_stats(packed: DataFrame, token_col: str, budget: int) -> DataFrame:
     """Per-bin packing stats: docs, token total, fill ratio."""
     return (

@@ -751,3 +751,119 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "exact_n", "est_n")
         .orderBy(F.desc("exact_n"), "tok")
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+      FROM v
+    ),
+    e AS (
+      SELECT label, scale,
+             list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale)) AS err
+      FROM s
+    )
+    SELECT label,
+           count(*)                                              AS n_vecs,
+           round(avg(scale), 9)                                  AS avg_scale,
+           round(max(list_max(err)), 9)                          AS max_abs_err,
+           round(avg(list_sum(err) / len(err)), 9)               AS mean_abs_err
+    FROM e
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (operators/embeddings.py):
+    per-label reconstruction-error stats of the 4x-compressed vector
+    store.  Arithmetic is floor-based (IEEE-deterministic), so the
+    DuckDB oracle reproduces every error term bit-for-bit; the round(9)
+    on the aggregates only absorbs cross-row summation order."""
+    from infinidb_spark.operators import embeddings as E
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    with_err = emb.withColumn("scale", E.quant_scale(v)).withColumn(
+        "err", E.quant_abs_errors(v, F.col("scale"))
+    )
+    dim = F.size("err")
+    return (
+        with_err.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("scale"), 9).alias("avg_scale"),
+            F.round(F.max(F.array_max("err")), 9).alias("max_abs_err"),
+            F.round(
+                F.avg(F.aggregate("err", F.lit(0.0), lambda a, x: a + x) / dim), 9
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "corpus_mixture",
+    oracle="""
+    WITH w AS (
+      SELECT *,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                         WHEN 'src2' THEN 0.0 ELSE 0.25 END AS wt,
+             ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':mixture')), 1, 14))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             CAST(floor(wt) AS BIGINT)
+               + CAST(bucket < (wt - floor(wt)) * 10000 AS BIGINT) AS reps
+      FROM w
+    ),
+    sampled AS (
+      SELECT source, doc_id, n_chars, unnest(range(reps)) AS epoch
+      FROM r WHERE reps > 0
+    )
+    SELECT source,
+           count(*)                            AS n_rows,
+           count(DISTINCT doc_id)              AS n_docs,
+           CAST(max(epoch) AS BIGINT)          AS max_epoch,
+           CAST(sum(n_chars) AS BIGINT)        AS chars_total
+    FROM sampled
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixture (operators/datasets.py
+    mixture_sample, portable-hash mode): src0 upsampled 2.5x (epoch
+    copies), src1 kept, src2 dropped, the rest downsampled to 25% —
+    the source-weighting step of an LLM data pipeline.  Map-only +
+    explode, zero shuffle; the oracle replays the md5 bucket math and
+    epoch expansion literally."""
+    from infinidb_spark.operators.datasets import mixture_sample
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    mixed = mixture_sample(
+        docs,
+        "source",
+        {"src0": 2.5, "src1": 1.0, "src2": 0.0},
+        key_col="doc_id",
+        default_weight=0.25,
+        portable=True,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("epoch").alias("max_epoch"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("source")
+    )

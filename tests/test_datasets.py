@@ -108,3 +108,62 @@ def test_pack_sequences_oversized_doc_overflow_semantics(spark):
     stats = {r.bin_id: r.tokens_total for r in pack_stats(packed, "n_tokens", 100).collect()}
     assert stats == {0: 550, 5: 50}
     assert stats[0] < 100 + 500  # the documented overflow bound
+
+
+def test_mixture_sample_semantics(spark):
+    from infinidb_spark.operators.datasets import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(900)], "doc_id bigint, source string"
+    )
+    mixed = mixture_sample(
+        df, "source", {"src0": 2.5, "src1": 1.0, "src2": 0.0}, key_col="doc_id"
+    )
+    rows = mixed.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # src2 fully dropped
+    assert "src2" not in by_src
+    # src1 kept exactly once, epoch always 0
+    assert len(by_src["src1"]) == 300
+    assert all(r.epoch == 0 for r in by_src["src1"])
+    # src0: every doc appears 2 or 3 times; total ≈ 2.5×300 within hash noise
+    from collections import Counter
+
+    c = Counter(r.doc_id for r in by_src["src0"])
+    assert set(c.values()) <= {2, 3}
+    assert 600 <= len(by_src["src0"]) <= 900
+    # epochs dense from 0 per doc
+    for doc, n in c.items():
+        eps = sorted(r.epoch for r in by_src["src0"] if r.doc_id == doc)
+        assert eps == list(range(n))
+
+
+def test_mixture_sample_deterministic_and_stable(spark):
+    """A doc's fate depends only on its own key: re-running and
+    dropping other rows never changes survivors (recomputation-stable,
+    same property as hash_split)."""
+    from infinidb_spark.operators.datasets import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(400)], "doc_id bigint, source string"
+    )
+    keep1 = {r.doc_id for r in mixture_sample(df, "source", {"a": 0.3}, "doc_id").collect()}
+    keep2 = {r.doc_id for r in mixture_sample(df, "source", {"a": 0.3}, "doc_id").collect()}
+    assert keep1 == keep2
+    sub = df.filter(F.col("doc_id") < 200)
+    keep_sub = {
+        r.doc_id for r in mixture_sample(sub, "source", {"a": 0.3}, "doc_id").collect()
+    }
+    assert keep_sub == {k for k in keep1 if k < 200}
+
+
+def test_mixture_sample_rejects_negative_weight(spark):
+    from infinidb_spark.operators.datasets import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, source string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {"a": -0.5}, "doc_id")

@@ -1,0 +1,63 @@
+"""Embedding operators: normalization, int8 quantization, error bounds."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from infinidb_spark.operators import embeddings as E
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 2.0, -3.0, 0.5]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # degenerate: all-zero
+        (3, [-0.001, 0.002, 0.003, -0.004]),  # tiny magnitudes
+        (4, [100.0, -127.0, 50.0, 0.0]),  # larger range
+    ]
+    return spark.createDataFrame(rows, "id long, v array<double>")
+
+
+def test_l2_normalize_unit_norm(vecs):
+    out = vecs.select("id", E.l2_norm(E.l2_normalize(F.col("v"))).alias("n")).collect()
+    by_id = {r["id"]: r["n"] for r in out}
+    for i in (1, 3, 4):
+        assert abs(by_id[i] - 1.0) < 1e-12
+    assert by_id[2] == 0.0  # zero vector stays zero, no NaN
+
+
+def test_quantize_codes_in_range_and_error_bound(vecs):
+    rows = (
+        vecs.withColumn("scale", E.quant_scale(F.col("v")))
+        .withColumn("q", E.quantize_int8(F.col("v"), F.col("scale")))
+        .withColumn("deq", E.dequantize(F.col("q"), F.col("scale")))
+        .withColumn("err", E.quant_abs_errors(F.col("v"), F.col("scale")))
+        .collect()
+    )
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["q"])
+        # reconstruction error of symmetric round-to-nearest is <= s/2
+        assert max(r["err"]) <= r["scale"] / 2 + 1e-15
+        # err expression must equal |v - dequant| computed explicitly
+        for v, d, e in zip(r["v"], r["deq"], r["err"]):
+            assert abs(abs(v - d) - e) < 1e-15
+
+
+def test_quantization_is_exact_for_representable_values(spark):
+    # multiples of max/127 quantize losslessly
+    m = 127.0
+    df = spark.createDataFrame([(1, [0.0, 1.0, -1.0, m, -m])], "id long, v array<double>")
+    r = (
+        df.withColumn("s", E.quant_scale(F.col("v")))
+        .select(E.quant_abs_errors(F.col("v"), F.col("s")).alias("err"))
+        .collect()[0]
+    )
+    assert max(r["err"]) < 1e-12
+
+
+def test_quant_scale_matches_python(vecs):
+    rows = vecs.withColumn("s", E.quant_scale(F.col("v"))).collect()
+    for r in rows:
+        expect = max(max(abs(x) for x in r["v"]), 1e-12) / 127.0
+        assert math.isclose(r["s"], expect, rel_tol=1e-12)
