@@ -71,6 +71,7 @@ _PRIORITY = [
     # added round 5 — need first driver verdicts
     "embedding_quantize",
     "corpus_mixture",
+    "outfile_export_roundtrip",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

@@ -543,7 +543,86 @@ def parse_statement(sql: str) -> dict:
         adm = _parse_admin(toks, i)
         if adm is not None:
             return adm
+        outfile = _parse_into_outfile(toks)
+        if outfile is not None:
+            return outfile
     return {"kind": "select", "sql": render(toks)}
+
+
+def _parse_into_outfile(toks: list[Token]) -> dict | None:
+    """``SELECT ... INTO OUTFILE 'path' [FIELDS TERMINATED BY s
+    [OPTIONALLY] ENCLOSED BY c] [ESCAPED BY c] [LINES TERMINATED BY s]``
+    — the mysqld export surface (MySQL places the INTO clause either
+    before FROM or at statement end; both are accepted: the clause is
+    excised and the rest renders as the query).  Returns None when the
+    statement has no top-level INTO."""
+    into_i = _top_level_word(toks, "INTO")
+    if into_i is None:
+        return None
+    j = _next_code(toks, into_i + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "OUTFILE":
+        raise DialectError("only INTO OUTFILE is supported (no DUMPFILE/@var)")
+    j = _next_code(toks, j + 1)
+    if j is None or toks[j][0] != "string":
+        raise DialectError("INTO OUTFILE requires a quoted file path")
+    path = _unquote(toks[j][1])
+    opts = {
+        "sep": "\t", "quote": None, "escape": "\\", "line_sep": "\n",
+        # MySQL: bare ENCLOSED BY wraps every field; OPTIONALLY wraps
+        # string columns only
+        "quote_optional": False,
+    }
+
+    def _str_arg(k: int | None, what: str) -> tuple[str, int]:
+        if k is None or toks[k][0] != "string":
+            raise DialectError(f"{what} requires a quoted string")
+        # \n/\t/\r spelled inside the SQL literal mean the control char
+        # (MySQL escape semantics); _unquote already resolved \\ and \'
+        val = _unquote(toks[k][1])
+        for esc, ch in (("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r"), ("\\0", "\0")):
+            val = val.replace(esc, ch)
+        return val, k
+
+    end = _next_code(toks, j + 1)
+    while end is not None and toks[end][0] == "word":
+        word = toks[end][1].upper()
+        if word == "FIELDS":
+            k = _next_code(toks, end + 1)
+            while k is not None and toks[k][0] == "word" and toks[k][1].upper() in (
+                "TERMINATED", "OPTIONALLY", "ENCLOSED", "ESCAPED",
+            ):
+                w = toks[k][1].upper()
+                if w == "OPTIONALLY":
+                    opts["quote_optional"] = True
+                    k = _next_code(toks, k + 1)
+                    continue
+                by = _next_code(toks, k + 1)
+                if by is None or toks[by][1].upper() != "BY":
+                    raise DialectError(f"expected BY after {w}")
+                val, vi = _str_arg(_next_code(toks, by + 1), f"{w} BY")
+                if w == "TERMINATED":
+                    opts["sep"] = val
+                elif w == "ENCLOSED":
+                    opts["quote"] = val
+                else:
+                    opts["escape"] = val
+                k = _next_code(toks, vi + 1)
+            end = k
+        elif word == "LINES":
+            k = _next_code(toks, end + 1)
+            if k is None or toks[k][1].upper() != "TERMINATED":
+                raise DialectError("expected TERMINATED after LINES")
+            by = _next_code(toks, k + 1)
+            if by is None or toks[by][1].upper() != "BY":
+                raise DialectError("expected BY after LINES TERMINATED")
+            val, vi = _str_arg(_next_code(toks, by + 1), "LINES TERMINATED BY")
+            opts["line_sep"] = val
+            end = _next_code(toks, vi + 1)
+        else:
+            break
+    remaining = toks[:into_i] + (toks[end:] if end is not None else [])
+    return {"kind": "select_into_outfile", "sql": render(remaining).strip(),
+            "path": path, **opts}
 
 
 #: The reference's administrative UDFs, registered into mysqld and

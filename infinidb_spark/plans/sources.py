@@ -184,3 +184,48 @@ def cross_engine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_nation"),
         )
     )
+
+
+@query(
+    "outfile_export_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 4)  AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def outfile_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT INTO OUTFILE → re-ingest → aggregate: orders exported
+    through the MySQL-format text sink (sources/export.py — headerless,
+    \\N nulls, ESCAPED BY), loaded back with the cpimport-analog reader,
+    and aggregated.  The oracle runs on the ORIGINAL table, so a hash
+    match proves the export byte format is lossless through a full
+    out-and-back cycle (the reference pairing: SELECT INTO OUTFILE +
+    cpimport, `writeengine/bulk/cpimport.cpp:102`)."""
+    import shutil
+
+    from infinidb_spark.sources.export import NULL_MARKER, export_outfile
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    work = _workdir(sf_dir, "outfile")
+    out_dir = os.path.join(work, "orders_txt")
+    done = os.path.join(work, "_outfile_done")
+    if not os.path.exists(done):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(work, exist_ok=True)
+        export_outfile(orders.select(*cols), out_dir, sep="|")
+        open(done, "w").close()
+    schema = orders.select(*cols).schema
+    result = bulk_load_csv(
+        spark, out_dir, schema, delimiter="|", null_value=NULL_MARKER
+    )
+    assert result.rows_rejected == 0, "outfile export must reload without rejects"
+    result.unpersist()
+    return result.loaded.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )

@@ -253,6 +253,22 @@ class InfiniSession:
             return self._admin(st["func"], st["args"])
         if st["kind"] == "select":
             return self.sql(st["sql"])
+        if st["kind"] == "select_into_outfile":
+            from infinidb_spark.sources.export import export_outfile
+
+            # MySQL's one-file contract through the statement surface;
+            # the library call (sources/export.py) defaults to a
+            # directory of part files for cluster-scale exports
+            return export_outfile(
+                self.sql(st["sql"]),
+                st["path"],
+                sep=st["sep"],
+                quote=st["quote"],
+                escape=st["escape"],
+                line_sep=st["line_sep"],
+                quote_optional=st["quote_optional"],
+                single_file=True,
+            )
         if st["kind"] == "explain":
             return self.explain(st["sql"])
         if st["kind"] == "create_view":

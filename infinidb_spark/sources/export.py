@@ -1,0 +1,105 @@
+"""SELECT ... INTO OUTFILE — the delimited-text export sink.
+
+The reference exposes MySQL's ``SELECT ... INTO OUTFILE`` surface (the
+mysqld front-end handles it above the storage engine; its natural pair
+is re-ingest via cpimport, ``writeengine/bulk/cpimport.cpp:102``).
+Semantics mirrored here: headerless delimited text, ``\\N`` for NULL,
+default tab field / newline line terminators, ESCAPED BY escaping,
+[OPTIONALLY] ENCLOSED BY quoting, refuse-to-overwrite.
+
+Lines are assembled as Column expressions (escape → enclose →
+``concat_ws``) and written through the text sink — exact control over
+the byte format, all codegen, no writer-library quoting heuristics.
+
+Scale design: the library default writes a DIRECTORY of part files —
+every executor streams its partitions straight to the sink, no
+single-writer bottleneck, the only layout that works at 100 TB.
+``single_file=True`` gives MySQL's literal one-file contract (coalesce
+to one writer + rename) — correct for small result exports through the
+dialect surface, an anti-pattern for bulk data, and says so.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+#: MySQL writes NULL as \N (never enclosed) in OUTFILE exports.
+NULL_MARKER = r"\N"
+
+
+class OutfileExistsError(FileExistsError):
+    """MySQL ER_FILE_EXISTS analog: INTO OUTFILE never overwrites."""
+
+
+def _line_expr(
+    df: DataFrame, sep: str, quote: str | None, escape: str, line_sep: str,
+    quote_optional: bool,
+):
+    """One string Column per row in MySQL OUTFILE byte format.
+
+    Without ENCLOSED BY, MySQL escapes the escape char, the field
+    separator and the line terminator inside values; with it, fields
+    are enclosed (strings only under OPTIONALLY) and embedded quote
+    chars escaped.  NULL renders as \\N, never enclosed.
+    """
+    fields = []
+    for f in df.schema.fields:
+        c = F.col(f.name).cast("string")
+        if quote is None:
+            for special in (escape, sep, line_sep):
+                c = F.replace(c, F.lit(special), F.lit(escape + special))
+        elif not quote_optional or isinstance(f.dataType, StringType):
+            c = F.replace(c, F.lit(escape), F.lit(escape + escape))
+            c = F.replace(c, F.lit(quote), F.lit(escape + quote))
+            c = F.concat(F.lit(quote), c, F.lit(quote))
+        fields.append(F.coalesce(c, F.lit(NULL_MARKER)))
+    return F.concat_ws(sep, *fields)
+
+
+def export_outfile(
+    df: DataFrame,
+    path: str,
+    *,
+    sep: str = "\t",
+    quote: str | None = None,
+    escape: str = "\\",
+    line_sep: str = "\n",
+    quote_optional: bool = True,
+    single_file: bool = False,
+) -> int:
+    """Write ``df`` as MySQL-OUTFILE-style delimited text; return the
+    row count (MySQL reports rows written).
+
+    The count comes from line counts of the files actually written —
+    no second run of the query.
+    """
+    if os.path.exists(path):
+        raise OutfileExistsError(f"File '{path}' already exists")
+    out = df.select(
+        _line_expr(df, sep, quote, escape, line_sep, quote_optional).alias("value")
+    )
+    if single_file:
+        out = out.coalesce(1)
+    writer = out.write.format("text").option("lineSep", line_sep)
+    target = path + "__outfile_tmp" if single_file else path
+    writer.save(target)
+    if single_file:
+        parts = sorted(glob.glob(os.path.join(target, "part-*")))
+        assert len(parts) == 1, "coalesce(1) must yield exactly one part file"
+        shutil.move(parts[0], path)
+        shutil.rmtree(target)
+        files = [path]
+    else:
+        files = sorted(glob.glob(os.path.join(path, "part-*")))
+    nl = line_sep.encode()
+    total = 0
+    for f in files:
+        with open(f, "rb") as fh:
+            total += fh.read().count(nl)
+    return total
