@@ -539,6 +539,8 @@ def parse_statement(sql: str) -> dict:
         return _parse_drop_truncate(toks, i, kind)
     if kind == "ALTER":
         return _parse_alter(toks, i)
+    if kind == "LOAD":
+        return _parse_load_data(toks, i)
     if kind == "SELECT":
         adm = _parse_admin(toks, i)
         if adm is not None:
@@ -566,24 +568,36 @@ def _parse_into_outfile(toks: list[Token]) -> dict | None:
     if j is None or toks[j][0] != "string":
         raise DialectError("INTO OUTFILE requires a quoted file path")
     path = _unquote(toks[j][1])
+    opts, end = _parse_fields_lines(toks, _next_code(toks, j + 1))
+    remaining = toks[:into_i] + (toks[end:] if end is not None else [])
+    return {"kind": "select_into_outfile", "sql": render(remaining).strip(),
+            "path": path, **opts}
+
+
+def _escaped_str_arg(toks: list[Token], k: int | None, what: str) -> tuple[str, int]:
+    if k is None or toks[k][0] != "string":
+        raise DialectError(f"{what} requires a quoted string")
+    # \n/\t/\r spelled inside the SQL literal mean the control char
+    # (MySQL escape semantics); _unquote already resolved \\ and \'
+    val = _unquote(toks[k][1])
+    for esc, ch in (("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r"), ("\\0", "\0")):
+        val = val.replace(esc, ch)
+    return val, k
+
+
+def _parse_fields_lines(
+    toks: list[Token], start: int | None
+) -> tuple[dict, int | None]:
+    """Shared ``[FIELDS TERMINATED BY s [OPTIONALLY] ENCLOSED BY c
+    ESCAPED BY c] [LINES TERMINATED BY s]`` clause of INTO OUTFILE and
+    LOAD DATA INFILE; returns (options, index after the clause)."""
     opts = {
         "sep": "\t", "quote": None, "escape": "\\", "line_sep": "\n",
         # MySQL: bare ENCLOSED BY wraps every field; OPTIONALLY wraps
         # string columns only
         "quote_optional": False,
     }
-
-    def _str_arg(k: int | None, what: str) -> tuple[str, int]:
-        if k is None or toks[k][0] != "string":
-            raise DialectError(f"{what} requires a quoted string")
-        # \n/\t/\r spelled inside the SQL literal mean the control char
-        # (MySQL escape semantics); _unquote already resolved \\ and \'
-        val = _unquote(toks[k][1])
-        for esc, ch in (("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r"), ("\\0", "\0")):
-            val = val.replace(esc, ch)
-        return val, k
-
-    end = _next_code(toks, j + 1)
+    end = start
     while end is not None and toks[end][0] == "word":
         word = toks[end][1].upper()
         if word == "FIELDS":
@@ -599,7 +613,7 @@ def _parse_into_outfile(toks: list[Token]) -> dict | None:
                 by = _next_code(toks, k + 1)
                 if by is None or toks[by][1].upper() != "BY":
                     raise DialectError(f"expected BY after {w}")
-                val, vi = _str_arg(_next_code(toks, by + 1), f"{w} BY")
+                val, vi = _escaped_str_arg(toks, _next_code(toks, by + 1), f"{w} BY")
                 if w == "TERMINATED":
                     opts["sep"] = val
                 elif w == "ENCLOSED":
@@ -615,14 +629,73 @@ def _parse_into_outfile(toks: list[Token]) -> dict | None:
             by = _next_code(toks, k + 1)
             if by is None or toks[by][1].upper() != "BY":
                 raise DialectError("expected BY after LINES TERMINATED")
-            val, vi = _str_arg(_next_code(toks, by + 1), "LINES TERMINATED BY")
+            val, vi = _escaped_str_arg(
+                toks, _next_code(toks, by + 1), "LINES TERMINATED BY"
+            )
             opts["line_sep"] = val
             end = _next_code(toks, vi + 1)
         else:
             break
-    remaining = toks[:into_i] + (toks[end:] if end is not None else [])
-    return {"kind": "select_into_outfile", "sql": render(remaining).strip(),
-            "path": path, **opts}
+    return opts, end
+
+
+def _parse_load_data(toks: list[Token], i: int) -> dict:
+    """``LOAD DATA [LOCAL] INFILE 'path' INTO TABLE t [FIELDS …]
+    [LINES …] [IGNORE 1 LINES] [(col, …)]`` — the mysqld bulk-ingest
+    statement the reference intercepts and routes to cpimport
+    (`dbcon/mysql/ha_calpont_impl.cpp` load-data path;
+    `writeengine/bulk/cpimport.cpp:102`)."""
+    j = _next_code(toks, i + 1)
+    if j is None or toks[j][1].upper() != "DATA":
+        raise DialectError("expected DATA after LOAD")
+    j = _next_code(toks, j + 1)
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "LOCAL":
+        j = _next_code(toks, j + 1)  # LOCAL is a client-side flag; accepted
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "INFILE":
+        raise DialectError("expected INFILE in LOAD DATA")
+    j = _next_code(toks, j + 1)
+    if j is None or toks[j][0] != "string":
+        raise DialectError("LOAD DATA INFILE requires a quoted file path")
+    path = _unquote(toks[j][1])
+    j = _next_code(toks, j + 1)
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+        "REPLACE", "IGNORE",
+    ):
+        raise DialectError(
+            "LOAD DATA REPLACE/IGNORE duplicate handling is not supported "
+            "(the engine has no unique keys, like the reference)"
+        )
+    if j is None or toks[j][1].upper() != "INTO":
+        raise DialectError("expected INTO TABLE in LOAD DATA")
+    j = _next_code(toks, j + 1)
+    if j is None or toks[j][1].upper() != "TABLE":
+        raise DialectError("expected TABLE after INTO")
+    table, j = _expect_ident(toks, _next_code(toks, j + 1), "table after INTO TABLE")
+    opts, end = _parse_fields_lines(toks, _next_code(toks, j + 1))
+    skip_header = False
+    if end is not None and toks[end][0] == "word" and toks[end][1].upper() == "IGNORE":
+        n_i = _next_code(toks, end + 1)
+        lines_i = _next_code(toks, n_i + 1) if n_i is not None else None
+        if (
+            n_i is None or toks[n_i][0] != "number"
+            or lines_i is None or toks[lines_i][1].upper() not in ("LINES", "ROWS")
+        ):
+            raise DialectError("expected IGNORE <n> LINES")
+        if toks[n_i][1] != "1":
+            raise DialectError("only IGNORE 1 LINES is supported (header skip)")
+        skip_header = True
+        end = _next_code(toks, lines_i + 1)
+    columns: list[str] | None = None
+    if end is not None and toks[end] == ("sym", "("):
+        close = _match_paren(toks, end)
+        columns = [
+            _ident_text(t) for t in toks[end + 1 : close] if t[0] in ("word", "bident")
+        ]
+        end = _next_code(toks, close + 1)
+    if end is not None:
+        raise DialectError(f"unexpected trailing tokens in LOAD DATA: {toks[end][1]!r}")
+    return {"kind": "load_data", "table": table, "path": path,
+            "skip_header": skip_header, "columns": columns, **opts}
 
 
 #: The reference's administrative UDFs, registered into mysqld and

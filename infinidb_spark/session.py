@@ -233,6 +233,10 @@ class InfiniSession:
         ms = round((_time.perf_counter() - t0) * 1000, 1)
         rows = result if isinstance(result, int) else "n/a"
         self._last_stats = f"Query Stats: QueryTime-{ms}ms; RowsAffected-{rows}"
+        rejects = getattr(self, "_last_rejects", 0)
+        if rejects:
+            self._last_stats += f"; RowsRejected-{rejects}"
+            self._last_rejects = 0
         return result
 
     def _execute_inner(self, statement: str, dialect: str):
@@ -342,6 +346,47 @@ class InfiniSession:
                     alter_table(self.spark, path, action)
             self._refresh(name)
             return 0
+        if st["kind"] == "load_data":
+            from pyspark.sql.types import StructType
+
+            from infinidb_spark.sources.bulk_load import bulk_load_csv
+            from infinidb_spark.sources.export import NULL_MARKER
+
+            target = read_table(self.spark, path).schema
+            by_name = {f.name: f for f in target.fields}
+            names = st["columns"] or [f.name for f in target.fields]
+            unknown = set(names) - set(by_name)
+            if unknown:
+                raise ValueError(
+                    f"LOAD DATA column(s) {sorted(unknown)} not in {st['table']}"
+                )
+            file_schema = StructType([by_name[n] for n in names])
+            result = bulk_load_csv(
+                self.spark,
+                st["path"],
+                file_schema,
+                delimiter=st["sep"],
+                header=st["skip_header"],
+                null_value=NULL_MARKER,
+            )
+            aligned = result.loaded.select(
+                *[
+                    (
+                        F.col(f.name)
+                        if f.name in names
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+            n_loaded = result.rows_loaded
+            insert_into(aligned, path)
+            result.unpersist()
+            self._refresh(st["table"])
+            # cpimport-style reject accounting (the .bad file analog),
+            # surfaced through calgetstats() by the execute() wrapper
+            self._last_rejects = result.rows_rejected
+            return n_loaded
         if st["kind"] == "insert":
             src = self.spark.sql(st["select_sql"])
             target = read_table(self.spark, path).schema

@@ -87,3 +87,60 @@ def test_enclosed_by_all_vs_optionally(spark, tmp_path):
     export_outfile(df, p_opt, sep=",", quote='"', quote_optional=True, single_file=True)
     assert open(p_all).read().rstrip("\n") == '"1","say \\"hi\\""'  # every field
     assert open(p_opt).read().rstrip("\n") == '1,"say \\"hi\\""'  # strings only
+
+
+def test_parse_load_data():
+    st = parse_statement(
+        "LOAD DATA LOCAL INFILE '/tmp/in.csv' INTO TABLE t "
+        "FIELDS TERMINATED BY ',' LINES TERMINATED BY '\\n' "
+        "IGNORE 1 LINES (a, b)"
+    )
+    assert st["kind"] == "load_data"
+    assert st["table"] == "t" and st["path"] == "/tmp/in.csv"
+    assert st["sep"] == "," and st["skip_header"] is True
+    assert st["columns"] == ["a", "b"]
+
+
+def test_parse_load_data_replace_rejected():
+    with pytest.raises(DialectError):
+        parse_statement("LOAD DATA INFILE '/tmp/x' REPLACE INTO TABLE t")
+
+
+def test_load_data_statement_roundtrip(spark, tmp_path):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    base = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    )
+    sess.create_table_as("loadt", base)
+    # file with a header, a clean row, NULL marker, and one bad row
+    src = tmp_path / "in.csv"
+    src.write_text("id,s,v\n3,c,2.5\n4,\\N,\\N\nnot_a_number,x,1\n")
+    n = sess.execute(
+        f"LOAD DATA INFILE '{src}' INTO TABLE loadt "
+        "FIELDS TERMINATED BY ',' IGNORE 1 LINES"
+    )
+    assert n == 2  # bad row rejected, header skipped
+    assert "RowsRejected-1" in sess._last_stats
+    rows = sorted(map(tuple, sess.sql("SELECT * FROM loadt").collect()))
+    assert rows == [
+        (1, "a", 1.5), (2, "b", None), (3, "c", 2.5), (4, None, None),
+    ]
+
+
+def test_load_data_partial_columns(spark, tmp_path):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    base = spark.createDataFrame([(1, "a", 9.9)], "id long, s string, v double")
+    sess.create_table_as("loadt2", base)
+    src = tmp_path / "partial.csv"
+    src.write_text("5|e\n")
+    n = sess.execute(
+        f"LOAD DATA INFILE '{src}' INTO TABLE loadt2 "
+        "FIELDS TERMINATED BY '|' (id, s)"
+    )
+    assert n == 1
+    rows = sorted(map(tuple, sess.sql("SELECT * FROM loadt2").collect()))
+    assert rows == [(1, "a", 9.9), (5, "e", None)]  # v NULL-filled
