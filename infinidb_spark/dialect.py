@@ -541,6 +541,17 @@ def parse_statement(sql: str) -> dict:
         return _parse_alter(toks, i)
     if kind == "LOAD":
         return _parse_load_data(toks, i)
+    if kind == "SHOW":
+        j = _next_code(toks, i + 1)
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "CREATE":
+            k = _next_code(toks, j + 1)
+            if k is None or toks[k][1].upper() != "TABLE":
+                raise DialectError("expected TABLE after SHOW CREATE")
+            table, _ = _expect_ident(
+                toks, _next_code(toks, k + 1), "table after SHOW CREATE TABLE"
+            )
+            return {"kind": "show_create", "table": table}
+        # other SHOW forms (TABLES, COLUMNS, ...) parse natively in Spark
     if kind == "SELECT":
         adm = _parse_admin(toks, i)
         if adm is not None:
@@ -923,12 +934,17 @@ def _parse_update(toks: list[Token], i: int) -> dict:
 
 
 def _parse_create(toks: list[Token], i: int) -> dict:
-    """CREATE TABLE <name> AS <select> (DDL grammar analog:
-    `dbcon/ddlpackage/ddl.y:280-296`) and CREATE [OR REPLACE] VIEW
-    <name> AS <select> (views are first-class in the reference, merged
-    into the plan at translate time — `dbcon/mysql/ha_view.cpp`).
-    Column-typed CREATE (no AS) is not supported — the engine is
-    schema-on-read over Parquet."""
+    """CREATE TABLE <name> AS <select> / CREATE TABLE <name> (<typed
+    column defs>) (DDL grammar analog: `dbcon/ddlpackage/ddl.y:280-296`)
+    and CREATE [OR REPLACE] VIEW <name> AS <select> (views are
+    first-class in the reference, merged into the plan at translate
+    time — `dbcon/mysql/ha_view.cpp`).
+
+    Typed defs support NULL/NOT NULL, DEFAULT <literal>, COMMENT, and
+    ignore trailing table options (ENGINE=InfiniDB etc., the form every
+    reference script uses).  Index/key constraints are REFUSED — the
+    reference engine has no indexes (`dbcon/ddlpackage/`), matching its
+    own error behavior."""
     j = _next_code(toks, i + 1)
     or_replace = False
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "OR":
@@ -945,8 +961,10 @@ def _parse_create(toks: list[Token], i: int) -> dict:
     j = _next_code(toks, j + 1)
     table, j = _expect_ident(toks, j, f"name after CREATE {obj}")
     j = _next_code(toks, j + 1)
+    if obj == "TABLE" and j is not None and toks[j] == ("sym", "("):
+        return _parse_create_typed(toks, j, table)
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "AS":
-        raise DialectError(f"CREATE {obj} requires AS SELECT")
+        raise DialectError(f"CREATE {obj} requires AS SELECT or a column list")
     select_sql = render(toks[j + 1 :]).strip()
     if obj == "VIEW":
         return {
@@ -956,6 +974,67 @@ def _parse_create(toks: list[Token], i: int) -> dict:
             "or_replace": or_replace,
         }
     return {"kind": "create", "table": table, "select_sql": select_sql}
+
+
+_CONSTRAINT_WORDS = frozenset(
+    {"PRIMARY", "UNIQUE", "KEY", "INDEX", "FOREIGN", "CONSTRAINT", "CHECK",
+     "FULLTEXT", "SPATIAL"}
+)
+
+
+def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
+    """Typed column-definition list of CREATE TABLE."""
+    close = _match_paren(toks, open_i)
+    columns: list[dict] = []
+    for part in _split_args(toks[open_i + 1 : close]):
+        k = _next_code(part, 0)
+        if k is None:
+            raise DialectError("empty column definition")
+        if part[k][0] == "word" and part[k][1].upper() in _CONSTRAINT_WORDS:
+            raise DialectError(
+                f"{part[k][1].upper()} constraints are not supported — the "
+                "engine has no indexes (reference behavior: dbcon/ddlpackage)"
+            )
+        name, k = _expect_ident(part, k, "column name")
+        spark_type, k = _parse_mysql_type(part, _next_code(part, k + 1))
+        col = {"name": name, "type": spark_type, "nullable": True, "default": None}
+        while k is not None and k < len(part):
+            if part[k][0] != "word":
+                raise DialectError(f"unexpected token in column def: {part[k][1]!r}")
+            w = part[k][1].upper()
+            if w == "NOT":
+                nxt = _next_code(part, k + 1)
+                if nxt is None or part[nxt][1].upper() != "NULL":
+                    raise DialectError("expected NULL after NOT")
+                col["nullable"] = False
+                k = _next_code(part, nxt + 1)
+            elif w == "NULL":
+                k = _next_code(part, k + 1)
+            elif w == "DEFAULT":
+                v = _next_code(part, k + 1)
+                if v is None:
+                    raise DialectError("DEFAULT requires a literal")
+                if part[v][0] == "word" and part[v][1].upper() == "NULL":
+                    col["default"] = None
+                else:
+                    col["default"] = render(part[v : v + 1]).strip()
+                k = _next_code(part, v + 1)
+            elif w == "COMMENT":
+                v = _next_code(part, k + 1)
+                if v is None or part[v][0] != "string":
+                    raise DialectError("COMMENT requires a string")
+                k = _next_code(part, v + 1)
+            elif w in ("AUTO_INCREMENT",):
+                raise DialectError(
+                    "AUTO_INCREMENT is not supported (no unique keys, "
+                    "reference behavior)"
+                )
+            else:
+                raise DialectError(f"unsupported column attribute {w}")
+        columns.append(col)
+    # trailing table options (ENGINE=InfiniDB, DEFAULT CHARSET=...,
+    # COMMENT='...') are accepted and ignored
+    return {"kind": "create_typed", "table": table, "columns": columns}
 
 
 def _parse_drop_truncate(toks: list[Token], i: int, kind: str) -> dict:

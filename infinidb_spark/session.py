@@ -156,6 +156,9 @@ class InfiniSession:
         self._trace: bool = False
         self._last_trace: str = ""
         self._last_stats: str = ""
+        # typed-CREATE column metadata (DEFAULT exprs / NOT NULL names)
+        # per managed table — applied on INSERT gap-filling
+        self._table_meta: dict[str, dict] = {}
         if sf_dir:
             self.load(sf_dir)
 
@@ -206,6 +209,81 @@ class InfiniSession:
         self._managed[name] = path
         self._refresh(name)
         return path
+
+    def _insert_staged(self, name: str, path: str, aligned, notnull: list[str]) -> int:
+        """INSERT into a table with NOT NULL columns: write once to a
+        staging dir, validate nulls against the STAGED parquet (cheap
+        re-scan, never a second run of the source query), then hard-link
+        the part files into the table — MySQL rejects the whole
+        statement on a NOT NULL violation, so nothing lands on error."""
+        import shutil
+        import tempfile
+        import uuid
+
+        stage = tempfile.mkdtemp(prefix="infinidb_stage_")
+        try:
+            aligned.write.mode("overwrite").parquet(stage)
+            staged = self.spark.read.parquet(stage)
+            pred = " OR ".join(f"`{c}` IS NULL" for c in notnull)
+            bad = staged.filter(pred).count()
+            if bad:
+                raise ValueError(
+                    f"INSERT into {name!r}: {bad} row(s) violate NOT NULL "
+                    f"({', '.join(notnull)})"
+                )
+            n = staged.count()
+            for f in os.listdir(stage):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    dst = os.path.join(path, f"ins_{uuid.uuid4().hex[:12]}_{f}")
+                    os.link(os.path.join(stage, f), dst)
+            return n
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    _MYSQL_SHOW_TYPES = {
+        "boolean": "BOOLEAN", "tinyint": "TINYINT", "smallint": "SMALLINT",
+        "int": "INT", "integer": "INT", "bigint": "BIGINT", "float": "FLOAT",
+        "double": "DOUBLE", "string": "TEXT", "date": "DATE",
+        "timestamp": "DATETIME", "timestamp_ntz": "DATETIME", "binary": "BLOB",
+    }
+
+    def _show_create(self, name: str):
+        """SHOW CREATE TABLE — MySQL-style DDL text synthesized from the
+        live schema (+ typed-CREATE NOT NULL/DEFAULT metadata when the
+        table was declared through DDL), ENGINE=InfiniDB tag like every
+        reference script (`dbcon/ddlpackage/ddl.y` output form).
+        Returns the MySQL two-column result (Table, Create Table)."""
+        if name in self._managed:
+            from infinidb_spark.operators.dml import read_table
+
+            schema = read_table(self.spark, self._managed[name]).schema
+        elif name in self.tables:
+            schema = self.tables[name].schema
+        else:
+            raise KeyError(f"no such table {name!r}")
+        meta = self._table_meta.get(name, {})
+        defaults = meta.get("defaults", {})
+        notnull = set(meta.get("notnull", []))
+        lines = []
+        for f in schema.fields:
+            t = f.dataType.simpleString()
+            mysql_t = (
+                f"DECIMAL{t[7:]}".replace(" ", "")
+                if t.startswith("decimal")
+                else self._MYSQL_SHOW_TYPES.get(t, t.upper())
+            )
+            piece = f"  `{f.name}` {mysql_t}"
+            if f.name in notnull:
+                piece += " NOT NULL"
+            if f.name in defaults:
+                piece += f" DEFAULT {defaults[f.name]}"
+            lines.append(piece)
+        ddl = (
+            f"CREATE TABLE `{name}` (\n" + ",\n".join(lines) + "\n) ENGINE=InfiniDB"
+        )
+        return self.spark.createDataFrame(
+            [(name, ddl)], "Table string, `Create Table` string"
+        )
 
     def _refresh(self, name: str) -> None:
         from infinidb_spark.operators.dml import read_table
@@ -295,6 +373,26 @@ class InfiniSession:
             # only) so the source query runs exactly once
             path = self.create_table_as(st["table"], self.spark.sql(st["select_sql"]))
             return self.spark.read.parquet(path).count()
+        if st["kind"] == "create_typed":
+            from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+            fields = [
+                StructField(c["name"], _parse_datatype_string(c["type"]), c["nullable"])
+                for c in st["columns"]
+            ]
+            empty = self.spark.createDataFrame([], StructType(fields))
+            self.create_table_as(st["table"], empty)
+            self._table_meta[st["table"]] = {
+                "defaults": {
+                    c["name"]: c["default"]
+                    for c in st["columns"]
+                    if c["default"] is not None
+                },
+                "notnull": [c["name"] for c in st["columns"] if not c["nullable"]],
+            }
+            return 0
+        if st["kind"] == "show_create":
+            return self._show_create(st["table"])
         if st["kind"] in ("drop", "truncate"):
             path = self._managed.get(st["table"])
             if path is None:
@@ -399,21 +497,36 @@ class InfiniSession:
                         f"INSERT column(s) {sorted(unknown)} not in {st['table']}"
                     )
             src = src.toDF(*(st["columns"] or [f.name for f in target.fields]))
+            meta = self._table_meta.get(st["table"], {})
+            defaults = meta.get("defaults", {})
+
+            def _gap(f):
+                # typed-CREATE DEFAULT fills the gap; NULL otherwise
+                if f.name in defaults:
+                    return F.expr(defaults[f.name]).cast(f.dataType)
+                return F.lit(None).cast(f.dataType)
+
             aligned = src.select(
                 *[
                     (
                         F.col(f.name).cast(f.dataType)
                         if f.name in src.columns
-                        else F.lit(None).cast(f.dataType)
+                        else _gap(f)
                     ).alias(f.name)
                     for f in target.fields
                 ]
             )
-            # footer-sum counts before/after: the source query runs only
-            # once (inside the write), never twice
-            before = read_table(self.spark, path).count()
-            insert_into(aligned, path)
-            n = read_table(self.spark, path).count() - before
+            notnull = meta.get("notnull", [])
+            if notnull:
+                # stage once, validate NOT NULL from the staged files,
+                # link in on success — the source query still runs once
+                n = self._insert_staged(st["table"], path, aligned, notnull)
+            else:
+                # footer-sum counts before/after: the source query runs
+                # only once (inside the write), never twice
+                before = read_table(self.spark, path).count()
+                insert_into(aligned, path)
+                n = read_table(self.spark, path).count() - before
         elif st["kind"] == "update":
             n = update_table(
                 self.spark,

@@ -286,8 +286,10 @@ def test_ddl_ctas_truncate_drop(spark, sf_dir):
     assert sess.execute("DROP TABLE IF EXISTS nation_ctas") == 0
     with pytest.raises(KeyError):
         sess.execute("DROP TABLE nation_ctas")
-    with pytest.raises(DialectError):
-        parse_statement("CREATE TABLE t (a INT)")
+    # typed CREATE is the DDL path (ddl.y:280-296), parsed separately
+    assert parse_statement("CREATE TABLE t (a INT)")["kind"] == "create_typed"
+    with pytest.raises(DialectError):  # no AS and no column list
+        parse_statement("CREATE TABLE t")
 
 
 def test_show_tables_and_describe_pass_through(spark, sf_dir):
@@ -326,3 +328,59 @@ def test_session_mysql_dialect_end_to_end(spark, sf_dir):
     # statuses is an ordered, deduped concat like 'F|O|P'
     parts = rows[0].statuses.split("|")
     assert parts == sorted(set(parts))
+
+
+def test_create_table_typed_defaults_and_notnull(spark):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    sess.execute(
+        "CREATE TABLE typed_t ("
+        "  id BIGINT NOT NULL,"
+        "  name VARCHAR(32) DEFAULT 'anon',"
+        "  bal DECIMAL(10,2) DEFAULT 0.00,"
+        "  note TEXT"
+        ") ENGINE=InfiniDB DEFAULT CHARSET=utf8"
+    )
+    assert sess.execute("SELECT count(*) AS n FROM typed_t").collect()[0].n == 0
+    # named INSERT: gaps fill from DEFAULT (name, bal), NULL (note)
+    n = sess.execute("INSERT INTO typed_t (id) VALUES (1)")
+    assert n == 1
+    row = sess.execute("SELECT * FROM typed_t").collect()[0]
+    assert (row.id, row.name, str(row.bal), row.note) == (1, "anon", "0.00", None)
+    # NOT NULL violation rejects the whole statement
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NOT NULL"):
+        sess.execute("INSERT INTO typed_t (id, name) VALUES (NULL, 'x')")
+    assert sess.execute("SELECT count(*) AS n FROM typed_t").collect()[0].n == 1
+
+
+def test_create_table_typed_rejects_keys(spark):
+    from infinidb_spark.dialect import DialectError, parse_statement
+    import pytest as _pytest
+
+    with _pytest.raises(DialectError, match="no indexes"):
+        parse_statement("CREATE TABLE t (id INT, PRIMARY KEY (id))")
+    with _pytest.raises(DialectError, match="AUTO_INCREMENT"):
+        parse_statement("CREATE TABLE t (id INT AUTO_INCREMENT)")
+
+
+def test_show_create_table_roundtrip(spark):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    sess.execute(
+        "CREATE TABLE sc_t (id BIGINT NOT NULL, v DOUBLE DEFAULT 1.5, s TEXT)"
+    )
+    out = sess.execute("SHOW CREATE TABLE sc_t").collect()[0]
+    ddl = out["Create Table"]
+    assert out["Table"] == "sc_t"
+    assert "`id` BIGINT NOT NULL" in ddl
+    assert "`v` DOUBLE DEFAULT 1.5" in ddl
+    assert "`s` TEXT" in ddl and "ENGINE=InfiniDB" in ddl
+    # the synthesized DDL parses back through the dialect
+    from infinidb_spark.dialect import parse_statement
+
+    st = parse_statement(ddl)
+    assert st["kind"] == "create_typed" and len(st["columns"]) == 3
