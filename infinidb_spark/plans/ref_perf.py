@@ -248,3 +248,79 @@ def ref_discount_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_shipdate range prunes extents in the reference, row groups /
     manifest files here)."""
     return _mysql(spark, sf_dir, _DISCOUNT_GROUPS, "lineitem")
+
+
+# --- TPC-H workload shapes ---------------------------------------------
+# The reference's perf schema IS TPC-H (utils/scenarios/perf/data/
+# perfGrpQueryList.txt); its numbered groups decompose the classic
+# queries into operator drills.  These three twins run the un-decomposed
+# TPC-H shapes (Q3/Q5/Q10, constants scaled to the testdata domain,
+# columns limited to TESTDATA.md's schema) through the MySQL front-end —
+# the multi-way join + agg + top-N compositions a reference user
+# actually runs.  Oracle = the identical text on DuckDB; float sums are
+# round-pinned per the corpus determinism rules.
+
+_TPCH_Q3 = """select l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) revenue
+from customer, orders, lineitem
+where c_mktsegment = 'BUILDING' and c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and o_orderdate < '1998-06-01' and l_shipdate > '1998-06-01'
+group by l_orderkey, o_orderdate
+order by revenue desc, o_orderdate, l_orderkey
+limit 10"""
+
+
+@query("tpch_q3", oracle=_TPCH_Q3)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority shape, no o_shippriority in the
+    testdata schema): selective dim filter → 3-way join → agg → top-N.
+    Plan: broadcast-filtered customer, shuffle join on orderkey,
+    TakeOrderedAndProject for the LIMIT."""
+    return _mysql(spark, sf_dir, _TPCH_Q3, "customer", "orders", "lineitem")
+
+
+_TPCH_Q5 = """select n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) revenue
+from customer, orders, lineitem, supplier, nation, region
+where c_custkey = o_custkey and l_orderkey = o_orderkey
+  and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+  and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+  and r_name = 'ASIA'
+  and o_orderdate >= '1996-01-01' and o_orderdate < '1997-01-01'
+group by n_name order by revenue desc, n_name"""
+
+
+@query("tpch_q5", oracle=_TPCH_Q5)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): the 6-way join — region/nation
+    broadcast, customer⋈orders⋈lineitem⋈supplier shuffled on keys, the
+    c_nationkey = s_nationkey cross-dimension predicate closing the
+    cycle.  CBO+AQE pick the join order (plan-asserted no cartesian in
+    the corpus sweep)."""
+    return _mysql(
+        spark, sf_dir, _TPCH_Q5,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+
+
+_TPCH_Q10 = """select c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) revenue,
+       round(c_acctbal, 4) c_acctbal, n_name
+from customer, orders, lineitem, nation
+where c_custkey = o_custkey and l_orderkey = o_orderkey
+  and o_orderdate >= '1997-01-01' and o_orderdate < '1997-04-01'
+  and l_returnflag = 'R' and c_nationkey = n_nationkey
+group by c_custkey, c_name, c_acctbal, n_name
+order by revenue desc, c_custkey
+limit 20"""
+
+
+@query("tpch_q10", oracle=_TPCH_Q10)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): date-windowed orders ⋈
+    returned lineitems ⋈ customer ⋈ broadcast nation, grouped per
+    customer, top-20 by revenue — the classic fact-to-dim rollup."""
+    return _mysql(
+        spark, sf_dir, _TPCH_Q10, "customer", "orders", "lineitem", "nation"
+    )
