@@ -963,6 +963,16 @@ def _parse_create(toks: list[Token], i: int) -> dict:
     j = _next_code(toks, j + 1)
     if obj == "TABLE" and j is not None and toks[j] == ("sym", "("):
         return _parse_create_typed(toks, j, table)
+    if (
+        obj == "TABLE"
+        and j is not None
+        and toks[j][0] == "word"
+        and toks[j][1].upper() == "LIKE"
+    ):
+        src, k = _expect_ident(toks, _next_code(toks, j + 1), "table after LIKE")
+        if _next_code(toks, k + 1) is not None:
+            raise DialectError("unexpected tokens after CREATE TABLE ... LIKE")
+        return {"kind": "create_like", "table": table, "source": src}
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "AS":
         raise DialectError(f"CREATE {obj} requires AS SELECT or a column list")
     select_sql = render(toks[j + 1 :]).strip()

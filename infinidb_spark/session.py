@@ -393,6 +393,25 @@ class InfiniSession:
             return 0
         if st["kind"] == "show_create":
             return self._show_create(st["table"])
+        if st["kind"] == "create_like":
+            # MySQL CREATE TABLE ... LIKE: same structure, no data;
+            # typed-CREATE column metadata carries over
+            src_name = st["source"]
+            if src_name in self._managed:
+                src_schema = read_table(self.spark, self._managed[src_name]).schema
+            elif src_name in self.tables:
+                src_schema = self.tables[src_name].schema
+            else:
+                raise KeyError(f"no such table {src_name!r}")
+            self.create_table_as(
+                st["table"], self.spark.createDataFrame([], src_schema)
+            )
+            if src_name in self._table_meta:
+                self._table_meta[st["table"]] = {
+                    "defaults": dict(self._table_meta[src_name]["defaults"]),
+                    "notnull": list(self._table_meta[src_name]["notnull"]),
+                }
+            return 0
         if st["kind"] in ("drop", "truncate"):
             path = self._managed.get(st["table"])
             if path is None:

@@ -384,3 +384,24 @@ def test_show_create_table_roundtrip(spark):
 
     st = parse_statement(ddl)
     assert st["kind"] == "create_typed" and len(st["columns"]) == 3
+
+
+def test_create_table_like(spark, sf_dir):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE like_src (id BIGINT NOT NULL, v DOUBLE DEFAULT 2.5)"
+    )
+    sess.execute("INSERT INTO like_src (id) VALUES (1)")
+    assert sess.execute("CREATE TABLE like_dst LIKE like_src") == 0
+    # structure copied, data not
+    assert sess.execute("SELECT count(*) AS n FROM like_dst").collect()[0].n == 0
+    assert [f.name for f in sess.table("like_dst").schema.fields] == ["id", "v"]
+    # column metadata carries: DEFAULT fills, NOT NULL enforces
+    sess.execute("INSERT INTO like_dst (id) VALUES (7)")
+    row = sess.execute("SELECT * FROM like_dst").collect()[0]
+    assert (row.id, row.v) == (7, 2.5)
+    # LIKE from a read-only source table also works (schema only)
+    sess.execute("CREATE TABLE like_nation LIKE nation")
+    assert sess.execute("SELECT count(*) AS n FROM like_nation").collect()[0].n == 0
