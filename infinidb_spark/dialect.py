@@ -1082,3 +1082,23 @@ def _parse_delete(toks: list[Token], i: int) -> dict:
     where_i = _top_level_word(tail, "WHERE")
     where = render(tail[where_i + 1 :]).strip() if where_i is not None else None
     return {"kind": "delete", "table": table, "where": where}
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement script on top-level ``;`` — the mysql
+    client batch surface (how the reference's scenario scripts run,
+    `utils/scenarios/perf/test/pfSubmitGroupTest.sh` feeding .sql files).
+    Tokenizer-based: semicolons inside strings, backtick identifiers,
+    and comments never split.  Empty/comment-only statements drop."""
+    stmts: list[str] = []
+    cur: list[Token] = []
+    for tok in tokenize(script):
+        if tok == ("sym", ";"):
+            if any(t[0] not in ("ws", "comment") for t in cur):
+                stmts.append(render(cur).strip())
+            cur = []
+        else:
+            cur.append(tok)
+    if any(t[0] not in ("ws", "comment") for t in cur):
+        stmts.append(render(cur).strip())
+    return stmts

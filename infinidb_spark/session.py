@@ -317,6 +317,16 @@ class InfiniSession:
             self._last_rejects = 0
         return result
 
+    def execute_script(self, script: str, dialect: str = "mysql") -> list:
+        """Run a multi-statement script (top-level ``;`` separated) —
+        the mysql-client batch surface the reference's scenario runners
+        feed .sql files through (`utils/scenarios/perf/test/
+        pfSubmitGroupTest.sh`).  Returns one result per statement
+        (DataFrame for SELECTs, affected-row count for DML/DDL)."""
+        from infinidb_spark.dialect import split_statements
+
+        return [self.execute(s, dialect) for s in split_statements(script)]
+
     def _execute_inner(self, statement: str, dialect: str):
         from pyspark.sql import functions as F
 

@@ -405,3 +405,32 @@ def test_create_table_like(spark, sf_dir):
     # LIKE from a read-only source table also works (schema only)
     sess.execute("CREATE TABLE like_nation LIKE nation")
     assert sess.execute("SELECT count(*) AS n FROM like_nation").collect()[0].n == 0
+
+
+def test_split_statements_respects_strings_and_comments():
+    from infinidb_spark.dialect import split_statements
+
+    script = (
+        "CREATE TABLE s1 (a INT); -- trailing; comment\n"
+        "INSERT INTO s1 VALUES (1), (2);\n"
+        "SELECT 'a;b' AS v FROM s1;\n"
+        "/* block; comment */\n"
+    )
+    stmts = split_statements(script)
+    assert len(stmts) == 3
+    assert stmts[0].startswith("CREATE TABLE")
+    assert "'a;b'" in stmts[2]
+
+
+def test_execute_script_end_to_end(spark):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    results = sess.execute_script(
+        "CREATE TABLE script_t (id BIGINT, v DOUBLE DEFAULT 0.5);"
+        "INSERT INTO script_t (id) VALUES (1), (2);"
+        "SELECT count(*) AS n, round(sum(v), 2) AS sv FROM script_t"
+    )
+    assert results[0] == 0 and results[1] == 2
+    row = results[2].collect()[0]
+    assert (row.n, row.sv) == (2, 1.0)
