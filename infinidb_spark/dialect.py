@@ -541,6 +541,22 @@ def parse_statement(sql: str) -> dict:
         return _parse_alter(toks, i)
     if kind == "LOAD":
         return _parse_load_data(toks, i)
+    if kind in ("BEGIN", "COMMIT", "ROLLBACK", "START"):
+        # transaction control (`dbcon/dmlpackage/dml.y:424-530` commit/
+        # rollback statements; the reference resolves them through the
+        # version buffer)
+        if kind == "START":
+            j = _next_code(toks, i + 1)
+            if j is None or toks[j][1].upper() != "TRANSACTION":
+                raise DialectError("expected TRANSACTION after START")
+            j = _next_code(toks, j + 1)
+        else:
+            j = _next_code(toks, i + 1)
+            if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "WORK":
+                j = _next_code(toks, j + 1)  # BEGIN/COMMIT/ROLLBACK WORK
+        if j is not None:
+            raise DialectError(f"unexpected tokens after {kind}")
+        return {"kind": {"START": "begin", "BEGIN": "begin"}.get(kind, kind.lower())}
     if kind == "SHOW":
         j = _next_code(toks, i + 1)
         if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "CREATE":

@@ -122,8 +122,41 @@ def clear_table_lock(root: str, lock_id) -> str:
     return f"No lock with id {lock_id}"
 
 
+def _retain_path(table_dir: str) -> str:
+    return table_dir.rstrip("/") + ".__retain__"
+
+
+def retain_version(table_dir: str, version_basename: str) -> None:
+    """Protect a version directory from _swap's GC — the transaction
+    snapshot anchor (the analog of the reference's version buffer
+    holding pre-image blocks until the transaction resolves,
+    `versioning/BRM/vss.h:180`)."""
+    retained = retained_versions(table_dir)
+    retained.add(version_basename)
+    with open(_retain_path(table_dir), "w") as fh:
+        json.dump(sorted(retained), fh)
+
+
+def retained_versions(table_dir: str) -> set[str]:
+    p = _retain_path(table_dir)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh))
+
+
+def release_retained(table_dir: str) -> set[str]:
+    """Drop all retention for a table; returns what was retained."""
+    retained = retained_versions(table_dir)
+    p = _retain_path(table_dir)
+    if os.path.exists(p):
+        os.remove(p)
+    return retained
+
+
 def _swap(table_dir: str, new_dir: str) -> None:
-    """Atomically point `table_dir` at `new_dir`, then GC the old version.
+    """Atomically point `table_dir` at `new_dir`, then GC the old version
+    (unless a transaction retains it — see retain_version).
 
     The live path is a symlink; advancing it is ONE `os.replace` of a
     freshly-created link — atomic on POSIX, so a crash at any point
@@ -149,7 +182,11 @@ def _swap(table_dir: str, new_dir: str) -> None:
     os.symlink(os.path.basename(new_dir), tmp_link)
     os.replace(tmp_link, table_dir)  # the atomic commit point
 
-    if old_target and os.path.isdir(old_target):
+    if (
+        old_target
+        and os.path.isdir(old_target)
+        and os.path.basename(old_target) not in retained_versions(table_dir)
+    ):
         shutil.rmtree(old_target)
 
 

@@ -159,6 +159,9 @@ class InfiniSession:
         # typed-CREATE column metadata (DEFAULT exprs / NOT NULL names)
         # per managed table — applied on INSERT gap-filling
         self._table_meta: dict[str, dict] = {}
+        # open transaction: table -> {"version": basename, "files": set}
+        # (None = autocommit).  Snapshot taken lazily on first DML touch.
+        self._txn: dict[str, dict] | None = None
         if sf_dir:
             self.load(sf_dir)
 
@@ -317,6 +320,93 @@ class InfiniSession:
             self._last_rejects = 0
         return result
 
+    # --- transactions ---------------------------------------------------
+    # The reference is transactional through the version buffer: DML
+    # pre-images stay in VSS/VBBM until commit/rollback
+    # (`versioning/BRM/vss.h:180`, `dbcon/dmlpackage/dml.y:424` commit/
+    # rollback statements).  Analog here: the copy-on-write layout
+    # already keeps pre-image version directories; BEGIN pins them
+    # (metadata-only snapshot — version pointer + file listing, no data
+    # copy) and ROLLBACK re-points the symlink and drops appended files.
+    # Scope: this session's writes (single-writer, like the rest of the
+    # DML layer); DDL implicitly commits, exactly MySQL's rule.  A crash
+    # mid-transaction leaves the retain marker — the committed state is
+    # whatever the symlink points at (always consistent), recovery =
+    # release_retained, the calcleartablelock idiom.
+
+    def begin(self) -> None:
+        """START TRANSACTION; an open transaction implicitly commits
+        (MySQL semantics for a second BEGIN)."""
+        if self._txn is not None:
+            self.commit()
+        self._txn = {}
+
+    def _txn_touch(self, name: str, path: str) -> None:
+        """Snapshot a table on its first DML inside the transaction."""
+        if self._txn is None or name in self._txn:
+            return
+        from infinidb_spark.operators.dml import retain_version
+
+        real = os.path.realpath(path)
+        retain_version(path, os.path.basename(real))
+        self._txn[name] = {
+            "version": os.path.basename(real),
+            "files": set(os.listdir(real)),
+        }
+
+    def commit(self) -> None:
+        """Make the transaction's writes permanent; GC pinned pre-image
+        versions that are no longer current."""
+        import shutil
+
+        from infinidb_spark.operators.dml import release_retained
+
+        if self._txn is None:
+            return
+        for name in self._txn:
+            path = self._managed.get(name)
+            if path is None:
+                continue
+            current = os.path.basename(os.path.realpath(path))
+            for ver in release_retained(path):
+                if ver != current:
+                    old = os.path.join(os.path.dirname(path.rstrip("/")), ver)
+                    if os.path.isdir(old):
+                        shutil.rmtree(old)
+        self._txn = None
+
+    def rollback(self) -> None:
+        """Restore every touched table to its BEGIN state: re-point the
+        version symlink at the pinned pre-image and drop files appended
+        to it since the snapshot.  Metadata-only, no data rewrite."""
+        from infinidb_spark.operators.dml import _swap, release_retained
+
+        if self._txn is None:
+            return
+        for name, snap in self._txn.items():
+            path = self._managed.get(name)
+            if path is None:
+                continue
+            want = os.path.join(
+                os.path.dirname(path.rstrip("/")), snap["version"]
+            )
+            if os.path.basename(os.path.realpath(path)) != snap["version"]:
+                _swap(path, want)  # current (uncommitted) version GC'd
+            for f in set(os.listdir(want)) - snap["files"]:
+                fp = os.path.join(want, f)
+                if os.path.isfile(fp):
+                    os.remove(fp)
+            release_retained(path)
+            self._refresh(name)
+        self._txn = None
+
+    #: statement kinds that implicitly COMMIT an open transaction first —
+    #: MySQL's documented DDL rule
+    _IMPLICIT_COMMIT = frozenset(
+        {"create", "create_typed", "create_like", "create_view", "drop",
+         "drop_view", "truncate", "alter"}
+    )
+
     def execute_script(self, script: str, dialect: str = "mysql") -> list:
         """Run a multi-statement script (top-level ``;`` separated) —
         the mysql-client batch surface the reference's scenario runners
@@ -341,6 +431,17 @@ class InfiniSession:
         if dialect != "mysql":
             return self.spark.sql(statement)
         st = d.parse_statement(statement)
+        if st["kind"] == "begin":
+            self.begin()
+            return 0
+        if st["kind"] == "commit":
+            self.commit()
+            return 0
+        if st["kind"] == "rollback":
+            self.rollback()
+            return 0
+        if st["kind"] in self._IMPLICIT_COMMIT and self._txn is not None:
+            self.commit()  # MySQL: DDL implicitly commits
         if st["kind"] == "admin":
             return self._admin(st["func"], st["args"])
         if st["kind"] == "select":
@@ -456,6 +557,8 @@ class InfiniSession:
                 f"{st['table']!r} is not a managed table — create_table_as() first "
                 "(sf_dir source tables are read-only)"
             )
+        if st["kind"] in ("insert", "update", "delete", "load_data"):
+            self._txn_touch(st["table"], path)
         if st["kind"] == "alter":
             from infinidb_spark.operators.dml import alter_table, rename_table
 

@@ -1,0 +1,99 @@
+"""BEGIN/COMMIT/ROLLBACK over the copy-on-write DML layer.
+
+The reference resolves transactions through the version buffer
+(pre-image blocks pinned until commit/rollback — versioning/BRM/vss.h);
+the analog here pins pre-image version DIRECTORIES: BEGIN snapshots
+metadata only (version pointer + file listing), ROLLBACK re-points the
+symlink and drops appended files.  DDL implicitly commits (MySQL rule).
+"""
+
+import os
+
+import pytest
+
+from infinidb_spark.session import InfiniSession
+
+
+def _rows(sess, table):
+    return sorted(map(tuple, sess.sql(f"SELECT * FROM {table}").collect()))
+
+
+def _version_dirs(sess, table):
+    path = sess._managed[table]
+    root = os.path.dirname(path.rstrip("/"))
+    base = os.path.basename(path.rstrip("/"))
+    return [d for d in os.listdir(root) if d.startswith(base + ".__v")]
+
+
+@pytest.fixture()
+def sess(spark):
+    s = InfiniSession(spark)
+    s.execute("CREATE TABLE txn_t (id BIGINT, v DOUBLE)")
+    s.execute("INSERT INTO txn_t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    return s
+
+
+def test_rollback_restores_update_delete_insert(sess):
+    before = _rows(sess, "txn_t")
+    sess.execute("BEGIN")
+    sess.execute("UPDATE txn_t SET v = v * 10 WHERE id <= 2")
+    sess.execute("DELETE FROM txn_t WHERE id = 3")
+    sess.execute("INSERT INTO txn_t VALUES (4, 4.0)")
+    assert _rows(sess, "txn_t") == [(1, 10.0), (2, 20.0), (4, 4.0)]
+    sess.execute("ROLLBACK")
+    assert _rows(sess, "txn_t") == before
+    # pre-image pin released, uncommitted versions GC'd: one live dir
+    assert len(_version_dirs(sess, "txn_t")) == 1
+    from infinidb_spark.operators.dml import retained_versions
+
+    assert retained_versions(sess._managed["txn_t"]) == set()
+
+
+def test_rollback_insert_only_drops_appended_files(sess):
+    before = _rows(sess, "txn_t")
+    sess.execute("BEGIN")
+    sess.execute("INSERT INTO txn_t VALUES (9, 9.0)")
+    assert (9, 9.0) in _rows(sess, "txn_t")
+    sess.execute("ROLLBACK")
+    assert _rows(sess, "txn_t") == before
+
+
+def test_commit_persists_and_gcs_preimage(sess):
+    sess.execute("START TRANSACTION")
+    sess.execute("UPDATE txn_t SET v = 0 WHERE id = 1")
+    sess.execute("COMMIT")
+    assert (1, 0.0) in _rows(sess, "txn_t")
+    assert len(_version_dirs(sess, "txn_t")) == 1  # pre-image GC'd
+    # a rollback with no open transaction is a no-op
+    sess.execute("ROLLBACK")
+    assert (1, 0.0) in _rows(sess, "txn_t")
+
+
+def test_ddl_implicitly_commits(sess):
+    sess.execute("BEGIN")
+    sess.execute("UPDATE txn_t SET v = -1 WHERE id = 2")
+    # MySQL rule: DDL commits the open transaction
+    sess.execute("CREATE TABLE txn_other (a INT)")
+    sess.execute("ROLLBACK")  # nothing left to roll back
+    assert (2, -1.0) in _rows(sess, "txn_t")
+
+
+def test_second_begin_implicitly_commits(sess):
+    sess.execute("BEGIN")
+    sess.execute("UPDATE txn_t SET v = 5 WHERE id = 1")
+    sess.execute("BEGIN")  # commits the first transaction
+    sess.execute("UPDATE txn_t SET v = 6 WHERE id = 1")
+    sess.execute("ROLLBACK")  # only the second rolls back
+    assert (1, 5.0) in _rows(sess, "txn_t")
+
+
+def test_multi_table_rollback(sess):
+    sess.execute("CREATE TABLE txn_u (k BIGINT)")
+    sess.execute("INSERT INTO txn_u VALUES (100)")
+    u_before, t_before = _rows(sess, "txn_u"), _rows(sess, "txn_t")
+    sess.execute("BEGIN")
+    sess.execute("DELETE FROM txn_t WHERE id = 1")
+    sess.execute("INSERT INTO txn_u VALUES (200)")
+    sess.execute("ROLLBACK")
+    assert _rows(sess, "txn_t") == t_before
+    assert _rows(sess, "txn_u") == u_before
