@@ -541,10 +541,23 @@ def parse_statement(sql: str) -> dict:
         return _parse_alter(toks, i)
     if kind == "LOAD":
         return _parse_load_data(toks, i)
-    if kind in ("BEGIN", "COMMIT", "ROLLBACK", "START"):
+    if kind in ("BEGIN", "COMMIT", "ROLLBACK", "START", "SAVEPOINT", "RELEASE"):
         # transaction control (`dbcon/dmlpackage/dml.y:424-530` commit/
         # rollback statements; the reference resolves them through the
         # version buffer)
+        if kind == "SAVEPOINT":
+            name, j = _expect_ident(toks, _next_code(toks, i + 1), "savepoint name")
+            if _next_code(toks, j + 1) is not None:
+                raise DialectError("unexpected tokens after SAVEPOINT")
+            return {"kind": "savepoint", "name": name}
+        if kind == "RELEASE":
+            j = _next_code(toks, i + 1)
+            if j is None or toks[j][1].upper() != "SAVEPOINT":
+                raise DialectError("expected SAVEPOINT after RELEASE")
+            name, j = _expect_ident(toks, _next_code(toks, j + 1), "savepoint name")
+            if _next_code(toks, j + 1) is not None:
+                raise DialectError("unexpected tokens after RELEASE SAVEPOINT")
+            return {"kind": "release_savepoint", "name": name}
         if kind == "START":
             j = _next_code(toks, i + 1)
             if j is None or toks[j][1].upper() != "TRANSACTION":
@@ -554,6 +567,19 @@ def parse_statement(sql: str) -> dict:
             j = _next_code(toks, i + 1)
             if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "WORK":
                 j = _next_code(toks, j + 1)  # BEGIN/COMMIT/ROLLBACK WORK
+            if (
+                kind == "ROLLBACK"
+                and j is not None
+                and toks[j][0] == "word"
+                and toks[j][1].upper() == "TO"
+            ):
+                j = _next_code(toks, j + 1)
+                if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "SAVEPOINT":
+                    j = _next_code(toks, j + 1)
+                name, j = _expect_ident(toks, j, "savepoint name after ROLLBACK TO")
+                if _next_code(toks, j + 1) is not None:
+                    raise DialectError("unexpected tokens after ROLLBACK TO")
+                return {"kind": "rollback_to", "name": name}
         if j is not None:
             raise DialectError(f"unexpected tokens after {kind}")
         return {"kind": {"START": "begin", "BEGIN": "begin"}.get(kind, kind.lower())}

@@ -162,6 +162,9 @@ class InfiniSession:
         # open transaction: table -> {"version": basename, "files": set}
         # (None = autocommit).  Snapshot taken lazily on first DML touch.
         self._txn: dict[str, dict] | None = None
+        # ordered savepoints: (name, {table: snap}) — intermediate
+        # states pinned the same way the base transaction snapshot is
+        self._savepoints: list[tuple[str, dict]] = []
         if sf_dir:
             self.load(sf_dir)
 
@@ -340,6 +343,7 @@ class InfiniSession:
         if self._txn is not None:
             self.commit()
         self._txn = {}
+        self._savepoints = []
 
     def _txn_touch(self, name: str, path: str) -> None:
         """Snapshot a table on its first DML inside the transaction."""
@@ -349,10 +353,72 @@ class InfiniSession:
 
         real = os.path.realpath(path)
         retain_version(path, os.path.basename(real))
-        self._txn[name] = {
+        snap = {
             "version": os.path.basename(real),
             "files": set(os.listdir(real)),
         }
+        self._txn[name] = snap
+        # a savepoint set BEFORE this table was first touched restores
+        # it to its touch-time (= savepoint-time) state
+        for _, tables in self._savepoints:
+            tables.setdefault(name, dict(snap))
+
+    def savepoint(self, name: str) -> None:
+        """SAVEPOINT: pin every touched table's CURRENT version (an
+        intermediate pre-image, same retain mechanism as BEGIN); a
+        same-name savepoint replaces the old one (MySQL rule)."""
+        from infinidb_spark.operators.dml import retain_version
+
+        if self._txn is None:
+            raise RuntimeError("SAVEPOINT outside a transaction")
+        tables: dict[str, dict] = {}
+        for tname in self._txn:
+            path = self._managed.get(tname)
+            if path is None:
+                continue
+            real = os.path.realpath(path)
+            retain_version(path, os.path.basename(real))
+            tables[tname] = {
+                "version": os.path.basename(real),
+                "files": set(os.listdir(real)),
+            }
+        self._savepoints = [sp for sp in self._savepoints if sp[0] != name]
+        self._savepoints.append((name, tables))
+
+    def rollback_to(self, name: str) -> None:
+        """ROLLBACK TO SAVEPOINT: restore touched tables to the
+        savepoint state; later savepoints are discarded, the
+        transaction stays open (MySQL semantics)."""
+        for idx, (sp_name, tables) in enumerate(self._savepoints):
+            if sp_name == name:
+                for tname, snap in tables.items():
+                    self._restore_snapshot(tname, snap)
+                del self._savepoints[idx + 1 :]
+                return
+        raise KeyError(f"no such savepoint {name!r}")
+
+    def release_savepoint(self, name: str) -> None:
+        """RELEASE SAVEPOINT: forget the savepoint, keep all changes
+        (pins stay until the transaction ends)."""
+        before = len(self._savepoints)
+        self._savepoints = [sp for sp in self._savepoints if sp[0] != name]
+        if len(self._savepoints) == before:
+            raise KeyError(f"no such savepoint {name!r}")
+
+    def _restore_snapshot(self, tname: str, snap: dict) -> None:
+        from infinidb_spark.operators.dml import _swap
+
+        path = self._managed.get(tname)
+        if path is None:
+            return
+        want = os.path.join(os.path.dirname(path.rstrip("/")), snap["version"])
+        if os.path.basename(os.path.realpath(path)) != snap["version"]:
+            _swap(path, want)  # superseded unpinned versions GC'd
+        for f in set(os.listdir(want)) - snap["files"]:
+            fp = os.path.join(want, f)
+            if os.path.isfile(fp):
+                os.remove(fp)
+        self._refresh(tname)
 
     def commit(self) -> None:
         """Make the transaction's writes permanent; GC pinned pre-image
@@ -364,41 +430,38 @@ class InfiniSession:
         if self._txn is None:
             return
         for name in self._txn:
-            path = self._managed.get(name)
-            if path is None:
-                continue
-            current = os.path.basename(os.path.realpath(path))
-            for ver in release_retained(path):
-                if ver != current:
-                    old = os.path.join(os.path.dirname(path.rstrip("/")), ver)
-                    if os.path.isdir(old):
-                        shutil.rmtree(old)
+            self._release_and_gc(name, release_retained, shutil)
         self._txn = None
+        self._savepoints = []
+
+    def _release_and_gc(self, name: str, release_retained, shutil) -> None:
+        """Drop every pin (base + savepoints) for a table and GC the
+        pinned version dirs that are no longer current."""
+        path = self._managed.get(name)
+        if path is None:
+            return
+        current = os.path.basename(os.path.realpath(path))
+        for ver in release_retained(path):
+            if ver != current:
+                old = os.path.join(os.path.dirname(path.rstrip("/")), ver)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
 
     def rollback(self) -> None:
         """Restore every touched table to its BEGIN state: re-point the
         version symlink at the pinned pre-image and drop files appended
         to it since the snapshot.  Metadata-only, no data rewrite."""
-        from infinidb_spark.operators.dml import _swap, release_retained
+        import shutil
+
+        from infinidb_spark.operators.dml import release_retained
 
         if self._txn is None:
             return
         for name, snap in self._txn.items():
-            path = self._managed.get(name)
-            if path is None:
-                continue
-            want = os.path.join(
-                os.path.dirname(path.rstrip("/")), snap["version"]
-            )
-            if os.path.basename(os.path.realpath(path)) != snap["version"]:
-                _swap(path, want)  # current (uncommitted) version GC'd
-            for f in set(os.listdir(want)) - snap["files"]:
-                fp = os.path.join(want, f)
-                if os.path.isfile(fp):
-                    os.remove(fp)
-            release_retained(path)
-            self._refresh(name)
+            self._restore_snapshot(name, snap)
+            self._release_and_gc(name, release_retained, shutil)
         self._txn = None
+        self._savepoints = []
 
     #: statement kinds that implicitly COMMIT an open transaction first —
     #: MySQL's documented DDL rule
@@ -439,6 +502,15 @@ class InfiniSession:
             return 0
         if st["kind"] == "rollback":
             self.rollback()
+            return 0
+        if st["kind"] == "savepoint":
+            self.savepoint(st["name"])
+            return 0
+        if st["kind"] == "rollback_to":
+            self.rollback_to(st["name"])
+            return 0
+        if st["kind"] == "release_savepoint":
+            self.release_savepoint(st["name"])
             return 0
         if st["kind"] in self._IMPLICIT_COMMIT and self._txn is not None:
             self.commit()  # MySQL: DDL implicitly commits

@@ -97,3 +97,53 @@ def test_multi_table_rollback(sess):
     sess.execute("ROLLBACK")
     assert _rows(sess, "txn_t") == t_before
     assert _rows(sess, "txn_u") == u_before
+
+
+def test_savepoint_partial_rollback(sess):
+    sess.execute("BEGIN")
+    sess.execute("UPDATE txn_t SET v = 100 WHERE id = 1")
+    sess.execute("SAVEPOINT sp1")
+    sess.execute("UPDATE txn_t SET v = 200 WHERE id = 2")
+    sess.execute("DELETE FROM txn_t WHERE id = 3")
+    assert _rows(sess, "txn_t") == [(1, 100.0), (2, 200.0)]
+    sess.execute("ROLLBACK TO SAVEPOINT sp1")
+    # post-savepoint work undone, pre-savepoint work kept, txn open
+    assert _rows(sess, "txn_t") == [(1, 100.0), (2, 2.0), (3, 3.0)]
+    sess.execute("UPDATE txn_t SET v = 300 WHERE id = 3")
+    sess.execute("COMMIT")
+    assert _rows(sess, "txn_t") == [(1, 100.0), (2, 2.0), (3, 300.0)]
+    assert len(_version_dirs(sess, "txn_t")) == 1  # all pins GC'd
+
+
+def test_savepoint_table_touched_after(sess):
+    """A savepoint set before a table's first DML restores that table
+    to its touch-time state."""
+    sess.execute("BEGIN")
+    sess.execute("UPDATE txn_t SET v = 9 WHERE id = 1")
+    sess.execute("SAVEPOINT sp")
+    sess.execute("CREATE TABLE txn_late (k BIGINT)")  # DDL → implicit commit!
+    # implicit commit ended the txn; start fresh to test the real case
+    sess.execute("INSERT INTO txn_late VALUES (1)")
+    sess.execute("BEGIN")
+    sess.execute("UPDATE txn_t SET v = 10 WHERE id = 1")
+    sess.execute("SAVEPOINT sp2")
+    sess.execute("INSERT INTO txn_late VALUES (2)")  # first touch AFTER sp2
+    sess.execute("ROLLBACK TO sp2")
+    assert _rows(sess, "txn_late") == [(1,)]
+    assert (1, 10.0) in _rows(sess, "txn_t")  # pre-sp2 change kept
+    sess.execute("ROLLBACK")
+    assert (1, 9.0) in _rows(sess, "txn_t")  # base restored
+
+
+def test_savepoint_release_and_errors(sess):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="outside a transaction"):
+        sess.execute("SAVEPOINT nope")
+    sess.execute("BEGIN")
+    sess.execute("UPDATE txn_t SET v = 1 WHERE id = 1")
+    sess.execute("SAVEPOINT a")
+    sess.execute("RELEASE SAVEPOINT a")
+    with _pytest.raises(KeyError):
+        sess.execute("ROLLBACK TO a")
+    sess.execute("ROLLBACK")
