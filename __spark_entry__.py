@@ -73,6 +73,8 @@ _PRIORITY = [
     "corpus_mixture",
     "outfile_export_roundtrip",
     "tpch_q3", "tpch_q5", "tpch_q10",
+    "events_cohort_retention",
+    "eval_decontamination",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

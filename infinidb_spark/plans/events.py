@@ -174,3 +174,69 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hours_with_data",
         )
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY cohort_week
+    ),
+    act AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(CAST(act.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+           week_offset,
+           n_active,
+           cohort_size,
+           round(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+    FROM act JOIN sizes USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    distinct-active counts per (cohort, week offset), retention vs the
+    cohort size.  Two aggregations + a broadcast join on the tiny cohort
+    relation — at 100 TB the only big shuffles are the two user-keyed
+    groupBys; the cohort matrix itself is O(weeks²) rows whatever the
+    event volume (the aggregate-of-aggregates cascade shape)."""
+    (events,) = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = events.select("user_id", week.alias("week")).distinct()
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

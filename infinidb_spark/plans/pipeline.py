@@ -867,3 +867,93 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "eval_decontamination",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 14))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
+             CASE WHEN bucket < 8000 THEN 'train'
+                  WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+      FROM s
+    ),
+    grams AS (
+      SELECT doc_id, split,
+             ('0x' || substr(md5(g), 1, 14))::BIGINT AS h
+      FROM (
+        SELECT doc_id, split,
+               unnest([substr(t, i, 8)
+                       for i in range(1, greatest(length(t) - 7, 1) + 1)]) AS g
+        FROM labeled
+      )
+    ),
+    test_grams AS (SELECT DISTINCT h FROM grams WHERE split = 'test'),
+    train_grams AS (SELECT DISTINCT doc_id, h FROM grams WHERE split = 'train'),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM train_grams GROUP BY doc_id),
+    shared AS (
+      SELECT tg.doc_id, count(*) AS n_shared
+      FROM train_grams tg JOIN test_grams USING (h)
+      GROUP BY tg.doc_id
+    )
+    SELECT s.doc_id, s.n_shared, t.n_grams,
+           round(s.n_shared / CAST(t.n_grams AS DOUBLE), 6) AS overlap
+    FROM shared s JOIN totals t USING (doc_id)
+    WHERE s.n_shared >= 20
+    ORDER BY overlap DESC, s.doc_id
+    """,
+)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the data-hygiene step of an LLM
+    pipeline: flag TRAIN documents sharing character 8-grams with the
+    held-out TEST split (hash_split, portable mode), ranked by overlap
+    ratio.  Plan: explode 8-gram hashes once with the split label,
+    aggregate the test side to a DISTINCT gram set, semi-shape join the
+    train grams against it, two groupBys — at 100 TB the test gram set
+    is small (eval sets are), so the join broadcasts and the corpus
+    relation is scanned once.  The oracle replays the split buckets,
+    the md5 gram hashes, and the thresholds literally."""
+    from infinidb_spark.operators.datasets import hash_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    labeled = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+    ).select("doc_id", "split", D.normalize_text(F.col("text")).alias("_t"))
+    n_pos = F.greatest(F.length("_t") - 7, F.lit(1))
+    grams = labeled.select(
+        "doc_id",
+        "split",
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
+        "_t",
+    ).select(
+        "doc_id",
+        "split",
+        F.conv(F.substring(F.md5(F.col("_t").substr(F.col("_i"), F.lit(8))), 1, 14), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    test_grams = grams.filter(F.col("split") == "test").select("h").distinct()
+    train_grams = grams.filter(F.col("split") == "train").select("doc_id", "h").distinct()
+    totals = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        train_grams.join(F.broadcast(test_grams), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(totals, "doc_id")
+        .filter(F.col("n_shared") >= 20)
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_grams",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("overlap"),
+        )
+        .orderBy(F.desc("overlap"), "doc_id")
+    )
