@@ -583,8 +583,26 @@ def parse_statement(sql: str) -> dict:
         if j is not None:
             raise DialectError(f"unexpected tokens after {kind}")
         return {"kind": {"START": "begin", "BEGIN": "begin"}.get(kind, kind.lower())}
+    if kind == "SET":
+        j = _next_code(toks, i + 1)
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "AUTOCOMMIT":
+            eq = _next_code(toks, j + 1)
+            v = _next_code(toks, eq + 1) if eq is not None else None
+            if (
+                eq is None or toks[eq] != ("sym", "=")
+                or v is None or toks[v][1] not in ("0", "1")
+            ):
+                raise DialectError("expected SET autocommit = 0|1")
+            return {"kind": "set_autocommit", "value": toks[v][1] == "1"}
+        raise DialectError("only SET autocommit is supported")
     if kind == "SHOW":
         j = _next_code(toks, i + 1)
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "FULL":
+            nxt = _next_code(toks, j + 1)
+            if nxt is not None and toks[nxt][1].upper() == "PROCESSLIST":
+                return {"kind": "processlist"}
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "PROCESSLIST":
+            return {"kind": "processlist"}
         if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "CREATE":
             k = _next_code(toks, j + 1)
             if k is None or toks[k][1].upper() != "TABLE":

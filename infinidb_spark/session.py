@@ -165,6 +165,8 @@ class InfiniSession:
         # ordered savepoints: (name, {table: snap}) — intermediate
         # states pinned the same way the base transaction snapshot is
         self._savepoints: list[tuple[str, dict]] = []
+        #: SET autocommit — False means DML implicitly opens transactions
+        self._autocommit: bool = True
         if sf_dir:
             self.load(sf_dir)
 
@@ -289,6 +291,37 @@ class InfiniSession:
         )
         return self.spark.createDataFrame(
             [(name, ddl)], "Table string, `Create Table` string"
+        )
+
+    def _processlist(self):
+        """SHOW [FULL] PROCESSLIST — MySQL columns populated from the
+        Spark status tracker: one row per active Spark job (the engine's
+        running statements) plus the session's own connection row, the
+        way mysqld always lists the issuing connection."""
+        tracker = self.spark.sparkContext.statusTracker()
+        rows = [
+            (0, "infinidb", "localhost", None, "Query", 0, "executing", None)
+        ]
+        for jid in tracker.getActiveJobsIds():
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            rows.append(
+                (
+                    int(jid) + 1,
+                    "infinidb",
+                    "localhost",
+                    None,
+                    "Query",
+                    0,
+                    str(info.status),
+                    f"spark job {jid} stages={list(info.stageIds)}",
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "Id long, User string, Host string, db string, Command string, "
+            "Time long, State string, Info string",
         )
 
     def _refresh(self, name: str) -> None:
@@ -512,6 +545,15 @@ class InfiniSession:
         if st["kind"] == "release_savepoint":
             self.release_savepoint(st["name"])
             return 0
+        if st["kind"] == "set_autocommit":
+            # MySQL: enabling autocommit commits the open transaction;
+            # disabling means the next DML implicitly opens one
+            self._autocommit = st["value"]
+            if st["value"]:
+                self.commit()
+            return 0
+        if st["kind"] == "processlist":
+            return self._processlist()
         if st["kind"] in self._IMPLICIT_COMMIT and self._txn is not None:
             self.commit()  # MySQL: DDL implicitly commits
         if st["kind"] == "admin":
@@ -630,6 +672,8 @@ class InfiniSession:
                 "(sf_dir source tables are read-only)"
             )
         if st["kind"] in ("insert", "update", "delete", "load_data"):
+            if not self._autocommit and self._txn is None:
+                self.begin()  # autocommit=0: DML implicitly opens a txn
             self._txn_touch(st["table"], path)
         if st["kind"] == "alter":
             from infinidb_spark.operators.dml import alter_table, rename_table

@@ -147,3 +147,26 @@ def test_savepoint_release_and_errors(sess):
     with _pytest.raises(KeyError):
         sess.execute("ROLLBACK TO a")
     sess.execute("ROLLBACK")
+
+
+def test_autocommit_off_implicit_transaction(sess):
+    before = _rows(sess, "txn_t")
+    sess.execute("SET autocommit = 0")
+    sess.execute("UPDATE txn_t SET v = 99 WHERE id = 1")  # implicitly opens
+    assert sess._txn is not None
+    sess.execute("ROLLBACK")
+    assert _rows(sess, "txn_t") == before
+    # next DML opens another implicit transaction
+    sess.execute("DELETE FROM txn_t WHERE id = 2")
+    assert sess._txn is not None
+    # re-enabling autocommit commits
+    sess.execute("SET autocommit = 1")
+    assert sess._txn is None
+    assert (2, 2.0) not in _rows(sess, "txn_t")
+
+
+def test_show_processlist(sess):
+    rows = sess.execute("SHOW PROCESSLIST").collect()
+    assert rows[0].Id == 0 and rows[0].Command == "Query"
+    cols = sess.execute("SHOW FULL PROCESSLIST").columns
+    assert cols == ["Id", "User", "Host", "db", "Command", "Time", "State", "Info"]
