@@ -304,3 +304,37 @@ def test_parse_alter_statements():
         parse_statement("ALTER TABLE t ADD c FANCYTYPE")
     with _pytest.raises(DialectError):
         parse_statement("ALTER VIEW v ADD c INT")
+
+
+def test_dml_where_subqueries(spark, sf_dir):
+    """MySQL DML with IN/EXISTS subqueries in WHERE — Spark resolves
+    the subquery against registered views inside the rewrite plan (no
+    special-casing needed; pinned here because it is load-bearing
+    mysqld surface)."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute(
+        "CREATE TABLE dmlsub_t AS SELECT c_custkey, c_nationkey, c_acctbal FROM customer"
+    )
+    total = sess.execute("SELECT count(*) AS n FROM dmlsub_t").collect()[0].n
+    in_r1 = sess.execute(
+        "SELECT count(*) AS n FROM dmlsub_t WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)"
+    ).collect()[0].n
+    n_del = sess.execute(
+        "DELETE FROM dmlsub_t WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)"
+    )
+    assert n_del == in_r1
+    assert sess.execute("SELECT count(*) AS n FROM dmlsub_t").collect()[0].n == total - n_del
+    # UPDATE with a scalar subquery in SET and a subquery in WHERE
+    n_upd = sess.execute(
+        "UPDATE dmlsub_t SET c_acctbal = (SELECT max(s_acctbal) FROM supplier) "
+        "WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)"
+    )
+    mx = sess.execute("SELECT max(s_acctbal) AS m FROM supplier").collect()[0].m
+    hit = sess.execute(
+        f"SELECT count(*) AS n FROM dmlsub_t WHERE c_acctbal = {mx}"
+    ).collect()[0].n
+    assert n_upd > 0 and hit >= n_upd
