@@ -6,18 +6,79 @@ dwDMrun.sh`).  Structured Streaming collapses that operational pattern
 into one continuously-running query: file source → transform →
 `foreachBatch` append into the same Parquet layout batch queries scan.
 
-Exactly-once notes: the checkpoint tracks which source files each epoch
-consumed; `foreachBatch` + idempotent-by-epoch writes give effective
-exactly-once into the table.  At cluster scale the sink directory is
-the same partitioned/clustered layout `sources/table_write.py` produces,
-so the streamed table serves the SAME query corpus as a batch-loaded
-one — stream/batch storage parity.
+Exactly-once: the checkpoint pins which source files each epoch
+consumed; the writer below makes the table-side append idempotent BY
+EPOCH — a replayed epoch (restart after crash) lands the same
+deterministic file names and is skipped once its commit marker exists,
+so the combination is effective exactly-once end to end.  At cluster
+scale the sink directory is the same partitioned/clustered layout
+`sources/table_write.py` produces, so the streamed table serves the
+SAME query corpus as a batch-loaded one — stream/batch storage parity.
 """
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
+
+#: commit-marker directory inside the table (underscore prefix →
+#: invisible to Spark's Parquet reader, like _SUCCESS)
+_EPOCH_DIR = "_epochs"
+
+
+def write_epoch_idempotent(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table_dir: str,
+    partition_by: list[str] | None = None,
+) -> bool:
+    """Append one epoch's rows with replay safety; returns False when
+    the epoch was already committed (skipped).
+
+    Protocol: stage the epoch to a dot-directory (hidden from readers),
+    remove any partial `ep<id>_*` files from a previous attempt, link
+    the staged parts in under DETERMINISTIC epoch-prefixed names, then
+    write the commit marker last.  Every crash window replays to the
+    same final state:
+
+    * crash while staging      → replay re-stages (stale staging dirs
+      are overwritten by name);
+    * crash while linking      → replay deletes the partial epoch files
+      and re-links;
+    * crash after the marker   → replay skips the epoch entirely.
+    """
+    marker = os.path.join(table_dir, _EPOCH_DIR, str(epoch_id))
+    if os.path.exists(marker):
+        return False
+    stage = os.path.join(table_dir, f".epoch_{epoch_id}_tmp")
+    writer = batch_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+
+    # clear a previous partial attempt, then link deterministically
+    for old in glob.glob(os.path.join(table_dir, "**", f"ep{epoch_id}_*"),
+                         recursive=True):
+        os.remove(old)
+    for dirpath, _, files in os.walk(stage):
+        rel = os.path.relpath(dirpath, stage)
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            dst_dir = table_dir if rel == "." else os.path.join(table_dir, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            os.link(
+                os.path.join(dirpath, f),
+                os.path.join(dst_dir, f"ep{epoch_id}_{f}"),
+            )
+    shutil.rmtree(stage)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    open(marker, "w").close()
+    return True
 
 
 def stream_to_table(
@@ -34,10 +95,7 @@ def stream_to_table(
     """
 
     def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        writer = batch_df.write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(table_dir)
+        write_epoch_idempotent(batch_df, epoch_id, table_dir, partition_by)
 
     writer = (
         stream.writeStream.foreachBatch(_write_epoch)

@@ -71,3 +71,42 @@ def test_operators_tolerate_null_and_empty_text(spark):
     D.dedup_exact(docs).collect()
     D.minhash_lsh_pairs(docs, n_hashes=16, bands=4).collect()
     T.analyze(docs).collect()
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """A replayed foreachBatch epoch (restart after crash) must not
+    double-write: second call with the same epoch id is skipped, and a
+    partial previous attempt is cleaned before re-linking."""
+    import os
+
+    from infinidb_spark.streaming.sink import write_epoch_idempotent
+
+    table = str(tmp_path / "ep_table")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    assert write_epoch_idempotent(df, 0, table) is True
+    assert write_epoch_idempotent(df, 0, table) is False  # replay skipped
+    assert spark.read.parquet(table).count() == 2
+    # a partial attempt (files but no marker) is repaired on replay
+    marker = os.path.join(table, "_epochs", "1")
+    assert write_epoch_idempotent(df, 1, table) is True
+    os.remove(marker)  # simulate crash after link, before marker
+    assert write_epoch_idempotent(df, 1, table) is True  # re-links cleanly
+    assert spark.read.parquet(table).count() == 4  # no duplicates
+
+
+def test_epoch_idempotent_partitioned(spark, tmp_path):
+    import os
+
+    from infinidb_spark.streaming.sink import write_epoch_idempotent
+
+    table = str(tmp_path / "ep_part")
+    os.makedirs(table)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "id long, part string"
+    )
+    write_epoch_idempotent(df, 7, table, partition_by=["part"])
+    write_epoch_idempotent(df, 7, table, partition_by=["part"])  # replay
+    got = spark.read.parquet(table)
+    assert got.count() == 3
+    assert {r.part for r in got.collect()} == {"x", "y"}
