@@ -75,6 +75,7 @@ _PRIORITY = [
     "tpch_q3", "tpch_q5", "tpch_q10",
     "events_cohort_retention",
     "eval_decontamination",
+    "multimodal_resize",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

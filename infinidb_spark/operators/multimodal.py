@@ -173,3 +173,65 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts"),
         )
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+        StructField("out_duration_ms", LongType(), True),
+        StructField("in_bytes", LongType(), True),
+        StructField("out_bytes", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes | None, in_w, in_h, out_w: int, out_h: int):
+    """STUB for the real resample path (PIL Image.resize /
+    librosa.resample / pyav frame scaling).  Contract honored: output
+    byte length scales with the area ratio, content derives
+    deterministically from the input bytes (byte-striding — the real
+    implementation would interpolate pixels/samples)."""
+    if payload is None:
+        return None
+    ratio = (out_w * out_h) / max(in_w * in_h, 1)
+    out_len = max(int(len(payload) * min(ratio, 1.0)), 1)
+    data = np.frombuffer(payload, dtype=np.uint8)
+    idx = np.linspace(0, len(data) - 1, out_len).astype(np.int64)
+    return data[idx].tobytes()
+
+
+def resize_media(df: DataFrame, out_width: int = 224, out_height: int = 224) -> DataFrame:
+    """Resize/resample media to target dimensions (images/video) or
+    proportional duration (audio) — Arrow-batched mapInPandas, the
+    third stubbed codec stage (decode → features → RESIZE → frames).
+
+    Real plumbing: schema contract, byte-aware batches, deterministic
+    output sizing; only the pixel/sample interpolation is the stub.
+    At 100 TB this is the standard image-normalization pass before
+    training-shard writes — map-only, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = [
+                _resize_stub(p, w or out_width, h or out_height, out_width, out_height)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            in_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "out_width": np.where(pdf["modality"] == "audio", 0, out_width),
+                    "out_height": np.where(pdf["modality"] == "audio", 0, out_height),
+                    "out_duration_ms": pdf["duration_ms"].fillna(0).astype("int64"),
+                    "in_bytes": in_bytes.astype("int64"),
+                    "out_bytes": [0 if b is None else len(b) for b in out_payload],
+                    "payload": out_payload,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

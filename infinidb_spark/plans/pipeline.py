@@ -957,3 +957,47 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("overlap"), "doc_id")
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+             octet_length(encode(text)) AS in_bytes,
+             (doc_id % 640 + 32) * (doc_id % 480 + 32) AS in_area
+      FROM documents
+    ),
+    r AS (
+      SELECT media_id, modality, in_bytes,
+             greatest(
+               CAST(floor(in_bytes * least(224.0 * 224.0 / in_area, 1.0)) AS BIGINT),
+               1) AS out_bytes
+      FROM m
+    )
+    SELECT modality,
+           count(*)                      AS n,
+           CAST(sum(in_bytes) AS BIGINT)  AS in_total,
+           CAST(sum(out_bytes) AS BIGINT) AS out_total
+    FROM r GROUP BY modality ORDER BY modality
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/resample pass over the media table (operators/multimodal.
+    resize_media — Arrow mapInPandas, interpolation stubbed): per-
+    modality byte totals before/after normalizing to 224x224.  The
+    oracle reproduces the synthetic metadata and the area-ratio output
+    sizing exactly; payload content is pinned by unit tests."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = M.synthesize_media(docs)
+    resized = M.resize_media(media, 224, 224)
+    return (
+        resized.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("in_bytes").alias("in_total"),
+            F.sum("out_bytes").alias("out_total"),
+        )
+        .orderBy("modality")
+    )

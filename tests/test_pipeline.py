@@ -260,3 +260,30 @@ def test_embedding_dedup_covers_every_row(spark, sf_dir):
     assert out.count() == emb.count()
     # rep is never above the member id (min-lower-neighbor contract)
     assert out.filter(F.col("rep_id") > F.col("vec_id")).count() == 0
+
+
+def test_resize_media_contract(spark):
+    """Resize stub honors the byte contract: output length follows the
+    area ratio (capped at 1.0), deterministic stride content, None
+    passthrough, audio keeps zero dims."""
+    from infinidb_spark.operators.multimodal import _resize_stub, resize_media
+
+    rows = [
+        (1, "image", b"x" * 1000, "m", 100, 100, 0),   # 224x224 > input → cap
+        (2, "audio", b"y" * 500, "m", 50, 50, 5000),
+        (3, "video", None, "m", 640, 480, 9000),
+        (4, "image", bytes(range(256)) * 4, "m", 448, 448, 0),  # downscale 4x
+    ]
+    from infinidb_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in resize_media(df, 224, 224).collect()}
+    assert got[1].out_bytes == 1000  # ratio capped at 1.0
+    assert got[3].payload is None and got[3].out_bytes == 0
+    assert got[4].out_bytes == int(1024 * (224 * 224) / (448 * 448))
+    assert got[2].out_width == 0 and got[2].out_height == 0  # audio
+    assert got[1].out_width == 224
+    # determinism: same input → same bytes
+    a = _resize_stub(bytes(range(100)), 10, 10, 5, 5)
+    b = _resize_stub(bytes(range(100)), 10, 10, 5, 5)
+    assert a == b and len(a) == 25
