@@ -1162,3 +1162,118 @@ def split_statements(script: str) -> list[str]:
     if any(t[0] not in ("ws", "comment") for t in cur):
         stmts.append(render(cur).strip())
     return stmts
+
+
+# ------------------------------------------- user variables / prepared
+
+def sql_literal(v) -> str:
+    """Render a Python value as a SQL literal (user-variable inlining
+    and EXECUTE parameter binding)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v}'"
+    return _sql_str(str(v))
+
+
+def substitute_user_vars(toks: list[Token], values: dict) -> list[Token]:
+    """Inline ``@name`` references as literals (MySQL user variables;
+    undefined variables read as NULL, MySQL's documented behavior).
+    String literals / comments / backtick identifiers never touched —
+    they are single tokens."""
+    out: list[Token] = []
+    i = 0
+    while i < len(toks):
+        if (
+            toks[i] == ("sym", "@")
+            and i + 1 < len(toks)
+            and toks[i + 1][0] == "word"
+        ):
+            out.append(("word", sql_literal(values.get(toks[i + 1][1]))))
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def parse_set_user_var(toks: list[Token]) -> tuple[str, str] | None:
+    """``SET @name = <expr>`` → (name, expr_sql); None if not that
+    shape (checked BEFORE variable substitution — the lhs must stay a
+    name)."""
+    i = _next_code(toks, 0)
+    if i is None or toks[i][0] != "word" or toks[i][1].upper() != "SET":
+        return None
+    j = _next_code(toks, i + 1)
+    if j is None or toks[j] != ("sym", "@"):
+        return None
+    k = _next_code(toks, j + 1)
+    if k is None or toks[k][0] != "word":
+        raise DialectError("expected a variable name after @")
+    name = toks[k][1]
+    eq = _next_code(toks, k + 1)
+    if eq is None or toks[eq] != ("sym", "="):
+        raise DialectError("expected = in SET @var")
+    expr = render(toks[eq + 1 :]).strip()
+    if not expr:
+        raise DialectError("SET @var requires an expression")
+    return name, expr
+
+
+def parse_prepared(toks: list[Token]) -> dict | None:
+    """PREPARE name FROM '<sql>' / EXECUTE name [USING lit, ...] /
+    DEALLOCATE PREPARE name — the mysqld prepared-statement surface
+    (server-side text protocol; '?' placeholders bind positionally)."""
+    i = _next_code(toks, 0)
+    if i is None or toks[i][0] != "word":
+        return None
+    kw = toks[i][1].upper()
+    if kw == "PREPARE":
+        name, j = _expect_ident(toks, _next_code(toks, i + 1), "statement name")
+        f = _next_code(toks, j + 1)
+        if f is None or toks[f][1].upper() != "FROM":
+            raise DialectError("expected FROM in PREPARE")
+        s = _next_code(toks, f + 1)
+        if s is None or toks[s][0] != "string":
+            raise DialectError("PREPARE requires a quoted statement string")
+        return {"kind": "prepare", "name": name, "sql": _unquote(toks[s][1])}
+    if kw == "EXECUTE":
+        name, j = _expect_ident(toks, _next_code(toks, i + 1), "statement name")
+        u = _next_code(toks, j + 1)
+        params: list[str] = []
+        if u is not None:
+            if toks[u][1].upper() != "USING":
+                raise DialectError("expected USING in EXECUTE")
+            params = [render(p).strip() for p in _split_args(toks[u + 1 :])]
+        return {"kind": "execute_prepared", "name": name, "params": params}
+    if kw == "DEALLOCATE":
+        j = _next_code(toks, i + 1)
+        if j is None or toks[j][1].upper() != "PREPARE":
+            raise DialectError("expected PREPARE after DEALLOCATE")
+        name, _ = _expect_ident(toks, _next_code(toks, j + 1), "statement name")
+        return {"kind": "deallocate", "name": name}
+    return None
+
+
+def bind_placeholders(sql: str, params: list[str]) -> str:
+    """Replace '?' placeholders (outside strings/comments) with the
+    rendered parameter literals, positionally."""
+    toks = tokenize(sql)
+    n_ph = sum(1 for t in toks if t == ("sym", "?"))
+    if n_ph != len(params):
+        raise DialectError(
+            f"prepared statement has {n_ph} placeholder(s), {len(params)} given"
+        )
+    it = iter(params)
+    return render(
+        [("word", next(it)) if t == ("sym", "?") else t for t in toks]
+    )

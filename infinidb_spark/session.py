@@ -167,6 +167,9 @@ class InfiniSession:
         self._savepoints: list[tuple[str, dict]] = []
         #: SET autocommit — False means DML implicitly opens transactions
         self._autocommit: bool = True
+        #: MySQL user variables (@name) and prepared statements
+        self._user_vars: dict[str, object] = {}
+        self._prepared: dict[str, str] = {}
         if sf_dir:
             self.load(sf_dir)
 
@@ -526,6 +529,48 @@ class InfiniSession:
 
         if dialect != "mysql":
             return self.spark.sql(statement)
+        toks = d.tokenize(statement)
+        # SET @var = expr keeps its lhs un-substituted; everything else
+        # inlines @refs as literals first (undefined @var reads NULL —
+        # MySQL's documented behavior)
+        set_var = d.parse_set_user_var(toks)
+        if set_var is not None:
+            name, expr = set_var
+            expr = d.render(
+                d.substitute_user_vars(d.tokenize(expr), self._user_vars)
+            )
+            self._user_vars[name] = self.sql(
+                f"SELECT ({d.translate_mysql(expr)}) AS v"
+            ).collect()[0].v
+            return 0
+        prep = d.parse_prepared(toks)
+        if prep is not None:
+            if prep["kind"] == "prepare":
+                # placeholder arity validated at PREPARE time, like mysqld
+                d.bind_placeholders(
+                    prep["sql"],
+                    ["NULL"] * sum(1 for t in d.tokenize(prep["sql"]) if t == ("sym", "?")),
+                )
+                self._prepared[prep["name"]] = prep["sql"]
+                return 0
+            if prep["kind"] == "deallocate":
+                if self._prepared.pop(prep["name"], None) is None:
+                    raise KeyError(f"unknown prepared statement {prep['name']!r}")
+                return 0
+            # EXECUTE: bind positionally (params already literal after
+            # @-substitution below never ran — substitute now)
+            sql_text = self._prepared.get(prep["name"])
+            if sql_text is None:
+                raise KeyError(f"unknown prepared statement {prep['name']!r}")
+            params = [
+                d.render(d.substitute_user_vars(d.tokenize(p), self._user_vars))
+                for p in prep["params"]
+            ]
+            return self._execute_inner(
+                d.bind_placeholders(sql_text, params), "mysql"
+            )
+        if any(t == ("sym", "@") for t in toks):
+            statement = d.render(d.substitute_user_vars(toks, self._user_vars))
         st = d.parse_statement(statement)
         if st["kind"] == "begin":
             self.begin()

@@ -434,3 +434,47 @@ def test_execute_script_end_to_end(spark):
     assert results[0] == 0 and results[1] == 2
     row = results[2].collect()[0]
     assert (row.n, row.sv) == (2, 1.0)
+
+
+def test_user_variables(spark, sf_dir):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute("SET @lim = (SELECT max(n_nationkey) FROM nation)")
+    assert sess.execute("SELECT @lim AS v").collect()[0].v == 24
+    n = sess.execute(
+        "SELECT count(*) AS n FROM nation WHERE n_nationkey < @lim"
+    ).collect()[0].n
+    assert n == 24
+    # variables compose; strings quote correctly; undefined reads NULL
+    sess.execute("SET @name = 'NATION_3'")
+    got = sess.execute(
+        "SELECT n_nationkey AS k FROM nation WHERE n_name = @name"
+    ).collect()
+    assert len(got) == 1
+    assert sess.execute("SELECT @missing AS v").collect()[0].v is None
+    sess.execute("SET @two = @lim - 22")
+    assert sess.execute("SELECT @two AS v").collect()[0].v == 2
+
+
+def test_prepared_statements(spark, sf_dir):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute(
+        "PREPARE top_n FROM 'SELECT n_name FROM nation WHERE n_regionkey = ? "
+        "ORDER BY n_name LIMIT ?'"
+    )
+    rows = sess.execute("EXECUTE top_n USING 1, 2").collect()
+    assert len(rows) == 2
+    sess.execute("SET @r = 2")
+    rows2 = sess.execute("EXECUTE top_n USING @r, 3").collect()
+    assert len(rows2) == 3
+    with pytest.raises(DialectError, match="placeholder"):
+        sess.execute("EXECUTE top_n USING 1")
+    sess.execute("DEALLOCATE PREPARE top_n")
+    with pytest.raises(KeyError):
+        sess.execute("EXECUTE top_n USING 1, 2")
+    # '?' inside a string literal is not a placeholder
+    sess.execute("PREPARE q FROM 'SELECT count(*) AS n FROM nation WHERE n_name <> ''?'''")
+    assert sess.execute("EXECUTE q").collect()[0].n == 25
