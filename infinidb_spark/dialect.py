@@ -633,8 +633,24 @@ def _parse_into_outfile(toks: list[Token]) -> dict | None:
     if into_i is None:
         return None
     j = _next_code(toks, into_i + 1)
+    if j is not None and toks[j] == ("sym", "@"):
+        # SELECT ... INTO @a[, @b ...]: variable assignment form
+        names: list[str] = []
+        while j is not None and toks[j] == ("sym", "@"):
+            k = _next_code(toks, j + 1)
+            if k is None or toks[k][0] != "word":
+                raise DialectError("expected a variable name after @")
+            names.append(toks[k][1])
+            j = _next_code(toks, k + 1)
+            if j is not None and toks[j] == ("sym", ","):
+                j = _next_code(toks, j + 1)
+            else:
+                break
+        remaining = toks[:into_i] + (toks[j:] if j is not None else [])
+        return {"kind": "select_into_vars", "sql": render(remaining).strip(),
+                "names": names}
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "OUTFILE":
-        raise DialectError("only INTO OUTFILE is supported (no DUMPFILE/@var)")
+        raise DialectError("only INTO OUTFILE / INTO @var is supported (no DUMPFILE)")
     j = _next_code(toks, j + 1)
     if j is None or toks[j][0] != "string":
         raise DialectError("INTO OUTFILE requires a quoted file path")
@@ -962,7 +978,20 @@ def _parse_insert(toks: list[Token], i: int) -> dict:
             ]
             j = _next_code(toks, close + 1)
     if j is None:
-        raise DialectError("INSERT without VALUES or SELECT")
+        raise DialectError("INSERT without VALUES, SET, or SELECT")
+    if toks[j][0] == "word" and toks[j][1].upper() == "SET":
+        # MySQL alternative syntax: INSERT INTO t SET a = 1, b = 'x'
+        names, values = [], []
+        for part in _split_args(toks[j + 1 :]):
+            k = _next_code(part, 0)
+            col, k = _expect_ident(part, k, "column in INSERT SET")
+            eq = _next_code(part, k + 1)
+            if eq is None or part[eq] != ("sym", "="):
+                raise DialectError(f"INSERT SET {col}: expected '='")
+            names.append(col)
+            values.append(render(part[eq + 1 :]).strip())
+        return {"kind": "insert", "table": table, "columns": names,
+                "select_sql": "SELECT * FROM VALUES (" + ", ".join(values) + ")"}
     if toks[j][0] == "word" and toks[j][1].upper() in ("VALUES", "VALUE"):
         select_sql = "SELECT * FROM VALUES " + render(toks[j + 1 :]).strip()
     else:

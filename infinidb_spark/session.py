@@ -570,6 +570,31 @@ class InfiniSession:
                 d.bind_placeholders(sql_text, params), "mysql"
             )
         if any(t == ("sym", "@") for t in toks):
+            # SELECT ... INTO @a, @b: the assignment targets must be
+            # recognized BEFORE @-substitution (they are lvalues)
+            try:
+                st_raw = d.parse_statement(statement)
+            except d.DialectError:
+                st_raw = None
+            if st_raw is not None and st_raw["kind"] == "select_into_vars":
+                sql_text = d.render(
+                    d.substitute_user_vars(
+                        d.tokenize(st_raw["sql"]), self._user_vars
+                    )
+                )
+                rows = self.spark.sql(sql_text).collect()
+                if len(rows) > 1:
+                    raise ValueError("Result consisted of more than one row")
+                if rows:
+                    if len(rows[0]) != len(st_raw["names"]):
+                        raise ValueError(
+                            f"INTO expects {len(st_raw['names'])} variable(s), "
+                            f"select list has {len(rows[0])}"
+                        )
+                    for name, v in zip(st_raw["names"], rows[0]):
+                        self._user_vars[name] = v
+                # zero rows: variables unchanged (MySQL warning semantics)
+                return 0
             statement = d.render(d.substitute_user_vars(toks, self._user_vars))
         st = d.parse_statement(statement)
         if st["kind"] == "begin":

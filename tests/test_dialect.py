@@ -478,3 +478,24 @@ def test_prepared_statements(spark, sf_dir):
     # '?' inside a string literal is not a placeholder
     sess.execute("PREPARE q FROM 'SELECT count(*) AS n FROM nation WHERE n_name <> ''?'''")
     assert sess.execute("EXECUTE q").collect()[0].n == 25
+
+
+def test_select_into_var_and_insert_set(spark, sf_dir):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute("SELECT max(n_nationkey), min(n_name) INTO @mx, @mn FROM nation")
+    assert sess.execute("SELECT @mx AS v").collect()[0].v == 24
+    assert sess.execute("SELECT @mn AS v").collect()[0].v == "NATION_0"
+    with pytest.raises(ValueError, match="more than one row"):
+        sess.execute("SELECT n_nationkey INTO @x FROM nation")
+    # zero rows: variable unchanged
+    sess.execute("SET @keep = 7")
+    sess.execute("SELECT n_nationkey INTO @keep FROM nation WHERE n_nationkey < 0")
+    assert sess.execute("SELECT @keep AS v").collect()[0].v == 7
+    # INSERT ... SET with a variable reference
+    sess.execute("CREATE TABLE iset_t (id BIGINT, s TEXT)")
+    n = sess.execute("INSERT INTO iset_t SET id = @mx + 1, s = 'via set'")
+    assert n == 1
+    row = sess.execute("SELECT * FROM iset_t").collect()[0]
+    assert (row.id, row.s) == (25, "via set")
