@@ -1205,6 +1205,8 @@ def sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex().upper() + "'"
     if isinstance(v, (int, float, decimal.Decimal)):
         return str(v)
     if isinstance(v, datetime.datetime):
@@ -1223,6 +1225,15 @@ def substitute_user_vars(toks: list[Token], values: dict) -> list[Token]:
     i = 0
     while i < len(toks):
         if (
+            toks[i] == ("sym", "@")
+            and i + 1 < len(toks)
+            and toks[i + 1] == ("sym", "@")
+        ):
+            # @@system_var is NOT a user variable — pass through for the
+            # statement layer (session substitutes the known ones)
+            out.extend(toks[i : i + 3])
+            i += 3
+        elif (
             toks[i] == ("sym", "@")
             and i + 1 < len(toks)
             and toks[i + 1][0] == "word"

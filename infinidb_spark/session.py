@@ -296,6 +296,37 @@ class InfiniSession:
             [(name, ddl)], "Table string, `Create Table` string"
         )
 
+    #: the mysqld identity the reference presents (MySQL 5.1.73 carrying
+    #: the InfiniDB storage engine) — clients probe @@version at connect
+    _VERSION = "5.1.73-infinidb-spark"
+
+    def _substitute_system_vars(self, toks, d):
+        """Inline the supported @@system variables as literals; unknown
+        ones raise rather than silently reading NULL."""
+        out = []
+        i = 0
+        while i < len(toks):
+            if (
+                toks[i] == ("sym", "@")
+                and i + 2 < len(toks)
+                and toks[i + 1] == ("sym", "@")
+                and toks[i + 2][0] == "word"
+            ):
+                name = toks[i + 2][1].lower()
+                if name == "version":
+                    out.append(("string", d._sql_str(self._VERSION)))
+                elif name == "version_comment":
+                    out.append(("string", d._sql_str("infinidb-spark engine")))
+                elif name == "autocommit":
+                    out.append(("number", "1" if self._autocommit else "0"))
+                else:
+                    raise d.DialectError(f"unknown system variable @@{name}")
+                i += 3
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
     def _processlist(self):
         """SHOW [FULL] PROCESSLIST — MySQL columns populated from the
         Spark status tracker: one row per active Spark job (the engine's
@@ -530,6 +561,8 @@ class InfiniSession:
         if dialect != "mysql":
             return self.spark.sql(statement)
         toks = d.tokenize(statement)
+        toks = self._substitute_system_vars(toks, d)
+        statement = d.render(toks)
         # SET @var = expr keeps its lhs un-substituted; everything else
         # inlines @refs as literals first (undefined @var reads NULL —
         # MySQL's documented behavior)

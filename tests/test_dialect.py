@@ -499,3 +499,16 @@ def test_select_into_var_and_insert_set(spark, sf_dir):
     assert n == 1
     row = sess.execute("SELECT * FROM iset_t").collect()[0]
     assert (row.id, row.s) == (25, "via set")
+
+
+def test_system_variables(spark):
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    assert "infinidb" in sess.execute("SELECT @@version AS v").collect()[0].v
+    assert sess.execute("SELECT @@autocommit AS v").collect()[0].v == 1
+    sess.execute("SET autocommit = 0")
+    assert sess.execute("SELECT @@autocommit AS v").collect()[0].v == 0
+    sess.execute("SET autocommit = 1")
+    with pytest.raises(DialectError, match="unknown system variable"):
+        sess.execute("SELECT @@no_such_var")
