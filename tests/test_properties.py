@@ -88,3 +88,69 @@ def test_string_functions_match_duckdb(spark, rows):
         " s || t AS cat, substring(s, 2, 3) AS sub FROM pdf"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_split_statements_roundtrip_property():
+    """Joining arbitrary ;-free statements with ';' and re-splitting
+    recovers them (modulo whitespace) — and semicolons inside string
+    literals never split."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    from infinidb_spark.dialect import split_statements
+
+    word = hst.text(
+        alphabet=hst.sampled_from(list("abcXY01_ ")), min_size=1, max_size=20
+    ).filter(lambda s: s.strip())
+
+    @given(hst.lists(word, min_size=1, max_size=6))
+    @settings(max_examples=200, deadline=None)
+    def check(parts):
+        stmts = split_statements("; ".join(parts) + ";")
+        assert stmts == [p.strip() for p in parts]
+
+    check()
+    assert split_statements("SELECT 'a; b'; SELECT 1") == ["SELECT 'a; b'", "SELECT 1"]
+
+
+def test_bind_placeholders_property():
+    """Binding replaces exactly the top-level '?' marks, positionally,
+    and never touches '?' inside string literals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    from infinidb_spark.dialect import DialectError, bind_placeholders
+
+    import pytest as _pytest
+
+    @given(hst.integers(min_value=0, max_value=6))
+    @settings(max_examples=50, deadline=None)
+    def check(n):
+        sql = "SELECT " + " + ".join(["?"] * n) if n else "SELECT 1"
+        params = [str(i) for i in range(n)]
+        bound = bind_placeholders(sql, params)
+        assert "?" not in bound
+        for p in params:
+            assert p in bound
+
+    check()
+    assert bind_placeholders("SELECT '?' , ?", ["7"]) == "SELECT '?' , 7"
+    with _pytest.raises(DialectError):
+        bind_placeholders("SELECT ?", [])
+
+
+def test_sql_literal_quoting_property():
+    """String literals escape quotes/backslashes so render→tokenize
+    yields exactly one string token."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    from infinidb_spark.dialect import sql_literal, tokenize
+
+    @given(hst.text(alphabet=hst.sampled_from(list("ab'\\\"`; -")), max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        toks = [t for t in tokenize(sql_literal(s)) if t[0] != "ws"]
+        assert len(toks) == 1 and toks[0][0] == "string"
+
+    check()
