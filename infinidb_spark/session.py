@@ -579,11 +579,8 @@ class InfiniSession:
         prep = d.parse_prepared(toks)
         if prep is not None:
             if prep["kind"] == "prepare":
-                # placeholder arity validated at PREPARE time, like mysqld
-                d.bind_placeholders(
-                    prep["sql"],
-                    ["NULL"] * sum(1 for t in d.tokenize(prep["sql"]) if t == ("sym", "?")),
-                )
+                # mysqld parses at PREPARE time; arity errors surface at
+                # EXECUTE when the USING list binds
                 self._prepared[prep["name"]] = prep["sql"]
                 return 0
             if prep["kind"] == "deallocate":
