@@ -130,7 +130,6 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.6,
     candidate_cap: int = 1000,
-    scratch_dir: str | None = None,
     portable_hash: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
@@ -177,35 +176,27 @@ def minhash_lsh_pairs(
 
     t = F.col("_t")
     n_pos = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
-    # (doc, shingle-hash) rows (with duplicates): feeds the signature agg
-    # and the verification joins — consumed 3×, so it must be reused, not
-    # recomputed (dropping reuse measured 7.5 s → 18.5 s at sf0.1).
-    # Reuse strategy: with ``scratch_dir`` the relation checkpoints to
-    # Parquet and is re-read (the 100 TB pattern — computed once, zero
-    # executor storage held); without it, ``persist()`` scoped to THIS
-    # call — the small candidate relations below are materialized
-    # eagerly, then the cache is released before returning, so the
-    # operator leaves nothing cached (asserted in tests).
+    # (doc, shingle-hash) rows (with duplicates): consumed exactly ONCE,
+    # by the signature aggregation — the verification stage re-shingles
+    # only the candidate docs from source text (a broadcast-filtered
+    # scan), so the corpus-wide relation is never cached, checkpointed,
+    # or traversed twice.  Zero executor storage held at any scale.
     shingle = t.substr(F.col("_i"), F.lit(shingle_k))
     if portable_hash:
         h_expr = F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
     else:
         h_expr = F.xxhash64(shingle)
-    ex = (
-        fan_out(df)
-        .select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
-        .select("_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"), "_t")
-        .select("_id", h_expr.alias("_h"))
-    )
-    if scratch_dir is not None:
-        import os
-        import uuid
 
-        path = os.path.join(scratch_dir, f"shingles_{uuid.uuid4().hex[:12]}")
-        ex.write.mode("overwrite").parquet(path)
-        ex = df.sparkSession.read.parquet(path)
-    else:
-        ex = ex.persist()
+    def _shingle_rows(src: DataFrame) -> DataFrame:
+        return (
+            src.select(
+                F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t")
+            )
+            .select("_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"), "_t")
+            .select("_id", h_expr.alias("_h"))
+        )
+
+    ex = _shingle_rows(fan_out(df))
 
     h31 = F.col("_h").bitwiseAND(F.lit(p31))
     sig_aggs = [
@@ -253,27 +244,44 @@ def minhash_lsh_pairs(
     )
 
     # Exact Jaccard over collect_set shingle arrays, built ONLY for docs
-    # in a candidate pair: the big relation `ex` is filtered by a
-    # broadcast of the (tiny) candidate-id set, so no corpus-wide shuffle
-    # and no array materialization outside the candidates.  At 100 TB,
-    # if pairs outgrow broadcast, the same joins run shuffled on id keys.
+    # in a candidate pair — by RE-SHINGLING those docs from the source
+    # relation behind a broadcast id filter.  The candidate set is tiny
+    # (bounded by bucket cap × buckets), so this scan reads almost
+    # nothing after pushdown; recomputing beats caching the corpus-wide
+    # shingle relation for a second pass at every scale.  At 100 TB, if
+    # pairs outgrow broadcast, the same joins run shuffled on id keys.
     cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct()
+    cand_docs = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == cand_ids["_id"], "leftsemi"
+    )
     shs = (
-        ex.join(F.broadcast(cand_ids), "_id")
+        _shingle_rows(cand_docs)
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
-        .localCheckpoint(eager=True)
     )
-    if scratch_dir is None:
-        ex.unpersist()  # both consumers materialized — release the cache
-    sh_a = shs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
-    sh_b = shs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    # ONE broadcast of the candidate shingle sets: explode each pair to
+    # its two member rows, join the sets once, fold back per pair with
+    # conditional firsts — half the broadcast builds of a
+    # join-left/join-right formulation.
+    membership = pairs.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
+    )
+    both = (
+        membership.join(F.broadcast(shs), "_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("_id") == F.col("id_a"), F.col("_sh")), ignorenulls=True
+            ).alias("_sh_a"),
+            F.first(
+                F.when(F.col("_id") == F.col("id_b"), F.col("_sh")), ignorenulls=True
+            ).alias("_sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
     return (
-        pairs.join(F.broadcast(sh_a), "id_a")
-        .join(F.broadcast(sh_b), "id_b")
-        .withColumn("jaccard", inter / union)
+        both.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
