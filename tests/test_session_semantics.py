@@ -45,3 +45,35 @@ def test_scalar_subquery_single_row_ok(engine):
         "(select n_regionkey from nation where n_nationkey = 3)"
     )
     assert good.count() == 1
+
+
+def test_concurrent_mixed_queries(spark, sf_dir):
+    """Four threads run different operator families simultaneously
+    (the reference's dwweek daytime pattern: concurrent query groups) —
+    results must match the serial answers exactly and the shared
+    table-handle cache must stay coherent."""
+    import threading
+
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    names = ["q1_pricing_summary", "join_multiway", "window_rank", "agg_distinct"]
+    serial = {n: sorted(map(tuple, q[n](spark, sf_dir).collect())) for n in names}
+    results: dict[str, list] = {}
+    errors: list[Exception] = []
+
+    def run(name):
+        try:
+            for _ in range(2):
+                results[name] = sorted(map(tuple, q[name](spark, sf_dir).collect()))
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=run, args=(n,)) for n in names]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors, errors
+    for n in names:
+        assert results[n] == serial[n], f"{n} diverged under concurrency"
