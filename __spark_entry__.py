@@ -76,6 +76,7 @@ _PRIORITY = [
     "events_cohort_retention",
     "eval_decontamination",
     "multimodal_resize",
+    "corpus_curation_pipeline",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

@@ -1001,3 +1001,94 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, t,
+             length(t) AS n_chars,
+             greatest(len(string_split_regex(t, '\\s+')), 1) AS n_tok,
+             CAST(length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+               / greatest(length(t), 1) AS punct_ratio,
+             CAST(len(list_filter(string_split_regex(t, '\\s+'),
+                  x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE)
+               / greatest(len(string_split_regex(t, '\\s+')), 1) AS sw_ratio
+      FROM norm
+    ),
+    scored AS (
+      SELECT doc_id, t, n_chars,
+             round((
+               (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
+                     WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END)
+             + (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END)
+             + (CASE WHEN sw_ratio >= 0.05 THEN 1.0
+                     WHEN sw_ratio > 0.0 THEN 0.5 ELSE 0.1 END)
+             + (CASE WHEN CAST(n_chars AS DOUBLE) / n_tok BETWEEN 2.5 AND 9.0
+                     THEN 1.0 ELSE 0.3 END)) / 4.0, 6) AS qual
+      FROM feat
+    ),
+    kept AS (SELECT * FROM scored WHERE qual >= 0.5),
+    survivors AS (
+      SELECT doc_id, n_chars, qual FROM kept
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(t))
+    ),
+    split AS (
+      SELECT *,
+             CASE WHEN ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 14))::BIGINT
+                       % 10000 < 8000 THEN 'train'
+                  WHEN ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 14))::BIGINT
+                       % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM survivors
+    )
+    SELECT split,
+           count(*)                      AS n_docs,
+           round(avg(qual), 6)           AS avg_quality,
+           CAST(sum(n_chars) AS BIGINT)  AS chars_total
+    FROM split GROUP BY split ORDER BY split
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation flow every stage of this engine exists
+    for, composed: quality-score filter (operators/text.py) → exact
+    near-identity dedup keeping the lowest id per normalized-content
+    hash → recomputation-stable train/val/test split
+    (operators/datasets.py, portable mode) → per-split corpus stats.
+    One scan + one dedup shuffle + one map-only split — the whole
+    pipeline is two exchanges at any scale.  The DuckDB oracle replays
+    every stage (score thresholds, md5 dedup, split buckets) literally."""
+    from pyspark.sql import Window
+
+    from infinidb_spark.operators.datasets import hash_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        D.normalize_text(F.col("text")).alias("_t"),
+        F.length(D.normalize_text(F.col("text"))).alias("n_chars"),
+        T.quality_score(F.col("text")).alias("qual"),
+    )
+    kept = scored.filter(F.col("qual") >= 0.5)
+    w = Window.partitionBy(F.md5("_t"))
+    survivors = kept.withColumn("_min_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("_min_id")
+    )
+    split = hash_split(
+        survivors, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("qual"), 6).alias("avg_quality"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("split")
+    )
