@@ -77,6 +77,8 @@ _PRIORITY = [
     "eval_decontamination",
     "multimodal_resize",
     "corpus_curation_pipeline",
+    "jsonl_load_roundtrip",
+    "orc_storage_parity",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

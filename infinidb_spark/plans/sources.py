@@ -229,3 +229,80 @@ def outfile_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
     )
+
+
+@query(
+    "jsonl_load_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT)  AS first_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def jsonl_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest — the interchange format of web-crawl / LLM-corpus
+    dumps: documents exported as newline-delimited JSON, re-loaded with
+    the schema'd PERMISSIVE reader (sources/bulk_load.bulk_load_jsonl),
+    aggregated.  Oracle runs on the original table: a hash match proves
+    the JSON text roundtrip is lossless (unicode, nulls, quoting)."""
+    from infinidb_spark.sources.bulk_load import bulk_load_jsonl
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    cols = ["doc_id", "lang", "n_chars"]
+    work = _workdir(sf_dir, "jsonl")
+    out_dir = os.path.join(work, "docs_jsonl")
+    done = os.path.join(work, "_jsonl_done")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(work, exist_ok=True)
+        docs.select(*cols).write.json(out_dir)
+        open(done, "w").close()
+    result = bulk_load_jsonl(spark, out_dir, docs.select(*cols).schema)
+    assert result.rows_rejected == 0, "clean export must load without rejects"
+    result.unpersist()
+    return result.loaded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "orc_storage_parity",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                     AS n,
+           round(sum(o_totalprice), 4)  AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def orc_storage_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternate columnar store: orders written as ORC and aggregated
+    from the ORC scan — the same columnar contract (column pruning,
+    stripe stats ≅ extents) through Spark's second native column
+    format.  Oracle on the original Parquet proves value fidelity."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    work = _workdir(sf_dir, "orc")
+    out_dir = os.path.join(work, "orders_orc")
+    done = os.path.join(work, "_orc_done")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(work, exist_ok=True)
+        orders.write.orc(out_dir)
+        open(done, "w").close()
+    return (
+        spark.read.orc(out_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )

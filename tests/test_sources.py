@@ -106,3 +106,24 @@ def test_cross_engine_jdbc_roundtrip(spark, sf_dir):
         assert got == want
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_bulk_load_jsonl_reject_capture(spark, tmp_path):
+    """Malformed JSONL lines land in `rejected` with their raw text
+    (the .bad-file contract), clean lines type to the schema."""
+    from infinidb_spark.sources.bulk_load import bulk_load_jsonl
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "s": "ok"}\n'
+        'not json at all\n'
+        '{"id": 2, "s": null}\n'
+        '{"id": "NaN-ish", "s": "bad type"}\n'
+    )
+    res = bulk_load_jsonl(spark, str(src), __import__("pyspark").sql.types._parse_datatype_string("id bigint, s string"))
+    assert res.rows_loaded == 2 and res.rows_rejected == 2
+    bad = sorted(r.raw_record for r in res.rejected.collect())
+    assert any("not json" in b for b in bad)
+    rows = sorted(map(tuple, res.loaded.collect()))
+    res.unpersist()
+    assert rows == [(1, "ok"), (2, None)]
