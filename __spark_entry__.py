@@ -79,6 +79,7 @@ _PRIORITY = [
     "corpus_curation_pipeline",
     "jsonl_load_roundtrip",
     "orc_storage_parity",
+    "ref_avg_battery",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

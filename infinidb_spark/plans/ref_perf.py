@@ -324,3 +324,24 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mysql(
         spark, sf_dir, _TPCH_Q10, "customer", "orders", "lineitem", "nation"
     )
+
+
+# --- group 108: multi-average battery over compound predicates ---------
+
+#: utils/scenarios/perf/sql/108/q108.2.sql (dates in-domain; aliases
+#: added per the corpus column-name rule)
+_AVG_BATTERY = """SELECT round(avg(L_EXTENDEDPRICE), 6) avg_price,
+       round(avg(L_DISCOUNT), 6) avg_disc
+FROM lineitem
+WHERE L_SHIPDATE between '1997-01-01' and '1997-12-31' and
+    L_DISCOUNT BETWEEN 0.02 AND 0.04 AND
+    L_QUANTITY < 25"""
+
+
+@query("ref_avg_battery", oracle=_AVG_BATTERY)
+def ref_avg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 108 (q108.2.sql): whole-table average
+    battery under a three-way compound range predicate — the
+    casual-partition elimination drill (shipdate range prunes extents
+    there, row groups here) feeding a single global aggregate."""
+    return _mysql(spark, sf_dir, _AVG_BATTERY, "lineitem")
