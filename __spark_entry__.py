@@ -80,6 +80,7 @@ _PRIORITY = [
     "jsonl_load_roundtrip",
     "orc_storage_parity",
     "ref_avg_battery",
+    "events_anomaly_zscore",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

@@ -240,3 +240,68 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH buckets AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, bucket, n,
+             avg(n)         OVER w AS mu,
+             stddev_samp(n) OVER w AS sigma,
+             count(*)       OVER w AS n_window
+      FROM buckets
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(bucket AS VARCHAR) AS bucket,
+           CAST(n AS BIGINT)       AS n,
+           round(mu, 6)            AS mu,
+           round((n - mu) / nullif(sigma, 0), 6) AS zscore
+    FROM stats
+    WHERE n_window >= 12 AND abs((n - mu) / nullif(sigma, 0)) >= 2.0
+    ORDER BY event_type, bucket
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly detection: hourly event counts per type scored
+    against the trailing 24-hour window's mean/stddev; buckets with
+    |z| >= 2 (and at least half a day of history) flag.  Aggregate →
+    bounded window — the cascade never holds more than O(window) state
+    per type, the monitoring shape that scales with bucket count, not
+    event volume."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    buckets = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-24, -1)
+    )
+    z = (F.col("n") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0))
+    return (
+        buckets.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sigma", F.stddev_samp("n").over(w))
+        .withColumn("n_window", F.count(F.lit(1)).over(w))
+        .filter((F.col("n_window") >= 12) & (F.abs(z) >= 2.0))
+        .select(
+            "event_type",
+            F.col("bucket").cast("string").alias("bucket"),
+            "n",
+            F.round("mu", 6).alias("mu"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("event_type", "bucket")
+    )
