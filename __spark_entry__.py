@@ -81,6 +81,7 @@ _PRIORITY = [
     "orc_storage_parity",
     "ref_avg_battery",
     "events_anomaly_zscore",
+    "data_profile_histogram",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

@@ -1092,3 +1092,50 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "data_profile_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    b AS (
+      SELECT CAST(floor((o_totalprice - lo) / ((hi + 1e-9 - lo) / 20)) AS BIGINT) + 1
+               AS bucket,
+             o_totalprice
+      FROM orders, stats
+    )
+    SELECT CAST(bucket AS BIGINT)        AS bucket,
+           count(*)                      AS n,
+           round(min(o_totalprice), 4)   AS lo,
+           round(max(o_totalprice), 4)   AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def data_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution profiling: 20-bucket equi-width histogram of
+    order totals (explicit floor-bucket arithmetic against the observed
+    min/max, identical IEEE on both engines), per-bucket counts and
+    actual bounds — the data-profiling companion to operators/
+    validate.py.  The bounds come in as SCALAR SUBQUERIES (planned as
+    one-row subquery jobs, results inlined into the scan — no join
+    node), so both passes are plain single scans at any scale."""
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT CAST(floor((o_totalprice - (SELECT min(o_totalprice) FROM orders))
+                   / (((SELECT max(o_totalprice) FROM orders) + 1e-9
+                       - (SELECT min(o_totalprice) FROM orders)) / 20)) AS BIGINT) + 1
+                   AS bucket,
+                 o_totalprice
+          FROM orders
+        )
+        SELECT bucket,
+               count(*)                    AS n,
+               round(min(o_totalprice), 4) AS lo,
+               round(max(o_totalprice), 4) AS hi
+        FROM b GROUP BY bucket ORDER BY bucket
+        """
+    )
