@@ -82,6 +82,8 @@ _PRIORITY = [
     "ref_avg_battery",
     "events_anomaly_zscore",
     "data_profile_histogram",
+    "events_strict_funnel",
+    "orders_week_over_week",
     # added round 4 — need first driver verdicts
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",

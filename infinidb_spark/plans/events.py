@@ -305,3 +305,121 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "events_strict_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+    UNION ALL SELECT 'step2_click', count(*) FROM c
+    UNION ALL SELECT 'step3_purchase', count(*) FROM p
+    ORDER BY step
+    """,
+)
+def events_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence conversion funnel: first view, then the first
+    click AFTER that view, then the first purchase AFTER that click —
+    order matters, unlike containment funnels.  Three user-keyed
+    aggregations chained by conditional joins; each stage's relation is
+    one row per surviving user (monotonically shrinking), so the chain
+    costs three shuffles on user_id and nothing rescans raw events more
+    than once per stage."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        v.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("step1_view")),
+        c.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("step2_click")),
+        p.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("step3_purchase")),
+    ]
+    out = counts[0]
+    for df_ in counts[1:]:
+        out = out.unionByName(df_)
+    return out.select("step", "n_users").orderBy("step")
+
+
+@query(
+    "orders_week_over_week",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR) AS week,
+             round(sum(o_totalprice), 4) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+      GROUP BY 1
+    )
+    SELECT week, n_orders, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY week), 4)  AS delta,
+           round((revenue - lag(revenue) OVER (ORDER BY week))
+                 / nullif(lag(revenue) OVER (ORDER BY week), 0) * 100, 6) AS pct_change
+    FROM w ORDER BY week
+    """,
+)
+def orders_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: weekly revenue with lag-based
+    deltas and percent change — the navigation-window shape every BI
+    workload runs.  Aggregate first (weeks are few), then a single
+    ordered window over the tiny weekly relation."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy(
+            F.date_trunc("week", F.col("o_orderdate"))
+            .cast("date")
+            .cast("string")
+            .alias("week")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    win = Window.orderBy("week")
+    prev = F.lag("revenue").over(win)
+    return (
+        w.withColumn("delta", F.round(F.col("revenue") - prev, 4))
+        .withColumn(
+            "pct_change",
+            F.round((F.col("revenue") - prev) / F.nullif(prev, F.lit(0)) * 100, 6),
+        )
+        .select("week", "n_orders", "revenue", "delta", "pct_change")
+        .orderBy("week")
+    )
