@@ -689,45 +689,52 @@ def case(*pairs, default=None) -> Column:
 
 # ---------------------------------------------------------------------------
 # Casts — ref func_cast.cpp (funcexp.cpp:83-88)
+#
+# The reference converters are permissive by construction (func_cast.cpp /
+# dataconvert.cpp: malformed input -> 0/NULL, never a runtime error), so the
+# whole family uses ``try_cast`` semantics.  This also makes every cast
+# session-independent: the same Column works whether the hosting session has
+# spark.sql.ansi.enabled on (Spark 4 default — the driver's gate session) or
+# off (the engine's own session).
 # ---------------------------------------------------------------------------
 
 
 @_reg("cast_signed")
 def cast_signed(c) -> Column:
-    return _c(c).cast("bigint")
+    return _c(c).try_cast("bigint")
 
 
 @_reg("cast_unsigned")
 def cast_unsigned(c) -> Column:
     # Spark has no unsigned; DECIMAL(20,0) holds the UBIGINT range
     # (SURVEY §7 hard-parts).
-    return _c(c).cast("decimal(20,0)")
+    return _c(c).try_cast("decimal(20,0)")
 
 
 @_reg("cast_char")
 def cast_char(c, n=None) -> Column:
-    s = _c(c).cast("string")
+    s = _c(c).try_cast("string")
     return F.substring(s, 1, n) if n else s
 
 
 @_reg("cast_date")
 def cast_date(c) -> Column:
-    return _c(c).cast("date")
+    return _c(c).try_cast("date")
 
 
 @_reg("cast_datetime")
 def cast_datetime(c) -> Column:
-    return _c(c).cast("timestamp")
+    return _c(c).try_cast("timestamp")
 
 
 @_reg("cast_decimal", "decimal_typecast")
 def cast_decimal(c, precision=18, scale=2) -> Column:
-    return _c(c).cast(f"decimal({precision},{scale})")
+    return _c(c).try_cast(f"decimal({precision},{scale})")
 
 
 @_reg("cast_double")
 def cast_double(c) -> Column:
-    return _c(c).cast("double")
+    return _c(c).try_cast("double")
 
 
 # ---------------------------------------------------------------------------

@@ -70,7 +70,7 @@ def mysql_dialect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s_nationkey,
            count(*)                            AS n,
-           round(sum(s_acctbal), 4)            AS bal_sum,
+           CAST(CAST(round(sum(s_acctbal), 4) AS DECIMAL(38,4)) AS VARCHAR) AS bal_sum,
            sum(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS n_null
     FROM final
     GROUP BY s_nationkey
@@ -107,6 +107,14 @@ def mysql_dml_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM supplier_m
             GROUP BY s_nationkey
         """)
+        # bal_sum via DECIMAL(38,4)→string on both sides: a rounded DOUBLE
+        # is the one known flaky hash channel (float64 serialization);
+        # decimal re-rounding absorbs it (same rule as agg_decimal_exact).
+        from pyspark.sql import functions as F
+
+        out = out.withColumn(
+            "bal_sum", F.col("bal_sum").cast("decimal(38,4)").cast("string")
+        )
         rows = out.collect()  # materialize before the scratch dir goes away
         return spark.createDataFrame(rows, out.schema)
     finally:

@@ -276,7 +276,7 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(F.col("event_id") <= 300).select(
         "event_id",
         func("json_extract", F.col("props"), "$.k").alias("k_raw"),
-        func("json_extract", F.col("props"), "$.k").cast("bigint").alias("k_num"),
+        func("json_extract", F.col("props"), "$.k").try_cast("bigint").alias("k_num"),
     )
 
 

@@ -1,0 +1,67 @@
+"""ANSI-session robustness: the driver's gate runs queries in its OWN
+default-config Spark 4 session, where ``spark.sql.ansi.enabled`` is ON —
+unlike the engine session (session.py pins it off, matching the
+reference's permissive MySQL converters, ref utils/funcexp/func_cast.cpp
+/ dataconvert.cpp: malformed input -> 0/NULL, never an error).
+
+Every registered query must therefore execute under ANSI-on too; casts
+on malformed-reachable input must use ``try_cast`` semantics
+(functions/registry.py casts section).  This suite flips the runtime
+conf and executes the cast-reachable corpus — the r03 driver failure
+mode (CAST_INVALID_INPUT on func_cast) regresses here, not in the gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+# Queries whose plans contain casts over string/JSON data (the
+# malformed-input-reachable surface) plus the full func_* family.
+ANSI_SENSITIVE = [
+    "func_math",
+    "func_string",
+    "func_datetime",
+    "func_control",
+    "func_cast",
+    "func_json",
+    "func_time",
+    "mysql_dml_statements",
+    "mysql_dialect_query",
+    "mysql_dialect_datetime",
+]
+
+
+@pytest.fixture(scope="module")
+def ansi_spark(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+@pytest.mark.parametrize("name", ANSI_SENSITIVE)
+def test_query_runs_under_ansi(ansi_spark, sf_dir, name):
+    queries = entry_mod.queries()
+    if name not in queries:
+        pytest.skip(f"{name} not registered")
+    df = queries[name](ansi_spark, sf_dir)
+    # Executing is the assertion: ANSI-on must not raise CAST_INVALID_INPUT.
+    assert df.count() >= 0
+
+
+def test_try_cast_malformed_returns_null(ansi_spark):
+    from infinidb_spark.functions.registry import func
+    from pyspark.sql import functions as F
+
+    df = ansi_spark.range(1).select(
+        func("cast_signed", F.lit("not-a-number")).alias("s"),
+        func("cast_date", F.lit("nope")).alias("d"),
+        func("cast_decimal", F.lit("x"), 18, 2).alias("dec"),
+        func("cast_double", F.lit("?")).alias("f"),
+        func("cast_unsigned", F.lit("u?")).alias("u"),
+        func("cast_datetime", F.lit("t?")).alias("t"),
+    )
+    row = df.collect()[0]
+    assert all(row[c] is None for c in ["s", "d", "dec", "f", "u", "t"])
