@@ -63,58 +63,52 @@ from infinidb_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
 SF0_001 = "/root/testdata/sf0.001"
 
-# The rounds-1/2 correctness gate stopped after the first 50 registered
-# queries, so 29 operators never got a driver row.  Surface those first
-# (plus queries fixed or added this round), then the long-green tail —
-# correct under either a positional or a time-budget gate cap.
+# The driver's correctness gate checks a rotating ~50-query window in
+# registration order, so this list decides who gets a verdict.  Round-4
+# ordering (VERDICT r03 "Next round" #1): the 24 queries that have NEVER
+# received a driver row in CORRECTNESS_r01-r03 come first, then the two
+# queries fixed this round, then queries newly added this round, then
+# the long-green tail (green in r02/r03, code unchanged).
 _PRIORITY = [
-    # added round 5 — need first driver verdicts
-    "embedding_quantize",
-    "corpus_mixture",
-    "outfile_export_roundtrip",
+    # never driver-checked in any round — first driver verdicts
+    "dedup_minhash_portable", "dedup_simhash_portable",
+    "ann_cosine_topk", "ann_lsh_topk", "similarity_pairs_bucketed",
+    "dedup_embedding_cosine",
+    "text_quality", "text_analyze", "text_analyze_portable",
+    "multimodal_features", "multimodal_frame_plan",
+    "data_validation",
+    "events_tumbling_window", "events_sliding_window", "events_sessionize",
+    "events_json_funnel", "events_hypertable_rollup",
+    "bulk_load_csv_roundtrip", "pseudo_columns", "cross_engine_join",
+    "system_catalog", "dml_lifecycle", "asof_join_events", "range_join_bands",
+    # fixed round 4 — red in r03, need fresh verdicts
+    "func_cast",
+    "mysql_dml_statements",
+    # added round 4 — first driver verdicts
+    "mysql_ci_collation",
+    "auto_increment_roundtrip",
+    "date_format_week_tokens",
+    # rows-only production dedup variants (pinned by the portable twins above)
+    "dedup_minhash_lsh", "dedup_simhash",
+    # long-green tail: re-verified as window budget allows
+    "q1_pricing_summary",
+    "embedding_quantize", "corpus_mixture", "outfile_export_roundtrip",
     "tpch_q3", "tpch_q5", "tpch_q10",
-    "events_cohort_retention",
-    "eval_decontamination",
-    "multimodal_resize",
-    "corpus_curation_pipeline",
-    "jsonl_load_roundtrip",
-    "orc_storage_parity",
-    "ref_avg_battery",
-    "events_anomaly_zscore",
-    "data_profile_histogram",
-    "events_strict_funnel",
-    "orders_week_over_week",
-    # added round 4 — need first driver verdicts
+    "events_cohort_retention", "eval_decontamination", "multimodal_resize",
+    "corpus_curation_pipeline", "jsonl_load_roundtrip", "orc_storage_parity",
+    "ref_avg_battery", "events_anomaly_zscore", "data_profile_histogram",
+    "events_strict_funnel", "orders_week_over_week",
     "ann_ivf_topk",
     "ref_scan_order", "ref_filter_count", "ref_small_side_count",
     "ref_outer_left", "ref_outer_right", "ref_ordered_hint_join",
     "ref_pricing_summary", "ref_part_join_count", "ref_join_agg",
     "ref_discount_groups", "mysql_ddl_alter",
-    # fixed round 3 — needed a fresh driver verdict
-    "agg_decimal_exact",
-    # added round 3
-    "quantified_subquery",
-    "group_concat_ordered",
-    "part_lineitem_agg",
-    "func_time",
-    "extent_elimination_scan",
-    "mysql_dialect_query",
-    "mysql_dialect_datetime",
-    "mysql_dml_statements",
-    "dataset_split",
-    "sequence_packing",
-    "token_heavy_hitters_cms",
-    # never driver-checked in rounds 1-2
-    "func_string", "func_datetime", "func_control", "func_cast", "func_json",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_minhash_portable", "dedup_simhash_portable",
-    "ann_cosine_topk", "ann_lsh_topk", "similarity_pairs_bucketed",
-    "text_quality", "text_analyze", "text_analyze_portable", "multimodal_features",
-    "multimodal_frame_plan", "data_validation",
-    "events_tumbling_window", "events_sliding_window", "events_sessionize",
-    "events_json_funnel", "events_hypertable_rollup",
-    "bulk_load_csv_roundtrip", "pseudo_columns", "cross_engine_join",
-    "system_catalog", "dml_lifecycle", "asof_join_events", "range_join_bands",
+    "agg_decimal_exact", "quantified_subquery", "group_concat_ordered",
+    "part_lineitem_agg", "func_time", "extent_elimination_scan",
+    "mysql_dialect_query", "mysql_dialect_datetime",
+    "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
+    "func_string", "func_datetime", "func_control", "func_json",
+    "dedup_exact", "dedup_ngram_jaccard",
 ]
 
 
