@@ -19,9 +19,10 @@ identifiers, double-quoted strings (non-ANSI mode), ``DIV``/``%``,
 * ``DATE_FORMAT/TIME_FORMAT(x, '%…')`` → ``date_format(x, java-pattern)``
 * ``STR_TO_DATE(x, '%…')``           → ``to_timestamp(x, java-pattern)``
   (format tokens translated by ``functions/mysql_format.py``; tokens
-  that need expression composition — %D %U %u %V %v %X %x %w — raise
-  ``DialectError`` rather than silently diverging; use the Column-level
-  ``func("date_format", …)`` registry path for those)
+  that need expression composition — %D %U %u %V %v %X %x %w — expand
+  to equivalent Spark SQL expressions via ``_compose_date_format``,
+  mirroring the Column-level registry builder; STR_TO_DATE with those
+  tokens still raises ``DialectError``)
 * MySQL-only functions expanded to equivalent Spark expressions:
   ``TO_DAYS FROM_DAYS PERIOD_ADD PERIOD_DIFF TIME_TO_SEC SEC_TO_TIME
   INET_ATON INET_NTOA`` (same templates the function registry
@@ -339,14 +340,111 @@ def _fmt_func(name: str, inner: list[Token]) -> list[Token]:
     fmt_toks = [t for t in args[1] if t[0] not in ("ws", "comment")]
     if len(fmt_toks) != 1 or fmt_toks[0][0] != "string":
         raise DialectError(f"{name}: format must be a string literal to translate")
+    fmt = _unquote(fmt_toks[0][1])
     try:
-        pattern = mysql_datetime_format_to_spark(_unquote(fmt_toks[0][1]))
+        pattern = mysql_datetime_format_to_spark(fmt)
     except ValueError as ex:
+        if name in ("DATE_FORMAT", "TIME_FORMAT"):
+            # composed tokens (%D %U %u %V %v %X %x %w) — expression
+            # composition in SQL text, same semantics as the registry's
+            # Column builder (date_format_mysql).
+            return [("code", _compose_date_format(f"({render(args[0]).strip()})", fmt))]
         raise DialectError(
             f"{name}: {ex} — use the Column-level registry builder for composed tokens"
         ) from ex
     text = f"{_FMT_FUNCS[name]}({render(args[0]).strip()}, {_sql_str(pattern)})"
     return [("code", text)]
+
+
+# Week-token building blocks for _compose_date_format, as Spark SQL
+# text over a (parenthesized) date expression {x}.  MySQL WEEK() mode
+# semantics (ref utils/funcexp/func_week.cpp, func_date_format.cpp):
+#   %U = mode 0: Sunday-first, 00-53, week 1 starts at the year's first
+#        Sunday (_calc_week: mode 0 xor 4 → first_weekday rule);
+#   %u = mode 1: Monday-first, 00-53, week 1 = first week with >3 days
+#        in the year, i.e. the week containing Jan 4;
+#   %V/%X = mode 2 week/week-year: Sunday-first analog of ISO — the
+#        Sunday starting a week fixes its year, weeks count from that
+#        year's first Sunday, never 0;
+#   %v/%x = mode 3: ISO (Spark weekofyear / extract(YEAROFWEEK)).
+_SQL_FIRST_SUNDAY = (
+    "date_add(trunc({d}, 'YEAR'), (7 - (dayofweek(trunc({d}, 'YEAR')) - 1)) % 7)"
+)
+_SQL_WEEK1_MONDAY = (
+    "date_sub(make_date(year({x}), 1, 4),"
+    " (dayofweek(make_date(year({x}), 1, 4)) + 5) % 7)"
+)
+_SQL_WEEK_FROM = (
+    "CASE WHEN datediff({x}, {start}) < 0 THEN '00'"
+    " ELSE lpad(cast(cast(floor(datediff({x}, {start}) / 7) AS INT) + 1"
+    " AS STRING), 2, '0') END"
+)
+_SQL_SUNDAY_OF = "date_sub({x}, dayofweek({x}) - 1)"
+
+
+def _compose_date_format(x: str, fmt: str) -> str:
+    """DATE_FORMAT with composed tokens as a concat() of SQL pieces."""
+    pieces: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            s = "".join(lit)
+            if "%" in s:
+                pieces.append(
+                    f"date_format({x}, {_sql_str(mysql_datetime_format_to_spark(s))})"
+                )
+            else:
+                pieces.append(_sql_str(s))
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i + 1]
+            if tok in "DUuVvXxw":
+                flush()
+                if tok == "w":
+                    pieces.append(f"cast(dayofweek({x}) - 1 AS STRING)")
+                elif tok == "U":
+                    fs = _SQL_FIRST_SUNDAY.format(d=x)
+                    pieces.append(_SQL_WEEK_FROM.format(x=x, start=fs))
+                elif tok == "u":
+                    w1m = _SQL_WEEK1_MONDAY.format(x=x)
+                    pieces.append(_SQL_WEEK_FROM.format(x=x, start=w1m))
+                elif tok in "VX":
+                    ws = _SQL_SUNDAY_OF.format(x=x)
+                    if tok == "V":
+                        fs2 = _SQL_FIRST_SUNDAY.format(d=f"({ws})")
+                        pieces.append(
+                            f"lpad(cast(cast(floor(datediff({ws}, {fs2}) / 7) AS INT)"
+                            " + 1 AS STRING), 2, '0')"
+                        )
+                    else:
+                        pieces.append(f"lpad(cast(year({ws}) AS STRING), 4, '0')")
+                elif tok == "v":
+                    pieces.append(f"lpad(cast(weekofyear({x}) AS STRING), 2, '0')")
+                elif tok == "x":
+                    pieces.append(
+                        f"lpad(cast(extract(YEAROFWEEK FROM {x}) AS STRING), 4, '0')"
+                    )
+                elif tok == "D":
+                    d = f"dayofmonth({x})"
+                    pieces.append(
+                        f"concat(cast({d} AS STRING),"
+                        f" CASE WHEN {d} % 100 IN (11, 12, 13) THEN 'th'"
+                        f" WHEN {d} % 10 = 1 THEN 'st'"
+                        f" WHEN {d} % 10 = 2 THEN 'nd'"
+                        f" WHEN {d} % 10 = 3 THEN 'rd' ELSE 'th' END)"
+                    )
+                i += 2
+                continue
+            lit.append(fmt[i]); lit.append(tok)
+            i += 2
+        else:
+            lit.append(fmt[i]); i += 1
+    flush()
+    return "concat(" + ", ".join(pieces) + ")" if len(pieces) > 1 else pieces[0]
 
 
 def _limit(toks: list[Token], i: int) -> tuple[int, list[Token]] | None:
@@ -477,9 +575,59 @@ def _string_aliases(toks: list[Token]) -> list[Token]:
     return out
 
 
-def translate_mysql(sql: str) -> str:
-    """MySQL-dialect SQL → Spark SQL (the ``getSelectPlan`` analog)."""
-    return render(_string_aliases(_rewrite(tokenize(sql))))
+#: Comparison operators whose string-literal operands get ci collation.
+_CMP_SYMS = frozenset({"=", "<>", "!=", "<=", ">=", "<", ">", "<=>"})
+
+
+def _ci_literals(toks: list[Token]) -> list[Token]:
+    """Case-insensitive collation mode: MySQL's default collation
+    (latin1_swedish_ci / utf8mb4_general_ci) compares and orders
+    strings case-insensitively, so in the reference ``WHERE c = 'ACME'``
+    matches ``'acme'`` (mysqld collations feed the comparisons the
+    handler builds, ref dbcon/mysql/ha_calpont_execplan.cpp).  Spark
+    compares binary by default; Spark 4's collation support closes the
+    gap.  This pass wraps string literals that are direct comparison
+    operands (``=  <>  !=  <  <=  >  >=  <=>`` and IN-list members) in
+    ``collate(lit, 'UTF8_LCASE')`` — Spark's explicit-collation
+    precedence then makes the whole comparison case-insensitive.
+    ORDER/GROUP BY on columns keep binary collation (use
+    ``lower()`` there; only literal comparisons are rewritten)."""
+    out = list(toks)
+    for idx, (k, t) in enumerate(out):
+        if k != "string" or not t.startswith("'"):
+            continue
+        p = _prev_code(out, idx)
+        n = _next_code(out, idx + 1)
+        near_cmp = (
+            p is not None and out[p][0] == "sym" and out[p][1] in _CMP_SYMS
+        ) or (n is not None and out[n][0] == "sym" and out[n][1] in _CMP_SYMS)
+        if near_cmp:
+            out[idx] = ("code", f"collate({t}, 'UTF8_LCASE')")
+    i = 0
+    while i < len(out):
+        if out[i][0] == "word" and out[i][1].upper() == "IN":
+            op = _next_code(out, i + 1)
+            if op is not None and out[op] == ("sym", "("):
+                close = _match_paren(out, op)
+                for j in range(op + 1, close):
+                    if out[j][0] == "string" and out[j][1].startswith("'"):
+                        out[j] = ("code", f"collate({out[j][1]}, 'UTF8_LCASE')")
+                i = close + 1
+                continue
+        i += 1
+    return out
+
+
+def translate_mysql(sql: str, *, ci_collation: bool = False) -> str:
+    """MySQL-dialect SQL → Spark SQL (the ``getSelectPlan`` analog).
+
+    ``ci_collation=True`` reproduces MySQL's default case-insensitive
+    collation for string-literal comparisons (see ``_ci_literals``).
+    """
+    toks = _rewrite(tokenize(sql))
+    if ci_collation:
+        toks = _ci_literals(toks)
+    return render(_string_aliases(toks))
 
 
 # ------------------------------------------------------- DML statements
@@ -1096,7 +1244,13 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
             )
         name, k = _expect_ident(part, k, "column name")
         spark_type, k = _parse_mysql_type(part, _next_code(part, k + 1))
-        col = {"name": name, "type": spark_type, "nullable": True, "default": None}
+        col = {
+            "name": name,
+            "type": spark_type,
+            "nullable": True,
+            "default": None,
+            "auto_increment": False,
+        }
         while k is not None and k < len(part):
             if part[k][0] != "word":
                 raise DialectError(f"unexpected token in column def: {part[k][1]!r}")
@@ -1123,14 +1277,21 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
                 if v is None or part[v][0] != "string":
                     raise DialectError("COMMENT requires a string")
                 k = _next_code(part, v + 1)
-            elif w in ("AUTO_INCREMENT",):
-                raise DialectError(
-                    "AUTO_INCREMENT is not supported (no unique keys, "
-                    "reference behavior)"
-                )
+            elif w == "AUTO_INCREMENT":
+                # ref: cpimport/we_bulkload reserve id ranges from a
+                # central counter (writeengine/bulk/cpimport.cpp:102-168);
+                # execution analog: operators/dml.py assign_auto_increment
+                if "INT" not in col["type"].upper() and "LONG" not in col["type"].upper():
+                    raise DialectError(
+                        f"AUTO_INCREMENT requires an integer column ({name} is {col['type']})"
+                    )
+                col["auto_increment"] = True
+                k = _next_code(part, k + 1)
             else:
                 raise DialectError(f"unsupported column attribute {w}")
         columns.append(col)
+    if sum(1 for c in columns if c["auto_increment"]) > 1:
+        raise DialectError("only one AUTO_INCREMENT column per table (MySQL rule)")
     # trailing table options (ENGINE=InfiniDB, DEFAULT CHARSET=...,
     # COMMENT='...') are accepted and ignored
     return {"kind": "create_typed", "table": table, "columns": columns}

@@ -207,6 +207,70 @@ def insert_into(df: DataFrame, table_dir: str) -> None:
     df.write.mode("append").parquet(table_dir)
 
 
+def assign_auto_increment(df: DataFrame, col: str, start: int) -> DataFrame:
+    """Fill NULLs in ``col`` with sequential ids ``start, start+1, …``.
+
+    Reference: AUTO_INCREMENT ids come from a central BRM counter that
+    bulk load / DML reserve ranges from (`writeengine/bulk/cpimport.cpp`
+    auto-increment subsystem; `we_bulkload` reserves one range per
+    batch).  Spark-native analog — max-offset + per-partition
+    row_number, no driver-side loop and NO global sort:
+
+    1. tag rows with ``spark_partition_id`` and a within-partition
+       monotonic id,
+    2. per-partition null-counts → prefix-sum offsets (a window over
+       the tiny partition-count relation),
+    3. broadcast-join offsets back; id = start + offset + local rank.
+
+    Each partition numbers independently, so the batch never funnels
+    through one task — the same range-reservation idea the reference
+    uses, with partitions as the ranges.  Rows with ``col`` already set
+    keep their value (MySQL: explicit values win).  The caller must
+    ensure ``df`` is materialized/persisted if its source must not be
+    recomputed (two jobs read it: the count and the write)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    need = F.col(col).isNull()
+    tagged = df.withColumn("_ai_pid", F.spark_partition_id()).withColumn(
+        "_ai_mid", F.monotonically_increasing_id()
+    )
+    w_local = Window.partitionBy("_ai_pid").orderBy("_ai_mid")
+    # rank only the rows needing an id (explicit rows don't consume one
+    # within the batch; the caller accounts for their max separately)
+    tagged = tagged.withColumn(
+        "_ai_rank",
+        F.sum(F.when(need, 1).otherwise(0)).over(w_local),
+    )
+    counts = (
+        tagged.filter(need)
+        .groupBy("_ai_pid")
+        .agg(F.count("*").alias("_ai_n"))
+        .withColumn(
+            "_ai_off",
+            F.coalesce(
+                F.sum("_ai_n").over(
+                    Window.orderBy("_ai_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_ai_n")
+    )
+    out = tagged.join(F.broadcast(counts), "_ai_pid", "left").withColumn(
+        col,
+        F.when(
+            need,
+            (F.lit(start) + F.coalesce(F.col("_ai_off"), F.lit(0)) + F.col("_ai_rank") - 1).cast(
+                dict(df.dtypes)[col]
+            ),
+        ).otherwise(F.col(col)),
+    )
+    return out.drop("_ai_pid", "_ai_mid", "_ai_rank", "_ai_off")
+
+
 def update_table(
     spark: SparkSession,
     table_dir: str,

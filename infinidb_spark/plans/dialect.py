@@ -153,3 +153,94 @@ def mysql_dialect_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """))
+
+
+@query(
+    "date_format_week_tokens",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders WHERE o_orderkey <= 2000
+                 AND month(CAST(o_orderdate AS DATE)) IN (1, 12)),
+    w AS (SELECT o_orderkey, d,
+                 d - dayofweek(d)::INT AS ws,
+                 make_date(year(d),1,1)
+                   + ((7 - dayofweek(make_date(year(d),1,1))) % 7)::INT AS fs,
+                 date_trunc('week', make_date(year(d),1,4)) AS w1m
+          FROM t),
+    v AS (SELECT o_orderkey, d, ws, fs, w1m,
+                 make_date(year(ws),1,1)
+                   + ((7 - dayofweek(make_date(year(ws),1,1))) % 7)::INT AS fsw
+          FROM w)
+    SELECT o_orderkey,
+           strftime(d, '%U')                                            AS wk_u,
+           CASE WHEN d < w1m THEN '00'
+                ELSE lpad(CAST((d - w1m) // 7 + 1 AS VARCHAR), 2, '0') END AS wk_l,
+           lpad(CAST((ws - fsw) // 7 + 1 AS VARCHAR), 2, '0')           AS wk_v,
+           lpad(CAST(year(ws) AS VARCHAR), 4, '0')                      AS yr_x,
+           lpad(CAST(week(d) AS VARCHAR), 2, '0')                       AS wk_iso,
+           lpad(CAST(isoyear(d) AS VARCHAR), 4, '0')                    AS yr_iso,
+           CAST(dayofweek(d) AS VARCHAR)                                AS dow_w,
+           CAST(day(d) AS VARCHAR) ||
+             CASE WHEN day(d) % 100 IN (11,12,13) THEN 'th'
+                  WHEN day(d) % 10 = 1 THEN 'st'
+                  WHEN day(d) % 10 = 2 THEN 'nd'
+                  WHEN day(d) % 10 = 3 THEN 'rd' ELSE 'th' END          AS day_d
+    FROM v
+    """,
+)
+def date_format_week_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed DATE_FORMAT tokens in SQL TEXT (`%U %u %V %X %v %x %w
+    %D`) — the dialect expands them to Spark SQL expressions
+    (`dialect._compose_date_format`), mirroring the reference's
+    `utils/funcexp/func_date_format.cpp` which supports every token in
+    SQL.  January/December dates stress the week-year boundaries; the
+    oracle hand-computes each MySQL WEEK() mode in DuckDB SQL."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(translate_mysql("""
+        SELECT o_orderkey,
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%U') AS wk_u,
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%u') AS wk_l,
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%V') AS wk_v,
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%X') AS yr_x,
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%v') AS wk_iso,
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%x') AS yr_iso,
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%w') AS dow_w,
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%D') AS day_d
+        FROM orders
+        WHERE o_orderkey <= 2000 AND MONTH(o_orderdate) IN (1, 12)
+    """))
+
+
+@query(
+    "mysql_ci_collation",
+    oracle="""
+    SELECT c_nationkey,
+           count(*)                       AS n,
+           min(c_mktsegment)              AS seg_min
+    FROM customer
+    WHERE lower(c_mktsegment) = lower('BuIlDiNg')
+       OR lower(c_mktsegment) IN (lower('autoMOBILE'), lower('house HOLD'))
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def mysql_ci_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL default-collation parity: the reference compares strings
+    case-insensitively (latin1_swedish_ci — mysqld collations feed
+    `ha_calpont_execplan.cpp` comparisons), so `WHERE seg = 'BuIlDiNg'`
+    matches 'BUILDING'.  `translate_mysql(..., ci_collation=True)`
+    wraps literal comparands in Spark 4's collate(·,'UTF8_LCASE');
+    the oracle normalizes with lower() (DuckDB NOCASE equivalent).
+    Note 'house HOLD' deliberately does NOT match 'HOUSEHOLD' — ci
+    collation ignores case, not whitespace."""
+    load_tables(spark, sf_dir, names=("customer",))
+    return spark.sql(translate_mysql("""
+        SELECT c_nationkey,
+               COUNT(*)          AS n,
+               MIN(c_mktsegment) AS seg_min
+        FROM customer
+        WHERE c_mktsegment = 'BuIlDiNg'
+           OR c_mktsegment IN ('autoMOBILE', 'house HOLD')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """, ci_collation=True))

@@ -140,3 +140,59 @@ def mysql_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+
+
+@query(
+    "auto_increment_roundtrip",
+    oracle="""
+    -- deterministic id ranges: b1 gets 1-3, explicit 100 bumps the
+    -- counter, b3 gets 101-102, LOAD DATA batch b4 gets 103-106
+    SELECT * FROM (VALUES
+      ('b1', CAST(3 AS BIGINT), CAST(1   AS BIGINT), CAST(3   AS BIGINT), CAST(6   AS BIGINT)),
+      ('b2', CAST(1 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT), CAST(100 AS BIGINT)),
+      ('b3', CAST(2 AS BIGINT), CAST(101 AS BIGINT), CAST(102 AS BIGINT), CAST(203 AS BIGINT)),
+      ('b4', CAST(4 AS BIGINT), CAST(103 AS BIGINT), CAST(106 AS BIGINT), CAST(418 AS BIGINT))
+    ) t(tag, n, id_min, id_max, id_sum)
+    """,
+)
+def auto_increment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO_INCREMENT columns end-to-end (ref: the BRM auto-increment
+    counter cpimport/DML reserve ranges from,
+    writeengine/bulk/cpimport.cpp:102-168): typed CREATE with an
+    AUTO_INCREMENT id, INSERT without the id column, an explicit-id
+    INSERT that bumps the counter (MySQL semantics), a post-bump
+    INSERT, and a LOAD DATA INFILE batch with no id column.  Ids are
+    assigned distributed (max-offset + per-partition row_number,
+    operators/dml.py assign_auto_increment — no driver loop, no global
+    sort); the oracle pins each batch's exact id range via per-tag
+    min/max/sum, which is assignment-order independent."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    workdir = tempfile.mkdtemp(prefix="infinidb_ai_q_")
+    csv_path = os.path.join(workdir, "batch4.csv")
+    with open(csv_path, "w") as fh:
+        fh.write("b4,1.5\nb4,2.5\nb4,3.5\nb4,4.5\n")
+    try:
+        sess.execute(
+            "CREATE TABLE ai_t (id BIGINT AUTO_INCREMENT, tag VARCHAR(10), "
+            "v DOUBLE DEFAULT 1) ENGINE=InfiniDB"
+        )
+        sess.execute("INSERT INTO ai_t (tag) VALUES ('b1'), ('b1'), ('b1')")
+        sess.execute("INSERT INTO ai_t (id, tag) VALUES (100, 'b2')")
+        sess.execute("INSERT INTO ai_t (tag) VALUES ('b3'), ('b3')")
+        sess.execute(
+            f"LOAD DATA INFILE '{csv_path}' INTO TABLE ai_t "
+            "FIELDS TERMINATED BY ',' (tag, v)"
+        )
+        out = sess.sql(
+            """SELECT tag, count(*) AS n, min(id) AS id_min,
+                      max(id) AS id_max, sum(id) AS id_sum
+               FROM ai_t GROUP BY tag"""
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        if sess._managed_root:
+            shutil.rmtree(sess._managed_root, ignore_errors=True)

@@ -110,7 +110,13 @@ def load_tables(
         # DataFrames and temp views are per-SparkSession (id(spark)),
         # not per-context; mtime+size catch a rewritten/regenerated file
         # whose first-read file listing would otherwise be served stale.
-        key = (app_id, id(spark), sf_dir, name, st.st_mtime_ns, st.st_size)
+        ident = (app_id, id(spark), sf_dir, name)
+        key = (*ident, st.st_mtime_ns, st.st_size)
+        # evict superseded versions of this table (rewritten file ⇒ new
+        # mtime/size key) so pinned file listings can't accumulate
+        for k in [k for k in _TABLE_CACHE if k[:4] == ident and k != key]:
+            _TABLE_CACHE.pop(k, None)
+            _REGISTERED.discard(k)
         cached = _TABLE_CACHE.get(key)
         if cached is not None:
             if register and key not in _REGISTERED:
@@ -231,7 +237,12 @@ class InfiniSession:
         import tempfile
         import uuid
 
-        stage = tempfile.mkdtemp(prefix="infinidb_stage_")
+        # stage INSIDE the managed root (sibling dot-directory, like the
+        # streaming sink) so the link below is same-filesystem; a
+        # cross-device TMPDIR would make os.link raise EXDEV
+        stage = tempfile.mkdtemp(
+            prefix=".stage_", dir=os.path.dirname(path) or None
+        )
         try:
             aligned.write.mode("overwrite").parquet(stage)
             staged = self.spark.read.parquet(stage)
@@ -246,10 +257,47 @@ class InfiniSession:
             for f in os.listdir(stage):
                 if f.startswith("part-") and f.endswith(".parquet"):
                     dst = os.path.join(path, f"ins_{uuid.uuid4().hex[:12]}_{f}")
-                    os.link(os.path.join(stage, f), dst)
+                    src = os.path.join(stage, f)
+                    try:
+                        os.link(src, dst)
+                    except OSError:  # EXDEV or a no-hardlink filesystem
+                        shutil.move(src, dst)
             return n
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+
+    def _fill_auto_increment(self, table: str, aligned):
+        """AUTO_INCREMENT assignment for INSERT / LOAD DATA batches.
+
+        The session keeps a ``next_ai`` counter per table (the analog of
+        the reference's BRM auto-increment counter that cpimport
+        reserves ranges from, writeengine/bulk/cpimport.cpp:102-168).
+        Explicit values win; NULL/absent values get
+        ``max(next_ai, batch_explicit_max + 1), …`` via the distributed
+        per-partition scheme in operators/dml.py.  Returns
+        ``(filled_df, persisted_handle_or_None)`` — the caller
+        unpersists the handle after the write (the persist keeps the
+        source query from running twice: once for the max/null-count
+        agg, once for the write)."""
+        meta = self._table_meta.get(table, {})
+        ai = meta.get("auto_inc")
+        if not ai or ai not in aligned.columns:
+            return aligned, None
+        from pyspark.sql import functions as F
+
+        from infinidb_spark.operators.dml import assign_auto_increment
+
+        aligned = aligned.persist()
+        stats = aligned.agg(
+            F.max(F.col(ai)).alias("mx"),
+            F.sum(F.when(F.col(ai).isNull(), 1).otherwise(0)).alias("nn"),
+        ).collect()[0]
+        explicit_max = stats["mx"] if stats["mx"] is not None else 0
+        n_null = stats["nn"] or 0
+        start = max(int(meta.get("next_ai", 1)), int(explicit_max) + 1)
+        filled = assign_auto_increment(aligned, ai, start) if n_null else aligned
+        meta["next_ai"] = start + n_null
+        return filled, aligned
 
     _MYSQL_SHOW_TYPES = {
         "boolean": "BOOLEAN", "tinyint": "TINYINT", "smallint": "SMALLINT",
@@ -288,6 +336,8 @@ class InfiniSession:
                 piece += " NOT NULL"
             if f.name in defaults:
                 piece += f" DEFAULT {defaults[f.name]}"
+            if f.name == meta.get("auto_inc"):
+                piece += " AUTO_INCREMENT"
             lines.append(piece)
         ddl = (
             f"CREATE TABLE `{name}` (\n" + ",\n".join(lines) + "\n) ENGINE=InfiniDB"
@@ -612,7 +662,10 @@ class InfiniSession:
                         d.tokenize(st_raw["sql"]), self._user_vars
                     )
                 )
-                rows = self.spark.sql(sql_text).collect()
+                # same MySQL-dialect translation as every other SELECT
+                # path (a plain SELECT and its INTO @var form must
+                # accept identical dialect constructs)
+                rows = self.sql(sql_text, dialect="mysql").collect()
                 if len(rows) > 1:
                     raise ValueError("Result consisted of more than one row")
                 if rows:
@@ -707,6 +760,7 @@ class InfiniSession:
             ]
             empty = self.spark.createDataFrame([], StructType(fields))
             self.create_table_as(st["table"], empty)
+            ai_cols = [c["name"] for c in st["columns"] if c.get("auto_increment")]
             self._table_meta[st["table"]] = {
                 "defaults": {
                     c["name"]: c["default"]
@@ -714,6 +768,8 @@ class InfiniSession:
                     if c["default"] is not None
                 },
                 "notnull": [c["name"] for c in st["columns"] if not c["nullable"]],
+                "auto_inc": ai_cols[0] if ai_cols else None,
+                "next_ai": 1,
             }
             return 0
         if st["kind"] == "show_create":
@@ -732,9 +788,13 @@ class InfiniSession:
                 st["table"], self.spark.createDataFrame([], src_schema)
             )
             if src_name in self._table_meta:
+                src_meta = self._table_meta[src_name]
                 self._table_meta[st["table"]] = {
-                    "defaults": dict(self._table_meta[src_name]["defaults"]),
-                    "notnull": list(self._table_meta[src_name]["notnull"]),
+                    "defaults": dict(src_meta["defaults"]),
+                    "notnull": list(src_meta["notnull"]),
+                    # MySQL LIKE keeps the attribute, resets the counter
+                    "auto_inc": src_meta.get("auto_inc"),
+                    "next_ai": 1,
                 }
             return 0
         if st["kind"] in ("drop", "truncate"):
@@ -814,6 +874,11 @@ class InfiniSession:
                 delimiter=st["sep"],
                 header=st["skip_header"],
                 null_value=NULL_MARKER,
+                # honor the statement's FIELDS ENCLOSED/ESCAPED BY and
+                # LINES TERMINATED BY instead of silently dropping them
+                quote=st.get("quote"),
+                escape=st.get("escape", "\\"),
+                line_sep=st.get("line_sep"),
             )
             aligned = result.loaded.select(
                 *[
@@ -825,8 +890,23 @@ class InfiniSession:
                     for f in target.fields
                 ]
             )
+            aligned, _ai_handle = self._fill_auto_increment(st["table"], aligned)
+            # typed-CREATE NOT NULL applies to LOAD DATA exactly like
+            # INSERT (MySQL rejects the statement); the scan below reads
+            # the persisted bulk-load cache, not the file again
+            notnull = self._table_meta.get(st["table"], {}).get("notnull", [])
+            if notnull:
+                pred = " OR ".join(f"`{c}` IS NULL" for c in notnull)
+                bad = aligned.filter(pred).count()
+                if bad:
+                    raise ValueError(
+                        f"LOAD DATA into {st['table']!r}: {bad} row(s) "
+                        f"violate NOT NULL ({', '.join(notnull)})"
+                    )
             n_loaded = result.rows_loaded
             insert_into(aligned, path)
+            if _ai_handle is not None:
+                _ai_handle.unpersist()
             result.unpersist()
             self._refresh(st["table"])
             # cpimport-style reject accounting (the .bad file analog),
@@ -864,6 +944,7 @@ class InfiniSession:
                     for f in target.fields
                 ]
             )
+            aligned, _ai_handle = self._fill_auto_increment(st["table"], aligned)
             notnull = meta.get("notnull", [])
             if notnull:
                 # stage once, validate NOT NULL from the staged files,
@@ -875,6 +956,8 @@ class InfiniSession:
                 before = read_table(self.spark, path).count()
                 insert_into(aligned, path)
                 n = read_table(self.spark, path).count() - before
+            if _ai_handle is not None:
+                _ai_handle.unpersist()
         elif st["kind"] == "update":
             n = update_table(
                 self.spark,

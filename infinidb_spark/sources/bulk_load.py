@@ -57,6 +57,9 @@ def bulk_load_csv(
     delimiter: str = "|",
     header: bool = False,
     null_value: str = "",
+    quote: str | None = None,
+    escape: str = "\\",
+    line_sep: str | None = None,
     dest: str | None = None,
     partition_by: list[str] | None = None,
     reject_dest: str | None = None,
@@ -74,15 +77,22 @@ def bulk_load_csv(
     scans get row-group statistics.
     """
     read_schema = StructType(schema.fields[:]).add(_CORRUPT, StringType())
-    raw = (
+    reader = (
         spark.read.schema(read_schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .option("sep", delimiter)
         .option("header", header)
         .option("nullValue", null_value)
-        .csv(src)
+        .option("escape", escape)
     )
+    # LOAD DATA [OPTIONALLY] ENCLOSED BY / LINES TERMINATED BY map onto
+    # the CSV reader's quote / lineSep; quote='' (disabled) when the
+    # statement declared none, matching MySQL's unquoted default.
+    reader = reader.option("quote", quote if quote is not None else "")
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    raw = reader.csv(src)
     return _split_rejects(spark, raw, dest, partition_by, reject_dest)
 
 

@@ -57,6 +57,9 @@ def _line_expr(
         elif not quote_optional or isinstance(f.dataType, StringType):
             c = F.replace(c, F.lit(escape), F.lit(escape + escape))
             c = F.replace(c, F.lit(quote), F.lit(escape + quote))
+            # MySQL escapes the first char of LINES TERMINATED BY even
+            # inside enclosed fields (SELECT INTO OUTFILE escaping rules)
+            c = F.replace(c, F.lit(line_sep[0]), F.lit(escape + line_sep[0]))
             c = F.concat(F.lit(quote), c, F.lit(quote))
         fields.append(F.coalesce(c, F.lit(NULL_MARKER)))
     return F.concat_ws(sep, *fields)
@@ -76,8 +79,13 @@ def export_outfile(
     """Write ``df`` as MySQL-OUTFILE-style delimited text; return the
     row count (MySQL reports rows written).
 
-    The count comes from line counts of the files actually written —
-    no second run of the query.
+    The count is a ``count()`` of the PERSISTED line relation, not a
+    byte-scan of the output files: an escaped line terminator still
+    contains the raw terminator byte (and enclosed values may embed
+    it), so terminator-counting over-reports for such data.  The
+    persist keeps the source query from running twice (one compute,
+    cached for the write); exports big enough for the cache to matter
+    should carry their row count from upstream instead.
     """
     if os.path.exists(path):
         raise OutfileExistsError(f"File '{path}' already exists")
@@ -86,20 +94,17 @@ def export_outfile(
     )
     if single_file:
         out = out.coalesce(1)
-    writer = out.write.format("text").option("lineSep", line_sep)
-    target = path + "__outfile_tmp" if single_file else path
-    writer.save(target)
+    out = out.persist()
+    try:
+        total = out.count()
+        writer = out.write.format("text").option("lineSep", line_sep)
+        target = path + "__outfile_tmp" if single_file else path
+        writer.save(target)
+    finally:
+        out.unpersist()
     if single_file:
         parts = sorted(glob.glob(os.path.join(target, "part-*")))
         assert len(parts) == 1, "coalesce(1) must yield exactly one part file"
         shutil.move(parts[0], path)
         shutil.rmtree(target)
-        files = [path]
-    else:
-        files = sorted(glob.glob(os.path.join(path, "part-*")))
-    nl = line_sep.encode()
-    total = 0
-    for f in files:
-        with open(f, "rb") as fh:
-            total += fh.read().count(nl)
     return total

@@ -35,9 +35,19 @@ def write_epoch_idempotent(
     epoch_id: int,
     table_dir: str,
     partition_by: list[str] | None = None,
+    sink_id: str | None = None,
 ) -> bool:
     """Append one epoch's rows with replay safety; returns False when
     the epoch was already committed (skipped).
+
+    Epoch ids are scoped to ONE checkpoint, so commit markers are
+    namespaced per query: ``_epochs/<sink_id>/<epoch_id>``.  Without
+    namespacing, a stream restarted with a fresh checkpoint (or a
+    second query appending to the same table) re-emits epochs 0..N and
+    a flat marker dir would silently skip them as replays — data loss,
+    not exactly-once.  ``sink_id`` defaults to the Spark streaming
+    query id (stable across restarts FROM THE SAME CHECKPOINT, new for
+    a new checkpoint — exactly the replay-vs-new boundary).
 
     Protocol: stage the epoch to a dot-directory (hidden from readers),
     remove any partial `ep<id>_*` files from a previous attempt, link
@@ -51,17 +61,24 @@ def write_epoch_idempotent(
       and re-links;
     * crash after the marker   → replay skips the epoch entirely.
     """
-    marker = os.path.join(table_dir, _EPOCH_DIR, str(epoch_id))
+    if sink_id is None:
+        # foreachBatch batch_df is a normal DataFrame; the enclosing
+        # streaming query's id is reachable via the active session
+        active = batch_df.sparkSession.streams.active
+        sink_id = active[0].id if len(active) == 1 else "default"
+    safe = str(sink_id).replace(os.sep, "_")
+    marker = os.path.join(table_dir, _EPOCH_DIR, safe, str(epoch_id))
     if os.path.exists(marker):
         return False
-    stage = os.path.join(table_dir, f".epoch_{epoch_id}_tmp")
+    stage = os.path.join(table_dir, f".epoch_{safe}_{epoch_id}_tmp")
     writer = batch_df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage)
 
     # clear a previous partial attempt, then link deterministically
-    for old in glob.glob(os.path.join(table_dir, "**", f"ep{epoch_id}_*"),
+    prefix = f"ep_{safe}_{epoch_id}_"
+    for old in glob.glob(os.path.join(table_dir, "**", f"{prefix}*"),
                          recursive=True):
         os.remove(old)
     for dirpath, _, files in os.walk(stage):
@@ -73,7 +90,7 @@ def write_epoch_idempotent(
             os.makedirs(dst_dir, exist_ok=True)
             os.link(
                 os.path.join(dirpath, f),
-                os.path.join(dst_dir, f"ep{epoch_id}_{f}"),
+                os.path.join(dst_dir, f"{prefix}{f}"),
             )
     shutil.rmtree(stage)
     os.makedirs(os.path.dirname(marker), exist_ok=True)
@@ -94,8 +111,17 @@ def stream_to_table(
     stops — the cpimport-batch replacement; `False` runs continuously.
     """
 
+    # namespace epochs by checkpoint identity: same checkpoint → same
+    # sink id (genuine replays skip), fresh checkpoint → fresh id
+    # (epochs 0..N land again instead of being mistaken for replays)
+    import hashlib
+
+    sink_id = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
     def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        write_epoch_idempotent(batch_df, epoch_id, table_dir, partition_by)
+        write_epoch_idempotent(
+            batch_df, epoch_id, table_dir, partition_by, sink_id=sink_id
+        )
 
     writer = (
         stream.writeStream.foreachBatch(_write_epoch)

@@ -79,8 +79,9 @@ def test_group_concat_forms():
 def test_date_format_token_translation():
     out = translate_mysql("SELECT DATE_FORMAT(d, '%Y-%m-%d %H:%i:%s') FROM t")
     assert "date_format(d, 'yyyy-MM-dd HH:mm:ss')" in out
-    with pytest.raises(DialectError):  # composed token → explicit refusal
-        translate_mysql("SELECT DATE_FORMAT(d, '%V') FROM t")
+    # composed tokens expand to SQL expressions (round 4; was a refusal)
+    out = translate_mysql("SELECT DATE_FORMAT(d, '%V') FROM t")
+    assert "datediff" in out
     with pytest.raises(DialectError):  # non-literal format
         translate_mysql("SELECT DATE_FORMAT(d, f) FROM t")
 
@@ -362,8 +363,9 @@ def test_create_table_typed_rejects_keys(spark):
 
     with _pytest.raises(DialectError, match="no indexes"):
         parse_statement("CREATE TABLE t (id INT, PRIMARY KEY (id))")
-    with _pytest.raises(DialectError, match="AUTO_INCREMENT"):
-        parse_statement("CREATE TABLE t (id INT AUTO_INCREMENT)")
+    # AUTO_INCREMENT is supported since round 4 (integer columns only)
+    st = parse_statement("CREATE TABLE t (id INT AUTO_INCREMENT)")
+    assert st["columns"][0]["auto_increment"] is True
 
 
 def test_show_create_table_roundtrip(spark):

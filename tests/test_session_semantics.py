@@ -4,6 +4,8 @@ scalar subqueries error on >1 row (SCALAR join flag,
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from infinidb_spark.session import InfiniSession
@@ -77,3 +79,41 @@ def test_concurrent_mixed_queries(spark, sf_dir):
     assert not errors, errors
     for n in names:
         assert results[n] == serial[n], f"{n} diverged under concurrency"
+
+
+def test_table_cache_is_per_session_and_per_version(spark, sf_dir, tmp_path):
+    """newSession() must not be served another session's DataFrames, and
+    a rewritten parquet file must not be served a stale file listing
+    (round-3 ADVICE items; cache key = session identity + mtime/size)."""
+    import shutil
+
+    from infinidb_spark.session import _TABLE_CACHE, load_tables
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), os.path.join(d, "nation.parquet"))
+
+    t1 = load_tables(spark, d, names=("nation",))["nation"]
+    n1 = t1.count()
+
+    s2 = spark.newSession()
+    t2 = load_tables(s2, d, names=("nation",))["nation"]
+    assert t2 is not t1  # distinct sessions get distinct handles
+    # same session + unchanged file → memoized handle
+    assert load_tables(spark, d, names=("nation",))["nation"] is t1
+
+    # rewrite the file (append a copy of itself via duckdb round-trip)
+    import duckdb
+
+    con = duckdb.connect()
+    src = os.path.join(d, "nation.parquet")
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') UNION ALL "
+        f"SELECT * FROM read_parquet('{src}')) TO '{src}.new' (FORMAT PARQUET)"
+    )
+    os.replace(src + ".new", src)
+    t1b = load_tables(spark, d, names=("nation",))["nation"]
+    assert t1b is not t1 and t1b.count() == 2 * n1
+    # the superseded handle was evicted, not pinned forever
+    stale = [k for k in _TABLE_CACHE if k[2] == d and k[3] == "nation"]
+    assert len(stale) <= 2  # one per live session, none for the old version

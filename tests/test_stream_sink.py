@@ -84,15 +84,32 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     table = str(tmp_path / "ep_table")
     os.makedirs(table)
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
-    assert write_epoch_idempotent(df, 0, table) is True
-    assert write_epoch_idempotent(df, 0, table) is False  # replay skipped
+    assert write_epoch_idempotent(df, 0, table, sink_id="q1") is True
+    assert write_epoch_idempotent(df, 0, table, sink_id="q1") is False  # replay skipped
     assert spark.read.parquet(table).count() == 2
     # a partial attempt (files but no marker) is repaired on replay
-    marker = os.path.join(table, "_epochs", "1")
-    assert write_epoch_idempotent(df, 1, table) is True
+    marker = os.path.join(table, "_epochs", "q1", "1")
+    assert write_epoch_idempotent(df, 1, table, sink_id="q1") is True
     os.remove(marker)  # simulate crash after link, before marker
-    assert write_epoch_idempotent(df, 1, table) is True  # re-links cleanly
+    assert write_epoch_idempotent(df, 1, table, sink_id="q1") is True  # re-links cleanly
     assert spark.read.parquet(table).count() == 4  # no duplicates
+
+
+def test_epoch_markers_namespaced_per_sink(spark, tmp_path):
+    """Epoch ids are checkpoint-scoped: a second query (fresh
+    checkpoint) re-emitting epoch 0 must LAND, not be skipped as a
+    replay of the first query's epoch 0 (round-3 ADVICE)."""
+    import os
+
+    from infinidb_spark.streaming.sink import write_epoch_idempotent
+
+    table = str(tmp_path / "ns_table")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    assert write_epoch_idempotent(df, 0, table, sink_id="q1") is True
+    assert write_epoch_idempotent(df, 0, table, sink_id="q2") is True  # new sink
+    assert write_epoch_idempotent(df, 0, table, sink_id="q2") is False  # true replay
+    assert spark.read.parquet(table).count() == 4
 
 
 def test_epoch_idempotent_partitioned(spark, tmp_path):
