@@ -231,17 +231,32 @@ def minhash_lsh_pairs(
         .filter((F.size("_ids") >= 2) & (F.size("_ids") <= candidate_cap))
     )
     # Candidate pairs are TINY relative to the corpus (bounded by
-    # bucket-size cap × buckets) — materialize them eagerly with a
-    # truncated lineage (localCheckpoint), so the returned plan never
-    # re-derives the banding pipeline and `ex`'s cache can be released
-    # before returning.
+    # bucket-size cap × buckets).  The COMBINATIONS explode (posexplode
+    # + slice of the tail) emits each unordered pair once per bucket —
+    # half the rows of an explode² + `a < b` filter and no self-pairs;
+    # `distinct` then only dedups genuine cross-band repeats.  The tiny
+    # relation is persisted (not localCheckpoint'ed: persist keeps
+    # lineage, so an executor loss at cluster scale recomputes instead
+    # of failing the query) — it is consumed twice below.
     pairs = (
-        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.posexplode("_ids").alias("_p", "id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_p") + 2, F.size("_ids"))
+            ).alias("id_b"),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    # eager-fill the cache: the consumers below include CONCURRENT
+    # broadcast builds, which would otherwise each recompute the
+    # banding pipeline on a cold cache
+    pairs.count()
 
     # Exact Jaccard over collect_set shingle arrays, built ONLY for docs
     # in a candidate pair — by RE-SHINGLING those docs from the source
@@ -254,29 +269,30 @@ def minhash_lsh_pairs(
     cand_docs = df.join(
         F.broadcast(cand_ids), F.col(id_col) == cand_ids["_id"], "leftsemi"
     )
+    # persist the candidate shingle sets so the two broadcast builds
+    # below share ONE computation of the re-shingle subplan
     shs = (
         _shingle_rows(cand_docs)
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
+        .persist()
     )
-    # ONE broadcast of the candidate shingle sets: explode each pair to
-    # its two member rows, join the sets once, fold back per pair with
-    # conditional firsts — half the broadcast builds of a
-    # join-left/join-right formulation.
-    membership = pairs.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("_id")
-    )
-    both = (
-        membership.join(F.broadcast(shs), "_id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first(
-                F.when(F.col("_id") == F.col("id_a"), F.col("_sh")), ignorenulls=True
-            ).alias("_sh_a"),
-            F.first(
-                F.when(F.col("_id") == F.col("id_b"), F.col("_sh")), ignorenulls=True
-            ).alias("_sh_b"),
-        )
+    shs.count()  # same: fill before the two broadcast builds race
+    # two broadcast hash joins over the persisted sets — a single
+    # codegen stage for the probe side, no extra shuffle (the previous
+    # explode-membership + groupBy formulation paid a full shuffle+agg
+    # stage to save a broadcast build; with `shs` persisted the second
+    # build is a cache read, so the joins win on both counts)
+    both = pairs.join(
+        F.broadcast(
+            shs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+        ),
+        "id_a",
+    ).join(
+        F.broadcast(
+            shs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+        ),
+        "id_b",
     )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))

@@ -55,6 +55,39 @@ def main() -> None:
     slow = sorted(results.items(), key=lambda kv: -kv[1]["sec"])[:10]
     print("slowest:", [(k, v["sec"]) for k, v in slow])
 
+    # Union guard: every registered query must be green in the union of
+    # all driver CORRECTNESS rounds + this mirror run — a query that
+    # was green last round but silently broke this round can't hide in
+    # the driver's rotating window.
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver_green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except Exception:
+            continue
+        for name, v in rows.items():
+            ok = (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+                and not v.get("err")
+            )
+            if ok:
+                driver_green.add(name)
+    never_attested = sorted(
+        k for k in queries if k not in driver_green and not results[k]["ok"]
+    )
+    no_driver_row = sorted(k for k in queries if k not in driver_green)
+    if no_driver_row:
+        print(f"awaiting first driver verdict ({len(no_driver_row)}): {no_driver_row}")
+    if fails or never_attested:
+        print(f"GATE GUARD: FAIL — mirror failures: {fails}")
+        sys.exit(1)
+    print("GATE GUARD: every registered query green (mirror ∪ driver rounds)")
+
 
 if __name__ == "__main__":
     main()
