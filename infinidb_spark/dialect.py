@@ -382,6 +382,56 @@ _SQL_WEEK_FROM = (
 _SQL_SUNDAY_OF = "date_sub({x}, dayofweek({x}) - 1)"
 
 
+def _week_sql(x: str, mode: int) -> str:
+    """MySQL ``WEEK(x, mode)`` as Spark SQL text (modes 0-3; the
+    WEEK-mode ↔ DATE_FORMAT-token correspondence is documented at
+    ``_compose_date_format``)."""
+    if mode == 0:
+        fs = _SQL_FIRST_SUNDAY.format(d=x)
+        return (
+            f"CASE WHEN datediff({x}, {fs}) < 0 THEN 0"
+            f" ELSE cast(floor(datediff({x}, {fs}) / 7) AS INT) + 1 END"
+        )
+    if mode == 1:
+        w1m = _SQL_WEEK1_MONDAY.format(x=x)
+        return (
+            f"CASE WHEN datediff({x}, {w1m}) < 0 THEN 0"
+            f" ELSE cast(floor(datediff({x}, {w1m}) / 7) AS INT) + 1 END"
+        )
+    if mode == 2:
+        ws = _SQL_SUNDAY_OF.format(x=x)
+        fs2 = _SQL_FIRST_SUNDAY.format(d=f"({ws})")
+        return f"(cast(floor(datediff({ws}, {fs2}) / 7) AS INT) + 1)"
+    if mode == 3:
+        return f"weekofyear({x})"
+    raise DialectError(f"WEEK mode {mode} is not supported (modes 0-3)")
+
+
+def _week_func(name: str, inner: list[Token]) -> list[Token]:
+    """``WEEK(x[, mode])`` / ``YEARWEEK(x[, mode])`` — Spark has no
+    WEEK function; expand to the composed SQL (ref func_week.cpp).
+    YEARWEEK forces week-year semantics, so modes {0,2} and {1,3}
+    coincide (week never 0; the year shifts with the week)."""
+    args = _split_args(inner)
+    if len(args) not in (1, 2):
+        raise DialectError(f"{name} expects 1 or 2 arguments")
+    x = f"({render(args[0]).strip()})"
+    mode = 0
+    if len(args) == 2:
+        m_toks = [t for t in args[1] if t[0] not in ("ws", "comment")]
+        if len(m_toks) != 1 or m_toks[0][0] != "number":
+            raise DialectError(f"{name}: mode must be an integer literal")
+        mode = int(m_toks[0][1])
+    if name == "WEEK":
+        return [("code", _week_sql(x, mode))]
+    if mode in (0, 2):
+        ws = _SQL_SUNDAY_OF.format(x=x)
+        return [("code", f"(year({ws}) * 100 + {_week_sql(x, 2)})")]
+    if mode in (1, 3):
+        return [("code", f"(extract(YEAROFWEEK FROM {x}) * 100 + weekofyear({x}))")]
+    raise DialectError(f"YEARWEEK mode {mode} is not supported (modes 0-3)")
+
+
 def _compose_date_format(x: str, fmt: str) -> str:
     """DATE_FORMAT with composed tokens as a concat() of SQL pieces."""
     pieces: list[str] = []
@@ -482,6 +532,10 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     continue
                 if upper in ("DATE_ADD", "DATE_SUB", "ADDDATE", "SUBDATE"):
                     out.extend(_date_addsub(upper, inner))
+                    i = close + 1
+                    continue
+                if upper in ("WEEK", "YEARWEEK"):
+                    out.extend(_week_func(upper, inner))
                     i = close + 1
                     continue
                 if upper in _TEMPLATES:

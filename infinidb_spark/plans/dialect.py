@@ -184,7 +184,14 @@ def mysql_dialect_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN day(d) % 100 IN (11,12,13) THEN 'th'
                   WHEN day(d) % 10 = 1 THEN 'st'
                   WHEN day(d) % 10 = 2 THEN 'nd'
-                  WHEN day(d) % 10 = 3 THEN 'rd' ELSE 'th' END          AS day_d
+                  WHEN day(d) % 10 = 3 THEN 'rd' ELSE 'th' END          AS day_d,
+           CAST(strftime(d, '%U') AS INT)                               AS wk0,
+           CASE WHEN d < w1m THEN 0
+                ELSE CAST((d - w1m) // 7 + 1 AS INT) END                AS wk1,
+           CAST((ws - fsw) // 7 + 1 AS INT)                             AS wk2,
+           CAST(week(d) AS INT)                                         AS wk3,
+           CAST(year(ws) * 100 + ((ws - fsw) // 7 + 1) AS INT)          AS yw0,
+           CAST(isoyear(d) * 100 + week(d) AS INT)                      AS yw1
     FROM v
     """,
 )
@@ -205,7 +212,13 @@ def date_format_week_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                DATE_FORMAT(CAST(o_orderdate AS DATE), '%v') AS wk_iso,
                DATE_FORMAT(CAST(o_orderdate AS DATE), '%x') AS yr_iso,
                DATE_FORMAT(CAST(o_orderdate AS DATE), '%w') AS dow_w,
-               DATE_FORMAT(CAST(o_orderdate AS DATE), '%D') AS day_d
+               DATE_FORMAT(CAST(o_orderdate AS DATE), '%D') AS day_d,
+               WEEK(CAST(o_orderdate AS DATE))              AS wk0,
+               WEEK(CAST(o_orderdate AS DATE), 1)           AS wk1,
+               WEEK(CAST(o_orderdate AS DATE), 2)           AS wk2,
+               WEEK(CAST(o_orderdate AS DATE), 3)           AS wk3,
+               YEARWEEK(CAST(o_orderdate AS DATE))          AS yw0,
+               YEARWEEK(CAST(o_orderdate AS DATE), 1)       AS yw1
         FROM orders
         WHERE o_orderkey <= 2000 AND MONTH(o_orderdate) IN (1, 12)
     """))

@@ -75,6 +75,22 @@ def test_mixed_literal_and_composed(spark):
     assert spark.sql(sql).collect()[0].s == "wk 52 of 2020"
 
 
+def test_week_yearweek_sql_text(spark):
+    """MySQL WEEK(d[,mode]) / YEARWEEK in SQL text — Spark has no WEEK
+    function; the dialect expands the composed SQL.  Ground truth from
+    MySQL (ref func_week.cpp)."""
+    sql = translate_mysql(
+        "SELECT WEEK(DATE'2021-01-01') AS w0, WEEK(DATE'2021-01-01', 1) AS w1,"
+        " WEEK(DATE'2021-01-01', 2) AS w2, WEEK(DATE'2021-01-01', 3) AS w3,"
+        " YEARWEEK(DATE'2021-01-01') AS y0, YEARWEEK(DATE'2021-01-01', 1) AS y1"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert (row.w0, row.w1, row.w2, row.w3) == (0, 0, 52, 53)
+    assert (row.y0, row.y1) == (202052, 202053)
+    with pytest.raises(DialectError):
+        translate_mysql("SELECT WEEK(d, 7) FROM t")  # modes 4-7 unsupported
+
+
 # ---------------------------------------------------------- ci collation
 
 
