@@ -234,10 +234,13 @@ def minhash_lsh_pairs(
     # bucket-size cap × buckets).  The COMBINATIONS explode (posexplode
     # + slice of the tail) emits each unordered pair once per bucket —
     # half the rows of an explode² + `a < b` filter and no self-pairs;
-    # `distinct` then only dedups genuine cross-band repeats.  The tiny
-    # relation is persisted (not localCheckpoint'ed: persist keeps
-    # lineage, so an executor loss at cluster scale recomputes instead
-    # of failing the query) — it is consumed twice below.
+    # `distinct` then only dedups genuine cross-band repeats.  The
+    # relation is consumed twice below but NOT persisted: both consumers
+    # sit above the same canonical shuffle exchange (the `distinct`), so
+    # ReuseExchange shares one computation within the executed plan —
+    # shuffle outputs live in the shuffle layer, not executor storage,
+    # and nothing is left cached after the query (lineage stays intact
+    # for fault recovery, unlike localCheckpoint).
     pairs = (
         buckets.select(F.posexplode("_ids").alias("_p", "id_a"), "_ids")
         .select(
@@ -251,12 +254,7 @@ def minhash_lsh_pairs(
             F.greatest("id_a", "id_b").alias("id_b"),
         )
         .distinct()
-        .persist()
     )
-    # eager-fill the cache: the consumers below include CONCURRENT
-    # broadcast builds, which would otherwise each recompute the
-    # banding pipeline on a cold cache
-    pairs.count()
 
     # Exact Jaccard over collect_set shingle arrays, built ONLY for docs
     # in a candidate pair — by RE-SHINGLING those docs from the source
@@ -269,20 +267,18 @@ def minhash_lsh_pairs(
     cand_docs = df.join(
         F.broadcast(cand_ids), F.col(id_col) == cand_ids["_id"], "leftsemi"
     )
-    # persist the candidate shingle sets so the two broadcast builds
-    # below share ONE computation of the re-shingle subplan
+    # the candidate shingle sets feed BOTH broadcast builds below; the
+    # groupBy's shuffle exchange is canonically identical under each, so
+    # ReuseExchange computes the re-shingle subplan once — no persist
     shs = (
         _shingle_rows(cand_docs)
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
-        .persist()
     )
-    shs.count()  # same: fill before the two broadcast builds race
-    # two broadcast hash joins over the persisted sets — a single
-    # codegen stage for the probe side, no extra shuffle (the previous
-    # explode-membership + groupBy formulation paid a full shuffle+agg
-    # stage to save a broadcast build; with `shs` persisted the second
-    # build is a cache read, so the joins win on both counts)
+    # two broadcast hash joins over the shared shingle-set exchange — a
+    # single codegen stage for the probe side, no extra shuffle (the
+    # previous explode-membership + groupBy formulation paid a full
+    # shuffle+agg stage to save a broadcast build)
     both = pairs.join(
         F.broadcast(
             shs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
