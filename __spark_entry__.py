@@ -58,6 +58,10 @@ try:
     import infinidb_spark.plans.ref_perf  # noqa: F401,E402
 except ImportError:
     pass
+try:
+    import infinidb_spark.plans.tpch  # noqa: F401,E402
+except ImportError:
+    pass
 
 from infinidb_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 
@@ -88,6 +92,12 @@ _PRIORITY = [
     "mysql_ci_collation",
     "auto_increment_roundtrip",
     "date_format_week_tokens",
+    # the reference's TPC-H suite (dbcon/doc/tpch02-22.sql) through the
+    # MySQL front-end — added round 4, first driver verdicts
+    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22",
     # rows-only production dedup variants (pinned by the portable twins above)
     "dedup_minhash_lsh", "dedup_simhash",
     # long-green tail: re-verified as window budget allows
