@@ -1005,6 +1005,13 @@ _ADMIN_FUNCS = frozenset(
         "calgetstats",
         "calviewtablelock",
         "calcleartablelock",
+        "calshowpartitionsbyvalue",
+        "caldisablepartitionsbyvalue",
+        "calenablepartitionsbyvalue",
+        "caldroppartitionsbyvalue",
+        "callastinsertid",
+        "calgetversion",
+        "calonlinealter",
     }
 )
 
@@ -1029,13 +1036,23 @@ def _parse_admin(toks: list[Token], i: int) -> dict | None:
         codes = [t for t in part if t[0] not in ("ws", "comment")]
         if not codes:
             continue
+        neg = False
+        if len(codes) == 2 and codes[0] == ("sym", "-") and codes[1][0] == "number":
+            neg, codes = True, codes[1:]
         if len(codes) != 1:
             return None
         knd, text = codes[0]
+        if neg:
+            args.append(-(int(text) if text.isdigit() else float(text)))
+            continue
         if knd == "string":
             args.append(_unquote(text))
         elif knd == "number":
             args.append(int(text) if text.isdigit() else float(text))
+        elif knd == "word" and text.upper() == "NULL":
+            # byvalue range bounds accept NULL = unbounded
+            # (`ha_calpont_partition.cpp:640-670`)
+            args.append(None)
         else:
             return None
     rest = _next_code(toks, close + 1)

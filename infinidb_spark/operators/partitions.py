@@ -113,6 +113,66 @@ def _resolve(real_dir: str, parts: str | list) -> list[str]:
     return out
 
 
+def partitions_by_value(
+    table_dir: str, column: str, start=None, end=None
+) -> list[str]:
+    """Partitions selected by a column value range — the
+    ``cal*partitionsbyvalue`` family's shared resolver
+    (``partitionByValue_common``, `ha_calpont_partition.cpp:530-780`).
+
+    Reference semantics, mirrored exactly: a partition qualifies iff
+    its casual-partition ``[min, max]`` for ``column`` is FULLY
+    CONTAINED in ``[start, end]`` (``min >= start and max <= end``) —
+    i.e. dropping it cannot lose a row outside the range; a NULL bound
+    means ±infinity (line 640-670); partitions with no valid stats
+    (CPINVALID extents — here, a column missing from the footer stats)
+    are never selected (line 745).  Returns part-file basenames.
+    """
+    from infinidb_spark.sources.manifest import cached_manifest
+
+    real = _real(table_dir)
+    by_file = {os.path.basename(e["file"]): e for e in cached_manifest(real)}
+    out: list[str] = []
+    for f in _part_files(real):
+        entry = by_file.get(f)
+        st = (entry or {}).get("columns", {}).get(column)
+        if not st or st["min"] is None or st["max"] is None:
+            continue  # CPINVALID: no stats → never range-selected
+        mn, mx = st["min"], st["max"]
+        try:
+            lo_ok = start is None or mn >= _coerce(start, mn)
+            hi_ok = end is None or mx <= _coerce(end, mx)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"range bound not comparable with column {column!r} stats"
+            ) from None
+        if lo_ok and hi_ok:
+            out.append(f)
+    return out
+
+
+def _coerce(bound, stat):
+    """Coerce a user-supplied bound (always parsed as str/int/float from
+    the UDF argument list) to the stat's own type — the IDB_format
+    analog (`ha_calpont_partition.cpp:655,668`: bounds are parsed
+    according to the column's catalog type)."""
+    import datetime
+
+    if isinstance(stat, bool) or stat is None:
+        return bound
+    if isinstance(stat, int) and not isinstance(bound, int):
+        return int(float(bound)) if isinstance(bound, str) else int(bound)
+    if isinstance(stat, float) and not isinstance(bound, float):
+        return float(bound)
+    if isinstance(stat, datetime.datetime) and isinstance(bound, str):
+        return datetime.datetime.fromisoformat(bound)
+    if isinstance(stat, datetime.date) and isinstance(bound, str):
+        return datetime.date.fromisoformat(bound)
+    if isinstance(stat, str):
+        return str(bound)
+    return bound
+
+
 def disable_partitions(table_dir: str, parts: str | list) -> str:
     """Mark partitions out of service (metadata-only).  Returns the
     reference's message text (`ha_calpont_partition.cpp:793-797`)."""

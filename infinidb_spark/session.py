@@ -978,9 +978,8 @@ class InfiniSession:
         the session is single-schema, so a leading schema argument is
         ignored the way the reference substitutes ``current_thd->db``.
 
-        ``callastinsertid`` is NOT implemented: it reads the table's
-        AUTO_INCREMENT high-water mark and this engine has no
-        auto-increment columns (SURVEY §1.2)."""
+        ``callastinsertid`` reads the table's AUTO_INCREMENT high-water
+        mark (the BRM counter analog kept in table metadata)."""
         from infinidb_spark.operators import partitions as P
         from infinidb_spark.operators.dml import clear_table_lock, view_table_locks
 
@@ -1007,6 +1006,54 @@ class InfiniSession:
             msg = op(tbl(table), parts)
             self._refresh(table)  # visibility changed: re-register the view
             return msg
+        if func.endswith("partitionsbyvalue"):
+            # (schema,) table, column, start, end — partitionByValue_common
+            # (`ha_calpont_partition.cpp:530`): partitions whose [min,max]
+            # is fully contained in [start,end]; NULL bound = ±infinity
+            table, column, start, end = args[-4], args[-3], args[-2], args[-1]
+            matches = P.partitions_by_value(tbl(table), column, start, end)
+            if func == "calshowpartitionsbyvalue":
+                rel = P.show_partitions(self.spark, tbl(table), column)
+                rows = [r for r in rel.collect() if r["file"] in set(matches)]
+                out = [f"{'Part#':<10}{'Min':<30}{'Max':<30}Status"]
+                out += [
+                    f"  {r['part']:<10}{r['min']:<30}{r['max']:<30}{r['status']}"
+                    for r in rows
+                ]
+                return "\n".join(out)
+            if not matches:
+                # WARN_NO_PARTITION_FOUND analog (line 777)
+                return "No partition found for the given value range"
+            op = {
+                "caldisablepartitionsbyvalue": P.disable_partitions,
+                "calenablepartitionsbyvalue": P.enable_partitions,
+                "caldroppartitionsbyvalue": P.drop_partitions,
+            }[func]
+            msg = op(tbl(table), matches)
+            self._refresh(table)
+            return msg
+        if func == "callastinsertid":
+            # the table's auto-increment high-water mark (ref reads it
+            # from BRM; ha_calpont_udf.cpp callastinsertid) — last id
+            # assigned, 0 before any assignment
+            table = args[-1]
+            meta = self._table_meta.get(table, {})
+            if not meta.get("auto_inc"):
+                raise ValueError(
+                    f"table {table!r} has no AUTO_INCREMENT column"
+                )
+            return int(meta.get("next_ai", 1)) - 1
+        if func == "calgetversion":
+            import infinidb_spark as _pkg
+
+            return f"infinidb_spark {_pkg.__version__} (Spark {self.spark.version})"
+        if func == "calonlinealter":
+            # ref: `select calonlinealter('alter table ... add column ...')`
+            # performs the alter without locking the table; this engine's
+            # ALTER is already online (metadata-only schema merge), so
+            # route the statement text through the DDL path
+            self.execute(str(args[-1]))
+            return 0
         if func == "calflushcache":
             # drops every cached relation (ref: clears PrimProc's block
             # cache); data on disk is untouched
