@@ -98,10 +98,13 @@ _PRIORITY = [
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
     "tpch_q21", "tpch_q22",
-    # rows-only production dedup variants (pinned by the portable twins above)
-    "dedup_minhash_lsh", "dedup_simhash",
-    # long-green tail: re-verified as window budget allows
+    # reference perf-group twins added this round
+    "ref_minmax_join", "ref_part_probe",
+    # long-green tail: re-verified as window budget allows.  (The
+    # rows-only dedup_minhash_lsh / dedup_simhash already carry r03
+    # driver rows; their hash pins are the portable twins above.)
     "q1_pricing_summary",
+    "dedup_minhash_lsh", "dedup_simhash",
     "embedding_quantize", "corpus_mixture", "outfile_export_roundtrip",
     "tpch_q3", "tpch_q5", "tpch_q10",
     "events_cohort_retention", "eval_decontamination", "multimodal_resize",

@@ -326,6 +326,44 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- group 104: min/max aggregate over the 3-way aj join ---------------
+
+#: utils/scenarios/perf/sql/104/aj.pmmj.1.sql (key ranges scaled to the
+#: testdata domain; aliases added per the corpus column-name rule)
+_MINMAX_JOIN = """select min(p_partkey) min_partkey, max(s_suppkey) max_suppkey
+from part, lineitem, supplier
+where p_partkey = l_partkey and l_suppkey = s_suppkey and
+p_partkey between 0 and 1500 and p_size between 1 and 10 and
+l_partkey between 0 and 2000000 and l_shipdate between '1996-01-01' and '1996-04-09'"""
+
+
+@query("ref_minmax_join", oracle=_MINMAX_JOIN)
+def ref_minmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 104 (aj.pmmj.1.sql): MIN/MAX over a 3-way
+    dimension-fact-dimension join under stacked range predicates — the
+    PM-join anti-join drill (both dims broadcast, fact scan prunes on
+    partkey + shipdate ranges)."""
+    return _mysql(spark, sf_dir, _MINMAX_JOIN, "part", "lineitem", "supplier")
+
+
+# --- group 109: dimension probe count ----------------------------------
+
+#: utils/scenarios/perf/sql/109/q109.1.sql (alias added).  The file's
+#: leading `select calflushcache();` statement is the admin surface —
+#: supported by InfiniSession.execute (session.py _admin) — and not part
+#: of the measured query.
+_PART_PROBE = """select count(*) cnt from part
+where p_size = 50 and p_retailprice < 1250"""
+
+
+@query("ref_part_probe", oracle=_PART_PROBE)
+def ref_part_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 109 (q109.1.sql): selective two-predicate
+    dimension count — the block-touch benchmark shape (cache flushed by
+    calflushcache in the reference's harness; cold columnar scan)."""
+    return _mysql(spark, sf_dir, _PART_PROBE, "part")
+
+
 # --- group 108: multi-average battery over compound predicates ---------
 
 #: utils/scenarios/perf/sql/108/q108.2.sql (dates in-domain; aliases
