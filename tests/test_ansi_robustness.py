@@ -30,6 +30,10 @@ ANSI_SENSITIVE = [
     "mysql_dml_statements",
     "mysql_dialect_query",
     "mysql_dialect_datetime",
+    # front-end TPC-H twins: date literals, extract->cast, conditional
+    # sums, ratio divisions — the dialect surface a migrating user runs
+    # (full-corpus ANSI-on sweep verified clean when these landed)
+    "tpch_q2", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q22",
 ]
 
 
