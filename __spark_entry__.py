@@ -92,6 +92,9 @@ _PRIORITY = [
     "mysql_ci_collation",
     "auto_increment_roundtrip",
     "date_format_week_tokens",
+    # new pipeline operators added round 4 — first driver verdicts
+    "dedup_clusters",
+    "text_pii_scrub",
     # the reference's TPC-H suite (dbcon/doc/tpch02-22.sql) through the
     # MySQL front-end — added round 4, first driver verdicts
     "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",

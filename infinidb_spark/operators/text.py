@@ -143,3 +143,37 @@ def analyze(
         quality_score(c).alias("quality"),
         fingerprint(c, pre_normalized=True, portable_hash=portable_hash).alias("fingerprint"),
     )
+
+
+#: PII redaction rules applied IN ORDER (email first: its pattern spans
+#: dots and digits that the later numeric rules would otherwise bite
+#: into).  Patterns restrict to RE2-compatible syntax (no lookaround)
+#: so the same rule set runs in Spark (Java regex), DuckDB (RE2), and
+#: any downstream engine.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact PII spans with typed placeholder tokens — the corpus
+    sanitization stage every training-data pipeline runs before
+    tokenization.  Sequential ``regexp_replace`` per rule: pure Column
+    expressions, single-scan map stage, zero shuffle at any scale."""
+    out = col
+    for _, pat, token in PII_RULES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """Per-category redaction counts (matched on the ORIGINAL text) —
+    the audit relation that goes to the pipeline's data-governance
+    sink.  One ``regexp_count`` per rule, aliased ``n_<category>``."""
+    return [
+        F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]

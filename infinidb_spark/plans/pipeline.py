@@ -1139,3 +1139,125 @@ def data_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b GROUP BY bucket ORDER BY bucket
         """
     )
+
+
+def _cc_oracle_sql() -> str:
+    """DuckDB oracle for dedup_clusters: the portable MinHash pair
+    pipeline (same CTE text as dedup_minhash_portable's oracle) feeding
+    a recursive-CTE min-label propagation — every node's cluster_id is
+    the minimum doc_id reachable through the pair graph, the same
+    fixpoint the distributed loop converges to."""
+    return f"""
+    WITH RECURSIVE pv AS ({_minhash_oracle_sql(threshold=0.25, doc_filter="doc_id < 500")}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pv
+      UNION
+      SELECT id_b, id_a FROM pv
+    ),
+    reach(id, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id, (cluster_id = id) AS is_keeper
+    FROM cc ORDER BY doc_id
+    """
+
+
+@query("dedup_clusters", oracle=_cc_oracle_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: portable MinHash pairs → distributed
+    connected components (min-label propagation, operators/dedup.py
+    connected_components) → one keeper per cluster (the minimum id).
+    The step that turns pairwise dedup output into a drop decision —
+    without it, transitive duplicate chains (A~B, B~C) keep A and C.
+    Oracle replays the whole thing in DuckDB: the portable-hash pair
+    pipeline + a recursive CTE computing min reachable id."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs.filter(F.col("doc_id") < 500),
+        n_hashes=16,
+        bands=4,
+        jaccard_threshold=0.25,
+        portable_hash=True,
+    )
+    labels = D.connected_components(pairs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("id")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+#: deterministic fake-PII injection, derived from doc_id — the synthetic
+#: corpus contains no PII, so the scrub demo embeds its own (same
+#: arithmetic in the oracle); the OPERATOR (operators/text.py PII_RULES)
+#: is the real artifact.
+def _pii_injected() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat_ws(
+        " ",
+        F.col("text"),
+        F.lit("contact"),
+        F.concat(F.lit("user"), did.cast("string"), F.lit("@example.com")),
+        F.lit("tel"),
+        F.concat(
+            F.lit("555-"),
+            F.lpad(((did * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+        ),
+        F.lit("ssn"),
+        F.concat(F.lit("123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        F.lit("from"),
+        F.concat(F.lit("10.0."), (did % 256).cast("string"), F.lit(".7")),
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from infinidb_spark.operators.text import PII_RULES
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    scrub = "t"
+    for _, pat, token in PII_RULES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, concat_ws(' ', text,
+        'contact', 'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        'tel', '555-' || lpad(CAST((doc_id*7) % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST((doc_id*13) % 10000 AS VARCHAR), 4, '0'),
+        'ssn', '123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        'from', '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7') AS t
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, {counts}, {scrub} AS scrubbed
+    FROM d ORDER BY doc_id
+    """
+
+
+@query("text_pii_scrub", oracle=_pii_oracle_sql())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py scrub_pii / pii_counts): typed
+    placeholder tokens for emails, SSNs, phones, and IPv4s, plus the
+    per-category audit counts — pure regexp Column expressions, a
+    single map-only scan at any scale.  RE2-compatible rule set so the
+    identical patterns run in Spark and the DuckDB oracle; the scrubbed
+    text itself is hash-verified."""
+    from infinidb_spark.operators.text import PII_RULES, pii_counts, scrub_pii
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = _pii_injected()
+    names = [f"n_{name}" for name, _, _ in PII_RULES]
+    counts = [
+        c.cast("bigint").alias(a) for c, a in zip(pii_counts(t), names)
+    ]
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", *counts, scrub_pii(t).alias("scrubbed"))
+        .orderBy("doc_id")
+    )

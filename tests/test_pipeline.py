@@ -287,3 +287,50 @@ def test_resize_media_contract(spark):
     a = _resize_stub(bytes(range(100)), 10, 10, 5, 5)
     b = _resize_stub(bytes(range(100)), 10, 10, 5, 5)
     assert a == b and len(a) == 25
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E: two clusters with min-id labels; pointer jumping
+    resolves the 3-chain transitively (pairwise output alone would keep
+    A and C)."""
+    from infinidb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path converges well inside max_iter thanks to pointer
+    jumping (naive propagation would need 40 rounds)."""
+    from infinidb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs, max_iter=10).collect()
+    assert {r.cluster_id for r in rows} == {100}
+    assert len(rows) == 41
+
+
+def test_pii_scrub_rules(spark):
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [("mail bob.smith+x@corp.example.org tel 555-123-4567 "
+          "ssn 123-45-6789 host 192.168.0.1 clean text",)],
+        "t string",
+    )
+    out = df.select(
+        scrub_pii(F.col("t")).alias("s"), *pii_counts(F.col("t"))
+    ).collect()[0]
+    assert out.s == "mail <EMAIL> tel <PHONE> ssn <SSN> host <IP> clean text"
+    assert (out.n_email, out.n_phone, out.n_ssn, out.n_ipv4) == (1, 1, 1, 1)
+    # no false positives on plain text and bare numbers
+    clean = spark.createDataFrame([("order 12345 on 2020-01-02 at 10.5",)], "t string")
+    row = clean.select(scrub_pii(F.col("t")).alias("s")).collect()[0]
+    assert row.s == "order 12345 on 2020-01-02 at 10.5"
