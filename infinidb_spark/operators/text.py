@@ -177,3 +177,56 @@ def pii_counts(col: Column) -> list[Column]:
         F.regexp_count(col, F.lit(pat)).alias(f"n_{name}")
         for name, pat, _ in PII_RULES
     ]
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Repetition-based quality signals per document — the
+    duplicate-content filters a large-corpus curation pipeline applies
+    before training (the top-ngram-share / duplicate-ngram-fraction
+    family popularized by the Gopher/MassiveText quality rules):
+
+    * ``top_ngram_share`` — occurrences of the single most frequent
+      word n-gram over all n-gram occurrences (boilerplate and chant
+      pages score high);
+    * ``distinct_ngram_frac`` — distinct n-grams over total (templated
+      or looping text scores low);
+    * ``n_ngrams`` — total n-gram occurrences (the denominator, kept
+      for downstream thresholding).
+
+    Exploded formulation: n-grams become rows, both signals fall out of
+    ONE ``groupBy(doc, gram)`` + ONE ``groupBy(doc)`` — two codegen'd
+    aggregations with map-side partials, no window over the corpus, no
+    per-row Python.  Scales as a word-count job.
+    """
+    words = F.split(normalize_text(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    per_gram = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_ngrams"),
+            F.max("_c").alias("_top"),
+            F.count(F.lit(1)).alias("_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            "n_ngrams",
+            F.round(F.col("_top") / F.col("n_ngrams"), 6).alias("top_ngram_share"),
+            F.round(F.col("_distinct") / F.col("n_ngrams"), 6).alias(
+                "distinct_ngram_frac"
+            ),
+        )
+    )

@@ -1261,3 +1261,39 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *counts, scrub_pii(t).alias("scrubbed"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                '\\s+') AS w
+      FROM documents WHERE doc_id < 400
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([concat_ws(' ', w[i], w[i+1])
+                     for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS gram
+      FROM d
+    ),
+    pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)               AS n_ngrams,
+           round(max(c) / sum(c), 6)            AS top_ngram_share,
+           round(count(*) / sum(c), 6)          AS distinct_ngram_frac
+    FROM pg GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (operators/text.py
+    repetition_signals): top-bigram share and distinct-bigram fraction
+    per document — the Gopher/MassiveText-style boilerplate filters.
+    Two codegen'd aggregations over exploded n-gram rows; scales as a
+    word-count job.  Oracle replays the identical arithmetic in
+    DuckDB."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return T.repetition_signals(docs.filter(F.col("doc_id") < 400)).orderBy(
+        "doc_id"
+    )

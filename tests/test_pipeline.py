@@ -334,3 +334,22 @@ def test_pii_scrub_rules(spark):
     clean = spark.createDataFrame([("order 12345 on 2020-01-02 at 10.5",)], "t string")
     row = clean.select(scrub_pii(F.col("t")).alias("s")).collect()[0]
     assert row.s == "order 12345 on 2020-01-02 at 10.5"
+
+
+def test_repetition_signals_detect_boilerplate(spark):
+    from infinidb_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps over dogs"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # all bigrams identical -> top share 1.0, distinct frac 1/5
+    assert got[1].top_ngram_share == 1.0
+    assert got[1].distinct_ngram_frac == 0.2
+    # all bigrams unique -> both extremes flip
+    assert got[2].distinct_ngram_frac == 1.0
+    assert got[2].top_ngram_share < 0.5
