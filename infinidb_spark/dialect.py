@@ -1281,6 +1281,17 @@ def _parse_create(toks: list[Token], i: int) -> dict:
         if _next_code(toks, k + 1) is not None:
             raise DialectError("unexpected tokens after CREATE TABLE ... LIKE")
         return {"kind": "create_like", "table": table, "source": src}
+    view_cols: list[str] | None = None
+    if obj == "VIEW" and j is not None and toks[j] == ("sym", "("):
+        # CREATE VIEW v (col1, col2, ...) AS SELECT — the explicit
+        # column-name list (the reference's own tpch15.sql uses it:
+        # `create view revenue0 (supplier_no, total_revenue) as ...`;
+        # ddl.y view grammar line 335)
+        close = _match_paren(toks, j)
+        view_cols = [
+            _ident_text(t) for t in toks[j + 1 : close] if t[0] in ("word", "bident")
+        ]
+        j = _next_code(toks, close + 1)
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "AS":
         raise DialectError(f"CREATE {obj} requires AS SELECT or a column list")
     select_sql = render(toks[j + 1 :]).strip()
@@ -1289,6 +1300,7 @@ def _parse_create(toks: list[Token], i: int) -> dict:
             "kind": "create_view",
             "table": table,
             "select_sql": select_sql,
+            "columns": view_cols,
             "or_replace": or_replace,
         }
     return {"kind": "create", "table": table, "select_sql": select_sql}

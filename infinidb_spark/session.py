@@ -739,7 +739,15 @@ class InfiniSession:
                 v.name for v in self.spark.catalog.listTables() if v.tableType == "TEMPORARY"
             ]:
                 raise ValueError(f"view {st['table']!r} already exists (use OR REPLACE)")
-            self.spark.sql(st["select_sql"]).createOrReplaceTempView(st["table"])
+            vdf = self.spark.sql(st["select_sql"])
+            if st.get("columns"):
+                if len(st["columns"]) != len(vdf.columns):
+                    raise ValueError(
+                        f"view {st['table']!r}: {len(st['columns'])} column "
+                        f"names for {len(vdf.columns)} select-list items"
+                    )
+                vdf = vdf.toDF(*st["columns"])
+            vdf.createOrReplaceTempView(st["table"])
             return 0
         if st["kind"] == "drop_view":
             dropped = self.spark.catalog.dropTempView(st["table"])

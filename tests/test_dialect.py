@@ -514,3 +514,38 @@ def test_system_variables(spark):
     sess.execute("SET autocommit = 1")
     with pytest.raises(DialectError, match="unknown system variable"):
         sess.execute("SELECT @@no_such_var")
+
+
+def test_tpch_q15_view_script_flow(spark, sf_dir):
+    """The reference's Q15 runs as a SCRIPT — CREATE VIEW revenue0,
+    argmax SELECT against it, DROP VIEW (dbcon/doc/tpch15.sql).  Drive
+    the literal statement flow through execute_script and check the
+    result against the inlined-derived-table twin (plans/tpch.py)."""
+    import __spark_entry__ as entry_mod
+    from infinidb_spark.session import InfiniSession
+
+    QUERIES = entry_mod.queries()
+
+    sess = InfiniSession(spark, sf_dir)
+    results = sess.execute_script(
+        """
+        CREATE VIEW revenue0 (supplier_no, total_revenue) AS
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4)
+          FROM lineitem
+          WHERE l_shipdate >= date '1997-01-01'
+            AND l_shipdate < date '1997-04-01'
+          GROUP BY l_suppkey;
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue0
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+        ORDER BY s_suppkey;
+        DROP VIEW revenue0;
+        """
+    )
+    script_rows = [
+        r for r in results if hasattr(r, "collect")
+    ][0].collect()
+    twin_rows = QUERIES["tpch_q15"](spark, sf_dir).collect()
+    assert [tuple(r) for r in script_rows] == [tuple(r) for r in twin_rows]
