@@ -583,7 +583,8 @@ _ALIAS_BLOCKERS = frozenset(
     """AND OR NOT XOR LIKE RLIKE REGEXP SOUNDS BETWEEN IN IS ESCAPE THEN
     ELSE WHEN CASE BY FROM WHERE SELECT HAVING ON USING AS JOIN SET
     VALUES DATE TIME TIMESTAMP INTERVAL BINARY COLLATE DIV MOD
-    SEPARATOR LIMIT OFFSET UNION ALL DISTINCT EXISTS IF RETURNING""".split()
+    SEPARATOR LIMIT OFFSET UNION ALL DISTINCT EXISTS IF RETURNING
+    BOTH LEADING TRAILING""".split()
 )
 
 #: Tokens that may FOLLOW an alias (select-list boundary).

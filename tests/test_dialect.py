@@ -549,3 +549,15 @@ def test_tpch_q15_view_script_flow(spark, sf_dir):
     ][0].collect()
     twin_rows = QUERIES["tpch_q15"](spark, sf_dir).collect()
     assert [tuple(r) for r in script_rows] == [tuple(r) for r in twin_rows]
+
+
+def test_ansi_trim_specifiers_not_aliased(spark):
+    """TRIM(BOTH/LEADING/TRAILING 'x' FROM s): the literal after the
+    specifier sits between a non-blocker word and FROM — it must NOT be
+    converted to a backtick alias (regression: translate_mysql turned
+    it into `x` and Spark resolved it as a column)."""
+    from infinidb_spark.dialect import translate_mysql
+
+    for spec, want in [("both", "a"), ("leading", "axx"), ("trailing", "xxa")]:
+        sql = f"select trim({spec} 'x' from 'xxaxx') as t"
+        assert spark.sql(translate_mysql(sql)).collect()[0].t == want
