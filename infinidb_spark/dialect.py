@@ -511,6 +511,15 @@ def _limit(toks: list[Token], i: int) -> tuple[int, list[Token]] | None:
     return b + 1, [("code", f"LIMIT {toks[b][1]} OFFSET {toks[a][1]}")]
 
 
+#: MySQL SELECT options accepted (and dropped/normalized) right after
+#: SELECT — mysqld's select_option_list surface.
+_SELECT_MODIFIERS = frozenset(
+    {"STRAIGHT_JOIN", "SQL_NO_CACHE", "SQL_CACHE", "SQL_CALC_FOUND_ROWS",
+     "HIGH_PRIORITY", "SQL_SMALL_RESULT", "SQL_BIG_RESULT",
+     "SQL_BUFFER_RESULT", "DISTINCTROW"}
+)
+
+
 def _rewrite(toks: list[Token]) -> list[Token]:
     out: list[Token] = []
     i = 0
@@ -558,6 +567,29 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     end, repl = hit
                     out.extend(repl)
                     i = end
+                    continue
+            if upper in _SELECT_MODIFIERS:
+                # MySQL SELECT options mysqld accepts ahead of the
+                # select list (sql_yacc: select_option_list).  None has
+                # a Spark equivalent worth keeping: the cache/priority/
+                # result-size hints are mysqld-internal no-ops here, and
+                # STRAIGHT_JOIN (force FROM-clause join order — the
+                # INFINIDB_ORDERED twin, ha_calpont_execplan.cpp:4126)
+                # is delegated to Catalyst/AQE like that hint.
+                # DISTINCTROW is MySQL's spelling of DISTINCT.
+                prev = _prev_code(toks, i)
+                if prev is not None and toks[prev][1].upper() in (
+                    "SELECT", *(_SELECT_MODIFIERS - {"DISTINCTROW"}),
+                ):
+                    if upper == "DISTINCTROW":
+                        out.append(("word", "DISTINCT"))
+                    i += 1
+                    continue
+                if upper == "STRAIGHT_JOIN":
+                    # the join-operator form: `t1 STRAIGHT_JOIN t2 ON ..`
+                    # = INNER JOIN with forced order; order goes to AQE
+                    out.append(("word", "JOIN"))
+                    i += 1
                     continue
             if upper == "INFINIDB_ORDERED":
                 # The reference's join-order session hint, written as

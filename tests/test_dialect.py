@@ -561,3 +561,27 @@ def test_ansi_trim_specifiers_not_aliased(spark):
     for spec, want in [("both", "a"), ("leading", "axx"), ("trailing", "xxa")]:
         sql = f"select trim({spec} 'x' from 'xxaxx') as t"
         assert spark.sql(translate_mysql(sql)).collect()[0].t == want
+
+
+def test_select_modifiers_accepted(spark, sf_dir):
+    """mysqld's select_option_list: STRAIGHT_JOIN / SQL_NO_CACHE /
+    SQL_CALC_FOUND_ROWS / HIGH_PRIORITY are accepted and dropped
+    (cache/priority hints are mysqld-internal; join order goes to
+    Catalyst/AQE like INFINIDB_ORDERED), DISTINCTROW normalizes to
+    DISTINCT, and the join-operator form `a STRAIGHT_JOIN b ON`
+    becomes INNER JOIN."""
+    from infinidb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, register=True, names=("region", "nation"))
+    t = translate_mysql
+    assert spark.sql(t(
+        "select sql_no_cache sql_calc_found_rows r_regionkey from region"
+    )).count() == 5
+    assert "DISTINCT" in t("select distinctrow r_name from region").upper()
+    assert spark.sql(t(
+        "select a.r_regionkey from region a straight_join nation b "
+        "on a.r_regionkey = b.n_regionkey"
+    )).count() == 25
+    # strings are untouched; modifiers only drop right after SELECT
+    sql = "select r_name from region where r_name <> 'HIGH_PRIORITY'"
+    assert t(sql) == sql
