@@ -520,13 +520,80 @@ _SELECT_MODIFIERS = frozenset(
 )
 
 
+#: Charset introducers MySQL allows before string literals
+#: (`_utf8'abc'`); the reference's mysqld front end resolves them to a
+#: collation, which Spark strings don't carry — dropped, except
+#: `_binary` which keeps its binary-string semantics via a cast.
+_CHARSET_INTRODUCERS = frozenset(
+    {"_utf8", "_utf8mb3", "_utf8mb4", "_latin1", "_ascii", "_ucs2",
+     "_utf16", "_utf16le", "_utf32", "_gbk", "_big5", "_binary"}
+)
+
+
+def _bits_to_hex(bits: str) -> str:
+    """MySQL bit literal (b'1010' / 0b1010) → Spark hex binary literal:
+    left-pad to whole bytes, x'0A'."""
+    if not bits:
+        return "x''"
+    v = int(bits, 2)
+    n_bytes = max((len(bits) + 7) // 8, 1)
+    return "x'" + v.to_bytes(n_bytes, "big").hex().upper() + "'"
+
+
 def _rewrite(toks: list[Token]) -> list[Token]:
     out: list[Token] = []
     i = 0
     while i < len(toks):
         kind, text = toks[i]
+        if (
+            kind == "number"
+            and text == "0"
+            and i + 1 < len(toks)
+            and toks[i + 1][0] == "word"
+        ):
+            # hex/bit literals lex as '0' + adjacent word: 0x41, 0b101
+            import re as _re
+
+            adj = toks[i + 1][1]
+            if _re.fullmatch(r"[xX][0-9A-Fa-f]+", adj):
+                h = adj[1:]
+                out.append(("code", "x'" + ("0" + h if len(h) % 2 else h) + "'"))
+                i += 2
+                continue
+            if _re.fullmatch(r"[bB][01]+", adj):
+                out.append(("code", _bits_to_hex(adj[1:])))
+                i += 2
+                continue
         if kind == "word":
             upper = text.upper()
+            if (
+                upper in ("B", "X")
+                and i + 1 < len(toks)
+                and toks[i + 1][0] == "string"
+            ):
+                # b'1010' bit literal → hex binary (x'..' passes through
+                # natively; only the b-form needs translation)
+                body = toks[i + 1][1][1:-1]
+                if upper == "B" and set(body) <= {"0", "1"}:
+                    out.append(("code", _bits_to_hex(body)))
+                    i += 2
+                    continue
+            if text.lower() in _CHARSET_INTRODUCERS:
+                nx = _next_code(toks, i + 1)
+                if nx is not None and toks[nx][0] == "string":
+                    if text.lower() == "_binary":
+                        out.append(("code", f"cast({toks[nx][1]} as binary)"))
+                    else:
+                        out.append(toks[nx])
+                    i = nx + 1
+                    continue
+            if upper == "DUAL":
+                prev = _prev_code(toks, i)
+                if prev is not None and toks[prev][1].upper() == "FROM":
+                    # SELECT ... FROM DUAL — MySQL's one-row dummy table
+                    out.append(("code", "(SELECT 1) AS dual"))
+                    i += 1
+                    continue
             nxt = _next_code(toks, i + 1)
             if nxt is not None and toks[nxt] == ("sym", "("):
                 close = _match_paren(toks, nxt)

@@ -585,3 +585,20 @@ def test_select_modifiers_accepted(spark, sf_dir):
     # strings are untouched; modifiers only drop right after SELECT
     sql = "select r_name from region where r_name <> 'HIGH_PRIORITY'"
     assert t(sql) == sql
+
+
+def test_mysql_literals_and_dual(spark):
+    """Hex literals (0x41 / x'41'), bit literals (b'1010' / 0b1010),
+    charset introducers (_utf8'abc', _binary'A'), and FROM DUAL — the
+    remaining mysqld literal surface."""
+    t = translate_mysql
+    run = lambda s: spark.sql(t(s)).collect()[0][0]
+    assert run("select 1+1 from dual") == 2
+    assert run("select 0x41") == b"A"
+    assert run("select b'01000001'") == b"A"
+    assert run("select 0b01000001") == b"A"
+    assert run("select _utf8'abc'") == "abc"
+    assert run("select _binary'A'") == b"A"
+    assert run("select hex(0xABC)") == "0ABC"  # odd digits left-pad
+    # a bare identifier x/b is never a literal
+    assert run("select x from (select 7 x)") == 7
