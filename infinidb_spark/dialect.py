@@ -594,6 +594,24 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.append(("code", "(SELECT 1) AS dual"))
                     i += 1
                     continue
+            if upper in ("FOR", "LOCK"):
+                # trailing row-lock clauses (FOR UPDATE / LOCK IN SHARE
+                # MODE): mysqld parses them; the reference engine takes
+                # no row locks (table-level via DML locks only), so they
+                # are accepted and dropped
+                words = ["UPDATE"] if upper == "FOR" else ["IN", "SHARE", "MODE"]
+                j, matched = i, []
+                for w in words:
+                    j = _next_code(toks, j + 1)
+                    if j is None or toks[j][1].upper() != w:
+                        matched = None
+                        break
+                    matched.append(j)
+                if matched is not None:
+                    tail = _next_code(toks, matched[-1] + 1)
+                    if tail is None or toks[tail] == ("sym", ";"):
+                        i = matched[-1] + 1
+                        continue
             nxt = _next_code(toks, i + 1)
             if nxt is not None and toks[nxt] == ("sym", "("):
                 close = _match_paren(toks, nxt)

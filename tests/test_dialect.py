@@ -602,3 +602,17 @@ def test_mysql_literals_and_dual(spark):
     assert run("select hex(0xABC)") == "0ABC"  # odd digits left-pad
     # a bare identifier x/b is never a literal
     assert run("select x from (select 7 x)") == 7
+
+
+def test_row_lock_suffixes_dropped(spark, sf_dir):
+    """FOR UPDATE / LOCK IN SHARE MODE parse in mysqld; the reference
+    takes no row locks, so the clauses are accepted and dropped — but
+    only as trailing clauses, never inside strings or identifiers."""
+    from infinidb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, register=True, names=("region",))
+    t = translate_mysql
+    assert spark.sql(t("select r_name from region for update")).count() == 5
+    assert spark.sql(t("select r_name from region lock in share mode")).count() == 5
+    sql = "select r_name from region where r_name <> 'for update'"
+    assert t(sql) == sql
