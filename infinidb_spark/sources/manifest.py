@@ -60,46 +60,48 @@ def build_manifest(path: str) -> list[dict[str, Any]]:
     {"min", "max", "null_count"}}}`` with column-chunk stats merged
     across row groups (file-level min/max, like one extent per file).
     """
+    return [_harvest_file(f) for f in _member_files(path)]
+
+
+def _member_files(path: str) -> list[str]:
     if os.path.isdir(path):
-        files = sorted(
+        return sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-    else:
-        files = [path]
+    return [path]
 
-    manifest: list[dict[str, Any]] = []
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        cols: dict[str, dict[str, Any]] = {}
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            for c_i in range(rg.num_columns):
-                chunk = rg.column(c_i)
-                st = chunk.statistics
-                name = chunk.path_in_schema
-                entry = cols.setdefault(
-                    name, {"min": None, "max": None, "null_count": 0}
-                )
-                if st is None or not st.has_min_max:
-                    # a chunk without stats poisons the whole column
-                    # PERMANENTLY for this file: its min/max would no
-                    # longer cover every row, so elimination must never
-                    # fire — even if a later row group has stats
-                    entry["min"] = entry["max"] = None
-                    entry["null_count"] = None
-                    entry["_poisoned"] = True
-                    continue
-                if st.null_count is not None and entry["null_count"] is not None:
-                    entry["null_count"] += st.null_count
-                if not entry.get("_poisoned"):
-                    if entry["min"] is None or st.min < entry["min"]:
-                        entry["min"] = st.min
-                    if entry["max"] is None or st.max > entry["max"]:
-                        entry["max"] = st.max
-        manifest.append({"file": f, "rows": md.num_rows, "columns": cols})
-    return manifest
+
+def _harvest_file(f: str) -> dict[str, Any]:
+    md = pq.ParquetFile(f).metadata
+    cols: dict[str, dict[str, Any]] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            chunk = rg.column(c_i)
+            st = chunk.statistics
+            name = chunk.path_in_schema
+            entry = cols.setdefault(
+                name, {"min": None, "max": None, "null_count": 0}
+            )
+            if st is None or not st.has_min_max:
+                # a chunk without stats poisons the whole column
+                # PERMANENTLY for this file: its min/max would no
+                # longer cover every row, so elimination must never
+                # fire — even if a later row group has stats
+                entry["min"] = entry["max"] = None
+                entry["null_count"] = None
+                entry["_poisoned"] = True
+                continue
+            if st.null_count is not None and entry["null_count"] is not None:
+                entry["null_count"] += st.null_count
+            if not entry.get("_poisoned"):
+                if entry["min"] is None or st.min < entry["min"]:
+                    entry["min"] = st.min
+                if entry["max"] is None or st.max > entry["max"]:
+                    entry["max"] = st.max
+    return {"file": f, "rows": md.num_rows, "columns": cols}
 
 
 #: mtime/size-keyed manifest memo — the in-process analog of the
@@ -125,16 +127,41 @@ def _path_key(path: str) -> tuple:
     return (real, st.st_mtime_ns, st.st_size)
 
 
+#: per-FILE footer memo: (inode, mtime_ns, size) -> harvested stats.
+#: This is what makes manifest maintenance INCREMENTAL — the BRM
+#: updates extent-map entries as extents are allocated, it never
+#: rescans the map (`versioning/BRM/extentmap.h`).  Keying on the
+#: INODE (not the path) means the hard-linked survivors of a
+#: copy-on-write DML rewrite (operators/dml.py links untouched files
+#: into the new version dir) hit the cache under their new paths.
+_FILE_ENTRY_CACHE: dict[tuple, dict[str, Any]] = {}
+_FILE_CACHE_MAX = 200_000  # ~100s of bytes per entry; bounded
+
+
 def cached_manifest(path: str) -> list[dict[str, Any]]:
-    """``build_manifest`` with an mtime-keyed memo: a rewritten or
-    swapped table (operators/dml.py bumps the directory) misses the
-    cache and re-harvests; unchanged tables never re-read footers."""
+    """``build_manifest`` with a per-file footer memo: after an append
+    (INSERT / bulk load adds part files) only the NEW files' footers
+    are read, and after a pruned DML rewrite the hard-link-carried
+    files hit the cache by inode — on a 100k-file table both cost
+    O(changed files) footer reads, not 100k.  The directory-level memo
+    on top keeps the unchanged-table path allocation-free."""
     key = _path_key(path)
     hit = _MANIFEST_CACHE.get(key)
     if hit is None:
         for k in [k for k in _MANIFEST_CACHE if k[0] == key[0]]:
             _MANIFEST_CACHE.pop(k, None)
-        hit = _MANIFEST_CACHE[key] = build_manifest(path)
+        if len(_FILE_ENTRY_CACHE) > _FILE_CACHE_MAX:
+            _FILE_ENTRY_CACHE.clear()
+        entries = []
+        for f in _member_files(os.path.realpath(path)):
+            st = os.stat(f)
+            fkey = (st.st_ino, st.st_mtime_ns, st.st_size)
+            cached = _FILE_ENTRY_CACHE.get(fkey)
+            if cached is None:
+                cached = _FILE_ENTRY_CACHE[fkey] = _harvest_file(f)
+            # stats are path-independent; the entry's file is not
+            entries.append({**cached, "file": f})
+        hit = _MANIFEST_CACHE[key] = entries
     return hit
 
 

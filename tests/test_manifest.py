@@ -165,3 +165,43 @@ def test_cached_manifest_detects_in_place_rewrite(spark, tmp_path):
     m2 = cached_manifest(p)
     assert m2 is not m1
     assert m2[0]["rows"] == 200
+
+
+def test_incremental_harvest_appends_and_hardlinks(spark, sf_dir, tmp_path, monkeypatch):
+    """Appending a part file harvests ONLY the new footer, and the
+    hard-link-carried files of a copy-on-write rewrite hit the footer
+    cache by inode — O(changed files), never O(table files)."""
+    import os
+    import shutil
+
+    from infinidb_spark.sources import manifest as M
+
+    src = f"{sf_dir}/nation.parquet"
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    shutil.copy(src, tdir / "part-00000.parquet")
+    shutil.copy(src, tdir / "part-00001.parquet")
+
+    reads = []
+    real_harvest = M._harvest_file
+    monkeypatch.setattr(M, "_harvest_file", lambda f: reads.append(f) or real_harvest(f))
+
+    M.cached_manifest(str(tdir))
+    assert len(reads) == 2
+
+    # append: only the new file's footer is read
+    reads.clear()
+    shutil.copy(src, tdir / "part-00002.parquet")
+    m = M.cached_manifest(str(tdir))
+    assert [os.path.basename(r) for r in reads] == ["part-00002.parquet"]
+    assert len(m) == 3
+
+    # copy-on-write version: hard links hit the cache by inode
+    reads.clear()
+    vdir = tmp_path / "t_v2"
+    vdir.mkdir()
+    for f in sorted(os.listdir(tdir)):
+        os.link(tdir / f, vdir / f)
+    m2 = M.cached_manifest(str(vdir))
+    assert reads == []
+    assert {os.path.dirname(e["file"]) for e in m2} == {str(vdir)}
