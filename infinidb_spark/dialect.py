@@ -545,6 +545,14 @@ def _rewrite(toks: list[Token]) -> list[Token]:
     i = 0
     while i < len(toks):
         kind, text = toks[i]
+        if kind == "sym" and text == "&&":
+            # MySQL's && is AND (sql_yacc %left AND_AND_SYM); Spark has
+            # no && operator.  || stays CONCAT — the PIPES_AS_CONCAT
+            # reading every migration target uses (MySQL 8 deprecates
+            # ||-as-OR); module docstring records the divergence.
+            out.append(("word", "AND"))
+            i += 1
+            continue
         if (
             kind == "number"
             and text == "0"

@@ -616,3 +616,9 @@ def test_row_lock_suffixes_dropped(spark, sf_dir):
     assert spark.sql(t("select r_name from region lock in share mode")).count() == 5
     sql = "select r_name from region where r_name <> 'for update'"
     assert t(sql) == sql
+
+
+def test_and_and_operator(spark):
+    """MySQL && is AND; strings containing && are untouched."""
+    assert spark.sql(translate_mysql("select (1=1) && (2=2) as v")).collect()[0].v is True
+    assert translate_mysql("select 'a&&b'") == "select 'a&&b'"
