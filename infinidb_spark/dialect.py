@@ -602,6 +602,17 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.append(("code", "(SELECT 1) AS dual"))
                     i += 1
                     continue
+            if upper == "INFORMATION_SCHEMA":
+                # information_schema.tables/columns → the flat view
+                # names InfiniSession registers (Spark temp views can't
+                # be schema-qualified); mysqld serves these natively
+                dot = _next_code(toks, i + 1)
+                if dot is not None and toks[dot] == ("sym", "."):
+                    obj = _next_code(toks, dot + 1)
+                    if obj is not None and toks[obj][1].lower() in ("tables", "columns"):
+                        out.append(("word", f"infoschema_{toks[obj][1].lower()}"))
+                        i = obj + 1
+                        continue
             if upper in ("FOR", "LOCK"):
                 # trailing row-lock clauses (FOR UPDATE / LOCK IN SHARE
                 # MODE): mysqld parses them; the reference engine takes

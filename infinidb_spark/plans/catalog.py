@@ -77,3 +77,60 @@ def system_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tablename")
     )
+
+
+def information_schema_tables(spark: SparkSession) -> DataFrame:
+    """MySQL ``information_schema.tables`` shape (the subset every
+    migration tool queries: schema/name/type/engine).  The reference
+    serves this from mysqld with ENGINE='InfiniDB' for its tables."""
+    rows = [
+        (
+            t.namespace[0] if t.namespace else "default",
+            t.name,
+            "VIEW" if t.tableType == "VIEW" else "BASE TABLE",
+            "InfiniDB",
+        )
+        for t in spark.catalog.listTables()
+    ]
+    return spark.createDataFrame(
+        rows, "table_schema string, table_name string, table_type string, engine string"
+    )
+
+
+def information_schema_columns(spark: SparkSession) -> DataFrame:
+    """MySQL ``information_schema.columns`` shape: one row per column
+    with ordinal position, MySQL-ish data type, and nullability."""
+    to_mysql = {
+        "string": "text", "bigint": "bigint", "int": "int",
+        "integer": "int", "smallint": "smallint", "tinyint": "tinyint",
+        "double": "double", "float": "float", "boolean": "tinyint",
+        "date": "date", "timestamp": "datetime", "timestamp_ntz": "datetime",
+        "binary": "blob",
+    }
+    rows = []
+    for t in spark.catalog.listTables():
+        for pos, c in enumerate(spark.catalog.listColumns(t.name), start=1):
+            base = c.dataType.split("(")[0].lower()
+            rows.append(
+                (
+                    t.namespace[0] if t.namespace else "default",
+                    t.name,
+                    c.name,
+                    pos,
+                    to_mysql.get(base, c.dataType.lower()),
+                    "YES" if c.nullable else "NO",
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "table_schema string, table_name string, column_name string, "
+        "ordinal_position int, data_type string, is_nullable string",
+    )
+
+
+def register_information_schema(spark: SparkSession) -> None:
+    """Register the information_schema views (the dialect rewrites
+    ``information_schema.tables``/``.columns`` to these names — Spark
+    temp views cannot be schema-qualified)."""
+    information_schema_tables(spark).createOrReplaceTempView("infoschema_tables")
+    information_schema_columns(spark).createOrReplaceTempView("infoschema_columns")

@@ -191,6 +191,12 @@ class InfiniSession:
             from infinidb_spark.dialect import translate_mysql
 
             query = translate_mysql(query)
+        if "infoschema_" in query:
+            # information_schema reference: refresh the snapshot views
+            # so tables/columns created this session are visible
+            from infinidb_spark.plans.catalog import register_information_schema
+
+            register_information_schema(self.spark)
         df = self.spark.sql(query)
         if self._trace:
             # calsettrace(1) semantics: capture the plan of every query

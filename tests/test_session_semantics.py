@@ -117,3 +117,32 @@ def test_table_cache_is_per_session_and_per_version(spark, sf_dir, tmp_path):
     # the superseded handle was evicted, not pinned forever
     stale = [k for k in _TABLE_CACHE if k[2] == d and k[3] == "nation"]
     assert len(stale) <= 2  # one per live session, none for the old version
+
+
+def test_information_schema_views(spark, sf_dir):
+    """MySQL tools introspect information_schema.tables/columns; the
+    dialect rewrites the qualified names to session-registered views
+    (refreshed per query, so tables created mid-session appear)."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    rows = sess.execute(
+        "SELECT table_name, engine FROM information_schema.tables "
+        "WHERE table_name = 'region'"
+    ).collect()
+    assert rows and rows[0].engine == "InfiniDB"
+
+    cols = sess.execute(
+        "SELECT column_name, data_type, is_nullable "
+        "FROM information_schema.columns WHERE table_name = 'nation' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [c.column_name for c in cols] == ["n_nationkey", "n_name", "n_regionkey"]
+    assert cols[1].data_type == "text"
+
+    sess.execute("CREATE TABLE is_new (id BIGINT, v DOUBLE)")
+    n = sess.execute(
+        "SELECT count(*) c FROM information_schema.columns "
+        "WHERE table_name = 'is_new'"
+    ).collect()[0].c
+    assert n == 2
