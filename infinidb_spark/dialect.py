@@ -950,7 +950,45 @@ def parse_statement(sql: str) -> dict:
                 toks, _next_code(toks, k + 1), "table after SHOW CREATE TABLE"
             )
             return {"kind": "show_create", "table": table}
-        # other SHOW forms (TABLES, COLUMNS, ...) parse natively in Spark
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "TABLES":
+            # SHOW TABLES [LIKE 'pat'] — MySQL single-column result
+            like = None
+            k = _next_code(toks, j + 1)
+            if k is not None and toks[k][1].upper() == "LIKE":
+                v = _next_code(toks, k + 1)
+                if v is None or toks[v][0] != "string":
+                    raise DialectError("expected pattern after SHOW TABLES LIKE")
+                like = _unquote(toks[v][1])
+            return {"kind": "show_tables", "like": like}
+        cols_at = j
+        full = False
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "FULL":
+            nxt = _next_code(toks, j + 1)
+            if nxt is not None and toks[nxt][1].upper() in ("COLUMNS", "FIELDS"):
+                cols_at, full = nxt, True
+        if (
+            cols_at is not None
+            and toks[cols_at][0] == "word"
+            and toks[cols_at][1].upper() in ("COLUMNS", "FIELDS")
+        ):
+            # SHOW [FULL] COLUMNS FROM t — MySQL Field/Type/Null/... shape
+            k = _next_code(toks, cols_at + 1)
+            if k is None or toks[k][1].upper() not in ("FROM", "IN"):
+                raise DialectError("expected FROM after SHOW COLUMNS")
+            table, _ = _expect_ident(
+                toks, _next_code(toks, k + 1), "table after SHOW COLUMNS FROM"
+            )
+            return {"kind": "show_columns", "table": table, "full": full}
+        # other SHOW forms (DATABASES, ...) parse natively in Spark
+    if kind in ("DESCRIBE", "DESC"):
+        j = _next_code(toks, i + 1)
+        if j is not None and toks[j][0] in ("word", "bident") and toks[j][1].upper() not in (
+            "SELECT", "TABLE", "EXTENDED", "FORMATTED",
+        ):
+            table = _ident_text(toks[j])
+            if _next_code(toks, j + 1) is None:
+                # bare DESCRIBE t = SHOW COLUMNS FROM t (MySQL)
+                return {"kind": "show_columns", "table": table, "full": False}
     if kind == "SELECT":
         adm = _parse_admin(toks, i)
         if adm is not None:

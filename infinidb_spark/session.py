@@ -99,7 +99,8 @@ def load_tables(
     # one app's table set
     for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
         _TABLE_CACHE.pop(k, None)
-        _REGISTERED.discard(k)
+    for s in [s for s in _REGISTERED if s[0] != app_id]:
+        _REGISTERED.pop(s, None)
 
     out: dict[str, DataFrame] = {}
     for name in names or TPCH_TABLES:
@@ -116,12 +117,16 @@ def load_tables(
         # mtime/size key) so pinned file listings can't accumulate
         for k in [k for k in _TABLE_CACHE if k[:4] == ident and k != key]:
             _TABLE_CACHE.pop(k, None)
-            _REGISTERED.discard(k)
+        # the temp-view NAME is global to the Spark session: track which
+        # key each (session, name) currently points to, so loading the
+        # same table name from a DIFFERENT dir (or a rewritten file)
+        # re-registers instead of silently serving the other dir's view
+        view_slot = (app_id, id(spark), name)
         cached = _TABLE_CACHE.get(key)
         if cached is not None:
-            if register and key not in _REGISTERED:
+            if register and _REGISTERED.get(view_slot) != key:
                 cached.createOrReplaceTempView(name)
-                _REGISTERED.add(key)
+                _REGISTERED[view_slot] = key
             out[name] = cached
             continue
         df = spark.read.parquet(path)
@@ -132,7 +137,7 @@ def load_tables(
         _TABLE_CACHE[key] = df
         if register:
             df.createOrReplaceTempView(name)
-            _REGISTERED.add(key)
+            _REGISTERED[view_slot] = key
         out[name] = df
     return out
 
@@ -142,7 +147,10 @@ def load_tables(
 #: (app id, session identity, dir, name, file mtime+size); dead-app
 #: entries are evicted on every call.
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
-_REGISTERED: set[tuple] = set()
+#: (app id, session identity, view name) -> the cache key the session's
+#: temp view currently serves — re-registration fires whenever the
+#: pointer would change (different dir, rewritten file)
+_REGISTERED: dict[tuple, tuple] = {}
 
 
 class InfiniSession:
@@ -311,6 +319,46 @@ class InfiniSession:
         "double": "DOUBLE", "string": "TEXT", "date": "DATE",
         "timestamp": "DATETIME", "timestamp_ntz": "DATETIME", "binary": "BLOB",
     }
+
+    def _show_columns(self, name: str):
+        """SHOW COLUMNS FROM t / DESCRIBE t — MySQL's six-column shape
+        (Field, Type, Null, Key, Default, Extra).  Key is always empty
+        (the reference engine has no indexes); Extra carries
+        auto_increment like mysqld does."""
+        if name in self._managed:
+            from infinidb_spark.operators.dml import read_table
+
+            schema = read_table(self.spark, self._managed[name]).schema
+        elif name in self.tables:
+            schema = self.tables[name].schema
+        else:
+            raise KeyError(f"no such table {name!r}")
+        meta = self._table_meta.get(name, {})
+        defaults = meta.get("defaults", {})
+        notnull = set(meta.get("notnull", []))
+        rows = []
+        for f in schema.fields:
+            t = f.dataType.simpleString()
+            mysql_t = (
+                f"DECIMAL{t[7:]}".replace(" ", "")
+                if t.startswith("decimal")
+                else self._MYSQL_SHOW_TYPES.get(t, t.upper())
+            ).lower()
+            rows.append(
+                (
+                    f.name,
+                    mysql_t,
+                    "NO" if f.name in notnull else "YES",
+                    "",
+                    str(defaults[f.name]) if f.name in defaults else None,
+                    "auto_increment" if f.name == meta.get("auto_inc") else "",
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "Field string, Type string, `Null` string, Key string, "
+            "Default string, Extra string",
+        )
 
     def _show_create(self, name: str):
         """SHOW CREATE TABLE — MySQL-style DDL text synthesized from the
@@ -788,6 +836,24 @@ class InfiniSession:
             return 0
         if st["kind"] == "show_create":
             return self._show_create(st["table"])
+        if st["kind"] == "show_tables":
+            import re as _re
+
+            names = sorted({*self.tables, *self._managed})
+            if st.get("like"):
+                # MySQL LIKE pattern: % = any run, _ = any one char
+                rx = _re.compile(
+                    "^"
+                    + _re.escape(st["like"]).replace("%", ".*").replace("_", ".")
+                    + "$",
+                    _re.IGNORECASE,
+                )
+                names = [n for n in names if rx.match(n)]
+            return self.spark.createDataFrame(
+                [(n,) for n in names], "Tables_in_infinidb string"
+            )
+        if st["kind"] == "show_columns":
+            return self._show_columns(st["table"])
         if st["kind"] == "create_like":
             # MySQL CREATE TABLE ... LIKE: same structure, no data;
             # typed-CREATE column metadata carries over

@@ -293,15 +293,15 @@ def test_ddl_ctas_truncate_drop(spark, sf_dir):
         parse_statement("CREATE TABLE t")
 
 
-def test_show_tables_and_describe_pass_through(spark, sf_dir):
-    """MySQL introspection statements are native Spark SQL — the dialect
-    router passes them through untouched."""
+def test_show_tables_and_describe_mysql_shape(spark, sf_dir):
+    """SHOW TABLES returns MySQL's single Tables_in_* column; DESCRIBE
+    returns the Field/Type/Null/Key/Default/Extra shape."""
     from infinidb_spark.session import InfiniSession
 
     sess = InfiniSession(spark, sf_dir)
-    tables = {r.tableName for r in sess.execute("SHOW TABLES").collect()}
+    tables = {r[0] for r in sess.execute("SHOW TABLES").collect()}
     assert {"nation", "region", "orders", "lineitem"} <= tables
-    cols = {r.col_name for r in sess.execute("DESCRIBE nation").collect()}
+    cols = {r.Field for r in sess.execute("DESCRIBE nation").collect()}
     assert {"n_nationkey", "n_name", "n_regionkey"} <= cols
 
 

@@ -146,3 +146,28 @@ def test_information_schema_views(spark, sf_dir):
         "WHERE table_name = 'is_new'"
     ).collect()[0].c
     assert n == 2
+
+
+def test_show_tables_and_columns_mysql_shape(spark, sf_dir):
+    """SHOW TABLES [LIKE] returns MySQL's single Tables_in_* column
+    (LIKE understands %/_); SHOW COLUMNS / DESCRIBE return the
+    six-column Field/Type/Null/Key/Default/Extra shape, with Extra
+    carrying auto_increment and Key always empty (no indexes)."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    assert [r[0] for r in sess.execute("SHOW TABLES LIKE 'n%'").collect()] == ["nation"]
+    assert [r[0] for r in sess.execute("SHOW TABLES LIKE '_ation'").collect()] == ["nation"]
+
+    sess.execute(
+        "CREATE TABLE show_t (id INT AUTO_INCREMENT, "
+        "v DOUBLE DEFAULT 1.5, s VARCHAR(10) NOT NULL)"
+    )
+    rows = {r.Field: r for r in sess.execute("SHOW COLUMNS FROM show_t").collect()}
+    assert rows["id"].Extra == "auto_increment"
+    assert rows["v"].Default == "1.5"
+    assert rows["s"].Null == "NO" and rows["s"].Key == ""
+    # DESCRIBE is the same statement
+    assert sess.execute("DESCRIBE show_t").columns == [
+        "Field", "Type", "Null", "Key", "Default", "Extra"
+    ]
