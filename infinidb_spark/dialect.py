@@ -933,7 +933,37 @@ def parse_statement(sql: str) -> dict:
             ):
                 raise DialectError("expected SET autocommit = 0|1")
             return {"kind": "set_autocommit", "value": toks[v][1] == "1"}
-        raise DialectError("only SET autocommit is supported")
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "NAMES":
+            # SET NAMES <charset> [COLLATE <collation>] — the first
+            # statement every MySQL client sends; connection charset is
+            # meaningless here (Spark strings are UTF-8), accepted as a
+            # recorded no-op like mysqld under a UTF-8 server
+            v = _next_code(toks, j + 1)
+            if v is None or toks[v][0] not in ("word", "string"):
+                raise DialectError("expected charset after SET NAMES")
+            return {"kind": "set_sysvar", "name": "character_set_client",
+                    "value": _unquote(toks[v][1]) if toks[v][0] == "string" else toks[v][1]}
+        # SET [SESSION|GLOBAL|LOCAL] <sysvar> = <value> — client/session
+        # system variables (sql_mode, charsets, timeouts...).  Stored and
+        # echoed by SHOW VARIABLES; none changes engine behavior except
+        # autocommit (handled above) — matching how the reference's
+        # engine ignores most mysqld knobs.
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+            "SESSION", "GLOBAL", "LOCAL",
+        ):
+            j = _next_code(toks, j + 1)
+        if j is not None and toks[j][0] == "word":
+            name = toks[j][1].lower()
+            eq = _next_code(toks, j + 1)
+            if eq is not None and toks[eq] == ("sym", "="):
+                value = render(toks[eq + 1 :]).strip().rstrip(";").strip()
+                if name == "autocommit":
+                    if value not in ("0", "1"):
+                        raise DialectError("expected SET autocommit = 0|1")
+                    return {"kind": "set_autocommit", "value": value == "1"}
+                return {"kind": "set_sysvar", "name": name,
+                        "value": _unquote(value) if value[:1] in "'\"" else value}
+        raise DialectError("unsupported SET statement")
     if kind == "SHOW":
         j = _next_code(toks, i + 1)
         if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "FULL":
@@ -950,6 +980,29 @@ def parse_statement(sql: str) -> dict:
                 toks, _next_code(toks, k + 1), "table after SHOW CREATE TABLE"
             )
             return {"kind": "show_create", "table": table}
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+            "VARIABLES", "STATUS",
+        ):
+            # SHOW [SESSION|GLOBAL] VARIABLES [LIKE 'pat'] / SHOW STATUS
+            like = None
+            k = _next_code(toks, j + 1)
+            if k is not None and toks[k][1].upper() == "LIKE":
+                v = _next_code(toks, k + 1)
+                if v is None or toks[v][0] != "string":
+                    raise DialectError("expected pattern after LIKE")
+                like = _unquote(toks[v][1])
+            return {"kind": "show_variables", "like": like,
+                    "status": toks[j][1].upper() == "STATUS"}
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+            "SESSION", "GLOBAL",
+        ):
+            nxt = _next_code(toks, j + 1)
+            if nxt is not None and toks[nxt][1].upper() in ("VARIABLES", "STATUS"):
+                return parse_statement(
+                    "SHOW " + render(toks[nxt:]).strip()
+                )
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "DATABASES":
+            return {"kind": "show_databases"}
         if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "TABLES":
             # SHOW TABLES [LIKE 'pat'] — MySQL single-column result
             like = None
@@ -980,6 +1033,11 @@ def parse_statement(sql: str) -> dict:
             )
             return {"kind": "show_columns", "table": table, "full": full}
         # other SHOW forms (DATABASES, ...) parse natively in Spark
+    if kind == "USE":
+        # USE <db> — the session is single-schema; the name is recorded
+        # (SHOW TABLES' Tables_in_<db> header, information_schema rows)
+        db, _ = _expect_ident(toks, _next_code(toks, i + 1), "database after USE")
+        return {"kind": "use", "database": db}
     if kind in ("DESCRIBE", "DESC"):
         j = _next_code(toks, i + 1)
         if j is not None and toks[j][0] in ("word", "bident") and toks[j][1].upper() not in (

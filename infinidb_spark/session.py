@@ -184,6 +184,21 @@ class InfiniSession:
         #: MySQL user variables (@name) and prepared statements
         self._user_vars: dict[str, object] = {}
         self._prepared: dict[str, str] = {}
+        #: current schema (USE <db>) and session system variables —
+        #: stored + echoed by SHOW VARIABLES; none changes engine
+        #: behavior except autocommit (its own statement kind)
+        self._schema: str = "infinidb"
+        self._sysvars: dict[str, str] = {
+            "version": "5.1.73-infinidb-spark",
+            "version_comment": "infinidb_spark (PySpark engine)",
+            "sql_mode": "",
+            "character_set_client": "utf8mb4",
+            "character_set_results": "utf8mb4",
+            "character_set_connection": "utf8mb4",
+            "collation_connection": "utf8mb4_general_ci",
+            "time_zone": "UTC",
+            "autocommit": "ON",
+        }
         if sf_dir:
             self.load(sf_dir)
 
@@ -319,6 +334,17 @@ class InfiniSession:
         "double": "DOUBLE", "string": "TEXT", "date": "DATE",
         "timestamp": "DATETIME", "timestamp_ntz": "DATETIME", "binary": "BLOB",
     }
+
+    @staticmethod
+    def _mysql_like_rx(pattern: str):
+        """MySQL LIKE pattern (% = any run, _ = any one char) as a
+        case-insensitive anchored regex."""
+        import re as _re
+
+        return _re.compile(
+            "^" + _re.escape(pattern).replace("%", ".*").replace("_", ".") + "$",
+            _re.IGNORECASE,
+        )
 
     def _show_columns(self, name: str):
         """SHOW COLUMNS FROM t / DESCRIBE t — MySQL's six-column shape
@@ -837,21 +863,34 @@ class InfiniSession:
         if st["kind"] == "show_create":
             return self._show_create(st["table"])
         if st["kind"] == "show_tables":
-            import re as _re
-
             names = sorted({*self.tables, *self._managed})
             if st.get("like"):
-                # MySQL LIKE pattern: % = any run, _ = any one char
-                rx = _re.compile(
-                    "^"
-                    + _re.escape(st["like"]).replace("%", ".*").replace("_", ".")
-                    + "$",
-                    _re.IGNORECASE,
-                )
+                rx = self._mysql_like_rx(st["like"])
                 names = [n for n in names if rx.match(n)]
             return self.spark.createDataFrame(
-                [(n,) for n in names], "Tables_in_infinidb string"
+                [(n,) for n in names], f"`Tables_in_{self._schema}` string"
             )
+        if st["kind"] == "show_variables":
+            self._sysvars["autocommit"] = "ON" if self._autocommit else "OFF"
+            rows = sorted(self._sysvars.items())
+            if st.get("status"):
+                rows = [("Uptime", "0"), ("Threads_connected", "1")]
+            if st.get("like"):
+                rx = self._mysql_like_rx(st["like"])
+                rows = [r for r in rows if rx.match(r[0])]
+            return self.spark.createDataFrame(
+                rows or [("", "")], "Variable_name string, Value string"
+            ).filter("Variable_name <> ''")
+        if st["kind"] == "show_databases":
+            return self.spark.createDataFrame(
+                [("information_schema",), (self._schema,)], "`Database` string"
+            )
+        if st["kind"] == "use":
+            self._schema = st["database"]
+            return 0
+        if st["kind"] == "set_sysvar":
+            self._sysvars[st["name"]] = str(st["value"])
+            return 0
         if st["kind"] == "show_columns":
             return self._show_columns(st["table"])
         if st["kind"] == "create_like":

@@ -171,3 +171,28 @@ def test_show_tables_and_columns_mysql_shape(spark, sf_dir):
     assert sess.execute("DESCRIBE show_t").columns == [
         "Field", "Type", "Null", "Key", "Default", "Extra"
     ]
+
+
+def test_client_handshake_statements(spark, sf_dir):
+    """The statement sequence every MySQL client sends on connect —
+    SET NAMES, SET sql_mode, USE, SHOW DATABASES/VARIABLES/STATUS —
+    must execute; variables are stored and echoed, USE renames the
+    Tables_in_* header."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    assert sess.execute("SET NAMES utf8mb4") == 0
+    assert sess.execute("SET SESSION sql_mode = 'STRICT_TRANS_TABLES'") == 0
+    assert sess.execute("USE proddb") == 0
+    assert sess.execute("SHOW TABLES").columns == ["Tables_in_proddb"]
+    dbs = {r[0] for r in sess.execute("SHOW DATABASES").collect()}
+    assert dbs == {"information_schema", "proddb"}
+    v = {r[0]: r[1] for r in sess.execute("SHOW VARIABLES LIKE 'sql_mode'").collect()}
+    assert v == {"sql_mode": "STRICT_TRANS_TABLES"}
+    assert sess.execute("SHOW VARIABLES LIKE 'version%'").count() == 2
+    assert sess.execute("SHOW GLOBAL STATUS LIKE 'Threads%'").count() == 1
+    # autocommit tracks the real session flag
+    sess.execute("SET autocommit = 0")
+    v = [r[1] for r in sess.execute("SHOW VARIABLES LIKE 'autocommit'").collect()]
+    assert v == ["OFF"]
+    sess.execute("SET autocommit = 1")
