@@ -443,15 +443,24 @@ class InfiniSession:
                 and toks[i + 2][0] == "word"
             ):
                 name = toks[i + 2][1].lower()
+                skip = 3
+                if name in ("session", "global") and i + 4 < len(toks) and toks[
+                    i + 3
+                ] == ("sym", ".") and toks[i + 4][0] == "word":
+                    # @@session.sql_mode / @@global.sql_mode forms
+                    name = toks[i + 4][1].lower()
+                    skip = 5
                 if name == "version":
                     out.append(("string", d._sql_str(self._VERSION)))
                 elif name == "version_comment":
                     out.append(("string", d._sql_str("infinidb-spark engine")))
                 elif name == "autocommit":
                     out.append(("number", "1" if self._autocommit else "0"))
+                elif name in self._sysvars:
+                    out.append(("string", d._sql_str(self._sysvars[name])))
                 else:
                     raise d.DialectError(f"unknown system variable @@{name}")
-                i += 3
+                i += skip
             else:
                 out.append(toks[i])
                 i += 1
@@ -691,6 +700,32 @@ class InfiniSession:
         if dialect != "mysql":
             return self.spark.sql(statement)
         toks = d.tokenize(statement)
+        # SET @@[session.|global.]var = value — the assignment form
+        # clients use; intercept BEFORE substitution would inline the
+        # lhs as a literal
+        codes = [t for t in toks if t[0] not in ("ws", "comment")]
+        if (
+            len(codes) >= 5
+            and codes[0][1].upper() == "SET"
+            and codes[1] == ("sym", "@")
+            and codes[2] == ("sym", "@")
+        ):
+            rest = codes[3:]
+            if rest[0][0] == "word" and rest[0][1].lower() in ("session", "global") \
+                    and len(rest) >= 3 and rest[1] == ("sym", "."):
+                rest = rest[2:]
+            if len(rest) >= 3 and rest[0][0] == "word" and rest[1] == ("sym", "="):
+                name = rest[0][1].lower()
+                value = d.render(list(rest[2:])).strip().rstrip(";").strip()
+                if name == "autocommit":
+                    self._autocommit = value not in ("0", "OFF", "off")
+                    if self._autocommit:
+                        self.commit()
+                    return 0
+                self._sysvars[name] = (
+                    d._unquote(value) if value[:1] in "'\"" else value
+                )
+                return 0
         toks = self._substitute_system_vars(toks, d)
         statement = d.render(toks)
         # SET @var = expr keeps its lhs un-substituted; everything else

@@ -196,3 +196,23 @@ def test_client_handshake_statements(spark, sf_dir):
     v = [r[1] for r in sess.execute("SHOW VARIABLES LIKE 'autocommit'").collect()]
     assert v == ["OFF"]
     sess.execute("SET autocommit = 1")
+
+
+def test_sysvar_at_at_forms(spark, sf_dir):
+    """@@var reads come from the sysvar store (with session./global.
+    prefixes); SET @@var = value writes it; @@autocommit keeps its real
+    semantics."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute("SET @@session.sql_mode = 'ANSI_QUOTES'")
+    assert sess.execute("SELECT @@sql_mode AS m").collect()[0].m == "ANSI_QUOTES"
+    assert (
+        sess.execute("SELECT @@session.sql_mode AS m").collect()[0].m
+        == "ANSI_QUOTES"
+    )
+    assert sess.execute("SELECT @@character_set_client AS c").collect()[0].c
+    sess.execute("SET @@autocommit = 0")
+    assert sess._autocommit is False
+    sess.execute("SET @@autocommit = 1")
+    assert sess._autocommit is True
