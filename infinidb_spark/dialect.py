@@ -1003,6 +1003,17 @@ def parse_statement(sql: str) -> dict:
                 )
         if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "DATABASES":
             return {"kind": "show_databases"}
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "TABLE":
+            nxt = _next_code(toks, j + 1)
+            if nxt is not None and toks[nxt][1].upper() == "STATUS":
+                like = None
+                k = _next_code(toks, nxt + 1)
+                if k is not None and toks[k][1].upper() == "LIKE":
+                    v = _next_code(toks, k + 1)
+                    if v is None or toks[v][0] != "string":
+                        raise DialectError("expected pattern after LIKE")
+                    like = _unquote(toks[v][1])
+                return {"kind": "show_table_status", "like": like}
         if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "TABLES":
             # SHOW TABLES [LIKE 'pat'] — MySQL single-column result
             like = None

@@ -916,6 +916,31 @@ class InfiniSession:
             return self.spark.createDataFrame(
                 rows or [("", "")], "Variable_name string, Value string"
             ).filter("Variable_name <> ''")
+        if st["kind"] == "show_table_status":
+            # SHOW TABLE STATUS [LIKE]: Name/Engine/Rows — row counts
+            # come from footer metadata (the manifest), never a scan,
+            # matching mysqld's approximate-stats contract
+            from infinidb_spark.sources.manifest import cached_manifest
+
+            rows = []
+            for n in sorted({*self.tables, *self._managed}):
+                if st.get("like") and not self._mysql_like_rx(st["like"]).match(n):
+                    continue
+                if n in self._managed:
+                    path = self._managed[n]
+                else:
+                    # inputFiles returns URIs (file:/...) — strip scheme
+                    path = self.tables[n].inputFiles()[0]
+                    path = path[5:] if path.startswith("file:") else path
+                try:
+                    nrows = sum(e["rows"] for e in cached_manifest(path))
+                except Exception:
+                    nrows = None
+                rows.append((n, "InfiniDB", nrows))
+            return self.spark.createDataFrame(
+                rows or [("", "", 0)],
+                "Name string, Engine string, `Rows` bigint",
+            ).filter("Name <> ''")
         if st["kind"] == "show_databases":
             return self.spark.createDataFrame(
                 [("information_schema",), (self._schema,)], "`Database` string"

@@ -216,3 +216,16 @@ def test_sysvar_at_at_forms(spark, sf_dir):
     assert sess._autocommit is False
     sess.execute("SET @@autocommit = 1")
     assert sess._autocommit is True
+
+
+def test_show_table_status(spark, sf_dir):
+    """SHOW TABLE STATUS: Name/Engine/Rows with row counts from footer
+    metadata (the manifest) — never a data scan."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    row = sess.execute("SHOW TABLE STATUS LIKE 'nation'").collect()[0]
+    assert (row.Name, row.Engine, row.Rows) == ("nation", "InfiniDB", 25)
+    sess.execute("CREATE TABLE sts_t AS SELECT * FROM region")
+    row = sess.execute("SHOW TABLE STATUS LIKE 'sts_t'").collect()[0]
+    assert row.Rows == 5
