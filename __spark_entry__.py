@@ -98,7 +98,7 @@ _PRIORITY = [
     "text_repetition",
     # the reference's TPC-H suite (dbcon/doc/tpch02-22.sql) through the
     # MySQL front-end — added round 4, first driver verdicts
-    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
     "tpch_q21", "tpch_q22",

@@ -42,6 +42,33 @@ def _mysql(spark: SparkSession, sf_dir: str, text: str, *tables: str) -> DataFra
     return spark.sql(translate_mysql(text))
 
 
+# --- Q1: pricing summary report (dbcon/doc/tpch01.sql) -----------------
+# The one query of the suite that is fully expressible verbatim —
+# including the sum_charge tax term.  (ref_pricing_summary runs the
+# reference perf corpus's own Q1 variant; this is the official text.)
+_Q1 = """select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) as sum_qty,
+       round(sum(l_extendedprice), 4) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) as sum_charge,
+       round(avg(l_quantity), 6) as avg_qty,
+       round(avg(l_extendedprice), 6) as avg_price,
+       round(avg(l_discount), 6) as avg_disc,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= date '1998-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus"""
+
+
+@query("tpch_q1", oracle=_Q1)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (dbcon/doc/tpch01.sql): the pricing summary — one
+    date-filtered scan into a 2-phase aggregate battery of eight
+    functions, including the (1-disc)(1+tax) charge expression."""
+    return _mysql(spark, sf_dir, _Q1, "lineitem")
+
+
 # --- Q2: minimum-cost supplier (dbcon/doc/tpch02.sql) ------------------
 # No partsupp: the part-supplier link and its cost come from lineitem
 # (min l_extendedprice per part within the region).  The correlated
