@@ -295,3 +295,79 @@ def embedding_dedup(
             .alias("is_dup"),
         )
     )
+
+
+def ivf_best_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Struct(sim, cid) of the nearest centroid — ``ivf_assign_expr``
+    plus the winning (rounded) cosine, for callers that need both.
+    Same determinism pinning: cosine rounded to 9 dp before the argmax,
+    ties to the lowest centroid id."""
+    entries = []
+    for cid, cv in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cv])
+        s = F.round(cosine_similarity(vec, c), 9)
+        entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
+    best = F.array_max(F.array(*entries))
+    return F.struct(best["s"].alias("sim"), (-best["nc"]).cast("long").alias("cid"))
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    stride: int = 50,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Spherical k-means (cosine Lloyd iterations) over an embedding
+    column — the cluster structure behind cluster-balanced sampling,
+    semantic bucketing, and IVF index training.
+
+    Deterministic by construction so any engine reproduces it exactly:
+    seeds are the stride-sampled vectors (``vec_id % stride == 0`` —
+    the IVF training rule), every cosine is rounded to 9 dp before the
+    argmax with ties to the lowest centroid id, and recomputed centroid
+    means are rounded to 9 dp; ``iters`` is fixed, not convergence-
+    tested.
+
+    Scale shape: assignment is a PURE PROJECTION over broadcast-literal
+    centroids (no join, no shuffle — ``ivf_assign_expr``); the centroid
+    update explodes vector dims into rows and runs ONE codegen'd
+    groupBy(cid, dim) average, whose k×dim result is the bounded model
+    collected driver-side (the same documented single-collect contract
+    as ``train_ivf_centroids``).  Each Lloyd iteration is one scan +
+    one bounded aggregation — no corpus caching, no driver loop over
+    data rows.
+
+    Returns (id, cluster_id, sim): final assignment and its cosine.
+    """
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    model = train_ivf_centroids(df, stride=stride, vec_col=vec_col, id_col=id_col)
+    for _ in range(max(iters - 1, 0)):
+        assigned = base.select(
+            F.col(id_col),
+            ivf_best_expr(F.col("_v"), model)["cid"].alias("_cid"),
+            "_v",
+        )
+        dim_means = (
+            assigned.select("_cid", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_cid", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()  # bounded: k × dim rows — the model update
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in dim_means:
+            by_cid.setdefault(int(r["_cid"]), {})[int(r["_d"])] = round(
+                float(r["_m"]), 9
+            )
+        model = [
+            (cid, [dims[i] for i in range(len(dims))])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    best = ivf_best_expr(F.col("_v"), model)
+    return base.select(
+        F.col(id_col),
+        best["cid"].alias("cluster_id"),
+        best["sim"].alias("sim"),
+    )

@@ -1297,3 +1297,64 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(docs.filter(F.col("doc_id") < 400)).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "embedding_kmeans",
+    # DuckDB replays the two Lloyd iterations with the identical
+    # determinism pins: stride seeds, cosine rounded to 9 dp before the
+    # argmax (ties -> lowest cid), centroid dim-means rounded to 9 dp.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 200
+    ),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 0),
+    s1 AS (
+      SELECT v.vec_id, v.e, c0.cid,
+             round(list_dot_product(v.e, c0.ce)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(c0.ce, c0.ce))), 9) AS sim
+      FROM v CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vec_id, e, cid FROM s1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+    ),
+    d1 AS (SELECT cid, unnest(range(1, 65)) AS dd, unnest(e) AS x FROM a1),
+    m1 AS (SELECT cid, dd, round(avg(x), 9) AS m FROM d1 GROUP BY cid, dd),
+    c1 AS (SELECT cid, list(m ORDER BY dd) AS ce FROM m1 GROUP BY cid),
+    s2 AS (
+      SELECT v.vec_id, c1.cid,
+             round(list_dot_product(v.e, c1.ce)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(c1.ce, c1.ce))), 9) AS sim
+      FROM v CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, cid, sim FROM s2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
+    )
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(sim), 6) AS cohesion
+    FROM a2 GROUP BY cid ORDER BY cid
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over embeddings (operators/similarity.py
+    kmeans_fit_predict): 2 Lloyd iterations from stride seeds, cosine
+    assignment as a pure projection, centroid update as one exploded-
+    dims aggregation with a bounded k×dim model collect — the
+    cluster-balanced-sampling / semantic-bucketing primitive.  Output:
+    per-cluster size + mean assignment cosine (cohesion)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    labels = S.kmeans_fit_predict(emb.filter(F.col("vec_id") < 200))
+    return (
+        labels.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("sim"), 6).alias("cohesion"),
+        )
+        .orderBy("cluster_id")
+    )

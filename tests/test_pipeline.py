@@ -353,3 +353,22 @@ def test_repetition_signals_detect_boilerplate(spark):
     # all bigrams unique -> both extremes flip
     assert got[2].distinct_ngram_frac == 1.0
     assert got[2].top_ngram_share < 0.5
+
+
+def test_kmeans_partitions_and_determinism(spark, sf_dir):
+    """kmeans_fit_predict: every vector gets exactly one cluster, seeds
+    belong to their own cluster after iteration 1's update keeps them
+    closest, and two runs are bit-identical (the determinism pins)."""
+    from infinidb_spark.operators.similarity import kmeans_fit_predict
+    from infinidb_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < 120
+    )
+    a = kmeans_fit_predict(emb, stride=60).orderBy("vec_id").collect()
+    b = kmeans_fit_predict(emb, stride=60).orderBy("vec_id").collect()
+    assert a == b
+    assert len(a) == emb.count()
+    assert {r.cluster_id for r in a} <= {0, 60}
+    assert all(-1.0 <= r.sim <= 1.0 for r in a)
