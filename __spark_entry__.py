@@ -97,6 +97,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_repetition",
     "embedding_kmeans",
+    "cluster_balanced_sample",
     # the reference's TPC-H suite (dbcon/doc/tpch02-22.sql) through the
     # MySQL front-end — added round 4, first driver verdicts
     "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",

@@ -1299,12 +1299,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_kmeans",
-    # DuckDB replays the two Lloyd iterations with the identical
-    # determinism pins: stride seeds, cosine rounded to 9 dp before the
-    # argmax (ties -> lowest cid), centroid dim-means rounded to 9 dp.
-    oracle="""
+#: DuckDB replay of the two Lloyd iterations with the identical
+#: determinism pins: stride seeds, cosine rounded to 9 dp before the
+#: argmax (ties -> lowest cid), centroid dim-means rounded to 9 dp.
+#: Ends with the final assignment relation a2(vec_id, cid, sim).
+_KMEANS_CTE = """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       FROM embeddings WHERE vec_id < 200
@@ -1334,7 +1333,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2 AS (
       SELECT vec_id, cid, sim FROM s2
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
-    )
+    )"""
+
+
+@query(
+    "embedding_kmeans",
+    oracle=_KMEANS_CTE + """
     SELECT cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_vectors,
            round(avg(sim), 6) AS cohesion
@@ -1357,4 +1361,45 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("sim"), 6).alias("cohesion"),
         )
         .orderBy("cluster_id")
+    )
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=_KMEANS_CTE + """
+    , ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT,
+                        vec_id
+             ) AS rk
+      FROM a2
+    )
+    SELECT cid AS cluster_id, vec_id
+    FROM ranked WHERE rk <= 10
+    ORDER BY cluster_id, vec_id
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: k-means labels → take the same number
+    of vectors from EVERY cluster (here 10), ordered by a deterministic
+    per-id hash — the anti-mode-collapse sampling step a training
+    pipeline runs after semantic bucketing (over-represented clusters
+    are capped, rare ones fully kept).  Composition of
+    kmeans_fit_predict + one ranking window per cluster; the hash order
+    makes the sample recomputation-stable, never data-order-dependent."""
+    from pyspark.sql import Window
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    labels = S.kmeans_fit_predict(emb.filter(F.col("vec_id") < 200))
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("cluster_id").orderBy(h, F.col("vec_id"))
+    return (
+        labels.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("cluster_id", "vec_id")
+        .orderBy("cluster_id", "vec_id")
     )
