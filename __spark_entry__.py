@@ -92,18 +92,19 @@ _PRIORITY = [
     "mysql_ci_collation",
     "auto_increment_roundtrip",
     "date_format_week_tokens",
+    # the reference's TPC-H suite (dbcon/doc/tpch01-22.sql) through the
+    # MySQL front-end — added round 4, first driver verdicts (q3/q5/q10
+    # hold green r03 rows already)
+    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22",
     # new pipeline operators added round 4 — first driver verdicts
     "dedup_clusters",
     "text_pii_scrub",
     "text_repetition",
     "embedding_kmeans",
     "cluster_balanced_sample",
-    # the reference's TPC-H suite (dbcon/doc/tpch02-22.sql) through the
-    # MySQL front-end — added round 4, first driver verdicts
-    "tpch_q1", "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q21", "tpch_q22",
     # reference perf-group twins added this round
     "ref_minmax_join", "ref_part_probe",
     # long-green tail: re-verified as window budget allows.  (The
