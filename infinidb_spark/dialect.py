@@ -41,6 +41,8 @@ containing ``LIMIT 1, 2`` or ``GROUP_CONCAT`` stays intact.
 
 from __future__ import annotations
 
+import re as _re
+
 from infinidb_spark.functions.mysql_format import mysql_datetime_format_to_spark
 
 Token = tuple[str, str]  # (kind, text); kind ∈ ws|comment|string|bident|word|number|sym|code
@@ -208,8 +210,6 @@ _RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring",
 
 
 def _template_arity(name: str) -> int:
-    import re as _re
-
     return max(int(m) for m in _re.findall(r"\{(\d)\}", _TEMPLATES[name])) + 1
 
 #: MySQL INTERVAL units → (multiplier, Spark unit).  WEEK/QUARTER have
@@ -560,8 +560,6 @@ def _rewrite(toks: list[Token]) -> list[Token]:
             and toks[i + 1][0] == "word"
         ):
             # hex/bit literals lex as '0' + adjacent word: 0x41, 0b101
-            import re as _re
-
             adj = toks[i + 1][1]
             if _re.fullmatch(r"[xX][0-9A-Fa-f]+", adj):
                 h = adj[1:]
