@@ -106,7 +106,7 @@ _PRIORITY = [
     "embedding_kmeans",
     "cluster_balanced_sample",
     # reference perf-group twins added this round
-    "ref_minmax_join", "ref_part_probe",
+    "ref_minmax_join", "ref_part_probe", "ref_var_driven_report",
     # long-green tail: re-verified as window budget allows.  (The
     # rows-only dedup_minhash_lsh / dedup_simhash already carry r03
     # driver rows; their hash pins are the portable twins above.)

@@ -383,3 +383,45 @@ def ref_avg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     casual-partition elimination drill (shipdate range prunes extents
     there, row groups here) feeding a single global aggregate."""
     return _mysql(spark, sf_dir, _AVG_BATTERY, "lineitem")
+
+
+# --- groups 300-303: the dwweek variable-driven report -----------------
+
+#: utils/scenarios/perf/sql/300/week_scenario_jt_2.sql (and the jt_3/
+#: jt_4 variants in 302/303): `SELECT <date expr> INTO @date_var` then
+#: a min/avg/max battery windowed by the variable.  The harness's
+#: rand() offset becomes a FIXED 150-day offset (the randomness varies
+#: load, not semantics); l_receiptdate/l_commitdate → l_shipdate per
+#: the testdata schema.  Runs through InfiniSession so the variable
+#: machinery itself is gate-verified.
+_VAR_REPORT = """SELECT l_shipdate, l_returnflag Returnflag, l_linestatus Status,
+       round(avg(l_extendedprice), 6) avgprice, count(*) cnt,
+       min(l_extendedprice) minprice, max(l_extendedprice) maxprice
+FROM lineitem
+WHERE l_shipdate BETWEEN @date_var AND @date_var + interval 5 day
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
+@query(
+    "ref_var_driven_report",
+    oracle="""SELECT l_shipdate, l_returnflag AS Returnflag, l_linestatus AS Status,
+       round(avg(l_extendedprice), 6) AS avgprice, count(*) AS cnt,
+       min(l_extendedprice) AS minprice, max(l_extendedprice) AS maxprice
+    FROM lineitem
+    WHERE l_shipdate BETWEEN date '1995-01-01' + interval 150 day
+                         AND date '1995-01-01' + interval 155 day
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3""",
+)
+def ref_var_driven_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dwweek scenario groups 300-303 (week_scenario_jt_2/3/4.sql):
+    SELECT INTO @date_var + a variable-windowed min/avg/max battery —
+    the daytime reporting mix the reference's week-long stress harness
+    runs continuously.  Exercises user variables, date-literal interval
+    arithmetic, and @var substitution end-to-end through the session."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute("SELECT date '1995-01-01' + interval 150 day INTO @date_var")
+    return sess.execute(_VAR_REPORT)
