@@ -681,7 +681,9 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                 # DISTINCTROW is MySQL's spelling of DISTINCT.
                 prev = _prev_code(toks, i)
                 if prev is not None and toks[prev][1].upper() in (
-                    "SELECT", *(_SELECT_MODIFIERS - {"DISTINCTROW"}),
+                    # modifiers may follow SELECT, another modifier, or
+                    # DISTINCT[ROW] in any order (mysqld select_options)
+                    "SELECT", "DISTINCT", "ALL", *_SELECT_MODIFIERS,
                 ):
                     if upper == "DISTINCTROW":
                         out.append(("word", "DISTINCT"))
