@@ -37,9 +37,41 @@ def asof_join(
     tolerance_seconds: int | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join; right columns arrive suffixed.  Left rows
-    with no prior right row (or outside tolerance) keep NULLs."""
+    """As-of join; right columns arrive suffixed.  Left rows with no
+    matching right row (or outside tolerance) keep NULLs.
+
+    ``direction`` (the pandas ``merge_asof`` contract):
+
+    * ``backward`` (default) — latest right row with ``ts <= left.ts``;
+    * ``forward`` — earliest right row with ``ts >= left.ts`` (the
+      mirrored window: ``first`` over unbounded FOLLOWING);
+    * ``nearest`` — whichever of the two is closer in time (ties →
+      the backward row, like pandas).  Runs both windows over the ONE
+      merged sort — still a single shuffle, no extra pass.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if direction == "nearest":
+        b = asof_join(left, right, on, left_ts, right_ts, tolerance_seconds,
+                      right_cols, "_bwd")
+        f = asof_join(b, right, on, left_ts, right_ts, tolerance_seconds,
+                      right_cols, "_fwd", direction="forward")
+        rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+        lts = F.unix_timestamp(F.col(left_ts))
+        db = lts - F.unix_timestamp(F.col(f"{right_ts}_bwd"))
+        df_ = F.unix_timestamp(F.col(f"{right_ts}_fwd")) - lts
+        pick_b = F.col(f"{right_ts}_fwd").isNull() | (
+            F.col(f"{right_ts}_bwd").isNotNull() & (db <= df_)
+        )
+        sel = [
+            F.when(pick_b, F.col(f"{c}_bwd")).otherwise(F.col(f"{c}_fwd")).alias(
+                f"{c}{suffix}"
+            )
+            for c in [*rcols, right_ts]
+        ]
+        return f.select(*[F.col(c) for c in left.columns], *sel)
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     lt = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
@@ -53,12 +85,21 @@ def asof_join(
     )
     merged = lt.unionByName(rt, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal ts (<= semantics)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "forward":
+        # left rows sort before right rows at equal ts (>= semantics);
+        # the match is the FIRST right row at-or-after
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ats").asc(), F.col("_side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+    else:
+        # right rows sort before left rows at equal ts (<= semantics)
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
     # Carry the whole right row as ONE struct, built only on right-side
     # rows: all payload columns then come from the same (latest) right
     # row, and a right row whose payload is legitimately NULL still
@@ -71,7 +112,11 @@ def asof_join(
             *[F.col(f"{c}{suffix}").alias(c) for c in rcols],
         ),
     )
-    carried = F.last(payload, ignorenulls=True).over(w)
+    carried = (
+        F.first(payload, ignorenulls=True).over(w)
+        if direction == "forward"
+        else F.last(payload, ignorenulls=True).over(w)
+    )
 
     out = merged.select(
         *[F.col(c) for c in left.columns],
@@ -79,10 +124,12 @@ def asof_join(
         carried.alias("_m"),
     ).filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        in_tol = F.col("_m").isNotNull() & (
-            F.unix_timestamp(left_ts) - F.unix_timestamp("_m._mts")
-            <= F.lit(tolerance_seconds)
+        gap = (
+            F.unix_timestamp("_m._mts") - F.unix_timestamp(left_ts)
+            if direction == "forward"
+            else F.unix_timestamp(left_ts) - F.unix_timestamp("_m._mts")
         )
+        in_tol = F.col("_m").isNotNull() & (gap <= F.lit(tolerance_seconds))
         out = out.withColumn("_m", F.when(in_tol, F.col("_m")))
     return out.select(
         *[F.col(c) for c in left.columns],

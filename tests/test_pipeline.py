@@ -372,3 +372,34 @@ def test_kmeans_partitions_and_determinism(spark, sf_dir):
     assert len(a) == emb.count()
     assert {r.cluster_id for r in a} <= {0, 60}
     assert all(-1.0 <= r.sim <= 1.0 for r in a)
+
+
+def test_asof_directions(spark):
+    """forward = earliest right at-or-after; nearest = closer of the
+    two with backward winning ties (the pandas merge_asof contract)."""
+    from infinidb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2020-01-01 10:00:00"), (1, "2020-01-01 12:00:00")],
+        "k long, ts string",
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [(1, "2020-01-01 09:00:00", 9.0), (1, "2020-01-01 11:30:00", 11.5)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+
+    fwd = {r.ts.hour: r.v_right for r in
+           asof_join(left, right, "k", direction="forward").collect()}
+    assert fwd == {10: 11.5, 12: None}
+
+    near = {r.ts.hour: r.v_right for r in
+            asof_join(left, right, "k", direction="nearest").collect()}
+    assert near == {10: 9.0, 12: 11.5}
+
+    # tie -> backward row wins
+    right2 = spark.createDataFrame(
+        [(1, "2020-01-01 09:00:00", 1.0), (1, "2020-01-01 11:00:00", 2.0)],
+        "k long, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    tie = asof_join(left, right2, "k", direction="nearest").collect()
+    assert {r.ts.hour: r.v_right for r in tie}[10] == 1.0
