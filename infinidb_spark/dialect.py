@@ -809,6 +809,177 @@ def _ci_literals(toks: list[Token]) -> list[Token]:
     return out
 
 
+#: Clause keywords that end a select list / group-by list scan.
+_GB_STOP = frozenset(
+    {"HAVING", "ORDER", "LIMIT", "WINDOW", "UNION", "INTERSECT", "EXCEPT",
+     "INTO", "FOR", "LOCK"}
+)
+
+
+def _permissive_group_by(toks: list[Token]) -> list[Token]:
+    """MySQL's pre-ONLY_FULL_GROUP_BY semantics: a non-aggregated select
+    column that isn't in GROUP BY is legal and yields an arbitrary value
+    from the group (the reference inherits this — MySQL 5.1 default).
+    Spark rejects the query outright, so the classic
+    ``SELECT id, name, count(*) ... GROUP BY id`` fails for a migrating
+    user on day one.
+
+    Rewrite, per SELECT scope (recursively, by paren depth): wrap each
+    select-list item that is a BARE column reference (``col`` /
+    ``t.col``, optional alias) and not named in that scope's GROUP BY
+    list in ``any_value(col)`` — MySQL 5.7+'s own documented modeling
+    of the old behavior.  CONSERVATIVE on purpose: items containing any
+    operator, call, or ``*`` are left alone (aggregates and expressions
+    already satisfy Spark; a miss just preserves Spark's error), and
+    scopes whose GROUP BY uses ordinals resolve them positionally
+    first.
+    """
+    out = list(toks)
+    i = 0
+    while i < len(out):
+        if out[i] == ("word", "SELECT") or (
+            out[i][0] == "word" and out[i][1].upper() == "SELECT"
+        ):
+            _rewrite_one_scope(out, i)
+        i += 1
+    return out
+
+
+def _scope_end(toks: list[Token], start: int) -> int:
+    """Index just past this scope: the enclosing ')' or end of tokens."""
+    depth = 0
+    for j in range(start, len(toks)):
+        k, t = toks[j]
+        if (k, t) == ("sym", "("):
+            depth += 1
+        elif (k, t) == ("sym", ")"):
+            if depth == 0:
+                return j
+            depth -= 1
+    return len(toks)
+
+
+def _split_top_commas(toks: list[Token], lo: int, hi: int) -> list[tuple[int, int]]:
+    """(start, end) spans of comma-separated items in toks[lo:hi]."""
+    spans, depth, s = [], 0, lo
+    for j in range(lo, hi):
+        k, t = toks[j]
+        if (k, t) == ("sym", "("):
+            depth += 1
+        elif (k, t) == ("sym", ")"):
+            depth -= 1
+        elif depth == 0 and (k, t) == ("sym", ","):
+            spans.append((s, j))
+            s = j + 1
+    spans.append((s, hi))
+    return spans
+
+
+def _bare_column(toks: list[Token], lo: int, hi: int):
+    """If the span is a bare column (``col`` / ``t.col`` [AS] [alias]),
+    return (col_lo, col_hi_exclusive, canonical_name, alias_or_None);
+    else None."""
+    codes = [j for j in range(lo, hi) if toks[j][0] not in ("ws", "comment")]
+    if not codes:
+        return None
+    def word(j):
+        return toks[j][0] in ("word", "bident")
+    # col | t . col
+    if not word(codes[0]):
+        return None
+    pos = 1
+    parts = [_ident_text(toks[codes[0]])]
+    if len(codes) >= 3 and toks[codes[1]] == ("sym", ".") and word(codes[2]):
+        parts.append(_ident_text(toks[codes[2]]))
+        pos = 3
+    rest = codes[pos:]
+    alias = None
+    if rest:
+        # optional AS alias / bare alias (one word or backtick ident)
+        if toks[rest[0]][0] == "word" and toks[rest[0]][1].upper() == "AS":
+            rest = rest[1:]
+        if len(rest) != 1 or not (word(rest[0]) or toks[rest[0]][0] == "string"):
+            return None
+        at = toks[rest[0]]
+        alias = (_unquote(at[1]) if at[0] == "string" else _ident_text(at)).lower()
+    name = parts[-1].lower()
+    if parts[0].upper() in _ALIAS_BLOCKERS or name == "*" or toks[codes[0]][1] == "*":
+        return None
+    end_excl = codes[pos - 1] + 1
+    return (codes[0], end_excl, name, alias)
+
+
+def _rewrite_one_scope(out: list[Token], sel_i: int) -> None:
+    end = _scope_end(out, sel_i + 1)
+    # find FROM and GROUP BY at depth 0 within the scope
+    depth = 0
+    from_i = group_i = None
+    j = sel_i + 1
+    while j < end:
+        k, t = out[j]
+        if (k, t) == ("sym", "("):
+            j = _match_paren(out, j)
+        elif k == "word":
+            u = t.upper()
+            if u == "FROM" and from_i is None:
+                from_i = j
+            elif u == "GROUP" and from_i is not None:
+                nx = _next_code(out, j + 1)
+                if nx is not None and out[nx][1].upper() == "BY":
+                    group_i = j
+                    break
+        j += 1
+    if from_i is None or group_i is None:
+        return
+    by_i = _next_code(out, group_i + 1)
+    # group-by item spans end at a stop keyword or scope end
+    gb_end = end
+    j = by_i + 1
+    while j < end:
+        k, t = out[j]
+        if (k, t) == ("sym", "("):
+            j = _match_paren(out, j)
+        elif k == "word" and t.upper() in _GB_STOP:
+            gb_end = j
+            break
+        j += 1
+    sel_spans = _split_top_commas(out, sel_i + 1, from_i)
+    gb_spans = _split_top_commas(out, by_i + 1, gb_end)
+    # GROUP BY names: bare columns + ordinals resolved against the list;
+    # any non-bare group item (expression) aborts the rewrite — matching
+    # it textually would be guesswork
+    grouped: set[str] = set()
+    for lo, hi in gb_spans:
+        codes = [j for j in range(lo, hi) if out[j][0] not in ("ws", "comment")]
+        if len(codes) == 1 and out[codes[0]][0] == "number":
+            ordv = int(out[codes[0]][1]) - 1
+            if 0 <= ordv < len(sel_spans):
+                bc = _bare_column(out, *sel_spans[ordv])
+                if bc:
+                    grouped.add(bc[2])
+                    if bc[3]:
+                        grouped.add(bc[3])
+            continue
+        bc = _bare_column(out, lo, hi)
+        if bc is None:
+            return
+        grouped.add(bc[2])
+    # wrap ungrouped bare select columns right-to-left (indices stay valid)
+    for lo, hi in reversed(sel_spans):
+        bc = _bare_column(out, lo, hi)
+        if bc is None:
+            continue
+        c_lo, c_hi, name, alias = bc
+        if name in grouped or (alias and alias in grouped):
+            continue
+        has_alias = any(
+            out[j][0] not in ("ws", "comment") for j in range(c_hi, hi)
+        )
+        expr = render(out[c_lo:c_hi]).strip()
+        repl = f"any_value({expr})" + ("" if has_alias else f" AS {name}")
+        out[c_lo:c_hi] = [("code", repl)]
+
+
 def translate_mysql(sql: str, *, ci_collation: bool = False) -> str:
     """MySQL-dialect SQL → Spark SQL (the ``getSelectPlan`` analog).
 
@@ -816,6 +987,7 @@ def translate_mysql(sql: str, *, ci_collation: bool = False) -> str:
     collation for string-literal comparisons (see ``_ci_literals``).
     """
     toks = _rewrite(tokenize(sql))
+    toks = _permissive_group_by(toks)
     if ci_collation:
         toks = _ci_literals(toks)
     return render(_string_aliases(toks))

@@ -622,3 +622,29 @@ def test_and_and_operator(spark):
     """MySQL && is AND; strings containing && are untouched."""
     assert spark.sql(translate_mysql("select (1=1) && (2=2) as v")).collect()[0].v is True
     assert translate_mysql("select 'a&&b'") == "select 'a&&b'"
+
+
+def test_permissive_group_by(spark, sf_dir):
+    """MySQL 5.x default (no ONLY_FULL_GROUP_BY): non-aggregated select
+    columns outside GROUP BY are legal — translated to any_value(), the
+    modeling MySQL 5.7+ itself documents.  Alias-grouped and fully
+    grouped queries are untouched; expression GROUP BYs abort the
+    rewrite conservatively."""
+    from infinidb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, register=True, names=("nation",))
+    t = translate_mysql
+    out = t("select n_regionkey, n_name, count(*) cnt from nation group by n_regionkey")
+    assert "any_value(n_name)" in out
+    rows = spark.sql(out).collect()
+    assert len(rows) == 5 and all(r.n_name is not None for r in rows)
+    # ordinal GROUP BY resolves positionally
+    assert spark.sql(t(
+        "select n.n_regionkey, n.n_name from nation n group by 1"
+    )).count() == 5
+    # alias-grouped: NOT wrapped
+    out = t("select n_regionkey as rk, count(*) c from nation group by rk")
+    assert "any_value" not in out
+    # fully grouped: untouched
+    sql = "select n_regionkey, count(*) c from nation group by n_regionkey"
+    assert t(sql) == sql
