@@ -964,6 +964,69 @@ def _rewrite_one_scope(out: list[Token], sel_i: int) -> None:
         if bc is None:
             return
         grouped.add(bc[2])
+    # select aliases are valid targets for ORDER BY and count as
+    # "resolvable" even after the item is wrapped
+    sel_aliases = set()
+    for lo, hi in sel_spans:
+        bc = _bare_column(out, lo, hi)
+        if bc:
+            # explicit alias, or the column's own name — a bare item
+            # (wrapped or not) always yields an output column with that
+            # name, which ORDER BY resolves without re-wrapping
+            sel_aliases.add(bc[3] or bc[2])
+            continue
+        # non-bare item (aggregate/expression): its LAST code token, if
+        # an identifier, is a potential output alias (``count(*) c``).
+        # Over-collecting is safe — a false positive only SKIPS the
+        # ORDER BY wrap, preserving Spark's own resolution/error.
+        codes = [j for j in range(lo, hi) if out[j][0] not in ("ws", "comment")]
+        if codes and out[codes[-1]][0] in ("word", "bident", "string"):
+            t = out[codes[-1]]
+            sel_aliases.add(
+                (_unquote(t[1]) if t[0] == "string" else _ident_text(t)).lower()
+            )
+    # ORDER BY under GROUP BY is equally permissive in MySQL 5.1: an
+    # ungrouped bare column there also wraps in any_value
+    ob_spans: list[tuple[int, int]] = []
+    j = gb_end
+    while j < end:
+        k, t = out[j]
+        if (k, t) == ("sym", "("):
+            j = _match_paren(out, j)
+        elif k == "word" and t.upper() == "ORDER":
+            nx = _next_code(out, j + 1)
+            if nx is not None and out[nx][1].upper() == "BY":
+                ob_end = end
+                jj = nx + 1
+                while jj < end:
+                    kk, tt = out[jj]
+                    if (kk, tt) == ("sym", "("):
+                        jj = _match_paren(out, jj)
+                    elif kk == "word" and tt.upper() in (
+                        "LIMIT", "UNION", "INTERSECT", "EXCEPT", "INTO",
+                        "FOR", "LOCK",
+                    ):
+                        ob_end = jj
+                        break
+                    jj += 1
+                ob_spans = _split_top_commas(out, nx + 1, ob_end)
+                break
+        j += 1
+    for lo, hi in reversed(ob_spans):
+        # strip a trailing ASC/DESC before the bare-column check
+        codes = [j for j in range(lo, hi) if out[j][0] not in ("ws", "comment")]
+        chi = hi
+        if codes and out[codes[-1]][0] == "word" and out[codes[-1]][1].upper() in (
+            "ASC", "DESC",
+        ):
+            chi = codes[-1]
+        bc = _bare_column(out, lo, chi)
+        if bc is None or bc[3] is not None:
+            continue
+        c_lo, c_hi, name, _ = bc
+        if name in grouped or name in sel_aliases:
+            continue
+        out[c_lo:c_hi] = [("code", f"any_value({render(out[c_lo:c_hi]).strip()})")]
     # wrap ungrouped bare select columns right-to-left (indices stay valid)
     for lo, hi in reversed(sel_spans):
         bc = _bare_column(out, lo, hi)

@@ -648,3 +648,21 @@ def test_permissive_group_by(spark, sf_dir):
     # fully grouped: untouched
     sql = "select n_regionkey, count(*) c from nation group by n_regionkey"
     assert t(sql) == sql
+
+
+def test_permissive_order_by_under_group_by(spark, sf_dir):
+    """MySQL 5.1 also allows ORDER BY on an ungrouped column: wrapped
+    in any_value too; select aliases (including aggregate aliases) are
+    recognized and never re-wrapped."""
+    from infinidb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, register=True, names=("nation",))
+    t = translate_mysql
+    out = t("select n_regionkey, count(*) c from nation "
+            "group by n_regionkey order by n_name")
+    assert "order by any_value(n_name)" in out
+    assert spark.sql(out).count() == 5
+    # aggregate alias in ORDER BY: untouched
+    sql = ("select n_regionkey, count(*) c from nation "
+           "group by n_regionkey order by c desc")
+    assert t(sql) == sql
