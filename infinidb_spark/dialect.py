@@ -1043,14 +1043,20 @@ def _rewrite_one_scope(out: list[Token], sel_i: int) -> None:
         out[c_lo:c_hi] = [("code", repl)]
 
 
-def translate_mysql(sql: str, *, ci_collation: bool = False) -> str:
+def translate_mysql(
+    sql: str, *, ci_collation: bool = False, strict_group_by: bool = False
+) -> str:
     """MySQL-dialect SQL → Spark SQL (the ``getSelectPlan`` analog).
 
     ``ci_collation=True`` reproduces MySQL's default case-insensitive
-    collation for string-literal comparisons (see ``_ci_literals``).
+    collation for string-literal comparisons (see ``_ci_literals``);
+    ``strict_group_by=True`` disables the permissive-GROUP-BY rewrite,
+    matching ``sql_mode = ONLY_FULL_GROUP_BY`` (InfiniSession passes it
+    when the session variable contains that flag).
     """
     toks = _rewrite(tokenize(sql))
-    toks = _permissive_group_by(toks)
+    if not strict_group_by:
+        toks = _permissive_group_by(toks)
     if ci_collation:
         toks = _ci_literals(toks)
     return render(_string_aliases(toks))

@@ -213,7 +213,11 @@ class InfiniSession:
         if dialect == "mysql":
             from infinidb_spark.dialect import translate_mysql
 
-            query = translate_mysql(query)
+            query = translate_mysql(
+                query,
+                strict_group_by="ONLY_FULL_GROUP_BY"
+                in self._sysvars.get("sql_mode", "").upper(),
+            )
         if "infoschema_" in query:
             # information_schema reference: refresh the snapshot views
             # so tables/columns created this session are visible

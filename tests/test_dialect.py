@@ -666,3 +666,20 @@ def test_permissive_order_by_under_group_by(spark, sf_dir):
     sql = ("select n_regionkey, count(*) c from nation "
            "group by n_regionkey order by c desc")
     assert t(sql) == sql
+
+
+def test_only_full_group_by_mode_disables_rewrite(spark, sf_dir):
+    """SET sql_mode = 'ONLY_FULL_GROUP_BY' restores strictness — the
+    permissive any_value rewrite is skipped and Spark's own rejection
+    surfaces, matching real MySQL's mode switch."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    q = ("select n_regionkey, n_name, count(*) c from nation "
+         "group by n_regionkey")
+    assert sess.sql(q, dialect="mysql").count() == 5
+    sess.execute("SET sql_mode = 'ONLY_FULL_GROUP_BY'")
+    with pytest.raises(Exception):
+        sess.sql(q, dialect="mysql").count()
+    sess.execute("SET sql_mode = ''")
+    assert sess.sql(q, dialect="mysql").count() == 5
