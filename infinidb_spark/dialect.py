@@ -1663,6 +1663,15 @@ def _parse_alter(toks: list[Token], i: int) -> dict:
 
 def _parse_insert(toks: list[Token], i: int) -> dict:
     j = _next_code(toks, i + 1)
+    # INSERT modifiers: IGNORE is a no-op without unique keys (the
+    # reference has none); LOW_PRIORITY/HIGH_PRIORITY/DELAYED are
+    # mysqld scheduling hints — all accepted and dropped
+    while (
+        j is not None
+        and toks[j][0] == "word"
+        and toks[j][1].upper() in ("IGNORE", "LOW_PRIORITY", "HIGH_PRIORITY", "DELAYED")
+    ):
+        j = _next_code(toks, j + 1)
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "INTO":
         j = _next_code(toks, j + 1)  # INTO is optional in MySQL
     table, j = _expect_ident(toks, j, "table name after INSERT")

@@ -683,3 +683,15 @@ def test_only_full_group_by_mode_disables_rewrite(spark, sf_dir):
         sess.sql(q, dialect="mysql").count()
     sess.execute("SET sql_mode = ''")
     assert sess.sql(q, dialect="mysql").count() == 5
+
+
+def test_insert_modifiers_dropped():
+    """INSERT IGNORE / LOW_PRIORITY / DELAYED: no unique keys to
+    violate and no mysqld scheduler — modifiers accepted and dropped
+    (regression: IGNORE was parsed as the table name)."""
+    from infinidb_spark.dialect import parse_statement
+
+    st = parse_statement("INSERT IGNORE INTO t (a) VALUES (1)")
+    assert st["table"] == "t" and st["columns"] == ["a"]
+    assert parse_statement("INSERT DELAYED INTO t VALUES (1)")["table"] == "t"
+    assert parse_statement("INSERT LOW_PRIORITY t SET a = 1")["table"] == "t"
