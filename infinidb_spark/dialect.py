@@ -1714,6 +1714,12 @@ def _parse_insert(toks: list[Token], i: int) -> dict:
 
 def _parse_update(toks: list[Token], i: int) -> dict:
     j = _next_code(toks, i + 1)
+    while (
+        j is not None
+        and toks[j][0] == "word"
+        and toks[j][1].upper() in ("LOW_PRIORITY", "IGNORE")
+    ):
+        j = _next_code(toks, j + 1)  # scheduler/dup hints — dropped
     table, j = _expect_ident(toks, j, "table name after UPDATE")
     j = _next_code(toks, j + 1)
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "SET":
@@ -1900,6 +1906,12 @@ def _parse_drop_truncate(toks: list[Token], i: int, kind: str) -> dict:
 
 def _parse_delete(toks: list[Token], i: int) -> dict:
     j = _next_code(toks, i + 1)
+    while (
+        j is not None
+        and toks[j][0] == "word"
+        and toks[j][1].upper() in ("LOW_PRIORITY", "QUICK", "IGNORE")
+    ):
+        j = _next_code(toks, j + 1)  # scheduler hints — dropped
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "FROM":
         j = _next_code(toks, j + 1)
     table, j = _expect_ident(toks, j, "table name after DELETE")

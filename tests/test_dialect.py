@@ -695,3 +695,10 @@ def test_insert_modifiers_dropped():
     assert st["table"] == "t" and st["columns"] == ["a"]
     assert parse_statement("INSERT DELAYED INTO t VALUES (1)")["table"] == "t"
     assert parse_statement("INSERT LOW_PRIORITY t SET a = 1")["table"] == "t"
+
+
+def test_update_delete_modifiers_dropped():
+    from infinidb_spark.dialect import parse_statement
+
+    assert parse_statement("UPDATE LOW_PRIORITY IGNORE t SET a = 1")["table"] == "t"
+    assert parse_statement("DELETE QUICK IGNORE FROM t WHERE a = 1")["table"] == "t"
