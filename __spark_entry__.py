@@ -107,6 +107,12 @@ _PRIORITY = [
     "cluster_balanced_sample",
     # reference perf-group twins added this round
     "ref_minmax_join", "ref_part_probe", "ref_var_driven_report",
+    # round-5 perf-group twins: the remaining numbered groups (2, 6,
+    # 101-106, 111, 201-204) — first driver verdicts
+    "ref_scan_range_order", "ref_point_lookup", "ref_agg_battery_wide",
+    "ref_pm_join_ranges", "ref_um_join_ranges", "ref_single_avg",
+    "ref_groupby_minmax_str", "ref_count_int_probe", "ref_global_min",
+    "ref_full_count", "ref_star_self_join", "ref_multi_pred_max",
     # long-green tail: re-verified as window budget allows.  (The
     # rows-only dedup_minhash_lsh / dedup_simhash already carry r03
     # driver rows; their hash pins are the portable twins above.)

@@ -425,3 +425,248 @@ def ref_var_driven_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = InfiniSession(spark, sf_dir)
     sess.execute("SELECT date '1995-01-01' + interval 150 day INTO @date_var")
     return sess.execute(_VAR_REPORT)
+
+
+# --- group 2: range scan + full ORDER BY -------------------------------
+
+#: utils/scenarios/perf/sql/2/q4.2.sql (key range scaled).  ORDER BY
+#: covers both projected columns, so the row sequence is deterministic.
+_SCAN_RANGE_ORDER = """select l_shipdate, l_partkey from lineitem
+where l_orderkey < 1000 order by 1, 2"""
+
+
+@query("ref_scan_range_order", oracle=_SCAN_RANGE_ORDER)
+def ref_scan_range_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 2 (q4.2.sql): two-column projection under a
+    key range, fully ordered — the scan+annex (TupleAnnexStep) drill."""
+    return _mysql(spark, sf_dir, _SCAN_RANGE_ORDER, "lineitem")
+
+
+# --- group 6: casual-partition point probe -----------------------------
+
+#: utils/scenarios/perf/sql/6/lineitemCPTest.sql (point keys moved into
+#: the testdata domain; ORDER BY added on the per-order line number so
+#: multi-row matches hash deterministically).
+_POINT_LOOKUP = """select * from lineitem
+where l_orderkey = 610 and l_partkey = 61
+order by l_orderkey, l_partkey, l_linenumber"""
+
+
+@query("ref_point_lookup", oracle=_POINT_LOOKUP)
+def ref_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 6 (lineitemCPTest.sql): the casual-partition
+    POINT probe — two equality predicates that eliminate every extent
+    but one in the reference (lbidlist.h CasualPartitionPredicate); here
+    the same constants prune via the min/max manifest + row-group
+    stats."""
+    return _mysql(spark, sf_dir, _POINT_LOOKUP, "lineitem")
+
+
+# --- group 101: wide mixed-aggregate scan battery ----------------------
+
+#: utils/scenarios/perf/sql/101/pmscan.4.sql (date scaled; aliases added
+#: and float aggregates round-pinned per the corpus rules)
+_AGG_BATTERY_WIDE = """select min(l_orderkey) min_ok, max(l_partkey) max_pk,
+min(l_suppkey) min_sk, round(avg(l_linenumber), 6) avg_ln,
+round(sum(l_extendedprice), 4) sum_price, round(avg(l_discount), 6) avg_disc,
+count(l_tax) cnt_tax, count(l_shipdate) cnt_ship
+from lineitem where l_shipdate <= '1997-08-31'"""
+
+
+@query("ref_agg_battery_wide", oracle=_AGG_BATTERY_WIDE)
+def ref_agg_battery_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 101 (pmscan.4.sql): eight mixed aggregates
+    (min/max/avg/sum/count over five distinct columns) in one pass — the
+    pm-scan wide-battery drill; one scan, one 2-phase agg, no shuffle of
+    data rows."""
+    return _mysql(spark, sf_dir, _AGG_BATTERY_WIDE, "lineitem")
+
+
+# --- group 102: PM (broadcast) join under stacked ranges ---------------
+
+#: utils/scenarios/perf/sql/102/pmmj.2tbls.1.sql (ranges scaled; ORDER
+#: BY added over the single projected column for hash determinism)
+_PM_JOIN_RANGES = """select p_partkey from part, lineitem
+where p_partkey = l_partkey and
+p_partkey between 0 and 485 and p_size between 1 and 5 and
+l_partkey between 0 and 2000 and l_shipdate between '1995-01-01' and '1995-04-09'
+order by 1"""
+
+
+@query("ref_pm_join_ranges", oracle=_PM_JOIN_RANGES)
+def ref_pm_join_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 102 (pmmj.2tbls.1.sql): the PM-join drill —
+    a range-filtered dimension small enough for the 64 MB PM cap,
+    broadcast into the fact scan (explicit `F.broadcast` analog chosen
+    by Catalyst under autoBroadcastJoinThreshold)."""
+    return _mysql(spark, sf_dir, _PM_JOIN_RANGES, "part", "lineitem")
+
+
+# --- group 105: UM (shuffle) join, wide ranges -------------------------
+
+#: utils/scenarios/perf/sql/105/ummj.3tbls.1.sql (ranges scaled; ORDER
+#: BY added over the projected pair)
+_UM_JOIN_RANGES = """select p_partkey, s_suppkey from part, lineitem, supplier
+where p_partkey = l_partkey and l_suppkey = s_suppkey and
+p_partkey between 0 and 1500 and p_size between 1 and 15 and
+l_partkey between 100 and 2000 and l_shipdate between '1995-01-01' and '1995-06-10'
+order by 1, 2"""
+
+
+@query("ref_um_join_ranges", oracle=_UM_JOIN_RANGES)
+def ref_um_join_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 105 (ummj.3tbls.1.sql): the UM-join drill —
+    the same 3-way join as group 102/104 but with ranges wide enough
+    that the reference spills to the UM hash join; Spark picks
+    broadcast or shuffled-hash per AQE's runtime sizes — the same
+    decision the reference's PmMaxMemorySmallSide threshold makes."""
+    return _mysql(spark, sf_dir, _UM_JOIN_RANGES, "part", "lineitem", "supplier")
+
+
+# --- group 103: single-aggregate scan ----------------------------------
+
+#: utils/scenarios/perf/sql/103/aggr.1tbl.avg.sql (key range scaled;
+#: alias + round pin added)
+_SINGLE_AVG = """Select round(avg(o_totalprice), 6) avg_price from orders
+where o_orderkey < 10000"""
+
+
+@query("ref_single_avg", oracle=_SINGLE_AVG)
+def ref_single_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 103 (aggr.1tbl.avg.sql): one aggregate over
+    a key-ranged scan — the minimal 2-phase-agg drill."""
+    return _mysql(spark, sf_dir, _SINGLE_AVG, "orders")
+
+
+# --- group 106: join group-by with string min/max ----------------------
+
+#: utils/scenarios/perf/sql/106/dmpp.2tbls.groupby.orderby.str.sql (key
+#: range scaled; aliases added)
+_GROUPBY_MINMAX_STR = """select o_orderpriority, min(o_orderstatus) min_st,
+max(o_orderstatus) max_st, count(l_orderkey) cnt
+from orders, lineitem
+where o_orderkey < 10000
+and o_orderkey = l_orderkey
+group by o_orderpriority
+order by o_orderpriority"""
+
+
+@query("ref_groupby_minmax_str", oracle=_GROUPBY_MINMAX_STR)
+def ref_groupby_minmaxstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 106 (dmpp.2tbls.groupby.orderby.str.sql):
+    join + group-by with MIN/MAX over a STRING column — the dictionary-
+    column aggregate drill (string min/max exercises the token→string
+    path in the reference; plain codegen'd string compare here)."""
+    return _mysql(spark, sf_dir, _GROUPBY_MINMAX_STR, "orders", "lineitem")
+
+
+# --- group 111: single-int-column count probes -------------------------
+
+#: utils/scenarios/perf/sql/111/q111.12.sql (constant scaled; the
+#: reference's own string-literal column alias kept VERBATIM — the
+#: dialect converts it).  The group's partsupp variants are out of
+#: schema scope; orders carries the same shape per TESTDATA.md.
+_COUNT_INT_PROBE = """select count(o_custkey) 'Count 750M 4 byte Ints: From 1.5 Billion Rows'  from orders \twhere o_custkey <= 750"""
+
+
+@query(
+    "ref_count_int_probe",
+    oracle="""select count(o_custkey) AS "Count 750M 4 byte Ints: From 1.5 Billion Rows" from orders where o_custkey <= 750""",
+)
+def ref_count_int_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 111 (q111.12.sql): the single-column count
+    probe the reference uses to benchmark raw block-scan throughput
+    (its harness flushes the cache first — calflushcache, supported by
+    InfiniSession.execute).  One column read, one count, zero shuffle
+    of data rows."""
+    return _mysql(spark, sf_dir, _COUNT_INT_PROBE, "orders")
+
+
+# --- group 202: global MIN full scan -----------------------------------
+
+#: utils/scenarios/perf/sql/202/q2.3.4.1.sql (alias added)
+_GLOBAL_MIN = """Select min(l_suppkey) min_sk from lineitem"""
+
+
+@query("ref_global_min", oracle=_GLOBAL_MIN)
+def ref_global_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 202 (q2.3.4.1.sql): unfiltered global MIN —
+    in the reference a full-column block scan; here Parquet column
+    statistics let the scan skip data pages entirely (min/max in
+    footers), the extreme casual-partitioning win."""
+    return _mysql(spark, sf_dir, _GLOBAL_MIN, "lineitem")
+
+
+# --- group 204: full-table count ---------------------------------------
+
+#: utils/scenarios/perf/sql/204/lineitemstats.sql (alias added)
+_FULL_COUNT = """select count(*) cnt from lineitem"""
+
+
+@query("ref_full_count", oracle=_FULL_COUNT)
+def ref_full_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 204 (lineitemstats.sql): COUNT(*) with no
+    predicate — answered from Parquet row-group metadata (no column
+    pages read), the analog of the reference counting extent HWMs."""
+    return _mysql(spark, sf_dir, _FULL_COUNT, "lineitem")
+
+
+# --- group 201: the dwweek star self-join ------------------------------
+
+#: utils/scenarios/perf/sql/201/week_scenario_jt_6.sql (dates scaled to
+#: the testdata domain; count alias added).  region/nation each appear
+#: TWICE under aliases — the sales-side and supplier-side dimension
+#: chains of the same star.
+_STAR_SELF_JOIN = """select \tr1.r_name Sales_Region, n1.n_name Sales_Nation,
+\tr2.r_name Supplier_Region, n2.n_name Supplier_Nation,
+\tcount(*) cnt
+from \tregion r1
+\tjoin nation n1 on (r1.r_regionkey = n1.n_regionkey)
+\tjoin customer on (c_nationkey = n1.n_nationkey)
+\tjoin orders on (c_custkey = o_custkey)
+\tjoin lineitem on (l_orderkey = o_orderkey)
+\tjoin supplier on l_suppkey = s_suppkey
+\tjoin nation n2 on (s_nationkey = n2.n_nationkey)
+\tjoin region r2 on (r2.r_regionkey = n2.n_regionkey)
+where l_shipdate between '1995-01-02' and  '1995-12-31'
+ and o_orderdate between '1995-01-02' and  '1995-12-31'
+ and n1.n_nationkey = 4
+ and n2.n_nationkey in (5,6,7,8)
+group by 1,2,3,4
+order by 1,2,3,4"""
+
+
+@query("ref_star_self_join", oracle=_STAR_SELF_JOIN)
+def ref_star_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 201 (week_scenario_jt_6.sql): the dwweek
+    8-way star with region/nation joined TWICE under aliases (sales
+    chain and supplier chain) — the join-graph planning drill
+    (spanningTreeCheck in the reference; Catalyst handles the aliased
+    re-reads as independent relations, both dimension chains
+    broadcast)."""
+    return _mysql(
+        spark, sf_dir, _STAR_SELF_JOIN,
+        "region", "nation", "customer", "orders", "lineitem", "supplier",
+    )
+
+
+#: utils/scenarios/perf/sql/201/week_scenario_jt_7.sql (constants
+#: scaled; aliases added)
+_MULTI_PRED_MAX = """select max(l_orderkey) max_ok, max(l_partkey) max_pk,
+max(l_suppkey) max_sk, count(l_orderkey) cnt
+from lineitem
+where l_partkey < 1500
+and l_suppkey < 90
+and l_orderkey < 12000
+and l_shipdate between '1995-03-01' and '1995-03-31'
+and l_linenumber <= 4
+and l_quantity <= 25"""
+
+
+@query("ref_multi_pred_max", oracle=_MULTI_PRED_MAX)
+def ref_multi_pred_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference perf group 201 (week_scenario_jt_7.sql): MAX battery
+    under a six-predicate conjunction spanning five columns — the
+    stacked-filter drill (every predicate pushes to the scan; `explain`
+    shows all six in PushedFilters)."""
+    return _mysql(spark, sf_dir, _MULTI_PRED_MAX, "lineitem")
