@@ -1284,12 +1284,98 @@ def parse_statement(sql: str) -> dict:
                 toks, _next_code(toks, k + 1), "table after SHOW COLUMNS FROM"
             )
             return {"kind": "show_columns", "table": table, "full": full}
+        # client-handshake/introspection SHOW forms (mysqld surface the
+        # reference inherits unmodified — `dbcon/mysql/` leaves these to
+        # the server layer; clients and BI tools send them at connect)
+        word = toks[j][1].upper() if j is not None and toks[j][0] == "word" else ""
+        if word == "ENGINES":
+            return {"kind": "show_engines"}
+        if word == "CHARSET" or (
+            word == "CHARACTER"
+            and (k := _next_code(toks, j + 1)) is not None
+            and toks[k][1].upper() == "SET"
+        ):
+            return {"kind": "show_charset"}
+        if word == "COLLATION":
+            return {"kind": "show_collation"}
+        if word in ("WARNINGS", "ERRORS"):
+            # [LIMIT ...] accepted and ignored (the diagnostics area is
+            # small); SHOW COUNT(*) WARNINGS is not routed here
+            return {"kind": "show_warnings", "errors_only": word == "ERRORS"}
+        if word in ("INDEX", "INDEXES", "KEYS"):
+            k = _next_code(toks, j + 1)
+            if k is None or toks[k][1].upper() not in ("FROM", "IN"):
+                raise DialectError(f"expected FROM after SHOW {word}")
+            table, _ = _expect_ident(
+                toks, _next_code(toks, k + 1), f"table after SHOW {word} FROM"
+            )
+            return {"kind": "show_index", "table": table}
+        if word == "GRANTS":
+            return {"kind": "show_grants"}
+        if word == "OPEN":
+            k = _next_code(toks, j + 1)
+            if k is not None and toks[k][1].upper() == "TABLES":
+                return {"kind": "show_open_tables"}
+        if word == "TRIGGERS":
+            return {"kind": "show_triggers"}
         # other SHOW forms (DATABASES, ...) parse natively in Spark
     if kind == "USE":
         # USE <db> — the session is single-schema; the name is recorded
         # (SHOW TABLES' Tables_in_<db> header, information_schema rows)
         db, _ = _expect_ident(toks, _next_code(toks, i + 1), "database after USE")
         return {"kind": "use", "database": db}
+    if kind == "FLUSH":
+        # FLUSH TABLES / PRIVILEGES / ... — the one engine-visible effect
+        # is the table/file-listing cache drop (mysqld closes table
+        # handles); everything else is a server-layer ack
+        return {"kind": "flush", "what": render(toks[i + 1 :]).strip().upper()}
+    if kind == "LOCK":
+        j = _next_code(toks, i + 1)
+        if j is None or toks[j][1].upper() not in ("TABLES", "TABLE"):
+            raise DialectError("expected TABLES after LOCK")
+        return {"kind": "lock_tables", "spec": render(toks[j + 1 :]).strip()}
+    if kind == "UNLOCK":
+        j = _next_code(toks, i + 1)
+        if j is None or toks[j][1].upper() not in ("TABLES", "TABLE"):
+            raise DialectError("expected TABLES after UNLOCK")
+        return {"kind": "unlock_tables"}
+    if kind == "KILL":
+        j = _next_code(toks, i + 1)
+        what = "connection"
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+            "QUERY", "CONNECTION",
+        ):
+            what = toks[j][1].lower()
+            j = _next_code(toks, j + 1)
+        if j is None or toks[j][0] != "number":
+            raise DialectError("expected thread id after KILL")
+        return {"kind": "kill", "id": int(toks[j][1]), "what": what}
+    if kind == "DO":
+        # DO expr[, expr]: evaluate for side effects, return no result
+        return {"kind": "do", "exprs": render(toks[i + 1 :]).strip()}
+    if kind == "HELP":
+        j = _next_code(toks, i + 1)
+        topic = _unquote(toks[j][1]) if j is not None and toks[j][0] == "string" else ""
+        return {"kind": "help", "topic": topic}
+    if kind in ("CHECK", "ANALYZE", "OPTIMIZE", "REPAIR"):
+        j = _next_code(toks, i + 1)
+        # ANALYZE [NO_WRITE_TO_BINLOG|LOCAL] TABLE (mysqld grammar)
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+            "NO_WRITE_TO_BINLOG", "LOCAL",
+        ):
+            j = _next_code(toks, j + 1)
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "TABLE":
+            tables = []
+            k = _next_code(toks, j + 1)
+            while k is not None and toks[k][0] in ("word", "bident"):
+                tables.append(_ident_text(toks[k]))
+                k = _next_code(toks, k + 1)
+                if k is not None and toks[k] == ("sym", ","):
+                    k = _next_code(toks, k + 1)
+                else:
+                    break  # trailing options (QUICK, EXTENDED...) ignored
+            if tables:
+                return {"kind": "table_maint", "op": kind.lower(), "tables": tables}
     if kind in ("DESCRIBE", "DESC"):
         j = _next_code(toks, i + 1)
         if j is not None and toks[j][0] in ("word", "bident") and toks[j][1].upper() not in (
@@ -1497,6 +1583,7 @@ _ADMIN_FUNCS = frozenset(
         "callastinsertid",
         "calgetversion",
         "calonlinealter",
+        "calsetparms",
     }
 )
 

@@ -160,6 +160,9 @@ class InfiniSession:
     Catalyst replaces CSEP translation + JobList compilation entirely.
     """
 
+    #: monotonically-assigned CONNECTION_ID() values, mysqld thread ids
+    _CONN_SEQ: int = 0
+
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = spark or get_spark()
         self.tables: dict[str, DataFrame] = {}
@@ -188,6 +191,14 @@ class InfiniSession:
         #: stored + echoed by SHOW VARIABLES; none changes engine
         #: behavior except autocommit (its own statement kind)
         self._schema: str = "infinidb"
+        #: session diagnostics + identity (mysqld surface: SHOW WARNINGS,
+        #: CONNECTION_ID(), LAST_INSERT_ID(), FOUND_ROWS(), ROW_COUNT())
+        self._warnings: list[tuple[str, int, str]] = []
+        InfiniSession._CONN_SEQ += 1
+        self._conn_id: int = InfiniSession._CONN_SEQ
+        self._last_insert_id: int = 0
+        self._found_rows: int = 0
+        self._row_count: int = -1
         self._sysvars: dict[str, str] = {
             "version": "5.1.73-infinidb-spark",
             "version_comment": "infinidb_spark (PySpark engine)",
@@ -330,6 +341,10 @@ class InfiniSession:
         start = max(int(meta.get("next_ai", 1)), int(explicit_max) + 1)
         filled = assign_auto_increment(aligned, ai, start) if n_null else aligned
         meta["next_ai"] = start + n_null
+        if n_null:
+            # LAST_INSERT_ID(): first auto-generated id of the last
+            # INSERT (MySQL's documented multi-row rule)
+            self._last_insert_id = start
         return filled, aligned
 
     _MYSQL_SHOW_TYPES = {
@@ -470,6 +485,122 @@ class InfiniSession:
                 i += 1
         return out
 
+    #: session-scoped MySQL information functions inlined as literals —
+    #: mysqld evaluates these in the server layer, never the engine
+    #: (the reference inherits them the same way); SLEEP/BENCHMARK are
+    #: included because clients and health checks send them
+    _SESSION_FUNCS = (
+        "database", "schema", "connection_id", "last_insert_id",
+        "found_rows", "row_count", "sleep", "benchmark",
+    )
+
+    def _substitute_session_funcs(self, toks, d):
+        """Inline ``DATABASE()``-family calls with session-state
+        literals.  Token shape: word '(' [args] ')'."""
+        out = []
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t[0] == "word" and t[1].lower() in self._SESSION_FUNCS:
+                j = d._next_code(toks, i + 1)
+                if j is not None and toks[j] == ("sym", "("):
+                    end = d._match_paren(toks, j)
+                    name = t[1].lower()
+                    inner = toks[j + 1 : end]
+                    if name in ("database", "schema"):
+                        out.append(("string", d._sql_str(self._schema)))
+                    elif name == "connection_id":
+                        out.append(("number", str(self._conn_id)))
+                    elif name == "last_insert_id":
+                        out.append(("number", str(self._last_insert_id)))
+                    elif name == "found_rows":
+                        out.append(("number", str(self._found_rows)))
+                    elif name == "row_count":
+                        out.append(("number", str(self._row_count)))
+                    elif name == "sleep":
+                        import time as _t
+
+                        arg = d.render(inner).strip()
+                        try:
+                            secs = float(arg)
+                        except ValueError:
+                            raise d.DialectError(
+                                "SLEEP expects a numeric literal"
+                            ) from None
+                        _t.sleep(min(max(secs, 0.0), 30.0))  # capped
+                        out.append(("number", "0"))
+                    else:  # benchmark(n, expr): MySQL always returns 0
+                        out.append(("number", "0"))
+                    i = end + 1
+                    continue
+            out.append(t)
+            i += 1
+        return out
+
+    def _table_maint(self, op: str, tables: list[str]):
+        """CHECK / ANALYZE / OPTIMIZE / REPAIR TABLE — MySQL's
+        four-column maintenance result, wired to the engine's real
+        machinery instead of acks where one exists:
+
+        * CHECK    — harvest every part-file footer (a corrupt or
+          truncated file fails the read), report the file count;
+        * ANALYZE  — rebuild the min/max manifest fresh (the extent-map
+          stats the planner prunes with; ≅ the reference recalculating
+          casual-partition ranges);
+        * OPTIMIZE — compact small part files (sources/layout.py), the
+          defragmentation analog;
+        * REPAIR   — nothing to repair in immutable Parquet + manifest;
+          reports OK (mysqld reports 'note' for engines without repair).
+        """
+        rows = []
+        for t in tables:
+            full = f"{self._schema}.{t}"
+            path = self._managed.get(t)
+            try:
+                if path is None:
+                    if t not in self.tables:
+                        raise KeyError(f"no such table {t!r}")
+                    if op in ("optimize", "analyze"):
+                        rows.append((full, op, "note",
+                                     "Table is external/read-only; skipped"))
+                        continue
+                    self.tables[t].limit(1).collect()  # readable probe
+                    rows.append((full, op, "status", "OK"))
+                    continue
+                if op == "check":
+                    from infinidb_spark.sources.manifest import build_manifest
+
+                    m = build_manifest(path)
+                    rows.append((full, op, "status", f"OK ({len(m)} file(s))"))
+                elif op == "analyze":
+                    from infinidb_spark.sources.manifest import (
+                        build_manifest, write_manifest,
+                    )
+
+                    m = build_manifest(path)
+                    write_manifest(
+                        m, os.path.join(path, "_infinidb_manifest.json")
+                    )
+                    rows.append((full, op, "status", "OK"))
+                elif op == "optimize":
+                    from infinidb_spark.sources.layout import (
+                        compact_table, table_file_stats,
+                    )
+
+                    before, _ = table_file_stats(path)
+                    compact_table(self.spark, path)
+                    self._refresh(t)
+                    after, _ = table_file_stats(path)
+                    rows.append((full, op, "status",
+                                 f"OK ({before} -> {after} file(s))"))
+                else:  # repair
+                    rows.append((full, op, "status", "OK"))
+            except Exception as exc:  # surface per-table, keep going
+                rows.append((full, op, "error", str(exc)[:200]))
+        return self.spark.createDataFrame(
+            rows, "Table string, Op string, Msg_type string, Msg_text string"
+        )
+
     def _processlist(self):
         """SHOW [FULL] PROCESSLIST — MySQL columns populated from the
         Spark status tracker: one row per active Spark job (the engine's
@@ -526,10 +657,18 @@ class InfiniSession:
         # returns a lazy DataFrame, its fetch happens at the caller)
         ms = round((_time.perf_counter() - t0) * 1000, 1)
         rows = result if isinstance(result, int) else "n/a"
+        # ROW_COUNT() semantics: affected rows of the last statement,
+        # -1 for statements that return a result set (MySQL's rule)
+        self._row_count = result if isinstance(result, int) else -1
         self._last_stats = f"Query Stats: QueryTime-{ms}ms; RowsAffected-{rows}"
         rejects = getattr(self, "_last_rejects", 0)
         if rejects:
             self._last_stats += f"; RowsRejected-{rejects}"
+            # rejected rows surface through SHOW WARNINGS, like mysqld's
+            # per-row LOAD DATA warnings (code 1262: row truncated)
+            self._warnings = [
+                ("Warning", 1262, f"{rejects} row(s) rejected by the loader")
+            ]
             self._last_rejects = 0
         return result
 
@@ -731,6 +870,7 @@ class InfiniSession:
                 )
                 return 0
         toks = self._substitute_system_vars(toks, d)
+        toks = self._substitute_session_funcs(toks, d)
         statement = d.render(toks)
         # SET @var = expr keeps its lhs un-substituted; everything else
         # inlines @refs as literals first (undefined @var reads NULL —
@@ -831,6 +971,17 @@ class InfiniSession:
         if st["kind"] == "admin":
             return self._admin(st["func"], st["args"])
         if st["kind"] == "select":
+            if "SQL_CALC_FOUND_ROWS" in statement.upper():
+                # FOUND_ROWS() contract: the row count the SELECT would
+                # return WITHOUT its LIMIT — computed as one count over
+                # the un-LIMITed query (the modifier itself was dropped
+                # by the dialect rewrite, as mysqld drops it post-parse)
+                toks_fr = d.tokenize(st["sql"])
+                lim = d._top_level_word(toks_fr, "LIMIT")
+                inner_sql = d.render(toks_fr[:lim] if lim is not None else toks_fr)
+                self._found_rows = self.sql(
+                    f"SELECT count(*) AS c FROM ({inner_sql}) _fr"
+                ).collect()[0].c
             return self.sql(st["sql"])
         if st["kind"] == "select_into_outfile":
             from infinidb_spark.sources.export import export_outfile
@@ -957,6 +1108,122 @@ class InfiniSession:
             return 0
         if st["kind"] == "show_columns":
             return self._show_columns(st["table"])
+        if st["kind"] == "show_engines":
+            # mysqld SHOW ENGINES shape; this engine presents itself the
+            # way the reference's InfiniDB row does (install script
+            # registers the engine; transactions via the version layer)
+            return self.spark.createDataFrame(
+                [(
+                    "InfiniDB", "DEFAULT",
+                    "Columnar analytics engine (Parquet on Spark SQL)",
+                    "YES", "NO", "YES",
+                )],
+                "Engine string, Support string, Comment string, "
+                "Transactions string, XA string, Savepoints string",
+            )
+        if st["kind"] == "show_charset":
+            return self.spark.createDataFrame(
+                [("utf8mb4", "UTF-8 Unicode", "utf8mb4_general_ci", 4)],
+                "Charset string, Description string, "
+                "`Default collation` string, Maxlen int",
+            )
+        if st["kind"] == "show_collation":
+            # the two collations the engine actually implements: binary
+            # compare (Spark default) and the ci mode
+            # (translate_mysql(ci_collation=True) → UTF8_LCASE)
+            return self.spark.createDataFrame(
+                [
+                    ("utf8mb4_bin", "utf8mb4", 46, "", "Yes", 1),
+                    ("utf8mb4_general_ci", "utf8mb4", 45, "Yes", "Yes", 1),
+                ],
+                "Collation string, Charset string, Id long, "
+                "`Default` string, Compiled string, Sortlen int",
+            )
+        if st["kind"] == "show_warnings":
+            rows = [
+                w for w in self._warnings
+                if not st["errors_only"] or w[0] == "Error"
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", 0, "")],
+                "Level string, Code int, Message string",
+            ).filter("Level <> ''")
+        if st["kind"] == "show_index":
+            # InfiniDB tables have NO indexes (the reference dropped its
+            # index subsystem; scans + extent elimination instead) —
+            # MySQL's column shape with zero rows is exact parity
+            if st["table"] not in self._managed and st["table"] not in self.tables:
+                raise KeyError(f"no such table {st['table']!r}")
+            return self.spark.createDataFrame(
+                [],
+                "Table string, Non_unique int, Key_name string, "
+                "Seq_in_index int, Column_name string, Collation string, "
+                "Cardinality long, Sub_part int, Packed string, "
+                "`Null` string, Index_type string, Comment string",
+            )
+        if st["kind"] == "show_grants":
+            return self.spark.createDataFrame(
+                [(f"GRANT ALL PRIVILEGES ON *.* TO 'infinidb'@'localhost'",)],
+                "`Grants for infinidb@localhost` string",
+            )
+        if st["kind"] == "show_open_tables":
+            rows = [
+                (self._schema, t, 0, 0)
+                for t in sorted({*self.tables, *self._managed})
+            ]
+            return self.spark.createDataFrame(
+                rows or [("", "", 0, 0)],
+                "`Database` string, `Table` string, In_use int, "
+                "Name_locked int",
+            ).filter("`Table` <> ''")
+        if st["kind"] == "show_triggers":
+            return self.spark.createDataFrame(
+                [],
+                "`Trigger` string, Event string, `Table` string, "
+                "Statement string, Timing string, Created timestamp, "
+                "sql_mode string, Definer string",
+            )
+        if st["kind"] == "flush":
+            # FLUSH TABLES: drop the session's table-DataFrame cache and
+            # re-register from disk — the close-table-handles analog;
+            # other FLUSH kinds (PRIVILEGES, LOGS...) are server-layer
+            # acks with no engine state to touch
+            if st["what"].startswith("TABLES") or st["what"] == "":
+                for name in list(self._managed):
+                    self._refresh(name)
+            return 0
+        if st["kind"] == "lock_tables":
+            # Single-writer engine: DML already serializes through the
+            # per-table lock file (operators/dml.py _table_lock, the
+            # calviewtablelock surface).  LOCK TABLES is accepted as the
+            # mysqld ack; the lock discipline is per-statement.
+            return 0
+        if st["kind"] == "unlock_tables":
+            return 0
+        if st["kind"] == "kill":
+            # KILL [QUERY] <id>: ids from SHOW PROCESSLIST are Spark job
+            # ids + 1 — cancel that job via the JVM SparkContext (the
+            # mysqld kill-thread analog; reference queries cancel through
+            # ExeMgr the same way).  Unknown ids are MySQL errors.
+            jid = st["id"] - 1
+            try:
+                self.spark.sparkContext._jsc.sc().cancelJob(int(jid))
+            except Exception as exc:  # py4j failure = unknown thread
+                raise KeyError(f"Unknown thread id: {st['id']}") from exc
+            return 0
+        if st["kind"] == "do":
+            # DO evaluates for side effects and discards results
+            self.sql(f"SELECT {st['exprs']}", dialect="mysql").collect()
+            return 0
+        if st["kind"] == "help":
+            return self.spark.createDataFrame(
+                [(st["topic"] or "contents",
+                  "infinidb_spark: MySQL-dialect analytics engine on "
+                  "Spark SQL; see SURVEY.md for the supported surface")],
+                "name string, description string",
+            )
+        if st["kind"] == "table_maint":
+            return self._table_maint(st["op"], st["tables"])
         if st["kind"] == "create_like":
             # MySQL CREATE TABLE ... LIKE: same structure, no data;
             # typed-CREATE column metadata carries over
@@ -1246,6 +1513,14 @@ class InfiniSession:
             prev = int(self._trace)
             self._trace = bool(args[0]) if args else True
             return prev
+        if func == "calsetparms":
+            # ref calsetparms('name', 'value') tunes ExeMgr/ResourceManager
+            # knobs per session (ha_calpont_impl.cpp); the Spark analog is
+            # a session-scoped SQL conf set
+            if len(args) < 2:
+                raise ValueError("calsetparms expects (name, value)")
+            self.spark.conf.set(str(args[-2]), str(args[-1]))
+            return f"{args[-2]} set to {args[-1]}"
         if func == "calgettrace":
             return self._last_trace
         if func == "calgetstats":

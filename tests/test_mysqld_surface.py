@@ -1,0 +1,160 @@
+"""mysqld maintenance & handshake long tail through InfiniSession.
+
+The statements every MySQL client/tool sends that are NOT queries:
+information functions (DATABASE(), CONNECTION_ID(), LAST_INSERT_ID(),
+FOUND_ROWS(), ROW_COUNT()), introspection SHOW forms (ENGINES, CHARSET,
+COLLATION, INDEX, WARNINGS, GRANTS, OPEN TABLES, TRIGGERS), maintenance
+statements (CHECK/ANALYZE/OPTIMIZE/REPAIR TABLE — wired to footer
+validation, manifest rebuild, and compaction), and the ack family
+(FLUSH/LOCK/UNLOCK TABLES, DO, SLEEP, BENCHMARK).
+
+Reference: the mysqld layer handles these above the storage engine
+(`dbcon/mysql/` registers only the cal* UDFs and the handler); a
+migrating user's client sends them on day one.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from infinidb_spark.session import InfiniSession
+
+
+@pytest.fixture(scope="module")
+def sess(spark, sf_dir):
+    return InfiniSession(spark, sf_dir)
+
+
+def test_information_functions(sess):
+    assert sess.execute("SELECT DATABASE() AS d").collect()[0].d == "infinidb"
+    cid = sess.execute("SELECT CONNECTION_ID() AS c").collect()[0].c
+    assert cid >= 1
+    # stable within the session
+    assert sess.execute("SELECT CONNECTION_ID() AS c").collect()[0].c == cid
+    # SCHEMA() is the documented alias
+    assert sess.execute("SELECT SCHEMA() AS s").collect()[0].s == "infinidb"
+
+
+def test_last_insert_id_and_row_count(spark, sf_dir):
+    s = InfiniSession(spark, sf_dir)
+    assert s.execute("SELECT LAST_INSERT_ID() AS li").collect()[0].li == 0
+    s.execute("CREATE TABLE li_t (id BIGINT AUTO_INCREMENT, v BIGINT)")
+    n = s.execute("INSERT INTO li_t (v) VALUES (10),(20),(30)")
+    assert n == 3
+    # ROW_COUNT() reads the PREVIOUS statement's affected rows
+    assert s._row_count == 3
+    # first auto-generated id of the batch (MySQL multi-row rule)
+    assert s.execute("SELECT LAST_INSERT_ID() AS li").collect()[0].li == 1
+    n = s.execute("INSERT INTO li_t (v) VALUES (40)")
+    assert s.execute("SELECT LAST_INSERT_ID() AS li").collect()[0].li == 4
+
+
+def test_found_rows(sess):
+    df = sess.execute(
+        "SELECT SQL_CALC_FOUND_ROWS c_custkey FROM customer "
+        "ORDER BY c_custkey LIMIT 5"
+    )
+    assert len(df.collect()) == 5
+    total = sess.execute("SELECT FOUND_ROWS() AS fr").collect()[0].fr
+    assert total == sess.table("customer").count()
+
+
+def test_show_engines_charset_collation(sess):
+    eng = sess.execute("SHOW ENGINES").collect()
+    assert eng[0].Engine == "InfiniDB" and eng[0].Support == "DEFAULT"
+    cs = sess.execute("SHOW CHARACTER SET").collect()
+    assert cs[0].Charset == "utf8mb4"
+    assert sess.execute("SHOW CHARSET").collect()[0].Charset == "utf8mb4"
+    col = {r.Collation for r in sess.execute("SHOW COLLATION").collect()}
+    assert {"utf8mb4_bin", "utf8mb4_general_ci"} <= col
+
+
+def test_show_index_empty_no_indexes(sess):
+    # InfiniDB has no index subsystem — zero rows, MySQL column shape
+    rows = sess.execute("SHOW INDEX FROM customer").collect()
+    assert rows == []
+    cols = sess.execute("SHOW KEYS FROM customer").columns
+    assert cols[:5] == [
+        "Table", "Non_unique", "Key_name", "Seq_in_index", "Column_name",
+    ]
+    with pytest.raises(KeyError):
+        sess.execute("SHOW INDEX FROM no_such_table")
+
+
+def test_show_misc(sess):
+    assert sess.execute("SHOW WARNINGS").collect() == []
+    assert sess.execute("SHOW ERRORS").collect() == []
+    grants = sess.execute("SHOW GRANTS").collect()
+    assert "GRANT ALL PRIVILEGES" in grants[0][0]
+    open_tabs = {r.Table for r in sess.execute("SHOW OPEN TABLES").collect()}
+    assert "customer" in open_tabs
+    assert sess.execute("SHOW TRIGGERS").collect() == []
+
+
+def test_ack_family(sess):
+    assert sess.execute("FLUSH TABLES") == 0
+    assert sess.execute("FLUSH PRIVILEGES") == 0
+    assert sess.execute("LOCK TABLES customer READ") == 0
+    assert sess.execute("UNLOCK TABLES") == 0
+    assert sess.execute("DO 1+1") == 0
+    assert sess.execute("SELECT SLEEP(0) AS s").collect()[0].s == 0
+    assert sess.execute("SELECT BENCHMARK(10, 1+1) AS b").collect()[0].b == 0
+
+
+def test_table_maintenance_managed(spark, sf_dir):
+    s = InfiniSession(spark, sf_dir)
+    s.create_table_as("mt", s.table("region"))
+    for op, expect in (
+        ("CHECK", "OK"),
+        ("ANALYZE", "OK"),
+        ("OPTIMIZE", "OK"),
+        ("REPAIR", "OK"),
+    ):
+        rows = s.execute(f"{op} TABLE mt").collect()
+        assert rows[0].Msg_type == "status", rows
+        assert expect in rows[0].Msg_text
+        assert rows[0].Table == "infinidb.mt"
+    # ANALYZE persists a manifest next to the data (note: OPTIMIZE's
+    # copy-on-write swap replaces the version dir, so analyze again)
+    import os
+
+    s.execute("ANALYZE TABLE mt")
+    assert os.path.exists(
+        os.path.join(s._managed["mt"], "_infinidb_manifest.json")
+    )
+    # table still reads correctly after OPTIMIZE's rewrite
+    assert s.table("mt").count() == s.table("region").count()
+
+
+def test_table_maintenance_external(sess):
+    rows = sess.execute("ANALYZE TABLE customer").collect()
+    assert rows[0].Msg_type == "note"
+    rows = sess.execute("CHECK TABLE customer").collect()
+    assert rows[0].Msg_type == "status"
+    rows = sess.execute("CHECK TABLE customer, region").collect()
+    assert len(rows) == 2
+
+
+def test_load_data_rejects_surface_as_warnings(spark, sf_dir, tmp_path):
+    s = InfiniSession(spark, sf_dir)
+    s.execute("CREATE TABLE w_t (id BIGINT NOT NULL, v BIGINT)")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1,10\nnotanint,20\n3,30\n")
+    s.execute(f"LOAD DATA INFILE '{bad}' INTO TABLE w_t FIELDS TERMINATED BY ','")
+    warns = s.execute("SHOW WARNINGS").collect()
+    assert warns and warns[0].Level == "Warning"
+    assert "rejected" in warns[0].Message
+
+
+def test_calsetparms(sess):
+    msg = sess.execute(
+        "SELECT calsetparms('spark.sql.shuffle.partitions', '16')"
+    )
+    assert "spark.sql.shuffle.partitions" in msg
+    assert sess.spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    sess.spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_help(sess):
+    rows = sess.execute("HELP 'SELECT'").collect()
+    assert rows[0].name == "SELECT"
