@@ -113,6 +113,8 @@ _PRIORITY = [
     "ref_pm_join_ranges", "ref_um_join_ranges", "ref_single_avg",
     "ref_groupby_minmax_str", "ref_count_int_probe", "ref_global_min",
     "ref_full_count", "ref_star_self_join", "ref_multi_pred_max",
+    # round-5 incremental dedup (batch vs stored signature/hash store)
+    "dedup_exact_incremental", "dedup_minhash_incremental",
     # long-green tail: re-verified as window budget allows.  (The
     # rows-only dedup_minhash_lsh / dedup_simhash already carry r03
     # driver rows; their hash pins are the portable twins above.)

@@ -299,6 +299,198 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """MinHash signature relation ``(id, sig array<long>)`` — the
+    PERSISTABLE signature store for incremental dedup.
+
+    At 100 TB the corpus is never re-shingled per batch: signatures are
+    computed once per document (~n longs ≪ document size), written as a
+    table, and every nightly batch dedups against the store via
+    ``minhash_lsh_pairs_incremental``.  Same exploded-codegen plan as
+    ``minhash_lsh_pairs`` step 1-2 (one scan, one groupBy); parameters
+    must match between store builds and incremental calls (same hash
+    family seed → same minima).
+    """
+    p31 = (1 << 31) - 1
+    params = [((a % (p31 - 1)) + 1, b % p31) for a, b in _hash_params(n_hashes)]
+    t = F.col("_t")
+    n_pos = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
+    shingle = t.substr(F.col("_i"), F.lit(shingle_k))
+    if portable_hash:
+        h_expr = F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
+    else:
+        h_expr = F.xxhash64(shingle)
+    ex = (
+        fan_out(df)
+        .select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
+        .select("_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"), "_t")
+        .select("_id", h_expr.alias("_h"))
+    )
+    h31 = F.col("_h").bitwiseAND(F.lit(p31))
+    sig_aggs = [
+        F.min((F.lit(a) * h31 + F.lit(b)) % F.lit(p31)).alias(f"_m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    base = ex.groupBy("_id").agg(*sig_aggs)
+    return base.select(
+        "_id", F.array(*[F.col(f"_m{j}") for j in range(n_hashes)]).alias("_sig")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    est_threshold: float = 0.5,
+    candidate_cap: int = 1000,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch: new docs vs the stored
+    corpus signatures, plus new-vs-new — WITHOUT touching corpus text.
+
+    The at-scale contract: only the new batch is shingled; the corpus
+    contributes its persisted ``minhash_signatures`` relation (n longs
+    per doc).  Old-vs-old pairs are excluded (they were mined when those
+    docs were the new batch).  Verification is the SIGNATURE-ESTIMATED
+    Jaccard — the fraction of matching minima, an unbiased estimator of
+    the true Jaccard (Broder's MinHash property) — so no text is ever
+    re-read; the exact-verify tier remains available by feeding the
+    returned pairs to ``ngram_jaccard_pairs`` over the corpus when text
+    access is acceptable.
+
+    Plan: ONE band shuffle over (corpus ∪ new) signatures; buckets keep
+    the per-id signature array in the collected struct so the estimate
+    is computed inline from the bucket explode — no join back to the
+    signature relation at all.  Buckets with no new doc are dropped
+    before the pair explode (the incremental pruning win: at steady
+    state almost every bucket is old-only and contributes nothing).
+    Returns (id_a, id_b, jaccard_est), id_a < id_b.
+    """
+    r = n_hashes // bands
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, n_hashes, shingle_k, portable_hash
+    )
+    tagged = corpus_sigs.select(
+        "_id", "_sig", F.lit(False).alias("_new")
+    ).unionByName(new_sigs.select("_id", "_sig", F.lit(True).alias("_new")))
+
+    if portable_hash:
+        band_key = [
+            F.concat_ws(
+                "_", *[F.element_at("_sig", i * r + k + 1) for k in range(r)]
+            )
+            for i in range(bands)
+        ]
+    else:
+        band_key = [
+            F.xxhash64(
+                F.lit(i), *[F.element_at("_sig", i * r + k + 1) for k in range(r)]
+            )
+            for i in range(bands)
+        ]
+    banded = tagged.select(
+        F.struct("_id", "_new", "_sig").alias("_doc"),
+        F.posexplode(F.array(*[k.cast("string") for k in band_key])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(
+            F.collect_list("_doc").alias("_docs"),
+            F.max(F.col("_doc._new").cast("int")).alias("_has_new"),
+        )
+        .filter(
+            (F.size("_docs") >= 2)
+            & (F.size("_docs") <= candidate_cap)
+            & (F.col("_has_new") == 1)
+        )
+    )
+    pairs = (
+        buckets.select(F.posexplode("_docs").alias("_p", "_a"), "_docs")
+        .select(
+            "_a",
+            F.explode(
+                F.slice(F.col("_docs"), F.col("_p") + 2, F.size("_docs"))
+            ).alias("_b"),
+        )
+        .filter(F.col("_a._new") | F.col("_b._new"))  # drop old-old
+        .select(
+            F.when(F.col("_a._id") < F.col("_b._id"), F.col("_a"))
+            .otherwise(F.col("_b"))
+            .alias("_lo"),
+            F.when(F.col("_a._id") < F.col("_b._id"), F.col("_b"))
+            .otherwise(F.col("_a"))
+            .alias("_hi"),
+        )
+        .select(
+            F.col("_lo._id").alias("id_a"),
+            F.col("_hi._id").alias("id_b"),
+            F.col("_lo._sig").alias("_sa"),
+            F.col("_hi._sig").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # matching-minima fraction, unrolled to literal element_at compares
+    # (stays in codegen; n_hashes terms over a tiny candidate relation)
+    matches = sum(
+        (F.element_at("_sa", j + 1) == F.element_at("_sb", j + 1)).cast("int")
+        for j in range(n_hashes)
+    )
+    est = matches / F.lit(float(n_hashes))
+    return (
+        pairs.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= est_threshold)
+        .select("id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est"))
+    )
+
+
+def dedup_exact_incremental(
+    new_df: DataFrame,
+    corpus_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of an incremental batch against a stored hash set.
+
+    ``corpus_hashes`` is the persisted (content_hash) relation from
+    prior batches (``dedup_exact``'s output is exactly that).  Returns
+    one row per NEW doc: ``(doc_id, content_hash, status)`` with status
+    ``corpus_dup`` (hash already stored), ``batch_dup`` (a lower-id doc
+    in this batch has the same hash), or ``new``.  One shuffle on the
+    hash; the corpus side ships only hashes, never text.
+    """
+    from pyspark.sql import Window
+
+    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
+    hashed = new_df.select(F.col(id_col), h)
+    w_min = F.min(id_col).over(Window.partitionBy("content_hash"))
+    in_corpus = hashed.join(
+        corpus_hashes.select(F.col("content_hash"), F.lit(True).alias("_seen")),
+        "content_hash",
+        "left",
+    )
+    return in_corpus.select(
+        F.col(id_col),
+        "content_hash",
+        F.when(F.col("_seen"), F.lit("corpus_dup"))
+        .when(F.col(id_col) > w_min, F.lit("batch_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+    )
+
+
 def simhash64(col: Column, token_pattern: str = r"\s+") -> Column:
     """64-bit SimHash of a text column, pure SQL expressions.
 

@@ -1403,3 +1403,124 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "vec_id")
         .orderBy("cluster_id", "vec_id")
     )
+
+
+# --- incremental dedup: new batch vs stored corpus artifacts -----------
+# The 100 TB operating mode: the corpus is NEVER re-processed per batch.
+# Exact dedup keeps a content-hash relation; near-dup keeps the MinHash
+# signature store (n longs/doc).  Each nightly batch shingles only
+# itself and joins the stored artifacts.  Batch split for the corpus
+# queries: doc_id % 5 == 0 is "tonight's batch", the rest is the
+# standing corpus.
+
+
+@query(
+    "dedup_exact_incremental",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 5 != 0),
+    batch  AS (SELECT * FROM h WHERE doc_id % 5 = 0)
+    SELECT b.doc_id, b.content_hash,
+           CASE WHEN c.content_hash IS NOT NULL THEN 'corpus_dup'
+                WHEN b.doc_id > min(b.doc_id) OVER (PARTITION BY b.content_hash)
+                     THEN 'batch_dup'
+                ELSE 'new' END AS status
+    FROM batch b LEFT JOIN corpus c ON b.content_hash = c.content_hash
+    """,
+)
+def dedup_exact_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental dedup: tonight's batch against the stored
+    content-hash relation — corpus ships hashes only, one shuffle on the
+    hash (operators/dedup.py dedup_exact_incremental)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus_hashes = D.dedup_exact(docs.filter(F.col("doc_id") % 5 != 0))
+    return D.dedup_exact_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0), corpus_hashes
+    )
+
+
+def _minhash_incr_oracle_sql(
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    est_threshold: float = 0.5,
+    cap: int = 1000,
+) -> str:
+    """DuckDB oracle for minhash_lsh_pairs_incremental(portable_hash=
+    True): same md5 shingle hashes / signature family / string band keys
+    as _minhash_oracle_sql, pair filter keeps only pairs touching the
+    new batch, verify = matching-minima fraction (Broder's estimator)."""
+    p31 = (1 << 31) - 1
+    params = [((a % (p31 - 1)) + 1, b % p31) for a, b in D._hash_params(n_hashes)]
+    r = n_hashes // bands
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {p31}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, "
+        f"concat_ws('_', {', '.join(f'm{i * r + kk}' for kk in range(r))}) AS bkey "
+        "FROM sig"
+        for i in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(n_hashes)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 7))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest([substr(t, i, {shingle_k})
+                       for i in range(1, greatest(length(t) - {shingle_k - 1}, 1) + 1)]) AS g
+        FROM d
+      )
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    buckets AS (
+      SELECT band_id, bkey, list(doc_id) AS ids
+      FROM banded GROUP BY band_id, bkey
+      HAVING len(list(doc_id)) BETWEEN 2 AND {cap}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.did AS id_a, b.did AS id_b
+      FROM (SELECT unnest(ids) AS did, band_id, bkey FROM buckets) a
+      JOIN (SELECT unnest(ids) AS did, band_id, bkey FROM buckets) b
+        ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.did < b.did
+      WHERE a.did % 5 = 0 OR b.did % 5 = 0
+    )
+    SELECT id_a, id_b,
+           round(({match_sum}) / {float(n_hashes)}, 6) AS jaccard_est
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE ({match_sum}) / {float(n_hashes)} >= {est_threshold}
+    """
+
+
+@query("dedup_minhash_incremental", oracle=_minhash_incr_oracle_sql())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup mining: tonight's batch shingled, the
+    standing corpus contributes only its PERSISTED signature store
+    (operators/dedup.py minhash_signatures → minhash_lsh_pairs_
+    incremental, portable-hash mode so the whole path hash-verifies in
+    DuckDB).  Old-vs-old pairs never re-mined; verify is the signature
+    estimate, zero corpus text reads."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus_sigs = D.minhash_signatures(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        n_hashes=16, shingle_k=5, portable_hash=True,
+    )
+    return D.minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        corpus_sigs,
+        n_hashes=16, bands=4, est_threshold=0.5, portable_hash=True,
+    )
