@@ -115,6 +115,7 @@ _PRIORITY = [
     "ref_full_count", "ref_star_self_join", "ref_multi_pred_max",
     # round-5 incremental dedup (batch vs stored signature/hash store)
     "dedup_exact_incremental", "dedup_minhash_incremental",
+    "ann_batch_topk",
     # long-green tail: re-verified as window budget allows.  (The
     # rows-only dedup_minhash_lsh / dedup_simhash already carry r03
     # driver rows; their hash pins are the portable twins above.)

@@ -88,6 +88,48 @@ def pairwise_topk(
     )
 
 
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """Batched brute-force top-k: ONE corpus scan serves the whole query
+    batch — the serving-path shape (per-query scans would read the
+    corpus Q times).
+
+    The query batch broadcasts (a batch is small by definition); scoring
+    happens in the scan stage and the projection drops the vectors
+    BEFORE the per-query top-k window, so the one shuffle carries only
+    (query_id, vec_id, cosine) triples — ~24 bytes/row instead of the
+    embedding payload.  Ties at 6-decimal cosine break by vec_id
+    (deterministic, oracle-mirrored).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(q_id_col).alias("_qid"),
+        F.col(q_vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    sim = cosine_similarity(F.col("_v"), F.col("_qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(F.col("_qid"), F.col(id_col), F.round(sim, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("_qid").alias(q_id_col), F.col(id_col), "cosine", "rn")
+    )
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (sign pattern packed to int).
 

@@ -1524,3 +1524,37 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_sigs,
         n_hashes=16, bands=4, est_threshold=0.5, portable_hash=True,
     )
+
+
+@query(
+    "ann_batch_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT query_id, vec_id, cosine, rn FROM (
+      SELECT query_id, vec_id,
+             round(list_cosine_similarity(v, qv), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(v, qv), 6) DESC, vec_id
+             ) AS rn
+      FROM c CROSS JOIN q
+    ) WHERE rn <= 5
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving: top-5 neighbors for EVERY query in a batch
+    (vec_id % 97 — the batch) from one corpus scan; queries broadcast,
+    vectors dropped before the top-k shuffle (operators/similarity.py
+    cosine_topk_batch)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_batch(
+        emb,
+        emb.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+    )

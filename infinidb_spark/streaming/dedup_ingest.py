@@ -1,0 +1,108 @@
+"""Streaming corpus ingestion with exact incremental dedup.
+
+The pipeline integration: documents stream in continuously; each
+micro-batch is classified against the CONTENT-HASH STORE accumulated
+from every prior epoch (operators/dedup.py dedup_exact_incremental) and
+only ``status='new'`` docs land in the corpus table.  The reference's
+closest pattern is nightly cpimport + a dedup pass; here it is one
+continuously-running query with bounded per-epoch work.
+
+Store layout: ``<table_dir>/_hash_store/`` — a Parquet relation of
+``(content_hash)`` appended per epoch through the SAME idempotent-epoch
+protocol as the row data (streaming/sink.py), so a replayed epoch
+re-lands identical files and is skipped once its marker exists.
+
+Replay safety around the store: the sink protocol links part files
+BEFORE the commit marker, so a crash mid-epoch can leave partial
+current-epoch hash files in the store.  Classification therefore reads
+the store EXCLUDING files of the epoch being (re)written — otherwise a
+replayed batch would classify its own half-committed hashes as corpus
+dups and silently drop the docs.
+
+At 100 TB: per-epoch work is O(batch) — the batch is hashed and
+shuffle-joined against the store on the hash column; the store carries
+32-byte hashes, never text.  When the store outgrows a comfortable
+join, the same protocol works with the store bucketed by hash prefix
+(sources/bucketed.py) for a co-partitioned join.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from infinidb_spark.operators.dedup import dedup_exact_incremental
+from infinidb_spark.streaming.sink import write_epoch_idempotent
+
+_STORE_DIR = "_hash_store"
+
+
+def read_hash_store(
+    spark: SparkSession, table_dir: str, exclude_prefix: str | None = None
+) -> DataFrame:
+    """The accumulated (content_hash) relation; empty-schema relation
+    before the first epoch.  ``exclude_prefix`` drops files of the
+    epoch currently being written (replay-safety, module docstring)."""
+    store = os.path.join(table_dir, _STORE_DIR)
+    files = sorted(glob.glob(os.path.join(store, "*.parquet")))
+    if exclude_prefix:
+        files = [f for f in files if not os.path.basename(f).startswith(exclude_prefix)]
+    if not files:
+        return spark.createDataFrame([], "content_hash string")
+    return spark.read.parquet(*files)
+
+
+def stream_dedup_ingest(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously ingest a document stream, landing only docs whose
+    normalized content was never seen in ANY prior epoch (or earlier in
+    the same batch — lowest id wins)."""
+    import hashlib
+
+    os.makedirs(table_dir, exist_ok=True)
+    sink_id = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    store_dir = os.path.join(table_dir, _STORE_DIR)
+
+    def _ingest_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prefix = f"ep_{sink_id}_{epoch_id}_"
+        store = read_hash_store(spark, table_dir, exclude_prefix=prefix)
+        classified = dedup_exact_incremental(
+            batch_df, store, text_col=text_col, id_col=id_col
+        ).filter(F.col("status") == "new")
+        fresh = batch_df.join(
+            classified.select(id_col), id_col, "leftsemi"
+        )
+        # one persisted pass feeds both writes (docs + their hashes)
+        fresh = fresh.persist()
+        try:
+            write_epoch_idempotent(fresh, epoch_id, table_dir, sink_id=sink_id)
+            write_epoch_idempotent(
+                classified.select("content_hash").distinct(),
+                epoch_id,
+                store_dir,
+                sink_id=sink_id,
+            )
+        finally:
+            fresh.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(_ingest_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,85 @@
+"""Streaming dedup ingest: only never-seen documents land; the hash
+store accumulates across epochs; restarts neither lose nor duplicate."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from infinidb_spark.streaming.dedup_ingest import (
+    read_hash_store,
+    stream_dedup_ingest,
+)
+
+
+def _doc_stream(spark, in_dir):
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+
+def _write_docs(spark, in_dir, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+
+
+@pytest.fixture
+def workdir():
+    d = tempfile.mkdtemp(prefix="infinidb_ingest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_ingest_drops_cross_epoch_dupes(spark, workdir):
+    in_dir, out_dir, ckpt = (
+        os.path.join(workdir, d) for d in ("in", "out", "ckpt")
+    )
+    _write_docs(spark, in_dir, [
+        (1, "alpha document one"),
+        (2, "beta document two"),
+        (3, "alpha  DOCUMENT one"),  # batch dup of 1 after normalize
+    ])
+    q = stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+    landed = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert landed == {1, 2}
+    assert read_hash_store(spark, out_dir).count() == 2
+
+    # second run: one genuinely new doc + one dup of a PRIOR epoch
+    _write_docs(spark, in_dir, [
+        (10, "gamma document three"),
+        (11, "Beta document TWO"),  # dup of 2 from epoch 0
+    ])
+    q2 = stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt)
+    q2.awaitTermination(120)
+    landed = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert landed == {1, 2, 10}
+    assert read_hash_store(spark, out_dir).count() == 3
+
+    # restart with nothing new: no rows added, store unchanged
+    q3 = stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 3
+    assert read_hash_store(spark, out_dir).count() == 3
+
+
+def test_hash_store_invisible_to_table_readers(spark, workdir):
+    in_dir, out_dir, ckpt = (
+        os.path.join(workdir, d) for d in ("in", "out", "ckpt")
+    )
+    _write_docs(spark, in_dir, [(1, "only document")])
+    q = stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+    # _hash_store and _epochs live INSIDE the table dir but underscore
+    # prefixes keep them hidden from Spark's Parquet reader
+    df = spark.read.parquet(out_dir)
+    assert set(df.columns) == {"doc_id", "text"}
+    assert df.count() == 1
+    assert os.path.isdir(os.path.join(out_dir, "_hash_store"))
