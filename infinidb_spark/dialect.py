@@ -1107,6 +1107,12 @@ def parse_statement(sql: str) -> dict:
     kind = toks[i][1].upper() if toks[i][0] == "word" else ""
     if kind == "INSERT":
         return _parse_insert(toks, i)
+    if kind == "REPLACE":
+        # REPLACE dup-handling needs a PRIMARY/UNIQUE key; InfiniDB
+        # tables have none, so per MySQL's documented semantics REPLACE
+        # behaves exactly like INSERT (same degradation as INSERT
+        # IGNORE / ON DUPLICATE KEY UPDATE on keyless tables)
+        return _parse_insert(toks, i)
     if kind == "UPDATE":
         return _parse_update(toks, i)
     if kind == "DELETE":
@@ -1702,6 +1708,19 @@ def _parse_alter(toks: list[Token], i: int) -> dict:
                 n = _next_code(part, n + 1)
             return n
 
+        nxt_word = _next_code(part, k + 1)
+        nxt_up = (
+            part[nxt_word][1].upper()
+            if nxt_word is not None and part[nxt_word][0] == "word"
+            else ""
+        )
+        if verb in ("ADD", "DROP") and nxt_up in (
+            "INDEX", "KEY", "UNIQUE", "PRIMARY", "FULLTEXT", "SPATIAL",
+            "CONSTRAINT", "FOREIGN",
+        ):
+            # index/constraint DDL: same rejection as the reference
+            # (ha_calpont_ddl.cpp:1862 — no index subsystem)
+            raise DialectError(_ERR_NON_SUPPORT_SYNTAX)
         if verb == "RENAME":
             n = _next_code(part, k + 1)
             if n is not None and part[n][0] == "word" and part[n][1].upper() == "TO":
@@ -1748,7 +1767,33 @@ def _parse_alter(toks: list[Token], i: int) -> dict:
     return {"kind": "alter", "table": table, "actions": actions}
 
 
+#: the reference's exact unsupported-DDL error text
+#: (`dbcon/mysql/ha_calpont_ddl.cpp:1862`, @Bug 1888/1885)
+_ERR_NON_SUPPORT_SYNTAX = (
+    "The syntax or the data type(s) is not supported by InfiniDB. "
+    "Please check the InfiniDB syntax guide for supported syntax or data types."
+)
+
+
+def _strip_on_duplicate(toks: list[Token]) -> list[Token]:
+    """Drop a trailing top-level ``ON DUPLICATE KEY UPDATE ...`` clause.
+
+    InfiniDB tables have no unique keys (`ha_calpont.h:129`
+    max_supported_keys is nominal; no index subsystem exists), so per
+    MySQL's documented semantics the duplicate-key branch can never
+    fire and the statement degrades to a plain INSERT — the clause is
+    accepted and dropped, like INSERT IGNORE."""
+    words = [
+        (n, t[1].upper()) for n, t in enumerate(toks) if t[0] == "word"
+    ]
+    for w in range(len(words) - 3):
+        if [x[1] for x in words[w : w + 4]] == ["ON", "DUPLICATE", "KEY", "UPDATE"]:
+            return toks[: words[w][0]]
+    return toks
+
+
 def _parse_insert(toks: list[Token], i: int) -> dict:
+    toks = _strip_on_duplicate(toks)
     j = _next_code(toks, i + 1)
     # INSERT modifiers: IGNORE is a no-op without unique keys (the
     # reference has none); LOW_PRIORITY/HIGH_PRIORITY/DELAYED are
@@ -1809,11 +1854,62 @@ def _parse_update(toks: list[Token], i: int) -> dict:
         j = _next_code(toks, j + 1)  # scheduler/dup hints — dropped
     table, j = _expect_ident(toks, j, "table name after UPDATE")
     j = _next_code(toks, j + 1)
+    # optional target alias, then optionally a JOIN clause — the
+    # SQLCOM_UPDATE_MULTI surface the reference builds plans for
+    # (`dbcon/mysql/ha_calpont_execplan.cpp:1076,1842`)
+    alias = None
+    if (
+        j is not None
+        and toks[j][0] in ("word", "bident")
+        and toks[j][1].upper() not in ("SET", "JOIN", "INNER", "AS")
+    ):
+        alias = _ident_text(toks[j])
+        j = _next_code(toks, j + 1)
+    elif j is not None and toks[j][0] == "word" and toks[j][1].upper() == "AS":
+        alias, j2 = _expect_ident(toks, _next_code(toks, j + 1), "alias after AS")
+        j = _next_code(toks, j2 + 1)
+    join = None
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+        "JOIN", "INNER",
+    ):
+        if toks[j][1].upper() == "INNER":
+            j = _next_code(toks, j + 1)
+            if j is None or toks[j][1].upper() != "JOIN":
+                raise DialectError("expected JOIN after INNER")
+        other, j = _expect_ident(toks, _next_code(toks, j + 1), "table after JOIN")
+        j = _next_code(toks, j + 1)
+        other_alias = None
+        if (
+            j is not None
+            and toks[j][0] in ("word", "bident")
+            and toks[j][1].upper() not in ("ON",)
+        ):
+            other_alias = _ident_text(toks[j])
+            j = _next_code(toks, j + 1)
+        if j is None or toks[j][0] != "word" or toks[j][1].upper() != "ON":
+            raise DialectError("multi-table UPDATE requires JOIN ... ON")
+        on_start = j + 1
+        set_i = _top_level_word(toks, "SET")
+        if set_i is None or set_i <= on_start:
+            raise DialectError("UPDATE without SET")
+        t_names = {n for n in (alias, table) if n}
+        o_names = {n for n in (other_alias, other) if n}
+        on_t, on_o = _parse_join_eq(toks[on_start:set_i], t_names, o_names)
+        join = {"other": other, "on_target": on_t, "on_other": on_o}
+        j = set_i
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "SET":
         raise DialectError("UPDATE without SET")
     tail = toks[j + 1 :]
     if _top_level_word(tail, "LIMIT", "ORDER") is not None:
         raise DialectError("UPDATE ... ORDER BY/LIMIT is not supported")
+    # resolve qualifications: target quals strip to bare columns, join-
+    # table quals become `_idb_r.<col>` struct-field refs (the matched
+    # row the session's join transform exposes)
+    t_names = {n for n in (alias, table) if n}
+    o_names = (
+        {n for n in (join and other_alias, join and other) if n} if join else set()
+    )
+    tail = _resolve_quals(tail, t_names, o_names)
     where_i = _top_level_word(tail, "WHERE")
     set_toks = tail[:where_i] if where_i is not None else tail
     where = render(tail[where_i + 1 :]).strip() if where_i is not None else None
@@ -1825,7 +1921,99 @@ def _parse_update(toks: list[Token], i: int) -> dict:
         if eq is None or part[eq] != ("sym", "="):
             raise DialectError(f"SET {col}: expected '='")
         assignments[col] = render(part[eq + 1 :]).strip()
-    return {"kind": "update", "table": table, "assignments": assignments, "where": where}
+    st = {"kind": "update", "table": table, "assignments": assignments, "where": where}
+    if join is not None:
+        st.update(kind="update_join", **join)
+    return st
+
+
+def _resolve_quals(
+    ts: list[Token], target_names: set, other_names: set
+) -> list[Token]:
+    """Rewrite ``alias.col`` qualifications: target-table quals drop to
+    bare columns; join-table quals become ``_idb_r.col`` (the matched-
+    row struct the session's join transform provides)."""
+    out: list[Token] = []
+    i = 0
+    while i < len(ts):
+        t = ts[i]
+        if t[0] in ("word", "bident"):
+            name = _ident_text(t)
+            dot = _next_code(ts, i + 1)
+            col_i = _next_code(ts, dot + 1) if dot is not None and ts[dot] == ("sym", ".") else None
+            if col_i is not None and ts[col_i][0] in ("word", "bident"):
+                if name in target_names:
+                    out.append(ts[col_i])
+                    i = col_i + 1
+                    continue
+                if name in other_names:
+                    out.extend([("word", "_idb_r"), ("sym", "."), ts[col_i]])
+                    i = col_i + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _parse_join_eq(
+    on_toks: list[Token], target_names: set, other_names: set
+) -> tuple[str, str]:
+    """``ON a.col = b.col`` → (target_col, other_col).  One equality
+    only — the multi-table DML surface is bounded to the single
+    equi-join the reference's own scenarios use; richer ON conditions
+    raise rather than silently mis-execute."""
+    sides = []
+    eq_seen = False
+    i = 0
+    # accept optional wrapping parens (MySQL `on (a.x = b.y)`)
+    codes = [k for k, t in enumerate(on_toks) if t[0] not in ("ws", "comment")]
+    if (
+        len(codes) >= 2
+        and on_toks[codes[0]] == ("sym", "(")
+        and on_toks[codes[-1]] == ("sym", ")")
+    ):
+        on_toks = on_toks[codes[0] + 1 : codes[-1]]
+    while i < len(on_toks):
+        t = on_toks[i]
+        if t[0] in ("ws", "comment"):
+            i += 1
+            continue
+        if t == ("sym", "="):
+            eq_seen = True
+            i += 1
+            continue
+        if t[0] in ("word", "bident"):
+            name = _ident_text(t)
+            dot = _next_code(on_toks, i + 1)
+            if dot is None or on_toks[dot] != ("sym", "."):
+                raise DialectError(
+                    "multi-table DML ON condition must use qualified "
+                    "columns (alias.col = alias.col)"
+                )
+            col, k = _expect_ident(
+                on_toks, _next_code(on_toks, dot + 1), "column in ON"
+            )
+            sides.append((name, col))
+            i = k + 1
+            continue
+        raise DialectError(
+            "multi-table DML supports a single equality ON condition"
+        )
+    if not eq_seen or len(sides) != 2:
+        raise DialectError(
+            "multi-table DML supports a single equality ON condition"
+        )
+    by = {}
+    for name, col in sides:
+        if name in target_names:
+            by["t"] = col
+        elif name in other_names:
+            by["o"] = col
+        else:
+            raise DialectError(f"unknown table qualifier {name!r} in ON")
+    if set(by) != {"t", "o"}:
+        raise DialectError("ON must join the target to the joined table")
+    return by["t"], by["o"]
 
 
 def _parse_create(toks: list[Token], i: int) -> dict:
@@ -1848,6 +2036,14 @@ def _parse_create(toks: list[Token], i: int) -> dict:
             raise DialectError("expected REPLACE after CREATE OR")
         or_replace = True
         j = _next_code(toks, nxt + 1)
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+        "INDEX", "UNIQUE", "FULLTEXT", "SPATIAL",
+    ):
+        # the reference rejects index DDL with its standard
+        # unsupported-syntax error (ha_calpont_ddl.cpp:1862; the
+        # ddl.y index grammar exists but DDLProc refuses it) — no
+        # index subsystem, scans + extent elimination instead
+        raise DialectError(_ERR_NON_SUPPORT_SYNTAX)
     if j is None or toks[j][0] != "word" or toks[j][1].upper() not in ("TABLE", "VIEW"):
         raise DialectError("only CREATE [OR REPLACE] TABLE/VIEW is supported")
     obj = toks[j][1].upper()
@@ -1969,6 +2165,8 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
 
 def _parse_drop_truncate(toks: list[Token], i: int, kind: str) -> dict:
     j = _next_code(toks, i + 1)
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "INDEX":
+        raise DialectError(_ERR_NON_SUPPORT_SYNTAX)  # ha_calpont_ddl.cpp:1862
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "VIEW":
         j = _next_code(toks, j + 1)
         if_exists = False
@@ -1999,6 +2197,18 @@ def _parse_delete(toks: list[Token], i: int) -> dict:
         and toks[j][1].upper() in ("LOW_PRIORITY", "QUICK", "IGNORE")
     ):
         j = _next_code(toks, j + 1)  # scheduler hints — dropped
+    # multi-table form: DELETE <target-ref> FROM <target> [alias]
+    # JOIN <other> [alias] ON ... (SQLCOM_DELETE_MULTI — the reference
+    # plans it through the same SELECT machinery as UPDATE_MULTI)
+    if (
+        j is not None
+        and toks[j][0] in ("word", "bident")
+        and toks[j][1].upper() != "FROM"
+    ):
+        del_ref = _ident_text(toks[j])
+        k = _next_code(toks, j + 1)
+        if k is not None and toks[k][0] == "word" and toks[k][1].upper() == "FROM":
+            return _parse_delete_join(toks, k, del_ref)
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "FROM":
         j = _next_code(toks, j + 1)
     table, j = _expect_ident(toks, j, "table name after DELETE")
@@ -2008,6 +2218,59 @@ def _parse_delete(toks: list[Token], i: int) -> dict:
     where_i = _top_level_word(tail, "WHERE")
     where = render(tail[where_i + 1 :]).strip() if where_i is not None else None
     return {"kind": "delete", "table": table, "where": where}
+
+
+def _parse_delete_join(toks: list[Token], from_i: int, del_ref: str) -> dict:
+    """``DELETE t FROM t [alias] JOIN o [alias] ON t.k = o.k [WHERE …]``
+    — rows of the TARGET with a join match are deleted (MySQL
+    multi-table DELETE, single deleted table)."""
+    j = _next_code(toks, from_i + 1)
+    table, j = _expect_ident(toks, j, "table name after DELETE ... FROM")
+    j = _next_code(toks, j + 1)
+    alias = None
+    if (
+        j is not None
+        and toks[j][0] in ("word", "bident")
+        and toks[j][1].upper() not in ("JOIN", "INNER", "WHERE")
+    ):
+        alias = _ident_text(toks[j])
+        j = _next_code(toks, j + 1)
+    if del_ref not in {n for n in (alias, table) if n}:
+        raise DialectError(
+            f"multi-table DELETE may only delete from the target table "
+            f"({del_ref!r} does not name it)"
+        )
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "INNER":
+        j = _next_code(toks, j + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "JOIN":
+        raise DialectError("multi-table DELETE requires JOIN ... ON")
+    other, j = _expect_ident(toks, _next_code(toks, j + 1), "table after JOIN")
+    j = _next_code(toks, j + 1)
+    other_alias = None
+    if j is not None and toks[j][0] in ("word", "bident") and toks[j][1].upper() != "ON":
+        other_alias = _ident_text(toks[j])
+        j = _next_code(toks, j + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "ON":
+        raise DialectError("multi-table DELETE requires JOIN ... ON")
+    tail = toks[j + 1 :]
+    where_i = _top_level_word(tail, "WHERE")
+    on_toks = tail[:where_i] if where_i is not None else tail
+    t_names = {n for n in (alias, table) if n}
+    o_names = {n for n in (other_alias, other) if n}
+    on_t, on_o = _parse_join_eq(on_toks, t_names, o_names)
+    where = None
+    if where_i is not None:
+        where = render(
+            _resolve_quals(tail[where_i + 1 :], t_names, o_names)
+        ).strip()
+    return {
+        "kind": "delete_join",
+        "table": table,
+        "other": other,
+        "on_target": on_t,
+        "on_other": on_o,
+        "where": where,
+    }
 
 
 def split_statements(script: str) -> list[str]:

@@ -305,6 +305,100 @@ def update_table(
     return n
 
 
+def _join_matched(
+    df: DataFrame, other: DataFrame, target_key: str, other_key: str
+):
+    """(joined, matched) for multi-table DML: ``other`` pre-aggregates
+    to ONE row per join key — the lexicographically-least full row —
+    so the left join never duplicates target rows.  MySQL leaves the
+    multi-match value undefined (SQLCOM_UPDATE_MULTI picks whichever
+    row the join emits first); pinning the least row makes the result
+    deterministic and recomputation-stable.  The matched row is exposed
+    as the ``_idb_r`` struct for SET/WHERE expressions."""
+    from pyspark.sql import functions as F
+
+    o = (
+        other.groupBy(F.col(other_key).alias("_idb_k"))
+        .agg(
+            F.min(F.struct(*[F.col(c) for c in other.columns])).alias("_idb_r")
+        )
+    )
+    joined = df.join(o, F.col(target_key) == F.col("_idb_k"), "left")
+    return joined, F.col("_idb_k").isNotNull()
+
+
+def update_table_join(
+    spark: SparkSession,
+    table_dir: str,
+    other: DataFrame,
+    target_key: str,
+    other_key: str,
+    assignments: dict[str, Column],
+    where: Column | None = None,
+) -> int:
+    """Multi-table UPDATE (``UPDATE t JOIN o ON t.k = o.k SET ...``) —
+    the reference's SQLCOM_UPDATE_MULTI surface
+    (`dbcon/mysql/ha_calpont_execplan.cpp:1076,1842`: multi-table DML
+    plans through the same SELECT machinery).  SET/WHERE expressions
+    may reference the matched join row via the ``_idb_r`` struct
+    (dialect rewrites ``alias.col`` to ``_idb_r.col``).  Returns the
+    matched-row count; copy-on-write swap like update_table."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.partitions import carry_disabled
+
+    with _table_lock(table_dir, "UPDATE"):
+        df = read_table(spark, table_dir)
+        joined, matched = _join_matched(df, other, target_key, other_key)
+        if where is not None:
+            matched = matched & F.coalesce(where, F.lit(False))
+        n = joined.filter(matched).count()
+        out = joined
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        for col_name, expr in assignments.items():
+            out = out.withColumn(
+                col_name,
+                F.when(matched, expr)
+                .otherwise(F.col(col_name))
+                .cast(dtypes[col_name]),
+            )
+        out = out.select(*[F.col(c) for c in df.columns])
+        new_dir = _new_version_dir(table_dir)
+        out.write.mode("overwrite").parquet(new_dir)
+        carry_disabled(table_dir, new_dir)
+        _swap(table_dir, new_dir)
+    return n
+
+
+def delete_from_join(
+    spark: SparkSession,
+    table_dir: str,
+    other: DataFrame,
+    target_key: str,
+    other_key: str,
+    where: Column | None = None,
+) -> int:
+    """Multi-table DELETE (``DELETE t FROM t JOIN o ON ... [WHERE]``) —
+    target rows with a join match (and a true WHERE, which may read the
+    matched row via ``_idb_r``) are removed; SQLCOM_DELETE_MULTI analog."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.partitions import carry_disabled
+
+    with _table_lock(table_dir, "DELETE"):
+        df = read_table(spark, table_dir)
+        joined, matched = _join_matched(df, other, target_key, other_key)
+        if where is not None:
+            matched = matched & F.coalesce(where, F.lit(False))
+        n = joined.filter(matched).count()
+        out = joined.filter(~matched).select(*[F.col(c) for c in df.columns])
+        new_dir = _new_version_dir(table_dir)
+        out.write.mode("overwrite").parquet(new_dir)
+        carry_disabled(table_dir, new_dir)
+        _swap(table_dir, new_dir)
+    return n
+
+
 def _pruned_rewrite(
     spark: SparkSession,
     table_dir: str,

@@ -1281,10 +1281,43 @@ class InfiniSession:
                 f"{st['table']!r} is not a managed table — create_table_as() first "
                 "(sf_dir source tables are read-only)"
             )
-        if st["kind"] in ("insert", "update", "delete", "load_data"):
+        if st["kind"] in (
+            "insert", "update", "delete", "load_data",
+            "update_join", "delete_join",
+        ):
             if not self._autocommit and self._txn is None:
                 self.begin()  # autocommit=0: DML implicitly opens a txn
             self._txn_touch(st["table"], path)
+        if st["kind"] in ("update_join", "delete_join"):
+            # multi-table DML (SQLCOM_UPDATE_MULTI / DELETE_MULTI): the
+            # joined table resolves like any query relation — sf_dir
+            # source, view, or managed table
+            from infinidb_spark.operators.dml import (
+                delete_from_join, update_table_join,
+            )
+
+            other_name = st["other"]
+            if other_name in self._managed:
+                other_df = read_table(self.spark, self._managed[other_name])
+            elif other_name in self.tables:
+                other_df = self.tables[other_name]
+            else:
+                other_df = self.spark.table(other_name)
+            where = F.expr(st["where"]) if st.get("where") else None
+            if st["kind"] == "update_join":
+                n = update_table_join(
+                    self.spark, path, other_df,
+                    st["on_target"], st["on_other"],
+                    {c: F.expr(e) for c, e in st["assignments"].items()},
+                    where,
+                )
+            else:
+                n = delete_from_join(
+                    self.spark, path, other_df,
+                    st["on_target"], st["on_other"], where,
+                )
+            self._refresh(st["table"])
+            return n
         if st["kind"] == "alter":
             from infinidb_spark.operators.dml import alter_table, rename_table
 
