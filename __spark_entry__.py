@@ -116,6 +116,7 @@ _PRIORITY = [
     # round-5 incremental dedup (batch vs stored signature/hash store)
     "dedup_exact_incremental", "dedup_minhash_incremental",
     "ann_batch_topk",
+    "multi_table_dml",
     # long-green tail: re-verified as window budget allows.  (The
     # rows-only dedup_minhash_lsh / dedup_simhash already carry r03
     # driver rows; their hash pins are the portable twins above.)

@@ -257,3 +257,70 @@ def mysql_ci_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """, ci_collation=True))
+
+
+@query(
+    "multi_table_dml",
+    oracle="""
+    WITH upd AS (
+      SELECT s.s_suppkey, s.s_nationkey, n.n_regionkey,
+             CASE WHEN n.n_regionkey >= 2
+                  THEN s.s_acctbal + n.n_regionkey * 10
+                  ELSE s.s_acctbal END AS s_acctbal
+      FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    final AS (
+      SELECT * FROM upd WHERE NOT coalesce(n_regionkey = 0, FALSE)
+    )
+    SELECT s_nationkey,
+           count(*) AS n,
+           CAST(CAST(round(sum(s_acctbal), 4) AS DECIMAL(38,4)) AS VARCHAR) AS bal_sum
+    FROM final
+    GROUP BY s_nationkey
+    """,
+)
+def multi_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table DML via statement text — the reference's
+    SQLCOM_UPDATE_MULTI / DELETE_MULTI surface
+    (`ha_calpont_execplan.cpp:1076,1842`): UPDATE ... JOIN reading the
+    matched dimension row in SET/WHERE, then DELETE ... JOIN, on a
+    managed copy of supplier; end state hash-checked against the
+    relational equivalent (nation is unique per key, so the engine's
+    least-row multi-match pin is exact here)."""
+    import shutil
+
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    tables = load_tables(spark, sf_dir, names=("supplier", "nation"))
+    sess.create_table_as(
+        "supplier_j",
+        tables["supplier"].select("s_suppkey", "s_acctbal", "s_nationkey"),
+    )
+    try:
+        sess.execute(
+            "UPDATE supplier_j s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "SET s.s_acctbal = s.s_acctbal + n.n_regionkey * 10 "
+            "WHERE n.n_regionkey >= 2"
+        )
+        sess.execute(
+            "DELETE s FROM supplier_j s JOIN nation n "
+            "ON s.s_nationkey = n.n_nationkey WHERE n.n_regionkey = 0"
+        )
+        out = sess.execute("""
+            SELECT s_nationkey,
+                   COUNT(*) AS n,
+                   ROUND(SUM(s_acctbal), 4) AS bal_sum
+            FROM supplier_j
+            GROUP BY s_nationkey
+        """)
+        from pyspark.sql import functions as F
+
+        out = out.withColumn(
+            "bal_sum", F.col("bal_sum").cast("decimal(38,4)").cast("string")
+        )
+        rows = out.collect()  # materialize before the scratch dir goes away
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if sess._managed_root:
+            shutil.rmtree(sess._managed_root, ignore_errors=True)
