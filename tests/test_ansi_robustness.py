@@ -34,6 +34,10 @@ ANSI_SENSITIVE = [
     # sums, ratio divisions — the dialect surface a migrating user runs
     # (full-corpus ANSI-on sweep verified clean when these landed)
     "tpch_q2", "tpch_q8", "tpch_q12", "tpch_q14", "tpch_q22",
+    # round-5 additions: conv()->long casts (portable hashes), decimal
+    # string pins, array<float>->double casts
+    "dedup_minhash_incremental", "dedup_exact_incremental",
+    "ann_batch_topk", "multi_table_dml",
 ]
 
 
