@@ -1558,3 +1558,66 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         k=5,
     )
+
+
+@query(
+    "streaming_dedup_ingest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch,
+             doc_id % 2 AS b
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, ch,
+             row_number() OVER (PARTITION BY ch ORDER BY b, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id FROM ranked WHERE rn = 1
+    """,
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dedup-ingest pipeline END TO END with a hash
+    oracle (rare for streaming): documents split into two epoch files
+    (doc_id parity; epoch order pinned via file mtimes), streamed with
+    maxFilesPerTrigger=1 through stream_dedup_ingest, landed doc_ids
+    returned.  Deterministic because the survivor per content hash is
+    the earliest-epoch-then-lowest-id doc — exactly the oracle's
+    row_number over (batch, doc_id)."""
+    import os
+    import shutil
+    import tempfile
+
+    from infinidb_spark.streaming.dedup_ingest import stream_dedup_ingest
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="infinidb_sdi_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for b in (0, 1):
+            batch_dir = os.path.join(work, f"b{b}")
+            docs.filter(F.col("doc_id") % 2 == b).select(
+                "doc_id", "text"
+            ).coalesce(1).write.parquet(batch_dir)
+            part = next(
+                f for f in os.listdir(batch_dir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            dst = os.path.join(in_dir, f"batch{b}.parquet")
+            shutil.move(os.path.join(batch_dir, part), dst)
+            # file-source epoch order follows modification time
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q = stream_dedup_ingest(stream, out_dir, ckpt)
+        q.awaitTermination(300)
+        rows = spark.read.parquet(out_dir).select("doc_id").collect()
+        return spark.createDataFrame(rows, "doc_id long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
