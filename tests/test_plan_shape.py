@@ -127,7 +127,10 @@ def test_no_accidental_cartesian_anywhere(queries, spark, sf_dir):
     """Sweep EVERY registered query's physical plan: no CartesianProduct
     or BroadcastNestedLoopJoin except the intentional cross join —
     quadratic plans at 100 TB are outages, not slowdowns."""
-    allowed = {"join_cross"}
+    # join_cross is the intentional cross join; ann_batch_topk scores
+    # corpus × query-batch by design — the product is bounded by the
+    # BROADCAST query batch (a handful of vectors), not data × data
+    allowed = {"join_cross", "ann_batch_topk"}
     offenders = []
     for name, fn in sorted(queries.items()):
         if name in allowed:
@@ -206,3 +209,48 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_ann_batch_broadcasts_queries_single_topk_shuffle(queries, spark, sf_dir):
+    """Batched ANN: the query batch must BROADCAST (the corpus scan is
+    the only big input) and the per-query top-k window is the sole
+    shuffle of scored triples — no vector payload crosses an exchange."""
+    plan = _physical(queries["ann_batch_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # the shuffle carries (qid, vec_id, cosine) — never the embeddings
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "embedding" not in m.group(0), m.group(0)
+
+
+def test_minhash_incremental_no_corpus_text_read(queries, spark, sf_dir):
+    """Incremental near-dup dedup must read corpus SIGNATURES only —
+    the batch side shingles text, the corpus side never re-reads it.
+    Here both sides come from the same table, so the assertion is that
+    text-bearing scans are filtered to the batch (pushed doc_id filter)
+    and the signature union is the only place the corpus appears."""
+    df = queries["dedup_minhash_incremental"](spark, sf_dir)
+    plan = _physical(df)
+    assert "CartesianProduct" not in plan
+    # both relations pre-aggregate to signatures before the band shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_multi_table_update_preaggregates_join_side(spark, sf_dir):
+    """update_table_join: the joined relation reduces to ONE row per
+    key BEFORE the join (no row multiplication of the target)."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dml import _join_matched
+    from infinidb_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
+    n = load_tables(spark, sf_dir, names=("nation",))["nation"]
+    joined, _ = _join_matched(
+        t.select("s_suppkey", "s_nationkey"), n, "s_nationkey", "n_nationkey"
+    )
+    plan = _physical(joined)
+    # the aggregate (min-struct per key) sits below the join
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert joined.count() == t.count()  # no duplication
