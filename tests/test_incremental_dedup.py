@@ -83,3 +83,84 @@ def test_minhash_incremental_estimates_bounded(spark, corpus, batch):
     # the identical pair estimates exactly 1.0
     exact = [r for r in rows if (r.id_a, r.id_b) == (11, 12)]
     assert exact and exact[0].jaccard_est == 1.0
+
+
+# --- property: incremental ≡ batch, restricted to batch-touching pairs
+
+
+def _gen_docs(spark, seed: int, n: int):
+    """Deterministic word-soup corpus with planted near-dups."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(n):
+        base = " ".join(rng.choices(words, k=rng.randint(6, 14)))
+        rows.append((i, base))
+        if rng.random() < 0.4:  # planted near-dup of the doc
+            mutated = base.replace(rng.choice(words), rng.choice(words), 1)
+            rows.append((1000 + i, mutated))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_incremental_candidates_match_full_pipeline(spark, seed):
+    """INVARIANT: with identical signature parameters, the incremental
+    pipeline's candidate pairs (threshold 0) restricted to
+    batch-touching pairs EQUAL the full pipeline's candidates
+    restricted the same way — the signature store changes WHERE
+    signatures come from, never WHAT they are."""
+    docs = _gen_docs(spark, seed, 20)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    full = D.minhash_lsh_pairs(
+        docs, n_hashes=16, bands=4, jaccard_threshold=0.0
+    ).select("id_a", "id_b").collect()
+    batch_ids = {r.doc_id for r in batch.collect()}
+    full_touching = {
+        (r.id_a, r.id_b)
+        for r in full
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+
+    incr = D.minhash_lsh_pairs_incremental(
+        batch,
+        D.minhash_signatures(corpus, n_hashes=16),
+        n_hashes=16,
+        bands=4,
+        est_threshold=0.0,
+    ).select("id_a", "id_b").collect()
+    incr_pairs = {(r.id_a, r.id_b) for r in incr}
+    assert incr_pairs == full_touching
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_exact_incremental_statuses_are_the_hash_truth(spark, seed):
+    """INVARIANT (first-seen-wins, NOT min-id-wins: the corpus precedes
+    the batch temporally): a batch doc is corpus_dup iff its hash is in
+    the corpus store; else batch_dup iff a lower-id batch doc shares
+    its hash; else new."""
+    docs = _gen_docs(spark, seed, 15)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    out = D.dedup_exact_incremental(batch, D.dedup_exact(corpus)).collect()
+    corpus_hashes = {
+        r.content_hash
+        for r in D.dedup_exact(corpus).select("content_hash").collect()
+    }
+    min_batch_id_per_hash: dict[str, int] = {}
+    for r in out:
+        min_batch_id_per_hash[r.content_hash] = min(
+            min_batch_id_per_hash.get(r.content_hash, r.doc_id), r.doc_id
+        )
+    for r in out:
+        if r.content_hash in corpus_hashes:
+            expect = "corpus_dup"
+        elif r.doc_id > min_batch_id_per_hash[r.content_hash]:
+            expect = "batch_dup"
+        else:
+            expect = "new"
+        assert r.status == expect, (r.doc_id, r.status, expect)
