@@ -2142,6 +2142,20 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
                 v = _next_code(part, k + 1)
                 if v is None or part[v][0] != "string":
                     raise DialectError("COMMENT requires a string")
+                # the REFERENCE's documented autoincrement form (it
+                # rejects MySQL's attribute — ha_calpont_ddl.cpp:1855):
+                # COMMENT 'autoincrement[,<start>]'
+                # (`dbcon/mysql/ha_autoi.cpp:40-101`; ';' separates a
+                # compression segment)
+                ai = _parse_autoincrement_comment(_unquote(part[v][1]))
+                if ai is not None:
+                    if "INT" not in col["type"].upper() and "LONG" not in col["type"].upper():
+                        raise DialectError(
+                            f"autoincrement requires an integer column "
+                            f"({name} is {col['type']})"
+                        )
+                    col["auto_increment"] = True
+                    col["ai_start"] = ai
                 k = _next_code(part, v + 1)
             elif w == "AUTO_INCREMENT":
                 # ref: cpimport/we_bulkload reserve id ranges from a
@@ -2156,11 +2170,91 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
             else:
                 raise DialectError(f"unsupported column attribute {w}")
         columns.append(col)
+    # table options: ENGINE=InfiniDB / DEFAULT CHARSET etc. accepted and
+    # ignored; two carry semantics — the reference's table-level
+    # COMMENT='autoincrement=<col>[,<start>]' (ha_autoi.cpp
+    # parseAutoincrementTableComment) and MySQL's AUTO_INCREMENT=<n>
+    # start value
+    opts = toks[close + 1 :]
+    oi = _next_code(opts, 0)
+    while oi is not None:
+        t = opts[oi]
+        if t[0] == "word" and t[1].upper() == "COMMENT":
+            eq = _next_code(opts, oi + 1)
+            if eq is not None and opts[eq] == ("sym", "="):
+                v = _next_code(opts, eq + 1)
+                if v is not None and opts[v][0] == "string":
+                    spec = _parse_autoincrement_table_comment(
+                        _unquote(opts[v][1])
+                    )
+                    if spec is not None:
+                        col_name, start = spec
+                        hit = [c for c in columns if c["name"].lower() == col_name.lower()]
+                        if not hit:
+                            raise DialectError(
+                                f"autoincrement comment names unknown column {col_name!r}"
+                            )
+                        hit[0]["auto_increment"] = True
+                        hit[0]["ai_start"] = start
+                    oi = _next_code(opts, v + 1)
+                    continue
+        if t[0] == "word" and t[1].upper() == "AUTO_INCREMENT":
+            eq = _next_code(opts, oi + 1)
+            v = _next_code(opts, eq + 1) if eq is not None else None
+            if (
+                eq is not None and opts[eq] == ("sym", "=")
+                and v is not None and opts[v][0] == "number"
+            ):
+                for c in columns:
+                    if c["auto_increment"]:
+                        c["ai_start"] = int(opts[v][1])
+                oi = _next_code(opts, v + 1)
+                continue
+        oi = _next_code(opts, oi + 1)
     if sum(1 for c in columns if c["auto_increment"]) > 1:
+        # ERR_INVALID_NUMBER_AUTOINCREMENT analog (ha_calpont_ddl.cpp:816)
         raise DialectError("only one AUTO_INCREMENT column per table (MySQL rule)")
-    # trailing table options (ENGINE=InfiniDB, DEFAULT CHARSET=...,
-    # COMMENT='...') are accepted and ignored
     return {"kind": "create_typed", "table": table, "columns": columns}
+
+
+def _parse_autoincrement_comment(comment: str) -> int | None:
+    """Column COMMENT 'autoincrement[,<start>]' → start value (1 when
+    omitted), None when the comment is not an autoincrement marker.
+    Mirrors `parseAutoincrementColumnComment` (ha_autoi.cpp:101):
+    ';' separates an optional compression segment; a malformed start
+    raises (ERR_INVALID_START_VALUE analog)."""
+    import re as _re
+
+    m = _re.search(r"autoincrement\s*(?:,\s*([^;]*))?", comment, _re.IGNORECASE)
+    if m is None:
+        return None
+    start_txt = (m.group(1) or "").strip()
+    if not start_txt:
+        return 1
+    if not _re.fullmatch(r"\d+", start_txt):
+        raise DialectError(f"invalid autoincrement start value {start_txt!r}")
+    return int(start_txt)
+
+
+def _parse_autoincrement_table_comment(comment: str) -> tuple[str, int] | None:
+    """Table COMMENT='autoincrement=<col>[,<start>]' →
+    (column, start); None when absent.  Mirrors the table-level branch
+    of ha_autoi.cpp (parseAutoincrementTableComment)."""
+    import re as _re
+
+    m = _re.search(
+        r"autoincrement\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*([^;]*))?",
+        comment,
+        _re.IGNORECASE,
+    )
+    if m is None:
+        return None
+    start_txt = (m.group(2) or "").strip()
+    if not start_txt:
+        return m.group(1), 1
+    if not _re.fullmatch(r"\d+", start_txt):
+        raise DialectError(f"invalid autoincrement start value {start_txt!r}")
+    return m.group(1), int(start_txt)
 
 
 def _parse_drop_truncate(toks: list[Token], i: int, kind: str) -> dict:

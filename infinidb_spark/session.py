@@ -1047,7 +1047,17 @@ class InfiniSession:
                 },
                 "notnull": [c["name"] for c in st["columns"] if not c["nullable"]],
                 "auto_inc": ai_cols[0] if ai_cols else None,
-                "next_ai": 1,
+                # start value: the reference's COMMENT 'autoincrement,N'
+                # / COMMENT='autoincrement=col,N' or MySQL's
+                # AUTO_INCREMENT=N table option (default 1)
+                "next_ai": next(
+                    (
+                        c.get("ai_start") or 1
+                        for c in st["columns"]
+                        if c.get("auto_increment")
+                    ),
+                    1,
+                ),
             }
             return 0
         if st["kind"] == "show_create":

@@ -158,3 +158,53 @@ def test_calsetparms(sess):
 def test_help(sess):
     rows = sess.execute("HELP 'SELECT'").collect()
     assert rows[0].name == "SELECT"
+
+
+def test_reference_autoincrement_comment_syntax(spark, sf_dir):
+    """The reference REJECTS MySQL's AUTO_INCREMENT attribute and
+    defines its own comment forms (ha_autoi.cpp, ha_calpont_ddl.cpp:
+    1855): column COMMENT 'autoincrement[,start]' and table
+    COMMENT='autoincrement=col[,start][;compression=N]'.  Both are
+    accepted here alongside the MySQL attribute (kept as an
+    extension)."""
+    s = InfiniSession(spark, sf_dir)
+    s.execute(
+        "CREATE TABLE ai_c (id INT COMMENT 'autoincrement,100', v BIGINT) "
+        "ENGINE=InfiniDB"
+    )
+    s.execute("INSERT INTO ai_c (v) VALUES (1),(2)")
+    assert {r.id for r in s.execute("SELECT * FROM ai_c").collect()} == {100, 101}
+    assert s.execute("SELECT callastinsertid('ai_c')") == 101
+
+    s.execute(
+        "CREATE TABLE ai_t (id BIGINT, v BIGINT) ENGINE=InfiniDB "
+        "COMMENT='autoincrement=id;compression=1'"
+    )
+    s.execute("INSERT INTO ai_t (v) VALUES (7)")
+    assert s.execute("SELECT * FROM ai_t").collect()[0].id == 1
+
+    s.execute(
+        "CREATE TABLE ai_m (id BIGINT AUTO_INCREMENT, v BIGINT) "
+        "AUTO_INCREMENT=50"
+    )
+    s.execute("INSERT INTO ai_m (v) VALUES (9)")
+    assert s.execute("SELECT * FROM ai_m").collect()[0].id == 50
+
+
+def test_autoincrement_comment_error_cases(spark, sf_dir):
+    from infinidb_spark.dialect import DialectError
+
+    s = InfiniSession(spark, sf_dir)
+    with pytest.raises(DialectError, match="start value"):
+        s.execute("CREATE TABLE ai_e1 (id INT COMMENT 'autoincrement,xyz')")
+    with pytest.raises(DialectError, match="integer column"):
+        s.execute("CREATE TABLE ai_e2 (id VARCHAR(10) COMMENT 'autoincrement')")
+    with pytest.raises(DialectError, match="unknown column"):
+        s.execute(
+            "CREATE TABLE ai_e3 (id INT) COMMENT='autoincrement=nosuch'"
+        )
+    with pytest.raises(DialectError, match="one AUTO_INCREMENT"):
+        s.execute(
+            "CREATE TABLE ai_e4 (a INT COMMENT 'autoincrement', "
+            "b INT COMMENT 'autoincrement')"
+        )
