@@ -2177,6 +2177,7 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
     # start value
     opts = toks[close + 1 :]
     oi = _next_code(opts, 0)
+    compression = None
     while oi is not None:
         t = opts[oi]
         if t[0] == "word" and t[1].upper() == "COMMENT":
@@ -2184,9 +2185,8 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
             if eq is not None and opts[eq] == ("sym", "="):
                 v = _next_code(opts, eq + 1)
                 if v is not None and opts[v][0] == "string":
-                    spec = _parse_autoincrement_table_comment(
-                        _unquote(opts[v][1])
-                    )
+                    comment = _unquote(opts[v][1])
+                    spec = _parse_autoincrement_table_comment(comment)
                     if spec is not None:
                         col_name, start = spec
                         hit = [c for c in columns if c["name"].lower() == col_name.lower()]
@@ -2196,6 +2196,18 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
                             )
                         hit[0]["auto_increment"] = True
                         hit[0]["ai_start"] = start
+                    # reference COMMENT='compression=N': 0 = none,
+                    # 1/2 = snappy-class block compression
+                    # (ha_calpont_ddl.cpp:225-258; idbcompress.cpp:29)
+                    import re as _re
+
+                    cm = _re.search(
+                        r"compression\s*=\s*(\d+)", comment, _re.IGNORECASE
+                    )
+                    if cm is not None:
+                        compression = (
+                            "uncompressed" if int(cm.group(1)) == 0 else "snappy"
+                        )
                     oi = _next_code(opts, v + 1)
                     continue
         if t[0] == "word" and t[1].upper() == "AUTO_INCREMENT":
@@ -2214,7 +2226,12 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
     if sum(1 for c in columns if c["auto_increment"]) > 1:
         # ERR_INVALID_NUMBER_AUTOINCREMENT analog (ha_calpont_ddl.cpp:816)
         raise DialectError("only one AUTO_INCREMENT column per table (MySQL rule)")
-    return {"kind": "create_typed", "table": table, "columns": columns}
+    return {
+        "kind": "create_typed",
+        "table": table,
+        "columns": columns,
+        "compression": compression,
+    }
 
 
 def _parse_autoincrement_comment(comment: str) -> int | None:

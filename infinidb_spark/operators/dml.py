@@ -190,21 +190,35 @@ def _swap(table_dir: str, new_dir: str) -> None:
         shutil.rmtree(old_target)
 
 
-def create_table(df: DataFrame, table_dir: str, partition_by: list[str] | None = None) -> None:
+def create_table(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: list[str] | None = None,
+    codec: str | None = None,
+) -> None:
     """Materialize a DataFrame as a managed Parquet table (versioned
-    directory + symlink pointer; see module docstring)."""
+    directory + symlink pointer; see module docstring).  ``codec``
+    pins the Parquet compression: the reference compresses 8 KB blocks
+    with snappy by default and COMMENT='compression=0' disables it
+    (utils/compress/idbcompress.cpp:29; ha_calpont_ddl.cpp comment
+    parsing) — 'snappy' (default) and 'uncompressed' are the analogs."""
     new_dir = _new_version_dir(table_dir)
     writer = df.write.mode("overwrite")
+    if codec:
+        writer = writer.option("compression", codec)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(new_dir)
     _swap(table_dir, new_dir)
 
 
-def insert_into(df: DataFrame, table_dir: str) -> None:
+def insert_into(df: DataFrame, table_dir: str, codec: str | None = None) -> None:
     """INSERT: append-only new files — no existing file is touched
     (≅ cpimport incremental load / ha_calpont_impl_write_row_)."""
-    df.write.mode("append").parquet(table_dir)
+    writer = df.write.mode("append")
+    if codec:
+        writer = writer.option("compression", codec)
+    writer.parquet(table_dir)
 
 
 def assign_auto_increment(df: DataFrame, col: str, start: int) -> DataFrame:

@@ -271,7 +271,10 @@ class InfiniSession:
         self._refresh(name)
         return path
 
-    def _insert_staged(self, name: str, path: str, aligned, notnull: list[str]) -> int:
+    def _insert_staged(
+        self, name: str, path: str, aligned, notnull: list[str],
+        codec: str | None = None,
+    ) -> int:
         """INSERT into a table with NOT NULL columns: write once to a
         staging dir, validate nulls against the STAGED parquet (cheap
         re-scan, never a second run of the source query), then hard-link
@@ -288,7 +291,10 @@ class InfiniSession:
             prefix=".stage_", dir=os.path.dirname(path) or None
         )
         try:
-            aligned.write.mode("overwrite").parquet(stage)
+            writer = aligned.write.mode("overwrite")
+            if codec:
+                writer = writer.option("compression", codec)
+            writer.parquet(stage)
             staged = self.spark.read.parquet(stage)
             pred = " OR ".join(f"`{c}` IS NULL" for c in notnull)
             bad = staged.filter(pred).count()
@@ -1058,6 +1064,9 @@ class InfiniSession:
                     ),
                     1,
                 ),
+                # reference COMMENT='compression=N' → Parquet codec
+                # (0 = uncompressed; default snappy like the reference)
+                "codec": st.get("compression"),
             }
             return 0
         if st["kind"] == "show_create":
@@ -1397,7 +1406,10 @@ class InfiniSession:
                         f"violate NOT NULL ({', '.join(notnull)})"
                     )
             n_loaded = result.rows_loaded
-            insert_into(aligned, path)
+            insert_into(
+                aligned, path,
+                codec=self._table_meta.get(st["table"], {}).get("codec"),
+            )
             if _ai_handle is not None:
                 _ai_handle.unpersist()
             result.unpersist()
@@ -1442,12 +1454,15 @@ class InfiniSession:
             if notnull:
                 # stage once, validate NOT NULL from the staged files,
                 # link in on success — the source query still runs once
-                n = self._insert_staged(st["table"], path, aligned, notnull)
+                n = self._insert_staged(
+                    st["table"], path, aligned, notnull,
+                    codec=meta.get("codec"),
+                )
             else:
                 # footer-sum counts before/after: the source query runs
                 # only once (inside the write), never twice
                 before = read_table(self.spark, path).count()
-                insert_into(aligned, path)
+                insert_into(aligned, path, codec=meta.get("codec"))
                 n = read_table(self.spark, path).count() - before
             if _ai_handle is not None:
                 _ai_handle.unpersist()

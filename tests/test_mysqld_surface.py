@@ -208,3 +208,33 @@ def test_autoincrement_comment_error_cases(spark, sf_dir):
             "CREATE TABLE ai_e4 (a INT COMMENT 'autoincrement', "
             "b INT COMMENT 'autoincrement')"
         )
+
+
+def test_reference_compression_comment(spark, sf_dir):
+    """COMMENT='compression=0' disables block compression in the
+    reference (utils/compress/idbcompress.cpp; ha_calpont_ddl.cpp
+    comment parsing); the Parquet analog writes UNCOMPRESSED pages,
+    default stays snappy — asserted from the parquet footers."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    s = InfiniSession(spark, sf_dir)
+    s.execute("CREATE TABLE c0 (id BIGINT, v BIGINT) COMMENT='compression=0'")
+    s.execute("INSERT INTO c0 VALUES (1, 10), (2, 20)")
+    s.execute("CREATE TABLE c2 (id BIGINT, v BIGINT) COMMENT='compression=2'")
+    s.execute("INSERT INTO c2 VALUES (1, 10)")
+
+    def codecs(table):
+        real = os.path.realpath(s._managed[table])
+        out = set()
+        for f in glob.glob(os.path.join(real, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                out.add(md.row_group(rg).column(0).compression)
+        return out
+
+    assert codecs("c0") == {"UNCOMPRESSED"}
+    assert codecs("c2") == {"SNAPPY"}
+    assert s.execute("SELECT count(*) AS c FROM c0").collect()[0].c == 2
