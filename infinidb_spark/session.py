@@ -988,7 +988,13 @@ class InfiniSession:
                 self._found_rows = self.sql(
                     f"SELECT count(*) AS c FROM ({inner_sql}) _fr"
                 ).collect()[0].c
-            return self.sql(st["sql"])
+            # the ORIGINAL text through the FULL translator — the
+            # post-rewrite passes (_string_aliases, ci literals,
+            # permissive GROUP BY) only run in translate_mysql, so a
+            # SELECT via execute() must take the same path a SELECT via
+            # sql(dialect="mysql") takes (the SELECT INTO @var fix's
+            # rule, applied to the plain form too)
+            return self.sql(statement, dialect="mysql")
         if st["kind"] == "select_into_outfile":
             from infinidb_spark.sources.export import export_outfile
 

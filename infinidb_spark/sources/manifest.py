@@ -41,6 +41,7 @@ import os
 from functools import reduce
 from typing import Any
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,8 +81,17 @@ def _harvest_file(f: str) -> dict[str, Any]:
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
             chunk = rg.column(c_i)
-            st = chunk.statistics
             name = chunk.path_in_schema
+            try:
+                st = chunk.statistics
+                if st is not None and st.has_min_max:
+                    st.min, st.max  # noqa: B018 — force extraction now
+            except (NotImplementedError, OSError, pa.ArrowNotImplementedError):
+                # pyarrow cannot decode min/max for some logical types
+                # Spark writes (e.g. INT64-backed DECIMAL): treat as
+                # stats-missing — the column poisons (elimination never
+                # fires on it) instead of failing the whole harvest
+                st = None
             entry = cols.setdefault(
                 name, {"min": None, "max": None, "null_count": 0}
             )
