@@ -77,6 +77,7 @@ def _member_files(path: str) -> list[str]:
 def _harvest_file(f: str) -> dict[str, Any]:
     md = pq.ParquetFile(f).metadata
     cols: dict[str, dict[str, Any]] = {}
+    undecodable: set[str] = set()
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
@@ -88,9 +89,11 @@ def _harvest_file(f: str) -> dict[str, Any]:
                     st.min, st.max  # noqa: B018 — force extraction now
             except (NotImplementedError, OSError, pa.ArrowNotImplementedError):
                 # pyarrow cannot decode min/max for some logical types
-                # Spark writes (e.g. INT64-backed DECIMAL): treat as
-                # stats-missing — the column poisons (elimination never
-                # fires on it) instead of failing the whole harvest
+                # Spark writes (e.g. INT64-backed DECIMAL) even though
+                # the footer carries them — recovered below through
+                # DuckDB's parquet_metadata (the reference prunes
+                # decimal columns too: CasualPartitionDataType)
+                undecodable.add(name)
                 st = None
             entry = cols.setdefault(
                 name, {"min": None, "max": None, "null_count": 0}
@@ -111,7 +114,60 @@ def _harvest_file(f: str) -> dict[str, Any]:
                     entry["min"] = st.min
                 if entry["max"] is None or st.max > entry["max"]:
                     entry["max"] = st.max
+    if undecodable:
+        for name, stats in _duckdb_stats(f, undecodable).items():
+            cols[name] = stats
     return {"file": f, "rows": md.num_rows, "columns": cols}
+
+
+def _duckdb_stats(f: str, names: set) -> dict[str, dict[str, Any]]:
+    """Footer min/max for columns pyarrow cannot decode, via DuckDB's
+    ``parquet_metadata`` (it decodes every logical type, returning
+    stats as strings).  Values parse to Decimal when they look numeric
+    — comparable with the int/float/Decimal literals predicates carry
+    (_may_match falls back to keep-the-file on incomparable types).
+    A row group with NULL stats poisons its column as usual."""
+    import decimal
+
+    import duckdb
+
+    def parse(v):
+        if v is None:
+            return None
+        try:
+            return decimal.Decimal(v)
+        except decimal.InvalidOperation:
+            return v
+
+    out: dict[str, dict[str, Any]] = {}
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            "SELECT path_in_schema, stats_min_value, stats_max_value, "
+            "stats_null_count FROM parquet_metadata(?)",
+            [f],
+        ).fetchall()
+    finally:
+        con.close()
+    for name, mn, mx, nulls in rows:
+        if name not in names:
+            continue
+        entry = out.setdefault(name, {"min": None, "max": None, "null_count": 0})
+        mn, mx = parse(mn), parse(mx)
+        if entry.get("_poisoned"):
+            continue
+        if mn is None or mx is None:
+            entry["min"] = entry["max"] = None
+            entry["null_count"] = None
+            entry["_poisoned"] = True
+            continue
+        if nulls is not None and entry["null_count"] is not None:
+            entry["null_count"] += nulls
+        if entry["min"] is None or mn < entry["min"]:
+            entry["min"] = mn
+        if entry["max"] is None or mx > entry["max"]:
+            entry["max"] = mx
+    return out
 
 
 #: mtime/size-keyed manifest memo — the in-process analog of the

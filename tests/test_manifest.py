@@ -205,3 +205,32 @@ def test_incremental_harvest_appends_and_hardlinks(spark, sf_dir, tmp_path, monk
     m2 = M.cached_manifest(str(vdir))
     assert reads == []
     assert {os.path.dirname(e["file"]) for e in m2} == {str(vdir)}
+
+
+def test_decimal_column_stats_recovered_via_duckdb(spark, tmp_path):
+    """Spark-written DECIMAL footers carry min/max that pyarrow cannot
+    decode; the harvest recovers them through DuckDB parquet_metadata,
+    so decimal predicates still eliminate files (the reference prunes
+    decimal columns too — CasualPartitionDataType covers them)."""
+    import decimal
+
+    from infinidb_spark.sources.manifest import build_manifest, prune
+
+    path = str(tmp_path / "dec_table")
+    spark.createDataFrame(
+        [(1, decimal.Decimal("10.50")), (2, decimal.Decimal("20.25"))],
+        "id long, amt decimal(12,2)",
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(3, decimal.Decimal("100.00")), (4, decimal.Decimal("250.75"))],
+        "id long, amt decimal(12,2)",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    m = [e for e in build_manifest(path) if e["rows"]]
+    assert all(e["columns"]["amt"]["min"] is not None for e in m)
+    kept = prune(m, [("amt", ">", decimal.Decimal("50"))])
+    assert len(kept) == 1
+    # int literals compare against Decimal stats too
+    assert len(prune(m, [("amt", "<=", 25)])) == 1
+    # equality inside one file's range
+    assert len(prune(m, [("amt", "=", decimal.Decimal("20.25"))])) == 1
