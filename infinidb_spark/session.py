@@ -944,7 +944,27 @@ class InfiniSession:
                 # zero rows: variables unchanged (MySQL warning semantics)
                 return 0
             statement = d.render(d.substitute_user_vars(toks, self._user_vars))
-        st = d.parse_statement(statement)
+        # infinidb_vtable_mode (ha_calpont_impl.cpp:151,4251): 0 =
+        # AUTOSWITCH (unsupported dialect syntax falls back to standard
+        # mode — here, raw Spark SQL — with the reference's verbatim
+        # warning), 1 = distributed only (strict error, the default),
+        # 2 = always standard mode.
+        vtable_mode = str(self._sysvars.get("infinidb_vtable_mode", "1")).strip()
+        try:
+            st = d.parse_statement(statement)
+        except d.DialectError:
+            if vtable_mode == "2":
+                return self.sql(statement, dialect="spark")
+            if vtable_mode != "0":
+                raise
+            df = self.sql(statement, dialect="spark")  # standard mode
+            self._warnings = [(
+                "Warning", 9999,
+                "The query includes syntax that is not supported by "
+                "InfiniDB distributed mode. The execution was switched "
+                "to standard mode with downgraded performance.",
+            )]
+            return df
         if st["kind"] == "begin":
             self.begin()
             return 0
@@ -977,6 +997,11 @@ class InfiniSession:
         if st["kind"] == "admin":
             return self._admin(st["func"], st["args"])
         if st["kind"] == "select":
+            if vtable_mode == "2":
+                # standard mode ALWAYS: queries skip the dialect layer
+                # (SET/DDL/DML still route through the engine, the way
+                # the reference's standard mode still uses the handler)
+                return self.sql(statement, dialect="spark")
             if "SQL_CALC_FOUND_ROWS" in statement.upper():
                 # FOUND_ROWS() contract: the row count the SELECT would
                 # return WITHOUT its LIMIT — computed as one count over
@@ -994,7 +1019,20 @@ class InfiniSession:
             # SELECT via execute() must take the same path a SELECT via
             # sql(dialect="mysql") takes (the SELECT INTO @var fix's
             # rule, applied to the plain form too)
-            return self.sql(statement, dialect="mysql")
+            try:
+                return self.sql(statement, dialect="mysql")
+            except d.DialectError:
+                if vtable_mode != "0":
+                    raise
+                df = self.sql(statement, dialect="spark")
+                self._warnings = [(
+                    "Warning", 9999,
+                    "The query includes syntax that is not supported by "
+                    "InfiniDB distributed mode. The execution was "
+                    "switched to standard mode with downgraded "
+                    "performance.",
+                )]
+                return df
         if st["kind"] == "select_into_outfile":
             from infinidb_spark.sources.export import export_outfile
 

@@ -238,3 +238,34 @@ def test_reference_compression_comment(spark, sf_dir):
     assert codecs("c0") == {"UNCOMPRESSED"}
     assert codecs("c2") == {"SNAPPY"}
     assert s.execute("SELECT count(*) AS c FROM c0").collect()[0].c == 2
+
+
+def test_vtable_mode_autoswitch(spark, sf_dir):
+    """infinidb_vtable_mode parity (ha_calpont_impl.cpp:151,4251):
+    mode 0 autoswitches unsupported dialect syntax to standard mode
+    (raw Spark SQL) with the reference's verbatim warning; mode 1
+    (default) errors; mode 2 always runs standard mode."""
+    from infinidb_spark.dialect import DialectError
+
+    s = InfiniSession(spark, sf_dir)
+    # a computed DATE_FORMAT pattern: the translator requires a string
+    # literal (it must map %-tokens), but it is valid Spark SQL
+    exotic = (
+        "SELECT DATE_FORMAT(o_orderdate, concat('yyyy','-MM')) AS ym "
+        "FROM orders LIMIT 2"
+    )
+    with pytest.raises(DialectError):
+        s.execute(exotic)
+
+    s.execute("SET infinidb_vtable_mode = 0")
+    rows = s.execute(exotic).collect()
+    assert len(rows) == 2 and "-" in rows[0].ym
+    warns = s.execute("SHOW WARNINGS").collect()
+    assert warns and "switched to standard mode" in warns[0].Message
+
+    s.execute("SET infinidb_vtable_mode = 2")
+    assert len(s.execute("SELECT r_regionkey FROM region").collect()) == 5
+
+    s.execute("SET infinidb_vtable_mode = 1")
+    with pytest.raises(DialectError):
+        s.execute(exotic)
