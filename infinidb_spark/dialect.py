@@ -1306,8 +1306,25 @@ def parse_statement(sql: str) -> dict:
             return {"kind": "show_collation"}
         if word in ("WARNINGS", "ERRORS"):
             # [LIMIT ...] accepted and ignored (the diagnostics area is
-            # small); SHOW COUNT(*) WARNINGS is not routed here
+            # small)
             return {"kind": "show_warnings", "errors_only": word == "ERRORS"}
+        if word == "COUNT":
+            # SHOW COUNT(*) WARNINGS / ERRORS — the @@warning_count form
+            k = _next_code(toks, j + 1)
+            k2 = _next_code(toks, k + 1) if k is not None else None
+            k3 = _next_code(toks, k2 + 1) if k2 is not None else None
+            tail_w = _next_code(toks, k3 + 1) if k3 is not None else None
+            if (
+                k is not None and toks[k] == ("sym", "(")
+                and k2 is not None and toks[k2] == ("sym", "*")
+                and k3 is not None and toks[k3] == ("sym", ")")
+                and tail_w is not None
+                and toks[tail_w][1].upper() in ("WARNINGS", "ERRORS")
+            ):
+                return {
+                    "kind": "show_warning_count",
+                    "errors_only": toks[tail_w][1].upper() == "ERRORS",
+                }
         if word in ("INDEX", "INDEXES", "KEYS"):
             k = _next_code(toks, j + 1)
             if k is None or toks[k][1].upper() not in ("FROM", "IN"):

@@ -481,6 +481,13 @@ class InfiniSession:
                     out.append(("string", d._sql_str("infinidb-spark engine")))
                 elif name == "autocommit":
                     out.append(("number", "1" if self._autocommit else "0"))
+                elif name in ("warning_count", "error_count"):
+                    # diagnostics-area counters clients read after DML
+                    n = len([
+                        w for w in self._warnings
+                        if name == "warning_count" or w[0] == "Error"
+                    ])
+                    out.append(("number", str(n)))
                 elif name in self._sysvars:
                     out.append(("string", d._sql_str(self._sysvars[name])))
                 else:
@@ -1211,6 +1218,13 @@ class InfiniSession:
                 rows or [("", 0, "")],
                 "Level string, Code int, Message string",
             ).filter("Level <> ''")
+        if st["kind"] == "show_warning_count":
+            n = len([
+                w for w in self._warnings
+                if not st["errors_only"] or w[0] == "Error"
+            ])
+            col = "@@session.error_count" if st["errors_only"] else "@@session.warning_count"
+            return self.spark.createDataFrame([(n,)], f"`{col}` long")
         if st["kind"] == "show_index":
             # InfiniDB tables have NO indexes (the reference dropped its
             # index subsystem; scans + extent elimination instead) —

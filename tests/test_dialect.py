@@ -702,3 +702,31 @@ def test_update_delete_modifiers_dropped():
 
     assert parse_statement("UPDATE LOW_PRIORITY IGNORE t SET a = 1")["table"] == "t"
     assert parse_statement("DELETE QUICK IGNORE FROM t WHERE a = 1")["table"] == "t"
+
+
+def test_translate_mysql_idempotent_on_corpus_texts():
+    """translate(translate(x)) == translate(x) for every front-end
+    corpus text — guards paths that re-enter the translator with
+    already-rendered statements.  Known, semantically-correct
+    exception: DATE_FORMAT/TIME_FORMAT — a %-less (already-Java)
+    format re-reads as ALL-LITERAL under MySQL's format rules, so
+    re-translation rightly quotes it; the session never re-translates
+    those (the select path translates the ORIGINAL text once)."""
+    from infinidb_spark.dialect import translate_mysql
+    from infinidb_spark.plans import dialect as pd_mod
+    from infinidb_spark.plans import ref_perf, tpch
+
+    texts = []
+    for mod in (pd_mod, ref_perf, tpch):
+        for name, val in vars(mod).items():
+            if name.isupper() and isinstance(val, str) and "select" in val.lower():
+                texts.append(val)
+    assert len(texts) >= 20
+    checked = 0
+    for t in texts:
+        if "DATE_FORMAT" in t.upper() or "TIME_FORMAT" in t.upper():
+            continue
+        once = translate_mysql(t)
+        assert translate_mysql(once) == once, t[:80]
+        checked += 1
+    assert checked >= 20

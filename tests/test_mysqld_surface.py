@@ -269,3 +269,17 @@ def test_vtable_mode_autoswitch(spark, sf_dir):
     s.execute("SET infinidb_vtable_mode = 1")
     with pytest.raises(DialectError):
         s.execute(exotic)
+
+
+def test_warning_count_surface(spark, sf_dir, tmp_path):
+    s = InfiniSession(spark, sf_dir)
+    assert s.execute("SELECT @@warning_count AS w").collect()[0].w == 0
+    s.execute("CREATE TABLE wc_t (id BIGINT NOT NULL, v BIGINT)")
+    bad = tmp_path / "wc.csv"
+    bad.write_text("1,10\nbad,20\n")
+    s.execute(f"LOAD DATA INFILE '{bad}' INTO TABLE wc_t FIELDS TERMINATED BY ','")
+    assert s.execute("SELECT @@warning_count AS w").collect()[0].w == 1
+    assert s.execute("SELECT @@error_count AS e").collect()[0].e == 0
+    row = s.execute("SHOW COUNT(*) WARNINGS").collect()[0]
+    assert row[0] == 1
+    assert s.execute("SHOW COUNT(*) ERRORS").collect()[0][0] == 0
