@@ -1879,12 +1879,23 @@ def _parse_update(toks: list[Token], i: int) -> dict:
         j is not None
         and toks[j][0] in ("word", "bident")
         and toks[j][1].upper() not in ("SET", "JOIN", "INNER", "AS")
+        and toks[j][1].upper() not in _UNSUPPORTED_JOIN_WORDS
     ):
         alias = _ident_text(toks[j])
         j = _next_code(toks, j + 1)
     elif j is not None and toks[j][0] == "word" and toks[j][1].upper() == "AS":
         alias, j2 = _expect_ident(toks, _next_code(toks, j + 1), "alias after AS")
         j = _next_code(toks, j2 + 1)
+    if (
+        j is not None
+        and toks[j][0] == "word"
+        and toks[j][1].upper() in _UNSUPPORTED_JOIN_WORDS
+    ):
+        raise DialectError(
+            f"multi-table UPDATE supports INNER JOIN only "
+            f"({toks[j][1].upper()} JOIN updates unmatched rows in "
+            "MySQL — semantics this engine must not silently change)"
+        )
     join = None
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
         "JOIN", "INNER",
@@ -2195,6 +2206,7 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
     opts = toks[close + 1 :]
     oi = _next_code(opts, 0)
     compression = None
+    ai_start_opt: int | None = None
     while oi is not None:
         t = opts[oi]
         if t[0] == "word" and t[1].upper() == "COMMENT":
@@ -2234,15 +2246,20 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
                 eq is not None and opts[eq] == ("sym", "=")
                 and v is not None and opts[v][0] == "number"
             ):
-                for c in columns:
-                    if c["auto_increment"]:
-                        c["ai_start"] = int(opts[v][1])
+                # applied AFTER the scan: mysqldump emits
+                # AUTO_INCREMENT=N before COMMENT='autoincrement=col',
+                # so the flagged column may not exist yet
+                ai_start_opt = int(opts[v][1])
                 oi = _next_code(opts, v + 1)
                 continue
         oi = _next_code(opts, oi + 1)
     if sum(1 for c in columns if c["auto_increment"]) > 1:
         # ERR_INVALID_NUMBER_AUTOINCREMENT analog (ha_calpont_ddl.cpp:816)
         raise DialectError("only one AUTO_INCREMENT column per table (MySQL rule)")
+    if ai_start_opt is not None:
+        for c in columns:
+            if c["auto_increment"]:
+                c["ai_start"] = ai_start_opt
     return {
         "kind": "create_typed",
         "table": table,
@@ -2254,41 +2271,51 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
 def _parse_autoincrement_comment(comment: str) -> int | None:
     """Column COMMENT 'autoincrement[,<start>]' → start value (1 when
     omitted), None when the comment is not an autoincrement marker.
-    Mirrors `parseAutoincrementColumnComment` (ha_autoi.cpp:101):
-    ';' separates an optional compression segment; a malformed start
-    raises (ERR_INVALID_START_VALUE analog)."""
+    Mirrors `parseAutoincrementColumnComment` (ha_autoi.cpp:101): the
+    marker must START a ';'-separated segment (a descriptive comment
+    that merely CONTAINS the word is not a marker); a malformed start
+    in a genuine marker raises (ERR_INVALID_START_VALUE analog)."""
     import re as _re
 
-    m = _re.search(r"autoincrement\s*(?:,\s*([^;]*))?", comment, _re.IGNORECASE)
-    if m is None:
-        return None
-    start_txt = (m.group(1) or "").strip()
-    if not start_txt:
-        return 1
-    if not _re.fullmatch(r"\d+", start_txt):
-        raise DialectError(f"invalid autoincrement start value {start_txt!r}")
-    return int(start_txt)
+    for seg in comment.split(";"):
+        m = _re.match(r"\s*autoincrement\s*(?:,\s*(.*))?\s*$", seg, _re.IGNORECASE)
+        if m is None:
+            continue
+        start_txt = (m.group(1) or "").strip()
+        if not start_txt:
+            return 1
+        if not _re.fullmatch(r"\d+", start_txt):
+            raise DialectError(
+                f"invalid autoincrement start value {start_txt!r}"
+            )
+        return int(start_txt)
+    return None
 
 
 def _parse_autoincrement_table_comment(comment: str) -> tuple[str, int] | None:
     """Table COMMENT='autoincrement=<col>[,<start>]' →
     (column, start); None when absent.  Mirrors the table-level branch
-    of ha_autoi.cpp (parseAutoincrementTableComment)."""
+    of ha_autoi.cpp (parseAutoincrementTableComment); the marker must
+    start a ';'-separated segment."""
     import re as _re
 
-    m = _re.search(
-        r"autoincrement\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*([^;]*))?",
-        comment,
-        _re.IGNORECASE,
-    )
-    if m is None:
-        return None
-    start_txt = (m.group(2) or "").strip()
-    if not start_txt:
-        return m.group(1), 1
-    if not _re.fullmatch(r"\d+", start_txt):
-        raise DialectError(f"invalid autoincrement start value {start_txt!r}")
-    return m.group(1), int(start_txt)
+    for seg in comment.split(";"):
+        m = _re.match(
+            r"\s*autoincrement\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*(.*))?\s*$",
+            seg,
+            _re.IGNORECASE,
+        )
+        if m is None:
+            continue
+        start_txt = (m.group(2) or "").strip()
+        if not start_txt:
+            return m.group(1), 1
+        if not _re.fullmatch(r"\d+", start_txt):
+            raise DialectError(
+                f"invalid autoincrement start value {start_txt!r}"
+            )
+        return m.group(1), int(start_txt)
+    return None
 
 
 def _parse_drop_truncate(toks: list[Token], i: int, kind: str) -> dict:
@@ -2325,9 +2352,10 @@ def _parse_delete(toks: list[Token], i: int) -> dict:
         and toks[j][1].upper() in ("LOW_PRIORITY", "QUICK", "IGNORE")
     ):
         j = _next_code(toks, j + 1)  # scheduler hints — dropped
-    # multi-table form: DELETE <target-ref> FROM <target> [alias]
-    # JOIN <other> [alias] ON ... (SQLCOM_DELETE_MULTI — the reference
-    # plans it through the same SELECT machinery as UPDATE_MULTI)
+    # multi-table forms (SQLCOM_DELETE_MULTI — the reference plans them
+    # through the same SELECT machinery as UPDATE_MULTI):
+    #   DELETE <ref>[.*] FROM <target> [alias] JOIN <other> ON ...
+    #   DELETE FROM <ref>[.*] USING <target> [alias] JOIN <other> ON ...
     if (
         j is not None
         and toks[j][0] in ("word", "bident")
@@ -2335,17 +2363,54 @@ def _parse_delete(toks: list[Token], i: int) -> dict:
     ):
         del_ref = _ident_text(toks[j])
         k = _next_code(toks, j + 1)
+        k = _skip_dot_star(toks, k)
         if k is not None and toks[k][0] == "word" and toks[k][1].upper() == "FROM":
             return _parse_delete_join(toks, k, del_ref)
+        raise DialectError(
+            "expected FROM after the DELETE target reference "
+            "(multi-table DELETE form)"
+        )
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "FROM":
         j = _next_code(toks, j + 1)
     table, j = _expect_ident(toks, j, "table name after DELETE")
+    nxt = _skip_dot_star(toks, _next_code(toks, j + 1))
+    if nxt is not None and toks[nxt][0] == "word" and toks[nxt][1].upper() == "USING":
+        # DELETE FROM t USING t [alias] JOIN o ON ... — route to the
+        # join parser with the USING keyword standing in for FROM
+        return _parse_delete_join(toks, nxt, table)
+    if nxt is not None and not (
+        toks[nxt][0] == "word" and toks[nxt][1].upper() == "WHERE"
+    ):
+        # anything but WHERE here (JOIN, an alias, ...) would silently
+        # change which rows die — refuse rather than mis-execute
+        raise DialectError(
+            f"unexpected {toks[nxt][1]!r} after DELETE FROM {table} — "
+            "multi-table DELETE uses 'DELETE t FROM t JOIN ...' or "
+            "'DELETE FROM t USING t JOIN ...'"
+        )
     tail = toks[j + 1 :]
     if _top_level_word(tail, "LIMIT", "ORDER") is not None:
         raise DialectError("DELETE ... ORDER BY/LIMIT is not supported")
     where_i = _top_level_word(tail, "WHERE")
     where = render(tail[where_i + 1 :]).strip() if where_i is not None else None
     return {"kind": "delete", "table": table, "where": where}
+
+
+def _skip_dot_star(toks: list[Token], i: int | None) -> int | None:
+    """Skip an optional ``.*`` after a table reference (MySQL's
+    ``DELETE t.* FROM ...`` spelling)."""
+    if i is not None and toks[i] == ("sym", "."):
+        k = _next_code(toks, i + 1)
+        if k is not None and toks[k] == ("sym", "*"):
+            return _next_code(toks, k + 1)
+    return i
+
+
+#: join types the multi-table DML layer refuses — MySQL's outer-join
+#: UPDATE/DELETE semantics (unmatched rows still update / anti-join
+#: deletes) differ from the inner-match implementation here, so these
+#: must ERROR rather than silently run with inner semantics
+_UNSUPPORTED_JOIN_WORDS = ("LEFT", "RIGHT", "FULL", "CROSS", "OUTER", "STRAIGHT_JOIN")
 
 
 def _parse_delete_join(toks: list[Token], from_i: int, del_ref: str) -> dict:
@@ -2360,9 +2425,20 @@ def _parse_delete_join(toks: list[Token], from_i: int, del_ref: str) -> dict:
         j is not None
         and toks[j][0] in ("word", "bident")
         and toks[j][1].upper() not in ("JOIN", "INNER", "WHERE")
+        and toks[j][1].upper() not in _UNSUPPORTED_JOIN_WORDS
     ):
         alias = _ident_text(toks[j])
         j = _next_code(toks, j + 1)
+    if (
+        j is not None
+        and toks[j][0] == "word"
+        and toks[j][1].upper() in _UNSUPPORTED_JOIN_WORDS
+    ):
+        raise DialectError(
+            f"multi-table DELETE supports INNER JOIN only "
+            f"({toks[j][1].upper()} JOIN has anti-join semantics this "
+            "engine must not silently approximate)"
+        )
     if del_ref not in {n for n in (alias, table) if n}:
         raise DialectError(
             f"multi-table DELETE may only delete from the target table "

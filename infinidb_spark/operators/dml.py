@@ -285,11 +285,23 @@ def assign_auto_increment(df: DataFrame, col: str, start: int) -> DataFrame:
     return out.drop("_ai_pid", "_ai_mid", "_ai_rank", "_ai_off")
 
 
+def _rewrite_writer(df: DataFrame, codec: str | None):
+    """Overwrite-mode writer honoring the table's pinned compression
+    codec (COMMENT='compression=N'; None = Spark default snappy) — every
+    copy-on-write rewrite must keep the storage setting, not just the
+    INSERT paths."""
+    writer = df.write.mode("overwrite")
+    if codec:
+        writer = writer.option("compression", codec)
+    return writer
+
+
 def update_table(
     spark: SparkSession,
     table_dir: str,
     condition: Column,
     assignments: dict[str, Column],
+    codec: str | None = None,
 ) -> int:
     """UPDATE <table> SET <assignments> WHERE <condition>.
 
@@ -313,7 +325,7 @@ def update_table(
                 F.when(condition, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
             )
         new_dir = _new_version_dir(table_dir)
-        updated.write.mode("overwrite").parquet(new_dir)
+        _rewrite_writer(updated, codec).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -349,6 +361,7 @@ def update_table_join(
     other_key: str,
     assignments: dict[str, Column],
     where: Column | None = None,
+    codec: str | None = None,
 ) -> int:
     """Multi-table UPDATE (``UPDATE t JOIN o ON t.k = o.k SET ...``) —
     the reference's SQLCOM_UPDATE_MULTI surface
@@ -378,7 +391,7 @@ def update_table_join(
             )
         out = out.select(*[F.col(c) for c in df.columns])
         new_dir = _new_version_dir(table_dir)
-        out.write.mode("overwrite").parquet(new_dir)
+        _rewrite_writer(out, codec).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -391,6 +404,7 @@ def delete_from_join(
     target_key: str,
     other_key: str,
     where: Column | None = None,
+    codec: str | None = None,
 ) -> int:
     """Multi-table DELETE (``DELETE t FROM t JOIN o ON ... [WHERE]``) —
     target rows with a join match (and a true WHERE, which may read the
@@ -407,7 +421,7 @@ def delete_from_join(
         n = joined.filter(matched).count()
         out = joined.filter(~matched).select(*[F.col(c) for c in df.columns])
         new_dir = _new_version_dir(table_dir)
-        out.write.mode("overwrite").parquet(new_dir)
+        _rewrite_writer(out, codec).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -634,7 +648,12 @@ def rename_table(table_dir: str, new_dir: str) -> None:
     os.rename(table_dir.rstrip("/"), new_dir.rstrip("/"))
 
 
-def delete_from(spark: SparkSession, table_dir: str, condition: Column) -> int:
+def delete_from(
+    spark: SparkSession,
+    table_dir: str,
+    condition: Column,
+    codec: str | None = None,
+) -> int:
     """DELETE FROM <table> WHERE <condition>; returns rows deleted.
 
     SQL DELETE removes rows where the WHERE is TRUE — rows where it
@@ -652,7 +671,7 @@ def delete_from(spark: SparkSession, table_dir: str, condition: Column) -> int:
         n = df.filter(cond_true).count()
         kept = df.filter(~cond_true)
         new_dir = _new_version_dir(table_dir)
-        kept.write.mode("overwrite").parquet(new_dir)
+        _rewrite_writer(kept, codec).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n

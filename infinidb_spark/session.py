@@ -842,6 +842,21 @@ class InfiniSession:
 
         return [self.execute(s, dialect) for s in split_statements(script)]
 
+
+    #: ha_calpont_impl.cpp:151 — the reference's verbatim autoswitch text
+    _AUTOSWITCH_WARNING = (
+        "The query includes syntax that is not supported by InfiniDB "
+        "distributed mode. The execution was switched to standard mode "
+        "with downgraded performance."
+    )
+
+    def _standard_mode_fallback(self, statement: str):
+        """vtable_mode=0 autoswitch: run the statement as raw Spark SQL
+        (standard mode) and surface the reference's warning."""
+        df = self.sql(statement, dialect="spark")
+        self._warnings = [("Warning", 9999, self._AUTOSWITCH_WARNING)]
+        return df
+
     def _execute_inner(self, statement: str, dialect: str):
         from pyspark.sql import functions as F
 
@@ -964,14 +979,7 @@ class InfiniSession:
                 return self.sql(statement, dialect="spark")
             if vtable_mode != "0":
                 raise
-            df = self.sql(statement, dialect="spark")  # standard mode
-            self._warnings = [(
-                "Warning", 9999,
-                "The query includes syntax that is not supported by "
-                "InfiniDB distributed mode. The execution was switched "
-                "to standard mode with downgraded performance.",
-            )]
-            return df
+            return self._standard_mode_fallback(statement)
         if st["kind"] == "begin":
             self.begin()
             return 0
@@ -1031,15 +1039,7 @@ class InfiniSession:
             except d.DialectError:
                 if vtable_mode != "0":
                     raise
-                df = self.sql(statement, dialect="spark")
-                self._warnings = [(
-                    "Warning", 9999,
-                    "The query includes syntax that is not supported by "
-                    "InfiniDB distributed mode. The execution was "
-                    "switched to standard mode with downgraded "
-                    "performance.",
-                )]
-                return df
+                return self._standard_mode_fallback(statement)
         if st["kind"] == "select_into_outfile":
             from infinidb_spark.sources.export import export_outfile
 
@@ -1381,17 +1381,20 @@ class InfiniSession:
             else:
                 other_df = self.spark.table(other_name)
             where = F.expr(st["where"]) if st.get("where") else None
+            codec = self._table_meta.get(st["table"], {}).get("codec")
             if st["kind"] == "update_join":
                 n = update_table_join(
                     self.spark, path, other_df,
                     st["on_target"], st["on_other"],
                     {c: F.expr(e) for c, e in st["assignments"].items()},
                     where,
+                    codec=codec,
                 )
             else:
                 n = delete_from_join(
                     self.spark, path, other_df,
                     st["on_target"], st["on_other"], where,
+                    codec=codec,
                 )
             self._refresh(st["table"])
             return n
@@ -1530,9 +1533,13 @@ class InfiniSession:
                 path,
                 F.expr(st["where"] or "true"),
                 {c: F.expr(e) for c, e in st["assignments"].items()},
+                codec=self._table_meta.get(st["table"], {}).get("codec"),
             )
         else:
-            n = delete_from(self.spark, path, F.expr(st["where"] or "true"))
+            n = delete_from(
+                self.spark, path, F.expr(st["where"] or "true"),
+                codec=self._table_meta.get(st["table"], {}).get("codec"),
+            )
         self._refresh(st["table"])
         return n
 

@@ -129,8 +129,6 @@ def _duckdb_stats(f: str, names: set) -> dict[str, dict[str, Any]]:
     A row group with NULL stats poisons its column as usual."""
     import decimal
 
-    import duckdb
-
     def parse(v):
         if v is None:
             return None
@@ -140,15 +138,11 @@ def _duckdb_stats(f: str, names: set) -> dict[str, dict[str, Any]]:
             return v
 
     out: dict[str, dict[str, Any]] = {}
-    con = duckdb.connect()
-    try:
-        rows = con.execute(
-            "SELECT path_in_schema, stats_min_value, stats_max_value, "
-            "stats_null_count FROM parquet_metadata(?)",
-            [f],
-        ).fetchall()
-    finally:
-        con.close()
+    rows = _duck_con().execute(
+        "SELECT path_in_schema, stats_min_value, stats_max_value, "
+        "stats_null_count FROM parquet_metadata(?)",
+        [f],
+    ).fetchall()
     for name, mn, mx, nulls in rows:
         if name not in names:
             continue
@@ -161,13 +155,31 @@ def _duckdb_stats(f: str, names: set) -> dict[str, dict[str, Any]]:
             entry["null_count"] = None
             entry["_poisoned"] = True
             continue
-        if nulls is not None and entry["null_count"] is not None:
+        if nulls is None:
+            # min/max stay valid for pruning, but the aggregate null
+            # count is no longer exact — mark UNKNOWN, never undercount
+            entry["null_count"] = None
+        elif entry["null_count"] is not None:
             entry["null_count"] += nulls
         if entry["min"] is None or mn < entry["min"]:
             entry["min"] = mn
         if entry["max"] is None or mx > entry["max"]:
             entry["max"] = mx
     return out
+
+
+#: one process-wide DuckDB connection for footer reads — a per-file
+#: connect would pay setup once per decimal-bearing file at scale
+_DUCK_CON = None
+
+
+def _duck_con():
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+    return _DUCK_CON
 
 
 #: mtime/size-keyed manifest memo — the in-process analog of the

@@ -104,3 +104,104 @@ def test_on_duplicate_key_clause_dropped(sess):
 def test_index_ddl_rejected_with_reference_message(sess, stmt):
     with pytest.raises(DialectError, match="not supported by InfiniDB"):
         sess.execute(stmt)
+
+
+# --- review findings: silent wrong-result spellings must parse or raise
+
+
+def test_delete_dot_star_spelling(sess):
+    """DELETE t.* FROM t JOIN ... is the most common multi-table DELETE
+    spelling — it must behave exactly like DELETE t FROM t JOIN ...,
+    never fall through to an unconditional single-table DELETE."""
+    sess.execute("CREATE TABLE ds (id BIGINT, v BIGINT)")
+    sess.execute("INSERT INTO ds VALUES (0, 1), (1, 2), (99, 3)")
+    n = sess.execute(
+        "DELETE ds.* FROM ds JOIN region r ON ds.id = r.r_regionkey "
+        "WHERE r.r_regionkey = 0"
+    )
+    assert n == 1
+    assert {r.id for r in sess.execute("SELECT * FROM ds").collect()} == {1, 99}
+
+
+def test_delete_using_spelling(sess):
+    sess.execute("CREATE TABLE du (id BIGINT, v BIGINT)")
+    sess.execute("INSERT INTO du VALUES (0, 1), (1, 2), (99, 3)")
+    n = sess.execute(
+        "DELETE FROM du USING du JOIN region r ON du.id = r.r_regionkey"
+    )
+    assert n == 2
+    assert {r.id for r in sess.execute("SELECT * FROM du").collect()} == {99}
+
+
+def test_outer_join_dml_rejected_not_silently_inner(sess):
+    """LEFT/RIGHT JOIN UPDATE/DELETE have outer semantics this engine
+    does not implement — they must ERROR, never silently run as inner."""
+    from infinidb_spark.dialect import parse_statement
+
+    for stmt in (
+        "UPDATE m1 LEFT JOIN region ON m1.id = region.r_regionkey SET m1.v = 1",
+        "UPDATE m1 RIGHT JOIN region ON m1.id = region.r_regionkey SET m1.v = 1",
+        "DELETE t FROM m1 t LEFT JOIN region r ON t.id = r.r_regionkey "
+        "WHERE r.r_regionkey IS NULL",
+    ):
+        with pytest.raises(DialectError, match="INNER JOIN only"):
+            parse_statement(stmt)
+
+
+def test_unparseable_delete_tail_raises_not_truncates(sess):
+    """A DELETE whose tail the parser does not understand must raise —
+    silently dropping the tail would delete every row."""
+    from infinidb_spark.dialect import parse_statement
+
+    with pytest.raises(DialectError):
+        parse_statement("DELETE FROM m1 alias_without_join")
+
+
+def test_descriptive_comment_is_not_autoincrement(spark, sf_dir):
+    """A comment merely CONTAINING 'autoincrement' is not the marker."""
+    s = InfiniSession(spark, sf_dir)
+    s.execute(
+        "CREATE TABLE nc (id INT COMMENT 'autoincrement disabled; app-managed', v INT)"
+    )
+    assert s._table_meta["nc"]["auto_inc"] is None
+    s.execute(
+        "CREATE TABLE nc2 (id INT COMMENT 'no autoincrement, app-managed')"
+    )
+    assert s._table_meta["nc2"]["auto_inc"] is None
+
+
+def test_auto_increment_option_before_comment(spark, sf_dir):
+    """mysqldump emits AUTO_INCREMENT=N before COMMENT='autoincrement=
+    col' — the start value must survive the ordering."""
+    s = InfiniSession(spark, sf_dir)
+    s.execute(
+        "CREATE TABLE ao (id BIGINT, v BIGINT) ENGINE=InfiniDB "
+        "AUTO_INCREMENT=500 COMMENT='autoincrement=id'"
+    )
+    s.execute("INSERT INTO ao (v) VALUES (1)")
+    assert s.execute("SELECT * FROM ao").collect()[0].id == 500
+
+
+def test_dml_rewrites_keep_compression_codec(spark, sf_dir):
+    """COMMENT='compression=0' must survive UPDATE/DELETE rewrites, not
+    just INSERTs."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    s = InfiniSession(spark, sf_dir)
+    s.execute("CREATE TABLE ck (id BIGINT, v BIGINT) COMMENT='compression=0'")
+    s.execute("INSERT INTO ck VALUES (1, 10), (2, 20), (3, 30)")
+    s.execute("UPDATE ck SET v = v + 1 WHERE id = 1")
+    s.execute("DELETE FROM ck WHERE id = 3")
+    s.execute(
+        "UPDATE ck a JOIN region r ON a.id = r.r_regionkey SET a.v = 0"
+    )
+    real = os.path.realpath(s._managed["ck"])
+    codecs = set()
+    for f in glob.glob(os.path.join(real, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            codecs.add(md.row_group(rg).column(0).compression)
+    assert codecs == {"UNCOMPRESSED"}
