@@ -1878,7 +1878,8 @@ def _parse_update(toks: list[Token], i: int) -> dict:
     if (
         j is not None
         and toks[j][0] in ("word", "bident")
-        and toks[j][1].upper() not in ("SET", "JOIN", "INNER", "AS")
+        and toks[j][1].upper() not in ("SET", "AS")
+        and toks[j][1].upper() not in _JOIN_OPEN_WORDS
         and toks[j][1].upper() not in _UNSUPPORTED_JOIN_WORDS
     ):
         alias = _ident_text(toks[j])
@@ -1892,19 +1893,12 @@ def _parse_update(toks: list[Token], i: int) -> dict:
         and toks[j][1].upper() in _UNSUPPORTED_JOIN_WORDS
     ):
         raise DialectError(
-            f"multi-table UPDATE supports INNER JOIN only "
-            f"({toks[j][1].upper()} JOIN updates unmatched rows in "
-            "MySQL — semantics this engine must not silently change)"
+            f"multi-table UPDATE does not support {toks[j][1].upper()} JOIN"
         )
     join = None
-    if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
-        "JOIN", "INNER",
-    ):
-        if toks[j][1].upper() == "INNER":
-            j = _next_code(toks, j + 1)
-            if j is None or toks[j][1].upper() != "JOIN":
-                raise DialectError("expected JOIN after INNER")
-        other, j = _expect_ident(toks, _next_code(toks, j + 1), "table after JOIN")
+    if j is not None and toks[j][0] == "word" and toks[j][1].upper() in _JOIN_OPEN_WORDS:
+        join_type, jj = _parse_join_type(toks, j)
+        other, j = _expect_ident(toks, jj, "table after JOIN")
         j = _next_code(toks, j + 1)
         other_alias = None
         if (
@@ -1923,7 +1917,12 @@ def _parse_update(toks: list[Token], i: int) -> dict:
         t_names = {n for n in (alias, table) if n}
         o_names = {n for n in (other_alias, other) if n}
         on_t, on_o = _parse_join_eq(toks[on_start:set_i], t_names, o_names)
-        join = {"other": other, "on_target": on_t, "on_other": on_o}
+        join = {
+            "other": other,
+            "on_target": on_t,
+            "on_other": on_o,
+            "join_type": join_type,
+        }
         j = set_i
     if j is None or toks[j][0] != "word" or toks[j][1].upper() != "SET":
         raise DialectError("UPDATE without SET")
@@ -2406,11 +2405,33 @@ def _skip_dot_star(toks: list[Token], i: int | None) -> int | None:
     return i
 
 
-#: join types the multi-table DML layer refuses — MySQL's outer-join
-#: UPDATE/DELETE semantics (unmatched rows still update / anti-join
-#: deletes) differ from the inner-match implementation here, so these
-#: must ERROR rather than silently run with inner semantics
-_UNSUPPORTED_JOIN_WORDS = ("LEFT", "RIGHT", "FULL", "CROSS", "OUTER", "STRAIGHT_JOIN")
+#: join-type words that may open a join clause in multi-table DML.
+#: LEFT is implemented with real outer semantics (unmatched target rows
+#: still qualify, join fields read NULL — MySQL's rule); RIGHT is
+#: equivalent to INNER for the TARGET's rows (unmatched target rows do
+#: not appear on the preserved side, and NULL-extended rows are not
+#: updatable); FULL/CROSS/bare-OUTER/STRAIGHT_JOIN are refused.
+_JOIN_OPEN_WORDS = ("JOIN", "INNER", "LEFT", "RIGHT")
+_UNSUPPORTED_JOIN_WORDS = ("FULL", "CROSS", "OUTER", "STRAIGHT_JOIN")
+
+
+def _parse_join_type(toks: list[Token], j: int) -> tuple[str, int]:
+    """Consume [INNER|LEFT [OUTER]|RIGHT [OUTER]] JOIN starting at ``j``
+    (which must be one of _JOIN_OPEN_WORDS); returns (join_type, index
+    after JOIN) with join_type ∈ {'inner', 'left'} (RIGHT folds to
+    inner for the target side)."""
+    word = toks[j][1].upper()
+    jt = "inner"
+    if word in ("LEFT", "RIGHT"):
+        jt = "left" if word == "LEFT" else "inner"
+        j = _next_code(toks, j + 1)
+        if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "OUTER":
+            j = _next_code(toks, j + 1)
+    elif word == "INNER":
+        j = _next_code(toks, j + 1)
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "JOIN":
+        raise DialectError("expected JOIN in multi-table DML")
+    return jt, _next_code(toks, j + 1)
 
 
 def _parse_delete_join(toks: list[Token], from_i: int, del_ref: str) -> dict:
@@ -2424,7 +2445,8 @@ def _parse_delete_join(toks: list[Token], from_i: int, del_ref: str) -> dict:
     if (
         j is not None
         and toks[j][0] in ("word", "bident")
-        and toks[j][1].upper() not in ("JOIN", "INNER", "WHERE")
+        and toks[j][1].upper() not in ("WHERE",)
+        and toks[j][1].upper() not in _JOIN_OPEN_WORDS
         and toks[j][1].upper() not in _UNSUPPORTED_JOIN_WORDS
     ):
         alias = _ident_text(toks[j])
@@ -2435,20 +2457,17 @@ def _parse_delete_join(toks: list[Token], from_i: int, del_ref: str) -> dict:
         and toks[j][1].upper() in _UNSUPPORTED_JOIN_WORDS
     ):
         raise DialectError(
-            f"multi-table DELETE supports INNER JOIN only "
-            f"({toks[j][1].upper()} JOIN has anti-join semantics this "
-            "engine must not silently approximate)"
+            f"multi-table DELETE does not support {toks[j][1].upper()} JOIN"
         )
     if del_ref not in {n for n in (alias, table) if n}:
         raise DialectError(
             f"multi-table DELETE may only delete from the target table "
             f"({del_ref!r} does not name it)"
         )
-    if j is not None and toks[j][0] == "word" and toks[j][1].upper() == "INNER":
-        j = _next_code(toks, j + 1)
-    if j is None or toks[j][0] != "word" or toks[j][1].upper() != "JOIN":
+    if j is None or toks[j][0] != "word" or toks[j][1].upper() not in _JOIN_OPEN_WORDS:
         raise DialectError("multi-table DELETE requires JOIN ... ON")
-    other, j = _expect_ident(toks, _next_code(toks, j + 1), "table after JOIN")
+    join_type, jj = _parse_join_type(toks, j)
+    other, j = _expect_ident(toks, jj, "table after JOIN")
     j = _next_code(toks, j + 1)
     other_alias = None
     if j is not None and toks[j][0] in ("word", "bident") and toks[j][1].upper() != "ON":
@@ -2474,6 +2493,7 @@ def _parse_delete_join(toks: list[Token], from_i: int, del_ref: str) -> dict:
         "on_target": on_t,
         "on_other": on_o,
         "where": where,
+        "join_type": join_type,
     }
 
 

@@ -362,14 +362,20 @@ def update_table_join(
     assignments: dict[str, Column],
     where: Column | None = None,
     codec: str | None = None,
+    join_type: str = "inner",
 ) -> int:
-    """Multi-table UPDATE (``UPDATE t JOIN o ON t.k = o.k SET ...``) —
-    the reference's SQLCOM_UPDATE_MULTI surface
+    """Multi-table UPDATE (``UPDATE t [LEFT] JOIN o ON t.k = o.k SET
+    ...``) — the reference's SQLCOM_UPDATE_MULTI surface
     (`dbcon/mysql/ha_calpont_execplan.cpp:1076,1842`: multi-table DML
     plans through the same SELECT machinery).  SET/WHERE expressions
     may reference the matched join row via the ``_idb_r`` struct
-    (dialect rewrites ``alias.col`` to ``_idb_r.col``).  Returns the
-    matched-row count; copy-on-write swap like update_table."""
+    (dialect rewrites ``alias.col`` to ``_idb_r.col``).
+
+    ``join_type='inner'``: only join-matched target rows qualify.
+    ``'left'``: EVERY target row qualifies (MySQL LEFT JOIN UPDATE
+    semantics — unmatched rows see NULL join fields, so
+    ``WHERE o.k IS NULL`` selects exactly the unmatched rows).
+    Returns the qualifying-row count; copy-on-write swap."""
     from pyspark.sql import functions as F
 
     from infinidb_spark.operators.partitions import carry_disabled
@@ -377,6 +383,8 @@ def update_table_join(
     with _table_lock(table_dir, "UPDATE"):
         df = read_table(spark, table_dir)
         joined, matched = _join_matched(df, other, target_key, other_key)
+        if join_type == "left":
+            matched = F.lit(True)  # unmatched rows qualify, _idb_r NULL
         if where is not None:
             matched = matched & F.coalesce(where, F.lit(False))
         n = joined.filter(matched).count()
@@ -405,10 +413,14 @@ def delete_from_join(
     other_key: str,
     where: Column | None = None,
     codec: str | None = None,
+    join_type: str = "inner",
 ) -> int:
-    """Multi-table DELETE (``DELETE t FROM t JOIN o ON ... [WHERE]``) —
-    target rows with a join match (and a true WHERE, which may read the
-    matched row via ``_idb_r``) are removed; SQLCOM_DELETE_MULTI analog."""
+    """Multi-table DELETE (``DELETE t FROM t [LEFT] JOIN o ON ...
+    [WHERE]``) — SQLCOM_DELETE_MULTI analog.  ``'inner'``: join-matched
+    target rows (with a true WHERE) are removed.  ``'left'``: every
+    target row is a candidate with NULL join fields when unmatched —
+    the classic anti-join purge is ``LEFT JOIN o ... WHERE o.k IS
+    NULL``."""
     from pyspark.sql import functions as F
 
     from infinidb_spark.operators.partitions import carry_disabled
@@ -416,6 +428,8 @@ def delete_from_join(
     with _table_lock(table_dir, "DELETE"):
         df = read_table(spark, table_dir)
         joined, matched = _join_matched(df, other, target_key, other_key)
+        if join_type == "left":
+            matched = F.lit(True)
         if where is not None:
             matched = matched & F.coalesce(where, F.lit(False))
         n = joined.filter(matched).count()

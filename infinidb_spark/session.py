@@ -1382,6 +1382,7 @@ class InfiniSession:
                 other_df = self.spark.table(other_name)
             where = F.expr(st["where"]) if st.get("where") else None
             codec = self._table_meta.get(st["table"], {}).get("codec")
+            jt = st.get("join_type", "inner")
             if st["kind"] == "update_join":
                 n = update_table_join(
                     self.spark, path, other_df,
@@ -1389,12 +1390,14 @@ class InfiniSession:
                     {c: F.expr(e) for c, e in st["assignments"].items()},
                     where,
                     codec=codec,
+                    join_type=jt,
                 )
             else:
                 n = delete_from_join(
                     self.spark, path, other_df,
                     st["on_target"], st["on_other"], where,
                     codec=codec,
+                    join_type=jt,
                 )
             self._refresh(st["table"])
             return n

@@ -133,18 +133,57 @@ def test_delete_using_spelling(sess):
     assert {r.id for r in sess.execute("SELECT * FROM du").collect()} == {99}
 
 
-def test_outer_join_dml_rejected_not_silently_inner(sess):
-    """LEFT/RIGHT JOIN UPDATE/DELETE have outer semantics this engine
-    does not implement — they must ERROR, never silently run as inner."""
+def test_left_join_update_has_outer_semantics(spark, sf_dir):
+    """MySQL LEFT JOIN UPDATE updates EVERY target row; unmatched rows
+    read NULL for the join table's columns."""
+    s = InfiniSession(spark, sf_dir)
+    s.execute("CREATE TABLE lu (id BIGINT, tag VARCHAR(16))")
+    s.execute("INSERT INTO lu VALUES (0, 'x'), (99, 'x')")
+    n = s.execute(
+        "UPDATE lu LEFT JOIN region r ON lu.id = r.r_regionkey "
+        "SET lu.tag = coalesce(r.r_name, 'UNMATCHED')"
+    )
+    assert n == 2  # both rows qualify under LEFT semantics
+    rows = {r.id: r.tag for r in s.execute("SELECT * FROM lu").collect()}
+    assert rows[0] == "AFRICA" and rows[99] == "UNMATCHED"
+
+
+def test_left_join_delete_anti_join_purge(spark, sf_dir):
+    """The classic orphan purge: DELETE t FROM t LEFT JOIN o ON ...
+    WHERE o.k IS NULL removes exactly the unmatched rows."""
+    s = InfiniSession(spark, sf_dir)
+    s.execute("CREATE TABLE ld (id BIGINT, v BIGINT)")
+    s.execute("INSERT INTO ld VALUES (0, 1), (1, 2), (98, 3), (99, 4)")
+    n = s.execute(
+        "DELETE ld FROM ld LEFT JOIN region r ON ld.id = r.r_regionkey "
+        "WHERE r.r_regionkey IS NULL"
+    )
+    assert n == 2
+    assert {r.id for r in s.execute("SELECT * FROM ld").collect()} == {0, 1}
+
+
+def test_right_join_update_folds_to_inner(spark, sf_dir):
+    """RIGHT JOIN UPDATE on the target: unmatched target rows do not
+    appear on the preserved side — equivalent to INNER for the target."""
+    s = InfiniSession(spark, sf_dir)
+    s.execute("CREATE TABLE ru (id BIGINT, v BIGINT)")
+    s.execute("INSERT INTO ru VALUES (0, 1), (99, 2)")
+    n = s.execute(
+        "UPDATE ru RIGHT JOIN region r ON ru.id = r.r_regionkey SET ru.v = 0"
+    )
+    assert n == 1
+    rows = {r.id: r.v for r in s.execute("SELECT * FROM ru").collect()}
+    assert rows == {0: 0, 99: 2}
+
+
+def test_unsupported_join_types_rejected(sess):
     from infinidb_spark.dialect import parse_statement
 
     for stmt in (
-        "UPDATE m1 LEFT JOIN region ON m1.id = region.r_regionkey SET m1.v = 1",
-        "UPDATE m1 RIGHT JOIN region ON m1.id = region.r_regionkey SET m1.v = 1",
-        "DELETE t FROM m1 t LEFT JOIN region r ON t.id = r.r_regionkey "
-        "WHERE r.r_regionkey IS NULL",
+        "UPDATE m1 CROSS JOIN region ON m1.id = region.r_regionkey SET m1.v = 1",
+        "DELETE t FROM m1 t FULL JOIN region r ON t.id = r.r_regionkey",
     ):
-        with pytest.raises(DialectError, match="INNER JOIN only"):
+        with pytest.raises(DialectError, match="does not support"):
             parse_statement(stmt)
 
 
