@@ -1054,6 +1054,10 @@ def translate_mysql(
     matching ``sql_mode = ONLY_FULL_GROUP_BY`` (InfiniSession passes it
     when the session variable contains that flag).
     """
+    # a trailing statement terminator would otherwise sit inside the
+    # last clause's token span and defeat span-scoped rewrites (the
+    # permissive ORDER BY wrap, ASC/DESC handling)
+    sql = sql.rstrip().rstrip(";").rstrip()
     toks = _rewrite(tokenize(sql))
     if not strict_group_by:
         toks = _permissive_group_by(toks)

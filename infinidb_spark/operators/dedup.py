@@ -65,6 +65,24 @@ def _hash_params(n: int) -> list[tuple[int, int]]:
     return params
 
 
+def _sig_params(n_hashes: int) -> list[tuple[int, int]]:
+    """The 31-bit signature hash family — THE single source of truth
+    shared by ``minhash_lsh_pairs`` and ``minhash_signatures`` so a
+    persisted signature store can never drift from the batch pipeline
+    (same seed → same minima; the incremental contract)."""
+    p31 = (1 << 31) - 1
+    return [((a % (p31 - 1)) + 1, b % p31) for a, b in _hash_params(n_hashes)]
+
+
+def _shingle_hash_expr(shingle: Column, portable_hash: bool) -> Column:
+    """Shingle → int64 hash; portable mode = md5-derived (< 2^28,
+    reproducible in any SQL engine), default = xxhash64.  Shared by the
+    batch and incremental pipelines for the same store-compat reason."""
+    if portable_hash:
+        return F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
+    return F.xxhash64(shingle)
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse whitespace, strip — the canonical form used by
     every dedup tier so near-dup ≡ same pipeline at different tolerance."""
@@ -172,7 +190,7 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     p31 = (1 << 31) - 1
-    params = [((a % (p31 - 1)) + 1, b % p31) for a, b in _hash_params(n_hashes)]
+    params = _sig_params(n_hashes)
 
     t = F.col("_t")
     n_pos = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
@@ -182,10 +200,7 @@ def minhash_lsh_pairs(
     # scan), so the corpus-wide relation is never cached, checkpointed,
     # or traversed twice.  Zero executor storage held at any scale.
     shingle = t.substr(F.col("_i"), F.lit(shingle_k))
-    if portable_hash:
-        h_expr = F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
-    else:
-        h_expr = F.xxhash64(shingle)
+    h_expr = _shingle_hash_expr(shingle, portable_hash)
 
     def _shingle_rows(src: DataFrame) -> DataFrame:
         return (
@@ -319,14 +334,11 @@ def minhash_signatures(
     family seed → same minima).
     """
     p31 = (1 << 31) - 1
-    params = [((a % (p31 - 1)) + 1, b % p31) for a, b in _hash_params(n_hashes)]
+    params = _sig_params(n_hashes)
     t = F.col("_t")
     n_pos = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
     shingle = t.substr(F.col("_i"), F.lit(shingle_k))
-    if portable_hash:
-        h_expr = F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
-    else:
-        h_expr = F.xxhash64(shingle)
+    h_expr = _shingle_hash_expr(shingle, portable_hash)
     ex = (
         fan_out(df)
         .select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
@@ -425,7 +437,14 @@ def minhash_lsh_pairs_incremental(
                 F.slice(F.col("_docs"), F.col("_p") + 2, F.size("_docs"))
             ).alias("_b"),
         )
-        .filter(F.col("_a._new") | F.col("_b._new"))  # drop old-old
+        # drop old-old pairs, and self-pairs when a doc id exists in
+        # BOTH the store and the batch (re-ingested batch): equal ids
+        # would survive the lo/hi normalization as (id, id) with
+        # estimate 1.0
+        .filter(
+            (F.col("_a._new") | F.col("_b._new"))
+            & (F.col("_a._id") != F.col("_b._id"))
+        )
         .select(
             F.when(F.col("_a._id") < F.col("_b._id"), F.col("_a"))
             .otherwise(F.col("_b"))

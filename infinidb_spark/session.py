@@ -620,8 +620,14 @@ class InfiniSession:
         running statements) plus the session's own connection row, the
         way mysqld always lists the issuing connection."""
         tracker = self.spark.sparkContext.statusTracker()
+        # id space shared with KILL and CONNECTION_ID(): the issuing
+        # connection's row carries its CONNECTION_ID(); Spark jobs are
+        # offset to 1000+jobId so the two ranges can't collide
         rows = [
-            (0, "infinidb", "localhost", None, "Query", 0, "executing", None)
+            (
+                self._conn_id, "infinidb", "localhost", None,
+                "Query", 0, "executing", None,
+            )
         ]
         for jid in tracker.getActiveJobsIds():
             info = tracker.getJobInfo(jid)
@@ -629,7 +635,7 @@ class InfiniSession:
                 continue
             rows.append(
                 (
-                    int(jid) + 1,
+                    1000 + int(jid),
                     "infinidb",
                     "localhost",
                     None,
@@ -661,7 +667,20 @@ class InfiniSession:
         the affected-row count; ``select cal*(...)`` admin UDF calls
         (ref `ha_calpont_impl.cpp:1713-2254`) dispatch to the admin
         surface and return the reference's message/scalar."""
+        import re as _re
         import time as _time
+
+        # MySQL clears the diagnostics area at each new statement except
+        # the ones that READ it (SHOW WARNINGS/ERRORS, SHOW COUNT(*),
+        # @@warning_count/@@error_count) — without this, one LOAD DATA
+        # reject would be re-reported after every later statement
+        if not _re.search(
+            r"SHOW\s+(COUNT\s*\(|WARNINGS|ERRORS)|@@(session\.)?"
+            r"(warning_count|error_count)",
+            statement,
+            _re.IGNORECASE,
+        ):
+            self._warnings = []
 
         t0 = _time.perf_counter()
         result = self._execute_inner(statement, dialect)
@@ -1017,7 +1036,11 @@ class InfiniSession:
                 # (SET/DDL/DML still route through the engine, the way
                 # the reference's standard mode still uses the handler)
                 return self.sql(statement, dialect="spark")
-            if "SQL_CALC_FOUND_ROWS" in statement.upper():
+            has_calc_found_rows = any(
+                t[0] == "word" and t[1].upper() == "SQL_CALC_FOUND_ROWS"
+                for t in d.tokenize(statement)
+            )  # token-level: the phrase inside a string/comment is data
+            if has_calc_found_rows:
                 # FOUND_ROWS() contract: the row count the SELECT would
                 # return WITHOUT its LIMIT — computed as one count over
                 # the un-LIMITed query (the modifier itself was dropped
@@ -1192,19 +1215,22 @@ class InfiniSession:
                 "Transactions string, XA string, Savepoints string",
             )
         if st["kind"] == "show_charset":
+            # default collation advertises what the engine DOES by
+            # default: binary compare (Spark semantics); the ci mode is
+            # opt-in via translate_mysql(ci_collation=True)
             return self.spark.createDataFrame(
-                [("utf8mb4", "UTF-8 Unicode", "utf8mb4_general_ci", 4)],
+                [("utf8mb4", "UTF-8 Unicode", "utf8mb4_bin", 4)],
                 "Charset string, Description string, "
                 "`Default collation` string, Maxlen int",
             )
         if st["kind"] == "show_collation":
             # the two collations the engine actually implements: binary
-            # compare (Spark default) and the ci mode
-            # (translate_mysql(ci_collation=True) → UTF8_LCASE)
+            # compare (the DEFAULT — never advertise ci semantics the
+            # default comparison doesn't deliver) and the opt-in ci mode
             return self.spark.createDataFrame(
                 [
-                    ("utf8mb4_bin", "utf8mb4", 46, "", "Yes", 1),
-                    ("utf8mb4_general_ci", "utf8mb4", 45, "Yes", "Yes", 1),
+                    ("utf8mb4_bin", "utf8mb4", 46, "Yes", "Yes", 1),
+                    ("utf8mb4_general_ci", "utf8mb4", 45, "", "Yes", 1),
                 ],
                 "Collation string, Charset string, Id long, "
                 "`Default` string, Compiled string, Sortlen int",
@@ -1278,15 +1304,21 @@ class InfiniSession:
         if st["kind"] == "unlock_tables":
             return 0
         if st["kind"] == "kill":
-            # KILL [QUERY] <id>: ids from SHOW PROCESSLIST are Spark job
-            # ids + 1 — cancel that job via the JVM SparkContext (the
-            # mysqld kill-thread analog; reference queries cancel through
-            # ExeMgr the same way).  Unknown ids are MySQL errors.
-            jid = st["id"] - 1
-            try:
-                self.spark.sparkContext._jsc.sc().cancelJob(int(jid))
-            except Exception as exc:  # py4j failure = unknown thread
-                raise KeyError(f"Unknown thread id: {st['id']}") from exc
+            # KILL [QUERY] <id>: id space matches SHOW PROCESSLIST —
+            # the session connection row carries CONNECTION_ID(), Spark
+            # jobs are listed as 1000+jobId.  cancelJob posts an async
+            # event and never throws for unknown ids, so existence is
+            # validated against the ACTIVE job list first
+            # (ER_NO_SUCH_THREAD analog); KILL <own connection id> acks
+            # (the client closes its side, mysqld semantics).
+            if st["id"] == self._conn_id:
+                return 0
+            tracker = self.spark.sparkContext.statusTracker()
+            active = set(tracker.getActiveJobsIds())
+            jid = st["id"] - 1000
+            if jid not in active:
+                raise KeyError(f"Unknown thread id: {st['id']}")
+            self.spark.sparkContext._jsc.sc().cancelJob(int(jid))
             return 0
         if st["kind"] == "do":
             # DO evaluates for side effects and discards results

@@ -231,12 +231,24 @@ def cached_manifest(path: str) -> list[dict[str, Any]]:
         if len(_FILE_ENTRY_CACHE) > _FILE_CACHE_MAX:
             _FILE_ENTRY_CACHE.clear()
         entries = []
-        for f in _member_files(os.path.realpath(path)):
+        real = os.path.realpath(path)
+        seed = _sidecar_seed(real) if os.path.isdir(real) else {}
+        for f in _member_files(real):
             st = os.stat(f)
             fkey = (st.st_ino, st.st_mtime_ns, st.st_size)
             cached = _FILE_ENTRY_CACHE.get(fkey)
             if cached is None:
-                cached = _FILE_ENTRY_CACHE[fkey] = _harvest_file(f)
+                side = seed.get(os.path.basename(f))
+                if (
+                    side is not None
+                    and side[0] == st.st_mtime_ns
+                    and side[1] == st.st_size
+                ):
+                    # cold-start seed from the ANALYZE-persisted sidecar
+                    # (the BRM save-file): no footer read needed
+                    cached = _FILE_ENTRY_CACHE[fkey] = side[2]
+                else:
+                    cached = _FILE_ENTRY_CACHE[fkey] = _harvest_file(f)
             # stats are path-independent; the entry's file is not
             entries.append({**cached, "file": f})
         hit = _MANIFEST_CACHE[key] = entries
@@ -339,13 +351,142 @@ def manifest_df(spark: SparkSession, manifest: list[dict[str, Any]]) -> DataFram
     )
 
 
+def _enc_stat(v):
+    """Type-tagged JSON encoding for a min/max value so a reloaded
+    sidecar compares with the same types the live harvest produces."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ["b", "1" if v else "0"]
+    if isinstance(v, int):
+        return ["i", str(v)]
+    if isinstance(v, float):
+        return ["f", repr(v)]
+    if isinstance(v, decimal.Decimal):
+        return ["d", str(v)]
+    if isinstance(v, datetime.datetime):
+        return ["ts", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["dt", v.isoformat()]
+    if isinstance(v, bytes):
+        return ["y", v.hex()]
+    return ["s", str(v)]
+
+
+def _dec_stat(x):
+    import datetime
+    import decimal
+
+    if x is None:
+        return None
+    tag, v = x
+    return {
+        "b": lambda: v == "1",
+        "i": lambda: int(v),
+        "f": lambda: float(v),
+        "d": lambda: decimal.Decimal(v),
+        "ts": lambda: datetime.datetime.fromisoformat(v),
+        "dt": lambda: datetime.date.fromisoformat(v),
+        "y": lambda: bytes.fromhex(v),
+        "s": lambda: v,
+    }[tag]()
+
+
+#: sidecar file name — underscore prefix keeps it invisible to Spark's
+#: Parquet reader, like _SUCCESS
+SIDECAR_NAME = "_infinidb_manifest.json"
+
+
 def write_manifest(manifest: list[dict[str, Any]], out_path: str) -> None:
     """Persist the extent map (BRM save-file analog, `extentmap.h:103`).
-    Stats serialize via repr-safe JSON (str for non-JSON scalars)."""
+
+    Format v2: per-entry file BASENAME + (mtime_ns, size) validity key
+    and type-tagged min/max — ``cached_manifest`` seeds its per-file
+    footer memo from a sidecar whose entries still match their files,
+    so a FRESH PROCESS (new session, driver restart) skips the footer
+    reads the reference's BRM never re-does.  Entries whose file stat
+    changed are simply re-harvested."""
+    entries = []
+    for e in manifest:
+        try:
+            st = os.stat(e["file"])
+        except OSError:
+            continue  # file vanished between harvest and persist
+        entries.append({
+            "basename": os.path.basename(e["file"]),
+            "mtime_ns": st.st_mtime_ns,
+            "size": st.st_size,
+            "rows": e["rows"],
+            "columns": {
+                name: {
+                    "min": _enc_stat(c["min"]),
+                    "max": _enc_stat(c["max"]),
+                    "null_count": c["null_count"],
+                }
+                for name, c in e["columns"].items()
+            },
+        })
+    src_dir = (
+        os.path.dirname(os.path.abspath(manifest[0]["file"])) if manifest else ""
+    )
     with open(out_path, "w") as fh:
-        json.dump(manifest, fh, default=str)
+        json.dump({"version": 2, "dir": src_dir, "entries": entries}, fh)
 
 
 def read_manifest(in_path: str) -> list[dict[str, Any]]:
+    """Load a persisted manifest back into the in-memory shape (file
+    paths resolved against the sidecar's directory)."""
     with open(in_path) as fh:
-        return json.load(fh)
+        data = json.load(fh)
+    if isinstance(data, list):  # legacy v1 (repr-JSON) — stats as str
+        return data
+    base = data.get("dir") or os.path.dirname(os.path.abspath(in_path))
+    out = []
+    for e in data.get("entries", []):
+        out.append({
+            "file": os.path.join(base, e["basename"]),
+            "rows": e["rows"],
+            "columns": {
+                name: {
+                    "min": _dec_stat(c["min"]),
+                    "max": _dec_stat(c["max"]),
+                    "null_count": c["null_count"],
+                }
+                for name, c in e["columns"].items()
+            },
+        })
+    return out
+
+
+def _sidecar_seed(real_dir: str) -> dict[str, tuple[int, int, dict]]:
+    """{basename: (mtime_ns, size, entry)} from a v2 sidecar, empty on
+    absence/legacy/corruption — purely an optimization source."""
+    p = os.path.join(real_dir, SIDECAR_NAME)
+    try:
+        with open(p) as fh:
+            data = json.load(fh)
+        if not isinstance(data, dict) or data.get("version") != 2:
+            return {}
+        out = {}
+        for e in data.get("entries", []):
+            out[e["basename"]] = (
+                e["mtime_ns"],
+                e["size"],
+                {
+                    "rows": e["rows"],
+                    "columns": {
+                        name: {
+                            "min": _dec_stat(c["min"]),
+                            "max": _dec_stat(c["max"]),
+                            "null_count": c["null_count"],
+                        }
+                        for name, c in e["columns"].items()
+                    },
+                },
+            )
+        return out
+    except (OSError, ValueError, KeyError):
+        return {}

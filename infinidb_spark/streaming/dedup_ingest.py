@@ -79,15 +79,16 @@ def stream_dedup_ingest(
         spark = batch_df.sparkSession
         prefix = f"ep_{sink_id}_{epoch_id}_"
         store = read_hash_store(spark, table_dir, exclude_prefix=prefix)
+        # persist the CLASSIFICATION — both writes (doc rows + hash
+        # rows) derive from it, so the normalize+hash+store-join runs
+        # once per epoch instead of once per consumer
         classified = dedup_exact_incremental(
             batch_df, store, text_col=text_col, id_col=id_col
-        ).filter(F.col("status") == "new")
-        fresh = batch_df.join(
-            classified.select(id_col), id_col, "leftsemi"
-        )
-        # one persisted pass feeds both writes (docs + their hashes)
-        fresh = fresh.persist()
+        ).filter(F.col("status") == "new").persist()
         try:
+            fresh = batch_df.join(
+                classified.select(id_col), id_col, "leftsemi"
+            )
             write_epoch_idempotent(fresh, epoch_id, table_dir, sink_id=sink_id)
             write_epoch_idempotent(
                 classified.select("content_hash").distinct(),
@@ -96,7 +97,7 @@ def stream_dedup_ingest(
                 sink_id=sink_id,
             )
         finally:
-            fresh.unpersist()
+            classified.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_ingest_epoch)

@@ -234,3 +234,41 @@ def test_decimal_column_stats_recovered_via_duckdb(spark, tmp_path):
     assert len(prune(m, [("amt", "<=", 25)])) == 1
     # equality inside one file's range
     assert len(prune(m, [("amt", "=", decimal.Decimal("20.25"))])) == 1
+
+
+def test_sidecar_roundtrip_preserves_types_and_seeds_cold_start(spark, tmp_path, monkeypatch):
+    """write_manifest v2: type-tagged stats survive the JSON round trip
+    (dates/decimals compare correctly after reload), and cached_manifest
+    seeds a FRESH process from the sidecar without re-reading footers."""
+    import datetime
+    import decimal
+
+    from infinidb_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, decimal.Decimal("10.50"), datetime.date(2024, 1, 2))],
+        "id long, amt decimal(12,2), d date",
+    ).coalesce(1).write.parquet(path)
+
+    m = [e for e in M.build_manifest(path) if e["rows"]]
+    side = str(tmp_path / "t" / M.SIDECAR_NAME)
+    M.write_manifest(m, side)
+
+    loaded = [e for e in M.read_manifest(side) if e["rows"]]
+    c = loaded[0]["columns"]
+    assert c["amt"]["min"] == decimal.Decimal("10.50")
+    assert c["d"]["min"] == datetime.date(2024, 1, 2)
+    assert isinstance(c["id"]["min"], int)
+
+    # cold start: empty caches + harvest disabled -> sidecar must carry
+    M._MANIFEST_CACHE.clear()
+    M._FILE_ENTRY_CACHE.clear()
+    calls = []
+    monkeypatch.setattr(M, "_harvest_file", lambda f: calls.append(f))
+    got = [e for e in M.cached_manifest(path) if e["rows"]]
+    assert calls == []  # zero footer reads
+    assert got[0]["columns"]["amt"]["min"] == decimal.Decimal("10.50")
+    # pruning works off the seeded stats
+    assert M.prune(got, [("amt", ">", decimal.Decimal("50"))]) == []
+    assert len(M.prune(got, [("amt", "<=", 25)])) == 1
