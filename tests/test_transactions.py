@@ -167,6 +167,8 @@ def test_autocommit_off_implicit_transaction(sess):
 
 def test_show_processlist(sess):
     rows = sess.execute("SHOW PROCESSLIST").collect()
-    assert rows[0].Id == 0 and rows[0].Command == "Query"
+    # the issuing connection's row carries its CONNECTION_ID() (the id
+    # space KILL shares); Spark jobs list as 1000+jobId
+    assert rows[0].Id == sess._conn_id and rows[0].Command == "Query"
     cols = sess.execute("SHOW FULL PROCESSLIST").columns
     assert cols == ["Id", "User", "Host", "db", "Command", "Time", "State", "Info"]
