@@ -118,6 +118,7 @@ _PRIORITY = [
     "ann_batch_topk",
     "multi_table_dml",
     "streaming_dedup_ingest",
+    "text_window_dedup",
     # long-green tail: re-verified as window budget allows.  (The
     # rows-only dedup_minhash_lsh / dedup_simhash already carry r03
     # driver rows; their hash pins are the portable twins above.)

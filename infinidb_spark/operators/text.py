@@ -230,3 +230,75 @@ def repetition_signals(
             ),
         )
     )
+
+
+def window_dup_fraction(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    portable_hash: bool = False,
+):
+    """Approximate SUBSTRING-level dedup signal: the fraction of each
+    document's token windows (``window`` consecutive tokens) that also
+    appear in ANOTHER document.
+
+    The cleaning tier between exact dedup (whole doc) and MinHash
+    (whole-doc similarity): boilerplate passages duplicated ACROSS
+    otherwise-distinct documents (license headers, navigation text,
+    templated paragraphs) show up here and nowhere else.  Scale shape:
+    explode token windows as rows, ONE groupBy over window hashes
+    collecting the distinct-doc count per window (codegen, map-side
+    partial agg), join back the tiny duplicated-window set, one
+    groupBy(doc) for the fraction — no text leaves the scan stage, the
+    shuffles carry (hash, id) pairs.
+
+    Returns (id, n_windows, dup_windows, dup_fraction); docs shorter
+    than ``window`` tokens report zero windows and fraction 0.0.
+    """
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dedup import fan_out, normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
+    n_win = F.greatest(F.size(F.col("_w")) - (window - 1), F.lit(0))
+    base = (
+        fan_out(df)
+        .select(F.col(id_col).alias("_id"), toks.alias("_w"))
+        .select(
+            "_id",
+            F.explode(F.sequence(F.lit(1), F.greatest(n_win, F.lit(1)))).alias("_i"),
+            "_w",
+            n_win.alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+    )
+    win_text = F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), window))
+    h = (
+        F.conv(F.substring(F.md5(win_text), 1, 14), 16, 10).cast("long")
+        if portable_hash
+        else F.xxhash64(win_text)
+    )
+    hashed = base.select("_id", h.alias("_h"))
+    # windows seen in >1 DISTINCT doc = cross-document boilerplate
+    dup_windows = (
+        hashed.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_docs"))
+        .filter(F.col("_docs") > 1)
+        .select("_h")
+    )
+    per_doc = hashed.join(dup_windows, "_h", "left_semi").groupBy("_id").agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    totals = hashed.groupBy("_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    return (
+        totals.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.round(
+                F.coalesce("dup_windows", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1621,3 +1621,44 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "doc_id long")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "text_window_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, i, w, greatest(len(w) - 7, 0) AS n
+      FROM (SELECT doc_id, w, unnest(range(1, greatest(greatest(len(w) - 7, 0), 1) + 1)) AS i FROM d)
+      WHERE greatest(len(w) - 7, 0) > 0
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 14))::BIGINT AS h
+      FROM base
+    ),
+    dup_w AS (
+      SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS dup_windows
+      FROM hashed WHERE h IN (SELECT h FROM dup_w) GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_windows FROM hashed GROUP BY doc_id)
+    SELECT t.doc_id, t.n_windows,
+           coalesce(p.dup_windows, 0) AS dup_windows,
+           round(coalesce(p.dup_windows, 0) / CAST(t.n_windows AS DOUBLE), 6) AS dup_fraction
+    FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """,
+)
+def text_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate signal: fraction of each doc's 8-token
+    windows appearing in another doc (operators/text.py
+    window_dup_fraction, portable-hash mode for the DuckDB oracle) —
+    the substring-level cleaning tier between exact dedup and MinHash."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return T.window_dup_fraction(docs, window=8, portable_hash=True)

@@ -403,3 +403,26 @@ def test_asof_directions(spark):
     ).selectExpr("k", "cast(ts as timestamp) ts", "v")
     tie = asof_join(left, right2, "k", direction="nearest").collect()
     assert {r.ts.hour: r.v_right for r in tie}[10] == 1.0
+
+
+def test_window_dup_fraction_detects_boilerplate(spark):
+    """Cross-doc duplicated token windows flag boilerplate passages;
+    docs without shared passages score 0."""
+    from infinidb_spark.operators.text import window_dup_fraction
+
+    boiler = "this is the standard license header used by every single document here"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique content alpha beta gamma delta epsilon zeta"),
+            (2, boiler + " totally different words one two three four five"),
+            (3, "no shared passage at all just original text nine ten eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in window_dup_fraction(df, window=8).collect()}
+    assert out[3].dup_fraction == 0.0
+    assert out[1].dup_fraction > 0.2 and out[2].dup_fraction > 0.2
+    # short docs (< window tokens) report zero windows, fraction 0
+    short = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    srows = window_dup_fraction(short, window=8).collect()
+    assert srows == [] or srows[0].n_windows == 0
