@@ -447,6 +447,10 @@ class InfiniSession:
         ddl = (
             f"CREATE TABLE `{name}` (\n" + ",\n".join(lines) + "\n) ENGINE=InfiniDB"
         )
+        if meta.get("codec") == "uncompressed":
+            # round-trippable: re-running this DDL recreates the table
+            # with the same storage setting (the reference's comment)
+            ddl += " COMMENT='compression=0'"
         return self.spark.createDataFrame(
             [(name, ddl)], "Table string, `Create Table` string"
         )
