@@ -1105,6 +1105,13 @@ def parse_statement(sql: str) -> dict:
     DML carries table/columns/assignments/where parts (text, already
     dialect-rewritten)."""
     toks = _rewrite(tokenize(sql))
+    # drop trailing statement terminators HERE — not just in
+    # translate_mysql — so a client's `UPDATE t SET a = 1;` doesn't
+    # leave the ';' inside the SET/WHERE expression text
+    while toks and (
+        toks[-1][0] in ("ws", "comment") or toks[-1] == ("sym", ";")
+    ):
+        toks.pop()
     i = _next_code(toks, 0)
     if i is None:
         raise DialectError("empty statement")

@@ -253,18 +253,15 @@ def window_dup_fraction(
     groupBy(doc) for the fraction — no text leaves the scan stage, the
     shuffles carry (hash, id) pairs.
 
-    Returns (id, n_windows, dup_windows, dup_fraction); docs shorter
-    than ``window`` tokens report zero windows and fraction 0.0.
+    Returns one row for EVERY input doc: (id, n_windows, dup_windows,
+    dup_fraction); docs shorter than ``window`` tokens report zero
+    windows and fraction 0.0 (never omitted — a cleaning pipeline
+    joining the signal back must not misread short docs as NULL).
     """
-    from pyspark.sql import functions as F
-
-    from infinidb_spark.operators.dedup import fan_out, normalize_text
-
-    toks = F.split(normalize_text(F.col(text_col)), r"\s+")
     n_win = F.greatest(F.size(F.col("_w")) - (window - 1), F.lit(0))
     base = (
         fan_out(df)
-        .select(F.col(id_col).alias("_id"), toks.alias("_w"))
+        .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w"))
         .select(
             "_id",
             F.explode(F.sequence(F.lit(1), F.greatest(n_win, F.lit(1)))).alias("_i"),
@@ -280,25 +277,36 @@ def window_dup_fraction(
         else F.xxhash64(win_text)
     )
     hashed = base.select("_id", h.alias("_h"))
-    # windows seen in >1 DISTINCT doc = cross-document boilerplate
+    # windows seen in >1 DISTINCT doc = cross-document boilerplate;
+    # this set is TINY relative to the corpus → broadcast marker join,
+    # then ONE groupBy(doc) computes both counters (two passes over the
+    # exploded relation total — dup detection is inherently global)
     dup_windows = (
         hashed.groupBy("_h")
         .agg(F.count_distinct("_id").alias("_docs"))
         .filter(F.col("_docs") > 1)
-        .select("_h")
+        .select("_h", F.lit(True).alias("_dup"))
     )
-    per_doc = hashed.join(dup_windows, "_h", "left_semi").groupBy("_id").agg(
-        F.count(F.lit(1)).alias("dup_windows")
+    per_doc = (
+        hashed.join(F.broadcast(dup_windows), "_h", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("dup_windows"),
+        )
     )
-    totals = hashed.groupBy("_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    # every input doc gets a row; short docs → 0 windows, fraction 0.0
+    all_ids = df.select(F.col(id_col).alias("_id"))
     return (
-        totals.join(per_doc, "_id", "left")
+        all_ids.join(per_doc, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            "n_windows",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
             F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
             F.round(
-                F.coalesce("dup_windows", F.lit(0)) / F.col("n_windows"), 6
+                F.coalesce("dup_windows", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
             ).alias("dup_fraction"),
         )
     )

@@ -1649,10 +1649,14 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hashed WHERE h IN (SELECT h FROM dup_w) GROUP BY doc_id
     ),
     totals AS (SELECT doc_id, count(*) AS n_windows FROM hashed GROUP BY doc_id)
-    SELECT t.doc_id, t.n_windows,
+    SELECT d0.doc_id,
+           coalesce(t.n_windows, 0) AS n_windows,
            coalesce(p.dup_windows, 0) AS dup_windows,
-           round(coalesce(p.dup_windows, 0) / CAST(t.n_windows AS DOUBLE), 6) AS dup_fraction
-    FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+           round(coalesce(p.dup_windows, 0)
+                 / CAST(greatest(coalesce(t.n_windows, 0), 1) AS DOUBLE), 6) AS dup_fraction
+    FROM (SELECT doc_id FROM documents) d0
+    LEFT JOIN totals t ON d0.doc_id = t.doc_id
+    LEFT JOIN per_doc p ON d0.doc_id = p.doc_id
     """,
 )
 def text_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,6 +162,9 @@ class InfiniSession:
 
     #: monotonically-assigned CONNECTION_ID() values, mysqld thread ids
     _CONN_SEQ: int = 0
+    #: Spark jobs appear in PROCESSLIST/KILL as _JOB_ID_OFFSET + jobId —
+    #: far above any realistic in-process connection count
+    _JOB_ID_OFFSET: int = 1_000_000_000
 
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = spark or get_spark()
@@ -206,7 +209,7 @@ class InfiniSession:
             "character_set_client": "utf8mb4",
             "character_set_results": "utf8mb4",
             "character_set_connection": "utf8mb4",
-            "collation_connection": "utf8mb4_general_ci",
+            "collation_connection": "utf8mb4_bin",
             "time_zone": "UTC",
             "autocommit": "ON",
         }
@@ -626,7 +629,8 @@ class InfiniSession:
         tracker = self.spark.sparkContext.statusTracker()
         # id space shared with KILL and CONNECTION_ID(): the issuing
         # connection's row carries its CONNECTION_ID(); Spark jobs are
-        # offset to 1000+jobId so the two ranges can't collide
+        # offset by _JOB_ID_OFFSET (1e9 — far above any in-process
+        # connection count) so the two ranges can't collide
         rows = [
             (
                 self._conn_id, "infinidb", "localhost", None,
@@ -639,7 +643,7 @@ class InfiniSession:
                 continue
             rows.append(
                 (
-                    1000 + int(jid),
+                    self._JOB_ID_OFFSET + int(jid),
                     "infinidb",
                     "localhost",
                     None,
@@ -671,19 +675,24 @@ class InfiniSession:
         the affected-row count; ``select cal*(...)`` admin UDF calls
         (ref `ha_calpont_impl.cpp:1713-2254`) dispatch to the admin
         surface and return the reference's message/scalar."""
-        import re as _re
         import time as _time
 
         # MySQL clears the diagnostics area at each new statement except
         # the ones that READ it (SHOW WARNINGS/ERRORS, SHOW COUNT(*),
         # @@warning_count/@@error_count) — without this, one LOAD DATA
-        # reject would be re-reported after every later statement
-        if not _re.search(
-            r"SHOW\s+(COUNT\s*\(|WARNINGS|ERRORS)|@@(session\.)?"
-            r"(warning_count|error_count)",
-            statement,
-            _re.IGNORECASE,
-        ):
+        # reject would be re-reported after every later statement.
+        # WORD-token detection, so the phrase inside a string literal
+        # is data (same rule as SQL_CALC_FOUND_ROWS)
+        from infinidb_spark import dialect as _d
+
+        _words = {
+            t[1].upper() for t in _d.tokenize(statement) if t[0] == "word"
+        }
+        reads_diag = (
+            ("SHOW" in _words and ({"WARNINGS", "ERRORS"} & _words or "COUNT" in _words))
+            or {"WARNING_COUNT", "ERROR_COUNT"} & _words
+        )
+        if not reads_diag:
             self._warnings = []
 
         t0 = _time.perf_counter()
@@ -1310,7 +1319,7 @@ class InfiniSession:
         if st["kind"] == "kill":
             # KILL [QUERY] <id>: id space matches SHOW PROCESSLIST —
             # the session connection row carries CONNECTION_ID(), Spark
-            # jobs are listed as 1000+jobId.  cancelJob posts an async
+            # jobs are listed as _JOB_ID_OFFSET+jobId.  cancelJob posts an async
             # event and never throws for unknown ids, so existence is
             # validated against the ACTIVE job list first
             # (ER_NO_SUCH_THREAD analog); KILL <own connection id> acks
@@ -1319,7 +1328,7 @@ class InfiniSession:
                 return 0
             tracker = self.spark.sparkContext.statusTracker()
             active = set(tracker.getActiveJobsIds())
-            jid = st["id"] - 1000
+            jid = st["id"] - self._JOB_ID_OFFSET
             if jid not in active:
                 raise KeyError(f"Unknown thread id: {st['id']}")
             self.spark.sparkContext._jsc.sc().cancelJob(int(jid))

@@ -232,12 +232,14 @@ def cached_manifest(path: str) -> list[dict[str, Any]]:
             _FILE_ENTRY_CACHE.clear()
         entries = []
         real = os.path.realpath(path)
-        seed = _sidecar_seed(real) if os.path.isdir(real) else {}
+        seed: dict | None = None  # sidecar parsed lazily, first miss only
         for f in _member_files(real):
             st = os.stat(f)
             fkey = (st.st_ino, st.st_mtime_ns, st.st_size)
             cached = _FILE_ENTRY_CACHE.get(fkey)
             if cached is None:
+                if seed is None:
+                    seed = _sidecar_seed(real) if os.path.isdir(real) else {}
                 side = seed.get(os.path.basename(f))
                 if (
                     side is not None
@@ -443,7 +445,10 @@ def read_manifest(in_path: str) -> list[dict[str, Any]]:
         data = json.load(fh)
     if isinstance(data, list):  # legacy v1 (repr-JSON) — stats as str
         return data
-    base = data.get("dir") or os.path.dirname(os.path.abspath(in_path))
+    base = data.get("dir")
+    if not base or not os.path.isdir(base):
+        # table relocated/restored: resolve against the sidecar's home
+        base = os.path.dirname(os.path.abspath(in_path))
     out = []
     for e in data.get("entries", []):
         out.append({
@@ -488,5 +493,5 @@ def _sidecar_seed(real_dir: str) -> dict[str, tuple[int, int, dict]]:
                 },
             )
         return out
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
         return {}

@@ -422,7 +422,9 @@ def test_window_dup_fraction_detects_boilerplate(spark):
     out = {r.doc_id: r for r in window_dup_fraction(df, window=8).collect()}
     assert out[3].dup_fraction == 0.0
     assert out[1].dup_fraction > 0.2 and out[2].dup_fraction > 0.2
-    # short docs (< window tokens) report zero windows, fraction 0
+    # short docs (< window tokens) are NEVER omitted: zero windows,
+    # fraction 0.0 (the join-back contract)
     short = spark.createDataFrame([(9, "too short")], "doc_id long, text string")
     srows = window_dup_fraction(short, window=8).collect()
-    assert srows == [] or srows[0].n_windows == 0
+    assert len(srows) == 1
+    assert srows[0].n_windows == 0 and srows[0].dup_fraction == 0.0
