@@ -29,8 +29,9 @@ from infinidb_spark.session import load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    tables = load_tables(spark, sf_dir, register=True, names=names)
-    return [tables[n] for n in names]
+    from infinidb_spark.plans.registry import load_registered
+
+    return load_registered(spark, sf_dir, *names)
 
 
 @query(

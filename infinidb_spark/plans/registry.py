@@ -37,3 +37,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+def load_registered(spark: "SparkSession", sf_dir: str, *names: str):
+    """Shared table loader for the plan modules (each module's ``_t``
+    delegates here — ONE place for the load/register contract)."""
+    from infinidb_spark.session import load_tables
+
+    tables = load_tables(spark, sf_dir, register=True, names=names)
+    return [tables[n] for n in names]

@@ -22,8 +22,9 @@ from infinidb_spark.session import load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    tables = load_tables(spark, sf_dir, register=True, names=names)
-    return [tables[n] for n in names]
+    from infinidb_spark.plans.registry import load_registered
+
+    return load_registered(spark, sf_dir, *names)
 
 
 # ---------------------------------------------------------------------------
@@ -354,10 +355,12 @@ def group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP_CONCAT; composition: collect_list → array_sort → concat_ws
     (see operators.aggregates.group_concat for the general helper).
     """
+    from infinidb_spark.operators.aggregates import group_concat as gc
+
     (nation,) = _t(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
-        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("names"),
-        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("names_distinct"),
+        gc(F.col("n_name"), separator="|").alias("names"),
+        gc(F.col("n_name"), distinct=True, separator=",").alias("names_distinct"),
     )
 
 
@@ -630,7 +633,7 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_subquery",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) + 2000 FROM customer)
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) + 2000 FROM customer)
     """,
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,7 +645,8 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer")
     return spark.sql(
         "SELECT c_custkey, c_acctbal FROM customer "
-        "WHERE c_acctbal > (SELECT avg(c_acctbal) + 2000 FROM customer)"
+        "WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) + 2000 "
+        "FROM customer)"
     )
 
 
@@ -697,7 +701,7 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, count(*) AS n_big, round(avg(tot), 2) AS avg_tot
     FROM (
-      SELECT o_custkey, sum(o_totalprice) AS tot FROM orders GROUP BY o_custkey
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS tot FROM orders GROUP BY o_custkey
     ) t JOIN customer ON c_custkey = t.o_custkey
     WHERE tot > 1000000
     GROUP BY c_mktsegment
@@ -711,7 +715,12 @@ def derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark: nested DataFrames — the plan IS the derived table.
     """
     customer, orders = _t(spark, sf_dir, "customer", "orders")
-    t = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("tot"))
+    # threshold on the ROUNDED sum (the corpus determinism rule): a raw
+    # double sum's last-ulp summation-order drift could flip a customer
+    # across the strict '>' between engines
+    t = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("tot")
+    )
     return (
         t.filter(F.col("tot") > 1000000)
         .join(F.broadcast(customer), t.o_custkey == customer.c_custkey)
@@ -1029,7 +1038,13 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price_dec,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))      AS VARCHAR) AS sum_qty_dec,
-           CAST(CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(22,6)) AS VARCHAR) AS avg_price_dec
+           concat(
+             CAST((CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) * 100000
+                   // count(l_extendedprice) + 5) // 10 // 1000000 AS VARCHAR),
+             '.',
+             lpad(CAST((CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) * 100000
+                        // count(l_extendedprice) + 5) // 10 % 1000000 AS VARCHAR), 6, '0')
+           ) AS avg_price_dec
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -1049,10 +1064,26 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     qty = F.col("l_quantity").cast("decimal(12,2)")
-    return lineitem.groupBy("l_returnflag").agg(
+    # the avg is computed in EXACT integer arithmetic (cents → micros,
+    # HALF_UP) on BOTH engines: DuckDB's avg/decimal-division detours
+    # through DOUBLE, so a 7th-fractional-digit halfway case could
+    # round differently between engines — integer DIV cannot
+    agg = lineitem.groupBy("l_returnflag").agg(
         F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_price_dec"),
         F.sum(qty).cast("decimal(38,2)").cast("string").alias("sum_qty_dec"),
-        F.avg(price).cast("decimal(22,6)").cast("string").alias("avg_price_dec"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("_cents"),
+        F.count("l_extendedprice").alias("_cnt"),
+    )
+    micros = F.expr("(_cents * 100000 DIV _cnt + 5) DIV 10")
+    return agg.select(
+        "l_returnflag",
+        "sum_price_dec",
+        "sum_qty_dec",
+        F.concat(
+            (micros / 1000000).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((micros % 1000000).cast("string"), 6, "0"),
+        ).alias("avg_price_dec"),
     )
 
 

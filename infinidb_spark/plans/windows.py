@@ -26,8 +26,9 @@ from infinidb_spark.session import load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    tables = load_tables(spark, sf_dir, register=True, names=names)
-    return [tables[n] for n in names]
+    from infinidb_spark.plans.registry import load_registered
+
+    return load_registered(spark, sf_dir, *names)
 
 
 @query(
@@ -251,8 +252,13 @@ def window_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.size(prio_set).cast("bigint").alias("uniq_prio"),
-        F.round(
-            F.aggregate(price_set, F.lit(0.0), lambda acc, x: acc + x), 4
+        # SQL sum(DISTINCT) over an all-NULL/empty set is NULL, not 0.0
+        # — the fold's 0.0 seed must not leak out for empty sets
+        F.when(
+            F.size(price_set) > 0,
+            F.round(
+                F.aggregate(price_set, F.lit(0.0), lambda acc, x: acc + x), 4
+            ),
         ).alias("sum_distinct"),
     )
 
