@@ -1810,13 +1810,26 @@ def _strip_on_duplicate(toks: list[Token]) -> list[Token]:
     max_supported_keys is nominal; no index subsystem exists), so per
     MySQL's documented semantics the duplicate-key branch can never
     fire and the statement degrades to a plain INSERT — the clause is
-    accepted and dropped, like INSERT IGNORE."""
-    words = [
-        (n, t[1].upper()) for n, t in enumerate(toks) if t[0] == "word"
-    ]
-    for w in range(len(words) - 3):
-        if [x[1] for x in words[w : w + 4]] == ["ON", "DUPLICATE", "KEY", "UPDATE"]:
-            return toks[: words[w][0]]
+    accepted and dropped, like INSERT IGNORE.
+
+    Matched only at paren depth 0 with the four words ADJACENT as code
+    tokens (whitespace/comments between, nothing else) — an INSERT ...
+    SELECT whose join/where merely mentions columns named duplicate/key
+    (``ON a.duplicate = b.key``) must not be truncated."""
+    depth = 0
+    for i, t in enumerate(toks):
+        if t == ("sym", "("):
+            depth += 1
+        elif t == ("sym", ")"):
+            depth -= 1
+        elif depth == 0 and t[0] == "word" and t[1].upper() == "ON":
+            j = i
+            for w in ("DUPLICATE", "KEY", "UPDATE"):
+                j = _next_code(toks, j + 1)
+                if j is None or toks[j][0] != "word" or toks[j][1].upper() != w:
+                    break
+            else:
+                return toks[:i]
     return toks
 
 

@@ -331,26 +331,67 @@ def update_table(
     return n
 
 
-def _join_matched(
-    df: DataFrame, other: DataFrame, target_key: str, other_key: str
+def _join_qualified(
+    df: DataFrame,
+    other: DataFrame,
+    target_key: str,
+    other_key: str,
+    where: Column | None,
+    join_type: str,
 ):
-    """(joined, matched) for multi-table DML: ``other`` pre-aggregates
-    to ONE row per join key — the lexicographically-least full row —
-    so the left join never duplicates target rows.  MySQL leaves the
-    multi-match value undefined (SQLCOM_UPDATE_MULTI picks whichever
-    row the join emits first); pinning the least row makes the result
-    deterministic and recomputation-stable.  The matched row is exposed
-    as the ``_idb_r`` struct for SET/WHERE expressions."""
+    """(joined, qualified) for multi-table DML — existential match.
+
+    MySQL updates/deletes a target row when ANY joined row satisfies
+    the WHERE (SQLCOM_UPDATE_MULTI evaluates the predicate per join
+    pair), so with duplicate join keys in ``other`` the decision must
+    range over every matching row, not one pinned representative.  One
+    pass over the raw pair join per target row computes:
+
+    - ``_idb_qual``  — EXISTS(pair): pair qualifies under join_type
+      semantics AND the WHERE (evaluated against that pair's ``_idb_r``
+      struct and the bare target columns);
+    - ``_idb_r``     — the lexicographically-least *qualifying* joined
+      row.  MySQL leaves the multi-match SET value undefined (whichever
+      row the join emits first) but it is always a row that passed the
+      WHERE; pinning the least qualifying row keeps that contract and
+      makes the rewrite deterministic.
+
+    ``join_type='inner'``: only join-matched pairs qualify.  ``'left'``:
+    every target row is a candidate — unmatched rows see one pair with
+    NULL join fields (``WHERE o.k IS NULL`` selects exactly those).
+
+    Shape at scale: one shuffle join on the key, one groupBy on the
+    target-row struct, one struct-equality join back — all O(|df| +
+    |other|); the struct shuffle carries the same rows the copy-on-
+    write rewrite re-writes anyway.  Spark struct equality is null-safe
+    field-wise, so NULL-bearing target rows group and join correctly.
+    """
     from pyspark.sql import functions as F
 
-    o = (
-        other.groupBy(F.col(other_key).alias("_idb_k"))
+    t_cols = list(df.columns)
+    o_raw = other.select(
+        F.col(other_key).alias("_idb_k"),
+        F.struct(*[F.col(c) for c in other.columns]).alias("_idb_r"),
+    )
+    pairs = df.join(o_raw, F.col(target_key) == F.col("_idb_k"), "left")
+    qual = (
+        F.lit(True) if join_type == "left" else F.col("_idb_k").isNotNull()
+    )
+    if where is not None:
+        qual = qual & F.coalesce(where, F.lit(False))
+    per_target = (
+        pairs.groupBy(F.struct(*[F.col(c) for c in t_cols]).alias("_idb_t"))
         .agg(
-            F.min(F.struct(*[F.col(c) for c in other.columns])).alias("_idb_r")
+            F.max(qual).alias("_idb_qual"),
+            F.min(F.when(qual, F.col("_idb_r"))).alias("_idb_r"),
         )
     )
-    joined = df.join(o, F.col(target_key) == F.col("_idb_k"), "left")
-    return joined, F.col("_idb_k").isNotNull()
+    joined = df.join(
+        per_target,
+        F.struct(*[F.col(c) for c in t_cols]).eqNullSafe(F.col("_idb_t")),
+        "left",
+    )
+    return joined, F.coalesce(F.col("_idb_qual"), F.lit(False))
 
 
 def update_table_join(
@@ -372,9 +413,12 @@ def update_table_join(
     (dialect rewrites ``alias.col`` to ``_idb_r.col``).
 
     ``join_type='inner'``: only join-matched target rows qualify.
-    ``'left'``: EVERY target row qualifies (MySQL LEFT JOIN UPDATE
+    ``'left'``: EVERY target row is a candidate (MySQL LEFT JOIN UPDATE
     semantics — unmatched rows see NULL join fields, so
     ``WHERE o.k IS NULL`` selects exactly the unmatched rows).
+    A row qualifies when ANY matching joined row satisfies the WHERE
+    (existential, MySQL's per-pair evaluation — see _join_qualified);
+    SET values come from the least qualifying joined row.
     Returns the qualifying-row count; copy-on-write swap."""
     from pyspark.sql import functions as F
 
@@ -382,11 +426,9 @@ def update_table_join(
 
     with _table_lock(table_dir, "UPDATE"):
         df = read_table(spark, table_dir)
-        joined, matched = _join_matched(df, other, target_key, other_key)
-        if join_type == "left":
-            matched = F.lit(True)  # unmatched rows qualify, _idb_r NULL
-        if where is not None:
-            matched = matched & F.coalesce(where, F.lit(False))
+        joined, matched = _join_qualified(
+            df, other, target_key, other_key, where, join_type
+        )
         n = joined.filter(matched).count()
         out = joined
         dtypes = {f.name: f.dataType for f in df.schema.fields}
@@ -420,18 +462,17 @@ def delete_from_join(
     target rows (with a true WHERE) are removed.  ``'left'``: every
     target row is a candidate with NULL join fields when unmatched —
     the classic anti-join purge is ``LEFT JOIN o ... WHERE o.k IS
-    NULL``."""
+    NULL``.  A row is deleted when ANY matching joined row satisfies
+    the WHERE (existential — see _join_qualified)."""
     from pyspark.sql import functions as F
 
     from infinidb_spark.operators.partitions import carry_disabled
 
     with _table_lock(table_dir, "DELETE"):
         df = read_table(spark, table_dir)
-        joined, matched = _join_matched(df, other, target_key, other_key)
-        if join_type == "left":
-            matched = F.lit(True)
-        if where is not None:
-            matched = matched & F.coalesce(where, F.lit(False))
+        joined, matched = _join_qualified(
+            df, other, target_key, other_key, where, join_type
+        )
         n = joined.filter(matched).count()
         out = joined.filter(~matched).select(*[F.col(c) for c in df.columns])
         new_dir = _new_version_dir(table_dir)

@@ -55,8 +55,8 @@ def register_system_catalog(spark: SparkSession) -> None:
     oracle="""
     SELECT table_name AS tablename,
            CAST(count(*) AS BIGINT) AS n_columns,
-           sum(CASE WHEN data_type = 'VARCHAR' THEN 1 ELSE 0 END) AS n_string,
-           sum(CASE WHEN data_type IN ('BIGINT', 'INTEGER') THEN 1 ELSE 0 END) AS n_int
+           CAST(sum(CASE WHEN data_type = 'VARCHAR' THEN 1 ELSE 0 END) AS BIGINT) AS n_string,
+           CAST(sum(CASE WHEN data_type IN ('BIGINT', 'INTEGER') THEN 1 ELSE 0 END) AS BIGINT) AS n_int
     FROM information_schema.columns
     WHERE table_name IN ('lineitem', 'orders', 'customer', 'nation', 'region')
     GROUP BY table_name ORDER BY table_name

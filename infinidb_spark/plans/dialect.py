@@ -71,7 +71,7 @@ def mysql_dialect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_nationkey,
            count(*)                            AS n,
            CAST(CAST(round(sum(s_acctbal), 4) AS DECIMAL(38,4)) AS VARCHAR) AS bal_sum,
-           sum(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS n_null
+           CAST(sum(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
     FROM final
     GROUP BY s_nationkey
     """,

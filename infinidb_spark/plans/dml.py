@@ -42,7 +42,7 @@ from infinidb_spark.session import load_tables
     SELECT n_regionkey,
            count(*)                       AS n,
            CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
-           sum(CASE WHEN right(n_name, 2) = '_X' THEN 1 ELSE 0 END) AS n_updated
+           CAST(sum(CASE WHEN right(n_name, 2) = '_X' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
     FROM final
     GROUP BY n_regionkey
     """,

@@ -527,7 +527,7 @@ def text_analyze_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT modality,
            count(*) AS n,
-           sum(n_bytes) AS total_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            round(avg(f0), 6) AS avg_f0
     FROM m GROUP BY modality ORDER BY modality
     """,

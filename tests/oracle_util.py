@@ -1,6 +1,12 @@
 """Mimic the driver's correctness gate: run a registered Spark query and
 its DuckDB oracle on the same parquet tables, compare row count, schema
-(column names), and order-insensitive values."""
+(column names), order-insensitive values, AND Arrow dtype compatibility.
+
+The dtype check exists because the driver's value hash is type-sensitive:
+r04 had four queries with repr-identical values that hash-FAILED purely
+because DuckDB ``sum(int)`` returns HUGEINT → decimal128 while Spark
+returns int64.  The old compare() stringified values and never saw it.
+"""
 
 from __future__ import annotations
 
@@ -8,6 +14,7 @@ import math
 import os
 
 import duckdb
+import pyarrow as pa
 
 from infinidb_spark.session import TPCH_TABLES
 
@@ -37,15 +44,101 @@ def _canon(v):
     return str(v)
 
 
+def _canon_arrow_type(t: pa.DataType) -> str:
+    """Canonical name for an Arrow dtype — strict enough that int64 vs
+    decimal128 (the r04 driver-hash failure class) differs, loose enough
+    that representation variants (large_string, timestamp units) don't."""
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        # width-insensitive: the driver hash passed r04 queries with
+        # spark int32 vs duck int64 (text_quality) — only the int-vs-
+        # decimal128 class fails.
+        return "int"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_canon_arrow_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def _canon_spark_type(t) -> str:
+    """Same canonical space, from a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(t, T.FloatType):
+        return "float32"
+    if isinstance(t, T.DoubleType):
+        return "float64"
+    if isinstance(t, T.DecimalType):
+        return f"decimal({t.precision},{t.scale})"
+    if isinstance(t, T.StringType):
+        return "string"
+    if isinstance(t, T.BinaryType):
+        return "binary"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(t, T.ArrayType):
+        return f"list<{_canon_spark_type(t.elementType)}>"
+    if isinstance(t, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{_canon_spark_type(f.dataType)}" for f in t.fields
+        )
+        return f"struct<{inner}>"
+    return t.simpleString()
+
+
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     sp_rows = spark_df.collect()
     sp_cols = list(spark_df.columns)
+    # one execution for dtypes (arrow), one for values (python objects,
+    # same canon path as before) — oracles are pure SELECTs, so rerun is
+    # safe and keeps _canon behavior unchanged.
+    arrow = con.execute(sql).fetch_arrow_table()
     duck = con.execute(sql)
     du_cols = [d[0] for d in duck.description]
     du_rows = duck.fetchall()
 
     if sorted(sp_cols) != sorted(du_cols):
         return False, f"schema mismatch: spark={sorted(sp_cols)} duck={sorted(du_cols)}"
+
+    sp_types = {f.name: _canon_spark_type(f.dataType) for f in spark_df.schema.fields}
+    du_types = {
+        arrow.schema.field(i).name: _canon_arrow_type(arrow.schema.field(i).type)
+        for i in range(len(arrow.schema))
+    }
+    type_diffs = [
+        f"{c}: spark={sp_types[c]} duck={du_types[c]}"
+        for c in sp_cols
+        if sp_types[c] != du_types[c]
+    ]
+    if type_diffs:
+        return False, "dtype mismatch (driver hash is type-sensitive): " + "; ".join(
+            type_diffs
+        )
+
     if len(sp_rows) != len(du_rows):
         return False, f"row count mismatch: spark={len(sp_rows)} duck={len(du_rows)}"
 

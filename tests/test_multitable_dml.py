@@ -91,6 +91,35 @@ def test_on_duplicate_key_clause_dropped(sess):
     assert rows[8] == 80
 
 
+def test_on_duplicate_words_not_truncated_mid_statement():
+    """A join/where that merely produces the word sequence ON …
+    DUPLICATE … KEY … UPDATE (non-adjacent, or below paren depth 0)
+    must NOT truncate the statement; the real trailing clause must."""
+    from infinidb_spark.dialect import _strip_on_duplicate, tokenize
+
+    # non-adjacent words (syms between): old word-list scan truncated here
+    sql = (
+        "INSERT INTO t SELECT a.id FROM a JOIN b "
+        "ON a.duplicate = b.key WHERE b.update_ts > 0"
+    )
+    toks = tokenize(sql)
+    assert _strip_on_duplicate(toks) == toks
+    # unqualified bare columns, still separated by '=' → keep
+    sql2 = "INSERT INTO t SELECT id FROM a JOIN b ON duplicate = key"
+    toks2 = tokenize(sql2)
+    assert _strip_on_duplicate(toks2) == toks2
+    # adjacent but inside parens (subquery alias scope) → keep
+    sql3 = "INSERT INTO t SELECT * FROM (SELECT 1 AS x /* ON DUPLICATE KEY UPDATE */) q"
+    toks3 = tokenize(sql3)
+    assert _strip_on_duplicate(toks3) == toks3
+    # the genuine clause, adjacent at depth 0 → stripped
+    sql4 = "INSERT INTO t VALUES (1) ON DUPLICATE KEY UPDATE v = 0"
+    toks4 = tokenize(sql4)
+    stripped = _strip_on_duplicate(toks4)
+    text = "".join(t[1] for t in stripped if t[0] != "ws")
+    assert "DUPLICATE" not in text.upper()
+
+
 @pytest.mark.parametrize("stmt", [
     "CREATE INDEX i1 ON m1 (id)",
     "CREATE UNIQUE INDEX i2 ON m1 (id)",

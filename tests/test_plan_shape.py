@@ -237,20 +237,47 @@ def test_minhash_incremental_no_corpus_text_read(queries, spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_multi_table_update_preaggregates_join_side(spark, sf_dir):
-    """update_table_join: the joined relation reduces to ONE row per
-    key BEFORE the join (no row multiplication of the target)."""
+def test_multi_table_update_no_target_duplication(spark, sf_dir):
+    """_join_qualified: pair qualification aggregates back to ONE row
+    per target row (no row multiplication of the target), with the
+    existential EXISTS decided over EVERY matching joined row."""
     from pyspark.sql import functions as F
 
-    from infinidb_spark.operators.dml import _join_matched
+    from infinidb_spark.operators.dml import _join_qualified
     from infinidb_spark.session import load_tables
 
     t = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
     n = load_tables(spark, sf_dir, names=("nation",))["nation"]
-    joined, _ = _join_matched(
-        t.select("s_suppkey", "s_nationkey"), n, "s_nationkey", "n_nationkey"
+    joined, qual = _join_qualified(
+        t.select("s_suppkey", "s_nationkey"), n, "s_nationkey", "n_nationkey",
+        None, "inner",
     )
     plan = _physical(joined)
-    # the aggregate (min-struct per key) sits below the join
-    assert "HashAggregate" in plan or "SortAggregate" in plan
+    # the per-target-row EXISTS/min-qualifying-row aggregate is present
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
     assert joined.count() == t.count()  # no duplication
+    # every supplier's nation exists → all rows qualify
+    assert joined.filter(qual).count() == t.count()
+
+
+def test_multi_table_update_existential_where(spark):
+    """MySQL semantics: a target row qualifies when ANY matching joined
+    row satisfies the WHERE — not just a pinned representative.  With
+    duplicate join keys where only the lexicographically-GREATER row
+    passes the WHERE, the pinned-row design would skip the update."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dml import _join_qualified
+
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    o = spark.createDataFrame(
+        [(1, 0), (1, 5), (2, 0)], "ok int, c int"
+    )
+    joined, qual = _join_qualified(
+        t, o, "k", "ok", F.col("_idb_r.c") == 5, "inner"
+    )
+    got = {r["k"]: r["q"] for r in joined.select("k", qual.alias("q")).collect()}
+    assert got == {1: True, 2: False}
+    # SET values come from the least QUALIFYING row (c=5, not min c=0)
+    row = joined.filter(F.col("k") == 1).select("_idb_r.c").collect()[0][0]
+    assert row == 5
