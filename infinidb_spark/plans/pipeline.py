@@ -429,10 +429,20 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_analyze")  # rows-only: lang-id heuristic + xxhash fingerprint
+@query("text_analyze")  # rows-only BY DESIGN — pinned by its portable twin
 def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-analysis projection: tokens, subwords, stopword ratio,
-    language guess, composite quality, rolling-hash fingerprint."""
+    language guess, composite quality, rolling-hash fingerprint.
+
+    PINNED-BY-TWIN: this production surface fingerprints with xxhash64
+    (JVM codegen, not reproducible in DuckDB), so no portable oracle can
+    exist for THIS registration and the driver records a rows-only
+    check.  Its hash pin is ``text_analyze_portable``: the IDENTICAL
+    ``T.analyze`` pipeline over the SAME full table in portable-hash
+    mode (md5-derived rolling hash), hash-verified against a DuckDB
+    replay of every column.  The only code difference between the two
+    registrations is the hash primitive, so a green portable row
+    certifies this one's logic end-to-end."""
     (docs,) = _t(spark, sf_dir, "documents")
     return T.analyze(docs)
 
@@ -499,13 +509,14 @@ def _text_analyze_oracle_sql(doc_filter: str = "doc_id < 250") -> str:
     """
 
 
-@query("text_analyze_portable", oracle=_text_analyze_oracle_sql())
+@query("text_analyze_portable", oracle=_text_analyze_oracle_sql("doc_id >= 0"))
 def text_analyze_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """analyze() in portable-hash mode: every metric INCLUDING the
-    rolling-hash fingerprint is hash-verified against DuckDB replaying
-    the same pipeline in SQL."""
+    """analyze() in portable-hash mode over the FULL documents table:
+    every metric INCLUDING the rolling-hash fingerprint is hash-verified
+    against DuckDB replaying the same pipeline in SQL.  This is the hash
+    pin for the rows-only ``text_analyze`` production registration."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return T.analyze(docs.filter(F.col("doc_id") < 250), portable_hash=True)
+    return T.analyze(docs, portable_hash=True)
 
 
 @query(

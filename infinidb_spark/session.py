@@ -200,6 +200,7 @@ class InfiniSession:
         InfiniSession._CONN_SEQ += 1
         self._conn_id: int = InfiniSession._CONN_SEQ
         self._last_insert_id: int = 0
+        self._pending_sleeps: list[float] = []
         self._found_rows: int = 0
         self._row_count: int = -1
         self._sysvars: dict[str, str] = {
@@ -516,7 +517,14 @@ class InfiniSession:
 
     def _substitute_session_funcs(self, toks, d):
         """Inline ``DATABASE()``-family calls with session-state
-        literals.  Token shape: word '(' [args] ')'."""
+        literals.  Token shape: word '(' [args] ')'.
+
+        SLEEP is side-effecting, so it is NOT executed here — the delay
+        is queued on ``self._pending_sleeps`` and fired by
+        ``_drain_sleeps()`` only after the statement classifies
+        successfully (a statement that fails to parse must not have
+        slept, mirroring mysqld's evaluate-at-execution order)."""
+        self._pending_sleeps = []
         out = []
         i = 0
         while i < len(toks):
@@ -532,14 +540,27 @@ class InfiniSession:
                     elif name == "connection_id":
                         out.append(("number", str(self._conn_id)))
                     elif name == "last_insert_id":
-                        out.append(("number", str(self._last_insert_id)))
+                        if d._next_code(inner, 0) is not None:
+                            # LAST_INSERT_ID(expr): MySQL stores expr as
+                            # the new session value AND returns it (the
+                            # documented sequence-emulation form)
+                            arg = d.render(inner).strip()
+                            try:
+                                val = int(arg)
+                            except ValueError:
+                                raise d.DialectError(
+                                    "LAST_INSERT_ID(expr) supports integer "
+                                    "literals only"
+                                ) from None
+                            self._last_insert_id = val
+                            out.append(("number", str(val)))
+                        else:
+                            out.append(("number", str(self._last_insert_id)))
                     elif name == "found_rows":
                         out.append(("number", str(self._found_rows)))
                     elif name == "row_count":
                         out.append(("number", str(self._row_count)))
                     elif name == "sleep":
-                        import time as _t
-
                         arg = d.render(inner).strip()
                         try:
                             secs = float(arg)
@@ -547,7 +568,9 @@ class InfiniSession:
                             raise d.DialectError(
                                 "SLEEP expects a numeric literal"
                             ) from None
-                        _t.sleep(min(max(secs, 0.0), 30.0))  # capped
+                        # deferred — fired by _drain_sleeps() after the
+                        # statement classifies (capped at 30 s)
+                        self._pending_sleeps.append(min(max(secs, 0.0), 30.0))
                         out.append(("number", "0"))
                     else:  # benchmark(n, expr): MySQL always returns 0
                         out.append(("number", "0"))
@@ -556,6 +579,16 @@ class InfiniSession:
             out.append(t)
             i += 1
         return out
+
+    def _drain_sleeps(self):
+        """Fire SLEEP() delays queued during token substitution — called
+        once the statement has classified successfully, never on a parse
+        error path."""
+        import time as _t
+
+        pend, self._pending_sleeps = self._pending_sleeps, []
+        for secs in pend:
+            _t.sleep(secs)
 
     def _table_maint(self, op: str, tables: list[str]):
         """CHECK / ANALYZE / OPTIMIZE / REPAIR TABLE — MySQL's
@@ -937,6 +970,7 @@ class InfiniSession:
         # MySQL's documented behavior)
         set_var = d.parse_set_user_var(toks)
         if set_var is not None:
+            self._drain_sleeps()
             name, expr = set_var
             expr = d.render(
                 d.substitute_user_vars(d.tokenize(expr), self._user_vars)
@@ -1008,10 +1042,17 @@ class InfiniSession:
             st = d.parse_statement(statement)
         except d.DialectError:
             if vtable_mode == "2":
+                self._drain_sleeps()  # statement still executes
                 return self.sql(statement, dialect="spark")
             if vtable_mode != "0":
-                raise
+                raise  # parse error: queued SLEEPs never fire
+            self._drain_sleeps()
             return self._standard_mode_fallback(statement)
+        if st["kind"] != "select":
+            # genuinely grammar-classified — safe to fire queued SLEEPs.
+            # 'select' is the catch-all kind; its SLEEPs fire only after
+            # the dialect translation succeeds (below).
+            self._drain_sleeps()
         if st["kind"] == "begin":
             self.begin()
             return 0
@@ -1048,6 +1089,7 @@ class InfiniSession:
                 # standard mode ALWAYS: queries skip the dialect layer
                 # (SET/DDL/DML still route through the engine, the way
                 # the reference's standard mode still uses the handler)
+                self._drain_sleeps()
                 return self.sql(statement, dialect="spark")
             has_calc_found_rows = any(
                 t[0] == "word" and t[1].upper() == "SQL_CALC_FOUND_ROWS"
@@ -1071,11 +1113,14 @@ class InfiniSession:
             # sql(dialect="mysql") takes (the SELECT INTO @var fix's
             # rule, applied to the plain form too)
             try:
-                return self.sql(statement, dialect="mysql")
+                df = self.sql(statement, dialect="mysql")
             except d.DialectError:
                 if vtable_mode != "0":
-                    raise
+                    raise  # untranslatable: queued SLEEPs never fire
+                self._drain_sleeps()
                 return self._standard_mode_fallback(statement)
+            self._drain_sleeps()  # translation succeeded
+            return df
         if st["kind"] == "select_into_outfile":
             from infinidb_spark.sources.export import export_outfile
 

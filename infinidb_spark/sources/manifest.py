@@ -245,10 +245,16 @@ def cached_manifest(path: str) -> list[dict[str, Any]]:
                     side is not None
                     and side[0] == st.st_mtime_ns
                     and side[1] == st.st_size
+                    # harvest-time inode must match when the sidecar has
+                    # one (v2.1+); a same-(mtime,size) in-place rewrite
+                    # changes inode → re-harvest instead of serving stale
+                    # min/max.  A RELOCATED table's inodes differ too —
+                    # re-harvest is the conservative, correct outcome.
+                    and (side[2] is None or side[2] == st.st_ino)
                 ):
                     # cold-start seed from the ANALYZE-persisted sidecar
                     # (the BRM save-file): no footer read needed
-                    cached = _FILE_ENTRY_CACHE[fkey] = side[2]
+                    cached = _FILE_ENTRY_CACHE[fkey] = side[3]
                 else:
                     cached = _FILE_ENTRY_CACHE[fkey] = _harvest_file(f)
             # stats are path-independent; the entry's file is not
@@ -421,6 +427,11 @@ def write_manifest(manifest: list[dict[str, Any]], out_path: str) -> None:
             "basename": os.path.basename(e["file"]),
             "mtime_ns": st.st_mtime_ns,
             "size": st.st_size,
+            # harvest-time inode: a file rewritten in place with an
+            # identical (mtime_ns, size) — clock-granularity collisions,
+            # same-length rewrite — still changes inode on the rename-
+            # into-place write path, so seeding can detect it
+            "ino": st.st_ino,
             "rows": e["rows"],
             "columns": {
                 name: {
@@ -446,9 +457,22 @@ def read_manifest(in_path: str) -> list[dict[str, Any]]:
     if isinstance(data, list):  # legacy v1 (repr-JSON) — stats as str
         return data
     base = data.get("dir")
-    if not base or not os.path.isdir(base):
+    side_home = os.path.dirname(os.path.abspath(in_path))
+    names = [e.get("basename") for e in data.get("entries", [])]
+    if (
+        base
+        and base != side_home
+        and names
+        and all(os.path.exists(os.path.join(side_home, n)) for n in names)
+    ):
+        # a table copied/restored TOGETHER with its sidecar resolves
+        # against the sidecar's own directory even when the original
+        # 'dir' still exists — otherwise the restored copy silently
+        # reads stats pointing at the original's files
+        base = side_home
+    elif not base or not os.path.isdir(base):
         # table relocated/restored: resolve against the sidecar's home
-        base = os.path.dirname(os.path.abspath(in_path))
+        base = side_home
     out = []
     for e in data.get("entries", []):
         out.append({
@@ -467,8 +491,9 @@ def read_manifest(in_path: str) -> list[dict[str, Any]]:
 
 
 def _sidecar_seed(real_dir: str) -> dict[str, tuple[int, int, dict]]:
-    """{basename: (mtime_ns, size, entry)} from a v2 sidecar, empty on
-    absence/legacy/corruption — purely an optimization source."""
+    """{basename: (mtime_ns, size, ino|None, entry)} from a v2 sidecar,
+    empty on absence/legacy/corruption — purely an optimization source.
+    ``ino`` is None for sidecars written before the inode key existed."""
     p = os.path.join(real_dir, SIDECAR_NAME)
     try:
         with open(p) as fh:
@@ -480,6 +505,7 @@ def _sidecar_seed(real_dir: str) -> dict[str, tuple[int, int, dict]]:
             out[e["basename"]] = (
                 e["mtime_ns"],
                 e["size"],
+                e.get("ino"),
                 {
                     "rows": e["rows"],
                     "columns": {

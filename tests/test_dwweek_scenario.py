@@ -78,3 +78,117 @@ def test_week_cycle(spark, sf_dir):
             ).count() > 0
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_concurrent_nightly_writers_two_tables(spark, sf_dir):
+    """dwDMrun.sh's nightly pattern from TWO sessions at once: each
+    session runs its cpimport-style load + UPDATE/DELETE on its OWN
+    table concurrently, while daytime readers poll both tables.  The
+    single-writer-per-table design must let disjoint-table writers
+    proceed in parallel, and every successful read must be atomically
+    consistent (a pre- or post-statement state, never a torn mix)."""
+    import threading
+
+    from infinidb_spark.session import InfiniSession
+
+    s1 = InfiniSession(spark, sf_dir)
+    s2 = InfiniSession(spark, sf_dir)
+    nation = load_tables(spark, sf_dir, names=("nation",))["nation"]
+    region = load_tables(spark, sf_dir, names=("region",))["region"]
+    s1.create_table_as("dw_a", nation.select("n_nationkey", "n_regionkey"))
+    s2.create_table_as("dw_b", region.select("r_regionkey"))
+    path_a = s1._managed["dw_a"]
+    path_b = s2._managed["dw_b"]
+    errors: list = []
+    stop = threading.Event()
+
+    def night(sess, table, key):
+        try:
+            sess.execute(f"INSERT INTO {table} ({key}) VALUES (900), (901)")
+            sess.execute(f"UPDATE {table} SET {key} = {key} + 1000 WHERE {key} >= 900")
+            sess.execute(f"DELETE FROM {table} WHERE {key} = 1901")
+        except Exception as e:  # surfaced after join
+            errors.append((table, e))
+
+    def reader(path, valid_counts):
+        ok_reads = 0
+        while not stop.is_set() or ok_reads == 0:
+            try:
+                c = spark.read.parquet(path).count()
+            except Exception:
+                continue  # lost the swap race mid-plan: re-plan, like a retry
+            assert c in valid_counts, f"torn read: {c} not in {valid_counts}"
+            ok_reads += 1
+        assert ok_reads > 0
+
+    n_a, n_b = nation.count(), region.count()
+    # states: initial, +2 inserted, updated (same count), one deleted
+    readers = [
+        threading.Thread(target=reader, args=(path_a, {n_a, n_a + 2, n_a + 1})),
+        threading.Thread(target=reader, args=(path_b, {n_b, n_b + 2, n_b + 1})),
+    ]
+    writers = [
+        threading.Thread(target=night, args=(s1, "dw_a", "n_nationkey")),
+        threading.Thread(target=night, args=(s2, "dw_b", "r_regionkey")),
+    ]
+    for t in readers + writers:
+        t.start()
+    for t in writers:
+        t.join(timeout=300)
+    stop.set()
+    for t in readers:
+        t.join(timeout=60)
+    assert not errors, errors
+    # end states: both nightly passes fully applied
+    a = spark.read.parquet(path_a)
+    assert a.count() == n_a + 1
+    assert a.filter(F.col("n_nationkey") == 1900).count() == 1
+    b = spark.read.parquet(path_b)
+    assert b.count() == n_b + 1
+    assert b.filter(F.col("r_regionkey") == 1900).count() == 1
+
+
+def test_same_table_writer_contention_and_recovery(spark, sf_dir):
+    """Two writers on the SAME table: the O_EXCL lock file makes the
+    second fail fast with the reference's calcleartablelock guidance
+    (`ha_calpont_impl.cpp:1966-2061` lock semantics), and
+    clear_table_lock is the manual recovery that lets DML proceed."""
+    import pytest
+
+    from infinidb_spark.operators.dml import (
+        _table_lock,
+        clear_table_lock,
+        create_table,
+        update_table,
+        view_table_locks,
+    )
+
+    nation = load_tables(spark, sf_dir, names=("nation",))["nation"]
+    workdir = tempfile.mkdtemp(prefix="infinidb_lockc_")
+    table = os.path.join(workdir, "nation")
+    try:
+        create_table(nation, table)
+        with _table_lock(table, "UPDATE"):
+            # a second writer must NOT queue silently — fail fast
+            with pytest.raises(RuntimeError, match="calcleartablelock"):
+                update_table(
+                    spark, table, F.col("n_regionkey") == 1,
+                    {"n_name": F.lit("X")},
+                )
+            locks = view_table_locks(workdir, "nation")
+            assert len(locks) == 1 and locks[0]["op"] == "UPDATE"
+        # lock released on exit: DML proceeds
+        n = update_table(
+            spark, table, F.col("n_regionkey") == 1, {"n_name": F.lit("X")}
+        )
+        assert n > 0
+        # stale-lock recovery: simulate a dead writer's leftover lock
+        with _table_lock(table, "DML"):
+            (stale,) = view_table_locks(workdir, "nation")
+            assert clear_table_lock(workdir, stale["lock_id"])
+            n2 = update_table(
+                spark, table, F.col("n_regionkey") == 2, {"n_name": F.lit("Y")}
+            )
+            assert n2 > 0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

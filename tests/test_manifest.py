@@ -9,6 +9,7 @@ dropped at plan time, and pruning never changes results
 from __future__ import annotations
 
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -272,3 +273,66 @@ def test_sidecar_roundtrip_preserves_types_and_seeds_cold_start(spark, tmp_path,
     # pruning works off the seeded stats
     assert M.prune(got, [("amt", ">", decimal.Decimal("50"))]) == []
     assert len(M.prune(got, [("amt", "<=", 25)])) == 1
+
+
+def test_restored_copy_resolves_against_its_own_directory(spark, tmp_path):
+    """A table directory copied/restored TOGETHER with its sidecar must
+    resolve manifest entries against the COPY's directory, even while
+    the original directory still exists (review finding: the persisted
+    absolute 'dir' used to win whenever it was still present)."""
+    import shutil
+
+    from infinidb_spark.sources import manifest as M
+
+    orig = str(tmp_path / "orig")
+    spark.createDataFrame([(1, 10), (2, 20)], "id long, v long").coalesce(
+        1
+    ).write.parquet(orig)
+    m = [e for e in M.build_manifest(orig) if e["rows"]]
+    M.write_manifest(m, os.path.join(orig, M.SIDECAR_NAME))
+
+    restored = str(tmp_path / "restored")
+    shutil.copytree(orig, restored)
+
+    loaded = M.read_manifest(os.path.join(restored, M.SIDECAR_NAME))
+    assert loaded, "restored sidecar must load"
+    for e in loaded:
+        assert e["file"].startswith(restored + os.sep), e["file"]
+    # the original's sidecar still resolves against the original
+    loaded_orig = M.read_manifest(os.path.join(orig, M.SIDECAR_NAME))
+    for e in loaded_orig:
+        assert e["file"].startswith(orig + os.sep), e["file"]
+
+
+def test_sidecar_inode_mismatch_triggers_reharvest(spark, tmp_path, monkeypatch):
+    """A file rewritten with IDENTICAL (mtime_ns, size) but a new inode
+    must NOT be served from the sidecar seed (stale min/max could
+    mis-prune); the harvest-time inode in the v2 sidecar catches it."""
+    from infinidb_spark.sources import manifest as M
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.parquet(path)
+    m = [e for e in M.build_manifest(path) if e["rows"]]
+    M.write_manifest(m, os.path.join(path, M.SIDECAR_NAME))
+
+    # rewrite the data file via copy+rename (new inode), pin old mtime
+    f = m[0]["file"]
+    st = os.stat(f)
+    tmp = f + ".new"
+    shutil.copyfile(f, tmp)
+    os.utime(tmp, ns=(st.st_atime_ns, st.st_mtime_ns))
+    os.replace(tmp, f)
+    st2 = os.stat(f)
+    assert (st2.st_mtime_ns, st2.st_size) == (st.st_mtime_ns, st.st_size)
+    if st2.st_ino == st.st_ino:
+        pytest.skip("filesystem reused the inode — scenario not reproducible")
+
+    M._MANIFEST_CACHE.clear()
+    M._FILE_ENTRY_CACHE.clear()
+    harvested = []
+    real_harvest = M._harvest_file
+    monkeypatch.setattr(
+        M, "_harvest_file", lambda p: (harvested.append(p), real_harvest(p))[1]
+    )
+    M.cached_manifest(path)
+    assert harvested, "inode change must force a re-harvest"

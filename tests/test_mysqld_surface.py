@@ -49,6 +49,40 @@ def test_last_insert_id_and_row_count(spark, sf_dir):
     assert s.execute("SELECT LAST_INSERT_ID() AS li").collect()[0].li == 4
 
 
+def test_last_insert_id_with_argument_sets_and_returns(sess):
+    """MySQL: LAST_INSERT_ID(expr) stores expr as the session value AND
+    returns it (sequence emulation); a non-literal argument raises
+    instead of silently returning the stored value."""
+    import pytest
+
+    from infinidb_spark.dialect import DialectError
+
+    assert sess.execute("SELECT LAST_INSERT_ID(42) AS li").collect()[0].li == 42
+    assert sess.execute("SELECT LAST_INSERT_ID() AS li").collect()[0].li == 42
+    with pytest.raises(DialectError, match="integer literals"):
+        sess.execute("SELECT LAST_INSERT_ID(c_custkey) AS li FROM customer")
+
+
+def test_sleep_deferred_until_statement_classifies(sess):
+    """SLEEP must not fire during token substitution: a statement that
+    fails to parse must not have slept."""
+    import time
+
+    import pytest
+
+    from infinidb_spark.dialect import DialectError
+
+    t0 = time.monotonic()
+    with pytest.raises(Exception):
+        # SLEEP present, but the statement is unparseable garbage
+        sess.execute("FROBNICATE SLEEP(2) WITH NONSENSE")
+    assert time.monotonic() - t0 < 1.5, "SLEEP fired before classification"
+    # a parseable statement still sleeps
+    t0 = time.monotonic()
+    assert sess.execute("SELECT SLEEP(0.3) AS s").collect()[0].s == 0
+    assert time.monotonic() - t0 >= 0.25
+
+
 def test_found_rows(sess):
     df = sess.execute(
         "SELECT SQL_CALC_FOUND_ROWS c_custkey FROM customer "

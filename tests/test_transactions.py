@@ -172,3 +172,52 @@ def test_show_processlist(sess):
     assert rows[0].Id == sess._conn_id and rows[0].Command == "Query"
     cols = sess.execute("SHOW FULL PROCESSLIST").columns
     assert cols == ["Id", "User", "Host", "db", "Command", "Time", "State", "Info"]
+
+
+def test_kill_cancels_running_scan_at_sf01(spark):
+    """KILL <1000+jobId> during a real scan at sf0.1: the processlist id
+    plumbing must locate the live Spark job and cancelJob must abort the
+    in-flight collect (the reference's KILL QUERY through ExeMgr).  This
+    exercises the cancel path OUTSIDE the happy path — the query is
+    mid-shuffle when the kill lands."""
+    import threading
+    import time
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    s = InfiniSession(spark, sf_dir)
+    result: dict = {}
+
+    def run_big():
+        try:
+            # ~360M join pairs at sf0.1 — runs for tens of seconds,
+            # cannot finish before the kill lands
+            result["rows"] = s.sql(
+                "SELECT a.l_suppkey, count(*) AS c "
+                "FROM lineitem a JOIN lineitem b ON a.l_suppkey = b.l_suppkey "
+                "JOIN lineitem c ON b.l_suppkey = c.l_suppkey "
+                "GROUP BY a.l_suppkey"
+            ).collect()
+        except Exception as e:
+            result["err"] = e
+
+    t = threading.Thread(target=run_big)
+    t.start()
+    job_row = None
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and job_row is None and t.is_alive():
+        rows = s.execute("SHOW PROCESSLIST").collect()
+        jobs = [r for r in rows if r.Id >= s._JOB_ID_OFFSET]
+        if jobs:
+            job_row = jobs[0]
+        else:
+            time.sleep(0.2)
+    assert job_row is not None, "scan never appeared in SHOW PROCESSLIST"
+    assert s.execute(f"KILL {job_row.Id}") == 0
+    t.join(timeout=120)
+    assert not t.is_alive(), "collect did not abort after KILL"
+    assert "err" in result, "query completed despite KILL"
+    # unknown ids still raise (ER_NO_SUCH_THREAD analog)
+    with pytest.raises(KeyError):
+        s.execute("KILL 999999999")
