@@ -278,7 +278,9 @@ def minhash_lsh_pairs(
     # nothing after pushdown; recomputing beats caching the corpus-wide
     # shingle relation for a second pass at every scale.  At 100 TB, if
     # pairs outgrow broadcast, the same joins run shuffled on id keys.
-    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct()
+    # no .distinct() here: the left-semi join dedups by construction, so
+    # the distinct's exchange + aggregate stage would be pure overhead
+    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
     cand_docs = df.join(
         F.broadcast(cand_ids), F.col(id_col) == cand_ids["_id"], "leftsemi"
     )

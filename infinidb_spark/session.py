@@ -55,6 +55,11 @@ def get_spark(app_name: str = "infinidb-spark", cpus: int | None = None) -> Spar
         # splitting — replaces reference RowEstimator + DiskJoinStep logic.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory target size when coalescing instead of
+        # maximizing parallelism — the Spark-docs-recommended setting:
+        # small shuffle stages collapse to few tasks (scheduling cost ∝
+        # tasks), while large stages still split by the 64 MB advisory
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # PM-join small-side cap 64MB (resourcemanager.h:56) → broadcast cap.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
