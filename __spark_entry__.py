@@ -102,6 +102,9 @@ _PRIORITY = [
     "mysql_dml_statements",
     "system_catalog",
     "multimodal_features",
+    # ── added round 5 — first driver verdicts ──
+    "text_classifier_quality",
+    "embedding_pq",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

@@ -85,3 +85,135 @@ def quant_abs_errors(vec: Column, scale: Column) -> Column:
     engines compute identically (max possible value: s/2)."""
     v = _d(vec)
     return F.transform(v, lambda x: F.abs(x - F.floor(x / scale + F.lit(0.5)) * scale))
+
+
+def pq_fit_encode(
+    df,
+    m: int = 8,
+    k: int = 8,
+    iters: int = 2,
+    stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Product quantization (PQ) — train per-subspace codebooks and
+    encode every vector, the compression layer of a canonical
+    billion-scale ANN index (IVF for routing + PQ for storage: a D-dim
+    float32 vector becomes ``m`` byte codes, a 32×+ shrink).
+
+    The vector splits into ``m`` contiguous subvectors; each subspace
+    gets its own ``k``-centroid Euclidean Lloyd clustering, and a
+    vector's code in subspace ``s`` is its nearest sub-centroid.
+
+    Deterministic by construction (the kmeans_fit_predict contract, so
+    any engine replays it exactly): seeds are the stride-sampled
+    vectors' subvectors (``id % stride == 0``, first ``k`` by id);
+    squared distances are summed dim-by-dim left-to-right and rounded
+    to 9 dp before the argmin with ties to the lowest code; centroid
+    dim-means are rounded to 9 dp; ``iters`` is fixed.
+
+    Scale shape: assignment is a PURE PROJECTION over broadcast-literal
+    codebooks (no join, no shuffle); each Lloyd update explodes vector
+    dims into rows and runs ONE codegen'd groupBy(subspace, code, dim)
+    average whose m×k×(D/m) = k×D result is the bounded model collect —
+    identical contract to train_ivf_centroids.  Encoding the corpus is
+    map-only.
+
+    Returns the LONG encoding relation (id, subspace, code, err2) —
+    err2 is the rounded squared distance to the assigned sub-centroid
+    (the per-subspace reconstruction error the serving gate audits).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    seed_rows = (
+        base.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()  # bounded: k vectors — the training sample
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} stride-sampled seed vectors, got {len(seed_rows)}")
+    dim = len(seed_rows[0]["_v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d0 = dim // m
+    # codebooks[s] = [(code, [d0 floats])], codes 0..k-1 in seed order
+    codebooks = [
+        [(c, [float(x) for x in r["_v"][s * d0 : (s + 1) * d0]])
+         for c, r in enumerate(seed_rows)]
+        for s in range(m)
+    ]
+
+    def _best(s: int):
+        """struct(d, c): rounded squared distance + code of the nearest
+        sub-centroid in subspace s — dim-by-dim left-to-right sum, so
+        the arithmetic order is reproducible in any engine."""
+        entries = []
+        for code, cv in codebooks[s]:
+            d2 = F.lit(0.0)
+            for i, w in enumerate(cv):
+                x = F.element_at(F.col("_v"), s * d0 + i + 1) - F.lit(w)
+                d2 = d2 + x * x
+            entries.append(
+                F.struct(F.round(d2, 9).alias("d"), F.lit(code).alias("c"))
+            )
+        return F.array_min(F.array(*entries))
+
+    for _ in range(max(iters - 1, 0)):
+        assigned = base.select(
+            F.col(id_col),
+            "_v",
+            *[_best(s)["c"].alias(f"_c{s}") for s in range(m)],
+        )
+        longd = assigned.select(
+            F.posexplode("_v").alias("_p", "_x"),
+            *[F.col(f"_c{s}") for s in range(m)],
+        ).select(
+            (F.col("_p") / d0).cast("int").alias("_s"),
+            (F.col("_p") % d0).alias("_dd"),
+            F.element_at(
+                F.array(*[F.col(f"_c{s}") for s in range(m)]),
+                (F.col("_p") / d0).cast("int") + 1,
+            ).alias("_code"),
+            "_x",
+        )
+        means = (
+            longd.groupBy("_s", "_code", "_dd")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()  # bounded: m × k × d0 = k × dim — the model update
+        )
+        new_books: list[dict[int, dict[int, float]]] = [dict() for _ in range(m)]
+        for r in means:
+            new_books[int(r["_s"])].setdefault(int(r["_code"]), {})[int(r["_dd"])] = (
+                round(float(r["_m"]), 9)
+            )
+        codebooks = [
+            [(code, [dims[i] for i in range(d0)])
+             for code, dims in sorted(new_books[s].items())]
+            for s in range(m)
+        ]
+
+    enc = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        _best(s)["c"].alias("code"),
+                        _best(s)["d"].alias("err2"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_e"),
+    )
+    return enc.select(
+        id_col,
+        F.col("_e.subspace").alias("subspace"),
+        F.col("_e.code").alias("code"),
+        F.col("_e.err2").alias("err2"),
+    )

@@ -310,3 +310,72 @@ def window_dup_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def classifier_weights(n_buckets: int = 64) -> list[float]:
+    """Deterministic demo weights for the hashed bag-of-words quality
+    classifier: w[j] ∈ [-1, 1] in EXACT 1/1024 steps (binary fractions,
+    so per-document weight sums are exact in float64 — no cross-engine
+    accumulation drift).  A real deployment swaps in trained fastText /
+    logistic-regression weights of the same shape; nothing else in the
+    scoring plan changes."""
+    out = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(n_buckets):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append(((state % 2049) - 1024) / 1024.0)
+    return out
+
+
+def classify_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: list[float] | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Hashed bag-of-words linear quality classifier — the fastText /
+    CCNet-style model-based quality filter every LLM data pipeline runs
+    after the heuristic rules.
+
+    Scoring plan (all codegen, ONE shuffle): explode tokens to rows,
+    hash each token into one of ``len(weights)`` buckets, look its
+    weight up in a literal array, and mean-pool per document:
+    ``score = Σ w[bucket(tok)] / n_tokens``.  The output is the LINEAR
+    score (monotone with the sigmoid probability) so the keep/drop
+    decision ``score >= 0`` is identical to ``sigmoid(score) >= 0.5`` —
+    and the comparison stays exact across engines (no transcendental).
+
+    At 100 TB: map-side explode + hash + array lookup, one groupBy(id)
+    shuffle carrying (id, partial-sum, partial-count) after partial
+    aggregation — the same shape as the MinHash signature aggregation
+    (operators/dedup.py), which is the proven scale path.
+
+    ``portable_hash=True`` buckets via md5 (reproducible in any SQL
+    engine — the DuckDB oracle mode); the default is xxhash64 (JVM
+    codegen, the 100 TB path).  Same plan shape either way.
+    """
+    weights = weights or classifier_weights()
+    n_b = len(weights)
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    tok = F.col("_tok")
+    if portable_hash:
+        bucket = F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long") % n_b
+    else:
+        bucket = F.pmod(F.xxhash64(tok), F.lit(n_b))
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
+        .filter(tok != "")
+        .select("_id", F.element_at(w_arr, (bucket + 1).cast("int")).alias("_w"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_w") / F.count(F.lit(1)), 6).alias("score"),
+            (F.sum("_w") >= 0).alias("keep"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "score", "keep")
+    )

@@ -429,6 +429,53 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_oracle_sql() -> str:
+    """DuckDB oracle replaying classify_quality(portable_hash=True):
+    md5-bucketed hashed bag-of-words, literal weight table embedded from
+    operators.text.classifier_weights so the two can never drift."""
+    from infinidb_spark.operators.text import classifier_weights
+
+    w = classifier_weights()
+    w_lit = "[" + ", ".join(repr(x) for x in w) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS w
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 7))::BIGINT % {len(w)} AS INT) AS j
+      FROM tok WHERE w <> ''
+    ),
+    s AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(({w_lit})[j + 1]) AS sw
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(sw / n_tokens, 6) AS score,
+           sw >= 0 AS keep
+    FROM s
+    """
+
+
+@query("text_classifier_quality", oracle=_classifier_oracle_sql())
+def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: hashed bag-of-words linear classifier
+    (fastText/CCNet-style) mean-pooled per document — the stage an LLM
+    pipeline runs after heuristic rules (operators/text.py
+    classify_quality).  Portable-hash mode so every weight lookup and
+    the keep/drop decision hash-verify against the DuckDB replay; the
+    xxhash64 production mode shares the identical plan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return T.classify_quality(docs, portable_hash=True)
+
+
 @query("text_analyze")  # rows-only BY DESIGN — pinned by its portable twin
 def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-analysis projection: tokens, subwords, stopword ratio,
@@ -762,6 +809,87 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(est, "tok")
         .select("tok", "exact_n", "est_n")
         .orderBy(F.desc("exact_n"), "tok")
+    )
+
+
+def _pq_oracle_sql(m: int = 8, k: int = 8, d0: int = 8, stride: int = 50) -> str:
+    """DuckDB replay of pq_fit_encode's two Lloyd passes per subspace,
+    with the identical determinism pins: stride seeds (first k by id),
+    squared distances summed dim-by-dim left-to-right and rounded to
+    9 dp before the argmin (ties → lowest code), centroid dim-means
+    rounded to 9 dp."""
+
+    def dist(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, d0 + 1)
+        )
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 400
+    ),
+    ss AS (SELECT unnest(range(0, {m})) AS s),
+    sub AS (
+      SELECT vec_id, s, e[s*{d0}+1 : s*{d0}+{d0}] AS sv
+      FROM v CROSS JOIN ss
+    ),
+    c0 AS (
+      SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+             sv AS cv
+      FROM sub WHERE vec_id % {stride} = 0
+      QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {k}
+    ),
+    s1 AS (
+      SELECT sub.vec_id, sub.s, c0.code, sub.sv,
+             round({dist('sub.sv', 'c0.cv')}, 9) AS d
+      FROM sub JOIN c0 ON sub.s = c0.s
+    ),
+    a1 AS (
+      SELECT vec_id, s, code, sv FROM s1
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) = 1
+    ),
+    dims AS (SELECT unnest(range(1, {d0 + 1})) AS i),
+    d1 AS (SELECT s, code, i, sv[i] AS x FROM a1 CROSS JOIN dims),
+    m1 AS (SELECT s, code, i, round(avg(x), 9) AS mval FROM d1 GROUP BY s, code, i),
+    c1 AS (SELECT s, code, list(mval ORDER BY i) AS cv FROM m1 GROUP BY s, code),
+    s2 AS (
+      SELECT sub.vec_id, sub.s, c1.code,
+             round({dist('sub.sv', 'c1.cv')}, 9) AS d
+      FROM sub JOIN c1 ON sub.s = c1.s
+    ),
+    a2 AS (
+      SELECT vec_id, s, code, d FROM s2
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) = 1
+    )
+    SELECT s AS subspace,
+           CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+           CAST(count(*) AS BIGINT)             AS n_vectors,
+           round(avg(d), 6)                     AS avg_err2
+    FROM a2 GROUP BY s ORDER BY s
+    """
+
+
+@query("embedding_pq", oracle=_pq_oracle_sql())
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization train+encode (operators/embeddings.py
+    pq_fit_encode): per-subspace Euclidean Lloyd codebooks from stride
+    seeds, map-only encoding, bounded k×dim model collects — the PQ
+    compression half of the canonical IVF+PQ billion-scale ANN index
+    (ann_ivf_topk is the routing half).  Output: per-subspace codebook
+    utilization + mean squared reconstruction error."""
+    from infinidb_spark.operators import embeddings as E
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    enc = E.pq_fit_encode(emb.filter(F.col("vec_id") < 400))
+    return (
+        enc.groupBy("subspace")
+        .agg(
+            F.count_distinct("code").alias("codes_used"),
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("err2"), 6).alias("avg_err2"),
+        )
+        .orderBy("subspace")
     )
 
 

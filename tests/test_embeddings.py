@@ -61,3 +61,42 @@ def test_quant_scale_matches_python(vecs):
     for r in rows:
         expect = max(max(abs(x) for x in r["v"]), 1e-12) / 127.0
         assert math.isclose(r["s"], expect, rel_tol=1e-12)
+
+
+def test_pq_fit_encode_contract(spark, sf_dir):
+    """PQ: every vector gets exactly m codes, codes stay in [0, k),
+    err2 is nonnegative, and re-running reproduces the identical
+    encoding (the determinism contract the oracle relies on)."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.embeddings import pq_fit_encode
+    from infinidb_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    sub = emb.filter(F.col("vec_id") < 400)
+    enc = pq_fit_encode(sub)
+    rows = enc.collect()
+    n_vecs = sub.count()
+    assert len(rows) == n_vecs * 8
+    assert all(0 <= r.code < 8 and r.err2 >= 0 for r in rows)
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, set()).add(r.subspace)
+    assert all(s == set(range(8)) for s in per_vec.values())
+    # determinism: identical second run
+    again = sorted(map(tuple, pq_fit_encode(sub).collect()))
+    assert again == sorted(map(tuple, rows))
+
+
+def test_pq_rejects_bad_shapes(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.embeddings import pq_fit_encode
+    from infinidb_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit_encode(emb.filter(F.col("vec_id") < 400), m=7)
+    with pytest.raises(ValueError, match="seed vectors"):
+        pq_fit_encode(emb.filter(F.col("vec_id") < 100))  # only 2 stride samples

@@ -428,3 +428,36 @@ def test_window_dup_fraction_detects_boilerplate(spark):
     srows = window_dup_fraction(short, window=8).collect()
     assert len(srows) == 1
     assert srows[0].n_windows == 0 and srows[0].dup_fraction == 0.0
+
+
+def test_classifier_quality_modes_and_exactness(spark):
+    """classify_quality: weight sums are exact (1/1024-step weights),
+    both hash modes produce the same schema and per-doc token counts,
+    and keep == (score >= 0)."""
+    from infinidb_spark.operators.text import classifier_weights, classify_quality
+
+    w = classifier_weights()
+    assert len(w) == 64 and all(-1 <= x <= 1 for x in w)
+    # every weight is an exact multiple of 1/1024
+    assert all(x * 1024 == int(x * 1024) for x in w)
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "  the   the THE "), (3, "")],
+        "doc_id long, text string",
+    )
+    for portable in (False, True):
+        out = classify_quality(df, portable_hash=portable).collect()
+        rows = {r.doc_id: r for r in out}
+        # doc 3 normalizes to empty → zero tokens → no row (like the
+        # window-dedup contract: score of nothing is undefined)
+        assert set(rows) == {1, 2}
+        assert rows[1].n_tokens == 4 and rows[2].n_tokens == 3
+        for r in rows.values():
+            assert r.keep == (r.score >= 0)
+    # identical token multiset ⇒ identical score in a given mode
+    df2 = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "gamma alpha beta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in classify_quality(df2).collect()}
+    assert got[10] == got[11]
