@@ -105,6 +105,7 @@ _PRIORITY = [
     # ── added round 5 — first driver verdicts ──
     "text_classifier_quality",
     "embedding_pq",
+    "ann_ivfpq_topk",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

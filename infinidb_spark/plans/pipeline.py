@@ -870,6 +870,117 @@ def _pq_oracle_sql(m: int = 8, k: int = 8, d0: int = 8, stride: int = 50) -> str
     """
 
 
+def _ivfpq_oracle_sql(
+    k: int = 10,
+    n_probe: int = 2,
+    stride: int = 50,
+    m: int = 8,
+    kc: int = 8,
+    d0: int = 8,
+) -> str:
+    """DuckDB replay of the ENTIRE ann_ivfpq_topk chain: IVF routing
+    (stride centroids, 9-dp cosine, ties → lowest cid), PQ codebook
+    training (the _pq_oracle_sql Lloyd replay over the same corpus),
+    the per-query LUT (literal query subvectors, left-to-right 8-term
+    sums), and ADC scoring summed subspace 0..m-1 in literal order —
+    no engine-dependent aggregation order anywhere."""
+
+    def dist(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, d0 + 1)
+        )
+
+    qsub_rows = ", ".join(
+        "(%d, [%s])"
+        % (s, ", ".join(repr(float(x)) for x in _QUERY_VEC[s * d0 : (s + 1) * d0]))
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"max(CASE WHEN s = {s} THEN lv END)" for s in range(m))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id % {stride} = 0),
+    route AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.e, c.cv), 9) DESC, c.cid
+             ) AS rn
+      FROM v, c
+    ),
+    cell AS (SELECT vec_id, cid FROM route WHERE rn = 1),
+    probes AS (
+      SELECT cid FROM c
+      ORDER BY round(list_cosine_similarity(cv, {_QV_SQL}), 9) DESC, cid
+      LIMIT {n_probe}
+    ),
+    ss AS (SELECT unnest(range(0, {m})) AS s),
+    sub AS (
+      SELECT vec_id, s, e[s*{d0}+1 : s*{d0}+{d0}] AS sv
+      FROM v CROSS JOIN ss
+    ),
+    pq0 AS (
+      SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+             sv AS cv
+      FROM sub WHERE vec_id % {stride} = 0
+      QUALIFY row_number() OVER (PARTITION BY s ORDER BY vec_id) <= {kc}
+    ),
+    pqs1 AS (
+      SELECT sub.vec_id, sub.s, pq0.code, sub.sv,
+             round({dist('sub.sv', 'pq0.cv')}, 9) AS d
+      FROM sub JOIN pq0 ON sub.s = pq0.s
+    ),
+    pqa1 AS (
+      SELECT vec_id, s, code, sv FROM pqs1
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) = 1
+    ),
+    dims AS (SELECT unnest(range(1, {d0 + 1})) AS i),
+    pqd AS (SELECT s, code, i, sv[i] AS x FROM pqa1 CROSS JOIN dims),
+    pqm AS (SELECT s, code, i, round(avg(x), 9) AS mval FROM pqd GROUP BY s, code, i),
+    book AS (SELECT s, code, list(mval ORDER BY i) AS cv FROM pqm GROUP BY s, code),
+    enc0 AS (
+      SELECT sub.vec_id, sub.s, book.code,
+             round({dist('sub.sv', 'book.cv')}, 9) AS d
+      FROM sub JOIN book ON sub.s = book.s
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM enc0
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) = 1
+    ),
+    qsub(s, qv) AS (VALUES {qsub_rows}),
+    lut AS (
+      SELECT book.s, book.code,
+             round({dist('qsub.qv', 'book.cv')}, 9) AS lv
+      FROM book JOIN qsub ON book.s = qsub.s
+    ),
+    cand AS (
+      SELECT enc.vec_id, enc.s, lut.lv
+      FROM enc
+      JOIN cell ON enc.vec_id = cell.vec_id
+      JOIN probes ON cell.cid = probes.cid
+      JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+    )
+    SELECT vec_id, round({adc_sum}, 6) AS approx_d2
+    FROM cand GROUP BY vec_id
+    ORDER BY approx_d2 ASC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN with asymmetric distance computation — the canonical
+    billion-scale serving path (operators/embeddings.py ann_ivfpq_topk):
+    IVF routes to n_probe cells, candidates score from PQ codes via a
+    per-query LUT without touching raw vectors.  Completes the
+    similarity family: brute-force / LSH / IVF-Flat / batched / IVF+PQ.
+    Hash-checked: the oracle re-derives routing, codebooks, LUT, and
+    ADC scores from the raw table in SQL."""
+    from infinidb_spark.operators import embeddings as E
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return E.ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50)
+
+
 @query("embedding_pq", oracle=_pq_oracle_sql())
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization train+encode (operators/embeddings.py

@@ -100,3 +100,30 @@ def test_pq_rejects_bad_shapes(spark, sf_dir):
         pq_fit_encode(emb.filter(F.col("vec_id") < 400), m=7)
     with pytest.raises(ValueError, match="seed vectors"):
         pq_fit_encode(emb.filter(F.col("vec_id") < 100))  # only 2 stride samples
+
+
+def test_ann_ivfpq_topk_serving_contract(spark, sf_dir):
+    """IVF+PQ ADC serving: k results, ascending approx distance,
+    deterministic across runs, and the ADC ranking finds a meaningful
+    share of the exact IVF-Flat top-k (recall sanity — PQ is lossy but
+    not random)."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.embeddings import ann_ivfpq_topk
+    from infinidb_spark.operators.similarity import ann_ivf_topk
+    from infinidb_spark.plans.pipeline import _QUERY_VEC
+    from infinidb_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    got = ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50).collect()
+    assert len(got) == 10
+    d = [r.approx_d2 for r in got]
+    assert d == sorted(d) and all(x >= 0 for x in d)
+    again = ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50).collect()
+    assert list(map(tuple, again)) == list(map(tuple, got))
+    exact = {
+        r.vec_id
+        for r in ann_ivf_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50).collect()
+    }
+    overlap = len(exact & {r.vec_id for r in got})
+    assert overlap >= 3, f"ADC recall collapsed: {overlap}/10 vs IVF-Flat"
