@@ -106,6 +106,7 @@ _PRIORITY = [
     "text_classifier_quality",
     "embedding_pq",
     "ann_ivfpq_topk",
+    "dataset_stratified_split",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

@@ -708,6 +708,63 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_stratified_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang || '/' || source AS stratum, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 14))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    ),
+    r AS (
+      SELECT stratum, n_chars,
+             row_number() OVER (PARTITION BY stratum ORDER BY bucket, doc_id) - 1 AS rk,
+             count(*) OVER (PARTITION BY stratum) AS n
+      FROM b
+    ),
+    s AS (
+      SELECT stratum, n_chars,
+             CASE WHEN rk / n < 0.8 THEN 'train'
+                  WHEN rk / n < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r
+    )
+    SELECT split, stratum,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def dataset_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum 80/10/10 split over (lang, source) strata
+    (operators/datasets.exact_stratified_split, portable-hash mode):
+    rows rank within each stratum by salted hash and cut at cumulative
+    weight boundaries, so every stratum hits its proportions exactly —
+    the stratified complement of dataset_split's global hash split.
+    One shuffle on strata; rank order is recomputation-stable."""
+    from infinidb_spark.operators.datasets import exact_stratified_split
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    strat = docs.withColumn(
+        "stratum", F.concat_ws("/", F.col("lang"), F.col("source"))
+    )
+    split = exact_stratified_split(
+        strat, "doc_id", "stratum",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True,
+    )
+    return (
+        split.groupBy("split", "stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("split", "stratum")
+    )
+
+
+@query(
     "sequence_packing",
     oracle="""
     WITH d AS (
