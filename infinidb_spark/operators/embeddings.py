@@ -174,17 +174,24 @@ def pq_best_expr(
     sub-centroid in subspace ``s`` for the ``_v`` vector column —
     dim-by-dim left-to-right sum, so the arithmetic order is
     reproducible in any engine.  Pure projection over literal
-    codebooks: no join, no shuffle."""
+    codebooks: no join, no shuffle.
+
+    Built as ONE SQL string through ``F.expr`` instead of thousands of
+    Column-API calls: each Column operation is a py4j round-trip, and
+    the m×k×d0 literal tree cost ~4 s of pure driver-side Python per
+    pass when composed node-by-node.  ``{w!r}D`` double literals parse
+    to the exact same IEEE values as ``F.lit(w)`` (verified); ``x0 +
+    x1 + …`` is left-associative, matching the previous ``lit(0.0) +
+    …`` fold exactly (0.0 + t == t in IEEE)."""
     entries = []
     for code, cv in codebooks[s]:
-        d2 = F.lit(0.0)
-        for i, w in enumerate(cv):
-            x = F.element_at(F.col("_v"), s * d0 + i + 1) - F.lit(w)
-            d2 = d2 + x * x
-        entries.append(
-            F.struct(F.round(d2, 9).alias("d"), F.lit(code).alias("c"))
+        terms = " + ".join(
+            f"(element_at(_v, {s * d0 + i + 1}) - {w!r}D)"
+            f" * (element_at(_v, {s * d0 + i + 1}) - {w!r}D)"
+            for i, w in enumerate(cv)
         )
-    return F.array_min(F.array(*entries))
+        entries.append(f"named_struct('d', round({terms}, 9), 'c', {code})")
+    return F.expr(f"array_min(array({', '.join(entries)}))")
 
 
 def pq_fit_encode(
@@ -310,18 +317,24 @@ def ann_ivfpq_topk(
         lut.append(row)
 
     vec = F.col(vec_col).cast("array<double>")
-    score = F.lit(0.0)
     scored = df.select(
         F.col(id_col),
         vec.alias("_v"),
     ).withColumn("_cid", ivf_assign_expr(F.col("_v"), centroids)).filter(
         F.col("_cid").isin(probes)
     )
+    # one F.expr per subspace (py4j economy, same rationale as
+    # pq_best_expr); summed s = 0..m-1 left-to-right
+    terms = []
     for s in range(m):
+        lut_lit = ", ".join(f"{v!r}D" for v in lut[s])
         code_s = pq_best_expr(codebooks, s, d0)["c"]
-        score = score + F.element_at(
-            F.array(*[F.lit(v) for v in lut[s]]), (code_s + 1).cast("int")
+        terms.append(
+            F.element_at(F.expr(f"array({lut_lit})"), (code_s + 1).cast("int"))
         )
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
     return (
         scored.select(F.col(id_col), F.round(score, 6).alias("approx_d2"))
         .orderBy(F.col("approx_d2").asc(), F.col(id_col))

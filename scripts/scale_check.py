@@ -32,6 +32,10 @@ HEADLINE = [
     "window_rank", "window_agg_frame", "dedup_exact", "dedup_minhash_lsh",
     "ann_cosine_topk", "text_quality", "events_tumbling_window",
     "tpch_q5", "tpch_q18", "tpch_q21",
+    # round-5 additions: classifier (explode+groupBy), PQ train+encode
+    # (Lloyd + projections), IVF+PQ ADC serving, stratified rank-and-cut
+    "text_classifier_quality", "embedding_pq", "ann_ivfpq_topk",
+    "dataset_stratified_split",
 ]
 #: 10× data should cost ≤ ~10× time; 20 allows this box's run variance
 #: without hiding quadratics (an all-pairs operator would show ≥ ~100).

@@ -273,3 +273,32 @@ def test_dml_rewrites_keep_compression_codec(spark, sf_dir):
         for rg in range(md.num_row_groups):
             codecs.add(md.row_group(rg).column(0).compression)
     assert codecs == {"UNCOMPRESSED"}
+
+
+def test_update_join_existential_where_duplicate_keys(sess):
+    """Statement-level pin of the existential match contract: with
+    duplicate join keys in the other table, a target row updates when
+    ANY matching row satisfies the WHERE, and SET values come from a
+    QUALIFYING row (not a lexicographically-pinned non-qualifying one)."""
+    sess.execute("CREATE TABLE dupo (k BIGINT, c BIGINT)")
+    sess.execute("INSERT INTO dupo VALUES (0, 1), (0, 5), (1, 1), (99, 2)")
+    n = sess.execute(
+        "UPDATE m1 a JOIN dupo o ON a.id = o.k SET a.v = o.c WHERE o.c = 5"
+    )
+    assert n == 1
+    rows = {r.id: r.v for r in sess.execute("SELECT * FROM m1").collect()}
+    # id=0 matched the (0,5) row — the pinned-least (0,1) would have
+    # skipped it under the old per-pinned-row WHERE evaluation
+    assert rows[0] == 5
+    assert rows[1] == 20 and rows[99] == 40  # their rows fail the WHERE
+
+
+def test_delete_join_existential_where_duplicate_keys(sess):
+    sess.execute("CREATE TABLE dupd (k BIGINT, c BIGINT)")
+    sess.execute("INSERT INTO dupd VALUES (1, 0), (1, 7), (2, 0)")
+    n = sess.execute(
+        "DELETE a FROM m1 a JOIN dupd o ON a.id = o.k WHERE o.c = 7"
+    )
+    assert n == 1
+    ids = {r.id for r in sess.execute("SELECT * FROM m1").collect()}
+    assert ids == {0, 2, 99}
