@@ -600,6 +600,96 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.append(("code", "(SELECT 1) AS dual"))
                     i += 1
                     continue
+            if upper == "MOD":
+                # infix `a MOD b` → `a % b` (Spark has mod(a,b) the
+                # FUNCTION but no infix MOD; same precedence as %, so
+                # the token swap is exact).  MOD( stays a function call.
+                nx = _next_code(toks, i + 1)
+                if nx is None or toks[nx] != ("sym", "("):
+                    out.append(("sym", "%"))
+                    i += 1
+                    continue
+            if upper == "XOR":
+                # MySQL's logical XOR binds between AND and OR; no
+                # token-level rewrite preserves that precedence (e.g.
+                # `x = 1 XOR y = 2` would silently re-associate under
+                # `<>`), so refuse rather than mis-execute.
+                raise DialectError(
+                    "the XOR operator is not supported — rewrite as "
+                    "(a AND NOT b) OR (NOT a AND b)"
+                )
+            if upper in ("UNSIGNED", "SIGNED"):
+                prev = _prev_code(toks, i)
+                if prev is not None and toks[prev][1].upper() == "AS":
+                    # CAST(x AS UNSIGNED|SIGNED [INTEGER|INT]) → BIGINT.
+                    # Divergence note: MySQL wraps negative values into
+                    # the 2^64 unsigned domain; BIGINT keeps the sign —
+                    # the numeric-string conversion every client uses is
+                    # exact, the wraparound edge is not reproduced.
+                    j = _next_code(toks, i + 1)
+                    if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
+                        "INTEGER", "INT",
+                    ):
+                        i = j
+                    out.append(("word", "BIGINT"))
+                    i += 1
+                    continue
+            if upper == "COLLATE":
+                # map MySQL collation names onto Spark 4 collations:
+                # *_bin → UTF8_BINARY, *_ci (general/unicode) → UTF8_LCASE
+                nx = _next_code(toks, i + 1)
+                if nx is not None and toks[nx][0] in ("word", "string"):
+                    cname = _ident_text(toks[nx]).strip("'\"").lower()
+                    if cname.endswith("_bin") or cname == "binary":
+                        out.extend([("word", "COLLATE"), ("ws", " "), ("word", "UTF8_BINARY")])
+                        i = nx + 1
+                        continue
+                    if cname.endswith("_ci"):
+                        out.extend([("word", "COLLATE"), ("ws", " "), ("word", "UTF8_LCASE")])
+                        i = nx + 1
+                        continue
+            if upper == "BINARY":
+                # MySQL's BINARY prefix operator ≡ CAST(expr AS BINARY)
+                # (forces byte-wise comparison).  Handled for the primary
+                # forms it binds to — string literal, parenthesized expr,
+                # [qualified] identifier / function call; type-position
+                # BINARY (after AS) passes through.
+                prev = _prev_code(toks, i)
+                nx = _next_code(toks, i + 1)
+                if (
+                    (prev is None or toks[prev][1].upper() != "AS")
+                    and nx is not None
+                    and (
+                        toks[nx][0] in ("string", "word", "bident", "number")
+                        or toks[nx] == ("sym", "(")
+                    )
+                ):
+                    if toks[nx] == ("sym", "("):
+                        close = _match_paren(toks, nx)
+                        inner = render(toks[nx : close + 1])
+                        i = close + 1
+                    elif toks[nx][0] in ("string", "number"):
+                        inner = toks[nx][1]
+                        i = nx + 1
+                    else:
+                        # identifier chain a.b.c, optionally a call f(...)
+                        j = nx
+                        end = j
+                        while True:
+                            dot = _next_code(toks, end + 1)
+                            if dot is not None and toks[dot] == ("sym", ".") :
+                                nxt = _next_code(toks, dot + 1)
+                                if nxt is not None and toks[nxt][0] in ("word", "bident"):
+                                    end = nxt
+                                    continue
+                            break
+                        call = _next_code(toks, end + 1)
+                        if call is not None and toks[call] == ("sym", "("):
+                            end = _match_paren(toks, call)
+                        inner = render(toks[nx : end + 1])
+                        i = end + 1
+                    out.append(("code", f"cast({inner} as binary)"))
+                    continue
             if upper == "INFORMATION_SCHEMA":
                 # information_schema.tables/columns → the flat view
                 # names InfiniSession registers (Spark temp views can't
@@ -1136,6 +1226,29 @@ def parse_statement(sql: str) -> dict:
         return _parse_drop_truncate(toks, i, kind)
     if kind == "ALTER":
         return _parse_alter(toks, i)
+    if kind == "RENAME":
+        # RENAME TABLE old TO new [, old2 TO new2 ...] — MySQL's
+        # standalone rename statement (the reference routes it through
+        # the same DDL path as ALTER ... RENAME, ddl.y AtaRenameTable)
+        j = _next_code(toks, i + 1)
+        if j is None or toks[j][0] != "word" or toks[j][1].upper() != "TABLE":
+            raise DialectError("RENAME expects TABLE")
+        pairs: list[tuple[str, str]] = []
+        for part in _split_args(toks[j + 1 :]):
+            k = _next_code(part, 0)
+            old, k = _expect_ident(part, k, "table name in RENAME TABLE")
+            t = _next_code(part, k + 1)
+            if t is None or part[t][0] != "word" or part[t][1].upper() != "TO":
+                raise DialectError("RENAME TABLE expects 'old TO new'")
+            new, k2 = _expect_ident(
+                part, _next_code(part, t + 1), "new table name in RENAME TABLE"
+            )
+            if _next_code(part, k2 + 1) is not None:
+                raise DialectError("unexpected tokens in RENAME TABLE pair")
+            pairs.append((old, new))
+        if not pairs:
+            raise DialectError("RENAME TABLE requires at least one pair")
+        return {"kind": "rename_tables", "pairs": pairs}
     if kind == "LOAD":
         return _parse_load_data(toks, i)
     if kind in ("BEGIN", "COMMIT", "ROLLBACK", "START", "SAVEPOINT", "RELEASE"):

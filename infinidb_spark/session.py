@@ -1419,6 +1419,13 @@ class InfiniSession:
                     "next_ai": 1,
                 }
             return 0
+        if st["kind"] == "rename_tables":
+            # each pair routes through the ALTER ... RENAME machinery
+            # (managed-table path resolution, view re-registration,
+            # implicit commit) — MySQL semantics for the standalone form
+            for old, new in st["pairs"]:
+                self._execute_inner(f"ALTER TABLE {old} RENAME TO {new}", "mysql")
+            return 0
         if st["kind"] in ("drop", "truncate"):
             path = self._managed.get(st["table"])
             if path is None:

@@ -317,3 +317,57 @@ def test_warning_count_surface(spark, sf_dir, tmp_path):
     row = s.execute("SHOW COUNT(*) WARNINGS").collect()[0]
     assert row[0] == 1
     assert s.execute("SHOW COUNT(*) ERRORS").collect()[0][0] == 0
+
+
+def test_rename_table_statement(spark, sf_dir):
+    """MySQL's standalone RENAME TABLE a TO b [, c TO d] — routes
+    through the ALTER RENAME machinery per pair."""
+    s = InfiniSession(spark, sf_dir)
+    s.execute("CREATE TABLE rn1 (id BIGINT)")
+    s.execute("CREATE TABLE rn2 (id BIGINT)")
+    s.execute("INSERT INTO rn1 VALUES (1)")
+    s.execute("INSERT INTO rn2 VALUES (2), (3)")
+    assert s.execute("RENAME TABLE rn1 TO rn1x, rn2 TO rn2x") == 0
+    assert s.execute("SELECT count(*) AS c FROM rn1x").collect()[0].c == 1
+    assert s.execute("SELECT count(*) AS c FROM rn2x").collect()[0].c == 2
+    import pytest
+
+    from infinidb_spark.dialect import DialectError
+
+    with pytest.raises(DialectError):
+        s.execute("RENAME TABLE rn1x")  # missing TO
+    with pytest.raises(Exception):
+        s.execute("SELECT * FROM rn1").collect()  # old name gone
+
+
+def test_mysql_operator_long_tail(sess):
+    """Infix MOD, CAST AS UNSIGNED/SIGNED, the BINARY prefix operator,
+    and MySQL collation names in COLLATE clauses — the expression-level
+    long tail real clients send."""
+    r = sess.execute(
+        "SELECT 7 DIV 2 AS a, 7 MOD 2 AS b, MOD(9, 4) AS c"
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (3, 1, 1)
+    r = sess.execute(
+        "SELECT CAST('42' AS UNSIGNED) AS u, CAST('-3' AS SIGNED INTEGER) AS s"
+    ).collect()[0]
+    assert (r.u, r.s) == (42, -3)
+    # BINARY prefix forces byte-wise comparison even in ci contexts
+    r = sess.execute("SELECT BINARY 'a' = 'A' AS x, BINARY ('a') = 'a' AS y").collect()[0]
+    assert (r.x, r.y) == (False, True)
+    # MySQL collation names map onto Spark collations
+    assert sess.execute(
+        "SELECT 'a' = 'A' COLLATE utf8mb4_bin AS c"
+    ).collect()[0].c is False
+    assert sess.execute(
+        "SELECT 'a' = 'A' COLLATE utf8mb4_general_ci AS c"
+    ).collect()[0].c is True
+    # type-position BINARY is untouched
+    assert sess.execute(
+        "SELECT LENGTH(CAST('ab' AS BINARY)) AS n"
+    ).collect()[0].n == 2
+    # XOR has no precedence-preserving token rewrite: refuse loudly
+    from infinidb_spark.dialect import DialectError
+
+    with pytest.raises(DialectError, match="XOR"):
+        sess.execute("SELECT 1 XOR 0")
