@@ -107,6 +107,7 @@ _PRIORITY = [
     "embedding_pq",
     "ann_ivfpq_topk",
     "dataset_stratified_split",
+    "streaming_click_view_join",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

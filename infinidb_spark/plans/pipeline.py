@@ -1932,6 +1932,78 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_click_view_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+      FROM events WHERE user_id < 200
+    ),
+    c AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'click'),
+    v AS (SELECT event_id, ts, user_id FROM e WHERE event_type = 'view')
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           v.event_id AS view_id
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL 1 HOUR
+     AND v.ts <= c.ts
+    """,
+)
+def streaming_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join end-to-end with a hash
+    oracle (streaming/stateful.py stream_stream_join): clicks and views
+    land as separate file streams, both sides buffer watermark-bounded
+    state, and each click joins the same user's views within the
+    preceding hour — the unbounded-x-unbounded join class the reference
+    cannot express at all.  Single-trigger input (one file per side) so
+    the watermark bounds STATE without dropping data; the result is
+    therefore exactly the relational interval join the oracle computes.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from infinidb_spark.streaming.stateful import stream_stream_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    sub = events.filter(F.col("user_id") < 200).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="infinidb_ssj_")
+    try:
+        dirs = {}
+        for side, etype in (("clicks", "click"), ("views", "view")):
+            d = os.path.join(work, side)
+            sub.filter(F.col("event_type") == etype).select(
+                "event_id", "ts", "user_id"
+            ).coalesce(1).write.parquet(d)
+            dirs[side] = d
+        schema = "event_id long, ts timestamp, user_id long"
+        clicks = spark.readStream.schema(schema).parquet(dirs["clicks"])
+        views = spark.readStream.schema(schema).parquet(dirs["views"])
+        joined = stream_stream_join(clicks, views, max_delay="1 hour")
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q = (
+            joined.select("user_id", "click_id", "view_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # explicit schema: a zero-pair input leaves no part files and a
+        # schema-less read would fail instead of returning empty
+        rows = spark.read.schema(
+            "user_id long, click_id long, view_id long"
+        ).parquet(out_dir).collect()
+        return spark.createDataFrame(rows, "user_id long, click_id long, view_id long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "text_window_dedup",
     oracle="""
     WITH d AS (
