@@ -108,6 +108,7 @@ _PRIORITY = [
     "ann_ivfpq_topk",
     "dataset_stratified_split",
     "streaming_click_view_join",
+    "streaming_running_totals",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

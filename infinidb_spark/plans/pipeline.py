@@ -1932,6 +1932,88 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id,
+           count(*)                 AS n_events,
+           round(sum(value), 4)     AS total_value
+    FROM events WHERE user_id < 100
+    GROUP BY user_id
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState end-to-end with a hash oracle: per-user
+    running totals (streaming/stateful.py stream_running_totals) over
+    TWO mtime-pinned epoch files streamed one per trigger — the final
+    emitted row per user must carry totals across BOTH triggers, which
+    proves the keyed state genuinely survives micro-batches (a batch
+    recomputation would reset it).  The custom-stateful-operator
+    extension point, driver-verifiable."""
+    import os
+    import shutil
+    import tempfile
+
+    from infinidb_spark.streaming.stateful import stream_running_totals
+
+    (events,) = _t(spark, sf_dir, "events")
+    sub = events.filter(F.col("user_id") < 100).select(
+        "event_id", "user_id", "value"
+    )
+    work = tempfile.mkdtemp(prefix="infinidb_srt_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for b in (0, 1):
+            batch_dir = os.path.join(work, f"b{b}")
+            sub.filter(F.col("event_id") % 2 == b).coalesce(1).write.parquet(
+                batch_dir
+            )
+            part = next(
+                f for f in os.listdir(batch_dir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            dst = os.path.join(in_dir, f"batch{b}.parquet")
+            shutil.move(os.path.join(batch_dir, part), dst)
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+
+        # parquet sinks reject update mode — land each micro-batch's
+        # update rows via foreachBatch (the dedup_ingest recipe)
+        def _land(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_running_totals(stream)
+            .writeStream.foreachBatch(_land)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")  # the operator's declared output mode
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        land = spark.read.schema(
+            "user_id long, n_events bigint, total_value double"
+        ).parquet(out_dir)
+        # update mode emits one row per (user, touching trigger): the
+        # FINAL row per user is the one with the largest n_events
+        final = land.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        rows = final.collect()
+        return spark.createDataFrame(
+            rows, "user_id long, n_events bigint, total_value double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "streaming_click_view_join",
     oracle="""
     WITH e AS (
