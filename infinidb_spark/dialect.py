@@ -668,7 +668,12 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                         close = _match_paren(toks, nx)
                         inner = render(toks[nx : close + 1])
                         i = close + 1
-                    elif toks[nx][0] in ("string", "number"):
+                    elif toks[nx][0] == "number":
+                        # MySQL BINARY 5 yields the binary STRING '5';
+                        # a direct numeric→binary cast is not allowed
+                        inner = f"cast({toks[nx][1]} as string)"
+                        i = nx + 1
+                    elif toks[nx][0] == "string":
                         inner = toks[nx][1]
                         i = nx + 1
                     else:

@@ -305,16 +305,22 @@ def ann_ivfpq_topk(
     probes = [-nc for _s, nc in ranked[:n_probe]]
 
     # per-query LUT, left-to-right accumulation matching pq_best_expr
-    lut: list[list[float]] = []
+    # LUT positions are indexed BY CODE VALUE (element_at(lut, code+1)),
+    # so gaps from Lloyd-dropped empty clusters hold NULL placeholders —
+    # a dropped code has no centroid, so pq_best_expr can never emit it
+    # and the NULL slot is unreachable.  Building positionally from the
+    # codebook list would silently shift distances when codes are
+    # non-contiguous.
+    lut: list[list[float | None]] = []
     for s in range(m):
-        row = []
-        for _code, cv in codebooks[s]:
+        by_code: dict[int, float] = {}
+        for code, cv in codebooks[s]:
             d2 = 0.0
             for i, w in enumerate(cv):
                 x = q[s * d0 + i] - w
                 d2 = d2 + x * x
-            row.append(round(d2, 9))
-        lut.append(row)
+            by_code[code] = round(d2, 9)
+        lut.append([by_code.get(c) for c in range(max(by_code) + 1)])
 
     vec = F.col(vec_col).cast("array<double>")
     scored = df.select(
@@ -327,7 +333,9 @@ def ann_ivfpq_topk(
     # pq_best_expr); summed s = 0..m-1 left-to-right
     terms = []
     for s in range(m):
-        lut_lit = ", ".join(f"{v!r}D" for v in lut[s])
+        lut_lit = ", ".join(
+            "CAST(NULL AS DOUBLE)" if v is None else f"{v!r}D" for v in lut[s]
+        )
         code_s = pq_best_expr(codebooks, s, d0)["c"]
         terms.append(
             F.element_at(F.expr(f"array({lut_lit})"), (code_s + 1).cast("int"))

@@ -375,7 +375,11 @@ def classify_quality(
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("_w") / F.count(F.lit(1)), 6).alias("score"),
-            (F.sum("_w") >= 0).alias("keep"),
         )
+        # keep derives from the ROUNDED score, so keep == (score >= 0)
+        # holds exactly in the output (a raw-sum keep could disagree
+        # when a tiny negative mean rounds to -0.0); the decision only
+        # differs for |mean| < 5e-7 — immaterial to filtering
+        .withColumn("keep", F.col("score") >= 0)
         .select(F.col("_id").alias(id_col), "n_tokens", "score", "keep")
     )

@@ -459,7 +459,7 @@ def _classifier_oracle_sql() -> str:
     SELECT doc_id,
            n_tokens,
            round(sw / n_tokens, 6) AS score,
-           sw >= 0 AS keep
+           round(sw / n_tokens, 6) >= 0 AS keep
     FROM s
     """
 

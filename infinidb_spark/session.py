@@ -1015,6 +1015,7 @@ class InfiniSession:
             except d.DialectError:
                 st_raw = None
             if st_raw is not None and st_raw["kind"] == "select_into_vars":
+                self._drain_sleeps()  # classified successfully
                 sql_text = d.render(
                     d.substitute_user_vars(
                         d.tokenize(st_raw["sql"]), self._user_vars
@@ -1424,7 +1425,11 @@ class InfiniSession:
             # (managed-table path resolution, view re-registration,
             # implicit commit) — MySQL semantics for the standalone form
             for old, new in st["pairs"]:
-                self._execute_inner(f"ALTER TABLE {old} RENAME TO {new}", "mysql")
+                # backtick-quote: parsed identifiers may hold spaces /
+                # reserved words the re-serialized ALTER must survive
+                self._execute_inner(
+                    f"ALTER TABLE `{old}` RENAME TO `{new}`", "mysql"
+                )
             return 0
         if st["kind"] in ("drop", "truncate"):
             path = self._managed.get(st["table"])

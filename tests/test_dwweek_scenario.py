@@ -111,15 +111,20 @@ def test_concurrent_nightly_writers_two_tables(spark, sf_dir):
             errors.append((table, e))
 
     def reader(path, valid_counts):
+        # failures surface through `errors` — an assert raised inside a
+        # thread would kill the thread without failing the test
         ok_reads = 0
         while not stop.is_set() or ok_reads == 0:
             try:
                 c = spark.read.parquet(path).count()
             except Exception:
                 continue  # lost the swap race mid-plan: re-plan, like a retry
-            assert c in valid_counts, f"torn read: {c} not in {valid_counts}"
+            if c not in valid_counts:
+                errors.append((path, f"torn read: {c} not in {valid_counts}"))
+                return
             ok_reads += 1
-        assert ok_reads > 0
+        if ok_reads == 0:
+            errors.append((path, "reader never completed a read"))
 
     n_a, n_b = nation.count(), region.count()
     # states: initial, +2 inserted, updated (same count), one deleted
