@@ -600,16 +600,25 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.append(("code", "(SELECT 1) AS dual"))
                     i += 1
                     continue
-            if upper == "MOD":
+            # keyword-operator rewrites below never apply in qualified-
+            # identifier position (`t.mod`, `t.xor`, `t.binary` are
+            # legal MySQL column references after the qualifying dot)
+            _qualified = (
+                (p := _prev_code(toks, i)) is not None and toks[p] == ("sym", ".")
+            )
+            if upper == "MOD" and not _qualified:
                 # infix `a MOD b` → `a % b` (Spark has mod(a,b) the
                 # FUNCTION but no infix MOD; same precedence as %, so
-                # the token swap is exact).  MOD( stays a function call.
+                # the token swap is exact).  MOD( stays a function call;
+                # `AS mod` (a backtick-less alias) stays an identifier.
                 nx = _next_code(toks, i + 1)
-                if nx is None or toks[nx] != ("sym", "("):
+                pv = _prev_code(toks, i)
+                alias_pos = pv is not None and toks[pv][1].upper() == "AS"
+                if not alias_pos and (nx is None or toks[nx] != ("sym", "(")):
                     out.append(("sym", "%"))
                     i += 1
                     continue
-            if upper == "XOR":
+            if upper == "XOR" and not _qualified:
                 # MySQL's logical XOR binds between AND and OR; no
                 # token-level rewrite preserves that precedence (e.g.
                 # `x = 1 XOR y = 2` would silently re-associate under
@@ -618,6 +627,41 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     "the XOR operator is not supported — rewrite as "
                     "(a AND NOT b) OR (NOT a AND b)"
                 )
+            if upper == "CONVERT" and not _qualified:
+                # CONVERT(expr, TYPE) → CAST(expr AS <mapped type>);
+                # CONVERT(expr USING charset) → (expr) (everything is
+                # UTF-8 here, the conversion is a no-op).  The operand
+                # tokens are re-run through _rewrite so nested dialect
+                # forms keep translating.
+                op = _next_code(toks, i + 1)
+                if op is not None and toks[op] == ("sym", "("):
+                    close = _match_paren(toks, op)
+                    parts = _split_args(toks[op + 1 : close])
+                    if len(parts) == 1:
+                        using = _top_level_word(parts[0], "USING")
+                        if using is not None:
+                            out.append(("sym", "("))
+                            out.extend(_rewrite(parts[0][:using]))
+                            out.append(("sym", ")"))
+                            i = close + 1
+                            continue
+                    elif len(parts) == 2:
+                        tpart = parts[1]
+                        k = _next_code(tpart, 0)
+                        if k is not None and tpart[k][0] == "word":
+                            tword = tpart[k][1].upper()
+                            if tword in ("UNSIGNED", "SIGNED"):
+                                spark_type = "bigint"
+                            else:
+                                spark_type, _ = _parse_mysql_type(tpart, k)
+                            out.extend(
+                                [("word", "cast"), ("sym", "(")]
+                                + _rewrite(parts[0])
+                                + [("ws", " "), ("word", "as"), ("ws", " "),
+                                   ("code", spark_type), ("sym", ")")]
+                            )
+                            i = close + 1
+                            continue
             if upper in ("UNSIGNED", "SIGNED"):
                 prev = _prev_code(toks, i)
                 if prev is not None and toks[prev][1].upper() == "AS":
@@ -634,7 +678,7 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.append(("word", "BIGINT"))
                     i += 1
                     continue
-            if upper == "COLLATE":
+            if upper == "COLLATE" and not _qualified:
                 # map MySQL collation names onto Spark 4 collations:
                 # *_bin → UTF8_BINARY, *_ci (general/unicode) → UTF8_LCASE
                 nx = _next_code(toks, i + 1)
@@ -648,12 +692,16 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                         out.extend([("word", "COLLATE"), ("ws", " "), ("word", "UTF8_LCASE")])
                         i = nx + 1
                         continue
-            if upper == "BINARY":
+            if upper == "BINARY" and not _qualified:
                 # MySQL's BINARY prefix operator ≡ CAST(expr AS BINARY)
                 # (forces byte-wise comparison).  Handled for the primary
                 # forms it binds to — string literal, parenthesized expr,
                 # [qualified] identifier / function call; type-position
-                # BINARY (after AS) passes through.
+                # BINARY (after AS) passes through.  The operand is
+                # emitted as TOKENS re-run through _rewrite (not rendered
+                # text), so nested dialect forms — infix MOD, %-format
+                # strings inside date_format, COLLATE names — keep
+                # translating inside the operand.
                 prev = _prev_code(toks, i)
                 nx = _next_code(toks, i + 1)
                 if (
@@ -666,15 +714,13 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                 ):
                     if toks[nx] == ("sym", "("):
                         close = _match_paren(toks, nx)
-                        inner = render(toks[nx : close + 1])
+                        inner_toks = _rewrite(toks[nx : close + 1])
                         i = close + 1
                     elif toks[nx][0] == "number":
-                        # MySQL BINARY 5 yields the binary STRING '5';
-                        # a direct numeric→binary cast is not allowed
-                        inner = f"cast({toks[nx][1]} as string)"
+                        inner_toks = [toks[nx]]
                         i = nx + 1
                     elif toks[nx][0] == "string":
-                        inner = toks[nx][1]
+                        inner_toks = [toks[nx]]
                         i = nx + 1
                     else:
                         # identifier chain a.b.c, optionally a call f(...)
@@ -691,9 +737,21 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                         call = _next_code(toks, end + 1)
                         if call is not None and toks[call] == ("sym", "("):
                             end = _match_paren(toks, call)
-                        inner = render(toks[nx : end + 1])
+                        inner_toks = _rewrite(toks[nx : end + 1])
                         i = end + 1
-                    out.append(("code", f"cast({inner} as binary)"))
+                    # MySQL's BINARY operates on the STRING form of its
+                    # operand (BINARY 5 ≡ binary '5', BINARY (1 MOD 2) ≡
+                    # binary '1') — the inner string cast reproduces that
+                    # for numeric/date operands and is a no-op on strings
+                    out.extend(
+                        [("word", "cast"), ("sym", "("),
+                         ("word", "cast"), ("sym", "(")]
+                        + inner_toks
+                        + [("ws", " "), ("word", "as"), ("ws", " "),
+                           ("word", "string"), ("sym", ")"),
+                           ("ws", " "), ("word", "as"), ("ws", " "),
+                           ("word", "binary"), ("sym", ")")]
+                    )
                     continue
             if upper == "INFORMATION_SCHEMA":
                 # information_schema.tables/columns → the flat view

@@ -109,7 +109,14 @@ def pq_train(
     Scale shape: each Lloyd update explodes vector dims into rows and
     runs ONE codegen'd groupBy(subspace, code, dim) average whose
     m×k×(D/m) = k×D result is the bounded model collect — identical
-    contract to train_ivf_centroids."""
+    contract to train_ivf_centroids.
+
+    Shared caveat with kmeans_fit_predict: the dim-mean is a float
+    average whose summation order varies across shuffle runs, so a mean
+    landing within 1 ulp of a 9-dp rounding boundary could round
+    differently between engines/reruns.  The 9-dp pin makes this
+    astronomically unlikely (and it has held across every gate run);
+    a boundary hit would shift one centroid, not corrupt the plan."""
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -220,20 +227,19 @@ def pq_fit_encode(
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    entries = []
+    for s in range(m):
+        b = pq_best_expr(codebooks, s, d0)  # built once, fields shared
+        entries.append(
+            F.struct(
+                F.lit(s).alias("subspace"),
+                b["c"].alias("code"),
+                b["d"].alias("err2"),
+            )
+        )
     enc = base.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("subspace"),
-                        pq_best_expr(codebooks, s, d0)["c"].alias("code"),
-                        pq_best_expr(codebooks, s, d0)["d"].alias("err2"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_e"),
+        F.explode(F.array(*entries)).alias("_e"),
     )
     return enc.select(
         id_col,

@@ -206,6 +206,7 @@ class InfiniSession:
         self._conn_id: int = InfiniSession._CONN_SEQ
         self._last_insert_id: int = 0
         self._pending_sleeps: list[float] = []
+        self._pending_liid: int | None = None
         self._found_rows: int = 0
         self._row_count: int = -1
         self._sysvars: dict[str, str] = {
@@ -530,6 +531,7 @@ class InfiniSession:
         successfully (a statement that fails to parse must not have
         slept, mirroring mysqld's evaluate-at-execution order)."""
         self._pending_sleeps = []
+        self._pending_liid = None  # LAST_INSERT_ID(expr): same deferral
         out = []
         i = 0
         while i < len(toks):
@@ -557,7 +559,10 @@ class InfiniSession:
                                     "LAST_INSERT_ID(expr) supports integer "
                                     "literals only"
                                 ) from None
-                            self._last_insert_id = val
+                            # the stored-value mutation is DEFERRED to
+                            # classification (like SLEEP) — a statement
+                            # that fails to parse must not have set it
+                            self._pending_liid = val
                             out.append(("number", str(val)))
                         else:
                             out.append(("number", str(self._last_insert_id)))
@@ -586,11 +591,14 @@ class InfiniSession:
         return out
 
     def _drain_sleeps(self):
-        """Fire SLEEP() delays queued during token substitution — called
-        once the statement has classified successfully, never on a parse
-        error path."""
+        """Apply side effects queued during token substitution — SLEEP()
+        delays and the LAST_INSERT_ID(expr) stored-value mutation —
+        called once the statement has classified successfully, never on
+        a parse error path."""
         import time as _t
 
+        if self._pending_liid is not None:
+            self._last_insert_id, self._pending_liid = self._pending_liid, None
         pend, self._pending_sleeps = self._pending_sleeps, []
         for secs in pend:
             _t.sleep(secs)

@@ -458,13 +458,24 @@ def read_manifest(in_path: str) -> list[dict[str, Any]]:
         return data
     base = data.get("dir")
     side_home = os.path.dirname(os.path.abspath(in_path))
-    names = [e.get("basename") for e in data.get("entries", [])]
-    if (
-        base
-        and base != side_home
-        and names
-        and all(os.path.exists(os.path.join(side_home, n)) for n in names)
-    ):
+
+    def _faithful_copy_at(d: str) -> bool:
+        """Every listed entry exists at ``d`` with matching
+        (mtime_ns, size) — a metadata-preserving copy of the table.
+        Bare basename existence is NOT enough: a manifest written into
+        a directory that merely contains same-named files (an older
+        snapshot, an unrelated table) must keep resolving against the
+        recorded 'dir'."""
+        for e in data.get("entries", []):
+            try:
+                st = os.stat(os.path.join(d, e["basename"]))
+            except OSError:
+                return False
+            if st.st_mtime_ns != e.get("mtime_ns") or st.st_size != e.get("size"):
+                return False
+        return bool(data.get("entries"))
+
+    if base and base != side_home and _faithful_copy_at(side_home):
         # a table copied/restored TOGETHER with its sidecar resolves
         # against the sidecar's own directory even when the original
         # 'dir' still exists — otherwise the restored copy silently

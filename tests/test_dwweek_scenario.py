@@ -112,9 +112,14 @@ def test_concurrent_nightly_writers_two_tables(spark, sf_dir):
 
     def reader(path, valid_counts):
         # failures surface through `errors` — an assert raised inside a
-        # thread would kill the thread without failing the test
+        # thread would kill the thread without failing the test; the
+        # deadline bounds the loop so persistent read failures cannot
+        # leave a live non-daemon thread hanging pytest at exit
+        import time as _t
+
         ok_reads = 0
-        while not stop.is_set() or ok_reads == 0:
+        deadline = _t.monotonic() + 240
+        while (not stop.is_set() or ok_reads == 0) and _t.monotonic() < deadline:
             try:
                 c = spark.read.parquet(path).count()
             except Exception:
