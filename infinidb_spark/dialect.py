@@ -609,12 +609,21 @@ def _rewrite(toks: list[Token]) -> list[Token]:
             if upper == "MOD" and not _qualified:
                 # infix `a MOD b` → `a % b` (Spark has mod(a,b) the
                 # FUNCTION but no infix MOD; same precedence as %, so
-                # the token swap is exact).  MOD( stays a function call;
-                # `AS mod` (a backtick-less alias) stays an identifier.
-                nx = _next_code(toks, i + 1)
+                # the token swap is exact).  MOD is infix exactly when
+                # an OPERAND precedes it — number/string/)/identifier —
+                # which also keeps `MOD(a, b)` a function call and
+                # `7 MOD (2)` infix; after AS/operators/keywords the
+                # word stays untouched (alias or call position).
                 pv = _prev_code(toks, i)
-                alias_pos = pv is not None and toks[pv][1].upper() == "AS"
-                if not alias_pos and (nx is None or toks[nx] != ("sym", "(")):
+                operand_before = pv is not None and (
+                    toks[pv][0] in ("number", "string", "bident")
+                    or toks[pv] == ("sym", ")")
+                    or (
+                        toks[pv][0] == "word"
+                        and toks[pv][1].upper() not in _ALIAS_BLOCKERS
+                    )
+                )
+                if operand_before:
                     out.append(("sym", "%"))
                     i += 1
                     continue
@@ -640,9 +649,29 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     if len(parts) == 1:
                         using = _top_level_word(parts[0], "USING")
                         if using is not None:
-                            out.append(("sym", "("))
-                            out.extend(_rewrite(parts[0][:using]))
-                            out.append(("sym", ")"))
+                            cs = _next_code(parts[0], using + 1)
+                            csname = (
+                                _ident_text(parts[0][cs]).lower()
+                                if cs is not None and parts[0][cs][0] in ("word", "bident")
+                                else ""
+                            )
+                            if csname == "binary":
+                                # CONVERT(x USING binary) ≡ the BINARY
+                                # prefix operator: forced byte-wise form
+                                out.extend(
+                                    [("word", "cast"), ("sym", "("),
+                                     ("word", "cast"), ("sym", "(")]
+                                    + _rewrite(parts[0][:using])
+                                    + [("ws", " "), ("word", "as"), ("ws", " "),
+                                       ("word", "string"), ("sym", ")"),
+                                       ("ws", " "), ("word", "as"), ("ws", " "),
+                                       ("word", "binary"), ("sym", ")")]
+                                )
+                            else:
+                                # charset conversion is a no-op (UTF-8)
+                                out.append(("sym", "("))
+                                out.extend(_rewrite(parts[0][:using]))
+                                out.append(("sym", ")"))
                             i = close + 1
                             continue
                     elif len(parts) == 2:
@@ -680,16 +709,25 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     continue
             if upper == "COLLATE" and not _qualified:
                 # map MySQL collation names onto Spark 4 collations:
-                # *_bin → UTF8_BINARY, *_ci (general/unicode) → UTF8_LCASE
+                # *_bin → UTF8_BINARY; accent-sensitive *_as_ci →
+                # UNICODE_CI; every other *_ci (general/unicode/0900_ai
+                # — all accent-INsensitive in MySQL: 'é' = 'e') →
+                # UNICODE_CI_AI, Spark's accent+case-insensitive ICU
+                # collation
                 nx = _next_code(toks, i + 1)
                 if nx is not None and toks[nx][0] in ("word", "string"):
                     cname = _ident_text(toks[nx]).strip("'\"").lower()
+                    target = None
                     if cname.endswith("_bin") or cname == "binary":
-                        out.extend([("word", "COLLATE"), ("ws", " "), ("word", "UTF8_BINARY")])
-                        i = nx + 1
-                        continue
-                    if cname.endswith("_ci"):
-                        out.extend([("word", "COLLATE"), ("ws", " "), ("word", "UTF8_LCASE")])
+                        target = "UTF8_BINARY"
+                    elif cname.endswith("_as_ci"):
+                        target = "UNICODE_CI"
+                    elif cname.endswith("_ci"):
+                        target = "UNICODE_CI_AI"
+                    if target is not None:
+                        out.extend(
+                            [("word", "COLLATE"), ("ws", " "), ("word", target)]
+                        )
                         i = nx + 1
                         continue
             if upper == "BINARY" and not _qualified:

@@ -367,6 +367,26 @@ def _join_qualified(
     field-wise, so NULL-bearing target rows group and join correctly.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    if any(_has_map(f.dataType) for f in df.schema.fields):
+        # the per-target-row struct is grouped/compared, and Spark
+        # cannot group or order by map types — fail with a clear error
+        # instead of an AnalysisException from deep inside the plan
+        raise ValueError(
+            "multi-table UPDATE/DELETE is not supported on tables with "
+            "map-typed columns (the existential match groups by the "
+            "full target row, and maps are not orderable)"
+        )
 
     t_cols = list(df.columns)
     o_raw = other.select(

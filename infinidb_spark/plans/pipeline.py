@@ -711,7 +711,9 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dataset_stratified_split",
     oracle="""
     WITH b AS (
-      SELECT doc_id, lang || '/' || source AS stratum, n_chars,
+      -- concat_ws matches the Spark side's NULL-SKIPPING join exactly
+      -- (|| would propagate NULL and silently diverge on NULL strata)
+      SELECT doc_id, concat_ws('/', lang, source) AS stratum, n_chars,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 14))::BIGINT
                % 10000 AS bucket
       FROM documents
@@ -1924,7 +1926,12 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
         q = stream_dedup_ingest(stream, out_dir, ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out: stop before reading/deleting anything a
+            # still-running stream could be writing — a partial
+            # result must surface as an error, not a red hash
+            q.stop()
+            raise RuntimeError("streaming query did not finish within 300 s")
         rows = spark.read.parquet(out_dir).select("doc_id").collect()
         return spark.createDataFrame(rows, "doc_id long")
     finally:
@@ -1995,7 +2002,12 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out: stop before reading/deleting anything a
+            # still-running stream could be writing — a partial
+            # result must surface as an error, not a red hash
+            q.stop()
+            raise RuntimeError("streaming query did not finish within 300 s")
         land = spark.read.schema(
             "user_id long, n_events bigint, total_value double"
         ).parquet(out_dir)
@@ -2074,7 +2086,12 @@ def streaming_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # timed out: stop before reading/deleting anything a
+            # still-running stream could be writing — a partial
+            # result must surface as an error, not a red hash
+            q.stop()
+            raise RuntimeError("streaming query did not finish within 300 s")
         # explicit schema: a zero-pair input leaves no part files and a
         # schema-less read would fail instead of returning empty
         rows = spark.read.schema(

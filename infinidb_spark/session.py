@@ -1431,12 +1431,32 @@ class InfiniSession:
         if st["kind"] == "rename_tables":
             # each pair routes through the ALTER ... RENAME machinery
             # (managed-table path resolution, view re-registration,
-            # implicit commit) — MySQL semantics for the standalone form
+            # implicit commit) — MySQL semantics for the standalone form.
+            # MySQL's RENAME TABLE is atomic: validate EVERY pair before
+            # executing any, so a bad pair leaves the catalog unchanged
+            # instead of half-renamed.
+            taken = set(self._managed)
             for old, new in st["pairs"]:
-                # backtick-quote: parsed identifiers may hold spaces /
-                # reserved words the re-serialized ALTER must survive
+                if old not in taken:
+                    raise KeyError(
+                        f"{old!r} is not a managed table — RENAME TABLE "
+                        "applied no changes"
+                    )
+                if new in taken:
+                    raise KeyError(
+                        f"target name {new!r} already exists — RENAME "
+                        "TABLE applied no changes"
+                    )
+                taken.discard(old)
+                taken.add(new)
+
+            def _bt(name: str) -> str:
+                # re-escape embedded backticks for the synthesized ALTER
+                return "`" + name.replace("`", "``") + "`"
+
+            for old, new in st["pairs"]:
                 self._execute_inner(
-                    f"ALTER TABLE `{old}` RENAME TO `{new}`", "mysql"
+                    f"ALTER TABLE {_bt(old)} RENAME TO {_bt(new)}", "mysql"
                 )
             return 0
         if st["kind"] in ("drop", "truncate"):
