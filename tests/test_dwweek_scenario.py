@@ -134,8 +134,12 @@ def test_concurrent_nightly_writers_two_tables(spark, sf_dir):
     n_a, n_b = nation.count(), region.count()
     # states: initial, +2 inserted, updated (same count), one deleted
     readers = [
-        threading.Thread(target=reader, args=(path_a, {n_a, n_a + 2, n_a + 1})),
-        threading.Thread(target=reader, args=(path_b, {n_b, n_b + 2, n_b + 1})),
+        threading.Thread(
+            target=reader, args=(path_a, {n_a, n_a + 2, n_a + 1}), daemon=True
+        ),
+        threading.Thread(
+            target=reader, args=(path_b, {n_b, n_b + 2, n_b + 1}), daemon=True
+        ),
     ]
     writers = [
         threading.Thread(target=night, args=(s1, "dw_a", "n_nationkey")),

@@ -202,19 +202,28 @@ def test_kill_cancels_running_scan_at_sf01(spark):
         except Exception as e:
             result["err"] = e
 
-    t = threading.Thread(target=run_big)
+    t = threading.Thread(target=run_big, daemon=True)
     t.start()
-    job_row = None
-    deadline = time.monotonic() + 60
-    while time.monotonic() < deadline and job_row is None and t.is_alive():
+    # AQE runs the query as a SEQUENCE of stage-jobs, so any single
+    # observed job id can finish between SHOW PROCESSLIST and KILL —
+    # retry across fresh ids until one kill lands (ER_NO_SUCH_THREAD
+    # races are expected, not failures)
+    killed = False
+    deadline = time.monotonic() + 120
+    while not killed and t.is_alive() and time.monotonic() < deadline:
         rows = s.execute("SHOW PROCESSLIST").collect()
-        jobs = [r for r in rows if r.Id >= s._JOB_ID_OFFSET]
-        if jobs:
-            job_row = jobs[0]
-        else:
-            time.sleep(0.2)
-    assert job_row is not None, "scan never appeared in SHOW PROCESSLIST"
-    assert s.execute(f"KILL {job_row.Id}") == 0
+        for r in rows:
+            if r.Id < s._JOB_ID_OFFSET:
+                continue
+            try:
+                assert s.execute(f"KILL {r.Id}") == 0
+                killed = True
+                break
+            except KeyError:
+                continue  # that stage-job finished first; try the next
+        if not killed:
+            time.sleep(0.1)
+    assert killed, "no kill landed while the scan was running"
     t.join(timeout=120)
     assert not t.is_alive(), "collect did not abort after KILL"
     assert "err" in result, "query completed despite KILL"
