@@ -203,10 +203,33 @@ _TEMPLATES = {
         " CAST(({0} DIV 256) % 256 AS STRING), '.',"
         " CAST({0} % 256 AS STRING))"
     ),
+    # toward-zero truncation at d decimals (func_truncate.cpp) — the
+    # text-path mirror of registry truncate()
+    "TRUNCATE": (
+        "(signum({0}) * floor(abs({0}) * pow(10.0, {1})) / pow(10.0, {1}))"
+    ),
+    "MAKEDATE": "date_add(make_date({0}, 1, 1), CAST({1} - 1 AS INT))",
+    "MAKETIME": (
+        "concat_ws(':', lpad(CAST({0} AS STRING), 2, '0'),"
+        " lpad(CAST({1} AS STRING), 2, '0'),"
+        " lpad(CAST({2} AS STRING), 2, '0'))"
+    ),
+    "ADDTIME": "({0} + make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    "TIMEDIFF": (
+        "concat(CASE WHEN unix_timestamp({0}) < unix_timestamp({1})"
+        " THEN '-' ELSE '' END,"
+        " lpad(CAST(abs(unix_timestamp({0}) - unix_timestamp({1}))"
+        " DIV 3600 AS STRING), 2, '0'), ':',"
+        " lpad(CAST((abs(unix_timestamp({0}) - unix_timestamp({1})) % 3600)"
+        " DIV 60 AS STRING), 2, '0'), ':',"
+        " lpad(CAST(abs(unix_timestamp({0}) - unix_timestamp({1})) % 60"
+        " AS STRING), 2, '0'))"
+    ),
+    "MICROSECOND": "CAST(unix_micros(CAST({0} AS TIMESTAMP)) % 1000000 AS INT)",
 }
 
 _RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring",
-            "FORMAT": "format_number"}
+            "FORMAT": "format_number", "SYSDATE": "current_timestamp"}
 
 
 def _template_arity(name: str) -> int:

@@ -371,3 +371,27 @@ def test_mysql_operator_long_tail(sess):
 
     with pytest.raises(DialectError, match="XOR"):
         sess.execute("SELECT 1 XOR 0")
+
+
+def test_funcmap_text_path_completions(sess):
+    """The last reference-FuncMap names that had Column builders but no
+    SQL-text translation: TRUNCATE / MAKEDATE / MAKETIME / ADDTIME /
+    TIMEDIFF / MICROSECOND / SYSDATE (funcexp.cpp registry names)."""
+    r = sess.execute(
+        "SELECT TRUNCATE(3.14159, 2) AS a, TRUNCATE(-3.999, 1) AS b, "
+        "TRUNCATE(12345, -2) AS c"
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (3.14, -3.9, 12300.0)
+    assert str(sess.execute("SELECT MAKEDATE(2024, 60) AS d").collect()[0].d) == "2024-02-29"
+    assert sess.execute("SELECT MAKETIME(10, 5, 3) AS t").collect()[0].t == "10:05:03"
+    r = sess.execute(
+        "SELECT TIMEDIFF(TIMESTAMP '2024-01-01 10:30:00', "
+        "TIMESTAMP '2024-01-01 09:00:00') AS t, "
+        "TIMEDIFF(TIMESTAMP '2024-01-01 09:00:00', "
+        "TIMESTAMP '2024-01-01 10:30:00') AS u"
+    ).collect()[0]
+    assert (r.t, r.u) == ("01:30:00", "-01:30:00")
+    assert sess.execute(
+        "SELECT MICROSECOND(TIMESTAMP '2024-01-01 10:00:00.123456') AS m"
+    ).collect()[0].m == 123456
+    assert sess.execute("SELECT SYSDATE() IS NOT NULL AS s").collect()[0].s
