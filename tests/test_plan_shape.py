@@ -237,6 +237,28 @@ def test_minhash_incremental_no_corpus_text_read(queries, spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_minhash_verify_shares_one_broadcast_build(queries, spark, sf_dir):
+    """The exact-verify stage of MinHash LSH builds the candidate
+    shingle-set relation ONCE and probes it from both pair sides: the
+    executed (adaptive, post-run) plan must show exactly two broadcast
+    builds (candidate-id semi-join filter + the shared shingle sets)
+    with the second probe reusing the build, and the candidate
+    re-shingle must be fanned out (RoundRobin repartition), never run
+    on the scan's single input partition inside the broadcast job."""
+    df = queries["dedup_minhash_lsh"](spark, sf_dir)
+    df.collect()  # AQE: reuse decisions exist only in the final plan
+    final = _physical(df).split("+- == Initial Plan ==")[0]
+    lines = final.split("\n")
+    builds = sum(1 for l in lines if "+- BroadcastExchange" in l)
+    reused = sum(
+        1 for l in lines if "ReusedExchange" in l and "BroadcastExchange" in l
+    )
+    assert builds == 2, final
+    assert reused >= 1, final
+    # fan_out on BOTH text scans: corpus signature pass + candidate verify
+    assert final.count("RoundRobinPartitioning") >= 2, final
+
+
 def test_multi_table_update_no_target_duplication(spark, sf_dir):
     """_join_qualified: pair qualification aggregates back to ONE row
     per target row (no row multiplication of the target), with the
