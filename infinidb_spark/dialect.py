@@ -1952,7 +1952,9 @@ def _parse_mysql_type(toks: list[Token], i: int | None) -> tuple[str, int]:
 def _parse_alter(toks: list[Token], i: int) -> dict:
     """ALTER TABLE <name> <action> [, <action>]* — the reference's DDL
     surface (`dbcon/ddlpackage/ddl.y:477-560`): ADD [COLUMN], DROP
-    [COLUMN], MODIFY [COLUMN], CHANGE [COLUMN] old new type, RENAME TO.
+    [COLUMN], MODIFY [COLUMN], CHANGE [COLUMN] old new type, RENAME TO,
+    RENAME COLUMN old TO new, ALTER [COLUMN] col SET DEFAULT <value> /
+    DROP DEFAULT.
     Column options beyond DEFAULT <literal> (NOT NULL, COMMENT, ...) are
     accepted and ignored where harmless or rejected where semantic."""
     j = _next_code(toks, i + 1)
@@ -1988,10 +1990,56 @@ def _parse_alter(toks: list[Token], i: int) -> dict:
             raise DialectError(_ERR_NON_SUPPORT_SYNTAX)
         if verb == "RENAME":
             n = _next_code(part, k + 1)
+            if n is not None and part[n][0] == "word" and part[n][1].upper() == "COLUMN":
+                # RENAME COLUMN old TO new (ddl.y AtaRenameColumn)
+                n = _next_code(part, n + 1)
+                old, n = _expect_ident(part, n, "column name after RENAME COLUMN")
+                n = _next_code(part, n + 1)
+                if n is None or part[n][0] != "word" or part[n][1].upper() != "TO":
+                    raise DialectError("expected TO in RENAME COLUMN old TO new")
+                new, _ = _expect_ident(
+                    part, _next_code(part, n + 1), "new column name after TO"
+                )
+                actions.append({"op": "rename_column", "old": old, "new": new})
+                continue
             if n is not None and part[n][0] == "word" and part[n][1].upper() == "TO":
                 n = _next_code(part, n + 1)
             new, _ = _expect_ident(part, n, "new table name after RENAME TO")
             actions.append({"op": "rename_table", "new": new})
+        elif verb == "ALTER":
+            # ALTER [COLUMN] col SET DEFAULT <value> | DROP DEFAULT
+            # (ddl.y AtaSetColumnDefault / AtaDropColumnDefault)
+            n = skip_col_kw(k + 1)
+            col, n = _expect_ident(part, n, "column name after ALTER COLUMN")
+            n = _next_code(part, n + 1)
+            word = part[n][1].upper() if n is not None and part[n][0] == "word" else ""
+            if word == "DROP":
+                n = _next_code(part, n + 1)
+                if n is None or part[n][0] != "word" or part[n][1].upper() != "DEFAULT":
+                    raise DialectError("expected DEFAULT after ALTER COLUMN ... DROP")
+                actions.append({"op": "drop_default", "column": col})
+            elif word == "SET":
+                n = _next_code(part, n + 1)
+                if n is None or part[n][0] != "word" or part[n][1].upper() != "DEFAULT":
+                    raise DialectError("expected DEFAULT after ALTER COLUMN ... SET")
+                n = _next_code(part, n + 1)
+                if n is None:
+                    raise DialectError("SET DEFAULT requires a value")
+                default = render(part[n:]).strip()
+                up = default.upper()
+                if up == "NULL":
+                    default = None
+                elif up in ("USER", "CURRENT_USER", "SESSION_USER", "SYSTEM_USER"):
+                    # SQL-92 user specials (ddl.y default_clause) — the
+                    # session user, Spark's current_user()
+                    default = "current_user()"
+                actions.append(
+                    {"op": "set_default", "column": col, "default": default}
+                )
+            else:
+                raise DialectError(
+                    "only SET DEFAULT / DROP DEFAULT are supported after ALTER COLUMN"
+                )
         elif verb == "ADD":
             n = skip_col_kw(k + 1)
             col, n = _expect_ident(part, n, "column name after ADD")

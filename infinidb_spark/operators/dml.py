@@ -706,6 +706,13 @@ def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
         out = df.withColumn(
             action["old"], F.col(action["old"]).cast(action["type"])
         ).withColumnRenamed(action["old"], action["new"])
+    elif op == "rename_column":
+        # RENAME COLUMN old TO new (ddl.y AtaRenameColumn): type kept
+        if action["old"] not in df.columns:
+            raise ValueError(f"no such column {action['old']!r}")
+        if action["new"] in df.columns:
+            raise ValueError(f"column {action['new']!r} already exists")
+        out = df.withColumnRenamed(action["old"], action["new"])
     else:
         raise ValueError(f"unknown ALTER action {op!r}")
     with _table_lock(table_dir, "ALTER"):

@@ -94,14 +94,17 @@ def dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- relational equivalent of the ALTER sequence:
     --   ADD note VARCHAR (NULL), UPDATE fills r<region> for region<3,
     --   ADD flag INT DEFAULT 7, CHANGE note remark, MODIFY flag BIGINT,
-    --   DROP n_name, RENAME TO target name
+    --   DROP n_name, SET DEFAULT 9 + insert 99, RENAME COLUMN remark
+    --   TO remark2, DROP DEFAULT + insert 98, RENAME TO target name
     WITH final AS (
-      SELECT n_nationkey, n_regionkey,
-             CASE WHEN n_regionkey < 3 THEN 'r' || CAST(n_regionkey AS VARCHAR) END AS remark,
+      SELECT n_nationkey,
+             CASE WHEN n_regionkey < 3 THEN 'r' || CAST(n_regionkey AS VARCHAR) END AS remark2,
              CAST(7 AS BIGINT) AS flag
       FROM nation
+      UNION ALL SELECT 99, NULL, CAST(9 AS BIGINT)
+      UNION ALL SELECT 98, NULL, NULL
     )
-    SELECT coalesce(remark, '~none~') AS remark,
+    SELECT coalesce(remark2, '~none~') AS remark2,
            count(*) AS n,
            CAST(sum(flag) AS BIGINT) AS flag_sum,
            CAST(sum(n_nationkey) AS BIGINT) AS key_sum
@@ -109,13 +112,15 @@ def dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mysql_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's ALTER TABLE surface (`dbcon/ddlpackage/ddl.y:477`:
-    AtaAddColumn / AtaRenameColumn / AtaModifyColumnType / AtaDropColumn
-    / RENAME TO) executed as MySQL text through InfiniSession.execute on
-    a managed table; the end state is hash-checked against the oracle's
+    """The reference's FULL ALTER TABLE surface (`dbcon/ddlpackage/
+    ddl.y:477-560`: AtaAddColumn / AtaRenameColumn / AtaModifyColumnType
+    / AtaDropColumn / AtaSetColumnDefault / AtaDropColumnDefault /
+    RENAME TO) executed as MySQL text through InfiniSession.execute on a
+    managed table; the end state is hash-checked against the oracle's
     relational equivalent.  ADD COLUMN with NULL default is metadata-only
     (hard-linked files + a schema-carrying empty file; operators/dml.py
-    alter_table)."""
+    alter_table), as are SET/DROP DEFAULT (catalog metadata feeding
+    later INSERT fills — no file touched)."""
     from infinidb_spark.session import InfiniSession
 
     sess = InfiniSession(spark)
@@ -127,9 +132,14 @@ def mysql_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.execute("ALTER TABLE alter_t ADD flag INT DEFAULT 7, CHANGE note remark VARCHAR(40)")
         sess.execute("ALTER TABLE alter_t MODIFY flag BIGINT")
         sess.execute("ALTER TABLE alter_t DROP COLUMN n_name")
+        sess.execute("ALTER TABLE alter_t ALTER COLUMN flag SET DEFAULT 9")
+        sess.execute("INSERT INTO alter_t (n_nationkey, n_regionkey) VALUES (99, 1)")
+        sess.execute("ALTER TABLE alter_t RENAME COLUMN remark TO remark2")
+        sess.execute("ALTER TABLE alter_t ALTER flag DROP DEFAULT")
+        sess.execute("INSERT INTO alter_t (n_nationkey, n_regionkey) VALUES (98, 2)")
         sess.execute("ALTER TABLE alter_t RENAME TO alter_done")
         out = sess.sql(
-            """SELECT coalesce(remark, '~none~') AS remark, count(*) AS n,
+            """SELECT coalesce(remark2, '~none~') AS remark2, count(*) AS n,
                       sum(flag) AS flag_sum, sum(n_nationkey) AS key_sum
                FROM alter_done GROUP BY 1"""
         )

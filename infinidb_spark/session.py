@@ -1537,20 +1537,56 @@ class InfiniSession:
             self._refresh(st["table"])
             return n
         if st["kind"] == "alter":
-            from infinidb_spark.operators.dml import alter_table, rename_table
+            from infinidb_spark.operators.dml import (
+                alter_table,
+                read_table,
+                rename_table,
+            )
 
             name = st["table"]
             for action in st["actions"]:
-                if action["op"] == "rename_table":
+                op = action["op"]
+                meta = self._table_meta.setdefault(name, {})
+                if op == "rename_table":
                     new_path = os.path.join(os.path.dirname(path), action["new"])
                     rename_table(path, new_path)
                     self.spark.catalog.dropTempView(name)
                     self._managed.pop(name)
                     self.tables.pop(name, None)
+                    self._table_meta[action["new"]] = self._table_meta.pop(name, meta)
                     name, path = action["new"], new_path
                     self._managed[name] = path
-                else:
-                    alter_table(self.spark, path, action)
+                    continue
+                if op in ("set_default", "drop_default"):
+                    # metadata-only, like the reference's syscat default
+                    # update (ddlpackageproc AtaSetColumnDefault) — no
+                    # file is touched at any table size
+                    col = action["column"]
+                    if col not in read_table(self.spark, path).columns:
+                        raise ValueError(f"no such column {col!r} in {name}")
+                    defaults = meta.setdefault("defaults", {})
+                    if op == "set_default" and action["default"] is not None:
+                        defaults[col] = action["default"]
+                    else:
+                        defaults.pop(col, None)
+                    continue
+                alter_table(self.spark, path, action)
+                # keep column metadata aligned with the new shape
+                defaults = meta.get("defaults", {})
+                notnull = meta.get("notnull", [])
+                if op == "drop":
+                    defaults.pop(action["column"], None)
+                    if action["column"] in notnull:
+                        notnull.remove(action["column"])
+                elif op in ("change", "rename_column"):
+                    old = action["old"]
+                    new = action["new"]
+                    if old in defaults:
+                        defaults[new] = defaults.pop(old)
+                    if old in notnull:
+                        notnull[notnull.index(old)] = new
+                    if meta.get("auto_inc") == old:
+                        meta["auto_inc"] = new
             self._refresh(name)
             return 0
         if st["kind"] == "load_data":
