@@ -1937,7 +1937,7 @@ def _parse_mysql_type(toks: list[Token], i: int | None) -> tuple[str, int]:
     if j is not None and toks[j][0] == "word" and toks[j][1].upper() in ("UNSIGNED", "SIGNED"):
         unsigned = toks[j][1].upper() == "UNSIGNED"
         j = _next_code(toks, j + 1)
-    if name in ("DECIMAL", "NUMERIC"):
+    if name in ("DECIMAL", "NUMERIC", "NUMBER"):
         p = args[0] if args else "10"
         s = args[1] if len(args) > 1 else "0"
         return f"decimal({p},{s})", j if j is not None else len(toks)
@@ -1947,6 +1947,36 @@ def _parse_mysql_type(toks: list[Token], i: int | None) -> tuple[str, int]:
     if isinstance(spark, tuple):
         spark = spark[1] if unsigned else spark[0]
     return spark, j if j is not None else len(toks)
+
+
+#: SQL-92 user specials allowed in DEFAULT (ddl.y default_clause);
+#: all denote the session user → Spark's current_user()
+_USER_SPECIALS = frozenset({"USER", "CURRENT_USER", "SESSION_USER", "SYSTEM_USER"})
+
+
+def _default_value(part: list[Token], v: int | None) -> tuple[str | None, int | None]:
+    """One DEFAULT value per the reference grammar (ddl.y
+    default_clause: a single literal, NULL, or a user special) →
+    (rendered value or None for NULL, index after the value)."""
+    if v is None:
+        raise DialectError("DEFAULT requires a value")
+    neg = ""
+    if part[v] == ("sym", "-"):
+        neg = "-"
+        v = _next_code(part, v + 1)
+        if v is None:
+            raise DialectError("DEFAULT requires a value")
+    tok = part[v]
+    if tok[0] == "word":
+        up = tok[1].upper()
+        if up == "NULL":
+            return None, _next_code(part, v + 1)
+        if up in _USER_SPECIALS:
+            return "current_user()", _next_code(part, v + 1)
+        raise DialectError(f"unsupported DEFAULT value {tok[1]!r}")
+    if tok[0] not in ("number", "string"):
+        raise DialectError(f"unsupported DEFAULT value {tok[1]!r}")
+    return neg + tok[1], _next_code(part, v + 1)
 
 
 def _parse_alter(toks: list[Token], i: int) -> dict:
@@ -2022,17 +2052,12 @@ def _parse_alter(toks: list[Token], i: int) -> dict:
                 n = _next_code(part, n + 1)
                 if n is None or part[n][0] != "word" or part[n][1].upper() != "DEFAULT":
                     raise DialectError("expected DEFAULT after ALTER COLUMN ... SET")
-                n = _next_code(part, n + 1)
-                if n is None:
-                    raise DialectError("SET DEFAULT requires a value")
-                default = render(part[n:]).strip()
-                up = default.upper()
-                if up == "NULL":
-                    default = None
-                elif up in ("USER", "CURRENT_USER", "SESSION_USER", "SYSTEM_USER"):
-                    # SQL-92 user specials (ddl.y default_clause) — the
-                    # session user, Spark's current_user()
-                    default = "current_user()"
+                default, trailing = _default_value(part, _next_code(part, n + 1))
+                if trailing is not None:
+                    raise DialectError(
+                        f"unexpected tokens after SET DEFAULT value: "
+                        f"{render(part[trailing:]).strip()!r}"
+                    )
                 actions.append(
                     {"op": "set_default", "column": col, "default": default}
                 )
@@ -2048,15 +2073,18 @@ def _parse_alter(toks: list[Token], i: int) -> dict:
             while n is not None and n < len(part) and part[n][0] == "word":
                 w = part[n][1].upper()
                 if w == "DEFAULT":
-                    dflt_toks = part[_next_code(part, n + 1) :]
-                    default = render(dflt_toks).strip()
-                    n = len(part)
+                    default, n = _default_value(part, _next_code(part, n + 1))
                 elif w in ("NULL", "NOT"):  # NOT NULL / NULL accepted, not enforced
                     n = _next_code(part, n + 1)
+                elif w == "ENGINE":
+                    # trailing ENGINE=InfiniDB table option (examples
+                    # corpus) — accepted and ignored like CREATE's
+                    n = _next_code(part, n + 1)
+                    if n is not None and part[n] == ("sym", "="):
+                        n = _next_code(part, n + 1)
+                    n = _next_code(part, n + 1) if n is not None else None
                 else:
                     raise DialectError(f"unsupported ADD COLUMN option {w}")
-            if default is not None and default.upper() == "NULL":
-                default = None
             actions.append({"op": "add", "column": col, "type": typ, "default": default})
         elif verb == "DROP":
             n = skip_col_kw(k + 1)
@@ -2466,14 +2494,7 @@ def _parse_create_typed(toks: list[Token], open_i: int, table: str) -> dict:
             elif w == "NULL":
                 k = _next_code(part, k + 1)
             elif w == "DEFAULT":
-                v = _next_code(part, k + 1)
-                if v is None:
-                    raise DialectError("DEFAULT requires a literal")
-                if part[v][0] == "word" and part[v][1].upper() == "NULL":
-                    col["default"] = None
-                else:
-                    col["default"] = render(part[v : v + 1]).strip()
-                k = _next_code(part, v + 1)
+                col["default"], k = _default_value(part, _next_code(part, k + 1))
             elif w == "COMMENT":
                 v = _next_code(part, k + 1)
                 if v is None or part[v][0] != "string":

@@ -61,7 +61,15 @@ def _statements(path: str) -> list[str]:
 
 
 def _corpus(d: str) -> list[str]:
-    return sorted(f for f in os.listdir(d) if f.endswith(".sql"))
+    out = []
+    for root, _dirs, files in os.walk(d):
+        rel = os.path.relpath(root, d)
+        out.extend(
+            os.path.join(rel, f) if rel != "." else f
+            for f in files
+            if f.endswith(".sql")
+        )
+    return sorted(out)
 
 
 @pytest.mark.parametrize("fname", _corpus(REF_DDL) if os.path.isdir(REF_DDL) else [])
@@ -149,3 +157,16 @@ def test_parse_new_alter_forms():
         parse_statement("ALTER TABLE t ALTER c SET WIDTH 3")
     with pytest.raises(DialectError):
         parse_statement("ALTER TABLE t RENAME COLUMN a b")
+    # DEFAULT takes exactly one literal (ddl.y default_clause): negative
+    # numbers keep their sign, NUMBER ≡ DECIMAL, trailing ENGINE option
+    # is ignored, junk after the value is rejected
+    st = parse_statement(
+        "ALTER TABLE t ADD c NUMBER(7,2) DEFAULT -1.5 ENGINE=InfiniDB"
+    )
+    assert st["actions"][0] == {
+        "op": "add", "column": "c", "type": "decimal(7,2)", "default": "-1.5"
+    }
+    st = parse_statement("CREATE TABLE neg (v DOUBLE DEFAULT -2)")
+    assert st["columns"][0]["default"] == "-2"
+    with pytest.raises(DialectError):
+        parse_statement("ALTER TABLE t ALTER c SET DEFAULT 3 bogus")
