@@ -107,6 +107,28 @@ def test_dml_corpus_parses(fname):
         assert st["kind"] in ("insert", "update", "delete", "insert_select"), stmt
 
 
+REF_COMMON = "/root/reference/utils/scenarios/common/sql"
+
+
+@pytest.mark.parametrize(
+    "fname", _corpus(REF_COMMON) if os.path.isdir(REF_COMMON) else []
+)
+def test_scenario_common_corpus_parses(fname):
+    """The perf-scenario harness's own result-table scripts (CREATE
+    TABLE rosters + LOAD DATA INFILE with FIELDS/LINES options and
+    explicit column lists, block comments included) must all parse.
+    Exception: tblTestSummary.sql is ungrammatical IN THE REFERENCE
+    (missing comma after ``numPM tinyint``) — MySQL rejects it too, so
+    the required behavior is a clean DialectError."""
+    for stmt in _statements(os.path.join(REF_COMMON, fname)):
+        if fname == os.path.join("testResultTables", "tblTestSummary.sql"):
+            with pytest.raises(DialectError):
+                parse_statement(stmt)
+            continue
+        st = parse_statement(stmt)
+        assert st["kind"] in ("create_typed", "create", "load_data"), (fname, st)
+
+
 def test_alter_column_default_lifecycle(spark, sf_dir):
     """SET DEFAULT is metadata-only and feeds later INSERTs; DROP
     DEFAULT reverts to NULL fill; RENAME COLUMN carries the default."""
