@@ -129,6 +129,27 @@ def test_scenario_common_corpus_parses(fname):
         assert st["kind"] in ("create_typed", "create", "load_data"), (fname, st)
 
 
+REF_PERF = "/root/reference/utils/scenarios/perf/sql"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_PERF), reason="reference corpus absent")
+def test_perf_scenario_corpus_classifies():
+    """Every statement of the reference's perf workload corpus (308
+    files: the numbered query groups, session-variable reports, DML
+    mixes, and cal* admin calls) classifies through the front end with
+    zero rejects — the whole nightly workload is inside the dialect."""
+    import collections
+
+    stats: collections.Counter = collections.Counter()
+    for dirp, _dirs, files in os.walk(REF_PERF):
+        for f in sorted(files):
+            if f.endswith(".sql"):
+                for stmt in _statements(os.path.join(dirp, f)):
+                    stats[parse_statement(stmt)["kind"]] += 1
+    assert stats["select"] >= 200 and stats["admin"] >= 10, dict(stats)
+    assert set(stats) <= {"select", "select_into_vars", "admin", "delete", "update"}
+
+
 def test_alter_column_default_lifecycle(spark, sf_dir):
     """SET DEFAULT is metadata-only and feeds later INSERTs; DROP
     DEFAULT reverts to NULL fill; RENAME COLUMN carries the default."""
