@@ -1973,6 +1973,18 @@ def _default_value(part: list[Token], v: int | None) -> tuple[str | None, int | 
             return None, _next_code(part, v + 1)
         if up in _USER_SPECIALS:
             return "current_user()", _next_code(part, v + 1)
+        if up in ("TRUE", "FALSE", "CURRENT_TIMESTAMP", "CURRENT_DATE"):
+            # MySQL word literals/datetime specials; Spark spells them
+            # the same.  LOCALTIME(STAMP) and NOW() normalize.
+            return up, _next_code(part, v + 1)
+        if up in ("LOCALTIME", "LOCALTIMESTAMP", "NOW"):
+            n = _next_code(part, v + 1)
+            if up == "NOW":  # optional ()
+                if n is None or part[n] != ("sym", "("):
+                    raise DialectError("DEFAULT NOW requires ()")
+                close = _match_paren(part, n)
+                n = _next_code(part, close + 1)
+            return "CURRENT_TIMESTAMP", n
         raise DialectError(f"unsupported DEFAULT value {tok[1]!r}")
     if tok[0] not in ("number", "string"):
         raise DialectError(f"unsupported DEFAULT value {tok[1]!r}")
@@ -2027,9 +2039,15 @@ def _parse_alter(toks: list[Token], i: int) -> dict:
                 n = _next_code(part, n + 1)
                 if n is None or part[n][0] != "word" or part[n][1].upper() != "TO":
                     raise DialectError("expected TO in RENAME COLUMN old TO new")
-                new, _ = _expect_ident(
+                new, n = _expect_ident(
                     part, _next_code(part, n + 1), "new column name after TO"
                 )
+                trailing = _next_code(part, n + 1)
+                if trailing is not None:
+                    raise DialectError(
+                        f"unexpected tokens after RENAME COLUMN: "
+                        f"{render(part[trailing:]).strip()!r}"
+                    )
                 actions.append({"op": "rename_column", "old": old, "new": new})
                 continue
             if n is not None and part[n][0] == "word" and part[n][1].upper() == "TO":
@@ -2047,6 +2065,12 @@ def _parse_alter(toks: list[Token], i: int) -> dict:
                 n = _next_code(part, n + 1)
                 if n is None or part[n][0] != "word" or part[n][1].upper() != "DEFAULT":
                     raise DialectError("expected DEFAULT after ALTER COLUMN ... DROP")
+                trailing = _next_code(part, n + 1)
+                if trailing is not None:
+                    raise DialectError(
+                        f"unexpected tokens after DROP DEFAULT: "
+                        f"{render(part[trailing:]).strip()!r}"
+                    )
                 actions.append({"op": "drop_default", "column": col})
             elif word == "SET":
                 n = _next_code(part, n + 1)

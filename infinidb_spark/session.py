@@ -714,6 +714,28 @@ class InfiniSession:
         df.createOrReplaceTempView(name)
         self.tables[name] = df
 
+    def _check_default(self, default: str, spark_type: str, col: str) -> None:
+        """MySQL rejects DDL whose DEFAULT can't serve the column type
+        ("Invalid default value") instead of deferring the failure to
+        the next INSERT; mirror that by probing the cast on one row —
+        a non-NULL value that casts to NULL can never fill the column
+        (with ANSI off the INSERT would silently write NULL instead)."""
+        from pyspark.sql import functions as F
+
+        try:
+            probe = (
+                self.spark.range(1)
+                .select(F.expr(default).cast(spark_type).alias("v"))
+                .collect()[0]
+                .v
+            )
+        except Exception as ex:
+            raise ValueError(
+                f"Invalid default value for {col!r}: {default}"
+            ) from ex
+        if probe is None:
+            raise ValueError(f"Invalid default value for {col!r}: {default}")
+
     def execute(self, statement: str, dialect: str = "mysql"):
         """Statement router — the full mysqld surface (SURVEY §3.1-3.2):
         SELECTs return a DataFrame; INSERT/UPDATE/DELETE run against a
@@ -1477,6 +1499,9 @@ class InfiniSession:
                 self.spark.catalog.dropTempView(st["table"])
                 self._managed.pop(st["table"])
                 self.tables.pop(st["table"], None)
+                # a later CREATE of the same name must not inherit this
+                # table's defaults/notnull/auto-increment state
+                self._table_meta.pop(st["table"], None)
                 return 0
             empty = read_table(self.spark, path).limit(0)
             from infinidb_spark.operators.dml import create_table
@@ -1562,19 +1587,35 @@ class InfiniSession:
                     # update (ddlpackageproc AtaSetColumnDefault) — no
                     # file is touched at any table size
                     col = action["column"]
-                    if col not in read_table(self.spark, path).columns:
+                    schema = read_table(self.spark, path).schema
+                    by_name = {f.name: f for f in schema.fields}
+                    if col not in by_name:
                         raise ValueError(f"no such column {col!r} in {name}")
                     defaults = meta.setdefault("defaults", {})
                     if op == "set_default" and action["default"] is not None:
+                        self._check_default(
+                            action["default"], by_name[col].dataType.simpleString(), col
+                        )
                         defaults[col] = action["default"]
                     else:
                         defaults.pop(col, None)
                     continue
+                if op == "add" and action.get("default") is not None:
+                    self._check_default(
+                        action["default"], action["type"], action["column"]
+                    )
                 alter_table(self.spark, path, action)
                 # keep column metadata aligned with the new shape
                 defaults = meta.get("defaults", {})
                 notnull = meta.get("notnull", [])
-                if op == "drop":
+                if op == "add":
+                    # future INSERTs that omit the column get the default
+                    # too, same as a typed-CREATE default
+                    if action.get("default") is not None:
+                        meta.setdefault("defaults", {})[action["column"]] = action[
+                            "default"
+                        ]
+                elif op == "drop":
                     defaults.pop(action["column"], None)
                     if action["column"] in notnull:
                         notnull.remove(action["column"])

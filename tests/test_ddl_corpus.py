@@ -20,7 +20,6 @@ the tests skip cleanly in a standalone checkout.
 from __future__ import annotations
 
 import os
-import re
 
 import pytest
 
@@ -54,10 +53,22 @@ MUST_PARSE = {
 
 
 def _statements(path: str) -> list[str]:
-    with open(path) as f:
-        text = f.read()
-    text = re.sub(r"--[^\n]*", "", text)
-    return [s.strip() for s in text.split(";") if s.strip()]
+    """Split a corpus file on top-level ';' using the engine tokenizer,
+    so ';' or '--' INSIDE string literals never corrupts a statement
+    (a naive regex/split would)."""
+    from infinidb_spark.dialect import render, tokenize
+
+    with open(path, errors="replace") as f:
+        toks = tokenize(f.read())
+    out, cur = [], []
+    for t in toks:
+        if t == ("sym", ";"):
+            out.append(cur)
+            cur = []
+        elif t[0] != "comment":
+            cur.append(t)
+    out.append(cur)
+    return [s for s in (render(c).strip() for c in out) if s]
 
 
 def _corpus(d: str) -> list[str]:
@@ -180,6 +191,31 @@ def test_alter_column_default_lifecycle(spark, sf_dir):
         sess.execute("ALTER TABLE ddlc RENAME COLUMN id TO w")
 
 
+def test_add_column_default_feeds_inserts_and_drop_clears_meta(spark, sf_dir):
+    """ADD COLUMN ... DEFAULT registers the default for FUTURE inserts
+    (not just the backfill); an invalid default is rejected at ALTER
+    time like MySQL ("Invalid default value"), and DROP TABLE clears
+    the metadata so a re-created table of the same name starts clean."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute("CREATE TABLE meta_t (id BIGINT NOT NULL)")
+    sess.execute("ALTER TABLE meta_t ADD c INT DEFAULT 7")
+    sess.execute("INSERT INTO meta_t (id) VALUES (1)")
+    assert {r.id: r.c for r in sess.execute("SELECT id, c FROM meta_t").collect()} == {1: 7}
+
+    with pytest.raises(ValueError, match="Invalid default value"):
+        sess.execute("ALTER TABLE meta_t ALTER COLUMN c SET DEFAULT 'abc'")
+    with pytest.raises(ValueError, match="Invalid default value"):
+        sess.execute("ALTER TABLE meta_t ADD d INT DEFAULT 'xyz'")
+
+    sess.execute("DROP TABLE meta_t")
+    sess.execute("CREATE TABLE meta_t (id BIGINT NOT NULL, c INT)")
+    sess.execute("INSERT INTO meta_t (id) VALUES (2)")
+    rows = sess.execute("SELECT id, c FROM meta_t").collect()
+    assert rows[0].c is None  # no phantom default from the dropped table
+
+
 def test_parse_new_alter_forms():
     st = parse_statement(
         "ALTER TABLE t RENAME COLUMN a TO b, ALTER COLUMN c SET DEFAULT 3, "
@@ -213,3 +249,15 @@ def test_parse_new_alter_forms():
     assert st["columns"][0]["default"] == "-2"
     with pytest.raises(DialectError):
         parse_statement("ALTER TABLE t ALTER c SET DEFAULT 3 bogus")
+    with pytest.raises(DialectError):
+        parse_statement("ALTER TABLE t ALTER c DROP DEFAULT bogus")
+    with pytest.raises(DialectError):
+        parse_statement("ALTER TABLE t RENAME COLUMN a TO b extra")
+    # word literals and datetime specials stay supported (typed-CREATE
+    # accepted them before _default_value existed)
+    st = parse_statement("CREATE TABLE wl (b BOOLEAN DEFAULT TRUE, "
+                         "ts DATETIME DEFAULT CURRENT_TIMESTAMP, "
+                         "ts2 DATETIME DEFAULT NOW(), d DATE DEFAULT CURRENT_DATE)")
+    assert [c["default"] for c in st["columns"]] == [
+        "TRUE", "CURRENT_TIMESTAMP", "CURRENT_TIMESTAMP", "CURRENT_DATE"
+    ]
