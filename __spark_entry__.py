@@ -109,6 +109,7 @@ _PRIORITY = [
     "dataset_stratified_split",
     "streaming_click_view_join",
     "streaming_running_totals",
+    "dedup_semantic",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

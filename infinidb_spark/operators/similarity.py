@@ -413,3 +413,69 @@ def kmeans_fit_predict(
         best["cid"].alias("cluster_id"),
         best["sim"].alias("sim"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.6,
+    stride: int = 50,
+    iters: int = 2,
+    cluster_cap: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means clusters bound the
+    candidate space, exact cosine runs only WITHIN a cluster, and every
+    near-dup points at its min-id representative (SemDeDup, Abbas et
+    al. 2023 — cluster-then-prune; the text analog is the MinHash
+    band bucket, operators/dedup.py).
+
+    Scale shape: clustering is ``kmeans_fit_predict`` (assignment is a
+    broadcast-literal projection, model update one bounded aggregation);
+    the pairing self-join shuffles on ``cluster_id`` only, so the
+    quadratic term is bounded by the largest cluster, never the corpus —
+    ``cluster_cap`` drops degenerate clusters outright (the skew guard,
+    same contract as MinHash's ``candidate_cap``).  At 100 TB, k scales
+    with corpus size to hold the per-cluster population roughly
+    constant, which is exactly SemDeDup's published operating regime.
+
+    Returns (id, cluster_id, rep_id, is_dup): min-lower-neighbor
+    representative per vector, same contract as ``embedding_dedup``.
+    """
+    labels = kmeans_fit_predict(
+        df, stride=stride, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    vv = base.join(labels.select(id_col, "cluster_id"), id_col)
+    small = (
+        vv.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= cluster_cap)
+        .select("cluster_id")
+    )
+    vc = vv.join(F.broadcast(small), "cluster_id")
+    a = vc.select(
+        "cluster_id", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = vc.select(
+        F.col("cluster_id").alias("_c2"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    pairs = (
+        a.join(b, (a.cluster_id == b._c2) & (a.id_a < b.id_b))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    reps = pairs.groupBy("id_b").agg(F.min("id_a").alias("_rep"))
+    return (
+        labels.join(reps, labels[id_col] == reps["id_b"], "left")
+        .select(
+            labels[id_col],
+            "cluster_id",
+            F.coalesce(F.col("_rep"), labels[id_col]).alias("rep_id"),
+            F.col("_rep").isNotNull().cast("int").alias("is_dup"),
+        )
+    )

@@ -1715,6 +1715,35 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_semantic",
+    oracle=_KMEANS_CTE + """
+    , vv AS (SELECT a2.vec_id, a2.cid, v.e FROM a2 JOIN v USING (vec_id)),
+    ok AS (SELECT cid FROM vv GROUP BY cid HAVING count(*) <= 1000),
+    vc AS (SELECT vv.* FROM vv JOIN ok USING (cid)),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM vc a JOIN vc b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+    ),
+    r AS (SELECT id_b AS vec_id, min(id_a) AS rep FROM p GROUP BY id_b)
+    SELECT a2.vec_id, a2.cid AS cluster_id,
+           coalesce(r.rep, a2.vec_id) AS rep_id,
+           CAST(CASE WHEN r.rep IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM a2 LEFT JOIN r USING (vec_id)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup): deterministic spherical k-means bounds the
+    candidate space, exact cosine >= 0.3 within clusters only, min-id
+    representative — the cluster-then-prune member of the dedup family
+    (vs LSH-bucketed dedup_embedding_cosine).  Hash-checked: the oracle
+    replays the full Lloyd iterations AND the in-cluster pruning."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb.filter(F.col("vec_id") < 200), threshold=0.3)
+
+
 # --- incremental dedup: new batch vs stored corpus artifacts -----------
 # The 100 TB operating mode: the corpus is NEVER re-processed per batch.
 # Exact dedup keeps a content-hash relation; near-dup keeps the MinHash

@@ -127,3 +127,31 @@ def test_ann_ivfpq_topk_serving_contract(spark, sf_dir):
     }
     overlap = len(exact & {r.vec_id for r in got})
     assert overlap >= 3, f"ADC recall collapsed: {overlap}/10 vs IVF-Flat"
+
+
+def test_semantic_dedup_contract(spark, sf_dir):
+    """SemDeDup invariants: one row per input vector, representatives
+    have lower ids than their duplicates, reps and dups agree, every
+    dup shares a cluster with its representative, and a re-run is
+    bit-identical (deterministic k-means contract)."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.similarity import semantic_dedup
+    from infinidb_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    sub = emb.filter(F.col("vec_id") < 200)
+    out = semantic_dedup(sub, threshold=0.3).collect()
+    assert len(out) == sub.count()
+    by_id = {r.vec_id: r for r in out}
+    n_dups = 0
+    for r in out:
+        if r.is_dup:
+            n_dups += 1
+            assert r.rep_id < r.vec_id
+            assert by_id[r.rep_id].cluster_id == r.cluster_id
+        else:
+            assert r.rep_id == r.vec_id
+    assert n_dups > 0, "threshold produced no duplicates — not exercised"
+    again = semantic_dedup(sub, threshold=0.3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
