@@ -53,22 +53,13 @@ MUST_PARSE = {
 
 
 def _statements(path: str) -> list[str]:
-    """Split a corpus file on top-level ';' using the engine tokenizer,
-    so ';' or '--' INSIDE string literals never corrupts a statement
-    (a naive regex/split would)."""
-    from infinidb_spark.dialect import render, tokenize
+    """Tokenizer-based batch split (the mysql-client surface the
+    reference's scenario runner uses): ';' or '--' inside string
+    literals never corrupts a statement, comment-only pieces drop."""
+    from infinidb_spark.dialect import split_statements
 
     with open(path, errors="replace") as f:
-        toks = tokenize(f.read())
-    out, cur = [], []
-    for t in toks:
-        if t == ("sym", ";"):
-            out.append(cur)
-            cur = []
-        elif t[0] != "comment":
-            cur.append(t)
-    out.append(cur)
-    return [s for s in (render(c).strip() for c in out) if s]
+        return split_statements(f.read())
 
 
 def _corpus(d: str) -> list[str]:
