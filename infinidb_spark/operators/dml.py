@@ -190,6 +190,26 @@ def _swap(table_dir: str, new_dir: str) -> None:
         shutil.rmtree(old_target)
 
 
+def charnull(df: DataFrame) -> DataFrame:
+    """InfiniDB char-storage null semantics: an EMPTY STRING written to
+    a char/varchar column is stored as NULL — the reference's char null
+    magic value (its own null test, `dbcon/joblist/nulltests.pl`
+    check_char_counts, expects is-null = 2 after inserting
+    (NULL, '', 'A'); cpimport behaves the same on empty fields).
+    Applied at every managed-table WRITE path (create/insert/rewrite),
+    never on reads of external parquet.  Idempotent: a managed table
+    can therefore never contain '' in a string column."""
+    from pyspark.sql.types import StringType
+
+    from pyspark.sql import functions as F
+
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StringType):
+            out = out.withColumn(f.name, F.nullif(F.col(f.name), F.lit("")))
+    return out
+
+
 def create_table(
     df: DataFrame,
     table_dir: str,
@@ -203,7 +223,7 @@ def create_table(
     (utils/compress/idbcompress.cpp:29; ha_calpont_ddl.cpp comment
     parsing) — 'snappy' (default) and 'uncompressed' are the analogs."""
     new_dir = _new_version_dir(table_dir)
-    writer = df.write.mode("overwrite")
+    writer = charnull(df).write.mode("overwrite")
     if codec:
         writer = writer.option("compression", codec)
     if partition_by:
@@ -215,7 +235,7 @@ def create_table(
 def insert_into(df: DataFrame, table_dir: str, codec: str | None = None) -> None:
     """INSERT: append-only new files — no existing file is touched
     (≅ cpimport incremental load / ha_calpont_impl_write_row_)."""
-    writer = df.write.mode("append")
+    writer = charnull(df).write.mode("append")
     if codec:
         writer = writer.option("compression", codec)
     writer.parquet(table_dir)
@@ -290,7 +310,7 @@ def _rewrite_writer(df: DataFrame, codec: str | None):
     codec (COMMENT='compression=N'; None = Spark default snappy) — every
     copy-on-write rewrite must keep the storage setting, not just the
     INSERT paths."""
-    writer = df.write.mode("overwrite")
+    writer = charnull(df).write.mode("overwrite")
     if codec:
         writer = writer.option("compression", codec)
     return writer
