@@ -196,18 +196,32 @@ def charnull(df: DataFrame) -> DataFrame:
     magic value (its own null test, `dbcon/joblist/nulltests.pl`
     check_char_counts, expects is-null = 2 after inserting
     (NULL, '', 'A'); cpimport behaves the same on empty fields).
-    Applied at every managed-table WRITE path (create/insert/rewrite),
-    never on reads of external parquet.  Idempotent: a managed table
-    can therefore never contain '' in a string column."""
+    Applied at every managed-table WRITE path (create/insert/alter/
+    rewrite/stream sink), never on reads of external parquet.
+    Idempotent: a managed table can therefore never contain '' in a
+    top-level string column.  Scope note: only TOP-LEVEL string columns
+    — the reference's type system has no nested types, so '' inside an
+    array/struct (engine extension territory) is left as data.
+
+    One select (not chained withColumn), with backtick-quoted column
+    references so names containing dots resolve exactly."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
-    from pyspark.sql import functions as F
+    if not any(isinstance(f.dataType, StringType) for f in df.schema.fields):
+        return df
 
-    out = df
-    for f in df.schema.fields:
-        if isinstance(f.dataType, StringType):
-            out = out.withColumn(f.name, F.nullif(F.col(f.name), F.lit("")))
-    return out
+    def ref(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    return df.select(
+        *[
+            F.nullif(ref(f.name), F.lit("")).alias(f.name)
+            if isinstance(f.dataType, StringType)
+            else ref(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
 
 def create_table(
@@ -584,7 +598,7 @@ def _pruned_rewrite(
             df = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
             new_df, n = transform(df, cond)
             # append alongside the hard links — part-file names are unique
-            new_df.write.mode("append").parquet(new_dir)
+            charnull(new_df).write.mode("append").parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -737,7 +751,7 @@ def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
         raise ValueError(f"unknown ALTER action {op!r}")
     with _table_lock(table_dir, "ALTER"):
         new_dir = _new_version_dir(table_dir)
-        out.write.mode("overwrite").parquet(new_dir)
+        charnull(out).write.mode("overwrite").parquet(new_dir)
         _swap(table_dir, new_dir)
 
 

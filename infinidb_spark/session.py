@@ -301,7 +301,12 @@ class InfiniSession:
             prefix=".stage_", dir=os.path.dirname(path) or None
         )
         try:
-            writer = aligned.write.mode("overwrite")
+            from infinidb_spark.operators.dml import charnull
+
+            # char-null storage semantics BEFORE the NOT NULL check, so
+            # '' into a NOT NULL string column is rejected (it would be
+            # stored as NULL) — consistent with every other write path
+            writer = charnull(aligned).write.mode("overwrite")
             if codec:
                 writer = writer.option("compression", codec)
             writer.parquet(stage)
@@ -1669,6 +1674,12 @@ class InfiniSession:
                 ]
             )
             aligned, _ai_handle = self._fill_auto_increment(st["table"], aligned)
+            # char-null semantics BEFORE the NOT NULL check (same order
+            # as _insert_staged): an empty field bound for a NOT NULL
+            # string column is a violation, not a silent NULL
+            from infinidb_spark.operators.dml import charnull
+
+            aligned = charnull(aligned)
             # typed-CREATE NOT NULL applies to LOAD DATA exactly like
             # INSERT (MySQL rejects the statement); the scan below reads
             # the persisted bulk-load cache, not the file again

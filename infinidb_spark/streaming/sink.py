@@ -71,7 +71,11 @@ def write_epoch_idempotent(
     if os.path.exists(marker):
         return False
     stage = os.path.join(table_dir, f".epoch_{safe}_{epoch_id}_tmp")
-    writer = batch_df.write.mode("overwrite")
+    from infinidb_spark.operators.dml import charnull
+
+    # stream/batch storage parity: the same char-null write semantics
+    # as every batch ingest path (operators/dml.py charnull)
+    writer = charnull(batch_df).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage)

@@ -97,3 +97,36 @@ def test_date_null_counts(sess, coltype):
             ("col1 > '1998-05-14'", 1),
         ],
     )
+
+
+def test_empty_string_into_not_null_char_rejected(sess):
+    """'' ≡ NULL at char storage, so '' bound for a NOT NULL string
+    column is a NOT NULL violation — BOTH insert paths (plain append
+    and the staged NOT-NULL-validating path) agree, instead of the
+    staged path silently storing ''."""
+    sess.execute("DROP TABLE IF EXISTS nn")
+    sess.execute("CREATE TABLE nn (a VARCHAR(10) NOT NULL, b INT)")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        sess.execute("INSERT INTO nn VALUES ('', 1)")
+    assert _x(sess, "SELECT count(*) c FROM nn") == 0  # statement rejected whole
+    sess.execute("INSERT INTO nn VALUES ('A', 1)")
+    assert _x(sess, "SELECT count(*) c FROM nn") == 1
+    sess.execute("DROP TABLE nn")
+
+
+def test_update_and_alter_writes_apply_char_null(sess):
+    """SET col='' stores NULL through the copy-on-write rewrite, and an
+    ALTER backfill of DEFAULT '' lands as NULL — every write path, not
+    just INSERT."""
+    sess.execute("DROP TABLE IF EXISTS cw")
+    sess.execute("CREATE TABLE cw (id INT, s VARCHAR(10))")
+    sess.execute("INSERT INTO cw VALUES (1, 'x'), (2, 'y')")
+    sess.execute("UPDATE cw SET s = '' WHERE id = 1")
+    assert _x(sess, "SELECT count(*) c FROM cw WHERE s IS NULL") == 1
+    sess.execute("ALTER TABLE cw ADD t VARCHAR(5) DEFAULT ''")
+    assert _x(sess, "SELECT count(*) c FROM cw WHERE t IS NULL") == 2
+    sess.execute("DROP TABLE cw")
+
+
+def _x(sess, q: str) -> int:
+    return sess.execute(q).collect()[0].c
