@@ -110,6 +110,7 @@ _PRIORITY = [
     "streaming_click_view_join",
     "streaming_running_totals",
     "dedup_semantic",
+    "streaming_ann_ingest",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

@@ -287,6 +287,7 @@ def ann_ivfpq_topk(
     """
     from infinidb_spark.operators.similarity import (
         ivf_assign_expr,
+        ivf_probe_ids,
         train_ivf_centroids,
     )
 
@@ -294,21 +295,7 @@ def ann_ivfpq_topk(
     codebooks = pq_train(df, m, k_codes, pq_iters, stride, vec_col, id_col)
     d0 = len(codebooks[0][0][1])
     q = [float(x) for x in query_vec]
-
-    # probe selection driver-side over the K-row model — same rounding
-    # and tie rules as ann_ivf_topk
-    import math
-
-    def _pycos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        return dot / (
-            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
-        )
-
-    ranked = sorted(
-        ((round(_pycos(q, cv), 9), -cid) for cid, cv in centroids), reverse=True
-    )
-    probes = [-nc for _s, nc in ranked[:n_probe]]
+    probes = ivf_probe_ids(q, centroids, n_probe)
 
     # per-query LUT, left-to-right accumulation matching pq_best_expr
     # LUT positions are indexed BY CODE VALUE (element_at(lut, code+1)),

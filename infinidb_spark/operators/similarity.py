@@ -232,6 +232,30 @@ def ivf_assign_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Co
     return (-best["nc"]).cast("long")
 
 
+def ivf_probe_ids(
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+) -> list[int]:
+    """The ``n_probe`` centroid ids nearest the query — driver-side over
+    the K-row model, with the SAME rounding (9 dp) and tie rule (lowest
+    cid) as the executor-side assignment, so any engine replays the
+    probe decision exactly."""
+    import math
+
+    def _pycos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    q = [float(x) for x in query_vec]
+    ranked = sorted(
+        ((round(_pycos(q, cv), 9), -cid) for cid, cv in centroids), reverse=True
+    )
+    return [-nc for _s, nc in ranked[:n_probe]]
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -259,21 +283,8 @@ def ann_ivf_topk(
     if centroids is None:
         centroids = train_ivf_centroids(df, stride, vec_col, id_col)
 
-    # probe selection driver-side over the K-row model, same rounding and
-    # tie rules as the executor-side assignment
-    def _pycos(a: list[float], b: list[float]) -> float:
-        import math
-
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb)
-
     q = [float(x) for x in query_vec]
-    ranked = sorted(
-        ((round(_pycos(q, cv), 9), -cid) for cid, cv in centroids), reverse=True
-    )
-    probes = [-nc for _s, nc in ranked[:n_probe]]
+    probes = ivf_probe_ids(q, centroids, n_probe)
 
     vec = F.col(vec_col).cast("array<double>")
     qcol = F.array(*[F.lit(x) for x in q])

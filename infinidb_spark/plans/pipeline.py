@@ -1967,6 +1967,63 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query("streaming_ann_ingest", oracle=_ivf_oracle_sql())
+def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance END TO END with a hash oracle
+    (streaming/ann_ingest.py): embeddings split into two epoch files
+    (vec_id parity, mtime-pinned order), streamed one file per trigger
+    into a cid-partitioned index via the idempotent epoch sink, then a
+    top-k query served from ONLY the probed partitions.  The oracle is
+    the BATCH IVF oracle verbatim — the streamed index must reproduce
+    ann_ivf_topk row for row (same fixed model, same probes, same
+    rerank): continuous ingestion introduces zero drift."""
+    import os
+    import shutil
+    import tempfile
+
+    from infinidb_spark.streaming.ann_ingest import (
+        ann_index_serve,
+        stream_ann_ingest,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    centroids = S.train_ivf_centroids(emb, stride=50)
+    work = tempfile.mkdtemp(prefix="infinidb_sai_")
+    try:
+        in_dir = os.path.join(work, "in")
+        os.makedirs(in_dir)
+        for b in (0, 1):
+            batch_dir = os.path.join(work, f"b{b}")
+            emb.filter(F.col("vec_id") % 2 == b).select(
+                "vec_id", "embedding"
+            ).coalesce(1).write.parquet(batch_dir)
+            part = next(
+                f for f in os.listdir(batch_dir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            dst = os.path.join(in_dir, f"batch{b}.parquet")
+            shutil.move(os.path.join(batch_dir, part), dst)
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        index_dir = os.path.join(work, "index")
+        q = stream_ann_ingest(
+            stream, index_dir, os.path.join(work, "ckpt"), centroids
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming query did not finish within 300 s")
+        out = ann_index_serve(
+            spark, index_dir, _QUERY_VEC, centroids, k=10, n_probe=2
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "streaming_running_totals",
     oracle="""
