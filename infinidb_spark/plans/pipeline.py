@@ -1899,6 +1899,31 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stage_epoch_inputs(df, key_col: str, work: str, n_epochs: int = 2) -> str:
+    """Write ``df`` as ``n_epochs`` mtime-pinned single-file epochs (key
+    parity split) under ``<work>/in`` — the file-source epoch harness
+    every streaming gate query shares: the file source orders epochs by
+    modification time, one file per trigger."""
+    import os
+    import shutil
+
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    for b in range(n_epochs):
+        batch_dir = os.path.join(work, f"b{b}")
+        df.filter(F.col(key_col) % n_epochs == b).coalesce(1).write.parquet(
+            batch_dir
+        )
+        part = next(
+            f for f in os.listdir(batch_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(in_dir, f"batch{b}.parquet")
+        shutil.move(os.path.join(batch_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    return in_dir
+
+
 @query(
     "streaming_dedup_ingest",
     oracle="""
@@ -1933,21 +1958,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     work = tempfile.mkdtemp(prefix="infinidb_sdi_")
     try:
-        in_dir = os.path.join(work, "in")
-        os.makedirs(in_dir)
-        for b in (0, 1):
-            batch_dir = os.path.join(work, f"b{b}")
-            docs.filter(F.col("doc_id") % 2 == b).select(
-                "doc_id", "text"
-            ).coalesce(1).write.parquet(batch_dir)
-            part = next(
-                f for f in os.listdir(batch_dir)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            dst = os.path.join(in_dir, f"batch{b}.parquet")
-            shutil.move(os.path.join(batch_dir, part), dst)
-            # file-source epoch order follows modification time
-            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        in_dir = stage_epoch_inputs(docs.select("doc_id", "text"), "doc_id", work)
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1990,20 +2001,9 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = S.train_ivf_centroids(emb, stride=50)
     work = tempfile.mkdtemp(prefix="infinidb_sai_")
     try:
-        in_dir = os.path.join(work, "in")
-        os.makedirs(in_dir)
-        for b in (0, 1):
-            batch_dir = os.path.join(work, f"b{b}")
-            emb.filter(F.col("vec_id") % 2 == b).select(
-                "vec_id", "embedding"
-            ).coalesce(1).write.parquet(batch_dir)
-            part = next(
-                f for f in os.listdir(batch_dir)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            dst = os.path.join(in_dir, f"batch{b}.parquet")
-            shutil.move(os.path.join(batch_dir, part), dst)
-            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        in_dir = stage_epoch_inputs(
+            emb.select("vec_id", "embedding"), "vec_id", work
+        )
         stream = (
             spark.readStream.schema("vec_id long, embedding array<float>")
             .option("maxFilesPerTrigger", 1)
@@ -2054,20 +2054,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="infinidb_srt_")
     try:
-        in_dir = os.path.join(work, "in")
-        os.makedirs(in_dir)
-        for b in (0, 1):
-            batch_dir = os.path.join(work, f"b{b}")
-            sub.filter(F.col("event_id") % 2 == b).coalesce(1).write.parquet(
-                batch_dir
-            )
-            part = next(
-                f for f in os.listdir(batch_dir)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            dst = os.path.join(in_dir, f"batch{b}.parquet")
-            shutil.move(os.path.join(batch_dir, part), dst)
-            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        in_dir = stage_epoch_inputs(sub, "event_id", work)
         stream = (
             spark.readStream.schema("event_id long, user_id long, value double")
             .option("maxFilesPerTrigger", 1)

@@ -1674,32 +1674,37 @@ class InfiniSession:
                 ]
             )
             aligned, _ai_handle = self._fill_auto_increment(st["table"], aligned)
-            # char-null semantics BEFORE the NOT NULL check (same order
-            # as _insert_staged): an empty field bound for a NOT NULL
-            # string column is a violation, not a silent NULL
-            from infinidb_spark.operators.dml import charnull
+            try:
+                # char-null semantics BEFORE the NOT NULL check (same
+                # order as _insert_staged): an empty field bound for a
+                # NOT NULL string column is a violation, not silent NULL
+                from infinidb_spark.operators.dml import charnull
 
-            aligned = charnull(aligned)
-            # typed-CREATE NOT NULL applies to LOAD DATA exactly like
-            # INSERT (MySQL rejects the statement); the scan below reads
-            # the persisted bulk-load cache, not the file again
-            notnull = self._table_meta.get(st["table"], {}).get("notnull", [])
-            if notnull:
-                pred = " OR ".join(f"`{c}` IS NULL" for c in notnull)
-                bad = aligned.filter(pred).count()
-                if bad:
-                    raise ValueError(
-                        f"LOAD DATA into {st['table']!r}: {bad} row(s) "
-                        f"violate NOT NULL ({', '.join(notnull)})"
-                    )
-            n_loaded = result.rows_loaded
-            insert_into(
-                aligned, path,
-                codec=self._table_meta.get(st["table"], {}).get("codec"),
-            )
-            if _ai_handle is not None:
-                _ai_handle.unpersist()
-            result.unpersist()
+                aligned = charnull(aligned)
+                # typed-CREATE NOT NULL applies to LOAD DATA exactly
+                # like INSERT (MySQL rejects the statement); the scan
+                # below reads the persisted bulk-load cache, not the
+                # file again
+                notnull = self._table_meta.get(st["table"], {}).get("notnull", [])
+                if notnull:
+                    pred = " OR ".join(f"`{c}` IS NULL" for c in notnull)
+                    bad = aligned.filter(pred).count()
+                    if bad:
+                        raise ValueError(
+                            f"LOAD DATA into {st['table']!r}: {bad} row(s) "
+                            f"violate NOT NULL ({', '.join(notnull)})"
+                        )
+                n_loaded = result.rows_loaded
+                insert_into(
+                    aligned, path,
+                    codec=self._table_meta.get(st["table"], {}).get("codec"),
+                )
+            finally:
+                # unpersist on reject too — repeated rejected statements
+                # must not accumulate persisted RDDs for the session
+                if _ai_handle is not None:
+                    _ai_handle.unpersist()
+                result.unpersist()
             self._refresh(st["table"])
             # cpimport-style reject accounting (the .bad file analog),
             # surfaced through calgetstats() by the execute() wrapper
@@ -1737,22 +1742,26 @@ class InfiniSession:
                 ]
             )
             aligned, _ai_handle = self._fill_auto_increment(st["table"], aligned)
-            notnull = meta.get("notnull", [])
-            if notnull:
-                # stage once, validate NOT NULL from the staged files,
-                # link in on success — the source query still runs once
-                n = self._insert_staged(
-                    st["table"], path, aligned, notnull,
-                    codec=meta.get("codec"),
-                )
-            else:
-                # footer-sum counts before/after: the source query runs
-                # only once (inside the write), never twice
-                before = read_table(self.spark, path).count()
-                insert_into(aligned, path, codec=meta.get("codec"))
-                n = read_table(self.spark, path).count() - before
-            if _ai_handle is not None:
-                _ai_handle.unpersist()
+            try:
+                notnull = meta.get("notnull", [])
+                if notnull:
+                    # stage once, validate NOT NULL from the staged
+                    # files, link in on success — the source query still
+                    # runs once
+                    n = self._insert_staged(
+                        st["table"], path, aligned, notnull,
+                        codec=meta.get("codec"),
+                    )
+                else:
+                    # footer-sum counts before/after: the source query
+                    # runs only once (inside the write), never twice
+                    before = read_table(self.spark, path).count()
+                    insert_into(aligned, path, codec=meta.get("codec"))
+                    n = read_table(self.spark, path).count() - before
+            finally:
+                # unpersist on NOT NULL reject too, not only on success
+                if _ai_handle is not None:
+                    _ai_handle.unpersist()
         elif st["kind"] == "update":
             n = update_table(
                 self.spark,

@@ -26,7 +26,6 @@ of corpus size, and freshness lag is one micro-batch.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,7 +37,7 @@ from infinidb_spark.operators.similarity import (
     ivf_assign_expr,
     ivf_probe_ids,
 )
-from infinidb_spark.streaming.sink import write_epoch_idempotent
+from infinidb_spark.streaming.sink import read_committed, stream_to_table
 
 
 def stream_ann_ingest(
@@ -52,31 +51,23 @@ def stream_ann_ingest(
 ) -> StreamingQuery:
     """Continuously ingest a vector stream into the partitioned IVF
     index at ``index_dir`` (rows: id, embedding, cid; hive-partitioned
-    by cid)."""
+    by cid).  ``ivf_assign_expr`` is a deterministic projection, legal
+    on a streaming DataFrame — the whole ingest is the generic epoch
+    sink (stream_to_table) over the assigned stream."""
     os.makedirs(index_dir, exist_ok=True)
-    sink_id = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
-
-    def _ingest_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        vec = F.col(vec_col).cast("array<double>")
-        assigned = batch_df.select(
-            F.col(id_col),
-            vec.alias("embedding"),
-            ivf_assign_expr(vec, centroids).alias("cid"),
-        )
-        write_epoch_idempotent(
-            assigned, epoch_id, index_dir, sink_id=sink_id, partition_by=["cid"]
-        )
-
-    writer = (
-        stream.writeStream.foreachBatch(_ingest_epoch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+    vec = F.col(vec_col).cast("array<double>")
+    assigned = stream.select(
+        F.col(id_col),
+        vec.alias("embedding"),
+        ivf_assign_expr(vec, centroids).alias("cid"),
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return stream_to_table(
+        assigned,
+        index_dir,
+        checkpoint_dir,
+        partition_by=["cid"],
+        available_now=available_now,
+    )
 
 
 def ann_index_serve(
@@ -86,6 +77,7 @@ def ann_index_serve(
     centroids: list[tuple[int, list[float]]],
     k: int = 10,
     n_probe: int = 2,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Serve a top-k query from the streamed index: probe selection
     driver-side over the K-row model (ivf_probe_ids — same rounding and
@@ -93,14 +85,20 @@ def ann_index_serve(
     probed partitions.  The ``cid IN probes`` filter hits the hive
     partition column, so the scan never touches unprobed posting lists.
 
+    Serve-while-ingest safe: only COMMITTED epochs are read
+    (streaming/sink.py read_committed), so a query racing the epoch
+    linker sees pre- or post-epoch state, never a torn one; an index
+    with no committed epoch yet serves an empty result, not a crash.
+
     Returns (id, cosine) — identical, row for row, to batch
     ``ann_ivf_topk`` over the same corpus and model: the streamed index
     introduces no drift."""
     q = [float(x) for x in query_vec]
     probes = ivf_probe_ids(q, centroids, n_probe)
     qcol = F.array(*[F.lit(x) for x in q])
-    idx = spark.read.parquet(index_dir)
-    id_col = [c for c in idx.columns if c not in ("embedding", "cid")][0]
+    idx = read_committed(spark, index_dir)
+    if idx is None:
+        return spark.createDataFrame([], f"{id_col} long, cosine double")
     return (
         idx.filter(F.col("cid").isin(probes))
         .select(

@@ -102,6 +102,40 @@ def write_epoch_idempotent(
     return True
 
 
+def read_committed(spark, table_dir: str) -> DataFrame | None:
+    """Read a stream-sink table EXCLUDING uncommitted epochs.
+
+    The epoch protocol links part files BEFORE the commit marker, so a
+    reader racing the linker (serve-while-ingest) could otherwise see a
+    TORN epoch — some of a micro-batch's files but not all.  This reads
+    only files whose epoch marker exists (``ep_<sink>_<epoch>_*`` with
+    a present ``_epochs/<sink>/<epoch>``); files not written by the
+    epoch protocol (batch appends) are always included, and staging /
+    metadata directories (dot or underscore prefixed) are skipped.
+
+    Returns ``None`` when no committed data exists yet — callers serve
+    an empty result instead of crashing on schema inference.  Reads use
+    ``basePath`` so hive-partition columns (and partition pruning)
+    survive the explicit file list."""
+    import re
+
+    files: list[str] = []
+    for dirpath, dirnames, fnames in os.walk(table_dir):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for f in fnames:
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            m = re.match(r"ep_(.+)_(\d+)_part-", f)
+            if m and not os.path.exists(
+                os.path.join(table_dir, _EPOCH_DIR, m.group(1), m.group(2))
+            ):
+                continue
+            files.append(os.path.join(dirpath, f))
+    if not files:
+        return None
+    return spark.read.option("basePath", table_dir).parquet(*sorted(files))
+
+
 def stream_to_table(
     stream: DataFrame,
     table_dir: str,

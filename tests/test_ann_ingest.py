@@ -27,21 +27,12 @@ from infinidb_spark.streaming.ann_ingest import (
 def built(spark, sf_dir):
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     centroids = train_ivf_centroids(emb, stride=50)
+    from infinidb_spark.plans.pipeline import stage_epoch_inputs
+
     work = tempfile.mkdtemp(prefix="ann_ingest_t_")
-    in_dir = os.path.join(work, "in")
-    os.makedirs(in_dir)
-    for b in (0, 1):
-        batch_dir = os.path.join(work, f"b{b}")
-        emb.filter(F.col("vec_id") % 2 == b).select(
-            "vec_id", "embedding"
-        ).coalesce(1).write.parquet(batch_dir)
-        part = next(
-            f for f in os.listdir(batch_dir)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-        dst = os.path.join(in_dir, f"batch{b}.parquet")
-        shutil.move(os.path.join(batch_dir, part), dst)
-        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    in_dir = stage_epoch_inputs(
+        emb.select("vec_id", "embedding"), "vec_id", work
+    )
 
     def run(tag: str) -> str:
         index_dir = os.path.join(work, f"index_{tag}")
@@ -96,3 +87,43 @@ def test_index_rows_complete_and_replay_idempotent(spark, built):
     a = sorted((r.vec_id, r.cid) for r in idx.select("vec_id", "cid").collect())
     b = sorted((r.vec_id, r.cid) for r in idx2.select("vec_id", "cid").collect())
     assert a == b
+
+
+def test_serving_empty_index_returns_empty(spark, built):
+    """An index dir with no committed epoch serves an empty top-k, not
+    a schema-inference crash."""
+    empty = tempfile.mkdtemp(prefix="ann_empty_")
+    try:
+        out = ann_index_serve(
+            spark, empty, _QUERY_VEC, built["centroids"], k=10, n_probe=2
+        )
+        assert out.collect() == []
+        assert out.columns == ["vec_id", "cosine"]
+    finally:
+        shutil.rmtree(empty, ignore_errors=True)
+
+
+def test_serving_excludes_uncommitted_epoch(spark, built):
+    """A torn epoch (part files linked, commit marker not yet written)
+    must be invisible to serving — the reader sees pre-epoch state."""
+    clone = tempfile.mkdtemp(prefix="ann_torn_")
+    shutil.rmtree(clone)
+    shutil.copytree(built["index_dir"], clone)
+    try:
+        epochs_root = os.path.join(clone, "_epochs")
+        sink = os.listdir(epochs_root)[0]
+        markers = sorted(os.listdir(os.path.join(epochs_root, sink)), key=int)
+        os.remove(os.path.join(epochs_root, sink, markers[-1]))
+        from infinidb_spark.streaming.sink import read_committed
+
+        visible = read_committed(spark, clone)
+        n_all = built["emb"].count()
+        n_vis = visible.count()
+        assert 0 < n_vis < n_all  # last epoch's rows excluded
+        # and serving still works over the committed prefix
+        got = ann_index_serve(
+            spark, clone, _QUERY_VEC, built["centroids"], k=10, n_probe=2
+        ).collect()
+        assert len(got) <= 10
+    finally:
+        shutil.rmtree(clone, ignore_errors=True)
