@@ -111,6 +111,7 @@ _PRIORITY = [
     "streaming_running_totals",
     "dedup_semantic",
     "streaming_ann_ingest",
+    "char_null_semantics",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

@@ -206,3 +206,54 @@ def auto_increment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+
+
+@query(
+    "char_null_semantics",
+    oracle="""
+    -- the reference's nulltests.pl char matrix: inserting
+    -- (NULL, '', 'A') into a char column stores TWO nulls ('' hits the
+    -- char null magic value), numerics keep (NULL, 1) as-is
+    SELECT * FROM (VALUES
+      ('char_total',    CAST(3 AS BIGINT)),
+      ('char_null',     CAST(2 AS BIGINT)),
+      ('char_notnull',  CAST(1 AS BIGINT)),
+      ('char_eq_a',     CAST(1 AS BIGINT)),
+      ('int_total',     CAST(2 AS BIGINT)),
+      ('int_null',      CAST(1 AS BIGINT))
+    ) t(probe, n)
+    """,
+)
+def char_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's distinctive char-null storage semantic, driver-
+    checked (`dbcon/joblist/nulltests.pl` check_char_counts:45-120): an
+    empty string written to a char/varchar column is stored as NULL
+    (the char null magic value; operators/dml.py charnull reproduces it
+    at every managed-table write path), while numeric columns keep
+    plain NULL semantics.  The probe counts mirror the script's exact
+    expectations."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    try:
+        sess.execute("CREATE TABLE cns_c (col1 VARCHAR(40))")
+        for v in ("null", "''", "'A'"):
+            sess.execute(f"INSERT INTO cns_c VALUES ({v})")
+        sess.execute("CREATE TABLE cns_i (col1 INT)")
+        for v in ("null", "1"):
+            sess.execute(f"INSERT INTO cns_i VALUES ({v})")
+        out = sess.sql(
+            """SELECT 'char_total' AS probe, count(*) AS n FROM cns_c
+               UNION ALL SELECT 'char_null', count(*) FROM cns_c WHERE col1 IS NULL
+               UNION ALL SELECT 'char_notnull', count(*) FROM cns_c WHERE col1 IS NOT NULL
+               UNION ALL SELECT 'char_eq_a', count(*) FROM cns_c WHERE col1 = 'A'
+               UNION ALL SELECT 'int_total', count(*) FROM cns_i
+               UNION ALL SELECT 'int_null', count(*) FROM cns_i WHERE col1 IS NULL"""
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        if sess._managed_root:
+            shutil.rmtree(sess._managed_root, ignore_errors=True)
