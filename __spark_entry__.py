@@ -112,6 +112,7 @@ _PRIORITY = [
     "dedup_semantic",
     "streaming_ann_ingest",
     "char_null_semantics",
+    "dedup_semantic_incremental",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

@@ -490,3 +490,77 @@ def semantic_dedup(
             F.col("_rep").isNotNull().cast("int").alias("is_dup"),
         )
     )
+
+
+def semantic_dedup_incremental(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.3,
+    cluster_cap: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental SemDeDup: classify a NEW batch of vectors against the
+    STORED cluster index (the streamed ANN index relation —
+    id, embedding, cid — maintained by streaming/ann_ingest.py) without
+    ever touching clusters the batch doesn't reach.
+
+    The at-scale contract mirrors ``minhash_lsh_pairs_incremental``:
+    the batch is assigned to the FIXED centroid model (projection, no
+    shuffle), the corpus contributes ONLY the posting lists with a new
+    member (a broadcast semi-join on cid — partition-pruned when the
+    index is cid-partitioned), and old-vs-old pairs are excluded (they
+    were mined when those vectors were the batch).  Per-batch work is
+    O(batch × mean-cluster-population), independent of corpus size.
+
+    Returns one row per BATCH vector: (id, cluster_id, rep_id, is_dup)
+    — min-id representative among similar cluster members (stored or
+    earlier-id batch), same contract as ``semantic_dedup``.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    batch = new_df.select(
+        F.col(id_col), vec.alias("_v")
+    ).withColumn("cid", ivf_assign_expr(F.col("_v"), centroids))
+    touched = batch.select("cid").distinct()
+    corpus = (
+        corpus_index.join(F.broadcast(touched), "cid")
+        .select(
+            "cid",
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.lit(False).alias("_new"),
+        )
+    )
+    tagged = batch.select(
+        "cid", id_col, "_v", F.lit(True).alias("_new")
+    ).unionByName(corpus)
+    small = (
+        tagged.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= cluster_cap)
+        .select("cid")
+    )
+    vc = tagged.join(F.broadcast(small), "cid")
+    a = vc.select(
+        "cid", F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = vc.filter(F.col("_new")).select(
+        F.col("cid").alias("_c2"), F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    pairs = (
+        a.join(b, (a.cid == b._c2) & (a.id_a < b.id_b))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    reps = pairs.groupBy("id_b").agg(F.min("id_a").alias("_rep"))
+    return (
+        batch.join(reps, batch[id_col] == reps["id_b"], "left")
+        .select(
+            batch[id_col],
+            F.col("cid").alias("cluster_id"),
+            F.coalesce(F.col("_rep"), batch[id_col]).alias("rep_id"),
+            F.col("_rep").isNotNull().cast("int").alias("is_dup"),
+        )
+    )

@@ -1744,6 +1744,64 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(emb.filter(F.col("vec_id") < 200), threshold=0.3)
 
 
+@query(
+    "dedup_semantic_incremental",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 200
+    ),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 150 AND vec_id % 50 = 0),
+    asg AS (
+      SELECT v.vec_id, v.e, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.e, c.ce), 9) DESC, c.cid
+             ) AS rn
+      FROM v CROSS JOIN c
+    ),
+    a1 AS (SELECT vec_id, e, cid FROM asg WHERE rn = 1),
+    batch AS (SELECT * FROM a1 WHERE vec_id >= 150),
+    touched AS (SELECT DISTINCT cid FROM batch),
+    members AS (SELECT a1.* FROM a1 JOIN touched USING (cid)),
+    ok AS (SELECT cid FROM members GROUP BY cid HAVING count(*) <= 1000),
+    vc AS (SELECT members.* FROM members JOIN ok USING (cid)),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM vc a JOIN vc b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id AND b.vec_id >= 150
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+    ),
+    r AS (SELECT id_b AS vec_id, min(id_a) AS rep FROM p GROUP BY id_b)
+    SELECT batch.vec_id, batch.cid AS cluster_id,
+           coalesce(r.rep, batch.vec_id) AS rep_id,
+           CAST(CASE WHEN r.rep IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM batch LEFT JOIN r USING (vec_id)
+    """,
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (operators/similarity.py
+    semantic_dedup_incremental): a new batch (vec_id 150-199) vs the
+    STORED cluster index of the corpus (vec_id < 150, fixed stride
+    centroids) — only clusters with a new member are read, old-vs-old
+    pairs excluded, per-batch work independent of corpus size.
+    Hash-checked: the oracle replays assignment, cluster pruning, and
+    pairing from the raw table."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+    centroids = S.train_ivf_centroids(corpus, stride=50)
+    vec = F.col("embedding").cast("array<double>")
+    corpus_index = corpus.select(
+        "vec_id",
+        vec.alias("embedding"),
+        S.ivf_assign_expr(vec, centroids).alias("cid"),
+    )
+    return S.semantic_dedup_incremental(
+        batch, corpus_index, centroids, threshold=0.3
+    )
+
+
 # --- incremental dedup: new batch vs stored corpus artifacts -----------
 # The 100 TB operating mode: the corpus is NEVER re-processed per batch.
 # Exact dedup keeps a content-hash relation; near-dup keeps the MinHash

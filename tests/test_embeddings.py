@@ -155,3 +155,45 @@ def test_semantic_dedup_contract(spark, sf_dir):
     assert n_dups > 0, "threshold produced no duplicates — not exercised"
     again = semantic_dedup(sub, threshold=0.3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_semantic_dedup_incremental_contract(spark, sf_dir):
+    """Incremental SemDeDup: one row per batch vector only (stored docs
+    are never re-emitted), reps precede their dups and share a cluster,
+    a batch-vs-empty-corpus run degrades to new-vs-new, and re-runs are
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.similarity import (
+        ivf_assign_expr,
+        semantic_dedup_incremental,
+        train_ivf_centroids,
+    )
+    from infinidb_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+    corpus = emb.filter(F.col("vec_id") < 150)
+    batch = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+    cents = train_ivf_centroids(corpus, stride=50)
+    vec = F.col("embedding").cast("array<double>")
+    index = corpus.select(
+        "vec_id", vec.alias("embedding"), ivf_assign_expr(vec, cents).alias("cid")
+    )
+    out = semantic_dedup_incremental(batch, index, cents, threshold=0.3).collect()
+    assert len(out) == batch.count()
+    assert all(150 <= r.vec_id < 200 for r in out)
+    for r in out:
+        if r.is_dup:
+            assert r.rep_id < r.vec_id
+        else:
+            assert r.rep_id == r.vec_id
+    assert any(r.is_dup and r.rep_id < 150 for r in out), "no corpus-rep dup found"
+    again = semantic_dedup_incremental(batch, index, cents, threshold=0.3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    empty_index = index.limit(0)
+    solo = semantic_dedup_incremental(batch, empty_index, cents, threshold=0.3).collect()
+    assert len(solo) == batch.count()
+    for r in solo:
+        if r.is_dup:
+            assert 150 <= r.rep_id < r.vec_id  # new-vs-new only
