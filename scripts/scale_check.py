@@ -36,6 +36,8 @@ HEADLINE = [
     # (Lloyd + projections), IVF+PQ ADC serving, stratified rank-and-cut
     "text_classifier_quality", "embedding_pq", "ann_ivfpq_topk",
     "dataset_stratified_split",
+    # late round-5: cluster-then-prune dedup (batch + incremental)
+    "dedup_semantic", "dedup_semantic_incremental",
 ]
 #: 10× data should cost ≤ ~10× time; 20 allows this box's run variance
 #: without hiding quadratics (an all-pairs operator would show ≥ ~100).
