@@ -154,3 +154,82 @@ def test_sql_literal_quoting_property():
         assert len(toks) == 1 and toks[0][0] == "string"
 
     check()
+
+
+def test_alter_grammar_roundtrip_property():
+    """Property: any composed ALTER statement built from the supported
+    action grammar parses into exactly the expected action dicts —
+    random identifiers, types, and DEFAULT values (literals, negatives,
+    strings, NULL, word literals, user specials) never crash the parser
+    or mis-bind across comma-separated actions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    from infinidb_spark.dialect import parse_statement
+
+    ident = hst.from_regex(r"[a-zA-Z][a-zA-Z0-9_]{0,10}", fullmatch=True).filter(
+        lambda s: s.upper() not in {
+            "ADD", "DROP", "ALTER", "MODIFY", "CHANGE", "RENAME", "TO",
+            "COLUMN", "SET", "DEFAULT", "NULL", "NOT", "TABLE", "ENGINE",
+        }
+    )
+    typ = hst.sampled_from(["INT", "BIGINT", "DOUBLE", "VARCHAR(20)", "DATE"])
+    dflt = hst.one_of(
+        hst.integers(-999, 999).map(str),
+        hst.floats(-10, 10, allow_nan=False).map(lambda f: f"{f:.3f}"),
+        hst.sampled_from(["'x'", "NULL", "TRUE", "CURRENT_TIMESTAMP", "USER"]),
+    )
+
+    def expect_default(d: str):
+        up = d.upper()
+        if up == "NULL":
+            return None
+        if up == "USER":
+            return "current_user()"
+        if up in ("TRUE", "CURRENT_TIMESTAMP"):
+            return up
+        return d
+
+    action = hst.one_of(
+        hst.tuples(hst.just("add"), ident, typ, dflt),
+        hst.tuples(hst.just("drop"), ident),
+        hst.tuples(hst.just("rename_column"), ident, ident),
+        hst.tuples(hst.just("set_default"), ident, dflt),
+        hst.tuples(hst.just("drop_default"), ident),
+    )
+
+    @given(hst.lists(action, min_size=1, max_size=4))
+    @settings(max_examples=150, deadline=None)
+    def check(actions):
+        parts, want = [], []
+        for a in actions:
+            if a[0] == "add":
+                _, col, t, d = a
+                parts.append(f"ADD COLUMN {col} {t} DEFAULT {d}")
+                spark_t = {
+                    "INT": "int", "BIGINT": "bigint", "DOUBLE": "double",
+                    "VARCHAR(20)": "string", "DATE": "date",
+                }[t]
+                want.append({"op": "add", "column": col, "type": spark_t,
+                             "default": expect_default(d)})
+            elif a[0] == "drop":
+                parts.append(f"DROP COLUMN {a[1]}")
+                want.append({"op": "drop", "column": a[1]})
+            elif a[0] == "rename_column":
+                parts.append(f"RENAME COLUMN {a[1]} TO {a[2]}")
+                want.append({"op": "rename_column", "old": a[1], "new": a[2]})
+            elif a[0] == "set_default":
+                _, col, d = a
+                parts.append(f"ALTER COLUMN {col} SET DEFAULT {d}")
+                dd = expect_default(d)
+                if dd is None:
+                    want.append({"op": "set_default", "column": col, "default": None})
+                else:
+                    want.append({"op": "set_default", "column": col, "default": dd})
+            else:
+                parts.append(f"ALTER {a[1]} DROP DEFAULT")
+                want.append({"op": "drop_default", "column": a[1]})
+        st = parse_statement("ALTER TABLE t " + ", ".join(parts))
+        assert st["kind"] == "alter" and st["actions"] == want
+
+    check()
