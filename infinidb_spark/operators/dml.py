@@ -224,6 +224,25 @@ def charnull(df: DataFrame) -> DataFrame:
     )
 
 
+def managed_writer(
+    df: DataFrame,
+    mode: str,
+    codec: str | None = None,
+    partition_by: list[str] | None = None,
+):
+    """THE write chokepoint for managed-table data: char-null semantics
+    applied exactly once, compression codec pinned, optional hive
+    partitioning.  Every data write in this module routes through here;
+    a new write path that bypasses it silently breaks the charnull
+    invariant (tests/test_nulltests_replay.py pins the semantics)."""
+    writer = charnull(df).write.mode(mode)
+    if codec:
+        writer = writer.option("compression", codec)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer
+
+
 def create_table(
     df: DataFrame,
     table_dir: str,
@@ -237,22 +256,14 @@ def create_table(
     (utils/compress/idbcompress.cpp:29; ha_calpont_ddl.cpp comment
     parsing) — 'snappy' (default) and 'uncompressed' are the analogs."""
     new_dir = _new_version_dir(table_dir)
-    writer = charnull(df).write.mode("overwrite")
-    if codec:
-        writer = writer.option("compression", codec)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(new_dir)
+    managed_writer(df, "overwrite", codec, partition_by).parquet(new_dir)
     _swap(table_dir, new_dir)
 
 
 def insert_into(df: DataFrame, table_dir: str, codec: str | None = None) -> None:
     """INSERT: append-only new files — no existing file is touched
     (≅ cpimport incremental load / ha_calpont_impl_write_row_)."""
-    writer = charnull(df).write.mode("append")
-    if codec:
-        writer = writer.option("compression", codec)
-    writer.parquet(table_dir)
+    managed_writer(df, "append", codec).parquet(table_dir)
 
 
 def assign_auto_increment(df: DataFrame, col: str, start: int) -> DataFrame:
@@ -324,10 +335,7 @@ def _rewrite_writer(df: DataFrame, codec: str | None):
     codec (COMMENT='compression=N'; None = Spark default snappy) — every
     copy-on-write rewrite must keep the storage setting, not just the
     INSERT paths."""
-    writer = charnull(df).write.mode("overwrite")
-    if codec:
-        writer = writer.option("compression", codec)
-    return writer
+    return managed_writer(df, "overwrite", codec)
 
 
 def update_table(
@@ -598,7 +606,7 @@ def _pruned_rewrite(
             df = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
             new_df, n = transform(df, cond)
             # append alongside the hard links — part-file names are unique
-            charnull(new_df).write.mode("append").parquet(new_dir)
+            managed_writer(new_df, "append").parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -751,7 +759,7 @@ def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
         raise ValueError(f"unknown ALTER action {op!r}")
     with _table_lock(table_dir, "ALTER"):
         new_dir = _new_version_dir(table_dir)
-        charnull(out).write.mode("overwrite").parquet(new_dir)
+        managed_writer(out, "overwrite").parquet(new_dir)
         _swap(table_dir, new_dir)
 
 
