@@ -278,9 +278,16 @@ def minhash_lsh_pairs(
     # nothing after pushdown; recomputing beats caching the corpus-wide
     # shingle relation for a second pass at every scale.  At 100 TB, if
     # pairs outgrow broadcast, the same joins run shuffled on id keys.
-    # no .distinct() here: the left-semi join dedups by construction, so
-    # the distinct's exchange + aggregate stage would be pure overhead
-    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("_id"))
+    # candidate ids come from the BUCKET id lists, not the exploded
+    # pairs: the same doc set (every id in a >=2 bucket is in >=1 pair)
+    # but the broadcast payload is bounded by bands x docs-in-buckets —
+    # LINEAR — where the pair-derived form is 2x the pair count, which
+    # on boilerplate-heavy corpora (k near-identical docs → ~k²/2 pairs
+    # per bucket up to candidate_cap) can blow the broadcast limit.
+    # The bucket aggregate's exchange is shared with the pair explosion
+    # (ReuseExchange), and the semi join dedups the cross-band repeats,
+    # so no extra distinct stage is paid.
+    cand_ids = buckets.select(F.explode("_ids").alias("_id"))
     # fan_out here too: the candidate scan is one file → one partition,
     # and this subplan executes INSIDE a broadcast build (a separate,
     # serial job) — without the repartition the whole re-shingle runs

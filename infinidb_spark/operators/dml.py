@@ -420,15 +420,18 @@ def _join_qualified(
             return any(_has_map(f.dataType) for f in dt.fields)
         return False
 
-    if any(_has_map(f.dataType) for f in df.schema.fields):
-        # the per-target-row struct is grouped/compared, and Spark
-        # cannot group or order by map types — fail with a clear error
-        # instead of an AnalysisException from deep inside the plan
-        raise ValueError(
-            "multi-table UPDATE/DELETE is not supported on tables with "
-            "map-typed columns (the existential match groups by the "
-            "full target row, and maps are not orderable)"
-        )
+    # BOTH sides are guarded: the target row becomes the groupBy key and
+    # the other table's columns are packed into the _idb_r struct that
+    # F.min orders — a map anywhere in either makes Spark's analysis
+    # fail deep inside the plan, so fail with a clear error up front
+    for side, schema in (("target", df.schema), ("joined", other.schema)):
+        if any(_has_map(f.dataType) for f in schema.fields):
+            raise ValueError(
+                "multi-table UPDATE/DELETE is not supported when the "
+                f"{side} table has map-typed columns (the existential "
+                "match groups/orders full rows, and maps are not "
+                "orderable)"
+            )
 
     t_cols = list(df.columns)
     o_raw = other.select(

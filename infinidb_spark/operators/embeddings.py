@@ -260,6 +260,8 @@ def ann_ivfpq_topk(
     pq_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
 ) -> DataFrame:
     """IVF+PQ ANN serving with asymmetric distance computation (ADC) —
     the canonical billion-scale index: IVF routes the query to
@@ -291,8 +293,14 @@ def ann_ivfpq_topk(
         train_ivf_centroids,
     )
 
-    centroids = train_ivf_centroids(df, stride, vec_col, id_col)
-    codebooks = pq_train(df, m, k_codes, pq_iters, stride, vec_col, id_col)
+    # inject a pre-trained model (the serving contract — callers who
+    # encoded offline with pq_fit_encode pass the SAME codebooks so
+    # stored codes and the LUT can never drift); default retrains from
+    # the corpus like ann_ivf_topk does
+    if centroids is None:
+        centroids = train_ivf_centroids(df, stride, vec_col, id_col)
+    if codebooks is None:
+        codebooks = pq_train(df, m, k_codes, pq_iters, stride, vec_col, id_col)
     d0 = len(codebooks[0][0][1])
     q = [float(x) for x in query_vec]
     probes = ivf_probe_ids(q, centroids, n_probe)

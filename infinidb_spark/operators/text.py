@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from infinidb_spark.operators.dedup import fan_out, normalize_text
+from infinidb_spark.operators.dedup import (
+    _shingle_hash_expr,
+    fan_out,
+    normalize_text,
+)
 
 # Tiny stopword inventories — enough for a scoring heuristic; a real
 # deployment swaps in fastText-style models via mapInPandas (see
@@ -355,14 +359,17 @@ def classify_quality(
     engine — the DuckDB oracle mode); the default is xxhash64 (JVM
     codegen, the 100 TB path).  Same plan shape either way.
     """
-    weights = weights or classifier_weights()
+    if weights is None:
+        weights = classifier_weights()
+    if not weights:
+        raise ValueError("classify_quality requires a non-empty weight table")
     n_b = len(weights)
     w_arr = F.array(*[F.lit(float(w)) for w in weights])
     tok = F.col("_tok")
-    if portable_hash:
-        bucket = F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long") % n_b
-    else:
-        bucket = F.pmod(F.xxhash64(tok), F.lit(n_b))
+    # ONE source of truth for the portable/fast hash family
+    # (dedup._shingle_hash_expr); pmod == % here since the md5-derived
+    # value is non-negative, and pmod is required for xxhash64
+    bucket = F.pmod(_shingle_hash_expr(tok, portable_hash), F.lit(n_b))
     return (
         fan_out(df)
         .select(

@@ -2144,9 +2144,11 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(out_dir)
         # update mode emits one row per (user, touching trigger): the
         # FINAL row per user is the one with the largest n_events
+        # round engine-side (F.round, HALF_UP, matching the oracle) —
+        # the state UDF emits the raw accumulator
         final = land.groupBy("user_id").agg(
             F.max("n_events").alias("n_events"),
-            F.max_by("total_value", "n_events").alias("total_value"),
+            F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
         )
         rows = final.collect()
         return spark.createDataFrame(

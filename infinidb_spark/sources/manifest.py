@@ -501,7 +501,7 @@ def read_manifest(in_path: str) -> list[dict[str, Any]]:
     return out
 
 
-def _sidecar_seed(real_dir: str) -> dict[str, tuple[int, int, dict]]:
+def _sidecar_seed(real_dir: str) -> dict[str, tuple[int, int, int | None, dict]]:
     """{basename: (mtime_ns, size, ino|None, entry)} from a v2 sidecar,
     empty on absence/legacy/corruption — purely an optimization source.
     ``ino`` is None for sidecars written before the inode key existed."""

@@ -62,8 +62,11 @@ def _update_running_totals(
         n += int(len(pdf))
         total += float(pdf["value"].sum())
     state.update((n, total))
+    # emit the RAW accumulator: rounding happens engine-side (F.round,
+    # HALF_UP like the DuckDB oracle) — Python's banker's rounding
+    # diverges on exact ties (round(0.03125, 4) -> 0.0312 vs 0.0313)
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 4)]}
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
     )
 
 

@@ -77,9 +77,11 @@ def test_running_totals_accumulate_across_batches(spark, sf_dir):
         )
         q.awaitTermination(180)
         # update mode: the LAST emission per user is the final total
+        # the operator emits the RAW accumulator (rounding is the
+        # consumer's job, engine-side F.round — see streaming/stateful)
         final = spark.sql(
             """
-            select user_id, n_events, total_value from (
+            select user_id, n_events, round(total_value, 4) as total_value from (
               select *, row_number() over (partition by user_id order by rn desc) as pick
               from (select *, monotonically_increasing_id() as rn from running_totals))
             where pick = 1
