@@ -113,6 +113,7 @@ _PRIORITY = [
     "streaming_ann_ingest",
     "char_null_semantics",
     "dedup_semantic_incremental",
+    "dedup_hybrid",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

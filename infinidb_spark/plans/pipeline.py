@@ -340,13 +340,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50)
 
 
-def _embedding_dedup_oracle_sql() -> str:
+def _embedding_dedup_oracle_sql(vec_filter: str = "1=1") -> str:
     """DuckDB oracle for the full embedding-cosine dedup pipeline:
     hyperplane bucketing (plane literals), same-bucket cosine edges at
     the same threshold, min-lower-neighbor representative."""
     bucket_expr = _bucket_expr_sql("v", _lsh_planes())
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE {vec_filter}),
     b AS (SELECT vec_id, v, ({bucket_expr}) AS bkt FROM e),
     p AS (
       SELECT a.vec_id AS id_a, c.vec_id AS id_b
@@ -370,6 +371,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the hyperplane bucketing and rep assignment exactly."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return S.embedding_dedup(emb, threshold=0.3, n_planes=4)
+
+
+def _hybrid_oracle_sql() -> str:
+    """Hybrid dedup oracle: the textual (portable MinHash) and semantic
+    (embedding-cosine) oracles composed as nested-WITH CTEs, combined
+    per document — a doc is a duplicate when EITHER modality flags it,
+    and its representative is the least of the two modal reps."""
+    return f"""
+    WITH tp AS ({_minhash_oracle_sql(doc_filter="doc_id < 150")}),
+    tr AS (SELECT id_b AS doc_id, min(id_a) AS trep FROM tp GROUP BY id_b),
+    sem AS ({_embedding_dedup_oracle_sql(vec_filter="vec_id < 150")})
+    SELECT sem.vec_id AS doc_id,
+           least(coalesce(tr.trep, sem.vec_id), sem.rep_id) AS rep_id,
+           CAST(CASE WHEN tr.trep IS NOT NULL THEN 1 ELSE 0 END AS INT) AS text_dup,
+           sem.is_dup AS semantic_dup,
+           CAST(CASE WHEN least(coalesce(tr.trep, sem.vec_id), sem.rep_id)
+                          < sem.vec_id THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM sem LEFT JOIN tr ON tr.doc_id = sem.vec_id
+    """
+
+
+@query("dedup_hybrid", oracle=_hybrid_oracle_sql())
+def dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-modal near-dup dedup: a document is a duplicate when
+    EITHER its text (MinHash+LSH, portable mode) OR its embedding
+    (hyperplane-bucketed cosine) is near-identical to an earlier doc —
+    the union rule production curation uses (surface edits evade
+    textual hashes; translations/paraphrases evade them too but not
+    embeddings, and vice versa).  doc_id and vec_id share the id space
+    (TESTDATA contract).  Composition of two hash-verified pipelines;
+    the oracle composes their replays the same way."""
+    docs, emb = (
+        _t(spark, sf_dir, "documents")[0],
+        _t(spark, sf_dir, "embeddings")[0],
+    )
+    tpairs = D.minhash_lsh_pairs(
+        docs.filter(F.col("doc_id") < 150),
+        n_hashes=16,
+        bands=4,
+        jaccard_threshold=0.3,
+        portable_hash=True,
+    )
+    trep = tpairs.groupBy("id_b").agg(F.min("id_a").alias("_trep"))
+    sem = S.embedding_dedup(
+        emb.filter(F.col("vec_id") < 150), threshold=0.3, n_planes=4
+    )
+    rep = F.least(
+        F.coalesce(F.col("_trep"), sem["vec_id"]), F.col("rep_id")
+    )
+    return (
+        sem.join(trep, sem["vec_id"] == trep["id_b"], "left")
+        .select(
+            sem["vec_id"].alias("doc_id"),
+            rep.alias("rep_id"),
+            F.col("_trep").isNotNull().cast("int").alias("text_dup"),
+            F.col("is_dup").alias("semantic_dup"),
+            (rep < sem["vec_id"]).cast("int").alias("is_dup"),
+        )
+    )
+
 
 
 @query(
