@@ -114,6 +114,7 @@ _PRIORITY = [
     "char_null_semantics",
     "dedup_semantic_incremental",
     "dedup_hybrid",
+    "xml_load_roundtrip",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

@@ -306,3 +306,55 @@ def orc_storage_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
         )
     )
+
+
+@query(
+    "xml_load_roundtrip",
+    oracle="""
+    SELECT source,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(min(doc_id) AS BIGINT)  AS first_doc,
+           CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+             AS text_sum
+    FROM documents
+    GROUP BY source
+    """,
+)
+def xml_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest/export — Spark 4's native XML source (the spark-xml
+    package merged upstream): documents exported as row-tagged XML and
+    re-loaded with an explicit schema, aggregated per source.  Oracle
+    on the original table: a hash match proves the XML text roundtrip
+    is lossless (entity escaping of <>&'\" in document text included).
+    Text columns ride the same escaping path a feed/sitemap ingest
+    would at scale; the read is schema'd, never inference."""
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    work = _workdir(sf_dir, "xml")
+    out_dir = os.path.join(work, "documents_xml")
+    done = os.path.join(work, "_xml_done")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(work, exist_ok=True)
+        docs.write.format("xml").option("rootTag", "docs").option(
+            "rowTag", "doc"
+        ).save(out_dir)
+        open(done, "w").close()
+    loaded = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema(docs.schema)
+        .load(out_dir)
+    )
+    # text_sum: per-doc md5-derived checksum SUMMED per group — any
+    # escaping loss in a single document's text flips the hash
+    return loaded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum(
+            F.conv(F.substring(F.md5("text"), 1, 7), 16, 10).cast("long")
+        ).alias("text_sum"),
+    )
