@@ -115,6 +115,7 @@ _PRIORITY = [
     "dedup_semantic_incremental",
     "dedup_hybrid",
     "xml_load_roundtrip",
+    "events_variant_props",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

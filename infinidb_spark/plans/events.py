@@ -424,3 +424,43 @@ def orders_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("week", "n_orders", "revenue", "delta", "pct_change")
         .orderBy("week")
     )
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+    -- json_extract replays variant_get's typed path extraction
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*)                                        AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           round(avg(value), 6)                            AS avg_value
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    GROUP BY 1, 2
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured event properties through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant column, typed path extraction
+    via ``try_variant_get`` feeding a filter + two-level aggregation —
+    the modern engine path for schemaless props (binary-encoded
+    variant beats per-expression JSON string re-parsing: N extractions
+    re-tokenize the string N times, a variant decodes once).  The
+    reference stores JSON as text and re-parses per call
+    (funcexp json_* functions); this is the Spark-4-native upgrade.
+    Oracle: DuckDB json_extract replays the typed paths."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.withColumn("_v", F.parse_json("props"))
+    k = F.try_variant_get("_v", "$.k", "long")
+    return (
+        v.select("event_type", "value", k.alias("_k"))
+        .filter(F.col("_k") >= 50)
+        .groupBy("event_type", (F.col("_k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("k_sum"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
