@@ -116,6 +116,8 @@ _PRIORITY = [
     "dedup_hybrid",
     "xml_load_roundtrip",
     "events_variant_props",
+    "pivot_unpivot_roundtrip",
+    "lateral_topn_per_group",
     # ── code paths touched by round-5 ADVICE/judge fixes ──
     "extent_elimination_scan",   # manifest sidecar hardening
     "mysql_ddl_alter",           # dialect / session changes

@@ -1197,3 +1197,76 @@ def part_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
     )
+
+
+@query(
+    "pivot_unpivot_roundtrip",
+    oracle="""
+    -- the pivot expressed relationally: one cell per (status, priority)
+    WITH cells AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT status, priority, n FROM cells
+    """,
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT roundtrip: orders pivoted into one column per
+    priority (groupBy().pivot() — Spark plans it as a single
+    conditional aggregation, NOT one pass per column), then melted back
+    to (status, priority, n) with ``unpivot``.  The roundtrip proves
+    the wide↔long reshaping operators are lossless; the oracle states
+    the same relation directly.  At scale: pivot = one shuffle (the
+    groupBy), unpivot = a map-only Expand."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    prios = sorted(
+        r[0] for r in orders.select("o_orderpriority").distinct().collect()
+    )  # bounded: the 5 TPC-H priorities — pinned pivot column order
+    wide = (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    long = wide.unpivot("status", prios, "priority", "n")
+    return long.filter(F.col("n").isNotNull()).select(
+        "status", "priority", F.col("n").cast("long").alias("n")
+    )
+
+
+@query(
+    "lateral_topn_per_group",
+    oracle="""
+    -- LATERAL top-N replayed as a ranking window
+    SELECT n_name, c_name, c_acctbal
+    FROM (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             row_number() OVER (
+               PARTITION BY n.n_nationkey
+               ORDER BY c.c_acctbal DESC, c.c_custkey
+             ) AS rk
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    ) WHERE rk <= 2
+    """,
+)
+def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 / Spark 4 LATERAL): for
+    each nation, the top-2 customers by balance via a per-row derived
+    table — the iterate-a-subquery-per-outer-row surface MySQL 8 calls
+    LATERAL.  Catalyst decorrelates it into the same ranking-window
+    plan the oracle states; the test is that the decorrelation is
+    semantically exact (ties broken by key)."""
+    load_tables(spark, sf_dir, names=("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )
