@@ -73,3 +73,30 @@ def test_try_cast_malformed_returns_null(ansi_spark):
     )
     row = df.collect()[0]
     assert all(row[c] is None for c in ["s", "d", "dec", "f", "u", "t"])
+
+
+def test_recursive_cte_capability_boundary(spark):
+    """Spark 4 recursion supports UNION ALL (bounded DAG expansion) but
+    NOT distinct UNION — so cyclic-graph fixpoints (min-label
+    propagation) cannot terminate as a recursive CTE, which is exactly
+    why dedup_clusters ships the distributed pointer-jumping loop
+    (operators/dedup.py connected_components) while its ORACLE uses
+    DuckDB's recursive CTE.  Pin both sides of that boundary."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    out = spark.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t "
+        "WHERE n < 10) SELECT sum(n) AS s FROM t"
+    ).collect()
+    assert out[0].s == 55
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 2), (2, 1) AS e(s, d)"
+    ).createOrReplaceTempView("_rc_edges")
+    with pytest.raises(AnalysisException, match="UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"):
+        spark.sql(
+            "WITH RECURSIVE r(id, lab) AS (SELECT s, s FROM _rc_edges "
+            "UNION SELECT e.s, r.lab FROM _rc_edges e JOIN r ON r.id = e.d) "
+            "SELECT count(*) FROM r"
+        ).collect()
