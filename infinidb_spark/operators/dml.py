@@ -552,6 +552,7 @@ def _pruned_rewrite(
     table_dir: str,
     predicates: list,
     transform,
+    codec: str | None = None,
 ) -> int:
     """Shared engine for manifest-pruned UPDATE/DELETE.
 
@@ -609,7 +610,7 @@ def _pruned_rewrite(
             df = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
             new_df, n = transform(df, cond)
             # append alongside the hard links — part-file names are unique
-            managed_writer(new_df, "append").parquet(new_dir)
+            managed_writer(new_df, "append", codec).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -620,6 +621,7 @@ def update_table_pruned(
     table_dir: str,
     predicates: list,
     assignments: dict[str, Column],
+    codec: str | None = None,
 ) -> int:
     """UPDATE rewriting only files whose min/max can match the WHERE
     (predicate-tuple form, sources/manifest.py); others hard-linked."""
@@ -639,11 +641,12 @@ def update_table_pruned(
             )
         return out, n
 
-    return _pruned_rewrite(spark, table_dir, predicates, transform)
+    return _pruned_rewrite(spark, table_dir, predicates, transform, codec)
 
 
 def delete_from_pruned(
-    spark: SparkSession, table_dir: str, predicates: list
+    spark: SparkSession, table_dir: str, predicates: list,
+    codec: str | None = None,
 ) -> int:
     """DELETE rewriting only files whose min/max can match the WHERE;
     NULL-condition rows kept (same three-valued rule as delete_from)."""
@@ -654,7 +657,7 @@ def delete_from_pruned(
         n = df.filter(cond_true).count()
         return df.filter(~cond_true), n
 
-    return _pruned_rewrite(spark, table_dir, predicates, transform)
+    return _pruned_rewrite(spark, table_dir, predicates, transform, codec)
 
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -683,7 +686,12 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(table_dir)
 
 
-def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
+def alter_table(
+    spark: SparkSession,
+    table_dir: str,
+    action: dict,
+    codec: str | None = None,
+) -> None:
     """ALTER TABLE, one action (reference DDL surface
     ``dbcon/ddlpackage/ddl.y:477-560``: AtaAddColumn, AtaDropColumn,
     AtaModifyColumnType, AtaRenameColumn).
@@ -728,7 +736,7 @@ def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
             for f in os.listdir(real):
                 if not f.startswith(("_", ".")):
                     os.link(os.path.join(real, f), os.path.join(new_dir, f))
-            widened.write.mode("append").parquet(new_dir)
+            managed_writer(widened, "append", codec).parquet(new_dir)
             _swap(table_dir, new_dir)
         return
 
@@ -762,7 +770,7 @@ def alter_table(spark: SparkSession, table_dir: str, action: dict) -> None:
         raise ValueError(f"unknown ALTER action {op!r}")
     with _table_lock(table_dir, "ALTER"):
         new_dir = _new_version_dir(table_dir)
-        managed_writer(out, "overwrite").parquet(new_dir)
+        managed_writer(out, "overwrite", codec).parquet(new_dir)
         _swap(table_dir, new_dir)
 
 

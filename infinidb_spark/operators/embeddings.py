@@ -301,7 +301,15 @@ def ann_ivfpq_topk(
         centroids = train_ivf_centroids(df, stride, vec_col, id_col)
     if codebooks is None:
         codebooks = pq_train(df, m, k_codes, pq_iters, stride, vec_col, id_col)
+    else:
+        # injected model wins: m comes FROM the codebooks, never the
+        # default — an m mismatch would silently score a subvector
+        m = len(codebooks)
     d0 = len(codebooks[0][0][1])
+    if len(query_vec) != m * d0:
+        raise ValueError(
+            f"query dim {len(query_vec)} != m*d0 = {m}*{d0} of the codebooks"
+        )
     q = [float(x) for x in query_vec]
     probes = ivf_probe_ids(q, centroids, n_probe)
 

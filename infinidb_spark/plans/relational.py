@@ -1220,9 +1220,10 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same relation directly.  At scale: pivot = one shuffle (the
     groupBy), unpivot = a map-only Expand."""
     (orders,) = _t(spark, sf_dir, "orders")
-    prios = sorted(
-        r[0] for r in orders.select("o_orderpriority").distinct().collect()
-    )  # bounded: the 5 TPC-H priorities — pinned pivot column order
+    # the TPC-H spec's fixed priority domain, as literals — a discovery
+    # scan+collect per call would cost an extra job for values the spec
+    # pins (the same literal-pinning rule as the LSH planes)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     wide = (
         orders.groupBy(F.col("o_orderstatus").alias("status"))
         .pivot("o_orderpriority", prios)

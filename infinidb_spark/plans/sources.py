@@ -311,26 +311,43 @@ def orc_storage_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "xml_load_roundtrip",
     oracle="""
+    -- the appended tail contains every XML-escape-sensitive character
+    -- (< > & ' ") so the checksum is NON-vacuous on clean corpus text
+    WITH x AS (
+      SELECT source, doc_id, n_chars,
+             text || ' <t q=''"''>&' || CAST(doc_id AS VARCHAR) || '</t>' AS xt
+      FROM documents
+    )
     SELECT source,
            count(*)                     AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS chars_total,
            CAST(min(doc_id) AS BIGINT)  AS first_doc,
-           CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+           CAST(sum(('0x' || substr(md5(xt), 1, 7))::BIGINT) AS BIGINT)
              AS text_sum
-    FROM documents
+    FROM x
     GROUP BY source
     """,
 )
 def xml_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingest/export — Spark 4's native XML source (the spark-xml
     package merged upstream): documents exported as row-tagged XML and
-    re-loaded with an explicit schema, aggregated per source.  Oracle
-    on the original table: a hash match proves the XML text roundtrip
-    is lossless (entity escaping of <>&'\" in document text included).
-    Text columns ride the same escaping path a feed/sitemap ingest
-    would at scale; the read is schema'd, never inference."""
+    re-loaded with an explicit schema, aggregated per source.  The text
+    gets a deterministic tail containing every escape-sensitive
+    character (the synthetic corpus itself has none — an un-exercised
+    escaping path would make the checksum vacuous), so the md5-checksum
+    column proves entity escaping of < > & ' \" roundtrips losslessly;
+    the read is schema'd, never inference."""
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    work = _workdir(sf_dir, "xml")
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" <t q='\"'>&"),
+            F.col("doc_id").cast("string"),
+            F.lit("</t>"),
+        ),
+    )
+    work = _workdir(sf_dir, "xmlesc")
     out_dir = os.path.join(work, "documents_xml")
     done = os.path.join(work, "_xml_done")
     if not os.path.exists(done):

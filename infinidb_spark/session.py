@@ -301,15 +301,12 @@ class InfiniSession:
             prefix=".stage_", dir=os.path.dirname(path) or None
         )
         try:
-            from infinidb_spark.operators.dml import charnull
+            from infinidb_spark.operators.dml import managed_writer
 
-            # char-null storage semantics BEFORE the NOT NULL check, so
-            # '' into a NOT NULL string column is rejected (it would be
-            # stored as NULL) — consistent with every other write path
-            writer = charnull(aligned).write.mode("overwrite")
-            if codec:
-                writer = writer.option("compression", codec)
-            writer.parquet(stage)
+            # the shared chokepoint applies char-null semantics BEFORE
+            # the NOT NULL check below, so '' into a NOT NULL string
+            # column is rejected (it would be stored as NULL)
+            managed_writer(aligned, "overwrite", codec).parquet(stage)
             staged = self.spark.read.parquet(stage)
             pred = " OR ".join(f"`{c}` IS NULL" for c in notnull)
             bad = staged.filter(pred).count()
@@ -1609,7 +1606,9 @@ class InfiniSession:
                     self._check_default(
                         action["default"], action["type"], action["column"]
                     )
-                alter_table(self.spark, path, action)
+                alter_table(
+                    self.spark, path, action, codec=meta.get("codec")
+                )
                 # keep column metadata aligned with the new shape
                 defaults = meta.get("defaults", {})
                 notnull = meta.get("notnull", [])

@@ -71,14 +71,11 @@ def write_epoch_idempotent(
     if os.path.exists(marker):
         return False
     stage = os.path.join(table_dir, f".epoch_{safe}_{epoch_id}_tmp")
-    from infinidb_spark.operators.dml import charnull
+    from infinidb_spark.operators.dml import managed_writer
 
-    # stream/batch storage parity: the same char-null write semantics
-    # as every batch ingest path (operators/dml.py charnull)
-    writer = charnull(batch_df).write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(stage)
+    # stream/batch storage parity through the shared write chokepoint
+    # (char-null semantics + partitioning, operators/dml.py)
+    managed_writer(batch_df, "overwrite", partition_by=partition_by).parquet(stage)
 
     # clear a previous partial attempt, then link deterministically
     prefix = f"ep_{safe}_{epoch_id}_"
