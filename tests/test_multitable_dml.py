@@ -266,6 +266,10 @@ def test_dml_rewrites_keep_compression_codec(spark, sf_dir):
     s.execute(
         "UPDATE ck a JOIN region r ON a.id = r.r_regionkey SET a.v = 0"
     )
+    # ALTER rewrites must keep the codec too (review finding: they
+    # silently reverted to snappy before codec was threaded through)
+    s.execute("ALTER TABLE ck ADD note VARCHAR(10) DEFAULT 'x'")
+    s.execute("ALTER TABLE ck MODIFY v BIGINT")
     real = os.path.realpath(s._managed["ck"])
     codecs = set()
     for f in glob.glob(os.path.join(real, "*.parquet")):
