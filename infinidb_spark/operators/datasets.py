@@ -89,19 +89,27 @@ def exact_stratified_split(
 ) -> DataFrame:
     """Exact per-stratum proportions: rank rows within each stratum by
     their salted hash (stable pseudo-random order, key tie-break) and
-    cut at the cumulative weight boundaries.  One shuffle on strata."""
+    cut at the cumulative weight boundaries.  One shuffle on strata.
+
+    The cut is ALL-INTEGER: ``rank * N_BUCKETS < round(cum * N_BUCKETS)
+    * stratum_size`` — the float form (``rank/n < cum``) flips boundary
+    rows whenever the accumulated cum differs from an oracle's decimal
+    literal by 1 ulp (0.1 + 0.2 != 0.3 in doubles; the 0.8/0.1/0.1
+    default was green only because 0.8 + 0.1 happens to be exact)."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
     bucket = split_bucket(F.col(key_col), salt, N_BUCKETS, portable)
     w = Window.partitionBy(strata_col).orderBy(bucket, F.col(key_col))
     n = Window.partitionBy(strata_col)
-    frac = (F.row_number().over(w) - F.lit(1)) / F.count(F.lit(1)).over(n)
+    rank0 = (F.row_number().over(w) - F.lit(1)) * F.lit(N_BUCKETS)
+    size = F.count(F.lit(1)).over(n)
     expr: Column | None = None
     cum = 0.0
     for label, wt in weights.items():
         cum += wt
-        cond = frac < F.lit(cum)
+        hi = int(round(cum * N_BUCKETS))
+        cond = rank0 < F.lit(hi) * size
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn("split", expr)
 
@@ -161,15 +169,27 @@ def mixture_sample(
     the duplicate rows materialize only in the shuffle of whatever
     consumer follows.
     """
+    import math
+
     if any(w < 0 for w in weights.values()) or default_weight < 0:
         raise ValueError("mixture weights must be non-negative")
     bucket = split_bucket(F.col(key_col), salt, N_BUCKETS, portable)
-    w_expr: Column = F.lit(float(default_weight))
+
+    # integerize the fractional cutoff DRIVER-SIDE (hash_split's rule):
+    # the float form (bucket < frac * N_BUCKETS) diverges from exact
+    # decimal arithmetic for non-dyadic weights (w=1.1 -> cutoff
+    # 1000.0000000000009 includes bucket 1000; round(...) excludes it)
+    def _cut(wt: float) -> int:
+        return int(round((wt - math.floor(wt)) * N_BUCKETS))
+
+    whole_expr: Column = F.lit(int(math.floor(default_weight)))
+    cut_expr: Column = F.lit(_cut(default_weight))
     for src, w in weights.items():
-        w_expr = F.when(F.col(source_col) == src, float(w)).otherwise(w_expr)
-    whole = F.floor(w_expr).cast("bigint")
-    frac = w_expr - F.floor(w_expr)
-    reps = whole + (bucket < (frac * N_BUCKETS)).cast("bigint")
+        whole_expr = F.when(F.col(source_col) == src, int(math.floor(w))).otherwise(
+            whole_expr
+        )
+        cut_expr = F.when(F.col(source_col) == src, _cut(w)).otherwise(cut_expr)
+    reps = whole_expr.cast("bigint") + (bucket < cut_expr).cast("bigint")
     return (
         df.withColumn("_reps", reps)
         .filter(F.col("_reps") > 0)

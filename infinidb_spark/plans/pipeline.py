@@ -1192,8 +1192,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT source, doc_id, n_chars,
+             -- integerized fractional cutoff, mirroring the operator
              CAST(floor(wt) AS BIGINT)
-               + CAST(bucket < (wt - floor(wt)) * 10000 AS BIGINT) AS reps
+               + CAST(bucket < CAST(round((wt - floor(wt)) * 10000, 0) AS BIGINT)
+                      AS BIGINT) AS reps
       FROM w
     ),
     sampled AS (

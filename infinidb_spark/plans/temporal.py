@@ -22,7 +22,15 @@ from infinidb_spark.session import load_tables
            v.event_id                       AS view_id,
            round(v.value, 4)                AS view_value
     FROM (SELECT * FROM events WHERE event_type = 'click') c
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (
+      -- tie dedup: ASOF picks an ARBITRARY row among equal (user, ts)
+      -- views in both engines; keeping the max event_id per instant
+      -- makes the pick deterministic on any data
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS _rn
+        FROM events WHERE event_type = 'view') WHERE _rn = 1
+    ) v
       ON c.user_id = v.user_id AND c.ts >= v.ts
     """,
 )
@@ -34,8 +42,21 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("event_id"), F.col("user_id"), F.col("ts")
     )
-    views = events.filter(F.col("event_type") == "view").select(
-        F.col("user_id"), F.col("ts"), F.col("event_id").alias("vid"), F.col("value")
+    from pyspark.sql import Window
+
+    # deterministic tie-break: one view per (user, instant) — max
+    # event_id — since an as-of match among equal timestamps is
+    # otherwise an arbitrary pick in BOTH engines (current test data
+    # has no ties; this pins the semantics for data that does)
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(w_tie))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("user_id"), F.col("ts"),
+            F.col("event_id").alias("vid"), F.col("value"),
+        )
     )
     joined = asof_join(clicks, views, on="user_id", right_cols=["vid", "value"])
     return joined.select(

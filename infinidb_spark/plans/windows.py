@@ -267,10 +267,10 @@ def window_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentiles_within_group",
     oracle="""
     SELECT l_returnflag,
-           percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
-           percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
-           percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median_disc_qty,
-           percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 6) AS p25_qty,
+           round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS median_disc_qty,
+           round(percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -282,15 +282,22 @@ def percentiles_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark 3.4+ has exact percentile_cont/disc in SQL; expressed per
     group (the reference's own usage pattern is percentile per
     partition, which this reproduces with groupBy as the partitioning).
+    Interpolated values are rounded (6 dp) on both sides — unrounded
+    doubles were green only because l_quantity is integer-valued, an
+    accident of the test data, and percentile interpolation may differ
+    in the last ulp between engines.  Memory note: EXACT percentile
+    buffers per-group distinct values; the 3 l_returnflag groups are
+    fine at gate scale, but a 100 TB deployment swaps in
+    approx_percentile for giant low-cardinality groups.
     """
     _t(spark, sf_dir, "lineitem")
     return spark.sql(
         """
         SELECT l_returnflag,
-               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
-               percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
-               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS median_disc_qty,
-               percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+               round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 6) AS p25_qty,
+               round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS median_disc_qty,
+               round(percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90_price
         FROM lineitem
         GROUP BY l_returnflag
         """
@@ -307,9 +314,9 @@ def percentiles_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(regr_r2(c_acctbal, c_custkey), 8)      AS r_r2,
            round(regr_avgx(c_acctbal, c_custkey), 6)    AS r_avgx,
            round(regr_avgy(c_acctbal, c_custkey), 6)    AS r_avgy,
-           round(regr_sxx(c_acctbal, c_custkey), 4)     AS r_sxx,
-           round(regr_sxy(c_acctbal, c_custkey), 4)     AS r_sxy,
-           round(regr_syy(c_acctbal, c_custkey), 4)     AS r_syy
+           round(regr_sxx(c_acctbal, c_custkey), -2)    AS r_sxx,
+           round(regr_sxy(c_acctbal, c_custkey), -2)    AS r_sxy,
+           round(regr_syy(c_acctbal, c_custkey), -2)    AS r_syy
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -320,6 +327,14 @@ def window_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: ``windowfunctiontype.h:92-100`` (enum; only a subset wired
     in the reference — we wire all nine).  Spark 3.3+ aggregates, applied
     per partition-key group.
+
+    Rounding note: the second-moment sums (SXX/SXY/SYY) grow ~SF^3, so
+    they are pinned on an ABSOLUTE 100 grid (round(x, -2)) instead of a
+    fine decimal — at a grain where the double ulp of the sum (2e-6 at
+    sf0.1, 2e-3 at sf1) plus partial-aggregation order drift stays far
+    below the grid, keeping the hash stable across engines AND across
+    shuffle orders at any realistic SF; ratio statistics (slope, r2,
+    averages) keep fine grids since their magnitude is scale-free.
     """
     _t(spark, sf_dir, "customer")
     return spark.sql(
@@ -331,9 +346,9 @@ def window_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(regr_r2(c_acctbal, c_custkey), 8)        AS r_r2,
                round(regr_avgx(c_acctbal, c_custkey), 6)      AS r_avgx,
                round(regr_avgy(c_acctbal, c_custkey), 6)      AS r_avgy,
-               round(regr_sxx(c_acctbal, c_custkey), 4)       AS r_sxx,
-               round(regr_sxy(c_acctbal, c_custkey), 4)       AS r_sxy,
-               round(regr_syy(c_acctbal, c_custkey), 4)       AS r_syy
+               round(regr_sxx(c_acctbal, c_custkey), -2)      AS r_sxx,
+               round(regr_sxy(c_acctbal, c_custkey), -2)      AS r_sxy,
+               round(regr_syy(c_acctbal, c_custkey), -2)      AS r_syy
         FROM customer
         GROUP BY c_nationkey
         """

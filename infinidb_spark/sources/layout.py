@@ -47,26 +47,12 @@ def cluster_write(
     part.sortWithinPartitions(*cluster_by).write.mode("overwrite").parquet(path)
 
 
-def zorder_value(cols: list, bits: int = 16):
-    """Interleave the bits of rank-normalized columns into one Z-value.
-
-    Each column is first rank-normalized to [0, 2^bits) with
-    ``percent_rank`` (making the curve robust to skew and to arbitrary
-    numeric ranges), then bit-interleaved.  Range-partitioning on the
-    Z-value gives every file a tight hyper-rectangle in ALL clustered
-    dimensions — single-column range clustering makes one predicate
-    prunable, Z-order keeps each of them prunable.
-    """
-    from pyspark.sql.window import Window
-
-    max_v = (1 << bits) - 1
-    quantized = [
-        F.least(
-            F.lit(max_v),
-            F.floor(F.percent_rank().over(Window.orderBy(c)) * (1 << bits)).cast("long"),
-        )
-        for c in cols
-    ]
+def zorder_value(quantized: list, bits: int):
+    """Interleave the bits of pre-quantized [0, 2^bits) columns into one
+    Z-value.  Range-partitioning on the Z-value gives every file a
+    tight hyper-rectangle in ALL clustered dimensions — single-column
+    range clustering makes one predicate prunable, Z-order keeps each
+    of them prunable."""
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):
@@ -76,21 +62,44 @@ def zorder_value(cols: list, bits: int = 16):
     return z
 
 
+def _quantile_bucket(col, bounds: list[float], max_v: int):
+    """Rank-quantize via a BROADCAST-LITERAL boundary table: bucket =
+    #{boundaries <= x}, clamped to [0, max_v].  One interpreted
+    aggregate over a small literal array per row — no shuffle, no
+    global sort (the percent_rank formulation funneled the whole table
+    through ONE window partition per clustered column)."""
+    barr = F.lit([float(b) for b in bounds])
+    cnt = F.aggregate(
+        barr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(col.cast("double") >= b, 1).otherwise(0),
+    )
+    return F.least(F.lit(max_v).cast("long"), cnt)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     cluster_by: list[str],
     n_files: int,
-    bits: int = 16,
+    bits: int = 8,
 ) -> None:
     """Write ``df`` Z-order-clustered on ``cluster_by`` columns.
 
-    Note the rank-normalization uses a global window (one-pass sort of
-    the key projection) — at 100 TB replace ``percent_rank`` with an
-    approx-quantile lookup table (computed once, broadcast) to keep the
-    quantization shuffle-free; the interleave/write path is unchanged.
-    """
-    z = zorder_value([F.col(c) for c in cluster_by], bits)
+    Rank-normalization uses per-column approx-quantile boundary tables
+    (ONE bounded driver collect of 2^bits-1 doubles per column, then a
+    broadcast-literal lookup projection) — robust to skew and arbitrary
+    ranges with zero extra shuffles; the old ``percent_rank`` form
+    serialized the entire table through a single window partition per
+    column.  ``bits`` defaults to 8: 256 rank buckets per dimension is
+    ample for FILE-level pruning (files ≪ 256² hyper-rectangles) and
+    keeps the lookup array small."""
+    probes = [i / (1 << bits) for i in range(1, 1 << bits)]
+    quantized = []
+    for c in cluster_by:
+        bounds = df.approxQuantile(c, probes, 1.0 / (4 << bits))
+        quantized.append(_quantile_bucket(F.col(c), bounds, (1 << bits) - 1))
+    z = zorder_value(quantized, bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
@@ -102,14 +111,36 @@ def zorder_write(
 
 
 def table_file_stats(table_dir: str) -> tuple[int, int]:
-    """(n_files, total_bytes) from directory metadata — no data scan."""
+    """(n_files, total_bytes) from directory metadata — no data scan.
+    Recurses into hive-partition subdirectories (``col=value``)."""
     real = os.path.realpath(table_dir)
-    files = [
-        os.path.join(real, f)
-        for f in os.listdir(real)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
-    return len(files), sum(os.path.getsize(f) for f in files)
+    n, total = 0, 0
+    for dirpath, dirnames, files in os.walk(real):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                p = os.path.join(dirpath, f)
+                n += 1
+                total += os.path.getsize(p)
+    return n, total
+
+
+def _partition_columns(table_dir: str) -> list[str]:
+    """Hive-partition column names from the directory layout, outermost
+    first ([] for a flat table)."""
+    real = os.path.realpath(table_dir)
+    cols: list[str] = []
+    cur = real
+    while True:
+        subs = [
+            d for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+            and not d.startswith((".", "_"))
+        ]
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
 
 
 def compact_table(
@@ -120,19 +151,31 @@ def compact_table(
 ) -> int:
     """Rewrite a managed table into ``ceil(total/target)`` files
     (optionally re-clustering), atomically swapped in via the DML
-    version-directory protocol.  Returns the new file count."""
-    n_files, total = table_file_stats(table_dir)
-    n_target = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(table_dir)
-    new_dir = _new_version_dir(table_dir)
-    if cluster_by:
-        (
-            df.repartitionByRange(n_target, *cluster_by)
-            .sortWithinPartitions(*cluster_by)
-            .write.mode("overwrite")
-            .parquet(new_dir)
-        )
-    else:
-        df.repartition(n_target).write.mode("overwrite").parquet(new_dir)
-    _swap(table_dir, new_dir)
+    version-directory protocol.  Returns the new file count.
+
+    Safety contract (same as every other rewrite in operators/dml.py):
+    the table lock serializes against concurrent DML, the read is
+    schema-merged (``read_table``) so the wide schema of a
+    metadata-only ADD COLUMN survives, and a hive-partitioned layout is
+    rewritten WITH its partition columns, never flattened."""
+    from infinidb_spark.operators.dml import _table_lock, read_table
+
+    with _table_lock(table_dir, "OPTIMIZE"):
+        n_files, total = table_file_stats(table_dir)
+        n_target = max(1, -(-total // target_file_bytes))
+        df = read_table(spark, table_dir)
+        part_cols = _partition_columns(table_dir)
+        new_dir = _new_version_dir(table_dir)
+        if cluster_by:
+            writer = (
+                df.repartitionByRange(n_target, *cluster_by)
+                .sortWithinPartitions(*cluster_by)
+                .write.mode("overwrite")
+            )
+        else:
+            writer = df.repartition(n_target).write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(new_dir)
+        _swap(table_dir, new_dir)
     return table_file_stats(table_dir)[0]
