@@ -140,8 +140,8 @@ def partitions_by_value(
             continue  # CPINVALID: no stats → never range-selected
         mn, mx = st["min"], st["max"]
         try:
-            lo_ok = start is None or mn >= _coerce(start, mn)
-            hi_ok = end is None or mx <= _coerce(end, mx)
+            lo_ok = start is None or mn >= _coerce(start, mn, "start")
+            hi_ok = end is None or mx <= _coerce(end, mx, "end")
         except (TypeError, ValueError):
             raise ValueError(
                 f"range bound not comparable with column {column!r} stats"
@@ -151,7 +151,7 @@ def partitions_by_value(
     return out
 
 
-def _coerce(bound, stat):
+def _coerce(bound, stat, edge: str = "start"):
     """Coerce a user-supplied bound (always parsed as str/int/float from
     the UDF argument list) to the stat's own type — the IDB_format
     analog (`ha_calpont_partition.cpp:655,668`: bounds are parsed
@@ -161,7 +161,16 @@ def _coerce(bound, stat):
     if isinstance(stat, bool) or stat is None:
         return bound
     if isinstance(stat, int) and not isinstance(bound, int):
-        return int(float(bound)) if isinstance(bound, str) else int(bound)
+        import math
+
+        # containment-preserving coercion: int() truncates toward zero,
+        # so '10.7' as a START would become 10 and let a partition
+        # holding rows in [10, 10.7) be selected/dropped although those
+        # rows are OUTSIDE the requested range; a START bound rounds UP
+        # and an END bound rounds DOWN, so a fractional bound can only
+        # SHRINK the selected range, never widen it.
+        v = float(bound) if isinstance(bound, str) else bound
+        return math.ceil(v) if edge == "start" else math.floor(v)
     if isinstance(stat, float) and not isinstance(bound, float):
         return float(bound)
     if isinstance(stat, datetime.datetime) and isinstance(bound, str):
@@ -175,25 +184,36 @@ def _coerce(bound, stat):
 
 def disable_partitions(table_dir: str, parts: str | list) -> str:
     """Mark partitions out of service (metadata-only).  Returns the
-    reference's message text (`ha_calpont_partition.cpp:793-797`)."""
-    real = _real(table_dir)
-    targets = _resolve(real, parts)
-    state = _read_sidecar(real)
-    already = set(state["disabled"])
-    fresh = [f for f in targets if f not in already]
-    if not fresh:
-        return "No partitions are disabled"
-    state["disabled"] = sorted(already | set(fresh))
-    _write_sidecar(real, state)
+    reference's message text (`ha_calpont_partition.cpp:793-797`).
+
+    Runs under the table lock like every DML rewrite: the sidecar
+    update is a read-modify-write (two concurrent disables would lose
+    one), and racing a DML's enabled_files()/carry_disabled() window
+    could double rows after re-enable."""
+    from infinidb_spark.operators.dml import _table_lock
+
+    with _table_lock(table_dir, "DISABLE PARTITIONS"):
+        real = _real(table_dir)
+        targets = _resolve(real, parts)
+        state = _read_sidecar(real)
+        already = set(state["disabled"])
+        fresh = [f for f in targets if f not in already]
+        if not fresh:
+            return "No partitions are disabled"
+        state["disabled"] = sorted(already | set(fresh))
+        _write_sidecar(real, state)
     return "Partitions are disabled successfully"
 
 
 def enable_partitions(table_dir: str, parts: str | list) -> str:
-    real = _real(table_dir)
-    targets = set(_resolve(real, parts))
-    state = _read_sidecar(real)
-    state["disabled"] = sorted(set(state["disabled"]) - targets)
-    _write_sidecar(real, state)
+    from infinidb_spark.operators.dml import _table_lock
+
+    with _table_lock(table_dir, "ENABLE PARTITIONS"):
+        real = _real(table_dir)
+        targets = set(_resolve(real, parts))
+        state = _read_sidecar(real)
+        state["disabled"] = sorted(set(state["disabled"]) - targets)
+        _write_sidecar(real, state)
     return "Partitions are enabled successfully."
 
 
@@ -201,23 +221,26 @@ def drop_partitions(table_dir: str, parts: str | list) -> str:
     """Physically drop partitions: hard-link all survivors into a new
     version directory and atomically advance the table pointer — the
     copy-on-write twin of the reference's caldroppartitions DDL
-    (`ha_calpont_partition.cpp:831`).  Zero bytes copied."""
-    from infinidb_spark.operators.dml import _new_version_dir, _swap
+    (`ha_calpont_partition.cpp:831`).  Zero bytes copied.  Takes the
+    table lock: an unlocked drop racing a concurrent DML rewrite would
+    be resurrected by the DML's later swap (lost drop)."""
+    from infinidb_spark.operators.dml import _new_version_dir, _swap, _table_lock
 
-    real = _real(table_dir)
-    targets = set(_resolve(real, parts))
-    if not targets:
-        return "No partitions are dropped"
-    keep = [f for f in _part_files(real) if f not in targets]
-    state = _read_sidecar(real)
-    new_dir = _new_version_dir(table_dir)
-    os.makedirs(new_dir)
-    for f in keep:
-        os.link(os.path.join(real, f), os.path.join(new_dir, f))
-    survivors = {"disabled": sorted(set(state["disabled"]) & set(keep))}
-    if survivors["disabled"]:
-        _write_sidecar(new_dir, survivors)
-    _swap(table_dir, new_dir)
+    with _table_lock(table_dir, "DROP PARTITIONS"):
+        real = _real(table_dir)
+        targets = set(_resolve(real, parts))
+        if not targets:
+            return "No partitions are dropped"
+        keep = [f for f in _part_files(real) if f not in targets]
+        state = _read_sidecar(real)
+        new_dir = _new_version_dir(table_dir)
+        os.makedirs(new_dir)
+        for f in keep:
+            os.link(os.path.join(real, f), os.path.join(new_dir, f))
+        survivors = {"disabled": sorted(set(state["disabled"]) & set(keep))}
+        if survivors["disabled"]:
+            _write_sidecar(new_dir, survivors)
+        _swap(table_dir, new_dir)
     return "Partitions are dropped successfully"
 
 

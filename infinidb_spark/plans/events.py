@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from infinidb_spark.plans.registry import query
-from infinidb_spark.session import load_tables
 from infinidb_spark.streaming.events import (
     sessionize,
     sliding_event_counts,
@@ -33,7 +32,7 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
            event_type,
            count(*)                    AS n_events,
            round(sum(value), 4)        AS sum_value,
-           round(avg(value), 6)        AS avg_value
+           floor(avg(value) * 1000000 + 0.5) / 1000000 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -73,7 +72,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
@@ -266,7 +265,10 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(mu, 6)            AS mu,
            round((n - mu) / nullif(sigma, 0), 6) AS zscore
     FROM stats
-    WHERE n_window >= 12 AND abs((n - mu) / nullif(sigma, 0)) >= 2.0
+    -- filter on the ROUNDED z: a bucket can sit exactly on 2.0 (one
+    -- does at sf0.01) and the unrounded quotient's last ulp is engine-
+    -- implementation-dependent
+    WHERE n_window >= 12 AND abs(round((n - mu) / nullif(sigma, 0), 6)) >= 2.0
     ORDER BY event_type, bucket
     """,
 )
@@ -296,7 +298,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.withColumn("mu", F.avg("n").over(w))
         .withColumn("sigma", F.stddev_samp("n").over(w))
         .withColumn("n_window", F.count(F.lit(1)).over(w))
-        .filter((F.col("n_window") >= 12) & (F.abs(z) >= 2.0))
+        # rounded-z filter: one sf0.01 bucket sits exactly on 2.0 and
+        # the unrounded quotient's last ulp is engine-dependent
+        .filter((F.col("n_window") >= 12) & (F.abs(F.round(z, 6)) >= 2.0))
         .select(
             "event_type",
             F.col("bucket").cast("string").alias("bucket"),

@@ -189,11 +189,26 @@ def cross_engine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "outfile_export_roundtrip",
     oracle="""
+    -- probe mirrors the Spark-side injection: NULL every 7th order,
+    -- else a value containing the field separator and the escape char
+    -- — so the \\N marker and the escaping chain are EXERCISED (the
+    -- clean orders columns alone contain neither)
+    WITH x AS (
+      SELECT o_orderstatus, o_orderpriority, o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderstatus || '|p\\q"' || CAST(o_orderkey AS VARCHAR)
+             END AS probe
+      FROM orders
+    )
     SELECT o_orderstatus,
            o_orderpriority,
            count(*)                     AS n_orders,
-           round(sum(o_totalprice), 4)  AS sum_price
-    FROM orders
+           round(sum(o_totalprice), 4)  AS sum_price,
+           CAST(count(probe) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN probe IS NULL THEN 0
+                    ELSE ('0x' || substr(md5(probe), 1, 7))::BIGINT END)
+                AS BIGINT)              AS probe_sum
+    FROM x
     GROUP BY o_orderstatus, o_orderpriority
     """,
 )
@@ -210,24 +225,50 @@ def outfile_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from infinidb_spark.sources.export import NULL_MARKER, export_outfile
 
     orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
-    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
-    work = _workdir(sf_dir, "outfile")
+    # probe column: NULL every 7th order (exercises the \N marker),
+    # else text containing the separator AND the escape char, so the
+    # escaping chain is live in the gate — clean orders data contains
+    # neither, which made the lossless claim vacuous before
+    orders = orders.withColumn(
+        "probe",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.concat(
+                F.col("o_orderstatus"), F.lit('|p\\q"'),
+                F.col("o_orderkey").cast("string"),
+            )
+        ),
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice", "probe"]
+    work = _workdir(sf_dir, "outfile2")
     out_dir = os.path.join(work, "orders_txt")
     done = os.path.join(work, "_outfile_done")
     if not os.path.exists(done):
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(work, exist_ok=True)
-        export_outfile(orders.select(*cols), out_dir, sep="|")
+        # ENCLOSED BY mode: the probe embeds the separator, the escape
+        # char AND the quote char, which the unquoted mode cannot carry
+        # through Spark's CSV reader (it only unescapes inside quotes)
+        export_outfile(
+            orders.select(*cols), out_dir, sep="|", quote='"', escape="\\"
+        )
         open(done, "w").close()
     schema = orders.select(*cols).schema
     result = bulk_load_csv(
-        spark, out_dir, schema, delimiter="|", null_value=NULL_MARKER
+        spark, out_dir, schema, delimiter="|", null_value=NULL_MARKER,
+        quote='"', escape="\\",
     )
     assert result.rows_rejected == 0, "outfile export must reload without rejects"
     result.unpersist()
     return result.loaded.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.count("probe").alias("n_probe"),
+        F.sum(
+            F.coalesce(
+                F.conv(F.substring(F.md5("probe"), 1, 7), 16, 10).cast("long"),
+                F.lit(0),
+            )
+        ).alias("probe_sum"),
     )
 
 

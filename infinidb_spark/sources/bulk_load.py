@@ -148,7 +148,13 @@ def _split_rejects(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(dest)
-        loaded = spark.read.parquet(dest)
+        # re-read with the DECLARED schema and column order: default
+        # partition-column inference re-types directory values (string
+        # '000' -> int 0, destroying leading zeros) and moves partition
+        # columns to the end of the schema
+        loaded = spark.read.schema(loaded.schema).parquet(dest).select(
+            *[f.name for f in loaded.schema.fields]
+        )
     # NOTE: `raw` stays cached so the returned `rejected` plan keeps
     # reading from the cache (the corrupt-record-only-query rule rejects
     # the raw-scan plan); callers release it with `.unpersist()` once

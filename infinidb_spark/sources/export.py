@@ -55,7 +55,11 @@ def _line_expr(
             for special in (escape, sep, line_sep):
                 c = F.replace(c, F.lit(special), F.lit(escape + special))
         elif not quote_optional or isinstance(f.dataType, StringType):
-            c = F.replace(c, F.lit(escape), F.lit(escape + escape))
+            if escape != quote:
+                c = F.replace(c, F.lit(escape), F.lit(escape + escape))
+            # when ENCLOSED BY == ESCAPED BY (CSV-style), doubling the
+            # quote IS the escape — a separate escape pass would turn
+            # every embedded quote into four characters
             c = F.replace(c, F.lit(quote), F.lit(escape + quote))
             # MySQL escapes the first char of LINES TERMINATED BY even
             # inside enclosed fields (SELECT INTO OUTFILE escaping rules)

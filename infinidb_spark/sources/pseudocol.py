@@ -41,9 +41,10 @@ PSEUDO_COLUMNS = {
 
 
 def with_pseudo_columns(df: DataFrame, names: list[str] | None = None) -> DataFrame:
-    """Attach the requested pseudo-columns (default: all)."""
+    """Attach the requested pseudo-columns (default: all; an explicit
+    empty list attaches none — only None means 'all')."""
     out = df
-    for name in names or list(PSEUDO_COLUMNS):
+    for name in (names if names is not None else list(PSEUDO_COLUMNS)):
         out = out.withColumn(name, PSEUDO_COLUMNS[name](df))
     return out
 

@@ -41,7 +41,11 @@ def tumbling_event_stats(events: DataFrame, width: str = "1 hour") -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # floor(x*1e6 + 0.5)/1e6 instead of round: engines disagree
+            # on round-half semantics at ...49999/...5 double boundaries
+            # (confirmed live at sf0.1: 43.4728124999... -> Spark .472812
+            # vs DuckDB .472813); IEEE floor is exact in both
+            (F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
@@ -77,7 +81,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap = F.lag("ts").over(w)
     new_session = (
         F.when(gap.isNull(), 1)
-        .when(F.unix_timestamp("ts") - F.unix_timestamp(gap) > gap_minutes * 60, 1)
+        # ALL-INTEGER microsecond gap: unix_timestamp truncates to
+        # whole seconds while DuckDB epoch() keeps microseconds, so a
+        # gap in (1800s, 1801s) would split sessions in one engine only
+        .when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(gap.cast("timestamp"))
+            > gap_minutes * 60 * 1_000_000,
+            1,
+        )
         .otherwise(0)
     )
     return (
