@@ -41,13 +41,21 @@ def _mysql(spark: SparkSession, sf_dir: str, text: str, *tables: str) -> DataFra
     return spark.sql(translate_mysql(text))
 
 
-def _pin_doubles(df: DataFrame, ndigits: int = 6) -> DataFrame:
+def _pin_doubles(
+    df: DataFrame, ndigits: int = 6, overrides: dict[str, int] | None = None
+) -> DataFrame:
     """Round every double column to ``ndigits`` (identically mirrored in
     the oracle text) so cross-engine summation-order drift can't flip
-    the value hash — the corpus determinism rule."""
+    the value hash — the corpus determinism rule.  ``overrides`` sets a
+    COARSER grid per column for large-magnitude sums whose double ulp
+    outgrows the default grid (a ~3e9 sum has ulp ~5e-7 — the 6-dp
+    grid edge — so order drift flipped it at sf0.1)."""
+    ov = overrides or {}
     return df.select(
         *[
-            F.round(F.col(c), ndigits).alias(c) if t == "double" else F.col(c)
+            F.round(F.col(c), ov.get(c, ndigits)).alias(c)
+            if t == "double"
+            else F.col(c)
             for c, t in df.dtypes
         ]
     )
@@ -178,7 +186,7 @@ order by
 @query(
     "ref_pricing_summary",
     oracle=f"""SELECT l_returnflag, l_linestatus,
-    round(sum_qty, 6) AS sum_qty, round(sum_base_price, 6) AS sum_base_price,
+    round(sum_qty, 2) AS sum_qty, round(sum_base_price, 2) AS sum_base_price,
     round(avg_qty, 6) AS avg_qty, round(avg_price, 6) AS avg_price,
     round(avg_disc, 6) AS avg_disc, count_order
     FROM ({_REF_Q1})""",
@@ -187,7 +195,10 @@ def ref_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference perf group 4 (q4.8.9.sql), original text: the
     reference's own pricing-summary aggregate battery (2-phase hash agg
     over a date-filtered scan)."""
-    return _pin_doubles(_mysql(spark, sf_dir, _REF_Q1, "lineitem"))
+    return _pin_doubles(
+        _mysql(spark, sf_dir, _REF_Q1, "lineitem"),
+        overrides={"sum_qty": 2, "sum_base_price": 2},
+    )
 
 
 # --- group 5: part ⋈ lineitem selective count --------------------------
