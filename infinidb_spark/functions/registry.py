@@ -218,8 +218,16 @@ def rpad(s, n, pad=" ") -> Column:
 
 @_reg("mid", "substr", "substring")
 def substr(s, pos, length=None) -> Column:
+    # MySQL SUBSTRING(str, 0[, len]) is defined as the EMPTY string
+    # (position 0 is the before-start sentinel); Spark treats 0 like 1
     s = _c(s)
-    return F.substring(s, pos, length) if length is not None else s.substr(F.lit(pos), F.length(s))
+    p = _c(pos) if isinstance(pos, Column) else F.lit(pos)
+    out = (
+        F.substring(s, pos, length)
+        if length is not None
+        else s.substr(p, F.length(s))
+    )
+    return F.when(p == 0, F.lit("")).otherwise(out)
 
 
 @_reg("repeat")
@@ -436,12 +444,17 @@ def sec_to_time(s) -> Column:
 
 @_reg("time_to_sec")
 def time_to_sec(t) -> Column:
+    # the sign of a negative TIME applies to the WHOLE value, not just
+    # the hour field ('-01:00:30' is -(3630), not -3600 + 30)
     t = _c(t)
-    return (
-        F.split(t, ":").getItem(0).cast("bigint") * 3600
-        + F.split(t, ":").getItem(1).cast("bigint") * 60
-        + F.split(t, ":").getItem(2).cast("bigint")
+    neg = t.startswith("-")
+    body = F.when(neg, F.substring(t, 2, 2147483647)).otherwise(t)
+    total = (
+        F.split(body, ":").getItem(0).cast("bigint") * 3600
+        + F.split(body, ":").getItem(1).cast("bigint") * 60
+        + F.split(body, ":").getItem(2).cast("bigint")
     )
+    return F.when(neg, -total).otherwise(total)
 
 
 @_reg("date_format")
@@ -544,13 +557,35 @@ _UNIT_TO_INTERVAL = {
 }
 
 
+def _unit_interval(n, unit: str) -> Column:
+    """An INTERVAL of ``n`` ``unit``s where ``n`` may be a Column —
+    built with make_interval, never f-string SQL (interpolating a
+    Column into INTERVAL text is a guaranteed ParseException)."""
+    nc = _c(n) if isinstance(n, Column) else F.lit(n)
+    nc = nc.cast("int")
+    zero = F.lit(0)
+    args = {
+        "year": dict(years=nc),
+        "quarter": dict(months=nc * 3),
+        "month": dict(months=nc),
+        "week": dict(weeks=nc),
+        "day": dict(days=nc),
+        "hour": dict(hours=nc),
+        "minute": dict(mins=nc),
+        "second": dict(secs=nc.cast("double")),
+        "microsecond": dict(secs=nc.cast("double") / 1e6),
+    }[unit]
+    _ = zero
+    return F.make_interval(**args)
+
+
 @_reg("date_add", "adddate")
 def date_add(c, n, unit: str = "day") -> Column:
     c = _c(c)
     unit = unit.lower()
     if unit == "day" and not isinstance(n, Column):
         return F.date_add(c.cast("date"), n)
-    return c + F.expr(f"INTERVAL {n} {_UNIT_TO_INTERVAL[unit]}")
+    return c + _unit_interval(n, unit)
 
 
 @_reg("date_sub", "subdate")
@@ -559,7 +594,7 @@ def date_sub(c, n, unit: str = "day") -> Column:
     unit = unit.lower()
     if unit == "day" and not isinstance(n, Column):
         return F.date_sub(c.cast("date"), n)
-    return c - F.expr(f"INTERVAL {n} {_UNIT_TO_INTERVAL[unit]}")
+    return c - _unit_interval(n, unit)
 
 
 @_reg("addtime")
@@ -595,9 +630,26 @@ def timestampdiff(unit: str, a, b) -> Column:
         secs = F.unix_timestamp(b) - F.unix_timestamp(a)
         div = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}[unit]
         return (secs / div).cast("bigint")
-    months = (F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a)) - F.when(
-        F.dayofmonth(b) < F.dayofmonth(a), 1
-    ).otherwise(0)
+    # truncation TOWARD ZERO with time-of-day considered (MySQL): the
+    # raw month delta over-counts by one when the within-month position
+    # of b has not yet reached a's (going forward), and symmetrically
+    # under-counts going backward — the one-sided day(b) < day(a)
+    # correction was wrong for negative diffs (verified: MONTH from
+    # 2020-03-15 to 2020-01-20 must be -1, not -2)
+    pos_a = (
+        F.dayofmonth(a) * F.lit(86400)
+        + F.hour(a) * 3600 + F.minute(a) * 60 + F.second(a)
+    )
+    pos_b = (
+        F.dayofmonth(b) * F.lit(86400)
+        + F.hour(b) * 3600 + F.minute(b) * 60 + F.second(b)
+    )
+    raw = (F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a))
+    months = (
+        raw
+        - F.when((raw > 0) & (pos_b < pos_a), 1).otherwise(0)
+        + F.when((raw < 0) & (pos_b > pos_a), 1).otherwise(0)
+    )
     if unit == "month":
         return months.cast("bigint")
     if unit == "quarter":
@@ -701,7 +753,15 @@ def case(*pairs, default=None) -> Column:
 
 @_reg("cast_signed")
 def cast_signed(c) -> Column:
-    return _c(c).try_cast("bigint")
+    # MySQL CAST(x AS SIGNED) ROUNDS half-away-from-zero on fractional
+    # input (2.6 -> 3), while a plain bigint cast truncates (2.6 -> 2);
+    # round only when the value is numeric — strings still NULL out
+    # through try_cast exactly as before
+    v = _c(c)
+    d = v.try_cast("double")
+    return F.when(
+        d.isNotNull(), F.round(d, 0).try_cast("bigint")
+    ).otherwise(v.try_cast("bigint"))
 
 
 @_reg("cast_unsigned")
@@ -811,9 +871,17 @@ for _alias, _target in _ALIASES.items():
 @_reg("div_int")
 def div_int(a, b) -> Column:
     """MySQL `a DIV b` — integer division truncating toward zero
-    (`funcexp.cpp` '%'/DIV operator family)."""
+    (`funcexp.cpp` '%'/DIV operator family).
+
+    EXACT over the full bigint range: the double-division form loses
+    precision above 2^53 (verified: 9007199254740995 DIV 1 came back
+    ...996), so operands go through DECIMAL and the quotient truncates
+    via floor/ceil by sign."""
     a, b = _c(a), _c(b)
-    return (a / b).cast("bigint")
+    q = a.cast("decimal(27,9)") / b.cast("decimal(27,9)")
+    return (
+        F.when(q >= 0, F.floor(q)).otherwise(F.ceil(q)).cast("bigint")
+    )
 
 
 FUNC_MAP["div"] = div_int

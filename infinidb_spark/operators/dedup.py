@@ -124,15 +124,23 @@ def minhash_signature(hashed_col: Column, n_hashes: int = 64) -> Column:
     """MinHash signature: array of n minima of (a*h+b) mod p over an
     already-hashed shingle array (materialize ``xxhash64`` per shingle
     into its own column first — otherwise each of the n transforms
-    re-hashes every shingle)."""
+    re-hashes every shingle).
+
+    Uses the SAME 31-bit hash family as the exploded-rows pipelines
+    (``_sig_params``; h masked to 31 bits so a*h+b stays inside int64)
+    — signatures from this array form are therefore store-compatible
+    with ``minhash_signatures``.  The previous 61-bit form silently
+    OVERFLOWED int64 in the product (a < 2^61 times h < 2^62) and
+    returned wrong, even negative, minima."""
+    p31 = (1 << 31) - 1
     sig = []
-    for a, b in _hash_params(n_hashes):
+    for a, b in _sig_params(n_hashes):
         sig.append(
             F.array_min(
                 F.transform(
                     hashed_col,
-                    lambda h: (F.lit(a) * (h.bitwiseAND(F.lit((1 << 62) - 1))) + F.lit(b))
-                    % F.lit(_MERSENNE_P),
+                    lambda h: (F.lit(a) * h.bitwiseAND(F.lit(p31)) + F.lit(b))
+                    % F.lit(p31),
                 )
             )
         )

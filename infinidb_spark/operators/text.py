@@ -370,7 +370,7 @@ def classify_quality(
     # (dedup._shingle_hash_expr); pmod == % here since the md5-derived
     # value is non-negative, and pmod is required for xxhash64
     bucket = F.pmod(_shingle_hash_expr(tok, portable_hash), F.lit(n_b))
-    return (
+    scored = (
         fan_out(df)
         .select(
             F.col(id_col).alias("_id"),
@@ -382,6 +382,20 @@ def classify_quality(
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.sum("_w") / F.count(F.lit(1)), 6).alias("score"),
+        )
+    )
+    # ONE ROW PER INPUT DOC (the contract every signal operator in this
+    # module keeps — window_dup_fraction documents why): a doc whose
+    # normalized text tokenizes to nothing still gets an explicit
+    # verdict (n_tokens=0, neutral score 0.0) instead of silently
+    # vanishing, which a joining pipeline would misread as NULL/unknown
+    spine = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        spine.join(scored, "_id", "left")
+        .select(
+            F.col("_id"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
         )
         # keep derives from the ROUNDED score, so keep == (score >= 0)
         # holds exactly in the output (a raw-sum keep could disagree

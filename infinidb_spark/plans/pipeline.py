@@ -517,11 +517,13 @@ def _classifier_oracle_sql() -> str:
              sum(({w_lit})[j + 1]) AS sw
       FROM b GROUP BY doc_id
     )
-    SELECT doc_id,
-           n_tokens,
-           round(sw / n_tokens, 6) AS score,
-           round(sw / n_tokens, 6) >= 0 AS keep
-    FROM s
+    -- one row per input doc (the operator's spine contract): an
+    -- all-whitespace doc gets n_tokens=0, neutral score 0.0
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT)      AS n_tokens,
+           coalesce(round(s.sw / s.n_tokens, 6), 0.0)   AS score,
+           coalesce(round(s.sw / s.n_tokens, 6), 0.0) >= 0 AS keep
+    FROM d LEFT JOIN s USING (doc_id)
     """
 
 

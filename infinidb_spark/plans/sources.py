@@ -125,11 +125,29 @@ def extent_elimination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a footer-stats manifest so files whose [min, max] cannot
     satisfy the filter never become input splits; predicates are
     re-applied after pruning, so the oracle (plain WHERE over the full
-    table) hash-verifies that elimination is result-transparent."""
-    path = os.path.join(sf_dir, "lineitem.parquet")
+    table) hash-verifies that elimination is result-transparent.
+
+    The table is first range-clustered into 8 files on l_orderkey
+    (sources/layout.cluster_write) so elimination is REAL — the
+    driver's single-file tables can never drop a file, which would
+    leave the pruning machinery green-but-unexercised; with the
+    clustered layout the 100-900 key range provably eliminates the
+    out-of-range files (pinned by tests/test_manifest.py)."""
+    from infinidb_spark.sources.layout import cluster_write
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    work = _workdir(sf_dir, "extcluster")
+    clustered = os.path.join(work, "lineitem_by_key")
+    done = os.path.join(work, "_clustered")
+    if not os.path.exists(done):
+        os.makedirs(work, exist_ok=True)
+        cluster_write(
+            spark.read.parquet(src), clustered, ["l_orderkey"], n_files=8
+        )
+        open(done, "w").close()
     pruned = scan_with_manifest(
         spark,
-        path,
+        clustered,
         [("l_orderkey", "between", 100, 900), ("l_quantity", ">=", 5)],
     )
     return (

@@ -229,7 +229,12 @@ def cached_manifest(path: str) -> list[dict[str, Any]]:
         for k in [k for k in _MANIFEST_CACHE if k[0] == key[0]]:
             _MANIFEST_CACHE.pop(k, None)
         if len(_FILE_ENTRY_CACHE) > _FILE_CACHE_MAX:
-            _FILE_ENTRY_CACHE.clear()
+            # evict the OLDEST half (dict preserves insertion order)
+            # instead of clearing: a full clear silently turned the
+            # O(changed-files) incremental-harvest contract into a full
+            # per-refresh re-read above the cap
+            for k in list(_FILE_ENTRY_CACHE)[: _FILE_CACHE_MAX // 2]:
+                _FILE_ENTRY_CACHE.pop(k, None)
         entries = []
         real = os.path.realpath(path)
         seed: dict | None = None  # sidecar parsed lazily, first miss only
@@ -271,22 +276,45 @@ def _may_match(entry: dict[str, Any], pred: Predicate) -> bool:
     if st is None or st["min"] is None or st["max"] is None:
         return True
     mn, mx = st["min"], st["max"]
+
+    def _co(v):
+        # coerce the literal to the STAT's temporal type — the most
+        # common time-filter literal forms (ISO strings, datetime.date
+        # against datetime stats) previously raised TypeError inside
+        # the comparison and silently kept every file, making date
+        # extent elimination inert
+        import datetime
+
+        if isinstance(mn, datetime.datetime):
+            if isinstance(v, str):
+                return datetime.datetime.fromisoformat(v)
+            if isinstance(v, datetime.date) and not isinstance(
+                v, datetime.datetime
+            ):
+                return datetime.datetime.combine(v, datetime.time.min)
+        elif isinstance(mn, datetime.date) and isinstance(v, str):
+            return datetime.date.fromisoformat(v)
+        return v
+
     try:
-        if op == "=":
-            return mn <= pred[2] <= mx
-        if op == "<":
-            return mn < pred[2]
-        if op == "<=":
-            return mn <= pred[2]
-        if op == ">":
-            return mx > pred[2]
-        if op == ">=":
-            return mx >= pred[2]
-        if op == "between":
-            return not (mx < pred[2] or mn > pred[3])
         if op == "in":
-            return any(mn <= v <= mx for v in pred[2])
-    except TypeError:
+            vals = [_co(v) for v in pred[2]]
+            return any(mn <= v <= mx for v in vals)
+        p2 = _co(pred[2])
+        p3 = _co(pred[3]) if op == "between" else None
+        if op == "=":
+            return mn <= p2 <= mx
+        if op == "<":
+            return mn < p2
+        if op == "<=":
+            return mn <= p2
+        if op == ">":
+            return mx > p2
+        if op == ">=":
+            return mx >= p2
+        if op == "between":
+            return not (mx < p2 or mn > p3)
+    except (TypeError, ValueError):
         return True  # incomparable literal/stat types → keep the file
     return True  # unknown operator → keep the file
 

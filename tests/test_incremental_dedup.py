@@ -164,3 +164,47 @@ def test_exact_incremental_statuses_are_the_hash_truth(spark, seed):
         else:
             expect = "new"
         assert r.status == expect, (r.doc_id, r.status, expect)
+
+
+def test_minhash_signature_array_form_matches_store(spark):
+    """The array-form minhash_signature must (a) stay inside int64 —
+    the old 61-bit family overflowed the a*h product and emitted
+    negative minima — and (b) produce the SAME signature as the
+    exploded-rows minhash_signatures store for the same shingle
+    hashes."""
+    import pyspark.sql.functions as F
+
+    from infinidb_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over"), (2, "pack my box with five dozen")],
+        ["doc_id", "text"],
+    )
+    store = {
+        r._id: list(r._sig)
+        for r in minhash_signatures(docs, n_hashes=8).collect()
+    }
+    # rebuild the shingle-hash arrays the exploded pipeline hashes
+    from infinidb_spark.operators.dedup import _shingle_hash_expr, normalize_text
+
+    t = normalize_text(F.col("text"))
+    n_pos = F.greatest(F.length(t) - 4, F.lit(1))
+    arr = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.xxhash64(normalize_text(F.col("text")).substr(i, F.lit(5))),
+        ).alias("_hs"),
+    )
+    got = {
+        r.doc_id: list(r.sig)
+        for r in arr.select(
+            "doc_id", minhash_signature(F.col("_hs"), 8).alias("sig")
+        ).collect()
+    }
+    assert got == store
+    for sig in got.values():
+        assert all(0 <= m < (1 << 31) for m in sig), sig

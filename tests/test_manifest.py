@@ -336,3 +336,42 @@ def test_sidecar_inode_mismatch_triggers_reharvest(spark, tmp_path, monkeypatch)
     )
     M.cached_manifest(path)
     assert harvested, "inode change must force a re-harvest"
+
+
+def test_temporal_literal_forms_prune(spark, sf_dir):
+    """Date extent elimination must be LIVE for the common literal
+    forms — ISO strings and datetime.date against datetime stats
+    previously raised TypeError inside the comparison and silently
+    kept every file."""
+    import datetime
+    import os
+
+    from infinidb_spark.sources.manifest import _may_match, build_manifest
+
+    m = build_manifest(os.path.join(sf_dir, "lineitem.parquet"))
+    e = m[0]
+    assert isinstance(e["columns"]["l_shipdate"]["min"], datetime.datetime)
+    # provably out-of-range bounds must ELIMINATE (False), in-range keep
+    assert _may_match(e, ("l_shipdate", "<", "1990-01-01")) is False
+    assert _may_match(e, ("l_shipdate", "<", datetime.date(1990, 1, 1))) is False
+    assert _may_match(e, ("l_shipdate", ">", "2030-01-01")) is False
+    assert _may_match(e, ("l_shipdate", "<", "2030-01-01")) is True
+    assert _may_match(e, ("l_shipdate", "between", "1990-01-01", "2030-01-01")) is True
+    assert _may_match(e, ("l_shipdate", "between", "1980-01-01", "1990-01-01")) is False
+
+
+def test_gate_elimination_layout_actually_prunes(spark, sf_dir):
+    """The extent_elimination_scan gate query must exercise REAL
+    pruning: its clustered layout eliminates most files for the 100-900
+    key range (a single-file table can never eliminate, which had left
+    the machinery green-but-unexercised)."""
+    import __spark_entry__ as entry_mod
+    from infinidb_spark.plans.sources import _workdir
+    from infinidb_spark.sources.manifest import build_manifest, prune
+    import os
+
+    entry_mod.queries()["extent_elimination_scan"](spark, sf_dir).collect()
+    clustered = os.path.join(_workdir(sf_dir, "extcluster"), "lineitem_by_key")
+    m = build_manifest(clustered)
+    kept = prune(m, [("l_orderkey", "between", 100, 900), ("l_quantity", ">=", 5)])
+    assert len(m) >= 4 and len(kept) < len(m), (len(m), len(kept))

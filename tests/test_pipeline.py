@@ -448,10 +448,12 @@ def test_classifier_quality_modes_and_exactness(spark):
     for portable in (False, True):
         out = classify_quality(df, portable_hash=portable).collect()
         rows = {r.doc_id: r for r in out}
-        # doc 3 normalizes to empty → zero tokens → no row (like the
-        # window-dedup contract: score of nothing is undefined)
-        assert set(rows) == {1, 2}
+        # ONE ROW PER DOC (the window_dup_fraction spine contract): an
+        # empty doc gets an explicit verdict (0 tokens, neutral score)
+        # instead of silently vanishing from the joined signal
+        assert set(rows) == {1, 2, 3}
         assert rows[1].n_tokens == 4 and rows[2].n_tokens == 3
+        assert rows[3].n_tokens == 0 and rows[3].score == 0.0
         for r in rows.values():
             assert r.keep == (r.score >= 0)
     # identical token multiset ⇒ identical score in a given mode
