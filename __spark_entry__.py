@@ -68,95 +68,85 @@ from infinidb_spark.plans.registry import ORACLES, QUERIES  # noqa: E402
 SF0_001 = "/root/testdata/sf0.001"
 
 # The driver's correctness gate checks a rotating ~50-query window in
-# registration order, so this list decides who gets a verdict.  Round-5
-# ordering (VERDICT r04 "Next round" #1): the 24 queries that have NEVER
-# received a driver row in CORRECTNESS_r01-r04 come first (ref perf-group
-# twins, incremental dedup, batched ANN, k-means, multi-table DML,
-# streaming ingest, window dedup), then the five queries whose oracles /
-# hash pins were fixed this round (HUGEINT→BIGINT casts, func_cast string
-# pins), then queries whose code paths the round-5 ADVICE fixes touched,
-# then the long-green tail (green in r02-r04, code unchanged).
+# registration order, so this list decides who gets a verdict.  Standing
+# policy (VERDICT r05 "Next round" #1): ALWAYS promote maximum staleness —
+# queries are ordered by the round of their latest CORRECTNESS_r* row,
+# oldest first, so the window re-attests whatever has absorbed the most
+# churn since its last driver verdict.  New queries (never checked) are
+# slotted directly after the stalest block so they get first verdicts in
+# the same window.
 _PRIORITY = [
-    # ── never driver-checked in any round — first driver verdicts ──
-    # the 12 remaining numbered perf-group twins (groups 2, 6, 101-106,
-    # 111, 201-204 of utils/scenarios/perf/sql/)
+    # ── latest driver row r02 (49 queries, 3 rounds / ~50 commits stale):
+    # the relational / window / function base set ──
+    "q1_pricing_summary", "scan_filter_project", "filter_between_in_like",
+    "filter_regexp_null", "filter_col_vs_col", "filter_expression",
+    "constant_select", "groupby_join_agg", "agg_distinct", "agg_stats",
+    "agg_bit", "group_concat", "agg_having", "join_inner_broadcast",
+    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
+    "join_not_in_nullaware", "join_multiway", "join_cross", "join_theta",
+    "scalar_subquery", "select_list_subquery", "in_subquery",
+    "derived_table", "view_query", "topn_order_limit", "limit_offset",
+    "order_nulls_last", "distinct_select", "union_all_normalize",
+    "union_distinct", "intersect_except", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "set_ops_all", "join_salted_skew", "window_rank",
+    "window_row_number_topk_per_group", "window_agg_frame",
+    "window_range_frame", "window_navigation", "window_stats",
+    "window_distinct_agg", "percentiles_within_group", "window_regr",
+    "func_math",
+    # ── added round 6 — never driver-checked, first verdicts ──
+    "ann_recall_attest",
+    "text_lang_id",
+    "concurrent_dml_disjoint",
+    "manifest_sharded_scan",
+    # ── latest driver row r03 (44 queries) ──
+    "dedup_minhash_lsh", "ann_ivf_topk", "agg_decimal_exact",
+    "quantified_subquery", "group_concat_ordered", "multimodal_resize",
+    "embedding_quantize", "corpus_mixture", "outfile_export_roundtrip",
+    "tpch_q3", "tpch_q5", "tpch_q10", "events_cohort_retention",
+    "eval_decontamination", "corpus_curation_pipeline",
+    "jsonl_load_roundtrip", "orc_storage_parity", "ref_avg_battery",
+    "events_anomaly_zscore", "data_profile_histogram",
+    "events_strict_funnel", "orders_week_over_week", "ref_scan_order",
+    "ref_filter_count", "ref_small_side_count", "ref_outer_left",
+    "ref_outer_right", "ref_ordered_hint_join", "ref_pricing_summary",
+    "ref_part_join_count", "ref_join_agg", "ref_discount_groups",
+    "part_lineitem_agg", "func_time", "mysql_dialect_datetime",
+    "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
+    "func_string", "func_datetime", "func_control", "func_json",
+    "dedup_simhash", "dedup_ngram_jaccard",
+    # ── latest driver row r04 (43 queries) ──
+    "tpch_q1", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
+    "dedup_simhash_portable", "ann_cosine_topk", "ann_lsh_topk",
+    "text_quality", "text_analyze", "text_analyze_portable",
+    "dedup_clusters", "text_pii_scrub", "events_tumbling_window",
+    "events_sessionize", "events_hypertable_rollup", "asof_join_events",
+    "range_join_bands", "pseudo_columns", "cross_engine_join",
+    "mysql_ci_collation", "auto_increment_roundtrip",
+    "date_format_week_tokens", "data_validation",
+    "similarity_pairs_bucketed", "dedup_embedding_cosine",
+    "multimodal_frame_plan", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
+    "events_sliding_window", "events_json_funnel",
+    # ── latest driver row r05 (50 queries, freshest) ──
     "ref_scan_range_order", "ref_point_lookup", "ref_agg_battery_wide",
     "ref_pm_join_ranges", "ref_um_join_ranges", "ref_single_avg",
     "ref_groupby_minmax_str", "ref_count_int_probe", "ref_global_min",
     "ref_full_count", "ref_star_self_join", "ref_multi_pred_max",
-    # perf-group twins added late in round 4
     "ref_minmax_join", "ref_part_probe", "ref_var_driven_report",
-    # incremental dedup (batch vs stored signature/hash store)
     "dedup_exact_incremental", "dedup_minhash_incremental",
-    "ann_batch_topk",
-    "embedding_kmeans", "cluster_balanced_sample",
-    "multi_table_dml",
-    "streaming_dedup_ingest",
-    "text_repetition", "text_window_dedup",
-    # ── fixed round 5: oracle HUGEINT→BIGINT casts (dml_lifecycle,
-    # system_catalog, mysql_dml_statements n_null, multimodal_features
-    # total_bytes) and func_cast decimal/double string pins — red-on-hash
-    # in r04, values verified identical; need fresh verdicts ──
-    "func_cast",
-    "dml_lifecycle",
-    "mysql_dml_statements",
-    "system_catalog",
-    "multimodal_features",
-    # ── added round 5 — first driver verdicts ──
-    "text_classifier_quality",
-    "embedding_pq",
-    "ann_ivfpq_topk",
-    "dataset_stratified_split",
-    "streaming_click_view_join",
-    "streaming_running_totals",
-    "dedup_semantic",
-    "streaming_ann_ingest",
-    "char_null_semantics",
-    "dedup_semantic_incremental",
-    "dedup_hybrid",
-    "xml_load_roundtrip",
-    "events_variant_props",
-    "pivot_unpivot_roundtrip",
-    "lateral_topn_per_group",
-    # ── code paths touched by round-5 ADVICE/judge fixes ──
-    "extent_elimination_scan",   # manifest sidecar hardening
-    "mysql_ddl_alter",           # dialect / session changes
-    "mysql_dialect_query",
-    "bulk_load_csv_roundtrip",
-    "dedup_exact",               # incremental twins share the operator
-    "dedup_minhash_portable",
-    # ── long-green tail: re-verified as window budget allows ──
-    "q1_pricing_summary",
-    "tpch_q1", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
-    "dedup_minhash_lsh", "dedup_simhash_portable",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "text_quality", "text_analyze", "text_analyze_portable",
-    "dedup_clusters", "text_pii_scrub",
-    "events_tumbling_window", "events_sessionize", "events_hypertable_rollup",
-    "asof_join_events", "range_join_bands",
-    "pseudo_columns", "cross_engine_join",
-    "mysql_ci_collation", "auto_increment_roundtrip", "date_format_week_tokens",
-    "agg_decimal_exact", "quantified_subquery", "group_concat_ordered",
-    "data_validation", "similarity_pairs_bucketed", "dedup_embedding_cosine",
-    "multimodal_frame_plan", "multimodal_resize",
-    "embedding_quantize", "corpus_mixture", "outfile_export_roundtrip",
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
-    "events_sliding_window", "events_json_funnel",
-    "events_cohort_retention", "eval_decontamination",
-    "corpus_curation_pipeline", "jsonl_load_roundtrip", "orc_storage_parity",
-    "ref_avg_battery", "events_anomaly_zscore", "data_profile_histogram",
-    "events_strict_funnel", "orders_week_over_week",
-    "ref_scan_order", "ref_filter_count", "ref_small_side_count",
-    "ref_outer_left", "ref_outer_right", "ref_ordered_hint_join",
-    "ref_pricing_summary", "ref_part_join_count", "ref_join_agg",
-    "ref_discount_groups",
-    "part_lineitem_agg", "func_time",
-    "mysql_dialect_datetime",
-    "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
-    "func_string", "func_datetime", "func_control", "func_json",
-    "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_batch_topk", "embedding_kmeans", "cluster_balanced_sample",
+    "multi_table_dml", "streaming_dedup_ingest", "text_repetition",
+    "text_window_dedup", "func_cast", "dml_lifecycle",
+    "mysql_dml_statements", "system_catalog", "multimodal_features",
+    "text_classifier_quality", "embedding_pq", "ann_ivfpq_topk",
+    "dataset_stratified_split", "streaming_click_view_join",
+    "streaming_running_totals", "dedup_semantic", "streaming_ann_ingest",
+    "char_null_semantics", "dedup_semantic_incremental", "dedup_hybrid",
+    "xml_load_roundtrip", "events_variant_props",
+    "pivot_unpivot_roundtrip", "lateral_topn_per_group",
+    "extent_elimination_scan", "mysql_ddl_alter", "mysql_dialect_query",
+    "bulk_load_csv_roundtrip", "dedup_exact", "dedup_minhash_portable",
 ]
 
 

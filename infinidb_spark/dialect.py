@@ -163,6 +163,39 @@ def _sql_str(s: str) -> str:
 
 # ------------------------------------------------------------- rewrites
 
+
+def _time_secs_sql(x: str) -> str:
+    """SQL fragment: seconds in a MySQL TIME value (func_add_time.cpp
+    stringToTime) — '[-][H]H:MM[:SS[.us]]' strings or packed
+    [-]HHMMSS[.us] numerics (130 -> 1m30s); MM/SS >= 60 -> NULL.
+    ``x`` is a format placeholder like '{1}', so the fragment contains
+    no literal braces (bounded regex quantifiers are spelled [0-9][0-9]?)."""
+    s = f"trim(CAST({x} AS STRING))"
+    a = f"regexp_replace({s}, '^-', '')"
+    rx = "'^([0-9]+):([0-9][0-9]?)(:([0-9][0-9]?([.][0-9]+)?))?$'"
+    h = f"try_cast(regexp_extract({a}, {rx}, 1) AS DECIMAL(10,0))"
+    m = f"try_cast(regexp_extract({a}, {rx}, 2) AS DECIMAL(4,0))"
+    sec = (
+        f"coalesce(try_cast(nullif(regexp_extract({a}, {rx}, 4), '')"
+        f" AS DECIMAL(9,6)), CAST(0 AS DECIMAL(9,6)))"
+    )
+    n = f"try_cast({a} AS DECIMAL(17,6))"
+    colon = (
+        f"(CASE WHEN {m} < 60 AND {sec} < 60"
+        f" THEN {h} * 3600 + {m} * 60 + {sec} END)"
+    )
+    packed = (
+        f"(CASE WHEN (floor({n} / 100) % 100) < 60 AND ({n} % 100) < 60"
+        f" THEN floor({n} / 10000) * 3600"
+        f" + (floor({n} / 100) % 100) * 60 + ({n} % 100) END)"
+    )
+    body = (
+        f"(CASE WHEN regexp_extract({a}, {rx}, 1) != ''"
+        f" THEN {colon} ELSE {packed} END)"
+    )
+    return f"(CASE WHEN {s} LIKE '-%' THEN -{body} ELSE {body} END)"
+
+
 #: MySQL-only function → Spark expression template ({0}, {1} = args,
 #: already parenthesized).  Mirrors the Column-level builders in
 #: functions/registry.py (reference: utils/funcexp/func_*.cpp).
@@ -178,14 +211,20 @@ _TEMPLATES = {
         "((({0} DIV 100) * 12 + ({0} % 100)) - (({1} DIV 100) * 12 + ({1} % 100)))"
     ),
     "TIME_TO_SEC": (
-        "(CAST(split({0}, ':')[0] AS BIGINT) * 3600"
-        " + CAST(split({0}, ':')[1] AS BIGINT) * 60"
-        " + CAST(split({0}, ':')[2] AS BIGINT))"
+        # sign applies to the WHOLE value ('-01:00:30' -> -3630)
+        "((CASE WHEN {0} LIKE '-%' THEN -1 ELSE 1 END) *"
+        " (CAST(split(regexp_replace({0}, '^-', ''), ':')[0] AS BIGINT) * 3600"
+        " + CAST(split(regexp_replace({0}, '^-', ''), ':')[1] AS BIGINT) * 60"
+        " + CAST(split(regexp_replace({0}, '^-', ''), ':')[2] AS BIGINT)))"
     ),
     "SEC_TO_TIME": (
-        "concat(lpad(CAST({0} DIV 3600 AS STRING), 2, '0'), ':',"
-        " lpad(CAST(({0} % 3600) DIV 60 AS STRING), 2, '0'), ':',"
-        " lpad(CAST({0} % 60 AS STRING), 2, '0'))"
+        # format_string, not lpad: lpad TRUNCATES 3+-digit hours (MySQL
+        # TIME reaches 838:59:59) and negative fields; sign renders once
+        "concat(CASE WHEN {0} < 0 THEN '-' ELSE '' END,"
+        " format_string('%02d:%02d:%02d',"
+        " abs(CAST({0} AS BIGINT)) DIV 3600,"
+        " (abs(CAST({0} AS BIGINT)) % 3600) DIV 60,"
+        " abs(CAST({0} AS BIGINT)) % 60))"
     ),
     "INET_ATON": (
         "(CAST(split({0}, '\\\\.')[0] AS BIGINT) * 16777216"
@@ -210,20 +249,22 @@ _TEMPLATES = {
     ),
     "MAKEDATE": "date_add(make_date({0}, 1, 1), CAST({1} - 1 AS INT))",
     "MAKETIME": (
-        "concat_ws(':', lpad(CAST({0} AS STRING), 2, '0'),"
-        " lpad(CAST({1} AS STRING), 2, '0'),"
-        " lpad(CAST({2} AS STRING), 2, '0'))"
+        # hour via format_string (lpad truncates >= 100 h / negatives);
+        # minute/second out of [0,60) -> NULL (MySQL)
+        "(CASE WHEN {1} BETWEEN 0 AND 59 AND {2} BETWEEN 0 AND 59 THEN"
+        " concat(CASE WHEN {0} < 0 THEN '-' ELSE '' END,"
+        " format_string('%02d:%02d:%02d', abs(CAST({0} AS BIGINT)),"
+        " CAST({1} AS BIGINT), CAST({2} AS BIGINT))) END)"
     ),
-    "ADDTIME": "({0} + make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    "ADDTIME": "({0} + make_interval(0, 0, 0, 0, 0, 0, " + _time_secs_sql("{1}") + "))",
+    "SUBTIME": "({0} - make_interval(0, 0, 0, 0, 0, 0, " + _time_secs_sql("{1}") + "))",
     "TIMEDIFF": (
         "concat(CASE WHEN unix_timestamp({0}) < unix_timestamp({1})"
         " THEN '-' ELSE '' END,"
-        " lpad(CAST(abs(unix_timestamp({0}) - unix_timestamp({1}))"
-        " DIV 3600 AS STRING), 2, '0'), ':',"
-        " lpad(CAST((abs(unix_timestamp({0}) - unix_timestamp({1})) % 3600)"
-        " DIV 60 AS STRING), 2, '0'), ':',"
-        " lpad(CAST(abs(unix_timestamp({0}) - unix_timestamp({1})) % 60"
-        " AS STRING), 2, '0'))"
+        " format_string('%02d:%02d:%02d',"
+        " abs(unix_timestamp({0}) - unix_timestamp({1})) DIV 3600,"
+        " (abs(unix_timestamp({0}) - unix_timestamp({1})) % 3600) DIV 60,"
+        " abs(unix_timestamp({0}) - unix_timestamp({1})) % 60))"
     ),
     "MICROSECOND": "CAST(unix_micros(CAST({0} AS TIMESTAMP)) % 1000000 AS INT)",
 }

@@ -408,11 +408,14 @@ def makedate(y, doy) -> Column:
 
 @_reg("maketime")
 def maketime(h, m, s) -> Column:
-    return F.concat_ws(
-        ":",
-        F.lpad(_c(h).cast("string"), 2, "0"),
-        F.lpad(_c(m).cast("string"), 2, "0"),
-        F.lpad(_c(s).cast("string"), 2, "0"),
+    # format_string, not lpad: Spark lpad TRUNCATES >2-char fields, so
+    # hours >= 100 (MySQL TIME allows up to 838) or a '-1' hour would be
+    # silently mangled; minutes/seconds out of [0,60) -> NULL (MySQL)
+    h, m, s = _c(h).cast("bigint"), _c(m).cast("bigint"), _c(s).cast("bigint")
+    body = F.format_string("%02d:%02d:%02d", F.abs(h), m, s)
+    return F.when(
+        m.between(0, 59) & s.between(0, 59),
+        F.concat(F.when(h < 0, F.lit("-")).otherwise(F.lit("")), body),
     )
 
 
@@ -433,13 +436,18 @@ def period_diff(p1, p2) -> Column:
 
 @_reg("sec_to_time")
 def sec_to_time(s) -> Column:
+    # sign applies to the whole value and renders once out front
+    # ('-01:00:30' for -3630); format_string because lpad truncates
+    # 3-digit hour fields (> 99 h) and negative intermediates
     s = _c(s).cast("bigint")
-    return F.concat_ws(
-        ":",
-        F.lpad((s / 3600).cast("bigint").cast("string"), 2, "0"),
-        F.lpad(((s % 3600) / 60).cast("bigint").cast("string"), 2, "0"),
-        F.lpad((s % 60).cast("string"), 2, "0"),
+    a = F.abs(s)
+    body = F.format_string(
+        "%02d:%02d:%02d",
+        (a / 3600).cast("bigint"),
+        ((a % 3600) / 60).cast("bigint"),
+        a % 60,
     )
+    return F.concat(F.when(s < 0, F.lit("-")).otherwise(F.lit("")), body)
 
 
 @_reg("time_to_sec")
@@ -597,14 +605,42 @@ def date_sub(c, n, unit: str = "day") -> Column:
     return c - _unit_interval(n, unit)
 
 
+def _time_value_secs(x: Column) -> Column:
+    """Seconds in a MySQL TIME value (ref func_add_time.cpp
+    stringToTime): '[-][H]H:MM:SS[.us]' / '[-]H:MM' strings, or packed
+    [-]HHMMSS[.us] numerics (130 -> 1m30s, not 130s).  Invalid field
+    ranges (MM/SS >= 60) -> NULL, matching the reference's NULL-on-bad-
+    time contract."""
+    s = F.trim(x.cast("string"))
+    a = F.regexp_replace(s, "^-", "")
+    rx = r"^([0-9]+):([0-9][0-9]?)(:([0-9][0-9]?([.][0-9]+)?))?$"
+    h = F.regexp_extract(a, rx, 1)
+    m = F.regexp_extract(a, rx, 2).try_cast("decimal(4,0)")
+    sec = F.coalesce(
+        F.nullif(F.regexp_extract(a, rx, 4), F.lit("")).try_cast("decimal(9,6)"),
+        F.lit(0).cast("decimal(9,6)"),
+    )
+    colon = F.when(
+        (m < 60) & (sec < 60),
+        h.try_cast("decimal(10,0)") * 3600 + m * 60 + sec,
+    )
+    n = a.try_cast("decimal(17,6)")
+    pm = F.floor(n / 100) % 100
+    ps = n % 100
+    packed = F.when((pm < 60) & (ps < 60), F.floor(n / 10000) * 3600 + pm * 60 + ps)
+    body = F.when(h != "", colon).otherwise(packed)
+    return F.when(s.startswith("-"), -body).otherwise(body)
+
+
 @_reg("addtime")
-def addtime(c, interval_secs) -> Column:
-    return _c(c) + F.make_interval(secs=_c(interval_secs))
+def addtime(c, t) -> Column:
+    # 2nd operand is a TIME value, not plain seconds (func_add_time.cpp)
+    return _c(c) + F.make_interval(secs=_time_value_secs(_c(t)))
 
 
 @_reg("subtime")
-def subtime(c, interval_secs) -> Column:
-    return _c(c) - F.make_interval(secs=_c(interval_secs))
+def subtime(c, t) -> Column:
+    return _c(c) - F.make_interval(secs=_time_value_secs(_c(t)))
 
 
 @_reg("datediff")
@@ -753,13 +789,16 @@ def case(*pairs, default=None) -> Column:
 
 @_reg("cast_signed")
 def cast_signed(c) -> Column:
-    # MySQL CAST(x AS SIGNED) ROUNDS half-away-from-zero on fractional
-    # input (2.6 -> 3), while a plain bigint cast truncates (2.6 -> 2);
-    # round only when the value is numeric — strings still NULL out
-    # through try_cast exactly as before
+    # MySQL CAST(x AS SIGNED) ROUNDS half-away-from-zero on NUMERIC
+    # fractional input (2.6 -> 3) but TRUNCATES string input at the
+    # decimal point ('2.9' -> 2, the string-to-integer prefix parse).
+    # typeof() is static per plan, so the branch constant-folds.
     v = _c(c)
     d = v.try_cast("double")
+    trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("bigint")
     return F.when(
+        F.call_function("typeof", v) == "string", trunc
+    ).when(
         d.isNotNull(), F.round(d, 0).try_cast("bigint")
     ).otherwise(v.try_cast("bigint"))
 
@@ -874,13 +913,18 @@ def div_int(a, b) -> Column:
     (`funcexp.cpp` '%'/DIV operator family).
 
     EXACT over the full bigint range: the double-division form loses
-    precision above 2^53 (verified: 9007199254740995 DIV 1 came back
-    ...996), so operands go through DECIMAL and the quotient truncates
-    via floor/ceil by sign."""
+    precision above 2^53 (9007199254740995 DIV 1 came back ...996) and a
+    rounded decimal quotient can flip the floor (599999999999 DIV
+    200000000000 must be 2, not 3), so no quotient is ever rounded:
+    `a % b` is an EXACT truncated remainder in Spark decimal arithmetic,
+    which makes `(a - a % b) / b` an exact integer — decimal(38,9)
+    operands cover the full bigint range without overflow.  A zero
+    divisor short-circuits to NULL (MySQL) before any ANSI error."""
     a, b = _c(a), _c(b)
-    q = a.cast("decimal(27,9)") / b.cast("decimal(27,9)")
-    return (
-        F.when(q >= 0, F.floor(q)).otherwise(F.ceil(q)).cast("bigint")
+    ad = a.cast("decimal(38,9)")
+    bd = b.cast("decimal(38,9)")
+    return F.when(
+        bd.isNotNull() & (bd != 0), ((ad - ad % bd) / bd).cast("bigint")
     )
 
 

@@ -331,7 +331,9 @@ def func_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     s = k % 90000
     ts0 = F.col("o_orderdate").cast("timestamp")
-    ts1 = func("addtime", ts0, (k * 977) % 200000)
+    # date_add SECOND, not addtime: ADDTIME's 2nd arg is a packed TIME
+    # value (130 = 1m30s), while this oracle adds plain seconds
+    ts1 = func("date_add", ts0, (k * 977) % 200000, "second")
     return orders.filter(k <= 300).select(
         "o_orderkey",
         func("sec_to_time", s).alias("f_s2t"),

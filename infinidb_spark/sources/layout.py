@@ -95,13 +95,36 @@ def zorder_write(
     ample for FILE-level pruning (files ≪ 256² hyper-rectangles) and
     keeps the lookup array small."""
     probes = [i / (1 << bits) for i in range(1, 1 << bits)]
+    # approxQuantile only accepts NUMERIC columns, so every cluster key
+    # is first coerced to an order-preserving double proxy: temporals ->
+    # epoch, booleans -> 0/1, strings -> base-256 value of the first 8
+    # bytes (lexicographic order preserved for the prefix, which is all
+    # FILE-level rank bucketing needs).
+    dtypes = dict(df.dtypes)
+    proxies = {}
+    for c in cluster_by:
+        dt = dtypes[c]
+        col = F.col(c)
+        if dt == "date":
+            proxies[c] = F.datediff(col, F.lit("1970-01-01").cast("date")).cast("double")
+        elif dt.startswith("timestamp"):
+            proxies[c] = F.unix_micros(col.cast("timestamp")).cast("double")
+        elif dt in ("string", "binary") or dt.startswith(("varchar", "char")):
+            # base-256 value of the first 6 bytes, zero-right-padded so
+            # short keys stay left-aligned: 48 bits, exact in a double
+            b = F.rpad(F.substring(col.cast("binary"), 1, 6), 6, F.lit(b"\x00"))
+            proxies[c] = F.conv(F.hex(b), 16, 10).cast("double")
+        else:  # numeric / boolean
+            proxies[c] = col.cast("double")
+    proxied = df.select("*", *[proxies[c].alias(f"__zq_{c}") for c in cluster_by])
     quantized = []
     for c in cluster_by:
-        bounds = df.approxQuantile(c, probes, 1.0 / (4 << bits))
-        quantized.append(_quantile_bucket(F.col(c), bounds, (1 << bits) - 1))
+        bounds = proxied.approxQuantile(f"__zq_{c}", probes, 1.0 / (4 << bits))
+        quantized.append(_quantile_bucket(F.col(f"__zq_{c}"), bounds, (1 << bits) - 1))
     z = zorder_value(quantized, bits)
     (
-        df.withColumn("__z", z)
+        proxied.withColumn("__z", z)
+        .drop(*[f"__zq_{c}" for c in cluster_by])
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
