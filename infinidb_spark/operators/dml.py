@@ -38,6 +38,7 @@ column — Spark prunes those natively.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -80,8 +81,13 @@ def _table_lock(table_dir: str, op: str):
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
-        with open(path) as fh:
-            holder = json.load(fh)
+        # the holder may not have flushed its payload yet (O_EXCL create
+        # and the JSON write are two steps) — report what's readable
+        try:
+            with open(path) as fh:
+                holder = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            holder = {}
         raise RuntimeError(
             f"table {payload['table']!r} is locked by {holder.get('op')} "
             f"(lock_id {holder.get('lock_id')}, pid {holder.get('pid')}) — "
@@ -102,8 +108,11 @@ def view_table_locks(root: str, table: str | None = None) -> list[dict]:
     out = []
     for f in sorted(os.listdir(root)):
         if f.endswith(".__lock__"):
-            with open(os.path.join(root, f)) as fh:
-                rec = json.load(fh)
+            try:
+                with open(os.path.join(root, f)) as fh:
+                    rec = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue  # mid-write or just-released lock
             if table is None or rec.get("table") == table:
                 out.append(rec)
     return out
@@ -186,6 +195,7 @@ def _swap(table_dir: str, new_dir: str) -> None:
         old_target
         and os.path.isdir(old_target)
         and os.path.basename(old_target) not in retained_versions(table_dir)
+        and os.path.basename(old_target) not in _pinned_versions(table_dir)
     ):
         shutil.rmtree(old_target)
 
@@ -810,3 +820,300 @@ def delete_from(
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
+
+
+# --- optimistic concurrent writers ------------------------------------
+# The reference's version buffer admits concurrent writers with
+# snapshot readers (`versioning/BRM/vss.h:180-210`: a block entering
+# the VB records its verID; a second writer hitting a VB-resident block
+# gets ERR_VBBM_OVERFLOW-style rejection).  Spark-native analog:
+# SNAPSHOT-ISOLATION copy-on-write.  A writer reads a PINNED snapshot
+# and builds its full rewrite with NO lock held (the expensive
+# distributed work runs concurrently for any number of writers); the
+# table lock is taken only for a short commit-time validate+swap.  If
+# another writer committed in between, the row-level diff between the
+# two snapshots decides: disjoint from our WHERE -> rebase (re-execute
+# on the new snapshot, i.e. serialize after the winner), true row
+# overlap -> first-committer-wins abort, exactly the VSS write-write
+# conflict.  Pins keep a snapshot's files readable under concurrent
+# swaps (the VB holding pre-images until the transaction resolves).
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """First-committer-wins abort: a concurrently-committed write
+    changed rows this statement also writes (snapshot-isolation
+    write-write conflict — `versioning/BRM/vss.h:180-210`)."""
+
+
+def _pins_dir(table_dir: str) -> str:
+    return table_dir.rstrip("/") + ".__pins__"
+
+
+def _pin_version(table_dir: str, version_basename: str) -> str:
+    """Additive per-writer pin file — no read-modify-write race between
+    concurrent pinners (unlike the shared retain JSON)."""
+    d = _pins_dir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, uuid.uuid4().hex[:12] + ".json")
+    with open(p, "w") as fh:
+        json.dump({"version": version_basename, "pid": os.getpid()}, fh)
+    return p
+
+
+def _unpin(pin_path: str) -> None:
+    try:
+        os.remove(pin_path)
+    except FileNotFoundError:
+        pass
+
+
+def _pinned_versions(table_dir: str) -> set[str]:
+    """Versions pinned by LIVE writers; a pin whose pid is dead is a
+    crashed transaction and is garbage-collected here (the stale-lock
+    recovery analog for snapshots)."""
+    d = _pins_dir(table_dir)
+    if not os.path.isdir(d):
+        return set()
+    out: set[str] = set()
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        pid = rec.get("pid")
+        alive = True
+        if isinstance(pid, int):
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                pass
+        if alive:
+            out.add(rec.get("version"))
+        else:
+            _unpin(p)
+    return out
+
+
+def _snapshot(table_dir: str) -> tuple[str, str]:
+    """(resolved version dir, content token).
+
+    The token hashes the file SET (relative names + sizes), not just
+    the version basename: a concurrent INSERT appends files into the
+    SAME version directory, so basename equality alone would let a
+    rewrite silently drop freshly-inserted rows."""
+    real = os.path.realpath(table_dir.rstrip("/"))
+    entries: list[tuple[str, int]] = []
+    for dirpath, dirnames, files in os.walk(real):
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith("."))
+        for f in sorted(files):
+            p = os.path.join(dirpath, f)
+            try:
+                entries.append((os.path.relpath(p, real), os.path.getsize(p)))
+            except OSError:
+                pass
+    token = hashlib.sha256(
+        json.dumps([os.path.basename(real), entries]).encode()
+    ).hexdigest()
+    return real, token
+
+
+@contextmanager
+def _table_lock_wait(table_dir: str, op: str, timeout: float = 60.0,
+                     poll: float = 0.05):
+    """`_table_lock` that WAITS (bounded) instead of failing fast —
+    optimistic writers hold it only for commit-time validate+swap, so
+    contention windows are milliseconds, not rewrite durations."""
+    deadline = time.monotonic() + timeout
+    while True:
+        cm = _table_lock(table_dir, op)
+        try:
+            cm.__enter__()
+        except RuntimeError:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(poll)
+            continue
+        try:
+            yield
+        except BaseException as e:
+            cm.__exit__(type(e), e, e.__traceback__)
+            raise
+        else:
+            cm.__exit__(None, None, None)
+        return
+
+
+def _read_version(spark: SparkSession, version_dir: str) -> DataFrame:
+    """read_table against a PINNED version directory (the out-of-service
+    sidecar lives inside the version dir, so exclusion semantics hold)."""
+    from infinidb_spark.operators.partitions import disabled_partitions, enabled_files
+
+    if disabled_partitions(version_dir):
+        files = enabled_files(version_dir)
+        if not files:
+            return spark.read.option("mergeSchema", "true").parquet(version_dir).limit(0)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(version_dir)
+
+
+def _gc_version(table_dir: str, version_dir: str) -> None:
+    """Drop a no-longer-live version once nothing pins or retains it."""
+    if not os.path.isdir(version_dir):
+        return
+    base = os.path.basename(version_dir)
+    if os.path.realpath(version_dir) == os.path.realpath(table_dir.rstrip("/")):
+        return
+    if base in retained_versions(table_dir) or base in _pinned_versions(table_dir):
+        return
+    shutil.rmtree(version_dir, ignore_errors=True)
+
+
+def _optimistic_rewrite(
+    spark: SparkSession,
+    table_dir: str,
+    op: str,
+    condition: Column,
+    transform,
+    codec: str | None,
+    max_retries: int = 3,
+    lock_timeout: float = 60.0,
+    _before_commit=None,
+) -> int:
+    """Shared optimistic copy-on-write loop for UPDATE/DELETE.
+
+    ``transform(df, cond_true) -> rewritten df``.  ``_before_commit``
+    is a test hook invoked after the rewrite is built, before the
+    commit lock — the deterministic way to interleave a competing
+    committed write."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.partitions import carry_disabled
+
+    cond_true = F.coalesce(condition, F.lit(False))
+    # pin under the lock: every version rmtree also runs under it, so a
+    # snapshot can never vanish between resolve and pin
+    with _table_lock_wait(table_dir, f"{op}-SNAPSHOT", lock_timeout):
+        snap_dir, token = _snapshot(table_dir)
+        pins = [_pin_version(table_dir, os.path.basename(snap_dir))]
+    old_dirs = [snap_dir]
+    new_dir: str | None = None
+    try:
+        for attempt in range(max_retries + 1):
+            df = _read_version(spark, snap_dir)
+            n = df.filter(cond_true).count()
+            new_dir = _new_version_dir(table_dir)
+            _rewrite_writer(transform(df, cond_true), codec).parquet(new_dir)
+            carry_disabled(table_dir, new_dir)
+            if _before_commit is not None:
+                hook, _before_commit = _before_commit, None
+                hook()
+            committed = False
+            with _table_lock_wait(table_dir, op, lock_timeout):
+                cur_dir, cur_token = _snapshot(table_dir)
+                if cur_token == token:
+                    _swap(table_dir, new_dir)
+                    committed = True
+                else:
+                    # pin the winner's version UNDER the lock so its
+                    # files survive a third writer's swap-GC while we
+                    # diff against it
+                    pins.append(_pin_version(table_dir, os.path.basename(cur_dir)))
+                    old_dirs.append(cur_dir)
+            if committed:
+                new_dir = None
+                return n
+            shutil.rmtree(new_dir, ignore_errors=True)  # stale rewrite
+            new_dir = None
+            if attempt >= max_retries:
+                raise ConcurrentWriteConflict(
+                    f"{op} on {os.path.basename(table_dir.rstrip('/'))!r}: "
+                    f"snapshot invalidated {attempt + 1} times — giving up"
+                )
+            # row-level overlap vs the concurrently-committed state:
+            # pre-images the winner removed/modified + post-images it
+            # wrote; any of them matching OUR predicate is a true
+            # write-write conflict -> first committer wins
+            old_df = _read_version(spark, snap_dir)
+            cur_df = _read_version(spark, cur_dir)
+            overlap = (
+                old_df.exceptAll(cur_df).filter(cond_true).limit(1).count()
+                + cur_df.exceptAll(old_df).filter(cond_true).limit(1).count()
+            )
+            if overlap:
+                raise ConcurrentWriteConflict(
+                    f"{op} on {os.path.basename(table_dir.rstrip('/'))!r}: a "
+                    "concurrent write changed rows this statement also "
+                    "writes (first committer wins; retry the statement)"
+                )
+            # disjoint -> rebase: adopt the winner's snapshot and
+            # re-execute, i.e. serialize this statement after it
+            snap_dir, token = cur_dir, cur_token
+        raise AssertionError("unreachable")
+    finally:
+        if new_dir:
+            shutil.rmtree(new_dir, ignore_errors=True)
+        for p in pins:
+            _unpin(p)
+        try:
+            # GC under the lock (see pin note above); best-effort — a
+            # skipped version is re-collected by the next writer's GC
+            with _table_lock_wait(table_dir, "GC", timeout=5.0):
+                for d in old_dirs:
+                    _gc_version(table_dir, d)
+        except RuntimeError:
+            pass
+
+
+def update_table_optimistic(
+    spark: SparkSession,
+    table_dir: str,
+    condition: Column,
+    assignments: dict[str, Column],
+    codec: str | None = None,
+    max_retries: int = 3,
+    lock_timeout: float = 60.0,
+    _before_commit=None,
+) -> int:
+    """UPDATE under snapshot isolation: concurrent writers on DISJOINT
+    rows of one table all commit (the reference's version-buffer
+    admission); true row overlap aborts the later committer."""
+    from pyspark.sql import functions as F
+
+    def transform(df: DataFrame, cond_true: Column) -> DataFrame:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        out = df
+        for col_name, expr in assignments.items():
+            out = out.withColumn(
+                col_name,
+                F.when(condition, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
+            )
+        return out
+
+    return _optimistic_rewrite(
+        spark, table_dir, "UPDATE", condition, transform, codec,
+        max_retries, lock_timeout, _before_commit,
+    )
+
+
+def delete_from_optimistic(
+    spark: SparkSession,
+    table_dir: str,
+    condition: Column,
+    codec: str | None = None,
+    max_retries: int = 3,
+    lock_timeout: float = 60.0,
+    _before_commit=None,
+) -> int:
+    """DELETE under snapshot isolation — see update_table_optimistic."""
+
+    def transform(df: DataFrame, cond_true: Column) -> DataFrame:
+        return df.filter(~cond_true)
+
+    return _optimistic_rewrite(
+        spark, table_dir, "DELETE", condition, transform, codec,
+        max_retries, lock_timeout, _before_commit,
+    )

@@ -257,3 +257,113 @@ def char_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+
+
+@query(
+    "concurrent_dml_disjoint",
+    oracle="""
+    -- two CONCURRENT optimistic writers on disjoint key ranges of one
+    -- table, both committed: +100 on custkey%4=0, -50 on custkey%4=1;
+    -- conflict_aborted = 1 proves the overlap probe cleanly aborted
+    WITH final AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100
+                  WHEN c_custkey % 4 = 1 THEN c_acctbal - 50
+                  ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 4 IN (0, 1) THEN 1 ELSE 0 END AS touched
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*)                          AS n,
+           CAST(sum(bal) AS DECIMAL(18,2))   AS bal_sum,
+           CAST(sum(touched) AS BIGINT)      AS n_touched,
+           CAST(1 AS BIGINT)                 AS conflict_aborted
+    FROM final GROUP BY c_mktsegment
+    """,
+)
+def concurrent_dml_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent same-table writers under snapshot isolation
+    (operators/dml.py update_table_optimistic ≅ the version buffer
+    admitting concurrent writers, `versioning/BRM/vss.h:180-210`).
+
+    Two real threads UPDATE disjoint key ranges of ONE managed table;
+    both must commit regardless of interleaving (the later committer
+    rebases).  A third, deliberately-overlapping writer must abort
+    first-committer-wins, leaving state intact — its outcome is hashed
+    in as ``conflict_aborted`` so the abort path can't silently rot."""
+    import threading
+
+    from infinidb_spark.operators.dml import (
+        ConcurrentWriteConflict,
+        read_table,
+        update_table_optimistic,
+    )
+
+    customer = load_tables(spark, sf_dir, names=("customer",))["customer"]
+    workdir = tempfile.mkdtemp(prefix="infinidb_ccdml_q_")
+    table = os.path.join(workdir, "customer")
+    probe_t = os.path.join(workdir, "probe")
+    try:
+        create_table(customer, table)
+        errs: list[Exception] = []
+
+        def run(cond, assign):
+            try:
+                update_table_optimistic(spark, table, cond, assign,
+                                        lock_timeout=300.0)
+            except Exception as e:  # pragma: no cover - failure surface
+                errs.append(e)
+
+        th1 = threading.Thread(target=run, args=(
+            F.col("c_custkey") % 4 == 0,
+            {"c_acctbal": F.col("c_acctbal") + 100},
+        ))
+        th2 = threading.Thread(target=run, args=(
+            F.col("c_custkey") % 4 == 1,
+            {"c_acctbal": F.col("c_acctbal") - 50},
+        ))
+        th1.start(); th2.start(); th1.join(); th2.join()
+        if errs:
+            raise errs[0]
+
+        # overlap probe on a scratch nation copy: a committed write to
+        # the same rows must abort this writer and leave state intact
+        nation = load_tables(spark, sf_dir, names=("nation",))["nation"]
+        create_table(nation, probe_t)
+        aborted = 0
+        try:
+            update_table_optimistic(
+                spark, probe_t,
+                F.col("n_regionkey") < 2, {"n_nationkey": F.lit(0)},
+                _before_commit=lambda: update_table(
+                    spark, probe_t, F.col("n_regionkey") < 1,
+                    {"n_name": F.lit("WON")},
+                ),
+            )
+        except ConcurrentWriteConflict:
+            state = read_table(spark, probe_t)
+            key_sum = state.agg(F.sum("n_nationkey")).collect()[0][0]
+            src_sum = nation.agg(F.sum("n_nationkey")).collect()[0][0]
+            intact = (
+                state.filter(F.col("n_name") == "WON").count()
+                == state.filter(F.col("n_regionkey") < 1).count()
+                and key_sum == src_sum  # the aborted zeroing left no trace
+            )
+            aborted = 1 if intact else 0
+
+        out = (
+            read_table(spark, table)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("c_acctbal").cast("decimal(18,2)").alias("bal_sum"),
+                F.sum(
+                    F.when(F.col("c_custkey") % 4 <= 1, 1).otherwise(0)
+                ).cast("bigint").alias("n_touched"),
+            )
+            .withColumn("conflict_aborted", F.lit(aborted).cast("bigint"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

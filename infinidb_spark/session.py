@@ -1762,18 +1762,41 @@ class InfiniSession:
                 if _ai_handle is not None:
                     _ai_handle.unpersist()
         elif st["kind"] == "update":
-            n = update_table(
-                self.spark,
-                path,
-                F.expr(st["where"] or "true"),
-                {c: F.expr(e) for c, e in st["assignments"].items()},
-                codec=self._table_meta.get(st["table"], {}).get("codec"),
-            )
+            # SET infinidb_concurrent_dml = 1 routes UPDATE/DELETE
+            # through the optimistic snapshot-isolation path (concurrent
+            # disjoint writers all commit; row overlap aborts the later
+            # committer) — the version-buffer admission analog
+            if self._sysvars.get("infinidb_concurrent_dml", "0") in ("1", "ON"):
+                from infinidb_spark.operators.dml import update_table_optimistic
+
+                n = update_table_optimistic(
+                    self.spark,
+                    path,
+                    F.expr(st["where"] or "true"),
+                    {c: F.expr(e) for c, e in st["assignments"].items()},
+                    codec=self._table_meta.get(st["table"], {}).get("codec"),
+                )
+            else:
+                n = update_table(
+                    self.spark,
+                    path,
+                    F.expr(st["where"] or "true"),
+                    {c: F.expr(e) for c, e in st["assignments"].items()},
+                    codec=self._table_meta.get(st["table"], {}).get("codec"),
+                )
         else:
-            n = delete_from(
-                self.spark, path, F.expr(st["where"] or "true"),
-                codec=self._table_meta.get(st["table"], {}).get("codec"),
-            )
+            if self._sysvars.get("infinidb_concurrent_dml", "0") in ("1", "ON"):
+                from infinidb_spark.operators.dml import delete_from_optimistic
+
+                n = delete_from_optimistic(
+                    self.spark, path, F.expr(st["where"] or "true"),
+                    codec=self._table_meta.get(st["table"], {}).get("codec"),
+                )
+            else:
+                n = delete_from(
+                    self.spark, path, F.expr(st["where"] or "true"),
+                    codec=self._table_meta.get(st["table"], {}).get("codec"),
+                )
         self._refresh(st["table"])
         return n
 
