@@ -163,6 +163,59 @@ def extent_elimination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_sharded_scan",
+    oracle="""
+    SELECT l_linestatus,
+           count(*)                         AS n_rows,
+           round(sum(l_extendedprice), 2)   AS revenue,
+           min(l_orderkey)                  AS key_min,
+           max(l_orderkey)                  AS key_max
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1200 AND 2400 AND l_discount <= 0.05
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def manifest_sharded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extent elimination through the SHARDED, VECTORIZED manifest
+    (sources/manifest_sharded.py ≅ the shared-memory-resident extent
+    map, `versioning/BRM/extentmap.h:116-148`): stats live in hash-
+    sharded Parquet, refresh rewrites only dirty shards, and the file
+    list is pruned by ONE DuckDB predicate over the stats relation —
+    the 10⁵–10⁶-file posture where a JSON sidecar + Python loop
+    becomes a planner bottleneck.  Same result-transparency contract:
+    the oracle is a plain WHERE over the full table."""
+    from infinidb_spark.sources.layout import cluster_write
+    from infinidb_spark.sources.manifest_sharded import scan_with_sharded_manifest
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    work = _workdir(sf_dir, "extcluster")
+    clustered = os.path.join(work, "lineitem_by_key")
+    done = os.path.join(work, "_clustered")
+    if not os.path.exists(done):
+        os.makedirs(work, exist_ok=True)
+        cluster_write(
+            spark.read.parquet(src), clustered, ["l_orderkey"], n_files=8
+        )
+        open(done, "w").close()
+    pruned = scan_with_sharded_manifest(
+        spark,
+        clustered,
+        [("l_orderkey", "between", 1200, 2400), ("l_discount", "<=", 0.05)],
+    )
+    return (
+        pruned.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.min("l_orderkey").alias("key_min"),
+            F.max("l_orderkey").alias("key_max"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
     "cross_engine_join",
     oracle="""
     SELECT r_name,

@@ -1,0 +1,145 @@
+"""Sharded vectorized extent map (sources/manifest_sharded.py) —
+million-file-scale manifest maintenance and elimination
+(`versioning/BRM/extentmap.h:116-148` shared-resident EM analog)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from infinidb_spark.sources.layout import cluster_write
+from infinidb_spark.sources.manifest import cached_manifest, prune
+from infinidb_spark.sources.manifest_sharded import (
+    ShardedManifest,
+    _rows_to_table,
+    scan_with_sharded_manifest,
+)
+
+PREDS = [("l_orderkey", "between", 100, 900), ("l_quantity", ">=", 5)]
+
+
+def _clustered(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "li_clustered")
+    cluster_write(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+        t, ["l_orderkey"], n_files=8,
+    )
+    return t
+
+
+def test_prune_matches_loop_pruner(spark, sf_dir, tmp_path):
+    t = _clustered(spark, sf_dir, tmp_path)
+    m = ShardedManifest(t).refresh()
+    for preds in (
+        PREDS,
+        [("l_orderkey", "=", 500)],
+        [("l_orderkey", "<", 50)],
+        [("l_orderkey", ">=", 5000)],
+        [("l_orderkey", "in", [10, 20, 5999])],
+        [("l_returnflag", "=", "R")],
+    ):
+        vec = set(m.prune(preds))
+        ref = set(prune(cached_manifest(t), preds))
+        assert vec == ref, preds
+    # elimination is REAL on the clustered layout
+    assert len(m.prune(PREDS)) < 8
+
+
+def test_scan_is_result_transparent(spark, sf_dir, tmp_path):
+    t = _clustered(spark, sf_dir, tmp_path)
+    got = (
+        scan_with_sharded_manifest(spark, t, PREDS)
+        .agg(F.count(F.lit(1)), F.sum("l_extendedprice"))
+        .collect()[0]
+    )
+    want = (
+        spark.read.parquet(t)
+        .filter((F.col("l_orderkey").between(100, 900)) & (F.col("l_quantity") >= 5))
+        .agg(F.count(F.lit(1)), F.sum("l_extendedprice"))
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+
+
+def test_refresh_is_incremental(spark, sf_dir, tmp_path):
+    t = _clustered(spark, sf_dir, tmp_path)
+    m = ShardedManifest(t, n_shards=8).refresh()
+    mtimes = {
+        f: os.stat(os.path.join(m.manifest_dir, f)).st_mtime_ns
+        for f in os.listdir(m.manifest_dir)
+    }
+    # clean refresh rewrites NOTHING
+    ShardedManifest(t, n_shards=8).refresh()
+    after = {
+        f: os.stat(os.path.join(m.manifest_dir, f)).st_mtime_ns
+        for f in os.listdir(m.manifest_dir)
+    }
+    assert after == mtimes
+    # appending one file dirties exactly the shards it hashes into
+    extra = spark.read.parquet(t).limit(10)
+    extra.coalesce(1).write.mode("append").parquet(t)
+    ShardedManifest(t, n_shards=8).refresh()
+    after2 = {
+        f: os.stat(os.path.join(m.manifest_dir, f)).st_mtime_ns
+        for f in os.listdir(m.manifest_dir)
+    }
+    changed = [f for f in after2 if after2[f] != after.get(f)]
+    assert len(changed) >= 1
+    new_files = (
+        spark.read.parquet(t).count()
+        == spark.read.parquet(t).count()
+    )
+    assert new_files
+    # at most (#appended files) shards rewritten
+    assert len(changed) <= 2
+
+
+def test_100k_file_manifest_prunes_under_100ms(tmp_path):
+    """The VERDICT-r05 acceptance bar: a synthetic 100k-file manifest
+    eliminates in <100 ms through the vectorized path (the Python loop
+    pruner is ~50x slower at this size)."""
+    n, per_file = 100_000, 6000
+    mdir = str(tmp_path / "mf")
+    m = ShardedManifest(str(tmp_path / "t"), manifest_dir=mdir, n_shards=64)
+    shards: dict[int, list[dict]] = {}
+    for i in range(n):
+        b = f"part-{i:06d}.parquet"
+        lo = i * per_file
+        row = {
+            "basename": b, "mtime_ns": 1, "size": 1, "ino": i, "rows": per_file,
+            "min::k": lo, "max::k": lo + per_file - 1,
+            "nulls::k": 0,
+            "min::ts": 1_000_000 + i, "max::ts": 1_000_000 + i + 10,
+            "nulls::ts": 0,
+        }
+        from infinidb_spark.sources.manifest_sharded import _shard_of
+
+        shards.setdefault(_shard_of(b, 64), []).append(row)
+    for i, rows in shards.items():
+        m._write_shard(i, _rows_to_table(rows))
+    m.relation()  # resident, like the BRM's shared-memory EM
+    t0 = time.perf_counter()
+    files = m.prune([("k", "between", 1_000_000, 1_060_000)])
+    dt = time.perf_counter() - t0
+    assert len(files) == 11  # parts 166..176 overlap the key range
+    assert dt < 0.1, f"vectorized prune took {dt * 1000:.1f} ms"
+
+
+def test_conservative_on_mixed_and_missing_stats(tmp_path):
+    rows = [
+        {"basename": "a.parquet", "mtime_ns": 1, "size": 1, "ino": 1, "rows": 5,
+         "min::k": 0, "max::k": 10, "nulls::k": 0},
+        # poisoned column (no stats) must survive every predicate on it
+        {"basename": "b.parquet", "mtime_ns": 1, "size": 1, "ino": 2, "rows": 5,
+         "min::k": None, "max::k": None, "nulls::k": None},
+    ]
+    m = ShardedManifest(str(tmp_path / "t"), manifest_dir=str(tmp_path / "mf"),
+                        n_shards=1)
+    m._write_shard(0, _rows_to_table(rows))
+    assert [os.path.basename(f) for f in m.prune([("k", "=", 999)])] == ["b.parquet"]
+    # a predicate on a column with NO stat columns keeps everything
+    assert len(m.prune([("nosuch", "=", 1)])) == 2
+    # a literal DuckDB cannot type against the int stats keeps the files
+    assert len(m.prune([("k", "=", "not-a-number")])) == 2
