@@ -297,6 +297,102 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Batched IVF-Flat serving: ONE corpus scan + assignment projection
+    serves the whole query batch; each query reranks only its probed
+    cells.  Probe routing is driver-side over the K-row centroid model
+    (bounded), shipped back as a broadcast (query_id, cid) relation —
+    candidates flow through ONE broadcast join, and the per-query top-k
+    window shuffles only (query_id, vec_id, cosine) triples."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, stride, vec_col, id_col)
+    qrows = queries.select(
+        F.col(q_id_col).alias("_qid"),
+        F.col(q_vec_col).cast("array<double>").alias("_qv"),
+    ).collect()  # a query BATCH is bounded by definition (same contract
+    # as cosine_topk_batch's broadcast)
+    spark = corpus.sparkSession
+    probe_rows = [
+        (int(r["_qid"]), int(cid))
+        for r in qrows
+        for cid in ivf_probe_ids([float(x) for x in r["_qv"]], centroids, n_probe)
+    ]
+    probes = spark.createDataFrame(probe_rows, "_qid bigint, _cid bigint")
+    qvecs = spark.createDataFrame(
+        [(int(r["_qid"]), [float(x) for x in r["_qv"]]) for r in qrows],
+        "_qid bigint, _qv array<double>",
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    cand = (
+        corpus.withColumn("_cid", ivf_assign_expr(vec, centroids))
+        .join(F.broadcast(probes), "_cid")
+        .join(F.broadcast(qvecs), "_qid")
+        .select(
+            F.col("_qid"),
+            F.col(id_col),
+            F.round(cosine_similarity(vec, F.col("_qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("_qid").alias(q_id_col), F.col(id_col), "cosine", "rn")
+    )
+
+
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """Index-QUALITY attestation: per-query recall@k of the IVF index
+    against the exact brute-force top-k on the same vectors.
+
+    Determinism of both sides is already pinned (6/9-dp rounding,
+    vec_id tie-breaks), so recall itself is a deterministic, oracle-
+    replayable number — (query_id, hits, recall) rows."""
+    truth = cosine_topk_batch(
+        corpus, queries, k, vec_col, id_col, q_vec_col, q_id_col
+    ).select(F.col(q_id_col), F.col(id_col))
+    approx = ann_ivf_topk_batch(
+        corpus, queries, k, n_probe, stride, vec_col, id_col, q_vec_col, q_id_col
+    ).select(F.col(q_id_col), F.col(id_col).alias("_hit"))
+    return (
+        truth.join(
+            approx,
+            (truth[q_id_col] == approx[q_id_col])
+            & (truth[id_col] == approx["_hit"]),
+            "left",
+        )
+        .groupBy(truth[q_id_col].alias(q_id_col))
+        .agg(
+            F.count("_hit").alias("hits"),
+            F.round(F.count("_hit") / F.lit(float(k)), 4).alias("recall"),
+        )
+        .orderBy(q_id_col)
+    )
+
+
 def embedding_dedup(
     df: DataFrame,
     threshold: float = 0.3,

@@ -1103,6 +1103,132 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50)
 
 
+def _recall_oracle_sql(k: int = 10, n_probe: int = 2, stride: int = 50) -> str:
+    """DuckDB replay of BOTH sides of the recall@k attestation: the
+    exact brute-force top-k AND the IVF (batch) / IVF+PQ (canonical
+    query) approximate top-k, joined into per-query hit counts.  Every
+    ranking uses the engines' shared pins (6/9-dp rounding, vec_id
+    tie-break), so the recall NUMBER itself is deterministic and
+    hash-verifiable."""
+    ivfpq = _ivfpq_oracle_sql(k=k, n_probe=n_probe, stride=stride)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    q AS (SELECT vec_id AS qid, ev AS qv FROM v
+          WHERE vec_id % 97 = 3 AND vec_id < 2000),
+    c AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id % {stride} = 0),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(v.ev, q.qv), 6) DESC,
+                          v.vec_id
+               ) AS rn
+        FROM v, q) WHERE rn <= {k}
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.ev, c.cv), 9) DESC,
+                          c.cid
+               ) AS rn
+        FROM v, c) WHERE rn = 1
+    ),
+    pranks AS (
+      SELECT q.qid, c.cid,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(c.cv, q.qv), 9) DESC,
+                        c.cid
+             ) AS rn
+      FROM q, c
+    ),
+    ivf AS (
+      SELECT np, qid, vec_id FROM (
+        SELECT np.np, p.qid, v2.vec_id,
+               row_number() OVER (
+                 PARTITION BY np.np, p.qid
+                 ORDER BY round(list_cosine_similarity(v2.ev, q.qv), 6) DESC,
+                          v2.vec_id
+               ) AS rn
+        FROM (SELECT unnest([{n_probe}, {n_probe * 2}]) AS np) np
+        JOIN pranks p ON p.rn <= np.np
+        JOIN asg ON asg.cid = p.cid
+        JOIN v v2 ON v2.vec_id = asg.vec_id
+        JOIN q ON p.qid = q.qid) WHERE rn <= {k}
+    )
+    SELECT 'ivf_p' || CAST(np.np AS VARCHAR) AS variant,
+           CAST(t.qid AS BIGINT)            AS query_id,
+           CAST(count(i.vec_id) AS BIGINT)  AS hits,
+           round(count(i.vec_id) / {float(k)}, 4) AS recall
+    FROM (SELECT unnest([{n_probe}, {n_probe * 2}]) AS np) np
+    CROSS JOIN truth t
+    LEFT JOIN ivf i ON i.np = np.np AND t.qid = i.qid AND t.vec_id = i.vec_id
+    GROUP BY np.np, t.qid
+    UNION ALL
+    SELECT 'ivfpq' AS variant,
+           CAST(-1 AS BIGINT)               AS query_id,
+           CAST(count(*) AS BIGINT)         AS hits,
+           round(count(*) / {float(k)}, 4)  AS recall
+    FROM ({ivfpq}) pq
+    JOIN (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), {_QV_SQL}), 6) DESC, vec_id
+               ) AS rn
+        FROM embeddings) WHERE rn <= {k}
+    ) ex ON pq.vec_id = ex.vec_id
+    ORDER BY variant, query_id
+    """
+
+
+@query("ann_recall_attest", oracle=_recall_oracle_sql())
+def ann_recall_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY attestation (VERDICT-r05 #5): recall@10 of the
+    IVF index over a deterministic query batch at n_probe = 2 and 4
+    (the recall/probe tradeoff curve), plus recall@10 of the IVF+PQ
+    chain for the canonical query, each against the exact brute-force
+    top-k on the same vectors.  Determinism was already proven; this
+    makes index QUALITY itself a hash-verified number.  The pinned
+    floors (mean recall, monotonicity in n_probe) are asserted in
+    tests/test_bucketed.py::test_ann_recall_floor."""
+    from infinidb_spark.operators import embeddings as E
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % 97 == 3) & (F.col("vec_id") < 2000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    parts = [
+        S.ann_recall_at_k(emb, queries, k=10, n_probe=np, stride=50).select(
+            F.lit(f"ivf_p{np}").alias("variant"),
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("hits"),
+            F.col("recall"),
+        )
+        for np in (2, 4)
+    ]
+    ivf = parts[0].unionByName(parts[1])
+    exact = S.cosine_topk(emb, _QUERY_VEC, k=10).select("vec_id")
+    pq = E.ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50).select(
+        "vec_id"
+    )
+    pqdf = (
+        pq.join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(
+            F.lit("ivfpq").alias("variant"),
+            F.lit(-1).cast("bigint").alias("query_id"),
+            F.col("hits"),
+            F.round(F.col("hits") / 10.0, 4).alias("recall"),
+        )
+    )
+    return ivf.unionByName(pqdf).orderBy("variant", "query_id")
+
+
 @query("embedding_pq", oracle=_pq_oracle_sql())
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization train+encode (operators/embeddings.py
