@@ -331,6 +331,135 @@ def classifier_weights(n_buckets: int = 64) -> list[float]:
     return out
 
 
+def lang_classifier_weights(
+    n_buckets: int = 256, bucket_of=None
+) -> dict[str, list[float]]:
+    """Per-LANGUAGE weight tables for the hashed-BoW lang-id classifier:
+    deterministic LCG noise in EXACT 1/1024 steps (binary fractions, so
+    per-doc sums are bit-stable across engines) plus a +0.5 boost on
+    each language's stopword buckets.  ``bucket_of(word) -> int`` MUST
+    be the same bucket function the scorer uses — boosts placed with
+    one hash and looked up with another are pure noise; the default is
+    the portable md5 bucket (replicated here in Python).  Training-free
+    but genuinely discriminative; a real deployment swaps in trained
+    fastText language-head weights of the same shape."""
+    import hashlib
+
+    if bucket_of is None:
+        def bucket_of(word: str) -> int:
+            return int(hashlib.md5(word.encode()).hexdigest()[:7], 16) % n_buckets
+
+    out: dict[str, list[float]] = {}
+    for li, (lang, words) in enumerate(sorted(_STOPWORDS.items())):
+        state = (0xA5A5A5A5 + 7919 * li) % (1 << 63)
+        w = []
+        for _ in range(n_buckets):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            # noise in [-1/16, 1/16]: small beside the +0.5 stopword
+            # boost so a short gibberish doc's noise-mean stays under
+            # the 'und' floor while one stopword hit clears it
+            w.append(((state % 129) - 64) / 1024.0)
+        for sw in words:
+            w[bucket_of(sw)] = min(1.0, w[bucket_of(sw)] + 0.5)
+        out[lang] = w
+    return out
+
+
+def classify_lang(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, list[float]] | None = None,
+    portable_hash: bool = False,
+    floor: float = 0.05,
+) -> DataFrame:
+    """Classifier-grade language ID: hashed bag-of-words with PER-
+    LANGUAGE weight tables, argmax over languages — the same linear
+    machinery as classify_quality, promoted from the stopword-hit
+    heuristic (``lang_id``) to the fastText-style model shape.
+
+    Scoring plan (all codegen, ONE shuffle): explode tokens, bucket
+    each token once, look up every language's weight from its literal
+    array, and mean-pool per document — the groupBy carries one partial
+    sum PER LANGUAGE next to the token count, so adding languages
+    widens the aggregation row, it never adds shuffles.  Argmax ties
+    break to the lexicographically FIRST language (struct-max over
+    (score, -rank) with ranks in sorted-language order); a best score
+    under ``floor`` yields 'und'.  One row per input doc (the module's
+    spine contract): an empty-token doc gets ('und', 0.0, 0)."""
+    if weights is None:
+        if portable_hash:
+            weights = lang_classifier_weights()
+        else:
+            # xxhash64 buckets are JVM-only: resolve the stopword
+            # buckets with ONE bounded Spark job (≤ tens of literal
+            # rows — the centroid-collect contract) so the boosts land
+            # where the scorer will look them up
+            n_b0 = 256
+            all_sw = sorted({w for ws in _STOPWORDS.values() for w in ws})
+            bdf = df.sparkSession.createDataFrame(
+                [(w,) for w in all_sw], "_tok string"
+            )
+            mapping = {
+                r["_tok"]: int(r["b"])
+                for r in bdf.select(
+                    "_tok",
+                    F.pmod(
+                        _shingle_hash_expr(F.col("_tok"), False), F.lit(n_b0)
+                    ).alias("b"),
+                ).collect()
+            }
+            weights = lang_classifier_weights(n_b0, bucket_of=mapping.__getitem__)
+    langs = sorted(weights)
+    n_b = len(weights[langs[0]])
+    bucket = F.pmod(_shingle_hash_expr(F.col("_tok"), portable_hash), F.lit(n_b))
+    ex = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .select("_id", (bucket + 1).cast("int").alias("_b"))
+    )
+    sums = [
+        F.sum(
+            F.element_at(
+                F.array(*[F.lit(float(x)) for x in weights[lang]]), F.col("_b")
+            )
+        ).alias(f"_s_{lang}")
+        for lang in langs
+    ]
+    per = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n_tokens"), *sums)
+    scores = {
+        lang: F.round(F.col(f"_s_{lang}") / F.col("n_tokens"), 6) for lang in langs
+    }
+    entries = [
+        F.struct(scores[lang].alias("s"), F.lit(-rank).alias("nr"))
+        for rank, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    per = per.select(
+        "_id",
+        "n_tokens",
+        F.when(
+            best["s"] >= floor, F.element_at(lang_arr, (-best["nr"] + 1).cast("int"))
+        ).otherwise(F.lit("und")).alias("lang"),
+        best["s"].alias("score"),
+    )
+    spine = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        spine.join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("lang", F.lit("und")).alias("lang"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
+    )
+
+
 def classify_quality(
     df: DataFrame,
     text_col: str = "text",

@@ -539,6 +539,84 @@ def text_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.classify_quality(docs, portable_hash=True)
 
 
+def _lang_oracle_sql(floor: float = 0.05) -> str:
+    """DuckDB oracle replaying classify_lang(portable_hash=True): the
+    per-language weight tables are embedded as literals from
+    operators.text.lang_classifier_weights (construction is itself
+    md5-portable), scores mean-pool per doc, argmax ties break to the
+    lexicographically first language, best < floor -> 'und'."""
+    from infinidb_spark.operators.text import lang_classifier_weights
+
+    w = lang_classifier_weights()
+    langs = sorted(w)
+    n_b = len(w[langs[0]])
+    lits = {
+        lang: "[" + ", ".join(repr(x) for x in w[lang]) + "]" for lang in langs
+    }
+    sums = ",\n             ".join(
+        f"sum(({lits[lang]})[j + 1]) AS s_{lang}" for lang in langs
+    )
+    scores = ",\n           ".join(
+        f"round(s_{lang} / n_tokens, 6) AS sc_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"sc_{lang}" for lang in langs) + ")"
+    pick = " ".join(
+        f"WHEN sc_{lang} = {best} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS w
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(w), 1, 7))::BIGINT % {n_b} AS INT) AS j
+      FROM tok WHERE w <> ''
+    ),
+    s AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             {sums}
+      FROM b GROUP BY doc_id
+    ),
+    sc AS (
+      SELECT doc_id, n_tokens,
+           {scores}
+      FROM s
+    ),
+    verdict AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN {best} >= {floor}
+                  THEN CASE {pick} ELSE '{langs[-1]}' END
+                  ELSE 'und' END AS lang,
+             {best} AS score
+      FROM sc
+    )
+    SELECT d.doc_id,
+           coalesce(v.lang, 'und')              AS lang,
+           coalesce(v.score, 0.0)               AS score,
+           CAST(coalesce(v.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM d LEFT JOIN verdict v USING (doc_id)
+    """
+
+
+@query("text_lang_id", oracle=_lang_oracle_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-grade language ID (VERDICT-r05 #6): hashed-BoW linear
+    classifier with per-language weight buckets and argmax over
+    languages (operators/text.py classify_lang) — the promotion of the
+    stopword-hit heuristic to the same model machinery
+    classify_quality already has.  Portable-hash mode so bucketing,
+    per-language scores, argmax tie-breaks, and the 'und' floor all
+    hash-verify against the DuckDB replay; the xxhash64 production
+    mode shares the identical plan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return T.classify_lang(docs, portable_hash=True)
+
+
 @query("text_analyze")  # rows-only BY DESIGN — pinned by its portable twin
 def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-analysis projection: tokens, subwords, stopword ratio,

@@ -463,3 +463,35 @@ def test_classifier_quality_modes_and_exactness(spark):
     )
     got = {r.doc_id: r.score for r in classify_quality(df2).collect()}
     assert got[10] == got[11]
+
+
+def test_classify_lang_discriminates_and_keeps_spine(spark):
+    """classify_lang: per-language weight tables are exact 1/1024-step
+    multiples, known-language sentences classify correctly in BOTH hash
+    modes, gibberish/empty docs get 'und', one row per input doc."""
+    from infinidb_spark.operators.text import classify_lang, lang_classifier_weights
+
+    w = lang_classifier_weights()
+    assert set(w) == {"en", "de", "fr", "es"}
+    for tbl in w.values():
+        assert len(tbl) == 256
+        assert all(-1 <= x <= 1 and x * 1024 == int(x * 1024) for x in tbl)
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house and it is that for a"),
+            (2, "der hund und die katze ist von zu mit den nicht der die das"),
+            (3, "le chat et la maison les et de un une est pour que le la"),
+            (4, "el perro y la casa los de que y en un una es el la"),
+            (5, "zzz qqq xxx yyy www"),
+            (6, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    for portable in (False, True):
+        rows = {r.doc_id: r for r in classify_lang(df, portable_hash=portable).collect()}
+        assert set(rows) == {1, 2, 3, 4, 5, 6}          # spine contract
+        assert rows[1].lang == "en" and rows[2].lang == "de"
+        assert rows[3].lang == "fr" and rows[4].lang == "es"
+        assert rows[5].lang == "und"                     # below floor
+        assert rows[6].lang == "und" and rows[6].n_tokens == 0
