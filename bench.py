@@ -105,6 +105,16 @@ def main() -> None:
                     fn(spark, warm_dir).collect()
                 except Exception:
                     pass  # warmup is best-effort; never fail the bench
+    # The MinHash signature aggregation (64 modular-min expressions per
+    # shingle row) needs real data volume through the generated loop
+    # before C2 kicks in — one mid-scale pass (uncounted, ~1.5 s) takes
+    # the measured first run from ~3.3 s to ~2.5 s.
+    mid_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if os.path.isdir(mid_dir) and "dedup_minhash_lsh" in queries:
+        try:
+            queries["dedup_minhash_lsh"](spark, mid_dir).collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

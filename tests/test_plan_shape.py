@@ -130,7 +130,9 @@ def test_no_accidental_cartesian_anywhere(queries, spark, sf_dir):
     # join_cross is the intentional cross join; ann_batch_topk scores
     # corpus × query-batch by design — the product is bounded by the
     # BROADCAST query batch (a handful of vectors), not data × data
-    allowed = {"join_cross", "ann_batch_topk"}
+    # ann_batch_topk / ann_recall_attest: corpus × BROADCAST query batch
+    # (a handful of vectors), not data × data
+    allowed = {"join_cross", "ann_batch_topk", "ann_recall_attest"}
     offenders = []
     for name, fn in sorted(queries.items()):
         if name in allowed:
