@@ -1,16 +1,18 @@
-"""Scaling evidence: headline queries across sf0.001 / sf0.01 / sf0.1.
+"""Scaling evidence: headline queries across sf0.001 … sf1 (1000×).
 
-Runs each bench headline query at all three driver SFs (100× data range)
-and prints per-query wall times plus the 0.01→0.1 growth ratio — the
-measurable stand-in for "would this plan survive a 100× scale-up".  A
-scale-correct plan grows at most linearly in data size (ratio ≤ ~10
-for the 10× step; in practice far less, since small-SF times sit on
-the fixed planning/dispatch floor); a quadratic or collect-bound
-operator shows a ratio ≫ 10.
+Runs each bench headline query at the three driver SFs plus — when the
+derived slice exists (scripts/make_sf1.py) — the sf1 tier, and prints
+per-query wall times with the marginal growth of each 10× step.  A
+scale-correct plan grows at most linearly in data size (step ratio
+≤ ~10; in practice far less at the small end, where times sit on the
+fixed planning/dispatch floor); a quadratic or collect-bound operator
+shows a ratio ≫ 10.
 
 Usage:  python scripts/scale_check.py [n_repeats]
-Prints one JSON line per query and a summary verdict; exits non-zero if
-any query's marginal factor exceeds SUSPECT_FACTOR.
+Set SPARK_GRAFT_SF1_DIR to override the sf1 location (default
+/tmp/infinidb_testdata/sf1).  Prints one JSON line per query and a
+summary; exits non-zero if any query's marginal factor exceeds
+SUSPECT_FACTOR on a step whose larger run is ≥ 0.5 s.
 """
 
 from __future__ import annotations
@@ -26,6 +28,9 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from infinidb_spark.session import get_spark  # noqa: E402
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/infinidb_testdata/sf1")
+if os.path.isdir(SF1_DIR):
+    SFS = SFS + [SF1_DIR]
 HEADLINE = [
     "q1_pricing_summary", "groupby_join_agg", "join_multiway", "join_semi",
     "agg_distinct", "derived_table", "topn_order_limit", "group_concat",
@@ -38,6 +43,8 @@ HEADLINE = [
     "dataset_stratified_split",
     # late round-5: cluster-then-prune dedup (batch + incremental)
     "dedup_semantic", "dedup_semantic_incremental",
+    # round-6: classifier-grade lang-id, IVF recall attestation
+    "text_lang_id", "ann_recall_attest",
 ]
 #: 10× data should cost ≤ ~10× time; 20 allows this box's run variance
 #: without hiding quadratics (an all-pairs operator would show ≥ ~100).
@@ -56,6 +63,7 @@ def main() -> None:
         queries[name](spark, SFS[0]).count()
 
     suspects = []
+    worst = (0.0, None, None)  # (ratio, query, step)
     for name in HEADLINE:
         times = []
         for sf in SFS:
@@ -63,25 +71,41 @@ def main() -> None:
                 _timed(queries[name], spark, sf) for _ in range(repeats)
             )
             times.append(round(best, 3))
-        t001, t01, t1 = times
-        # growth across the 10× step 0.01→0.1.  Times at these SFs are
-        # dominated by the per-query fixed floor (planning + task
-        # dispatch), so a scale-correct plan shows a ratio well UNDER
-        # 10; only a superlinear operator (all-pairs join, driver
-        # collect) can push the ratio past SUSPECT_FACTOR once the run
-        # is long enough for data cost to show (t1 >= 0.5 s).
-        ratio = t1 / max(t01, 1e-3)
-        ok = ratio <= SUSPECT_FACTOR or t1 < 0.5
+        # marginal growth of every 10× step.  Small-SF times sit on the
+        # per-query fixed floor (planning + task dispatch), so a
+        # scale-correct plan shows ratios well UNDER 10; only a
+        # superlinear operator (all-pairs join, driver collect) pushes a
+        # step past SUSPECT_FACTOR once the run is long enough for data
+        # cost to show (larger side ≥ 0.5 s).
+        steps = {}
+        ok = True
+        for i in range(1, len(times)):
+            lo, hi = times[i - 1], times[i]
+            ratio = hi / max(lo, 1e-3)
+            label = f"{_tag(SFS[i - 1])}->{_tag(SFS[i])}"
+            steps[label] = round(ratio, 2)
+            if hi >= 0.5 and ratio > worst[0]:
+                worst = (round(ratio, 2), name, label)
+            if ratio > SUSPECT_FACTOR and hi >= 0.5:
+                ok = False
         if not ok:
             suspects.append(name)
-        print(json.dumps({
-            "query": name, "sf0.001": t001, "sf0.01": t01, "sf0.1": t1,
-            "ratio_10x_step": round(ratio, 2), "ok": ok,
-        }), flush=True)
+        rec = {"query": name}
+        rec.update({_tag(sf): t for sf, t in zip(SFS, times)})
+        rec.update({"steps": steps, "ok": ok})
+        print(json.dumps(rec), flush=True)
 
-    print(json.dumps({"suspects": suspects, "n": len(HEADLINE)}))
+    print(json.dumps({
+        "suspects": suspects, "n": len(HEADLINE), "tiers": len(SFS),
+        "range_x": 10 ** (len(SFS) - 1),
+        "worst_step": {"ratio": worst[0], "query": worst[1], "step": worst[2]},
+    }))
     if suspects:
         sys.exit(1)
+
+
+def _tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
 
 
 def _timed(fn, spark, sf) -> float:
