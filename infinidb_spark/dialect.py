@@ -250,11 +250,17 @@ _TEMPLATES = {
     "MAKEDATE": "date_add(make_date({0}, 1, 1), CAST({1} - 1 AS INT))",
     "MAKETIME": (
         # hour via format_string (lpad truncates >= 100 h / negatives);
-        # minute/second out of [0,60) -> NULL (MySQL)
-        "(CASE WHEN {1} BETWEEN 0 AND 59 AND {2} BETWEEN 0 AND 59 THEN"
+        # minute/second out of [0,60) -> NULL (MySQL); fractional
+        # seconds preserved (capped 6 dp) to mirror registry maketime
+        "(CASE WHEN {1} BETWEEN 0 AND 59 AND CAST({2} AS DOUBLE) >= 0"
+        " AND CAST({2} AS DOUBLE) < 60 THEN"
         " concat(CASE WHEN {0} < 0 THEN '-' ELSE '' END,"
-        " format_string('%02d:%02d:%02d', abs(CAST({0} AS BIGINT)),"
-        " CAST({1} AS BIGINT), CAST({2} AS BIGINT))) END)"
+        " format_string('%02d:%02d:', abs(CAST({0} AS BIGINT)),"
+        " CAST({1} AS BIGINT)),"
+        " CASE WHEN CAST({2} AS DOUBLE) = floor(CAST({2} AS DOUBLE))"
+        " THEN format_string('%02d', CAST({2} AS BIGINT))"
+        " ELSE regexp_replace(format_string('%09.6f', CAST({2} AS DOUBLE)),"
+        " '\\\\.?0+$', '') END) END)"
     ),
     "ADDTIME": "({0} + make_interval(0, 0, 0, 0, 0, 0, " + _time_secs_sql("{1}") + "))",
     "SUBTIME": "({0} - make_interval(0, 0, 0, 0, 0, 0, " + _time_secs_sql("{1}") + "))",

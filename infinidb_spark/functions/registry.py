@@ -410,11 +410,20 @@ def makedate(y, doy) -> Column:
 def maketime(h, m, s) -> Column:
     # format_string, not lpad: Spark lpad TRUNCATES >2-char fields, so
     # hours >= 100 (MySQL TIME allows up to 838) or a '-1' hour would be
-    # silently mangled; minutes/seconds out of [0,60) -> NULL (MySQL)
-    h, m, s = _c(h).cast("bigint"), _c(m).cast("bigint"), _c(s).cast("bigint")
-    body = F.format_string("%02d:%02d:%02d", F.abs(h), m, s)
+    # silently mangled; minutes/seconds out of [0,60) -> NULL (MySQL).
+    # Fractional seconds are PRESERVED (MySQL keeps the argument's
+    # fraction, capped at 6 dp), not truncated to the integer second.
+    h, m = _c(h).cast("bigint"), _c(m).cast("bigint")
+    sd = _c(s).cast("double")
+    si = F.floor(sd).cast("bigint")
+    sec_txt = F.when(
+        sd == si.cast("double"), F.format_string("%02d", si)
+    ).otherwise(
+        F.regexp_replace(F.format_string("%09.6f", sd), r"\.?0+$", "")
+    )
+    body = F.concat(F.format_string("%02d:%02d:", F.abs(h), m), sec_txt)
     return F.when(
-        m.between(0, 59) & s.between(0, 59),
+        m.between(0, 59) & (sd >= 0) & (sd < 60),
         F.concat(F.when(h < 0, F.lit("-")).otherwise(F.lit("")), body),
     )
 

@@ -98,8 +98,19 @@ def _table_lock(table_dir: str, op: str):
             json.dump(payload, fh)
         yield
     finally:
-        if os.path.exists(path):
-            os.remove(path)
+        # release ONLY our own lock: if an operator cleared this lock as
+        # stale and another writer re-acquired, removing blindly would
+        # free THAT writer's lock and let a third rewrite race it
+        try:
+            with open(path) as fh:
+                holder = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            holder = None
+        if holder is not None and holder.get("lock_id") == payload["lock_id"]:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
 
 
 def view_table_locks(root: str, table: str | None = None) -> list[dict]:
@@ -111,21 +122,39 @@ def view_table_locks(root: str, table: str | None = None) -> list[dict]:
             try:
                 with open(os.path.join(root, f)) as fh:
                     rec = json.load(fh)
+            except FileNotFoundError:
+                continue  # released between listdir and open
             except (OSError, json.JSONDecodeError):
-                continue  # mid-write or just-released lock
+                # mid-write or crashed-before-flush: still a live lock
+                # file blocking DML, so SHOW it (lock_id None) — a
+                # corrupt lock is clearable by table name, see
+                # clear_table_lock
+                rec = {"lock_id": None, "table": f[: -len(".__lock__")],
+                       "op": None, "pid": None, "since": None}
             if table is None or rec.get("table") == table:
                 out.append(rec)
     return out
 
 
 def clear_table_lock(root: str, lock_id) -> str:
-    """Remove a (stale) lock by id — calcleartablelock's recovery path."""
+    """Remove a (stale) lock by id — calcleartablelock's recovery path.
+
+    A writer that crashed between the O_EXCL create and the JSON flush
+    leaves an EMPTY lock file with no id; such a corrupt lock is
+    clearable by passing the TABLE NAME instead (the only identity it
+    has), so recovery never requires a manual rm."""
     for f in os.listdir(root):
         if f.endswith(".__lock__"):
             p = os.path.join(root, f)
-            with open(p) as fh:
-                rec = json.load(fh)
-            if str(rec.get("lock_id")) == str(lock_id):
+            try:
+                with open(p) as fh:
+                    rec = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                rec = None  # crashed mid-write: no payload to match on
+            if rec is not None and str(rec.get("lock_id")) == str(lock_id):
+                os.remove(p)
+                return f"Lock {lock_id} is cleared"
+            if rec is None and f[: -len(".__lock__")] == str(lock_id):
                 os.remove(p)
                 return f"Lock {lock_id} is cleared"
     return f"No lock with id {lock_id}"
@@ -270,10 +299,21 @@ def create_table(
     _swap(table_dir, new_dir)
 
 
-def insert_into(df: DataFrame, table_dir: str, codec: str | None = None) -> None:
+def insert_into(df: DataFrame, table_dir: str, codec: str | None = None,
+                lock_timeout: float = 60.0) -> None:
     """INSERT: append-only new files — no existing file is touched
-    (≅ cpimport incremental load / ha_calpont_impl_write_row_)."""
-    managed_writer(df, "append", codec).parquet(table_dir)
+    (≅ cpimport incremental load / ha_calpont_impl_write_row_).
+
+    Takes the table lock for the append: an unlocked insert could
+    resolve the live symlink, write its part files into the OUTGOING
+    version directory while a committer is between token validation
+    and swap, and have them rmtree'd by the committer's GC — both
+    statements "succeed" and the inserted rows vanish.  Under the lock
+    an insert lands either before a committer's validation (token
+    mismatch → the rewrite rebases over it) or after its swap (files
+    land in the new live version)."""
+    with _table_lock_wait(table_dir, "INSERT", lock_timeout):
+        managed_writer(df, "append", codec).parquet(table_dir)
 
 
 def assign_auto_increment(df: DataFrame, col: str, start: int) -> DataFrame:
@@ -368,14 +408,21 @@ def update_table(
     with _table_lock(table_dir, "UPDATE"):
         df = read_table(spark, table_dir)
         n = df.filter(condition).count()
-        updated = df
+        # Pin the WHERE verdict BEFORE any assignment: MySQL evaluates
+        # the predicate against the ORIGINAL row, so a SET that writes a
+        # column the WHERE references must not change which rows later
+        # assignments touch (SET exprs still see updated values
+        # left-to-right, as MySQL does).
+        match = "__idb_upd_match__"
+        updated = df.withColumn(match, F.coalesce(condition, F.lit(False)))
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         for col_name, expr in assignments.items():
             # SET keeps the column's declared type (MySQL semantics)
             updated = updated.withColumn(
                 col_name,
-                F.when(condition, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
+                F.when(F.col(match), expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
             )
+        updated = updated.drop(match)
         new_dir = _new_version_dir(table_dir)
         _rewrite_writer(updated, codec).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
@@ -639,7 +686,10 @@ def update_table_pruned(
 
     def transform(df: DataFrame, cond: Column):
         n = df.filter(cond).count()
-        out = df
+        # pin the WHERE verdict against the ORIGINAL row (MySQL) before
+        # any assignment can overwrite a column the WHERE references
+        match = "__idb_upd_match__"
+        out = df.withColumn(match, F.coalesce(cond, F.lit(False)))
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         for col_name, expr in assignments.items():
             # SET keeps the column's declared type (MySQL semantics);
@@ -647,9 +697,9 @@ def update_table_pruned(
             # a type-changing SET would otherwise split the table schema
             out = out.withColumn(
                 col_name,
-                F.when(cond, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
+                F.when(F.col(match), expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
             )
-        return out, n
+        return out.drop(match), n
 
     return _pruned_rewrite(spark, table_dir, predicates, transform, codec)
 
@@ -949,15 +999,10 @@ def _table_lock_wait(table_dir: str, op: str, timeout: float = 60.0,
 
 def _read_version(spark: SparkSession, version_dir: str) -> DataFrame:
     """read_table against a PINNED version directory (the out-of-service
-    sidecar lives inside the version dir, so exclusion semantics hold)."""
-    from infinidb_spark.operators.partitions import disabled_partitions, enabled_files
-
-    if disabled_partitions(version_dir):
-        files = enabled_files(version_dir)
-        if not files:
-            return spark.read.option("mergeSchema", "true").parquet(version_dir).limit(0)
-        return spark.read.option("mergeSchema", "true").parquet(*files)
-    return spark.read.option("mergeSchema", "true").parquet(version_dir)
+    sidecar lives inside the version dir, so exclusion semantics hold —
+    read_table takes any directory, and delegating keeps the optimistic
+    snapshot read from ever diverging from the normal read path)."""
+    return read_table(spark, version_dir)
 
 
 def _gc_version(table_dir: str, version_dir: str) -> None:
@@ -1085,13 +1130,16 @@ def update_table_optimistic(
 
     def transform(df: DataFrame, cond_true: Column) -> DataFrame:
         dtypes = {f.name: f.dataType for f in df.schema.fields}
-        out = df
+        # pin the WHERE verdict against the ORIGINAL row (MySQL) before
+        # any assignment can overwrite a column the WHERE references
+        match = "__idb_upd_match__"
+        out = df.withColumn(match, cond_true)
         for col_name, expr in assignments.items():
             out = out.withColumn(
                 col_name,
-                F.when(condition, expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
+                F.when(F.col(match), expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
             )
-        return out
+        return out.drop(match)
 
     return _optimistic_rewrite(
         spark, table_dir, "UPDATE", condition, transform, codec,

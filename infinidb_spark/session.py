@@ -707,6 +707,12 @@ class InfiniSession:
             "Time long, State string, Info string",
         )
 
+    def _sysvar_on(self, name: str) -> bool:
+        """MySQL boolean sysvars are case-insensitive and accept
+        ON/TRUE/1 (sql/sys_vars handling of boolean SET values)."""
+        v = str(self._sysvars.get(name, "0")).strip().strip("'\"").upper()
+        return v in ("1", "ON", "TRUE", "YES")
+
     def _refresh(self, name: str) -> None:
         from infinidb_spark.operators.dml import read_table
 
@@ -1766,7 +1772,7 @@ class InfiniSession:
             # through the optimistic snapshot-isolation path (concurrent
             # disjoint writers all commit; row overlap aborts the later
             # committer) — the version-buffer admission analog
-            if self._sysvars.get("infinidb_concurrent_dml", "0") in ("1", "ON"):
+            if self._sysvar_on("infinidb_concurrent_dml"):
                 from infinidb_spark.operators.dml import update_table_optimistic
 
                 n = update_table_optimistic(
@@ -1785,7 +1791,7 @@ class InfiniSession:
                     codec=self._table_meta.get(st["table"], {}).get("codec"),
                 )
         else:
-            if self._sysvars.get("infinidb_concurrent_dml", "0") in ("1", "ON"):
+            if self._sysvar_on("infinidb_concurrent_dml"):
                 from infinidb_spark.operators.dml import delete_from_optimistic
 
                 n = delete_from_optimistic(

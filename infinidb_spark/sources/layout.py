@@ -97,9 +97,9 @@ def zorder_write(
     probes = [i / (1 << bits) for i in range(1, 1 << bits)]
     # approxQuantile only accepts NUMERIC columns, so every cluster key
     # is first coerced to an order-preserving double proxy: temporals ->
-    # epoch, booleans -> 0/1, strings -> base-256 value of the first 8
-    # bytes (lexicographic order preserved for the prefix, which is all
-    # FILE-level rank bucketing needs).
+    # epoch, booleans -> 0/1, strings -> base-256 value of the first 6
+    # bytes (48 bits, exact in a double; lexicographic order preserved
+    # for the prefix, which is all FILE-level rank bucketing needs).
     dtypes = dict(df.dtypes)
     proxies = {}
     for c in cluster_by:

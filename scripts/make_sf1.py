@@ -125,23 +125,20 @@ def main() -> None:
     write("events", ev, 4)
 
     D = base(t["documents"], "doc_id")
-    docs = repl(t["documents"]).select(
-        (F.col("doc_id") + F.col("_r") * D).alias("doc_id"),
+    # salt once, derive n_chars from the SAME column — two copies of the
+    # regex would have to stay byte-identical or n_chars silently
+    # disagrees with text (load-bearing for the near-dup workload)
+    salted = (
         F.when(F.col("_r") == 0, F.col("text"))
         .otherwise(
             F.expr("regexp_replace(text, '(.{4})', concat('$1', CAST(_r AS STRING)))")
         )
-        .alias("text"),
-        "lang",
-        "source",
-        F.length(
-            F.when(F.col("_r") == 0, F.col("text")).otherwise(
-                F.expr(
-                    "regexp_replace(text, '(.{4})', concat('$1', CAST(_r AS STRING)))"
-                )
-            )
-        ).alias("n_chars"),
+        .alias("text")
     )
+    docs = repl(t["documents"]).select(
+        (F.col("doc_id") + F.col("_r") * D).alias("doc_id"),
+        salted, "lang", "source",
+    ).select("doc_id", "text", "lang", "source", F.length("text").alias("n_chars"))
     write("documents", docs, 4)
 
     V = base(t["embeddings"], "vec_id")

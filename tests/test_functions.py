@@ -59,6 +59,12 @@ def test_format_translation():
         ("char", [77, 121], "My"),
         ("makedate", [2011, 32], None),  # checked below
         ("maketime", [12, 15, 30], "12:15:30"),
+        # fractional seconds are preserved (MySQL keeps the argument's
+        # fraction, capped at 6 dp), not truncated to the integer second
+        ("maketime", [12, 15, 30.5], "12:15:30.5"),
+        ("maketime", [-1, 2, 3.25], "-01:02:03.25"),
+        ("maketime", [120, 5, 59.999], "120:05:59.999"),
+        ("maketime", [12, 15, 60.5], None),  # second out of [0, 60)
     ],
 )
 def test_mysql_semantics(spark, name, args, expected):

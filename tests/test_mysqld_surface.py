@@ -384,6 +384,11 @@ def test_funcmap_text_path_completions(sess):
     assert (r.a, r.b, r.c) == (3.14, -3.9, 12300.0)
     assert str(sess.execute("SELECT MAKEDATE(2024, 60) AS d").collect()[0].d) == "2024-02-29"
     assert sess.execute("SELECT MAKETIME(10, 5, 3) AS t").collect()[0].t == "10:05:03"
+    # fractional seconds preserved through the SQL-text template too
+    assert (
+        sess.execute("SELECT MAKETIME(10, 5, 3.5) AS t").collect()[0].t
+        == "10:05:03.5"
+    )
     r = sess.execute(
         "SELECT TIMEDIFF(TIMESTAMP '2024-01-01 10:30:00', "
         "TIMESTAMP '2024-01-01 09:00:00') AS t, "

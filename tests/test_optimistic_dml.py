@@ -248,3 +248,175 @@ def test_retry_exhaustion_gives_up_cleanly(spark, tmp_path):
             max_retries=0, _before_commit=a_commits,
         )
     assert _no_debris(t)
+
+
+def test_update_where_on_assigned_column_sets_all_columns(spark, tmp_path):
+    """WHERE is evaluated against the ORIGINAL row: an UPDATE that sets
+    the very column its WHERE references must still apply EVERY later
+    assignment to the matched rows (a chained re-evaluation of the
+    predicate against already-assigned columns silently skipped them)."""
+    t = _mk_table(spark, tmp_path, n=100)
+    n = update_table(spark, t, F.col("v") == 0, {"v": F.lit(1), "grp": F.lit(77)})
+    assert n == 100
+    out = read_table(spark, t)
+    assert out.filter((F.col("v") == 1) & (F.col("grp") == 77)).count() == 100
+
+
+def test_optimistic_update_where_on_assigned_column(spark, tmp_path):
+    t = _mk_table(spark, tmp_path, n=100)
+    n = update_table_optimistic(
+        spark, t, F.col("v") == 0, {"v": F.lit(1), "grp": F.lit(77)}
+    )
+    assert n == 100
+    out = read_table(spark, t)
+    assert out.filter((F.col("v") == 1) & (F.col("grp") == 77)).count() == 100
+    assert _no_debris(t)
+
+
+def test_pruned_update_where_on_assigned_column(spark, tmp_path):
+    from infinidb_spark.operators.dml import update_table_pruned
+
+    t = _mk_table(spark, tmp_path, n=100)
+    n = update_table_pruned(
+        spark, t, [("v", "=", 0)], {"v": F.lit(1), "grp": F.lit(77)}
+    )
+    assert n == 100
+    out = read_table(spark, t)
+    assert out.filter((F.col("v") == 1) & (F.col("grp") == 77)).count() == 100
+
+
+def test_set_exprs_see_updated_values_left_to_right(spark, tmp_path):
+    """MySQL: UPDATE t SET v = v+1, grp = v assigns the NEW v to grp —
+    pinning the WHERE must not freeze the assignment expressions."""
+    t = _mk_table(spark, tmp_path, n=10)
+    update_table(spark, t, F.col("k") >= 0, {"v": F.col("v") + 1, "grp": F.col("v")})
+    out = read_table(spark, t)
+    assert out.filter((F.col("v") == 1) & (F.col("grp") == 1)).count() == 10
+
+
+def test_concurrent_insert_survives_optimistic_commit(spark, tmp_path):
+    """An INSERT landing between a committer's rewrite and its commit
+    is never dropped: the snapshot token changes, the committer proves
+    disjointness against the inserted rows and rebases over them."""
+    from infinidb_spark.operators.dml import insert_into
+
+    t = _mk_table(spark, tmp_path, n=100)
+
+    def b_inserts():
+        rows = spark.range(100, 110).select(
+            F.col("id").cast("bigint").alias("k"),
+            F.lit(99).cast("int").alias("grp"),
+            F.lit(1).cast("int").alias("v"),  # does NOT match the UPDATE's WHERE
+        )
+        insert_into(rows, t)
+
+    n = update_table_optimistic(
+        spark, t, F.col("v") == 0, {"v": F.lit(5)}, _before_commit=b_inserts
+    )
+    assert n == 100
+    out = read_table(spark, t)
+    assert out.count() == 110                      # inserted rows survived the swap+GC
+    assert out.filter(F.col("v") == 5).count() == 100
+    assert out.filter((F.col("grp") == 99) & (F.col("v") == 1)).count() == 10
+    assert _no_debris(t)
+
+
+def test_insert_waits_for_table_lock(spark, tmp_path):
+    """insert_into serializes with rewriters: while a writer holds the
+    table lock, an insert waits (bounded) instead of appending into a
+    version directory the writer may GC."""
+    from infinidb_spark.operators.dml import _table_lock, insert_into
+
+    t = _mk_table(spark, tmp_path, n=10)
+    rows = spark.range(10, 12).select(
+        F.col("id").cast("bigint").alias("k"),
+        F.lit(0).cast("int").alias("grp"),
+        F.lit(0).cast("int").alias("v"),
+    )
+    cm = _table_lock(t, "UPDATE")
+    cm.__enter__()
+    try:
+        with pytest.raises(RuntimeError, match="locked"):
+            insert_into(rows, t, lock_timeout=0.3)
+    finally:
+        cm.__exit__(None, None, None)
+    insert_into(rows, t)
+    assert read_table(spark, t).count() == 12
+
+
+def test_finished_holder_does_not_release_anothers_lock(tmp_path):
+    """A holder's release must be ownership-checked: after an operator
+    clears H1's lock as stale and H2 acquires, H1 finishing must NOT
+    free H2's lock (that would let a third writer race H2)."""
+    from infinidb_spark.operators.dml import (
+        _table_lock,
+        clear_table_lock,
+        view_table_locks,
+    )
+
+    t = str(tmp_path / "t")
+    root = str(tmp_path)
+    cm1 = _table_lock(t, "UPDATE")
+    cm1.__enter__()
+    (rec1,) = view_table_locks(root, "t")
+    assert "cleared" in clear_table_lock(root, rec1["lock_id"])
+    cm2 = _table_lock(t, "DELETE")
+    cm2.__enter__()
+    cm1.__exit__(None, None, None)  # H1 finishes — must not free H2's lock
+    (rec2,) = view_table_locks(root, "t")
+    assert rec2["op"] == "DELETE"
+    cm2.__exit__(None, None, None)
+    assert view_table_locks(root, "t") == []
+
+
+def test_corrupt_lock_visible_and_clearable_by_table_name(tmp_path):
+    """A writer crashing between the O_EXCL create and the JSON flush
+    leaves an empty lock file: it must show up in the lock listing
+    (lock_id None) and be clearable by TABLE NAME — the advertised
+    recovery path, not a manual rm."""
+    from infinidb_spark.operators.dml import (
+        _table_lock,
+        clear_table_lock,
+        view_table_locks,
+    )
+
+    t = str(tmp_path / "t")
+    open(t + ".__lock__", "w").close()
+    (rec,) = view_table_locks(str(tmp_path), "t")
+    assert rec["lock_id"] is None
+    with pytest.raises(RuntimeError, match="locked"):
+        _table_lock(t, "UPDATE").__enter__()
+    assert clear_table_lock(str(tmp_path), "t") == "Lock t is cleared"
+    assert view_table_locks(str(tmp_path), "t") == []
+
+
+def test_concurrent_dml_sysvar_is_case_insensitive(spark, monkeypatch):
+    """MySQL boolean sysvars accept on/ON/TRUE/1 — every spelling must
+    route to the optimistic path."""
+    import shutil
+
+    import infinidb_spark.operators.dml as dml
+    from infinidb_spark.session import InfiniSession
+
+    calls = []
+    orig = dml.update_table_optimistic
+
+    def spy(*a, **k):
+        calls.append("optimistic")
+        return orig(*a, **k)
+
+    sess = InfiniSession(spark)
+    try:
+        sess.execute("CREATE TABLE oc (k BIGINT, v BIGINT)")
+        sess.execute("INSERT INTO oc VALUES (1, 0), (2, 0)")
+        monkeypatch.setattr(dml, "update_table_optimistic", spy)
+        for i, spelling in enumerate(["on", "TRUE", "On", "1"]):
+            sess.execute(f"SET infinidb_concurrent_dml = {spelling}")
+            assert sess.execute(f"UPDATE oc SET v = {i + 1} WHERE k = 1") == 1
+        assert calls == ["optimistic"] * 4
+        sess.execute("SET infinidb_concurrent_dml = off")
+        assert sess.execute("UPDATE oc SET v = 9 WHERE k = 2") == 1
+        assert calls == ["optimistic"] * 4  # off -> pessimistic path
+    finally:
+        if sess._managed_root:
+            shutil.rmtree(sess._managed_root, ignore_errors=True)
