@@ -130,19 +130,34 @@ def cosine_topk_batch(
     )
 
 
+def _lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a fixed LCG — the
+    SINGLE source for both the executor-side bucket expression and the
+    driver-side query bucketing.  (Two inline copies of these constants
+    would silently break bucket agreement if either drifted — the same
+    place-with-one-hash/score-with-another hazard operators/text.py
+    documents for its language weights.)"""
+    state = 0x5DEECE66D
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        coeffs = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            coeffs.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(coeffs)
+    return planes
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id (sign pattern packed to int).
 
     Deterministic pseudo-random planes from a fixed LCG; same family as
     SimHash but over float vectors.  Bucket count = 2^n_planes.
+    ``dim`` must equal the vector dimension: a shorter plane would
+    null-pad through zip_with and degenerate every bucket to 0.
     """
-    state = 0x5DEECE66D
     bits = []
-    for p in range(n_planes):
-        coeffs = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-            coeffs.append((state / float(1 << 63)) * 2.0 - 1.0)
+    for p, coeffs in enumerate(_lsh_planes(n_planes, dim)):
         plane = F.array(*[F.lit(c) for c in coeffs])
         proj = _dot(vec, plane)
         bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
@@ -170,15 +185,10 @@ def ann_lsh_topk(
     vec = F.col(vec_col).cast("array<double>")
     bucketed = df.withColumn("_bucket", hyperplane_bucket(vec, n_planes, dim))
 
-    # compute the query's bucket with the same planes, driver-side
-    state = 0x5DEECE66D
+    # compute the query's bucket with the SAME planes, driver-side
     qb = 0
-    for p in range(n_planes):
-        proj = 0.0
-        for i in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-            c = (state / float(1 << 63)) * 2.0 - 1.0
-            proj += float(query_vec[i]) * c
+    for p, coeffs in enumerate(_lsh_planes(n_planes, dim)):
+        proj = sum(float(query_vec[i]) * coeffs[i] for i in range(dim))
         if proj >= 0:
             qb |= 1 << p
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -221,15 +231,11 @@ def ivf_assign_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Co
     ``array_max`` over (rounded cosine, -cid) structs; ties break to the
     lowest centroid id.  The cosine is rounded to 9 dp before the argmax
     so the assignment decision is reproducible across engines (the same
-    pinning discipline as the corpus oracles).
+    pinning discipline as the corpus oracles).  Delegates to
+    ``ivf_best_expr`` — ONE copy of the determinism-critical argmax, so
+    the assignment and serving paths can never drift apart.
     """
-    entries = []
-    for cid, cv in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cv])
-        s = F.round(cosine_similarity(vec, c), 9)
-        entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
-    best = F.array_max(F.array(*entries))
-    return (-best["nc"]).cast("long")
+    return ivf_best_expr(vec, centroids)["cid"]
 
 
 def ivf_probe_ids(
@@ -325,15 +331,34 @@ def ann_ivf_topk_batch(
     ).collect()  # a query BATCH is bounded by definition (same contract
     # as cosine_topk_batch's broadcast)
     spark = corpus.sparkSession
+    # keep the query id's ORIGINAL type (string ids are legal; int()
+    # coercion would crash them) — schema built from the input field
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    qid_type = queries.schema[q_id_col].dataType
     probe_rows = [
-        (int(r["_qid"]), int(cid))
+        (r["_qid"], int(cid))
         for r in qrows
         for cid in ivf_probe_ids([float(x) for x in r["_qv"]], centroids, n_probe)
     ]
-    probes = spark.createDataFrame(probe_rows, "_qid bigint, _cid bigint")
+    probes = spark.createDataFrame(
+        probe_rows,
+        StructType([StructField("_qid", qid_type), StructField("_cid", LongType())]),
+    )
     qvecs = spark.createDataFrame(
-        [(int(r["_qid"]), [float(x) for x in r["_qv"]]) for r in qrows],
-        "_qid bigint, _qv array<double>",
+        [(r["_qid"], [float(x) for x in r["_qv"]]) for r in qrows],
+        StructType(
+            [
+                StructField("_qid", qid_type),
+                StructField("_qv", ArrayType(DoubleType())),
+            ]
+        ),
     )
     vec = F.col(vec_col).cast("array<double>")
     cand = (
@@ -399,7 +424,7 @@ def embedding_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup (the vector-space analog of
     MinHash dedup): hyperplane-LSH buckets prefilter candidates, exact
@@ -417,6 +442,13 @@ def embedding_dedup(
 
     Returns (vec_id, rep_id, is_dup) for every input row.
     """
+    if dim is None:
+        # derive from the data (bounded: one row).  A hardcoded wrong
+        # dim would null-pad through zip_with, send every vector to
+        # bucket 0, and silently degenerate the LSH prefilter into the
+        # all-pairs join it exists to prevent.
+        first = df.select(F.size(F.col(vec_col))).first()
+        dim = int(first[0]) if first is not None and first[0] is not None else 1
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col).alias("vec_id"),

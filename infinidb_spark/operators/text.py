@@ -34,8 +34,11 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col)).cast("bigint")
+    """Whitespace token count.  An empty or whitespace-only document
+    counts 0 tokens: F.split('') yields [''], which must not count as
+    one (the classifiers already filter _tok != '' — the counters have
+    to agree with them or joined signal relations disagree per doc)."""
+    return F.size(F.filter(tokens(col), lambda t: t != F.lit(""))).cast("bigint")
 
 
 def subword_count(col: Column) -> Column:
@@ -43,7 +46,8 @@ def subword_count(col: Column) -> Column:
     every ~4 chars (the empirical BPE fertility for English), plus
     punctuation/digit runs counted as single tokens."""
     t = normalize_text(col)
-    words = F.split(t, r"\s+")
+    # same empty-token rule as token_count: '' contributes 0 subwords
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
     per_word = F.transform(
         words, lambda w: F.greatest(F.ceil(F.length(w) / 4.0), F.lit(1).cast("long"))
     )
@@ -207,11 +211,22 @@ def repetition_signals(
     aggregations with map-side partials, no window over the corpus, no
     per-row Python.  Scales as a word-count job.
     """
-    words = F.split(normalize_text(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    # docs with fewer than n (non-empty) tokens have NO n-grams and emit
+    # no row — a partial gram would score every short doc as maximally
+    # repetitive (top_ngram_share 1.0) and a Gopher-style filter would
+    # drop it as boilerplate despite containing no repetition
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), r"\s+"),
+        lambda w: w != F.lit(""),
     )
+    n_pos = F.size(words) - (n - 1)
+    grams = F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     per_gram = (
         fan_out(df)
         .select(F.col(id_col), F.explode(grams).alias("_g"))
@@ -355,10 +370,12 @@ def lang_classifier_weights(
         w = []
         for _ in range(n_buckets):
             state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-            # noise in [-1/16, 1/16]: small beside the +0.5 stopword
-            # boost so a short gibberish doc's noise-mean stays under
-            # the 'und' floor while one stopword hit clears it
-            w.append(((state % 129) - 64) / 1024.0)
+            # noise in [-51/1024, 51/1024] (max 0.0498): STRICTLY under
+            # classify_lang's default 0.05 'und' floor, so even a
+            # 1-token gibberish doc whose bucket drew maximal noise
+            # cannot clear the floor — only a real stopword boost
+            # (+0.5) can label a language
+            w.append(((state % 103) - 51) / 1024.0)
         for sw in words:
             w[bucket_of(sw)] = min(1.0, w[bucket_of(sw)] + 0.5)
         out[lang] = w
@@ -422,17 +439,29 @@ def classify_lang(
         .filter(F.col("_tok") != "")
         .select("_id", (bucket + 1).cast("int").alias("_b"))
     )
+    # INTEGER weight tables (every weight is a multiple of 1/1024, so
+    # w*1024 is exact): the per-doc mean and its 6-dp rounding run in
+    # exact integer arithmetic — score6 = floor((2*s*10^6 + d) / (2*d))
+    # with d = 1024*n_tokens implements half-up on the TRUE rational,
+    # so a genuine decimal tie (e.g. 0.0653125) rounds identically in
+    # every engine (Spark's BigDecimal half-up and a binary-double
+    # round() disagree on exactly those ties).  All intermediates stay
+    # under 2^53, so the double division is exact and floor is safe.
+    iw = {lang: [int(round(x * 1024)) for x in weights[lang]] for lang in langs}
     sums = [
         F.sum(
-            F.element_at(
-                F.array(*[F.lit(float(x)) for x in weights[lang]]), F.col("_b")
-            )
+            F.element_at(F.array(*[F.lit(x) for x in iw[lang]]), F.col("_b"))
         ).alias(f"_s_{lang}")
         for lang in langs
     ]
     per = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n_tokens"), *sums)
+    d = F.col("n_tokens") * F.lit(1024)
     scores = {
-        lang: F.round(F.col(f"_s_{lang}") / F.col("n_tokens"), 6) for lang in langs
+        lang: F.floor(
+            (F.col(f"_s_{lang}") * F.lit(2000000) + d) / (d * F.lit(2))
+        ).cast("double")
+        / F.lit(1000000.0)
+        for lang in langs
     }
     entries = [
         F.struct(scores[lang].alias("s"), F.lit(-rank).alias("nr"))

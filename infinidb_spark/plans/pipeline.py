@@ -243,16 +243,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
-    """The deterministic hyperplanes operators.similarity uses (same LCG)."""
-    state = 0x5DEECE66D
-    planes = []
-    for _ in range(n_planes):
-        coeffs = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-            coeffs.append((state / float(1 << 63)) * 2.0 - 1.0)
-        planes.append(coeffs)
-    return planes
+    """The deterministic hyperplanes operators.similarity uses — the
+    SAME generator, imported, so the oracle replay can never drift from
+    the engine's planes."""
+    return S._lsh_planes(n_planes, dim)
 
 
 def _bucket_expr_sql(vec_sql: str, planes: list[list[float]]) -> str:
@@ -550,14 +544,20 @@ def _lang_oracle_sql(floor: float = 0.05) -> str:
     w = lang_classifier_weights()
     langs = sorted(w)
     n_b = len(w[langs[0]])
+    # INTEGER weights (w*1024 exact) + the same exact half-up formula
+    # classify_lang uses — score6 = floor((2*s*10^6 + d) / (2*d)),
+    # d = 1024*n_tokens — so decimal ties round identically here
     lits = {
-        lang: "[" + ", ".join(repr(x) for x in w[lang]) + "]" for lang in langs
+        lang: "[" + ", ".join(str(int(round(x * 1024))) for x in w[lang]) + "]"
+        for lang in langs
     }
     sums = ",\n             ".join(
         f"sum(({lits[lang]})[j + 1]) AS s_{lang}" for lang in langs
     )
     scores = ",\n           ".join(
-        f"round(s_{lang} / n_tokens, 6) AS sc_{lang}" for lang in langs
+        f"floor((2.0 * s_{lang} * 1000000 + 1024.0 * n_tokens)"
+        f" / (2048.0 * n_tokens)) / 1000000.0 AS sc_{lang}"
+        for lang in langs
     )
     best = "greatest(" + ", ".join(f"sc_{lang}" for lang in langs) + ")"
     pick = " ".join(
@@ -665,9 +665,12 @@ def _text_analyze_oracle_sql(doc_filter: str = "doc_id < 250") -> str:
       FROM d
     ),
     m AS (
+      -- empty-token rule mirrored from operators.text: split('')
+      -- yields [''], which counts 0 tokens / 0 subwords
       SELECT doc_id, t, n_chars, n_punct_q,
-             len(toks) AS n_tokens,
-             CAST(list_sum([greatest(ceil(length(w) / 4.0), 1) for w in toks])
+             len(list_filter(toks, w -> w <> '')) AS n_tokens,
+             CAST(coalesce(list_sum([greatest(ceil(length(w) / 4.0), 1)
+                                     for w in list_filter(toks, w -> w <> '')]), 0)
                   + n_punct_sub AS BIGINT) AS n_subwords,
              {ratios}
       FROM base
@@ -1852,9 +1855,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 400
     ),
     g AS (
+      -- docs with < 2 tokens have no bigrams and emit no row (mirrors
+      -- repetition_signals' short-doc rule: no partial grams)
       SELECT doc_id,
              unnest([concat_ws(' ', w[i], w[i+1])
-                     for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS gram
+                     for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS gram
       FROM d
     ),
     pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)

@@ -69,7 +69,9 @@ class ShardedManifest:
         self.manifest_dir = manifest_dir or self.table_dir + ".__manifest__"
         self.n_shards = n_shards
         self._shard_tables: dict[int, pa.Table] = {}
+        self._shard_keys: dict[int, dict[str, tuple[int, int, int]]] = {}
         self._relation: pa.Table | None = None
+        self._clean_fp: tuple | None = None
 
     # -- storage ------------------------------------------------------
 
@@ -104,6 +106,17 @@ class ShardedManifest:
             st = os.stat(f)
             current[os.path.basename(f)] = (st.st_mtime_ns, st.st_size, st.st_ino)
 
+        # Clean-snapshot fast path: the os.stat pass above is the
+        # freshness check itself and unavoidable, but when the file set
+        # is identical to the last refresh there is nothing to compare
+        # per shard — skip the per-shard key materialization entirely
+        # (the sharded analog of manifest.py's directory-level memo; a
+        # per-scan refresh of a clean 100k-file table must not pay
+        # O(files) Python-object work).
+        fp = (real, tuple(sorted(current.items())))
+        if fp == self._clean_fp:
+            return self
+
         by_shard: dict[int, dict[str, tuple[int, int, int]]] = {}
         for b, key in current.items():
             by_shard.setdefault(_shard_of(b, self.n_shards), {})[b] = key
@@ -111,17 +124,20 @@ class ShardedManifest:
         for i in range(self.n_shards):
             want = by_shard.get(i, {})
             have = self._load_shard(i)
-            stored: dict[str, tuple[int, int, int]] = {}
-            if have is not None:
-                stored = {
-                    b: (m, s, n)
-                    for b, m, s, n in zip(
-                        have.column("basename").to_pylist(),
-                        have.column("mtime_ns").to_pylist(),
-                        have.column("size").to_pylist(),
-                        have.column("ino").to_pylist(),
-                    )
-                }
+            stored = self._shard_keys.get(i)
+            if stored is None:
+                stored = {}
+                if have is not None:
+                    stored = {
+                        b: (m, s, n)
+                        for b, m, s, n in zip(
+                            have.column("basename").to_pylist(),
+                            have.column("mtime_ns").to_pylist(),
+                            have.column("size").to_pylist(),
+                            have.column("ino").to_pylist(),
+                        )
+                    }
+                self._shard_keys[i] = stored
             if stored == want:
                 continue  # clean shard: zero footer reads, zero writes
             # carry unchanged rows, harvest only changed/new files
@@ -150,7 +166,9 @@ class ShardedManifest:
                     row[f"nulls::{col}"] = st["null_count"]
                 rows.append(row)
             self._write_shard(i, _rows_to_table(rows))
-        self._relation = None
+            self._shard_keys[i] = dict(want)
+            self._relation = None
+        self._clean_fp = fp
         return self
 
     # -- the resident stats relation ----------------------------------
@@ -166,7 +184,21 @@ class ShardedManifest:
             if not tables:
                 self._relation = _rows_to_table([])
             else:
-                self._relation = pa.concat_tables(tables, promote_options="permissive")
+                try:
+                    self._relation = pa.concat_tables(
+                        tables, promote_options="permissive"
+                    )
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError):
+                    # schema evolution can land the SAME stat column with
+                    # incompatible Arrow types in DIFFERENT shards (each
+                    # shard unified fine in isolation — _rows_to_table's
+                    # poisoning is per-shard).  Contract says typing
+                    # failures KEEP files, so poison the conflicting
+                    # columns to all-NULL everywhere and merge the rest.
+                    self._relation = pa.concat_tables(
+                        _poison_conflicts(tables), promote_options="permissive"
+                    )
         return self._relation
 
     # -- vectorized elimination ---------------------------------------
@@ -180,7 +212,13 @@ class ShardedManifest:
         rel = self.relation()
         real = os.path.realpath(self.table_dir)
         if rel.num_rows == 0:
-            return []
+            # a never-refreshed manifest over a NON-empty table must not
+            # read as "all files eliminated" (missing stats keep files,
+            # never drop them) — build the stats first, then decide
+            if _member_files(real):
+                rel = self.refresh().relation()
+            if rel.num_rows == 0:
+                return []
         con = _duck_con()
         con.register("_idb_sharded_manifest", rel)
         try:
@@ -225,6 +263,35 @@ class ShardedManifest:
         finally:
             con.unregister("_idb_sharded_manifest")
         return [os.path.join(real, b) for b in sorted(names)]
+
+
+def _poison_conflicts(tables: list[pa.Table]) -> list[pa.Table]:
+    """Null out any column whose Arrow types cannot unify ACROSS shards
+    (per-shard conflicts were already poisoned by _rows_to_table).  Key
+    columns have stable types, so only stat columns can conflict."""
+    types: dict[str, set] = {}
+    for t in tables:
+        for field in t.schema:
+            types.setdefault(field.name, set()).add(field.type)
+    bad: set[str] = set()
+    for name, ts in types.items():
+        non_null = [x for x in ts if not pa.types.is_null(x)]
+        if len(non_null) <= 1:
+            continue
+        try:
+            pa.unify_schemas(
+                [pa.schema([(name, x)]) for x in non_null],
+                promote_options="permissive",
+            )
+        except Exception:
+            bad.add(name)
+    out = []
+    for t in tables:
+        for name in bad & set(t.schema.names):
+            i = t.schema.get_field_index(name)
+            t = t.set_column(i, name, pa.array([None] * t.num_rows, pa.null()))
+        out.append(t)
+    return out
 
 
 def _rows_to_table(rows: list[dict[str, Any]]) -> pa.Table:
@@ -295,10 +362,10 @@ def scan_with_sharded_manifest(
     """`scan_with_manifest` through the sharded/vectorized extent map;
     eliminated files never become input splits, residual filters are
     re-applied (result-transparent)."""
+    if not predicates:
+        return spark.read.parquet(path)  # manifest never consulted
     m = manifest or ShardedManifest(path)
     m.refresh()
-    if not predicates:
-        return spark.read.parquet(path)
     files = m.prune(predicates)
     residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
     if not files:

@@ -143,3 +143,50 @@ def test_conservative_on_mixed_and_missing_stats(tmp_path):
     assert len(m.prune([("nosuch", "=", 1)])) == 2
     # a literal DuckDB cannot type against the int stats keeps the files
     assert len(m.prune([("k", "=", "not-a-number")])) == 2
+
+
+def test_prune_without_refresh_keeps_files(spark, sf_dir, tmp_path):
+    """A never-refreshed manifest over a NON-empty table must not read
+    as 'all files eliminated' — prune self-heals by building the stats
+    first (missing stats keep files, never drop them)."""
+    t = _clustered(spark, sf_dir, tmp_path)
+    m = ShardedManifest(t)  # no refresh()
+    survivors = m.prune([("l_orderkey", ">=", 0)])
+    assert len(survivors) == 8  # nothing eliminable by a full-range pred
+    assert set(m.prune(PREDS)) == set(prune(cached_manifest(t), PREDS))
+
+
+def test_cross_shard_type_conflict_is_poisoned_not_fatal(tmp_path):
+    """Schema evolution can land the SAME stat column with incompatible
+    Arrow types in DIFFERENT shards; relation() must poison the column
+    (keep files), not crash the planner."""
+    import pyarrow.parquet as pq
+
+    m = ShardedManifest(str(tmp_path / "t"))
+    os.makedirs(m.manifest_dir, exist_ok=True)
+    rows_int = [{"basename": "a.parquet", "mtime_ns": 1, "size": 1, "ino": 1,
+                 "rows": 10, "min::c": 1, "max::c": 9, "nulls::c": 0}]
+    rows_str = [{"basename": "b.parquet", "mtime_ns": 1, "size": 1, "ino": 2,
+                 "rows": 10, "min::c": "x", "max::c": "z", "nulls::c": 0}]
+    pq.write_table(_rows_to_table(rows_int), m._shard_path(0))
+    pq.write_table(_rows_to_table(rows_str), m._shard_path(1))
+    rel = m.relation()  # must not raise
+    assert rel.num_rows == 2
+    # the conflicting stat column is all-NULL -> elimination never fires
+    assert rel.column("min::c").null_count == 2
+    assert sorted(os.path.basename(p) for p in m.prune([("c", "=", 5)])) == [
+        "a.parquet", "b.parquet",
+    ]
+
+
+def test_clean_refresh_fast_path(spark, sf_dir, tmp_path):
+    """A second refresh over an unchanged table takes the fingerprint
+    fast path: no shard is re-materialized, results identical."""
+    t = _clustered(spark, sf_dir, tmp_path)
+    m = ShardedManifest(t).refresh()
+    before = set(m.prune(PREDS))
+    m._shard_tables.clear()  # loading any shard would repopulate this
+    m._shard_keys.clear()
+    m.refresh()  # clean: fingerprint short-circuits before shard loads
+    assert m._shard_keys == {}  # fast path touched no shard
+    assert set(m.prune(PREDS)) == before

@@ -495,3 +495,98 @@ def test_classify_lang_discriminates_and_keeps_spine(spark):
         assert rows[3].lang == "fr" and rows[4].lang == "es"
         assert rows[5].lang == "und"                     # below floor
         assert rows[6].lang == "und" and rows[6].n_tokens == 0
+
+
+def test_embedding_dedup_derives_dim_from_data(spark):
+    """Non-64-d embeddings must still get a REAL LSH prefilter: with the
+    old hardcoded dim=64, a 128-d corpus null-padded every projection
+    and sent all vectors to bucket 0 (silent all-pairs degeneration)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(128)]) for i in range(40)]
+    rows.append((40, list(rows[0][1])))  # exact dup of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # the prefilter actually separates vectors (not one giant bucket 0)
+    buckets = (
+        df.select(S.hyperplane_bucket(F.col("embedding").cast("array<double>"), 4, 128).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert buckets > 1
+    out = {r.vec_id: (r.rep_id, r.is_dup) for r in S.embedding_dedup(df, threshold=0.999).collect()}
+    assert out[40] == (0, 1)  # dup found through the derived-dim buckets
+    assert out[0] == (0, 0)
+
+
+def test_ann_ivf_topk_batch_accepts_string_query_ids(spark):
+    """q_id_col is generic — string query ids must flow through probe
+    routing and the result schema untouched (no int() coercion)."""
+    import random
+
+    rng = random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [("q-a", [1.0] + [0.0] * 15), ("q-b", [0.0] * 15 + [-1.0])],
+        "query_id string, embedding array<float>",
+    )
+    out = S.ann_ivf_topk_batch(corpus, queries, k=5, n_probe=2, stride=20)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {"q-a", "q-b"}
+    assert all(1 <= r.rn <= 5 for r in rows)
+
+
+def test_empty_doc_counts_zero_tokens(spark):
+    """split('') yields [''] — empty/whitespace-only docs must count 0
+    tokens and 0 subwords, agreeing with the classifiers' _tok != ''
+    rule (a curation filter n_tokens >= 1 must drop empty docs)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_subwords)
+        for r in df.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.subword_count(F.col("text")).alias("n_subwords"),
+        ).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+    assert out[3][0] == 2 and out[3][1] >= 2
+
+
+def test_repetition_short_docs_emit_no_partial_grams(spark):
+    """Docs with fewer than n tokens have NO n-grams: a partial gram
+    would score every short doc as maximally repetitive
+    (top_ngram_share 1.0) and boilerplate filters would drop it."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+    assert 1 not in out and 2 not in out  # no row, not a fake 1.0 share
+    assert out[3].n_ngrams == 3 and out[3].top_ngram_share == 1.0
+
+
+def test_classify_lang_gibberish_single_token_is_und(spark):
+    """Noise weights peak at 51/1024 < the 0.05 floor, so NO single
+    gibberish token can clear it — only a real stopword boost can."""
+    rows = [(i, f"zqxj{i}gibber") for i in range(50)]
+    rows.append((99, "the the the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.lang, r.score)
+        for r in T.classify_lang(df, portable_hash=True).collect()
+    }
+    assert out[99][0] == "en"
+    for i in range(50):
+        lang, score = out[i]
+        # either undetermined, or the token hash-collided into a
+        # stopword-boosted bucket (inherent to hashed BoW) — but NEVER
+        # labeled off noise alone: noise peaks at 51/1024 < 0.05
+        assert lang == "und" or score >= 0.4489, (i, lang, score)
+    assert sum(lang == "und" for lang, _ in out.values()) >= 35
