@@ -389,18 +389,30 @@ def ann_recall_at_k(
     id_col: str = "vec_id",
     q_vec_col: str = "embedding",
     q_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """Index-QUALITY attestation: per-query recall@k of the IVF index
     against the exact brute-force top-k on the same vectors.
 
     Determinism of both sides is already pinned (6/9-dp rounding,
     vec_id tie-breaks), so recall itself is a deterministic, oracle-
-    replayable number — (query_id, hits, recall) rows."""
-    truth = cosine_topk_batch(
-        corpus, queries, k, vec_col, id_col, q_vec_col, q_id_col
-    ).select(F.col(q_id_col), F.col(id_col))
+    replayable number — (query_id, hits, recall) rows.
+
+    Callers scoring SEVERAL n_probe points pass ``centroids`` (one
+    training collect) and ``truth`` (one brute-force top-k plan —
+    identical subplans across the points collapse to a ReusedExchange
+    at execution, so the O(corpus×queries) truth pass is paid once)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, stride, vec_col, id_col)
+    if truth is None:
+        truth = cosine_topk_batch(
+            corpus, queries, k, vec_col, id_col, q_vec_col, q_id_col
+        )
+    truth = truth.select(F.col(q_id_col), F.col(id_col))
     approx = ann_ivf_topk_batch(
-        corpus, queries, k, n_probe, stride, vec_col, id_col, q_vec_col, q_id_col
+        corpus, queries, k, n_probe, stride, vec_col, id_col, q_vec_col,
+        q_id_col, centroids=centroids,
     ).select(F.col(q_id_col), F.col(id_col).alias("_hit"))
     return (
         truth.join(

@@ -1283,8 +1283,16 @@ def ann_recall_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(
         (F.col("vec_id") % 97 == 3) & (F.col("vec_id") < 2000)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
+    # ONE centroid training and ONE brute-force truth plan shared by
+    # both n_probe points (identical truth subplans collapse to a
+    # ReusedExchange) — the O(corpus×queries) pass is paid once, which
+    # matters because this query also runs at the sweep's sf1 tier
+    cents = S.train_ivf_centroids(emb, 50)
+    truth = S.cosine_topk_batch(emb, queries, 10)
     parts = [
-        S.ann_recall_at_k(emb, queries, k=10, n_probe=np, stride=50).select(
+        S.ann_recall_at_k(
+            emb, queries, k=10, n_probe=np, centroids=cents, truth=truth
+        ).select(
             F.lit(f"ivf_p{np}").alias("variant"),
             F.col("query_id").cast("bigint").alias("query_id"),
             F.col("hits"),

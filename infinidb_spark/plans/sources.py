@@ -31,6 +31,27 @@ def _workdir(sf_dir: str, kind: str) -> str:
     return f"/tmp/infinidb_spark_{kind}_{tag}"
 
 
+def _clustered_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once 8-file l_orderkey-clustered lineitem layout shared by
+    BOTH extent-elimination queries (loop pruner and sharded manifest).
+    ONE owner for the layout contract: the two queries share the same
+    workdir + sentinel, so two inline copies could silently hand one
+    query a layout built with the other's parameters if they drifted."""
+    from infinidb_spark.sources.layout import cluster_write
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    work = _workdir(sf_dir, "extcluster")
+    clustered = os.path.join(work, "lineitem_by_key")
+    done = os.path.join(work, "_clustered")
+    if not os.path.exists(done):
+        os.makedirs(work, exist_ok=True)
+        cluster_write(
+            spark.read.parquet(src), clustered, ["l_orderkey"], n_files=8
+        )
+        open(done, "w").close()
+    return clustered
+
+
 @query(
     "bulk_load_csv_roundtrip",
     oracle="""
@@ -133,21 +154,9 @@ def extent_elimination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the pruning machinery green-but-unexercised; with the
     clustered layout the 100-900 key range provably eliminates the
     out-of-range files (pinned by tests/test_manifest.py)."""
-    from infinidb_spark.sources.layout import cluster_write
-
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    work = _workdir(sf_dir, "extcluster")
-    clustered = os.path.join(work, "lineitem_by_key")
-    done = os.path.join(work, "_clustered")
-    if not os.path.exists(done):
-        os.makedirs(work, exist_ok=True)
-        cluster_write(
-            spark.read.parquet(src), clustered, ["l_orderkey"], n_files=8
-        )
-        open(done, "w").close()
     pruned = scan_with_manifest(
         spark,
-        clustered,
+        _clustered_lineitem(spark, sf_dir),
         [("l_orderkey", "between", 100, 900), ("l_quantity", ">=", 5)],
     )
     return (
@@ -185,22 +194,11 @@ def manifest_sharded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 10⁵–10⁶-file posture where a JSON sidecar + Python loop
     becomes a planner bottleneck.  Same result-transparency contract:
     the oracle is a plain WHERE over the full table."""
-    from infinidb_spark.sources.layout import cluster_write
     from infinidb_spark.sources.manifest_sharded import scan_with_sharded_manifest
 
-    src = os.path.join(sf_dir, "lineitem.parquet")
-    work = _workdir(sf_dir, "extcluster")
-    clustered = os.path.join(work, "lineitem_by_key")
-    done = os.path.join(work, "_clustered")
-    if not os.path.exists(done):
-        os.makedirs(work, exist_ok=True)
-        cluster_write(
-            spark.read.parquet(src), clustered, ["l_orderkey"], n_files=8
-        )
-        open(done, "w").close()
     pruned = scan_with_sharded_manifest(
         spark,
-        clustered,
+        _clustered_lineitem(spark, sf_dir),
         [("l_orderkey", "between", 1200, 2400), ("l_discount", "<=", 0.05)],
     )
     return (

@@ -158,6 +158,11 @@ def main() -> None:
     )
     write("embeddings", emb, 2)
 
+    # completion marker LAST: individual tables land atomically but the
+    # table SET is not atomic — scale_check only trusts a slice that
+    # carries this marker, so an interrupted build can't skew the sweep
+    with open(os.path.join(OUT, "_SUCCESS"), "w") as fh:
+        fh.write("ok\n")
     print(f"sf1 slice written to {OUT}")
 
 

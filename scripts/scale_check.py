@@ -29,7 +29,10 @@ from infinidb_spark.session import get_spark  # noqa: E402
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/infinidb_testdata/sf1")
-if os.path.isdir(SF1_DIR):
+# only a COMPLETE slice joins the sweep: make_sf1 writes _SUCCESS last,
+# so a partially-built directory (interrupted build) is skipped instead
+# of crashing the sweep at its largest tier
+if os.path.isfile(os.path.join(SF1_DIR, "_SUCCESS")):
     SFS = SFS + [SF1_DIR]
 HEADLINE = [
     "q1_pricing_summary", "groupby_join_agg", "join_multiway", "join_semi",
@@ -84,8 +87,11 @@ def main() -> None:
             ratio = hi / max(lo, 1e-3)
             label = f"{_tag(SFS[i - 1])}->{_tag(SFS[i])}"
             steps[label] = round(ratio, 2)
+            # compare RAW ratios (rounding only at print time): raw-vs-
+            # rounded comparison could attribute the worst step to the
+            # wrong query inside the rounding window
             if hi >= 0.5 and ratio > worst[0]:
-                worst = (round(ratio, 2), name, label)
+                worst = (ratio, name, label)
             if ratio > SUSPECT_FACTOR and hi >= 0.5:
                 ok = False
         if not ok:
@@ -98,7 +104,7 @@ def main() -> None:
     print(json.dumps({
         "suspects": suspects, "n": len(HEADLINE), "tiers": len(SFS),
         "range_x": 10 ** (len(SFS) - 1),
-        "worst_step": {"ratio": worst[0], "query": worst[1], "step": worst[2]},
+        "worst_step": {"ratio": round(worst[0], 2), "query": worst[1], "step": worst[2]},
     }))
     if suspects:
         sys.exit(1)
