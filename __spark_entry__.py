@@ -76,29 +76,12 @@ SF0_001 = "/root/testdata/sf0.001"
 # slotted directly after the stalest block so they get first verdicts in
 # the same window.
 _PRIORITY = [
-    # ── latest driver row r02 (49 queries, 3 rounds / ~50 commits stale):
-    # the relational / window / function base set ──
-    "q1_pricing_summary", "scan_filter_project", "filter_between_in_like",
-    "filter_regexp_null", "filter_col_vs_col", "filter_expression",
-    "constant_select", "groupby_join_agg", "agg_distinct", "agg_stats",
-    "agg_bit", "group_concat", "agg_having", "join_inner_broadcast",
-    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
-    "join_not_in_nullaware", "join_multiway", "join_cross", "join_theta",
-    "scalar_subquery", "select_list_subquery", "in_subquery",
-    "derived_table", "view_query", "topn_order_limit", "limit_offset",
-    "order_nulls_last", "distinct_select", "union_all_normalize",
-    "union_distinct", "intersect_except", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "set_ops_all", "join_salted_skew", "window_rank",
-    "window_row_number_topk_per_group", "window_agg_frame",
-    "window_range_frame", "window_navigation", "window_stats",
-    "window_distinct_agg", "percentiles_within_group", "window_regr",
-    "func_math",
-    # ── added round 6 — never driver-checked, first verdicts ──
-    "ann_recall_attest",
+    # ── never driver-checked (added r06; the r06 window cut off before
+    # them) — first verdicts lead the r07 window ──
     "text_lang_id",
     "concurrent_dml_disjoint",
     "manifest_sharded_scan",
-    # ── latest driver row r03 (44 queries) ──
+    # ── latest driver row r03 (44 queries, 4 rounds stale) ──
     "dedup_minhash_lsh", "ann_ivf_topk", "agg_decimal_exact",
     "quantified_subquery", "group_concat_ordered", "multimodal_resize",
     "embedding_quantize", "corpus_mixture", "outfile_export_roundtrip",
@@ -147,6 +130,23 @@ _PRIORITY = [
     "pivot_unpivot_roundtrip", "lateral_topn_per_group",
     "extent_elimination_scan", "mysql_ddl_alter", "mysql_dialect_query",
     "bulk_load_csv_roundtrip", "dedup_exact", "dedup_minhash_portable",
+    # ── latest driver row r06 (50 queries, freshest — the relational /
+    # window / function base set plus ann_recall_attest) ──
+    "q1_pricing_summary", "scan_filter_project", "filter_between_in_like",
+    "filter_regexp_null", "filter_col_vs_col", "filter_expression",
+    "constant_select", "groupby_join_agg", "agg_distinct", "agg_stats",
+    "agg_bit", "group_concat", "agg_having", "join_inner_broadcast",
+    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
+    "join_not_in_nullaware", "join_multiway", "join_cross", "join_theta",
+    "scalar_subquery", "select_list_subquery", "in_subquery",
+    "derived_table", "view_query", "topn_order_limit", "limit_offset",
+    "order_nulls_last", "distinct_select", "union_all_normalize",
+    "union_distinct", "intersect_except", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "set_ops_all", "join_salted_skew", "window_rank",
+    "window_row_number_topk_per_group", "window_agg_frame",
+    "window_range_frame", "window_navigation", "window_stats",
+    "window_distinct_agg", "percentiles_within_group", "window_regr",
+    "func_math", "ann_recall_attest",
 ]
 
 
