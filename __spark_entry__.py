@@ -81,6 +81,8 @@ _PRIORITY = [
     "text_lang_id",
     "concurrent_dml_disjoint",
     "manifest_sharded_scan",
+    # ── added round 7 — never driver-checked ──
+    "mysql_dialect_cast",
     # ── latest driver row r03 (44 queries, 4 rounds stale) ──
     "dedup_minhash_lsh", "ann_ivf_topk", "agg_decimal_exact",
     "quantified_subquery", "group_concat_ordered", "multimodal_resize",

@@ -164,22 +164,33 @@ def _sql_str(s: str) -> str:
 # ------------------------------------------------------------- rewrites
 
 
+def _bind1(val: str, var: str, body: str) -> str:
+    """Expression-level let: evaluate ``val`` ONCE and expose it as
+    ``var`` inside ``body``.  Spark SQL has no LET; a higher-order
+    ``transform`` over a 1-element array is the standard binding idiom.
+    Without it the TIME fragments below repeat their operand dozens of
+    times per use — three CASTs in one query blew janino's 64 KB
+    generated-method cap and dropped the whole stage to interpreted
+    mode.  HOFs themselves evaluate interpreted, but the tree stays
+    small and the rest of the stage keeps WholeStageCodegen."""
+    return f"transform(array({val}), {var} -> {body})[0]"
+
+
 def _time_secs_sql(x: str) -> str:
     """SQL fragment: seconds in a MySQL TIME value (func_add_time.cpp
     stringToTime) — '[-][H]H:MM[:SS[.us]]' strings or packed
     [-]HHMMSS[.us] numerics (130 -> 1m30s); MM/SS >= 60 -> NULL.
-    ``x`` is a format placeholder like '{1}', so the fragment contains
-    no literal braces (bounded regex quantifiers are spelled [0-9][0-9]?)."""
-    s = f"trim(CAST({x} AS STRING))"
-    a = f"regexp_replace({s}, '^-', '')"
+    ``x`` may be a format placeholder like '{1}', so the fragment keeps
+    no literal braces (bounded regex quantifiers are spelled
+    [0-9][0-9]?); ``x`` is evaluated once via ``_bind1``."""
     rx = "'^([0-9]+):([0-9][0-9]?)(:([0-9][0-9]?([.][0-9]+)?))?$'"
-    h = f"try_cast(regexp_extract({a}, {rx}, 1) AS DECIMAL(10,0))"
-    m = f"try_cast(regexp_extract({a}, {rx}, 2) AS DECIMAL(4,0))"
+    h = f"try_cast(regexp_extract(a_, {rx}, 1) AS DECIMAL(10,0))"
+    m = f"try_cast(regexp_extract(a_, {rx}, 2) AS DECIMAL(4,0))"
     sec = (
-        f"coalesce(try_cast(nullif(regexp_extract({a}, {rx}, 4), '')"
+        f"coalesce(try_cast(nullif(regexp_extract(a_, {rx}, 4), '')"
         f" AS DECIMAL(9,6)), CAST(0 AS DECIMAL(9,6)))"
     )
-    n = f"try_cast({a} AS DECIMAL(17,6))"
+    n = "try_cast(a_ AS DECIMAL(17,6))"
     colon = (
         f"(CASE WHEN {m} < 60 AND {sec} < 60"
         f" THEN {h} * 3600 + {m} * 60 + {sec} END)"
@@ -190,10 +201,125 @@ def _time_secs_sql(x: str) -> str:
         f" + (floor({n} / 100) % 100) * 60 + ({n} % 100) END)"
     )
     body = (
-        f"(CASE WHEN regexp_extract({a}, {rx}, 1) != ''"
+        f"(CASE WHEN regexp_extract(a_, {rx}, 1) != ''"
         f" THEN {colon} ELSE {packed} END)"
     )
-    return f"(CASE WHEN {s} LIKE '-%' THEN -{body} ELSE {body} END)"
+    magnitude = _bind1("regexp_replace(s_, '^-', '')", "a_", body)
+    signed = f"(CASE WHEN s_ LIKE '-%' THEN -{magnitude} ELSE {magnitude} END)"
+    return _bind1(f"trim(CAST({x} AS STRING))", "s_", signed)
+
+
+def _sec_to_time_sql(x: str) -> str:
+    """SQL fragment: seconds → MySQL TIME render.  format_string, not
+    lpad: lpad TRUNCATES 3+-digit hours (MySQL TIME reaches 838:59:59)
+    and negative fields; the sign renders once out front.  Built by
+    string concatenation (no ``str.format``) so ``x`` may contain
+    braces."""
+    # NULL guard: format_string renders NULL args as the text 'null'
+    # ('null:null:null'), where MySQL SEC_TO_TIME(NULL) is NULL
+    render = (
+        "concat(CASE WHEN t_ < 0 THEN '-' ELSE '' END,"
+        " format_string('%02d:%02d:%02d',"
+        " abs(t_) DIV 3600, (abs(t_) % 3600) DIV 60, abs(t_) % 60))"
+    )
+    return _bind1(
+        f"CAST({x} AS BIGINT)", "t_",
+        f"(CASE WHEN t_ IS NOT NULL THEN {render} END)",
+    )
+
+
+def _cast_int_sql(e: str, target: str) -> str:
+    """SQL fragment for CAST(e AS SIGNED|UNSIGNED) (ref
+    utils/funcexp/func_cast.cpp, funcexp.cpp:83-88): NUMERIC fractional
+    input ROUNDS half-away-from-zero (2.9 → 3), STRING input TRUNCATES
+    at the decimal point ('2.9' → 2 — the string-to-integer prefix
+    parse).  Mirrors registry.py cast_signed/cast_unsigned so both the
+    Column path and the SQL-text path agree.  ``target`` is 'BIGINT'
+    (SIGNED) or 'DECIMAL(20,0)' (UNSIGNED; Spark has no unsigned —
+    negatives keep their sign rather than wrapping into 2^64, the
+    documented divergence)."""
+    d = "try_cast(v_ AS DOUBLE)"
+    trunc = f"(CASE WHEN {d} >= 0 THEN floor({d}) ELSE ceil({d}) END)"
+    rounded = (
+        f"try_cast(round({d}, 0) AS {target})"
+        if target == "BIGINT"
+        else f"try_cast(v_ AS {target})"
+    )
+    return _bind1(
+        e, "v_",
+        f"(CASE WHEN typeof(v_) = 'string' THEN try_cast({trunc} AS {target})"
+        f" WHEN {d} IS NOT NULL THEN {rounded}"
+        f" ELSE try_cast(v_ AS {target}) END)",
+    )
+
+
+def _cast_time_sql(e: str) -> str:
+    """SQL fragment for CAST(e AS TIME) (ref funcexp.cpp:83-88
+    cast_as_time): date/datetime input → its time-of-day; TIME strings
+    and packed numerics → the canonical 'HH:MM:SS' render; malformed →
+    NULL.  Mirrors registry.py cast_time.  Rendered as a string because
+    >24 h and negative TIME values have no Spark type."""
+    ts = "try_cast(v_ AS TIMESTAMP)"
+    s = "trim(CAST(v_ AS STRING))"
+    # numerics also try_cast to timestamp (epoch seconds), so gate the
+    # datetime path on the rendered text actually LOOKING like a date.
+    # hour/minute/second, not date_format: a re-entered translation
+    # would re-read date_format's pattern under MySQL %-token rules
+    # (the translator must be idempotent on its own output).
+    is_dt = (
+        f"({ts} IS NOT NULL AND {s} RLIKE"
+        f" '^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]')"
+    )
+    tod = (
+        f"format_string('%02d:%02d:%02d',"
+        f" hour({ts}), minute({ts}), second({ts}))"
+    )
+    return _bind1(
+        e, "v_",
+        f"(CASE WHEN {is_dt} THEN {tod}"
+        f" ELSE {_sec_to_time_sql(_time_secs_sql('v_'))} END)",
+    )
+
+
+def _cast_frag(expr_toks: list[Token], tpart: list[Token], k: int) -> str | None:
+    """Spark fragment for CAST(expr AS <type at tpart[k]>) / CONVERT
+    (expr, <type>) with MySQL semantics, or None to pass the cast
+    through to Spark untouched.
+
+    Only MYSQL-ONLY type names are rewritten — the names Spark's parser
+    rejects (SIGNED/UNSIGNED, DATETIME, TIME, bare CHAR, NCHAR, JSON)
+    or mis-handles (CHAR(n) PADS where MySQL truncates).  Types legal
+    in both dialects (DATE, DOUBLE, DECIMAL, BINARY, BIGINT, ...) keep
+    their native Spark reading: rewriting them would make the
+    translator non-idempotent on its own rendered output (the session
+    re-enters already-translated statements; see
+    test_translate_mysql_idempotent_on_corpus_texts).
+
+    The expr tokens are re-run through ``_rewrite`` so nested dialect
+    forms keep translating.  All rewritten casts are try_cast: the
+    reference converters are permissive by construction (func_cast.cpp
+    / dataconvert.cpp — malformed input → 0/NULL, never an error)."""
+    tword = tpart[k][1].upper()
+    if tword not in ("SIGNED", "UNSIGNED", "DATETIME", "TIME", "CHAR", "NCHAR", "JSON"):
+        return None
+    e = "(" + render(_rewrite(expr_toks)).strip() + ")"
+    if tword in ("SIGNED", "UNSIGNED"):
+        return _cast_int_sql(e, "BIGINT" if tword == "SIGNED" else "DECIMAL(20,0)")
+    if tword == "TIME":
+        return _cast_time_sql(e)
+    if tword == "DATETIME":
+        return f"try_cast({e} AS TIMESTAMP)"
+    # CHAR / NCHAR / JSON → string; bare CHAR crashes Spark's parser
+    # (DATATYPE_MISSING_SIZE) and CHAR(n) would PAD where MySQL
+    # truncates → string + substring
+    n = None
+    j = _next_code(tpart, k + 1)
+    if j is not None and tpart[j] == ("sym", "("):
+        args = _split_args(tpart[j + 1 : _match_paren(tpart, j)])
+        if args and render(args[0]).strip().isdigit():
+            n = render(args[0]).strip()
+    s = f"try_cast({e} AS STRING)"
+    return f"substring({s}, 1, {n})" if n else s
 
 
 #: MySQL-only function → Spark expression template ({0}, {1} = args,
@@ -217,15 +343,7 @@ _TEMPLATES = {
         " + CAST(split(regexp_replace({0}, '^-', ''), ':')[1] AS BIGINT) * 60"
         " + CAST(split(regexp_replace({0}, '^-', ''), ':')[2] AS BIGINT)))"
     ),
-    "SEC_TO_TIME": (
-        # format_string, not lpad: lpad TRUNCATES 3+-digit hours (MySQL
-        # TIME reaches 838:59:59) and negative fields; sign renders once
-        "concat(CASE WHEN {0} < 0 THEN '-' ELSE '' END,"
-        " format_string('%02d:%02d:%02d',"
-        " abs(CAST({0} AS BIGINT)) DIV 3600,"
-        " (abs(CAST({0} AS BIGINT)) % 3600) DIV 60,"
-        " abs(CAST({0} AS BIGINT)) % 60))"
-    ),
+    "SEC_TO_TIME": _sec_to_time_sql("{0}"),
     "INET_ATON": (
         "(CAST(split({0}, '\\\\.')[0] AS BIGINT) * 16777216"
         " + CAST(split({0}, '\\\\.')[1] AS BIGINT) * 65536"
@@ -251,7 +369,10 @@ _TEMPLATES = {
     "MAKETIME": (
         # hour via format_string (lpad truncates >= 100 h / negatives);
         # minute/second out of [0,60) -> NULL (MySQL); fractional
-        # seconds preserved (capped 6 dp) to mirror registry maketime
+        # seconds preserved (capped 6 dp) to mirror registry maketime;
+        # truncated to 6 dp BEFORE formatting because %09.6f rounds —
+        # seconds in [59.9999995, 60) pass the < 60 guard but would
+        # render as the invalid '60'
         "(CASE WHEN {1} BETWEEN 0 AND 59 AND CAST({2} AS DOUBLE) >= 0"
         " AND CAST({2} AS DOUBLE) < 60 THEN"
         " concat(CASE WHEN {0} < 0 THEN '-' ELSE '' END,"
@@ -259,7 +380,8 @@ _TEMPLATES = {
         " CAST({1} AS BIGINT)),"
         " CASE WHEN CAST({2} AS DOUBLE) = floor(CAST({2} AS DOUBLE))"
         " THEN format_string('%02d', CAST({2} AS BIGINT))"
-        " ELSE regexp_replace(format_string('%09.6f', CAST({2} AS DOUBLE)),"
+        " ELSE regexp_replace(format_string('%09.6f',"
+        " floor(CAST({2} AS DOUBLE) * 1e6) / 1e6),"
         " '\\\\.?0+$', '') END) END)"
     ),
     "ADDTIME": "({0} + make_interval(0, 0, 0, 0, 0, 0, " + _time_secs_sql("{1}") + "))",
@@ -706,6 +828,27 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     "the XOR operator is not supported — rewrite as "
                     "(a AND NOT b) OR (NOT a AND b)"
                 )
+            if upper == "CAST" and not _qualified:
+                # CAST(expr AS <mysql type>) — route the type through
+                # the same mapping CONVERT uses (_cast_frag /
+                # _parse_mysql_type) and emit MySQL semantics for the
+                # types Spark's parser rejects or mis-handles:
+                # SIGNED/UNSIGNED (round-vs-truncate, func_cast.cpp),
+                # TIME (TIME-string render), bare CHAR / CHAR(n)
+                # (string + truncation), DATETIME (timestamp).  Types
+                # not in the MySQL map fall through untouched.
+                op = _next_code(toks, i + 1)
+                if op is not None and toks[op] == ("sym", "("):
+                    close = _match_paren(toks, op)
+                    inner = toks[op + 1 : close]
+                    as_i = _top_level_word(inner, "AS")
+                    k = _next_code(inner, as_i + 1) if as_i is not None else None
+                    if k is not None and inner[k][0] == "word":
+                        frag = _cast_frag(inner[:as_i], inner, k)
+                        if frag is not None:
+                            out.append(("code", frag))
+                            i = close + 1
+                            continue
             if upper == "CONVERT" and not _qualified:
                 # CONVERT(expr, TYPE) → CAST(expr AS <mapped type>);
                 # CONVERT(expr USING charset) → (expr) (everything is
@@ -748,17 +891,15 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                         tpart = parts[1]
                         k = _next_code(tpart, 0)
                         if k is not None and tpart[k][0] == "word":
-                            tword = tpart[k][1].upper()
-                            if tword in ("UNSIGNED", "SIGNED"):
-                                spark_type = "bigint"
-                            else:
+                            frag = _cast_frag(parts[0], tpart, k)
+                            if frag is None:
+                                # types legal in both dialects keep the
+                                # plain cast CONVERT always emitted
+                                # (_parse_mysql_type raises on unknown)
                                 spark_type, _ = _parse_mysql_type(tpart, k)
-                            out.extend(
-                                [("word", "cast"), ("sym", "(")]
-                                + _rewrite(parts[0])
-                                + [("ws", " "), ("word", "as"), ("ws", " "),
-                                   ("code", spark_type), ("sym", ")")]
-                            )
+                                expr = render(_rewrite(parts[0])).strip()
+                                frag = f"cast({expr} AS {spark_type})"
+                            out.append(("code", frag))
                             i = close + 1
                             continue
             if upper in ("UNSIGNED", "SIGNED"):

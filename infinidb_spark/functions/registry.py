@@ -416,10 +416,13 @@ def maketime(h, m, s) -> Column:
     h, m = _c(h).cast("bigint"), _c(m).cast("bigint")
     sd = _c(s).cast("double")
     si = F.floor(sd).cast("bigint")
+    # truncate to 6 dp BEFORE formatting: %09.6f rounds, so seconds in
+    # [59.9999995, 60) would pass the < 60 guard yet render as '60'
+    sd6 = F.floor(sd * 1e6) / 1e6
     sec_txt = F.when(
         sd == si.cast("double"), F.format_string("%02d", si)
     ).otherwise(
-        F.regexp_replace(F.format_string("%09.6f", sd), r"\.?0+$", "")
+        F.regexp_replace(F.format_string("%09.6f", sd6), r"\.?0+$", "")
     )
     body = F.concat(F.format_string("%02d:%02d:", F.abs(h), m), sec_txt)
     return F.when(
@@ -447,7 +450,9 @@ def period_diff(p1, p2) -> Column:
 def sec_to_time(s) -> Column:
     # sign applies to the whole value and renders once out front
     # ('-01:00:30' for -3630); format_string because lpad truncates
-    # 3-digit hour fields (> 99 h) and negative intermediates
+    # 3-digit hour fields (> 99 h) and negative intermediates.
+    # NULL guard: format_string renders NULL args as the text 'null'
+    # ('null:null:null'), where MySQL SEC_TO_TIME(NULL) is NULL.
     s = _c(s).cast("bigint")
     a = F.abs(s)
     body = F.format_string(
@@ -456,7 +461,10 @@ def sec_to_time(s) -> Column:
         ((a % 3600) / 60).cast("bigint"),
         a % 60,
     )
-    return F.concat(F.when(s < 0, F.lit("-")).otherwise(F.lit("")), body)
+    return F.when(
+        s.isNotNull(),
+        F.concat(F.when(s < 0, F.lit("-")).otherwise(F.lit("")), body),
+    )
 
 
 @_reg("time_to_sec")
@@ -815,8 +823,17 @@ def cast_signed(c) -> Column:
 @_reg("cast_unsigned")
 def cast_unsigned(c) -> Column:
     # Spark has no unsigned; DECIMAL(20,0) holds the UBIGINT range
-    # (SURVEY §7 hard-parts).
-    return _c(c).try_cast("decimal(20,0)")
+    # (SURVEY §7 hard-parts).  Same round-vs-truncate split as
+    # cast_signed: numeric input rounds (DECIMAL cast is HALF_UP),
+    # string input truncates at the decimal point ('2.9' -> 2).
+    # Divergence note: MySQL wraps negatives into the 2^64 domain;
+    # this keeps the sign (see dialect.py CAST note).
+    v = _c(c)
+    d = v.try_cast("double")
+    trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("decimal(20,0)")
+    return F.when(
+        F.call_function("typeof", v) == "string", trunc
+    ).otherwise(v.try_cast("decimal(20,0)"))
 
 
 @_reg("cast_char")
@@ -833,6 +850,25 @@ def cast_date(c) -> Column:
 @_reg("cast_datetime")
 def cast_datetime(c) -> Column:
     return _c(c).try_cast("timestamp")
+
+
+@_reg("cast_time")
+def cast_time(c) -> Column:
+    # MySQL CAST(x AS TIME) (ref funcexp.cpp:83-88 cast_as_time,
+    # dataconvert.h TIME bitfield): date/datetime input -> its
+    # time-of-day; TIME strings ('[-][H]H:MM[:SS[.us]]', hours up to
+    # 838) and packed numerics (130045 -> '13:00:45') -> the canonical
+    # 'HH:MM:SS' render; malformed input -> NULL.  Rendered as a string
+    # because >24 h and negative TIME values have no Spark type.
+    v = _c(c)
+    ts = v.try_cast("timestamp")
+    s = F.trim(v.try_cast("string"))
+    # numerics also try_cast to timestamp (epoch seconds), so gate the
+    # datetime path on the rendered text actually LOOKING like a date
+    is_dt = ts.isNotNull() & s.rlike("^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]")
+    return F.when(is_dt, F.date_format(ts, "HH:mm:ss")).otherwise(
+        sec_to_time(_time_value_secs(v))
+    )
 
 
 @_reg("cast_decimal", "decimal_typecast")

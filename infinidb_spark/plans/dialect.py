@@ -122,6 +122,65 @@ def mysql_dml_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
 
 
+#: the TIME expression reused across select list and predicate —
+#: '[H]H:MM:SS' built from row columns so hours vary (03..21)
+_TIME_EXPR = (
+    "CAST(CONCAT(l_linenumber * 3, ':',"
+    " LPAD(CAST(l_suppkey % 60 AS CHAR), 2, '0'), ':',"
+    " LPAD(CAST(l_partkey % 60 AS CHAR), 2, '0')) AS TIME)"
+)
+
+MYSQL_CAST_QUERY = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity + 0.63 AS SIGNED)          AS q_round,
+       CAST(CONCAT(l_linenumber, '.9') AS SIGNED) AS q_trunc,
+       CAST(l_shipdate AS DATETIME)               AS ship_ts,
+       CAST(l_shipdate AS CHAR(7))                AS ship_month,
+       {_TIME_EXPR}                               AS t_time,
+       TIME_TO_SEC({_TIME_EXPR})                  AS t_secs,
+       CAST(l_extendedprice AS UNSIGNED)          AS price_u
+FROM lineitem
+WHERE l_orderkey <= 400
+  AND {_TIME_EXPR} > '10:00:00'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query(
+    "mysql_dialect_cast",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_quantity + 0.63) AS BIGINT)  AS q_round,
+             CAST(l_linenumber AS BIGINT)              AS q_trunc,
+             CAST(l_shipdate AS TIMESTAMP)             AS ship_ts,
+             substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+             printf('%02d:%02d:%02d', l_linenumber * 3,
+                    l_suppkey % 60, l_partkey % 60)    AS t_time,
+             CAST(l_linenumber * 3 * 3600 + (l_suppkey % 60) * 60
+                  + (l_partkey % 60) AS BIGINT)        AS t_secs,
+             CAST(l_extendedprice AS DECIMAL(20,0))    AS price_u
+      FROM lineitem
+      WHERE l_orderkey <= 400
+    )
+    SELECT * FROM t WHERE t_time > '10:00:00'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def mysql_dialect_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL CAST semantics in SQL TEXT through the dialect front-end
+    (ref `utils/funcexp/func_cast.cpp`, `funcexp.cpp:83-88`
+    cast_as_date/datetime/time/char): AS SIGNED rounds numerics
+    half-away (2.63+q → q+1) but truncates strings ('n.9' → n); AS
+    DATETIME → timestamp; AS CHAR(n) → string prefix; AS TIME parses
+    TIME strings to the canonical 'HH:MM:SS' render, compared and fed
+    to TIME_TO_SEC (TIME arithmetic, `func_maketime.cpp` /
+    `dataconvert.h` TIME bitfield).  The oracle hand-writes the same
+    semantics in DuckDB SQL."""
+    load_tables(spark, sf_dir, names=("lineitem",))
+    return spark.sql(translate_mysql(MYSQL_CAST_QUERY))
+
+
 @query(
     "mysql_dialect_datetime",
     oracle="""

@@ -730,3 +730,81 @@ def test_translate_mysql_idempotent_on_corpus_texts():
         assert translate_mysql(once) == once, t[:80]
         checked += 1
     assert checked >= 20
+
+
+# ------------------------------------------- CAST type path (round 7)
+# The SQL-text CAST path (ref utils/funcexp/func_cast.cpp,
+# funcexp.cpp:83-88 cast_as_date/datetime/time/char): MySQL-only type
+# names Spark's parser rejects (SIGNED/UNSIGNED/DATETIME/TIME/bare
+# CHAR) or mis-handles (CHAR(n) pads, MySQL truncates).
+
+
+@pytest.mark.parametrize(
+    ("expr", "want"),
+    [
+        # SIGNED: numeric ROUNDS half-away, string TRUNCATES at the dot
+        ("CAST(2.9 AS SIGNED)", 3),
+        ("CAST(2.4 AS SIGNED)", 2),
+        ("CAST(-2.5 AS SIGNED)", -3),
+        ("CAST('2.9' AS SIGNED)", 2),
+        ("CAST('-2.9' AS SIGNED)", -2),
+        ("CAST('abc' AS SIGNED)", None),
+        ("CAST(2.9 AS UNSIGNED)", 3),
+        ("CAST('2.9' AS UNSIGNED)", 2),
+        # CHAR: bare → string (Spark alone: DATATYPE_MISSING_SIZE
+        # crash); CHAR(n) → prefix (Spark alone: pads)
+        ("CAST(42 AS CHAR)", "42"),
+        ("CAST('hello' AS CHAR(2))", "he"),
+        # TIME: datetime → time-of-day; TIME strings (>24 h, negative)
+        # and packed numerics → canonical render; malformed → NULL
+        ("CAST('2024-01-03 10:30:45' AS TIME)", "10:30:45"),
+        ("CAST('2024-01-03' AS TIME)", "00:00:00"),
+        ("CAST('123:45:00' AS TIME)", "123:45:00"),
+        ("CAST('-01:00:30' AS TIME)", "-01:00:30"),
+        ("CAST(130045 AS TIME)", "13:00:45"),
+        ("CAST('abc' AS TIME)", None),
+        ("CAST(NULL AS TIME)", None),
+        # DECIMAL / DATE keep their (shared-dialect) readings
+        ("CAST('2024-01-03' AS DATE)", "2024-01-03"),
+        ("CONVERT('2024-01-03', DATE)", "2024-01-03"),
+        ("CONVERT(2.9, SIGNED)", 3),
+        # SEC_TO_TIME NULL guard (format_string renders NULL as 'null')
+        ("SEC_TO_TIME(NULL)", None),
+        ("SEC_TO_TIME(-3630)", "-01:00:30"),
+        # MAKETIME: seconds in [59.9999995, 60) must not round to '60'
+        ("MAKETIME(12, 15, 59.99999951)", "12:15:59.999999"),
+    ],
+)
+def test_cast_type_path(spark, expr, want):
+    got = one(spark, expr)
+    if want is None:
+        assert got is None, (expr, got)
+    else:
+        assert str(got) == str(want), (expr, got, want)
+
+
+def test_cast_datetime_type(spark):
+    import datetime
+
+    got = one(spark, "CAST('2024-01-03 10:30:45' AS DATETIME)")
+    assert got == datetime.datetime(2024, 1, 3, 10, 30, 45)
+    # permissive: malformed input is NULL, not an ANSI error
+    assert one(spark, "CAST('nope' AS DATETIME)") is None
+
+
+def test_cast_translation_idempotent():
+    """The CAST rewrite's own rendered output must survive a second
+    pass untouched (the session re-enters translated statements)."""
+    for sql in [
+        "SELECT CAST(x AS SIGNED) FROM t",
+        "SELECT CAST(x AS TIME) FROM t",
+        "SELECT CAST(x AS DATETIME), CAST(y AS CHAR(3)) FROM t",
+        "SELECT CAST(x AS DATE), CAST(y AS BIGINT) FROM t",
+    ]:
+        once = translate_mysql(sql)
+        assert translate_mysql(once) == once, sql
+
+
+def test_cast_native_spark_types_untouched():
+    out = translate_mysql("SELECT CAST(x AS STRING), CAST(y AS BIGINT) FROM t")
+    assert "CAST(x AS STRING)" in out and "CAST(y AS BIGINT)" in out
