@@ -100,7 +100,15 @@ def _table_lock(table_dir: str, op: str):
     finally:
         # release ONLY our own lock: if an operator cleared this lock as
         # stale and another writer re-acquired, removing blindly would
-        # free THAT writer's lock and let a third rewrite race it
+        # free THAT writer's lock and let a third rewrite race it.
+        # KNOWN NARROW RACE: the read-then-remove below is not atomic —
+        # a clear_table_lock plus a re-acquire can slip between the
+        # json.load and os.remove, freeing the new holder's lock.  That
+        # window needs a manual stale-clear DURING the microseconds of
+        # another writer's release, so it is accepted for a file-lock
+        # design (the reference's DMLProc lock has the same manual-
+        # clear hazard); a per-holder lock FILE NAME
+        # (table.__lock__.<lock_id> + symlink) would close it.
         try:
             with open(path) as fh:
                 holder = json.load(fh)
@@ -948,27 +956,100 @@ def _pinned_versions(table_dir: str) -> set[str]:
     return out
 
 
-def _snapshot(table_dir: str) -> tuple[str, str]:
-    """(resolved version dir, content token).
+def _snapshot(table_dir: str) -> tuple[str, str, dict[str, tuple[int, int]]]:
+    """(resolved version dir, content token, per-file identity map).
 
-    The token hashes the file SET (relative names + sizes), not just
-    the version basename: a concurrent INSERT appends files into the
-    SAME version directory, so basename equality alone would let a
-    rewrite silently drop freshly-inserted rows."""
+    The token hashes the file SET (relative names + sizes + mtimes),
+    not just the version basename: a concurrent INSERT appends files
+    into the SAME version directory, so basename equality alone would
+    let a rewrite silently drop freshly-inserted rows.  mtime_ns in the
+    identity guards the pathological same-name-same-size rewrite.
+
+    The identity map ``{relpath: (size, mtime_ns)}`` is the same
+    per-file identity the sharded manifest memoizes
+    (manifest_sharded.py refresh); the conflict path diffs two of these
+    maps so it reads only CHANGED files, never the whole table."""
     real = os.path.realpath(table_dir.rstrip("/"))
-    entries: list[tuple[str, int]] = []
+    entries: dict[str, tuple[int, int]] = {}
     for dirpath, dirnames, files in os.walk(real):
         dirnames[:] = sorted(d for d in dirnames if not d.startswith("."))
         for f in sorted(files):
             p = os.path.join(dirpath, f)
             try:
-                entries.append((os.path.relpath(p, real), os.path.getsize(p)))
+                st = os.stat(p)
             except OSError:
-                pass
+                continue
+            entries[os.path.relpath(p, real)] = (st.st_size, st.st_mtime_ns)
     token = hashlib.sha256(
-        json.dumps([os.path.basename(real), entries]).encode()
+        json.dumps([os.path.basename(real), sorted(entries.items())]).encode()
     ).hexdigest()
-    return real, token
+    return real, token, entries
+
+
+def _data_file_ids(entries: dict[str, tuple[int, int]]) -> dict[str, tuple[int, int]]:
+    """The subset of a snapshot identity map Spark would read as data:
+    .parquet files with no hidden path component (the _SUCCESS /
+    _partitions.json sidecars follow different rules)."""
+    return {
+        rel: key
+        for rel, key in entries.items()
+        if rel.endswith(".parquet")
+        and not any(p.startswith(("_", ".")) for p in rel.split(os.sep))
+    }
+
+
+def _read_files(spark: SparkSession, version_dir: str, rels: list[str]) -> DataFrame:
+    """Read an explicit file subset of a pinned version (module-level so
+    tests can assert HOW MANY files the conflict path touches)."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(version_dir, r) for r in rels]
+    )
+
+
+def _overlap_on_changed_files(
+    spark: SparkSession,
+    snap_dir: str,
+    old_entries: dict[str, tuple[int, int]],
+    cur_dir: str,
+    cur_entries: dict[str, tuple[int, int]],
+    cond_true: Column,
+) -> int | None:
+    """Write-write overlap probe reading ONLY the files that differ
+    between two pinned versions, or None to force the full-table diff.
+
+    The reference's version buffer tracks CHANGED blocks, never the
+    whole table (`versioning/BRM/vss.h:180-210`); the analog here is
+    multiset algebra over part files: with shared = identical
+    (relpath, size, mtime) files, old = shared ⊎ removed and
+    cur = shared ⊎ added, so old ∖ cur = removed ∖ added — the
+    exceptAll only ever needs the differing files.  Hard-linked
+    carries (metadata-only ALTER, caldroppartitions survivors) share
+    identity and drop out for free.
+
+    Falls back (None) when either version has out-of-service
+    partitions: read_table excludes those files at plan time, and the
+    exclusion must hold in the diff too — rare admin state, so the
+    conservative full read is fine."""
+    from infinidb_spark.operators.partitions import disabled_partitions
+
+    if disabled_partitions(snap_dir) or disabled_partitions(cur_dir):
+        return None
+    old_data = _data_file_ids(old_entries)
+    cur_data = _data_file_ids(cur_entries)
+    removed = sorted(r for r, k in old_data.items() if cur_data.get(r) != k)
+    added = sorted(r for r, k in cur_data.items() if old_data.get(r) != k)
+    if not removed and not added:
+        return 0
+    if not removed:
+        return _read_files(spark, cur_dir, added).filter(cond_true).limit(1).count()
+    if not added:
+        return _read_files(spark, snap_dir, removed).filter(cond_true).limit(1).count()
+    old_diff = _read_files(spark, snap_dir, removed)
+    cur_diff = _read_files(spark, cur_dir, added)
+    return (
+        old_diff.exceptAll(cur_diff).filter(cond_true).limit(1).count()
+        + cur_diff.exceptAll(old_diff).filter(cond_true).limit(1).count()
+    )
 
 
 @contextmanager
@@ -1003,6 +1084,30 @@ def _read_version(spark: SparkSession, version_dir: str) -> DataFrame:
     read_table takes any directory, and delegating keeps the optimistic
     snapshot read from ever diverging from the normal read path)."""
     return read_table(spark, version_dir)
+
+
+def _sweep_orphan_versions(table_dir: str) -> None:
+    """GC version dirs left by CRASHED writers (e.g. SIGKILL between
+    rewrite-build and commit) — the stale-lock recovery analog for
+    snapshots.  A version dir is an orphan when it is not the live
+    version, not retained by an open transaction, and not pinned by a
+    live-pid writer (`_pinned_versions` drops dead-pid pins first).
+
+    Must run under the table lock: plain writers build their rewrite
+    UNDER that lock, and optimistic writers pin their in-flight version
+    dir BEFORE its first byte is written, so anything unpinned here is
+    garbage."""
+    table_dir = table_dir.rstrip("/")
+    parent = os.path.dirname(table_dir) or "."
+    base = os.path.basename(table_dir)
+    live = os.path.basename(os.path.realpath(table_dir))
+    keep = retained_versions(table_dir) | _pinned_versions(table_dir)
+    for f in os.listdir(parent):
+        if not (f.startswith(base + ".__v") and f.endswith("__")):
+            continue
+        if f == live or f in keep:
+            continue
+        shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
 
 
 def _gc_version(table_dir: str, version_dir: str) -> None:
@@ -1042,7 +1147,7 @@ def _optimistic_rewrite(
     # pin under the lock: every version rmtree also runs under it, so a
     # snapshot can never vanish between resolve and pin
     with _table_lock_wait(table_dir, f"{op}-SNAPSHOT", lock_timeout):
-        snap_dir, token = _snapshot(table_dir)
+        snap_dir, token, entries = _snapshot(table_dir)
         pins = [_pin_version(table_dir, os.path.basename(snap_dir))]
     old_dirs = [snap_dir]
     new_dir: str | None = None
@@ -1051,6 +1156,10 @@ def _optimistic_rewrite(
             df = _read_version(spark, snap_dir)
             n = df.filter(cond_true).count()
             new_dir = _new_version_dir(table_dir)
+            # pin the in-flight version BEFORE its first byte lands:
+            # _sweep_orphan_versions treats any unpinned non-live
+            # version dir as crash debris
+            pins.append(_pin_version(table_dir, os.path.basename(new_dir)))
             _rewrite_writer(transform(df, cond_true), codec).parquet(new_dir)
             carry_disabled(table_dir, new_dir)
             if _before_commit is not None:
@@ -1058,7 +1167,7 @@ def _optimistic_rewrite(
                 hook()
             committed = False
             with _table_lock_wait(table_dir, op, lock_timeout):
-                cur_dir, cur_token = _snapshot(table_dir)
+                cur_dir, cur_token, cur_entries = _snapshot(table_dir)
                 if cur_token == token:
                     _swap(table_dir, new_dir)
                     committed = True
@@ -1081,13 +1190,26 @@ def _optimistic_rewrite(
             # row-level overlap vs the concurrently-committed state:
             # pre-images the winner removed/modified + post-images it
             # wrote; any of them matching OUR predicate is a true
-            # write-write conflict -> first committer wins
-            old_df = _read_version(spark, snap_dir)
-            cur_df = _read_version(spark, cur_dir)
-            overlap = (
-                old_df.exceptAll(cur_df).filter(cond_true).limit(1).count()
-                + cur_df.exceptAll(old_df).filter(cond_true).limit(1).count()
-            )
+            # write-write conflict -> first committer wins.  Reads only
+            # the CHANGED files (see _overlap_on_changed_files) — a
+            # conflict on an N-file table costs O(changed), not two
+            # full-table set differences.
+            if os.path.realpath(snap_dir) == os.path.realpath(cur_dir):
+                # same version dir: the winner only APPENDED (INSERT).
+                # New rows are phantoms under snapshot isolation, never
+                # a write-write conflict — rebase over them.
+                overlap = 0
+            else:
+                overlap = _overlap_on_changed_files(
+                    spark, snap_dir, entries, cur_dir, cur_entries, cond_true
+                )
+                if overlap is None:  # out-of-service state: full diff
+                    old_df = _read_version(spark, snap_dir)
+                    cur_df = _read_version(spark, cur_dir)
+                    overlap = (
+                        old_df.exceptAll(cur_df).filter(cond_true).limit(1).count()
+                        + cur_df.exceptAll(old_df).filter(cond_true).limit(1).count()
+                    )
             if overlap:
                 raise ConcurrentWriteConflict(
                     f"{op} on {os.path.basename(table_dir.rstrip('/'))!r}: a "
@@ -1096,7 +1218,7 @@ def _optimistic_rewrite(
                 )
             # disjoint -> rebase: adopt the winner's snapshot and
             # re-execute, i.e. serialize this statement after it
-            snap_dir, token = cur_dir, cur_token
+            snap_dir, token, entries = cur_dir, cur_token, cur_entries
         raise AssertionError("unreachable")
     finally:
         if new_dir:
@@ -1109,6 +1231,7 @@ def _optimistic_rewrite(
             with _table_lock_wait(table_dir, "GC", timeout=5.0):
                 for d in old_dirs:
                     _gc_version(table_dir, d)
+                _sweep_orphan_versions(table_dir)
         except RuntimeError:
             pass
 

@@ -316,14 +316,22 @@ class InfiniSession:
                     f"({', '.join(notnull)})"
                 )
             n = staged.count()
-            for f in os.listdir(stage):
-                if f.startswith("part-") and f.endswith(".parquet"):
-                    dst = os.path.join(path, f"ins_{uuid.uuid4().hex[:12]}_{f}")
-                    src = os.path.join(stage, f)
-                    try:
-                        os.link(src, dst)
-                    except OSError:  # EXDEV or a no-hardlink filesystem
-                        shutil.move(src, dst)
+            # link-in under the table lock, mirroring insert_into: an
+            # unlocked link could land files in an OUTGOING version dir
+            # between an optimistic committer's token validation and
+            # swap, and have them rmtree'd by its GC — both statements
+            # "succeed" and the inserted rows vanish
+            from infinidb_spark.operators.dml import _table_lock_wait
+
+            with _table_lock_wait(path, "INSERT"):
+                for f in os.listdir(stage):
+                    if f.startswith("part-") and f.endswith(".parquet"):
+                        dst = os.path.join(path, f"ins_{uuid.uuid4().hex[:12]}_{f}")
+                        src = os.path.join(stage, f)
+                        try:
+                            os.link(src, dst)
+                        except OSError:  # EXDEV or a no-hardlink filesystem
+                            shutil.move(src, dst)
             return n
         finally:
             shutil.rmtree(stage, ignore_errors=True)

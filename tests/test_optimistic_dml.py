@@ -420,3 +420,126 @@ def test_concurrent_dml_sysvar_is_case_insensitive(spark, monkeypatch):
     finally:
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+
+
+def test_conflict_diff_reads_only_changed_files(spark, tmp_path, monkeypatch):
+    """The disjoint-rebase overlap probe on an N-file table reads
+    O(changed) files, not O(N) — the VB tracks changed blocks, never
+    the whole table (versioning/BRM/vss.h:180).  Winner here is
+    caldroppartitions (hard-links N-1 survivors into the new version),
+    so exactly ONE file differs between the pinned snapshots."""
+    import infinidb_spark.operators.dml as dml
+    from infinidb_spark.operators.partitions import drop_partitions
+
+    t = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").cast("bigint").alias("k"),
+        F.lit(0).cast("int").alias("v"),
+    ).repartition(8)  # N = 8 part files
+    dml.create_table(df, t)
+    real = os.path.realpath(t)
+    parts = sorted(
+        f for f in os.listdir(real)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    assert len(parts) == 8
+    victim = parts[0]
+    dropped_rows = spark.read.parquet(os.path.join(real, victim)).count()
+    assert dropped_rows > 0  # the victim really holds rows
+
+    read_calls: list[list[str]] = []
+    orig = dml._read_files
+
+    def spy(sp, vdir, rels):
+        read_calls.append(list(rels))
+        return orig(sp, vdir, rels)
+
+    monkeypatch.setattr(dml, "_read_files", spy)
+
+    def winner_drops_one_file():
+        drop_partitions(t, [victim])  # hard-links the 7 survivors
+
+    pred = F.col("k") == -1  # matches nothing: guaranteed disjoint
+    n = dml.update_table_optimistic(
+        spark, t, pred, {"v": F.lit(2)}, _before_commit=winner_drops_one_file
+    )
+    assert n == 0
+    assert read_table(spark, t).count() == 1000 - dropped_rows
+    # the overlap probe read exactly the ONE dropped file, never all 8
+    assert read_calls, "file-level diff path was not taken"
+    assert all(len(c) <= 1 for c in read_calls), read_calls
+    assert sum(len(c) for c in read_calls) == 1
+
+
+def test_writer_killed_before_commit_is_garbage_collected(spark, tmp_path):
+    """Chaos: SIGKILL a writer between rewrite-build and commit; the
+    next writer GCs the orphan version dir and the dead pin and
+    proceeds (the stale-lock recovery analog for snapshots —
+    _pinned_versions' dead-pid GC)."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time as _time
+
+    t = _mk_table(spark, tmp_path, n=200)
+    marker = str(tmp_path / "built")
+
+    child_src = textwrap.dedent(f"""
+        import os, time
+        from pyspark.sql import functions as F
+        from infinidb_spark.session import get_spark
+        from infinidb_spark.operators.dml import update_table_optimistic
+        spark = get_spark("victim", cpus=2)
+        spark.sparkContext.setLogLevel("ERROR")
+
+        def stall():
+            open({marker!r}, "w").close()
+            time.sleep(600)   # hold the built rewrite + pin; parent kills us
+
+        update_table_optimistic(
+            spark, {t!r}, F.col("k") < 50, {{"v": F.lit(9)}},
+            _before_commit=stall,
+        )
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        cwd="/root/repo",
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = _time.monotonic() + 180
+        while not os.path.exists(marker):
+            assert proc.poll() is None, "victim writer died before building"
+            assert _time.monotonic() < deadline, "victim never built its rewrite"
+            _time.sleep(0.5)
+        # killed between rewrite-build and commit: pin + version orphaned
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    pins = os.listdir(_pins_dir(t))
+    assert pins, "victim should have left a pin behind"
+    parent, base = os.path.dirname(t), os.path.basename(t)
+
+    # next writer proceeds despite the orphan state...
+    n = update_table_optimistic(spark, t, F.col("k") >= 150, {"v": F.lit(3)})
+    assert n == 50
+    out = read_table(spark, t)
+    assert out.filter(F.col("v") == 9).count() == 0  # victim never committed
+    assert out.filter(F.col("v") == 3).count() == 50
+    assert out.count() == 200
+
+    # ...and the dead pid's pin is gone (dead-pid GC)
+    assert os.listdir(_pins_dir(t)) == [] if os.path.isdir(_pins_dir(t)) else True
+    # the victim's orphan version dir is GC-able: no version dir other
+    # than the live one survives the next writer's GC pass
+    live = os.path.basename(os.path.realpath(t))
+    orphans = [
+        f for f in os.listdir(parent)
+        if f.startswith(base + ".__v") and f != live
+    ]
+    assert orphans == [], orphans
