@@ -353,7 +353,24 @@ def scan_with_manifest(
     The returned DataFrame's file list is the pruned one — eliminated
     files never become input splits.  Row-group skip within surviving
     files still happens natively (predicates are pushed down as usual).
-    """
+
+    DEFAULT PATH: delegates to the sharded vectorized extent map
+    (manifest_sharded.py — Parquet shards, one DuckDB predicate over
+    the Arrow stats relation, <100 ms over 100k files), which is the
+    posture that survives 10⁵–10⁶ files.  The Python-loop pruner below
+    remains for two callers: an explicitly-passed ``manifest`` (tests,
+    pre-built stats) and tables whose parent directory is read-only
+    (the sharded map persists shards next to the data).  Survivor
+    equality between the two pruners is pinned by
+    tests/test_manifest_sharded.py."""
+    if manifest is None and predicates:
+        parent = os.path.dirname(os.path.realpath(path.rstrip("/"))) or "."
+        if os.access(parent, os.W_OK):
+            from infinidb_spark.sources.manifest_sharded import (
+                scan_with_sharded_manifest,
+            )
+
+            return scan_with_sharded_manifest(spark, path, predicates)
     manifest = manifest if manifest is not None else cached_manifest(path)
     if not predicates:  # nothing to eliminate with — plain full scan
         return spark.read.parquet(path)
