@@ -221,29 +221,27 @@ def minhash_lsh_pairs(
 
     ex = _shingle_rows(fan_out(df))
 
-    h31 = F.col("_h").bitwiseAND(F.lit(p31))
+    # F.expr strings, not stacked Column operators: each Column op is a
+    # py4j round-trip, and 16 min-aggs × ~8 ops cost ~0.3 s of DRIVER
+    # time per query build (measured; the executed plan is identical).
+    # One parsed expression per aggregate keeps plan construction O(n)
+    # cheap calls.  L suffixes pin bigint literals in either ANSI mode;
+    # products stay < 2^62 by the 31-bit construction.
     sig_aggs = [
-        F.min((F.lit(a) * h31 + F.lit(b)) % F.lit(p31)).alias(f"_m{j}")
+        F.expr(f"min(({a}L * (_h & {p31}L) + {b}L) % {p31}L)").alias(f"_m{j}")
         for j, (a, b) in enumerate(params)
     ]
     # the expensive node: one codegen'd aggregation producing the
     # signature minima (duplicate shingles don't affect a min).
     base = ex.groupBy("_id").agg(*sig_aggs)
 
-    if portable_hash:
-        band_cols = F.array(
-            *[
-                F.concat_ws("_", *[F.col(f"_m{i * r + k}") for k in range(r)])
-                for i in range(bands)
-            ]
-        )
-    else:
-        band_cols = F.array(
-            *[
-                F.xxhash64(F.lit(i), *[F.col(f"_m{i * r + k}") for k in range(r)])
-                for i in range(bands)
-            ]
-        )
+    def _band_key(i: int) -> str:
+        cols = ", ".join(f"_m{i * r + k}" for k in range(r))
+        if portable_hash:
+            return f"concat_ws('_', {cols})"
+        return f"xxhash64({i}, {cols})"
+
+    band_cols = F.expr(f"array({', '.join(_band_key(i) for i in range(bands))})")
     # Bucket docs per (band, band-hash) — one shuffle; pairs explode out
     # of each bucket's id list.  size(ids) caps adversarial buckets
     # (near-identical boilerplate) — the skew guard, with no anti-join.
