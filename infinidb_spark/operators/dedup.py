@@ -493,6 +493,44 @@ def minhash_lsh_pairs_incremental(
     )
 
 
+def keep_best_in_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-representative selection: the decision step a training-
+    data pipeline runs AFTER near-dup pair mining — keep exactly one
+    doc per duplicate cluster, chosen by QUALITY, drop the rest.
+
+    ``pairs`` is a near-dup pair relation (id_a, id_b) from any miner
+    (MinHash LSH, SimHash, embedding-cosine); ``quality`` is a Column
+    over ``df`` (e.g. operators.text.quality_score).  Connected
+    components labels the transitive closure, then one window picks the
+    highest-quality doc per cluster (min id tie-break).  Docs outside
+    the pair graph are their own singleton clusters and always keep.
+
+    Scale shape: the label relation is bounded by docs-in-pairs (small
+    vs corpus); the corpus join on id broadcasts it when small and
+    shuffle-joins otherwise; the keeper window is ONE hash-partitioned
+    shuffle on cluster_id — singleton clusters partition uniformly, so
+    no skew.  Returns (id, cluster_id, quality, is_keeper).
+    """
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs)
+    scored = df.select(F.col(id_col).alias("id"), quality.alias("quality"))
+    joined = scored.join(labels, "id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("id")
+    )
+    return joined.withColumn("is_keeper", F.row_number().over(w) == 1).select(
+        "id", "cluster_id", "quality", "is_keeper"
+    )
+
+
 def dedup_exact_incremental(
     new_df: DataFrame,
     corpus_hashes: DataFrame,

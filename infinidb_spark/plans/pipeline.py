@@ -1780,6 +1780,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _keep_best_oracle_sql() -> str:
+    """DuckDB oracle for dedup_keep_best: the portable MinHash pair CTE
+    + recursive-CTE connected components (same text as dedup_clusters'
+    oracle) + the quality CASE ladder (same text as text_analyze's
+    oracle, en stopword inventory embedded from operators.text), with
+    the keeper chosen by row_number over (quality DESC, doc_id)."""
+    sw_en = "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS["en"]) + "]"
+    return f"""
+    WITH RECURSIVE pv AS ({_minhash_oracle_sql(threshold=0.25, doc_filter="doc_id < 500")}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pv
+      UNION
+      SELECT id_b, id_a FROM pv
+    ),
+    reach(id, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 500
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS toks,
+             length(t) AS n_chars,
+             length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(toks, w -> w <> '')) AS n_tokens,
+             CAST(len(list_filter(toks, w -> list_contains({sw_en}, w))) AS DOUBLE)
+               / greatest(len(toks), 1) AS sr_en,
+             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+      FROM base
+    ),
+    q AS (
+      SELECT doc_id,
+             round((
+               (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
+                     WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END) +
+               (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END) +
+               (CASE WHEN sr_en >= 0.05 THEN 1.0 WHEN sr_en > 0.0 THEN 0.5 ELSE 0.1 END) +
+               (CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 2.5 AND 9.0
+                     THEN 1.0 ELSE 0.3 END)
+             ) / 4.0, 6) AS quality
+      FROM m
+    ),
+    lab AS (
+      SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id, q.quality
+      FROM q LEFT JOIN cc ON cc.id = q.doc_id
+    )
+    SELECT doc_id, cluster_id, quality,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id) = 1) AS is_keeper
+    FROM lab ORDER BY doc_id
+    """
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle_sql())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection BY QUALITY — the decision step
+    after near-dup mining: portable MinHash pairs → connected
+    components → keep the highest-quality doc per cluster (min-id
+    tie-break), singletons keep themselves
+    (operators/dedup.py keep_best_in_clusters).  Where dedup_clusters
+    keeps the MIN-ID doc, a production pipeline keeps the BEST doc;
+    the oracle replays pairs, the recursive-CTE components, the
+    quality CASE ladder, and the keeper window in DuckDB."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") < 500)
+    pairs = D.minhash_lsh_pairs(
+        sub, n_hashes=16, bands=4, jaccard_threshold=0.25, portable_hash=True
+    )
+    out = D.keep_best_in_clusters(sub, pairs, T.quality_score(F.col("text")))
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_id", "quality", "is_keeper"
+    ).orderBy("doc_id")
+
+
 #: deterministic fake-PII injection, derived from doc_id — the synthetic
 #: corpus contains no PII, so the scrub demo embeds its own (same
 #: arithmetic in the oracle); the OPERATOR (operators/text.py PII_RULES)

@@ -590,3 +590,35 @@ def test_classify_lang_gibberish_single_token_is_und(spark):
         # labeled off noise alone: noise peaks at 51/1024 < 0.05
         assert lang == "und" or score >= 0.4489, (i, lang, score)
     assert sum(lang == "und" for lang, _ in out.values()) >= 35
+
+
+def test_keep_best_in_clusters_picks_quality_winner(spark):
+    """Keeper = max quality per connected cluster (min-id tie-break);
+    docs outside the pair graph are singleton keepers."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dedup import keep_best_in_clusters
+
+    # graph: {1-2, 2-3} one cluster of 3; {10-11} a pair; 99 a singleton
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7), (10, 0.4), (11, 0.4), (99, 0.1)],
+        "doc_id bigint, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        r.id: r
+        for r in keep_best_in_clusters(docs, pairs, F.col("q")).collect()
+    }
+    assert len(out) == 6
+    # cluster {1,2,3}: labeled by min id 1; keeper = doc 2 (q 0.9)
+    assert out[1].cluster_id == 1 and out[2].cluster_id == 1 and out[3].cluster_id == 1
+    assert (out[1].is_keeper, out[2].is_keeper, out[3].is_keeper) == (False, True, False)
+    # pair {10,11}: equal quality -> min id wins
+    assert out[10].is_keeper and not out[11].is_keeper
+    # singleton: own cluster, keeps
+    assert out[99].cluster_id == 99 and out[99].is_keeper
+    # exactly one keeper per cluster
+    keepers = [r for r in out.values() if r.is_keeper]
+    assert len({r.cluster_id for r in keepers}) == len(keepers) == 3
