@@ -301,10 +301,16 @@ def create_table(
     pins the Parquet compression: the reference compresses 8 KB blocks
     with snappy by default and COMMENT='compression=0' disables it
     (utils/compress/idbcompress.cpp:29; ha_calpont_ddl.cpp comment
-    parsing) — 'snappy' (default) and 'uncompressed' are the analogs."""
-    new_dir = _new_version_dir(table_dir)
-    managed_writer(df, "overwrite", codec, partition_by).parquet(new_dir)
-    _swap(table_dir, new_dir)
+    parsing) — 'snappy' (default) and 'uncompressed' are the analogs.
+
+    Runs under the table lock like every other version-dir creator:
+    an unlocked build racing a concurrent writer's orphan sweep
+    (_sweep_orphan_versions treats unpinned non-live version dirs as
+    crash debris) could lose its in-flight directory."""
+    with _table_lock_wait(table_dir, "CREATE"):
+        new_dir = _new_version_dir(table_dir)
+        managed_writer(df, "overwrite", codec, partition_by).parquet(new_dir)
+        _swap(table_dir, new_dir)
 
 
 def insert_into(df: DataFrame, table_dir: str, codec: str | None = None,

@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_semantic", "dedup_semantic_incremental",
     # round-6: classifier-grade lang-id, IVF recall attestation
     "text_lang_id", "ann_recall_attest",
+    # round-7: dialect CAST family (map-only over lineitem), keeper
+    # selection (pairs -> connected components -> quality window)
+    "mysql_dialect_cast", "dedup_keep_best",
 ]
 #: 10× data should cost ≤ ~10× time; 20 allows this box's run variance
 #: without hiding quadratics (an all-pairs operator would show ≥ ~100).
