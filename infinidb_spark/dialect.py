@@ -234,21 +234,36 @@ def _cast_int_sql(e: str, target: str) -> str:
     input ROUNDS half-away-from-zero (2.9 → 3), STRING input TRUNCATES
     at the decimal point ('2.9' → 2 — the string-to-integer prefix
     parse).  Mirrors registry.py cast_signed/cast_unsigned so both the
-    Column path and the SQL-text path agree.  ``target`` is 'BIGINT'
-    (SIGNED) or 'DECIMAL(20,0)' (UNSIGNED; Spark has no unsigned —
-    negatives keep their sign rather than wrapping into 2^64, the
-    documented divergence)."""
+    Column path and the SQL-text path agree — including the exactness
+    rules: integer-typed input and integer-LOOKING strings cast
+    directly (a double detour corrupts values above 2^53 and NULLs
+    max-range bigint strings), and the string gate is
+    LIKE 'string%' because collated columns render typeof as
+    'string collate <NAME>'.  ``target`` is 'BIGINT' (SIGNED) or
+    'DECIMAL(20,0)' (UNSIGNED; Spark has no unsigned — negatives keep
+    their sign rather than wrapping into 2^64, the documented
+    divergence)."""
     d = "try_cast(v_ AS DOUBLE)"
+    s = "trim(CAST(v_ AS STRING))"
     trunc = f"(CASE WHEN {d} >= 0 THEN floor({d}) ELSE ceil({d}) END)"
-    rounded = (
-        f"try_cast(round({d}, 0) AS {target})"
-        if target == "BIGINT"
-        else f"try_cast(v_ AS {target})"
+    str_val = (
+        f"(CASE WHEN {s} RLIKE '^[+-]?[0-9]+$' THEN try_cast({s} AS {target})"
+        f" ELSE try_cast({trunc} AS {target}) END)"
     )
+    if target == "BIGINT":
+        tail = (
+            f" WHEN typeof(v_) IN ('tinyint', 'smallint', 'int', 'bigint')"
+            f" THEN try_cast(v_ AS {target})"
+            f" WHEN {d} IS NOT NULL THEN try_cast(round({d}, 0) AS {target})"
+        )
+    else:
+        # DECIMAL(20,0) casts round HALF_UP exactly for int/decimal
+        # input — no numeric sub-branches needed
+        tail = ""
     return _bind1(
         e, "v_",
-        f"(CASE WHEN typeof(v_) = 'string' THEN try_cast({trunc} AS {target})"
-        f" WHEN {d} IS NOT NULL THEN {rounded}"
+        f"(CASE WHEN typeof(v_) LIKE 'string%' THEN {str_val}"
+        f"{tail}"
         f" ELSE try_cast(v_ AS {target}) END)",
     )
 
@@ -370,9 +385,10 @@ _TEMPLATES = {
         # hour via format_string (lpad truncates >= 100 h / negatives);
         # minute/second out of [0,60) -> NULL (MySQL); fractional
         # seconds preserved (capped 6 dp) to mirror registry maketime;
-        # truncated to 6 dp BEFORE formatting because %09.6f rounds —
+        # the rounding BOUNDARY is clamped because %09.6f rounds —
         # seconds in [59.9999995, 60) pass the < 60 guard but would
-        # render as the invalid '60'
+        # render as the invalid '60' (a blanket 6-dp floor corrupts
+        # values like 1.000001 whose double sits just below)
         "(CASE WHEN {1} BETWEEN 0 AND 59 AND CAST({2} AS DOUBLE) >= 0"
         " AND CAST({2} AS DOUBLE) < 60 THEN"
         " concat(CASE WHEN {0} < 0 THEN '-' ELSE '' END,"
@@ -381,7 +397,8 @@ _TEMPLATES = {
         " CASE WHEN CAST({2} AS DOUBLE) = floor(CAST({2} AS DOUBLE))"
         " THEN format_string('%02d', CAST({2} AS BIGINT))"
         " ELSE regexp_replace(format_string('%09.6f',"
-        " floor(CAST({2} AS DOUBLE) * 1e6) / 1e6),"
+        " CASE WHEN CAST({2} AS DOUBLE) >= 59.9999995"
+        " THEN 59.999999 ELSE CAST({2} AS DOUBLE) END),"
         " '\\\\.?0+$', '') END) END)"
     ),
     "ADDTIME": "({0} + make_interval(0, 0, 0, 0, 0, 0, " + _time_secs_sql("{1}") + "))",

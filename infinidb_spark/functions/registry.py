@@ -416,9 +416,12 @@ def maketime(h, m, s) -> Column:
     h, m = _c(h).cast("bigint"), _c(m).cast("bigint")
     sd = _c(s).cast("double")
     si = F.floor(sd).cast("bigint")
-    # truncate to 6 dp BEFORE formatting: %09.6f rounds, so seconds in
-    # [59.9999995, 60) would pass the < 60 guard yet render as '60'
-    sd6 = F.floor(sd * 1e6) / 1e6
+    # clamp ONLY the rounding boundary: %09.6f rounds, so seconds in
+    # [59.9999995, 60) pass the < 60 guard yet would render as the
+    # invalid '60'.  A blanket floor(sd*1e6)/1e6 is wrong the other
+    # way — double(1.000001)*1e6 = 1000000.999…, floor corrupts it to
+    # 1.0 where %09.6f rounds correctly.
+    sd6 = F.when(sd >= 59.9999995, F.lit(59.999999)).otherwise(sd)
     sec_txt = F.when(
         sd == si.cast("double"), F.format_string("%02d", si)
     ).otherwise(
@@ -810,29 +813,43 @@ def cast_signed(c) -> Column:
     # fractional input (2.6 -> 3) but TRUNCATES string input at the
     # decimal point ('2.9' -> 2, the string-to-integer prefix parse).
     # typeof() is static per plan, so the branch constant-folds.
+    # Exactness: integer-typed input and integer-LOOKING strings cast
+    # DIRECTLY — a double detour corrupts values above 2^53 and NULLs
+    # max-range bigint strings.  startswith('string'), not equality:
+    # collated columns render typeof as 'string collate <NAME>'.
     v = _c(c)
     d = v.try_cast("double")
+    s = F.trim(v.try_cast("string"))
     trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("bigint")
-    return F.when(
-        F.call_function("typeof", v) == "string", trunc
-    ).when(
-        d.isNotNull(), F.round(d, 0).try_cast("bigint")
-    ).otherwise(v.try_cast("bigint"))
+    str_val = F.when(s.rlike("^[+-]?[0-9]+$"), s.try_cast("bigint")).otherwise(trunc)
+    t = F.call_function("typeof", v)
+    return (
+        F.when(t.startswith("string"), str_val)
+        .when(t.isin("tinyint", "smallint", "int", "bigint"), v.try_cast("bigint"))
+        .when(d.isNotNull(), F.round(d, 0).try_cast("bigint"))
+        .otherwise(v.try_cast("bigint"))
+    )
 
 
 @_reg("cast_unsigned")
 def cast_unsigned(c) -> Column:
     # Spark has no unsigned; DECIMAL(20,0) holds the UBIGINT range
     # (SURVEY §7 hard-parts).  Same round-vs-truncate split as
-    # cast_signed: numeric input rounds (DECIMAL cast is HALF_UP),
-    # string input truncates at the decimal point ('2.9' -> 2).
+    # cast_signed: numeric input rounds (DECIMAL cast is HALF_UP —
+    # exact for int/decimal input, no double detour needed), string
+    # input truncates at the decimal point ('2.9' -> 2; integer-
+    # looking strings cast directly for full-range exactness).
     # Divergence note: MySQL wraps negatives into the 2^64 domain;
     # this keeps the sign (see dialect.py CAST note).
     v = _c(c)
     d = v.try_cast("double")
+    s = F.trim(v.try_cast("string"))
     trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("decimal(20,0)")
+    str_val = F.when(
+        s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(20,0)")
+    ).otherwise(trunc)
     return F.when(
-        F.call_function("typeof", v) == "string", trunc
+        F.call_function("typeof", v).startswith("string"), str_val
     ).otherwise(v.try_cast("decimal(20,0)"))
 
 

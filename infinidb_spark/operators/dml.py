@@ -919,8 +919,12 @@ def _pin_version(table_dir: str, version_basename: str) -> str:
     d = _pins_dir(table_dir)
     os.makedirs(d, exist_ok=True)
     p = os.path.join(d, uuid.uuid4().hex[:12] + ".json")
-    with open(p, "w") as fh:
+    # atomic publish: a sweeper reading a HALF-written pin would treat
+    # the file as absent and collect the version it protects
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"version": version_basename, "pid": os.getpid()}, fh)
+    os.replace(tmp, p)
     return p
 
 
@@ -1006,9 +1010,14 @@ def _data_file_ids(entries: dict[str, tuple[int, int]]) -> dict[str, tuple[int, 
 
 def _read_files(spark: SparkSession, version_dir: str, rels: list[str]) -> DataFrame:
     """Read an explicit file subset of a pinned version (module-level so
-    tests can assert HOW MANY files the conflict path touches)."""
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(version_dir, r) for r in rels]
+    tests can assert HOW MANY files the conflict path touches).
+    basePath keeps Hive-partition columns: a leaf-file read without it
+    drops `k=1/`-style directory columns and the conflict probe's
+    exceptAll/filter would mis-resolve against the flat side."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", version_dir)
+        .parquet(*[os.path.join(version_dir, r) for r in rels])
     )
 
 
@@ -1102,16 +1111,25 @@ def _sweep_orphan_versions(table_dir: str) -> None:
     Must run under the table lock: plain writers build their rewrite
     UNDER that lock, and optimistic writers pin their in-flight version
     dir BEFORE its first byte is written, so anything unpinned here is
-    garbage."""
+    garbage.  Ordering matters: version dirs are LISTED first and the
+    keep-set read AFTER — a concurrent optimistic writer pins (lock-
+    free) before creating its dir, so any dir the listing sees has its
+    pin visible to the later read; a keep-set snapshotted first could
+    go stale while this process is descheduled and collect a just-
+    pinned, mid-write directory."""
     table_dir = table_dir.rstrip("/")
     parent = os.path.dirname(table_dir) or "."
     base = os.path.basename(table_dir)
     live = os.path.basename(os.path.realpath(table_dir))
+    candidates = [
+        f for f in os.listdir(parent)
+        if f.startswith(base + ".__v") and f.endswith("__") and f != live
+    ]
+    if not candidates:
+        return
     keep = retained_versions(table_dir) | _pinned_versions(table_dir)
-    for f in os.listdir(parent):
-        if not (f.startswith(base + ".__v") and f.endswith("__")):
-            continue
-        if f == live or f in keep:
+    for f in candidates:
+        if f in keep:
             continue
         shutil.rmtree(os.path.join(parent, f), ignore_errors=True)
 

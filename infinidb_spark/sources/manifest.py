@@ -364,8 +364,12 @@ def scan_with_manifest(
     equality between the two pruners is pinned by
     tests/test_manifest_sharded.py."""
     if manifest is None and predicates:
-        parent = os.path.dirname(os.path.realpath(path.rstrip("/"))) or "."
-        if os.access(parent, os.W_OK):
+        real = os.path.realpath(path.rstrip("/"))
+        parent = os.path.dirname(real) or "."
+        # directories only: the sharded map keys files by basename
+        # within the table dir, which has no meaning for a single
+        # parquet FILE path (the loop pruner below supports those)
+        if os.path.isdir(real) and os.access(parent, os.W_OK):
             from infinidb_spark.sources.manifest_sharded import (
                 scan_with_sharded_manifest,
             )

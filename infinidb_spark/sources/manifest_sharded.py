@@ -353,6 +353,23 @@ def _pred_sql(pred: Predicate, avail: set[str]) -> tuple[str, list] | None:
     return None  # unknown operator → keep the file
 
 
+#: process-level instance memo — a fresh ShardedManifest pays a full
+#: 64-shard load + O(files) key-dict build on its first refresh; a kept
+#: instance's clean-snapshot fast path is one os.stat pass (the same
+#: amortization manifest.py's _MANIFEST_CACHE gives the loop pruner).
+#: Keyed by the UNRESOLVED table path: the manifest dir sits next to
+#: the symlink and stays valid across version swaps.
+_SHARDED_CACHE: dict[str, "ShardedManifest"] = {}
+
+
+def cached_sharded_manifest(path: str) -> "ShardedManifest":
+    key = os.path.abspath(path.rstrip("/"))
+    m = _SHARDED_CACHE.get(key)
+    if m is None:
+        m = _SHARDED_CACHE[key] = ShardedManifest(path)
+    return m
+
+
 def scan_with_sharded_manifest(
     spark: SparkSession,
     path: str,
@@ -364,7 +381,7 @@ def scan_with_sharded_manifest(
     re-applied (result-transparent)."""
     if not predicates:
         return spark.read.parquet(path)  # manifest never consulted
-    m = manifest or ShardedManifest(path)
+    m = manifest or cached_sharded_manifest(path)
     m.refresh()
     files = m.prune(predicates)
     residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))

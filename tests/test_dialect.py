@@ -808,3 +808,33 @@ def test_cast_translation_idempotent():
 def test_cast_native_spark_types_untouched():
     out = translate_mysql("SELECT CAST(x AS STRING), CAST(y AS BIGINT) FROM t")
     assert "CAST(x AS STRING)" in out and "CAST(y AS BIGINT)" in out
+
+
+@pytest.mark.parametrize(
+    ("expr", "want"),
+    [
+        # exactness above 2^53 / at the bigint range: integer-typed and
+        # integer-looking string input must never detour through DOUBLE
+        ("CAST(9007199254740993 AS SIGNED)", 9007199254740993),
+        ("CAST('9223372036854775807' AS SIGNED)", 9223372036854775807),
+        ("CAST('-9223372036854775808' AS SIGNED)", -9223372036854775808),
+        ("CAST('18446744073709551615' AS UNSIGNED)", 18446744073709551615),
+        ("CAST(' 42 ' AS SIGNED)", 42),
+        ("CAST('+7' AS SIGNED)", 7),
+        # MAKETIME: fractional seconds whose double sits just below the
+        # decimal value must not be floor-corrupted (only the [59.9999995,
+        # 60) rounding boundary is clamped)
+        ("MAKETIME(12, 15, 1.000001)", "12:15:01.000001"),
+        ("MAKETIME(12, 15, 30.5)", "12:15:30.5"),
+    ],
+)
+def test_cast_exactness_and_maketime_fractions(spark, expr, want):
+    assert str(one(spark, expr)) == str(want)
+
+
+def test_cast_signed_collated_string_truncates(spark):
+    """typeof of a collated column is 'string collate <NAME>' — the
+    string-truncate branch must still fire."""
+    sql = "SELECT " + translate_mysql("CAST(c AS SIGNED)") + \
+        " AS v FROM (SELECT '2.9' COLLATE UNICODE_CI_AI AS c)"
+    assert spark.sql(sql).collect()[0].v == 2

@@ -375,3 +375,17 @@ def test_gate_elimination_layout_actually_prunes(spark, sf_dir):
     m = build_manifest(clustered)
     kept = prune(m, [("l_orderkey", "between", 100, 900), ("l_quantity", ">=", 5)])
     assert len(m) >= 4 and len(kept) < len(m), (len(m), len(kept))
+
+
+def test_scan_with_manifest_single_file(spark, tmp_path):
+    """A single parquet FILE path must keep working now that the default
+    directory path delegates to the sharded manifest."""
+    import os
+
+    from infinidb_spark.sources.manifest import scan_with_manifest
+
+    p = str(tmp_path / "one")
+    spark.range(100).selectExpr("id AS a").coalesce(1).write.parquet(p)
+    f = [x for x in os.listdir(p) if x.endswith(".parquet")][0]
+    df = scan_with_manifest(spark, os.path.join(p, f), [("a", ">", 90)])
+    assert df.count() == 9

@@ -543,3 +543,31 @@ def test_writer_killed_before_commit_is_garbage_collected(spark, tmp_path):
         if f.startswith(base + ".__v") and f != live
     ]
     assert orphans == [], orphans
+
+
+def test_conflict_diff_on_partitioned_table(spark, tmp_path):
+    """The file-level overlap probe must keep Hive-partition columns
+    (basePath read): a partitioned table's conflict rebase used to work
+    through read_table, and the O(changed) path must too."""
+    import infinidb_spark.operators.dml as dml
+
+    t = str(tmp_path / "tp")
+    df = spark.range(400).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") % 4).cast("int").alias("p"),
+        F.lit(0).cast("int").alias("v"),
+    )
+    dml.create_table(df, t, partition_by=["p"])
+
+    def winner():
+        # plain full rewrite on disjoint rows (flattens partitioning)
+        dml.update_table(spark, t, F.col("k") < 50, {"v": F.lit(1)})
+
+    n = dml.update_table_optimistic(
+        spark, t, F.col("k") >= 350, {"v": F.lit(2)}, _before_commit=winner
+    )
+    assert n == 50
+    out = dml.read_table(spark, t)
+    assert out.filter((F.col("k") < 50) & (F.col("v") == 1)).count() == 50
+    assert out.filter((F.col("k") >= 350) & (F.col("v") == 2)).count() == 50
+    assert out.count() == 400
