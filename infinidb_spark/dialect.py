@@ -251,9 +251,13 @@ def _cast_int_sql(e: str, target: str) -> str:
         f" ELSE try_cast({trunc} AS {target}) END)"
     )
     if target == "BIGINT":
+        # decimal input rounds EXACTLY via a scale-0 decimal cast
+        # (HALF_UP) — round(double) would corrupt values above 2^53
         tail = (
             f" WHEN typeof(v_) IN ('tinyint', 'smallint', 'int', 'bigint')"
             f" THEN try_cast(v_ AS {target})"
+            f" WHEN typeof(v_) LIKE 'decimal%'"
+            f" THEN try_cast(try_cast(v_ AS DECIMAL(38,0)) AS {target})"
             f" WHEN {d} IS NOT NULL THEN try_cast(round({d}, 0) AS {target})"
         )
     else:
@@ -277,22 +281,26 @@ def _cast_time_sql(e: str) -> str:
     ts = "try_cast(v_ AS TIMESTAMP)"
     s = "trim(CAST(v_ AS STRING))"
     # numerics also try_cast to timestamp (epoch seconds), so gate the
-    # datetime path on the rendered text actually LOOKING like a date.
+    # datetime path on the rendered text actually LOOKING like a date
+    # (month/day may be single-digit, which Spark's cast accepts).
     # hour/minute/second, not date_format: a re-entered translation
     # would re-read date_format's pattern under MySQL %-token rules
     # (the translator must be idempotent on its own output).
     is_dt = (
         f"({ts} IS NOT NULL AND {s} RLIKE"
-        f" '^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]')"
+        f" '^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?')"
     )
     tod = (
         f"format_string('%02d:%02d:%02d',"
         f" hour({ts}), minute({ts}), second({ts}))"
     )
+    # fractional TIME seconds ROUND to the second (MySQL TIME(0));
+    # round-on-decimal is exact HALF_UP
+    secs = f"round({_time_secs_sql('v_')}, 0)"
     return _bind1(
         e, "v_",
         f"(CASE WHEN {is_dt} THEN {tod}"
-        f" ELSE {_sec_to_time_sql(_time_secs_sql('v_'))} END)",
+        f" ELSE {_sec_to_time_sql(secs)} END)",
     )
 
 
@@ -919,22 +927,10 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                             out.append(("code", frag))
                             i = close + 1
                             continue
-            if upper in ("UNSIGNED", "SIGNED"):
-                prev = _prev_code(toks, i)
-                if prev is not None and toks[prev][1].upper() == "AS":
-                    # CAST(x AS UNSIGNED|SIGNED [INTEGER|INT]) → BIGINT.
-                    # Divergence note: MySQL wraps negative values into
-                    # the 2^64 unsigned domain; BIGINT keeps the sign —
-                    # the numeric-string conversion every client uses is
-                    # exact, the wraparound edge is not reproduced.
-                    j = _next_code(toks, i + 1)
-                    if j is not None and toks[j][0] == "word" and toks[j][1].upper() in (
-                        "INTEGER", "INT",
-                    ):
-                        i = j
-                    out.append(("word", "BIGINT"))
-                    i += 1
-                    continue
+            # (the old `AS SIGNED → BIGINT` word rewrite is gone: every
+            # CAST/CONVERT form is consumed by _cast_frag above with the
+            # round-vs-truncate semantics, and the word rewrite would
+            # also have mangled a column ALIASED `AS SIGNED`)
             if upper == "COLLATE" and not _qualified:
                 # map MySQL collation names onto Spark 4 collations:
                 # *_bin → UTF8_BINARY; accent-sensitive *_as_ci →

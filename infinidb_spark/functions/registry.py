@@ -826,6 +826,9 @@ def cast_signed(c) -> Column:
     return (
         F.when(t.startswith("string"), str_val)
         .when(t.isin("tinyint", "smallint", "int", "bigint"), v.try_cast("bigint"))
+        # decimal input rounds EXACTLY via a scale-0 decimal cast
+        # (HALF_UP) — round(double) would corrupt values above 2^53
+        .when(t.startswith("decimal"), v.try_cast("decimal(38,0)").try_cast("bigint"))
         .when(d.isNotNull(), F.round(d, 0).try_cast("bigint"))
         .otherwise(v.try_cast("bigint"))
     )
@@ -881,10 +884,16 @@ def cast_time(c) -> Column:
     ts = v.try_cast("timestamp")
     s = F.trim(v.try_cast("string"))
     # numerics also try_cast to timestamp (epoch seconds), so gate the
-    # datetime path on the rendered text actually LOOKING like a date
-    is_dt = ts.isNotNull() & s.rlike("^[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]")
+    # datetime path on the rendered text actually LOOKING like a date;
+    # month/day may be single-digit ('2024-1-3'), which Spark's
+    # timestamp cast accepts
+    is_dt = ts.isNotNull() & s.rlike(
+        "^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?"
+    )
+    # fractional TIME seconds ROUND to the second ('10:30:45.9' ->
+    # '10:30:46', MySQL TIME(0)); round-on-decimal is exact HALF_UP
     return F.when(is_dt, F.date_format(ts, "HH:mm:ss")).otherwise(
-        sec_to_time(_time_value_secs(v))
+        sec_to_time(F.round(_time_value_secs(v), 0))
     )
 
 

@@ -1171,7 +1171,7 @@ def _optimistic_rewrite(
     # pin under the lock: every version rmtree also runs under it, so a
     # snapshot can never vanish between resolve and pin
     with _table_lock_wait(table_dir, f"{op}-SNAPSHOT", lock_timeout):
-        snap_dir, token, entries = _snapshot(table_dir)
+        snap_dir, token, _ = _snapshot(table_dir)
         pins = [_pin_version(table_dir, os.path.basename(snap_dir))]
     old_dirs = [snap_dir]
     new_dir: str | None = None
@@ -1191,7 +1191,7 @@ def _optimistic_rewrite(
                 hook()
             committed = False
             with _table_lock_wait(table_dir, op, lock_timeout):
-                cur_dir, cur_token, cur_entries = _snapshot(table_dir)
+                cur_dir, cur_token, _ = _snapshot(table_dir)
                 if cur_token == token:
                     _swap(table_dir, new_dir)
                     committed = True
@@ -1224,8 +1224,16 @@ def _optimistic_rewrite(
                 # a write-write conflict — rebase over them.
                 overlap = 0
             else:
+                # re-walk BOTH dirs at diff time (matching the old
+                # full-table diff, which read them live): the PIN-time
+                # identity map can miss a file a concurrent INSERT
+                # appended into the snapshot dir after pinning — its
+                # rows would then show up only on the winner's side
+                # and abort what is really a rebase-able phantom
+                _, _, old_now = _snapshot(snap_dir)
+                _, _, cur_now = _snapshot(cur_dir)
                 overlap = _overlap_on_changed_files(
-                    spark, snap_dir, entries, cur_dir, cur_entries, cond_true
+                    spark, snap_dir, old_now, cur_dir, cur_now, cond_true
                 )
                 if overlap is None:  # out-of-service state: full diff
                     old_df = _read_version(spark, snap_dir)
@@ -1242,7 +1250,7 @@ def _optimistic_rewrite(
                 )
             # disjoint -> rebase: adopt the winner's snapshot and
             # re-execute, i.e. serialize this statement after it
-            snap_dir, token, entries = cur_dir, cur_token, cur_entries
+            snap_dir, token = cur_dir, cur_token
         raise AssertionError("unreachable")
     finally:
         if new_dir:

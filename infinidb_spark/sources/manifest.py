@@ -365,7 +365,11 @@ def scan_with_manifest(
     tests/test_manifest_sharded.py."""
     if manifest is None and predicates:
         real = os.path.realpath(path.rstrip("/"))
-        parent = os.path.dirname(real) or "."
+        # the shard dir lands next to the UNRESOLVED path
+        # (<path>.__manifest__), so test THAT parent for writability —
+        # a symlink's target parent being writable says nothing about
+        # where the shards would be created
+        parent = os.path.dirname(os.path.abspath(path.rstrip("/"))) or "."
         # directories only: the sharded map keys files by basename
         # within the table dir, which has no meaning for a single
         # parquet FILE path (the loop pruner below supports those)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import zlib
+from collections import OrderedDict
 from functools import reduce
 from typing import Any
 
@@ -358,15 +359,27 @@ def _pred_sql(pred: Predicate, avail: set[str]) -> tuple[str, list] | None:
 #: instance's clean-snapshot fast path is one os.stat pass (the same
 #: amortization manifest.py's _MANIFEST_CACHE gives the loop pruner).
 #: Keyed by the UNRESOLVED table path: the manifest dir sits next to
-#: the symlink and stays valid across version swaps.
-_SHARDED_CACHE: dict[str, "ShardedManifest"] = {}
+#: the symlink and stays valid across version swaps.  LRU-bounded —
+#: each entry holds the table's full Arrow stats relation, and a
+#: long-lived session scanning many short-lived tables (temp tables,
+#: per-job dirs) must not accumulate them forever; entries whose table
+#: vanished are dropped at lookup.
+_SHARDED_CACHE: OrderedDict[str, "ShardedManifest"] = OrderedDict()
+_SHARDED_CACHE_MAX = 64
 
 
 def cached_sharded_manifest(path: str) -> "ShardedManifest":
     key = os.path.abspath(path.rstrip("/"))
     m = _SHARDED_CACHE.get(key)
-    if m is None:
-        m = _SHARDED_CACHE[key] = ShardedManifest(path)
+    if m is not None:
+        if not os.path.isdir(os.path.realpath(key)):
+            del _SHARDED_CACHE[key]  # table dropped: stats are garbage
+        else:
+            _SHARDED_CACHE.move_to_end(key)
+            return m
+    m = _SHARDED_CACHE[key] = ShardedManifest(path)
+    while len(_SHARDED_CACHE) > _SHARDED_CACHE_MAX:
+        _SHARDED_CACHE.popitem(last=False)
     return m
 
 

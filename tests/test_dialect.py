@@ -838,3 +838,43 @@ def test_cast_signed_collated_string_truncates(spark):
     sql = "SELECT " + translate_mysql("CAST(c AS SIGNED)") + \
         " AS v FROM (SELECT '2.9' COLLATE UNICODE_CI_AI AS c)"
     assert spark.sql(sql).collect()[0].v == 2
+
+
+def test_cast_registry_dialect_parity(spark):
+    """The SIGNED/UNSIGNED/TIME cast semantics are implemented twice
+    (registry Columns for the engine path, SQL fragments for the text
+    path) with no shared source of truth — this pin keeps them from
+    drifting: both paths must produce identical values over a matrix of
+    typed inputs."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.functions.registry import FUNC_MAP
+
+    inputs = [
+        ("2.9", "STRING"), ("-2.9", "STRING"), ("abc", "STRING"),
+        ("9223372036854775807", "STRING"), (" 42 ", "STRING"),
+        ("2.9", "DOUBLE"), ("-2.5", "DOUBLE"),
+        ("9007199254740993", "BIGINT"),
+        ("9007199254740993.4", "DECIMAL(25,1)"), ("2.9", "DECIMAL(10,1)"),
+        ("10:30:45", "STRING"), ("123:45:00", "STRING"),
+        ("-01:00:30", "STRING"), ("130045", "BIGINT"),
+        ("2024-01-03 10:30:45", "STRING"), ("2024-1-3 10:30:45", "STRING"),
+        ("10:30:45.9", "STRING"),
+    ]
+    for raw, typ in inputs:
+        src = spark.sql(f"SELECT try_cast('{raw}' AS {typ}) AS x")
+        for kind, reg in (
+            ("SIGNED", "cast_signed"),
+            ("UNSIGNED", "cast_unsigned"),
+            ("TIME", "cast_time"),
+        ):
+            via_registry = src.select(
+                FUNC_MAP[reg](F.col("x")).alias("v")
+            ).collect()[0].v
+            via_dialect = spark.sql(
+                f"SELECT {translate_mysql(f'CAST(x AS {kind})')} AS v "
+                f"FROM (SELECT try_cast('{raw}' AS {typ}) AS x)"
+            ).collect()[0].v
+            assert str(via_registry) == str(via_dialect), (
+                raw, typ, kind, via_registry, via_dialect
+            )

@@ -571,3 +571,34 @@ def test_conflict_diff_on_partitioned_table(spark, tmp_path):
     assert out.filter((F.col("k") < 50) & (F.col("v") == 1)).count() == 50
     assert out.filter((F.col("k") >= 350) & (F.col("v") == 2)).count() == 50
     assert out.count() == 400
+
+
+def test_insert_then_swap_winner_rebases_not_aborts(spark, tmp_path):
+    """A file INSERTed into the pinned snapshot dir AFTER pinning, then
+    carried into a winner's rewrite, is a phantom — the changed-file
+    probe must re-walk the pinned dirs at diff time (a pin-time identity
+    map would see those rows only on the winner's side and abort)."""
+    import infinidb_spark.operators.dml as dml
+
+    t = _mk_table(spark, tmp_path, n=100)
+
+    def winner():
+        extra = spark.range(1000, 1005).select(
+            F.col("id").cast("bigint").alias("k"),
+            F.lit(0).cast("int").alias("grp"),
+            F.lit(0).cast("int").alias("v"),
+        )
+        dml.insert_into(extra, t)  # appends into OUR pinned snapshot dir
+        # swap winner whose rewrite carries the inserted rows
+        update_table(spark, t, F.col("k") < 10, {"v": F.lit(1)})
+
+    # predicate matches ONLY the concurrently-inserted rows
+    n = update_table_optimistic(
+        spark, t, F.col("k") >= 1000, {"v": F.lit(2)}, _before_commit=winner
+    )
+    assert n == 5
+    out = read_table(spark, t)
+    assert out.count() == 105
+    assert out.filter(F.col("v") == 2).count() == 5
+    assert out.filter(F.col("v") == 1).count() == 10
+    assert _no_debris(t)
