@@ -84,6 +84,7 @@ _PRIORITY = [
     # ── added round 7 — never driver-checked ──
     "mysql_dialect_cast",
     "dedup_keep_best",
+    "streaming_quality_gate",
     # ── latest driver row r03 (44 queries, 4 rounds stale) ──
     "dedup_minhash_lsh", "ann_ivf_topk", "agg_decimal_exact",
     "quantified_subquery", "group_concat_ordered", "multimodal_resize",

@@ -2400,6 +2400,125 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _quality_gate_oracle_sql(
+    doc_filter: str = "doc_id < 300",
+    min_quality: float = 0.8,
+    langs: tuple[str, ...] = ("en",),
+) -> str:
+    """DuckDB oracle for streaming_quality_gate: the routing is
+    STATELESS per row (no cross-epoch state), so the oracle is the
+    quality CASE ladder + struct-max lang pick (same fragments as
+    text_analyze's oracle, inventories embedded from operators.text)
+    with the gate's first-failing-rule verdict."""
+    def sw_list(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS[lang]) + "]"
+
+    ratios = ", ".join(
+        f"CAST(len(list_filter(toks, w -> list_contains({sw_list(lang)}, w))) AS DOUBLE)"
+        f" / greatest(len(toks), 1) AS sr_{lang}"
+        for lang in T._STOPWORDS
+    )
+    best_structs = ", ".join(
+        f"{{'score': sr_{lang}, 'lang': '{lang}'}}" for lang in T._STOPWORDS
+    )
+    in_langs = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE {doc_filter}
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS toks,
+             length(t) AS n_chars,
+             length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(toks, w -> w <> '')) AS n_tokens,
+             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+             {ratios}
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+             list_sort([{best_structs}])[-1] AS best,
+             round((
+               (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
+                     WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END) +
+               (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END) +
+               (CASE WHEN sr_en >= 0.05 THEN 1.0 WHEN sr_en > 0.0 THEN 0.5 ELSE 0.1 END) +
+               (CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 2.5 AND 9.0
+                     THEN 1.0 ELSE 0.3 END)
+             ) / 4.0, 6) AS quality
+      FROM m
+    ),
+    v AS (
+      SELECT doc_id, quality,
+             CASE WHEN best.score >= 0.05 THEN best.lang ELSE 'und' END AS lang_guess
+      FROM scored
+    )
+    SELECT doc_id,
+           CASE WHEN quality < {min_quality} THEN 'low_quality'
+                WHEN lang_guess NOT IN ({in_langs}) THEN 'lang'
+                ELSE 'accepted' END AS status,
+           quality, lang_guess
+    FROM v ORDER BY doc_id
+    """
+
+
+@query("streaming_quality_gate", oracle=_quality_gate_oracle_sql())
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gate END TO END with a hash oracle: documents
+    split into two mtime-pinned epoch files, streamed one file per
+    trigger through stream_quality_gate (score → route; accepted docs
+    + a reject ledger with the failing rule land through the
+    idempotent-epoch sink under one sink id), then the audit view
+    (doc_id, status, quality, lang_guess) is returned.  Routing is
+    stateless per row, so the DuckDB oracle replays the quality ladder
+    + lang pick + first-failing-rule verdict exactly — streaming
+    introduces zero drift (ref: cpimport's .bad/.err reject
+    accounting, writeengine/bulk, lifted to content-quality rules)."""
+    import os
+    import shutil
+    import tempfile
+
+    from infinidb_spark.streaming.quality_gate import (
+        read_gate_results,
+        stream_quality_gate,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="infinidb_sqg_")
+    try:
+        in_dir = stage_epoch_inputs(
+            docs.filter(F.col("doc_id") < 300).select("doc_id", "text"),
+            "doc_id", work,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_dir, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        # 0.8 exercises all three verdicts on this corpus
+        q = stream_quality_gate(stream, out_dir, ckpt, min_quality=0.8)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming query did not finish within 300 s")
+        rows = (
+            read_gate_results(spark, out_dir)
+            .select("doc_id", "status", "quality", "lang_guess")
+            .orderBy("doc_id")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, status string, quality double, lang_guess string"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("streaming_ann_ingest", oracle=_ivf_oracle_sql())
 def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVF index maintenance END TO END with a hash oracle

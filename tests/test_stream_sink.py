@@ -127,3 +127,45 @@ def test_epoch_idempotent_partitioned(spark, tmp_path):
     got = spark.read.parquet(table)
     assert got.count() == 3
     assert {r.part for r in got.collect()} == {"x", "y"}
+
+
+def test_quality_gate_replay_converges_both_relations(spark, tmp_path):
+    """The gate lands TWO relations per epoch under one sink id; a
+    replayed epoch (crash between the two writes) must re-land only the
+    missing side — both tables converge to exactly-once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.streaming.quality_gate import (
+        ACCEPTED_DIR,
+        REJECTS_DIR,
+        score_and_route,
+    )
+    from infinidb_spark.streaming.sink import write_epoch_idempotent
+
+    out = str(tmp_path / "gate")
+    os.makedirs(os.path.join(out, ACCEPTED_DIR))
+    os.makedirs(os.path.join(out, REJECTS_DIR))
+    batch = spark.createDataFrame(
+        [(1, "the and is of to in good long text " * 20), (2, "zz")],
+        "doc_id bigint, text string",
+    )
+    scored = score_and_route(batch, 0.6, ("en",))
+    acc = scored.filter(F.col("status") == "accepted").drop("status")
+    rej = scored.filter(F.col("status") != "accepted").drop("text")
+
+    # epoch 0 lands accepted but CRASHES before rejects
+    assert write_epoch_idempotent(acc, 0, os.path.join(out, ACCEPTED_DIR), sink_id="s1")
+    # replay of epoch 0: accepted skips (marker), rejects re-land
+    assert not write_epoch_idempotent(acc, 0, os.path.join(out, ACCEPTED_DIR), sink_id="s1")
+    assert write_epoch_idempotent(rej, 0, os.path.join(out, REJECTS_DIR), sink_id="s1")
+    # second replay is a full no-op
+    assert not write_epoch_idempotent(acc, 0, os.path.join(out, ACCEPTED_DIR), sink_id="s1")
+    assert not write_epoch_idempotent(rej, 0, os.path.join(out, REJECTS_DIR), sink_id="s1")
+
+    a = spark.read.parquet(os.path.join(out, ACCEPTED_DIR))
+    r = spark.read.parquet(os.path.join(out, REJECTS_DIR))
+    assert a.count() == 1 and a.collect()[0].doc_id == 1
+    assert r.count() == 1 and r.collect()[0].doc_id == 2
+    assert r.collect()[0].status == "low_quality"
