@@ -907,6 +907,20 @@ def cast_double(c) -> Column:
     return _c(c).try_cast("double")
 
 
+@_reg("idbpartition")
+def idbpartition() -> Column:
+    """Scalar-function form of the ``idbpartition`` pseudo-column —
+    the one FuncMap name (``funcexp.cpp:68-207``) whose implementation
+    lives in the pseudo-column family (sources/pseudocol.py,
+    ``ha_pseudocolumn.cpp:29-51``): the reference registers it in BOTH
+    places, so the registry mirrors that.  Requires a file-based scan
+    (Parquet ``_metadata``), like the reference requires an InfiniDB
+    table."""
+    from infinidb_spark.sources.pseudocol import PSEUDO_COLUMNS
+
+    return PSEUDO_COLUMNS["idbpartition"](None)
+
+
 # ---------------------------------------------------------------------------
 # Misc — inet (ref func_inet_aton.cpp), json (post-parity bonus)
 # ---------------------------------------------------------------------------
