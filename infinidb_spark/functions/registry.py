@@ -965,7 +965,8 @@ def _colname(c) -> str:
 # Reference-name aliases — every name the reference's fFuncMap registers
 # (utils/funcexp/funcexp.cpp:68-207) resolves here too, including the
 # operator spellings and MySQL's alternate function names.  `idbpartition`
-# lives in sources/pseudocol.py (it needs the scan's _metadata, not a value).
+# is registered above (it mirrors sources/pseudocol.py — the reference
+# registers it in BOTH the FuncMap and the pseudo-column table).
 _ALIASES = {
     "%": "mod",
     "&": "bitand",
@@ -982,7 +983,7 @@ _ALIASES = {
     "cast_as_char": "cast_char",
     "cast_as_date": "cast_date",
     "cast_as_datetime": "cast_datetime",
-    "cast_as_time": "cast_datetime",
+    "cast_as_time": "cast_time",
     "convert": "cast_char",
     "character_length": "char_length",
     "add_time": "addtime",

@@ -635,23 +635,50 @@ def text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.analyze(docs)
 
 
+# -- shared DuckDB fragments for the quality_score / lang_id semantics
+# (operators/text.py) — ONE source of truth for every oracle that
+# replays them (text_analyze, dedup_keep_best, streaming_quality_gate),
+# so a ladder tweak can never leave one oracle silently stale.
+
+
+def _sw_list_sql(lang: str) -> str:
+    """Stopword inventory embedded from operators.text (never drifts)."""
+    return "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS[lang]) + "]"
+
+
+def _lang_ratios_sql() -> str:
+    """Per-language stopword-hit ratios over a ``toks`` list column."""
+    return ", ".join(
+        f"CAST(len(list_filter(toks, w -> list_contains({_sw_list_sql(lang)}, w))) AS DOUBLE)"
+        f" / greatest(len(toks), 1) AS sr_{lang}"
+        for lang in T._STOPWORDS
+    )
+
+
+def _lang_best_sql() -> str:
+    """The struct-max lang pick (score then lang tie-break)."""
+    return ", ".join(
+        f"{{'score': sr_{lang}, 'lang': '{lang}'}}" for lang in T._STOPWORDS
+    )
+
+
+#: the composite quality CASE ladder over (n_chars, punct_ratio, sr_en,
+#: mean_wlen) — operators/text.py quality_score verbatim
+_QUALITY_LADDER_SQL = """round((
+             (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
+                   WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END) +
+             (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END) +
+             (CASE WHEN sr_en >= 0.05 THEN 1.0 WHEN sr_en > 0.0 THEN 0.5 ELSE 0.1 END) +
+             (CASE WHEN mean_wlen BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END)
+           ) / 4.0, 6)"""
+
+
 def _text_analyze_oracle_sql(doc_filter: str = "doc_id < 250") -> str:
     """DuckDB oracle replaying the ENTIRE analyze() projection —
     tokenization, subword estimate, stopword ratios, the struct-max
     lang-id tie-break, the composite quality CASE ladder, and the
     portable (md5-int) rolling-hash fingerprint.  Stopword inventories
     are embedded from operators.text so the two can never drift."""
-    def sw_list(lang: str) -> str:
-        return "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS[lang]) + "]"
-
-    ratios = ", ".join(
-        f"CAST(len(list_filter(toks, w -> list_contains({sw_list(lang)}, w))) AS DOUBLE)"
-        f" / greatest(len(toks), 1) AS sr_{lang}"
-        for lang in T._STOPWORDS
-    )
-    best_structs = ", ".join(
-        f"{{'score': sr_{lang}, 'lang': '{lang}'}}" for lang in T._STOPWORDS
-    )
     return f"""
     WITH d AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -672,12 +699,12 @@ def _text_analyze_oracle_sql(doc_filter: str = "doc_id < 250") -> str:
              CAST(coalesce(list_sum([greatest(ceil(length(w) / 4.0), 1)
                                      for w in list_filter(toks, w -> w <> '')]), 0)
                   + n_punct_sub AS BIGINT) AS n_subwords,
-             {ratios}
+             {_lang_ratios_sql()}
       FROM base
     ),
     scored AS (
       SELECT *,
-             list_sort([{best_structs}])[-1] AS best,
+             list_sort([{_lang_best_sql()}])[-1] AS best,
              n_chars / greatest(n_tokens, 1) AS mean_wlen,
              CAST(n_punct_q AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
       FROM m
@@ -687,13 +714,7 @@ def _text_analyze_oracle_sql(doc_filter: str = "doc_id < 250") -> str:
            n_subwords,
            round(sr_en, 6) AS stopword_ratio,
            CASE WHEN best.score >= 0.05 THEN best.lang ELSE 'und' END AS lang_guess,
-           round((
-             (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
-                   WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END) +
-             (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END) +
-             (CASE WHEN sr_en >= 0.05 THEN 1.0 WHEN sr_en > 0.0 THEN 0.5 ELSE 0.1 END) +
-             (CASE WHEN mean_wlen BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END)
-           ) / 4.0, 6) AS quality,
+           {_QUALITY_LADDER_SQL} AS quality,
            list_min([('0x' || substr(md5(substr(t, i, 8)), 1, 14))::BIGINT
                      for i in range(1, greatest(length(t) - 7, 1) + 1)]) AS fingerprint
     FROM scored
@@ -1786,7 +1807,6 @@ def _keep_best_oracle_sql() -> str:
     oracle) + the quality CASE ladder (same text as text_analyze's
     oracle, en stopword inventory embedded from operators.text), with
     the keeper chosen by row_number over (quality DESC, doc_id)."""
-    sw_en = "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS["en"]) + "]"
     return f"""
     WITH RECURSIVE pv AS ({_minhash_oracle_sql(threshold=0.25, doc_filter="doc_id < 500")}),
     edges AS (
@@ -1813,22 +1833,13 @@ def _keep_best_oracle_sql() -> str:
     m AS (
       SELECT doc_id, n_chars,
              len(list_filter(toks, w -> w <> '')) AS n_tokens,
-             CAST(len(list_filter(toks, w -> list_contains({sw_en}, w))) AS DOUBLE)
-               / greatest(len(toks), 1) AS sr_en,
-             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio
+             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+             {_lang_ratios_sql()}
       FROM base
     ),
     q AS (
-      SELECT doc_id,
-             round((
-               (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
-                     WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END) +
-               (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END) +
-               (CASE WHEN sr_en >= 0.05 THEN 1.0 WHEN sr_en > 0.0 THEN 0.5 ELSE 0.1 END) +
-               (CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 2.5 AND 9.0
-                     THEN 1.0 ELSE 0.3 END)
-             ) / 4.0, 6) AS quality
-      FROM m
+      SELECT doc_id, {_QUALITY_LADDER_SQL} AS quality
+      FROM (SELECT *, n_chars / greatest(n_tokens, 1) AS mean_wlen FROM m)
     ),
     lab AS (
       SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id, q.quality
@@ -2410,17 +2421,6 @@ def _quality_gate_oracle_sql(
     quality CASE ladder + struct-max lang pick (same fragments as
     text_analyze's oracle, inventories embedded from operators.text)
     with the gate's first-failing-rule verdict."""
-    def sw_list(lang: str) -> str:
-        return "[" + ", ".join(f"'{w}'" for w in T._STOPWORDS[lang]) + "]"
-
-    ratios = ", ".join(
-        f"CAST(len(list_filter(toks, w -> list_contains({sw_list(lang)}, w))) AS DOUBLE)"
-        f" / greatest(len(toks), 1) AS sr_{lang}"
-        for lang in T._STOPWORDS
-    )
-    best_structs = ", ".join(
-        f"{{'score': sr_{lang}, 'lang': '{lang}'}}" for lang in T._STOPWORDS
-    )
     in_langs = ", ".join(f"'{lg}'" for lg in langs)
     return f"""
     WITH d AS (
@@ -2437,21 +2437,14 @@ def _quality_gate_oracle_sql(
       SELECT doc_id, n_chars,
              len(list_filter(toks, w -> w <> '')) AS n_tokens,
              CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
-             {ratios}
+             {_lang_ratios_sql()}
       FROM base
     ),
     scored AS (
       SELECT doc_id,
-             list_sort([{best_structs}])[-1] AS best,
-             round((
-               (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
-                     WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END) +
-               (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END) +
-               (CASE WHEN sr_en >= 0.05 THEN 1.0 WHEN sr_en > 0.0 THEN 0.5 ELSE 0.1 END) +
-               (CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 2.5 AND 9.0
-                     THEN 1.0 ELSE 0.3 END)
-             ) / 4.0, 6) AS quality
-      FROM m
+             list_sort([{_lang_best_sql()}])[-1] AS best,
+             {_QUALITY_LADDER_SQL} AS quality
+      FROM (SELECT *, n_chars / greatest(n_tokens, 1) AS mean_wlen FROM m)
     ),
     v AS (
       SELECT doc_id, quality,

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from infinidb_spark.operators.dedup import dedup_exact_incremental
-from infinidb_spark.streaming.sink import write_epoch_idempotent
+from infinidb_spark.streaming.sink import sink_id_for, write_epoch_idempotent
 
 _STORE_DIR = "_hash_store"
 
@@ -67,12 +67,8 @@ def stream_dedup_ingest(
     """Continuously ingest a document stream, landing only docs whose
     normalized content was never seen in ANY prior epoch (or earlier in
     the same batch — lowest id wins)."""
-    import hashlib
-
     os.makedirs(table_dir, exist_ok=True)
-    sink_id = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    sink_id = sink_id_for(checkpoint_dir)
     store_dir = os.path.join(table_dir, _STORE_DIR)
 
     def _ingest_epoch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -25,7 +25,6 @@ shuffle, no state store; per-epoch work is O(batch).
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +32,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from infinidb_spark.operators.text import lang_id, quality_score
-from infinidb_spark.streaming.sink import write_epoch_idempotent
+from infinidb_spark.streaming.sink import (
+    read_committed,
+    sink_id_for,
+    write_epoch_idempotent,
+)
 
 ACCEPTED_DIR = "accepted"
 REJECTS_DIR = "rejects"
@@ -80,7 +83,7 @@ def stream_quality_gate(
     scores)."""
     os.makedirs(os.path.join(table_dir, ACCEPTED_DIR), exist_ok=True)
     os.makedirs(os.path.join(table_dir, REJECTS_DIR), exist_ok=True)
-    sink_id = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    sink_id = sink_id_for(checkpoint_dir)
 
     def _gate_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         scored = score_and_route(batch_df, min_quality, langs, text_col, id_col)
@@ -114,14 +117,22 @@ def stream_quality_gate(
     return writer.start()
 
 
-def read_gate_results(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_gate_results(spark: SparkSession, table_dir: str) -> DataFrame | None:
     """Audit view over both relations: (doc_id, status, quality,
     lang_guess) — 'accepted' rows from the corpus table, reject rows
-    with their failing rule."""
-    acc = spark.read.parquet(os.path.join(table_dir, ACCEPTED_DIR)).select(
-        "doc_id", F.lit("accepted").alias("status"), "quality", "lang_guess"
-    )
-    rej = spark.read.parquet(os.path.join(table_dir, REJECTS_DIR)).select(
-        "doc_id", F.col("status"), "quality", "lang_guess"
-    )
-    return acc.unionByName(rej)
+    with their failing rule.  Reads COMMITTED epochs only
+    (sink.read_committed): the epoch protocol links files before the
+    marker, so a raw read racing the linker — serve-while-ingest with
+    available_now=False — could see a torn micro-batch.  Returns None
+    before any epoch commits."""
+    acc = read_committed(spark, os.path.join(table_dir, ACCEPTED_DIR))
+    rej = read_committed(spark, os.path.join(table_dir, REJECTS_DIR))
+    if acc is not None:
+        acc = acc.select(
+            "doc_id", F.lit("accepted").alias("status"), "quality", "lang_guess"
+        )
+    if rej is not None:
+        rej = rej.select("doc_id", F.col("status"), "quality", "lang_guess")
+    if acc is None:
+        return rej
+    return acc if rej is None else acc.unionByName(rej)

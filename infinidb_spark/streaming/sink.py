@@ -133,6 +133,17 @@ def read_committed(spark, table_dir: str) -> DataFrame | None:
     return spark.read.option("basePath", table_dir).parquet(*sorted(files))
 
 
+def sink_id_for(checkpoint_dir: str) -> str:
+    """Epoch-namespace id derived from CHECKPOINT IDENTITY: same
+    checkpoint → same id (genuine replays skip), fresh checkpoint →
+    fresh id (epochs 0..N land again instead of being mistaken for
+    replays).  LOAD-BEARING for exactly-once — every foreachBatch sink
+    must derive its id here so the rule can never fork per sink."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+
 def stream_to_table(
     stream: DataFrame,
     table_dir: str,
@@ -145,13 +156,7 @@ def stream_to_table(
     `available_now=True` drains everything currently in the source then
     stops — the cpimport-batch replacement; `False` runs continuously.
     """
-
-    # namespace epochs by checkpoint identity: same checkpoint → same
-    # sink id (genuine replays skip), fresh checkpoint → fresh id
-    # (epochs 0..N land again instead of being mistaken for replays)
-    import hashlib
-
-    sink_id = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+    sink_id = sink_id_for(checkpoint_dir)
 
     def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         write_epoch_idempotent(

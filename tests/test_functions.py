@@ -163,3 +163,20 @@ def test_not_in_is_negated(spark):
     assert one(spark, func("notin", F.lit(9), 1, 2, 3)) is True
     assert one(spark, func("not in ", F.lit(9), 1, 2, 3)) is True
     assert one(spark, func("notin", F.lit(None).cast("int"), 1, 2)) is None
+
+
+def test_idbpartition_func_map_entry(spark, tmp_path):
+    """The scalar-function form of the idbpartition pseudo-column
+    (funcexp.cpp registers it in the FuncMap too) resolves and returns
+    the file identity over a real scan."""
+    from infinidb_spark.functions.registry import FUNC_MAP
+
+    p = str(tmp_path / "t")
+    spark.range(10).coalesce(1).write.parquet(p)
+    rows = (
+        spark.read.parquet(p)
+        .select(FUNC_MAP["idbpartition"]().alias("part"))
+        .distinct()
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0].part.endswith(".parquet")
