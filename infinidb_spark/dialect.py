@@ -304,6 +304,25 @@ def _cast_time_sql(e: str) -> str:
     )
 
 
+def _extreme_sql(args: list[str], least: bool) -> str:
+    """MySQL LEAST/GREATEST: NULL when ANY argument is NULL (the
+    reference's func_greatest.cpp propagates isNull through every
+    operand), where Spark's least/greatest SKIP nulls.  Emitted as a
+    bind-fold of two-arg comparisons WITHOUT the least/greatest words,
+    so the translator stays idempotent on its own output (each operand
+    evaluates once via ``_bind1``)."""
+    cmp = "<" if least else ">"
+    acc = args[0]
+    for j, a in enumerate(args[1:]):
+        xv, yv = f"x{j}_", f"y{j}_"
+        body = (
+            f"(CASE WHEN {xv} IS NULL OR {yv} IS NULL THEN NULL"
+            f" WHEN {yv} {cmp} {xv} THEN {yv} ELSE {xv} END)"
+        )
+        acc = _bind1(acc, xv, _bind1(a, yv, body))
+    return acc
+
+
 def _cast_frag(expr_toks: list[Token], tpart: list[Token], k: int) -> str | None:
     """Spark fragment for CAST(expr AS <type at tpart[k]>) / CONVERT
     (expr, <type>) with MySQL semantics, or None to pass the cast
@@ -853,6 +872,19 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     "the XOR operator is not supported — rewrite as "
                     "(a AND NOT b) OR (NOT a AND b)"
                 )
+            if upper in ("LEAST", "GREATEST") and not _qualified:
+                # MySQL null-strict semantics — see _extreme_sql
+                op = _next_code(toks, i + 1)
+                if op is not None and toks[op] == ("sym", "("):
+                    close = _match_paren(toks, op)
+                    parts = _split_args(toks[op + 1 : close])
+                    if len(parts) >= 2:
+                        args = [
+                            "(" + render(_rewrite(p)).strip() + ")" for p in parts
+                        ]
+                        out.append(("code", _extreme_sql(args, upper == "LEAST")))
+                        i = close + 1
+                        continue
             if upper == "CAST" and not _qualified:
                 # CAST(expr AS <mysql type>) — route the type through
                 # the same mapping CONVERT uses (_cast_frag /

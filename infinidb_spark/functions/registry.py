@@ -766,14 +766,24 @@ def isnotnull(a) -> Column:
     return _c(a).isNotNull()
 
 
+def _null_strict(cols: list[Column], agg) -> Column:
+    # MySQL (and the reference — func_greatest.cpp propagates isNull
+    # through every operand) return NULL when ANY argument is NULL;
+    # Spark's greatest/least SKIP nulls
+    any_null = cols[0].isNull()
+    for c in cols[1:]:
+        any_null = any_null | c.isNull()
+    return F.when(~any_null, agg(*cols))
+
+
 @_reg("greatest")
 def greatest(*args) -> Column:
-    return F.greatest(*[_c(a) for a in args])
+    return _null_strict([_c(a) for a in args], F.greatest)
 
 
 @_reg("least")
 def least(*args) -> Column:
-    return F.least(*[_c(a) for a in args])
+    return _null_strict([_c(a) for a in args], F.least)
 
 
 @_reg("between")

@@ -878,3 +878,32 @@ def test_cast_registry_dialect_parity(spark):
             assert str(via_registry) == str(via_dialect), (
                 raw, typ, kind, via_registry, via_dialect
             )
+
+
+@pytest.mark.parametrize(
+    ("expr", "want"),
+    [
+        # MySQL LEAST/GREATEST: NULL when ANY argument is NULL (the
+        # reference's func_greatest.cpp propagates isNull); Spark's
+        # built-ins skip nulls, so the translator folds its own form
+        ("LEAST(3, 1, 2)", 1),
+        ("GREATEST(3, 1, 2)", 3),
+        ("LEAST(3, NULL, 2)", None),
+        ("GREATEST(NULL, 1)", None),
+        ("LEAST('b', 'a', 'c')", "a"),
+        ("GREATEST(1, 2, 3, 4, 5)", 5),
+    ],
+)
+def test_least_greatest_null_strict(spark, expr, want):
+    got = one(spark, expr)
+    if want is None:
+        assert got is None, (expr, got)
+    else:
+        assert str(got) == str(want), (expr, got)
+
+
+def test_least_greatest_translation_idempotent():
+    for sql in ["SELECT LEAST(a, b, c) FROM t", "SELECT GREATEST(a, b) FROM t"]:
+        once = translate_mysql(sql)
+        assert translate_mysql(once) == once
+        assert "least(" not in once.lower() or "transform" in once
