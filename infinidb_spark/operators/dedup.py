@@ -519,6 +519,14 @@ def keep_best_in_clusters(
     from pyspark.sql import Window
 
     labels = connected_components(pairs)
+    # the label relation is localCheckpointed inside the CC loop, so
+    # Catalyst has no stats and would sort-merge-join the corpus
+    # against it; broadcast explicitly while it fits the PM-join cap
+    # (16 bytes/row of (id, cluster_id) longs — the count is a scalar
+    # over the already-materialized checkpoint, bounded by
+    # docs-in-pairs).  Past the cap the shuffle join is correct.
+    if labels.count() * 16 < 48 * 1024 * 1024:
+        labels = F.broadcast(labels)
     scored = df.select(F.col(id_col).alias("id"), quality.alias("quality"))
     joined = scored.join(labels, "id", "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))

@@ -305,3 +305,49 @@ def test_multi_table_update_existential_where(spark):
     # SET values come from the least QUALIFYING row (c=5, not min c=0)
     row = joined.filter(F.col("k") == 1).select("_idb_r.c").collect()[0][0]
     assert row == 5
+
+
+def test_keep_best_single_keeper_window_shuffle(spark, sf_dir):
+    """keep_best_in_clusters: ONE hash-partitioned window on cluster_id
+    picks the keeper — no sort-merge join of the corpus against itself,
+    no cartesian, and the corpus join on id broadcasts the (small)
+    label relation."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dedup import keep_best_in_clusters
+
+    docs = spark.range(2000).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        (F.rand(7)).alias("q"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1000) for i in range(20)], "id_a bigint, id_b bigint"
+    )
+    df = keep_best_in_clusters(docs, pairs, F.col("q"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1, "expected exactly one keeper window"
+    assert "BroadcastHashJoin" in plan, "label relation should broadcast"
+
+
+def test_quality_gate_routing_is_map_only(spark, sf_dir):
+    """The streaming gate's per-batch scoring+routing must be MAP-ONLY:
+    no Exchange (shuffle) anywhere — per-epoch work is O(batch) with no
+    state store at any scale."""
+    from infinidb_spark.streaming.quality_gate import score_and_route
+
+    docs = spark.createDataFrame(
+        [(1, "the and is of to good text"), (2, "zz")],
+        "doc_id bigint, text string",
+    )
+    scored = score_and_route(docs, 0.6, ("en",))
+    for side in ("accepted", "rejected"):
+        from pyspark.sql import functions as F
+
+        part = scored.filter(
+            (F.col("status") == "accepted")
+            if side == "accepted"
+            else (F.col("status") != "accepted")
+        )
+        plan = part._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (side, plan)
