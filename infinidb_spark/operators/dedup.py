@@ -539,6 +539,100 @@ def keep_best_in_clusters(
     )
 
 
+def keep_best_incremental(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    cluster_state: DataFrame,
+    quality: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    est_threshold: float = 0.5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Incremental cluster-representative maintenance — the O(batch)
+    twin of ``keep_best_in_clusters``: classify tonight's batch against
+    the STANDING cluster state without touching corpus text.
+
+    ``corpus_sigs`` is the persisted signature store
+    (minhash_signatures); ``cluster_state`` is the accumulated
+    (id, cluster_id, quality, is_keeper) relation from prior runs.
+    Pairs come from ``minhash_lsh_pairs_incremental`` (batch vs store
+    + batch-internal); STORED pair endpoints collapse to their cluster
+    LABEL before connected components, so the component computation
+    runs over the batch-induced subgraph only — O(batch) rounds and
+    rows however large the corpus.  A batch doc bridging two stored
+    clusters merges their labels for the verdict (max of their keeper
+    qualities is the bar to beat).
+
+    Returns one row per NEW doc: (id, cluster_id, quality, status) —
+    ``new_cluster`` (no near-dup anywhere: the doc opens, and keeps,
+    its own cluster; within a new-only component only its best doc is
+    the opener), ``displaces`` (it beats the touched clusters' best
+    stored keeper: ship it AND retire that keeper), or ``joins``
+    (near-dup of something better: a drop candidate)."""
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs_incremental(
+        new_df, corpus_sigs, text_col, id_col,
+        n_hashes=n_hashes, bands=bands, shingle_k=shingle_k,
+        est_threshold=est_threshold, portable_hash=portable_hash,
+    )
+    st = cluster_state.select(
+        F.col("id").alias("_sid"), F.col("cluster_id").alias("_slab")
+    )
+    # collapse stored endpoints to labels (new ids pass through) —
+    # cluster_state ships only 2 longs per doc, broadcast when small
+    sa = st.selectExpr("_sid AS _sa", "_slab AS _la")
+    sb = st.selectExpr("_sid AS _sb", "_slab AS _lb")
+    edges = (
+        pairs.join(sa, F.col("id_a") == F.col("_sa"), "left")
+        .join(sb, F.col("id_b") == F.col("_sb"), "left")
+        .select(
+            F.coalesce(F.col("_la"), F.col("id_a")).alias("id_a"),
+            F.coalesce(F.col("_lb"), F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    labels = connected_components(edges)
+    if labels.count() * 16 < 48 * 1024 * 1024:  # see keep_best_in_clusters
+        labels = F.broadcast(labels)
+
+    scored = new_df.select(F.col(id_col).alias("id"), quality.alias("quality"))
+    lab = scored.join(labels, "id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
+    )
+    # best STORED keeper quality per touched component: stored-label
+    # nodes inside the CC graph joined back to their keeper's quality
+    keepers = cluster_state.filter(F.col("is_keeper")).select(
+        F.col("cluster_id").alias("_slab"), F.col("quality").alias("_sq")
+    )
+    stored_best = (
+        labels.join(keepers, labels["id"] == keepers["_slab"])
+        .groupBy(labels["cluster_id"])
+        .agg(F.max("_sq").alias("_sbest"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("id"))
+    out = (
+        lab.join(stored_best, "cluster_id", "left")
+        .withColumn("_rk", F.row_number().over(w))
+    )
+    status = (
+        F.when(
+            F.col("_sbest").isNull(),
+            F.when(F.col("_rk") == 1, F.lit("new_cluster")).otherwise(F.lit("joins")),
+        )
+        .when(
+            (F.col("_rk") == 1) & (F.col("quality") > F.col("_sbest")),
+            F.lit("displaces"),
+        )
+        .otherwise(F.lit("joins"))
+    )
+    return out.select("id", "cluster_id", "quality", status.alias("status"))
+
+
 def dedup_exact_incremental(
     new_df: DataFrame,
     corpus_hashes: DataFrame,

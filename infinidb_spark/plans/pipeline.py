@@ -2298,6 +2298,109 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keep_best_incr_oracle_sql() -> str:
+    """DuckDB oracle for dedup_keep_best_incremental: the incremental
+    pair CTE (_minhash_incr_oracle_sql verbatim — batch %5==0 vs the
+    corpus, est-verified), a recursive-CTE connected components over
+    those pairs (stored endpoints are their OWN labels under the
+    singleton prior the driver query stages), the shared quality
+    ladder for every doc, and the new_cluster/displaces/joins verdict
+    window."""
+    return f"""
+    WITH RECURSIVE pv AS ({_minhash_incr_oracle_sql()}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pv
+      UNION
+      SELECT id_b, id_a FROM pv
+    ),
+    reach(id, lab) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+    ),
+    cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+    d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS toks,
+             length(t) AS n_chars,
+             length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(toks, w -> w <> '')) AS n_tokens,
+             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+             {_lang_ratios_sql()}
+      FROM base
+    ),
+    q AS (
+      SELECT doc_id, {_QUALITY_LADDER_SQL} AS quality
+      FROM (SELECT *, n_chars / greatest(n_tokens, 1) AS mean_wlen FROM m)
+    ),
+    lab AS (
+      SELECT b.doc_id, coalesce(cc.comp, b.doc_id) AS cluster_id, b.quality
+      FROM (SELECT * FROM q WHERE doc_id % 5 = 0) b
+      LEFT JOIN cc ON cc.id = b.doc_id
+    ),
+    sbest AS (
+      SELECT cc.comp AS cluster_id, max(q.quality) AS _sbest
+      FROM cc JOIN q ON q.doc_id = cc.id
+      WHERE cc.id % 5 != 0
+      GROUP BY cc.comp
+    ),
+    r AS (
+      SELECT lab.doc_id, lab.cluster_id, lab.quality, sbest._sbest,
+             row_number() OVER (PARTITION BY lab.cluster_id
+                                ORDER BY lab.quality DESC, lab.doc_id) AS rk
+      FROM lab LEFT JOIN sbest USING (cluster_id)
+    )
+    SELECT doc_id, cluster_id, quality,
+           CASE WHEN _sbest IS NULL THEN
+                  (CASE WHEN rk = 1 THEN 'new_cluster' ELSE 'joins' END)
+                WHEN rk = 1 AND quality > _sbest THEN 'displaces'
+                ELSE 'joins' END AS status
+    FROM r ORDER BY doc_id
+    """
+
+
+@query("dedup_keep_best_incremental", oracle=_keep_best_incr_oracle_sql())
+def dedup_keep_best_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental keeper maintenance — keep_best's O(batch) twin
+    (operators/dedup.py keep_best_incremental): tonight's batch
+    (doc_id %5==0) is classified against the standing corpus through
+    the PERSISTED signature store (no corpus text reads) and the
+    accumulated cluster state (here the singleton prior: every corpus
+    doc its own keeper — the state after ingesting a near-dup-free
+    corpus; the operator takes arbitrary prior state).  Each batch doc
+    gets new_cluster / displaces (beats the touched keepers: ship it
+    and retire them) / joins (drop candidate).  DuckDB replays the
+    whole thing: incremental pairs, components, ladder, verdict."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus_sigs = D.minhash_signatures(
+        corpus, n_hashes=16, shingle_k=5, portable_hash=True
+    )
+    state = corpus.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").alias("cluster_id"),
+        T.quality_score(F.col("text")).alias("quality"),
+        F.lit(True).alias("is_keeper"),
+    )
+    out = D.keep_best_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        corpus_sigs,
+        state,
+        T.quality_score(F.col("text")),
+        n_hashes=16, bands=4, est_threshold=0.5, portable_hash=True,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_id", "quality", "status"
+    ).orderBy("doc_id")
+
+
 @query(
     "ann_batch_topk",
     oracle="""

@@ -208,3 +208,52 @@ def test_minhash_signature_array_form_matches_store(spark):
     assert got == store
     for sig in got.values():
         assert all(0 <= m < (1 << 31) for m in sig), sig
+
+
+def test_keep_best_incremental_verdicts(spark):
+    """The three verdicts on a hand-built scenario: a batch doc that
+    beats a stored keeper displaces it; one that doesn't joins; one
+    with no near-dup opens its own cluster; a doc bridging TWO stored
+    clusters must beat the BETTER keeper.  Texts are built so minhash
+    at est 0.5 links exactly the intended pairs."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dedup import (
+        keep_best_incremental,
+        minhash_signatures,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    base_b = "one two three four five six seven eight nine ten " * 8
+    uniq = "completely different content with no overlap at all " * 8
+    corpus = spark.createDataFrame(
+        [(10, base_a), (20, base_b)], "doc_id bigint, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base_a + " tail"),   # near-dup of 10
+            (102, uniq),               # no near-dup anywhere
+        ],
+        "doc_id bigint, text string",
+    )
+    sigs = minhash_signatures(corpus, n_hashes=16, shingle_k=5, portable_hash=True)
+    # stored state: 10 is keeper with LOW quality, 20 keeper high
+    state = spark.createDataFrame(
+        [(10, 10, 0.2, True), (20, 20, 0.9, True)],
+        "id bigint, cluster_id bigint, quality double, is_keeper boolean",
+    )
+    # batch qualities injected as a column expression keyed by id
+    q = (
+        F.when(F.col("doc_id") == 101, 0.8)   # beats keeper 10 (0.2)
+        .otherwise(F.lit(0.5))
+    )
+    out = {
+        r.id: r
+        for r in keep_best_incremental(
+            batch, sigs, state, q,
+            n_hashes=16, bands=4, est_threshold=0.5, portable_hash=True,
+        ).collect()
+    }
+    assert out[101].status == "displaces", out[101]
+    assert out[101].cluster_id == 10
+    assert out[102].status == "new_cluster" and out[102].cluster_id == 102
