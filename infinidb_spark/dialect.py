@@ -873,12 +873,22 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     "(a AND NOT b) OR (NOT a AND b)"
                 )
             if upper in ("LEAST", "GREATEST") and not _qualified:
-                # MySQL null-strict semantics — see _extreme_sql
+                # MySQL null-strict semantics — see _extreme_sql.
+                # Subquery arguments pass through NATIVE least/greatest
+                # (documented divergence: null-skip instead of
+                # null-strict): Spark rejects subquery expressions
+                # inside the higher-order bind, and a CASE-based
+                # fallback would break translator idempotency.
                 op = _next_code(toks, i + 1)
                 if op is not None and toks[op] == ("sym", "("):
                     close = _match_paren(toks, op)
                     parts = _split_args(toks[op + 1 : close])
-                    if len(parts) >= 2:
+                    has_subquery = any(
+                        t[0] == "word" and t[1].upper() == "SELECT"
+                        for p in parts
+                        for t in p
+                    )
+                    if len(parts) >= 2 and not has_subquery:
                         args = [
                             "(" + render(_rewrite(p)).strip() + ")" for p in parts
                         ]

@@ -493,6 +493,22 @@ def minhash_lsh_pairs_incremental(
     )
 
 
+def _maybe_broadcast(labels: DataFrame) -> DataFrame:
+    """Broadcast a connected-components label relation while small.
+
+    The relation is localCheckpointed inside the CC loop, so Catalyst
+    has no stats and would sort-merge-join the corpus against it.  The
+    scalar count is over the already-materialized checkpoint (bounded
+    by docs-in-pairs).  Cap: 16 raw bytes/row of (id, cluster_id)
+    longs against a 16 MB raw budget — the JVM HashedRelation
+    footprint runs 3-5× raw, so this keeps the materialized build
+    ≤ ~80 MB, within the 64 MB-raw PM-join posture.  Past the cap the
+    shuffle join is the correct shape."""
+    if labels.count() * 16 < 16 * 1024 * 1024:
+        return F.broadcast(labels)
+    return labels
+
+
 def keep_best_in_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -518,15 +534,7 @@ def keep_best_in_clusters(
     """
     from pyspark.sql import Window
 
-    labels = connected_components(pairs)
-    # the label relation is localCheckpointed inside the CC loop, so
-    # Catalyst has no stats and would sort-merge-join the corpus
-    # against it; broadcast explicitly while it fits the PM-join cap
-    # (16 bytes/row of (id, cluster_id) longs — the count is a scalar
-    # over the already-materialized checkpoint, bounded by
-    # docs-in-pairs).  Past the cap the shuffle join is correct.
-    if labels.count() * 16 < 48 * 1024 * 1024:
-        labels = F.broadcast(labels)
+    labels = _maybe_broadcast(connected_components(pairs))
     scored = df.select(F.col(id_col).alias("id"), quality.alias("quality"))
     joined = scored.join(labels, "id", "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
@@ -567,12 +575,17 @@ def keep_best_incremental(
     clusters merges their labels for the verdict (max of their keeper
     qualities is the bar to beat).
 
-    Returns one row per NEW doc: (id, cluster_id, quality, status) —
+    Returns one row per NEW doc:
+    (id, cluster_id, quality, status, stored_keeper) —
     ``new_cluster`` (no near-dup anywhere: the doc opens, and keeps,
     its own cluster; within a new-only component only its best doc is
     the opener), ``displaces`` (it beats the touched clusters' best
-    stored keeper: ship it AND retire that keeper), or ``joins``
-    (near-dup of something better: a drop candidate)."""
+    stored keeper: ship it AND retire ``stored_keeper``), or ``joins``
+    (near-dup of something better: a drop candidate).
+    ``stored_keeper`` is the BEST stored keeper of the touched
+    component (smallest id on quality ties), NULL for new-only
+    components — exposed because the component label may be a batch
+    id, so the caller needs it to retire / relabel stored state."""
     from pyspark.sql import Window
 
     pairs = minhash_lsh_pairs_incremental(
@@ -596,23 +609,32 @@ def keep_best_incremental(
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    labels = connected_components(edges)
-    if labels.count() * 16 < 48 * 1024 * 1024:  # see keep_best_in_clusters
-        labels = F.broadcast(labels)
+    labels = _maybe_broadcast(connected_components(edges))
 
     scored = new_df.select(F.col(id_col).alias("id"), quality.alias("quality"))
     lab = scored.join(labels, "id", "left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col("id"))
     )
-    # best STORED keeper quality per touched component: stored-label
-    # nodes inside the CC graph joined back to their keeper's quality
+    # best STORED keeper (quality, then smallest id) per touched
+    # component: stored-label nodes inside the CC graph joined back to
+    # their keeper's quality — its IDENTITY is exposed because the
+    # component label may be a batch id
     keepers = cluster_state.filter(F.col("is_keeper")).select(
         F.col("cluster_id").alias("_slab"), F.col("quality").alias("_sq")
     )
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.col("_sq").desc(), F.col("_slab")
+    )
     stored_best = (
         labels.join(keepers, labels["id"] == keepers["_slab"])
-        .groupBy(labels["cluster_id"])
-        .agg(F.max("_sq").alias("_sbest"))
+        .select(labels["cluster_id"], "_slab", "_sq")
+        .withColumn("_kr", F.row_number().over(wk))
+        .filter(F.col("_kr") == 1)
+        .select(
+            "cluster_id",
+            F.col("_sq").alias("_sbest"),
+            F.col("_slab").alias("stored_keeper"),
+        )
     )
     w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("id"))
     out = (
@@ -630,7 +652,9 @@ def keep_best_incremental(
         )
         .otherwise(F.lit("joins"))
     )
-    return out.select("id", "cluster_id", "quality", status.alias("status"))
+    return out.select(
+        "id", "cluster_id", "quality", status.alias("status"), "stored_keeper"
+    )
 
 
 def dedup_exact_incremental(

@@ -662,6 +662,35 @@ def _lang_best_sql() -> str:
     )
 
 
+def _quality_base_cte(doc_filter: str) -> str:
+    """The shared ``d``/``base``/``m`` CTE block: normalized text,
+    token list, char/punct counts, per-language stopword ratios —
+    everything the quality ladder and lang pick read.  ONE copy for
+    every oracle replaying operators/text.py scoring (keep_best,
+    keep_best_incremental, streaming_quality_gate); text_analyze keeps
+    its extended variant (extra subword/fingerprint inputs)."""
+    return f"""d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE {doc_filter}
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(t, '\\s+') AS toks,
+             length(t) AS n_chars,
+             length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
+      FROM d
+    ),
+    m AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(toks, w -> w <> '')) AS n_tokens,
+             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+             {_lang_ratios_sql()}
+      FROM base
+    )"""
+
+
+#: the FROM-clause wrapper exposing mean_wlen to the ladder
+_LADDER_INPUT_SQL = "(SELECT *, n_chars / greatest(n_tokens, 1) AS mean_wlen FROM m)"
+
 #: the composite quality CASE ladder over (n_chars, punct_ratio, sr_en,
 #: mean_wlen) — operators/text.py quality_score verbatim
 _QUALITY_LADDER_SQL = """round((
@@ -1820,26 +1849,10 @@ def _keep_best_oracle_sql() -> str:
       SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
     ),
     cc AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
-    d AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-      FROM documents WHERE doc_id < 500
-    ),
-    base AS (
-      SELECT doc_id, string_split_regex(t, '\\s+') AS toks,
-             length(t) AS n_chars,
-             length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
-      FROM d
-    ),
-    m AS (
-      SELECT doc_id, n_chars,
-             len(list_filter(toks, w -> w <> '')) AS n_tokens,
-             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
-             {_lang_ratios_sql()}
-      FROM base
-    ),
+    {_quality_base_cte("doc_id < 500")},
     q AS (
       SELECT doc_id, {_QUALITY_LADDER_SQL} AS quality
-      FROM (SELECT *, n_chars / greatest(n_tokens, 1) AS mean_wlen FROM m)
+      FROM {_LADDER_INPUT_SQL}
     ),
     lab AS (
       SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id, q.quality
@@ -2319,26 +2332,10 @@ def _keep_best_incr_oracle_sql() -> str:
       SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
     ),
     cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
-    d AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-      FROM documents
-    ),
-    base AS (
-      SELECT doc_id, string_split_regex(t, '\\s+') AS toks,
-             length(t) AS n_chars,
-             length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
-      FROM d
-    ),
-    m AS (
-      SELECT doc_id, n_chars,
-             len(list_filter(toks, w -> w <> '')) AS n_tokens,
-             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
-             {_lang_ratios_sql()}
-      FROM base
-    ),
+    {_quality_base_cte("TRUE")},
     q AS (
       SELECT doc_id, {_QUALITY_LADDER_SQL} AS quality
-      FROM (SELECT *, n_chars / greatest(n_tokens, 1) AS mean_wlen FROM m)
+      FROM {_LADDER_INPUT_SQL}
     ),
     lab AS (
       SELECT b.doc_id, coalesce(cc.comp, b.doc_id) AS cluster_id, b.quality
@@ -2346,13 +2343,18 @@ def _keep_best_incr_oracle_sql() -> str:
       LEFT JOIN cc ON cc.id = b.doc_id
     ),
     sbest AS (
-      SELECT cc.comp AS cluster_id, max(q.quality) AS _sbest
-      FROM cc JOIN q ON q.doc_id = cc.id
-      WHERE cc.id % 5 != 0
-      GROUP BY cc.comp
+      SELECT cluster_id, _sbest, stored_keeper FROM (
+        SELECT cc.comp AS cluster_id, q.quality AS _sbest,
+               cc.id AS stored_keeper,
+               row_number() OVER (PARTITION BY cc.comp
+                                  ORDER BY q.quality DESC, cc.id) AS kr
+        FROM cc JOIN q ON q.doc_id = cc.id
+        WHERE cc.id % 5 != 0
+      ) WHERE kr = 1
     ),
     r AS (
-      SELECT lab.doc_id, lab.cluster_id, lab.quality, sbest._sbest,
+      SELECT lab.doc_id, lab.cluster_id, lab.quality,
+             sbest._sbest, sbest.stored_keeper,
              row_number() OVER (PARTITION BY lab.cluster_id
                                 ORDER BY lab.quality DESC, lab.doc_id) AS rk
       FROM lab LEFT JOIN sbest USING (cluster_id)
@@ -2361,7 +2363,8 @@ def _keep_best_incr_oracle_sql() -> str:
            CASE WHEN _sbest IS NULL THEN
                   (CASE WHEN rk = 1 THEN 'new_cluster' ELSE 'joins' END)
                 WHEN rk = 1 AND quality > _sbest THEN 'displaces'
-                ELSE 'joins' END AS status
+                ELSE 'joins' END AS status,
+           stored_keeper
     FROM r ORDER BY doc_id
     """
 
@@ -2397,7 +2400,8 @@ def dedup_keep_best_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=16, bands=4, est_threshold=0.5, portable_hash=True,
     )
     return out.select(
-        F.col("id").alias("doc_id"), "cluster_id", "quality", "status"
+        F.col("id").alias("doc_id"), "cluster_id", "quality", "status",
+        "stored_keeper",
     ).orderBy("doc_id")
 
 
@@ -2526,28 +2530,12 @@ def _quality_gate_oracle_sql(
     with the gate's first-failing-rule verdict."""
     in_langs = ", ".join(f"'{lg}'" for lg in langs)
     return f"""
-    WITH d AS (
-      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-      FROM documents WHERE {doc_filter}
-    ),
-    base AS (
-      SELECT doc_id, string_split_regex(t, '\\s+') AS toks,
-             length(t) AS n_chars,
-             length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct
-      FROM d
-    ),
-    m AS (
-      SELECT doc_id, n_chars,
-             len(list_filter(toks, w -> w <> '')) AS n_tokens,
-             CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
-             {_lang_ratios_sql()}
-      FROM base
-    ),
+    WITH {_quality_base_cte(doc_filter)},
     scored AS (
       SELECT doc_id,
              list_sort([{_lang_best_sql()}])[-1] AS best,
              {_QUALITY_LADDER_SQL} AS quality
-      FROM (SELECT *, n_chars / greatest(n_tokens, 1) AS mean_wlen FROM m)
+      FROM {_LADDER_INPUT_SQL}
     ),
     v AS (
       SELECT doc_id, quality,

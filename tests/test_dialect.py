@@ -906,4 +906,5 @@ def test_least_greatest_translation_idempotent():
     for sql in ["SELECT LEAST(a, b, c) FROM t", "SELECT GREATEST(a, b) FROM t"]:
         once = translate_mysql(sql)
         assert translate_mysql(once) == once
-        assert "least(" not in once.lower() or "transform" in once
+        low = once.lower()
+        assert "least(" not in low and "greatest(" not in low

@@ -256,4 +256,48 @@ def test_keep_best_incremental_verdicts(spark):
     }
     assert out[101].status == "displaces", out[101]
     assert out[101].cluster_id == 10
+    assert out[101].stored_keeper == 10  # the keeper to retire
     assert out[102].status == "new_cluster" and out[102].cluster_id == 102
+    assert out[102].stored_keeper is None
+
+
+def test_keep_best_incremental_joins_bridge_and_small_ids(spark):
+    """'joins' when the batch doc does NOT beat the stored keeper; a
+    batch doc BRIDGING two stored clusters must beat the BETTER keeper
+    and report IT as stored_keeper; and a batch id SMALLER than the
+    stored labels (so the component label is the batch id) still
+    resolves the stored keeper to retire."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dedup import (
+        keep_best_incremental,
+        minhash_signatures,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    base_b = base_a + " coda one two three"   # near-dup of base_a
+    corpus = spark.createDataFrame(
+        [(10, base_a), (20, base_b)], "doc_id bigint, text string"
+    )
+    # stored state: TWO clusters (10 low-quality keeper, 20 high)
+    state = spark.createDataFrame(
+        [(10, 10, 0.2, True), (20, 20, 0.9, True)],
+        "id bigint, cluster_id bigint, quality double, is_keeper boolean",
+    )
+    sigs = minhash_signatures(corpus, n_hashes=16, shingle_k=5, portable_hash=True)
+    # batch doc 3: id SMALLER than both labels, near-dups BOTH clusters
+    batch = spark.createDataFrame(
+        [(3, base_a + " tail")], "doc_id bigint, text string"
+    )
+    for q, want_status in ((0.5, "joins"), (0.95, "displaces")):
+        out = keep_best_incremental(
+            batch, sigs, state, F.lit(q),
+            n_hashes=16, bands=4, est_threshold=0.5, portable_hash=True,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # bridged both stored clusters: label is the min node = batch id
+        assert r.cluster_id == 3, r
+        # the bar (and the keeper identity) is the BETTER keeper: 20
+        assert r.stored_keeper == 20, r
+        assert r.status == want_status, (q, r)

@@ -307,7 +307,7 @@ def test_multi_table_update_existential_where(spark):
     assert row == 5
 
 
-def test_keep_best_single_keeper_window_shuffle(spark, sf_dir):
+def test_keep_best_single_keeper_window_shuffle(spark):
     """keep_best_in_clusters: ONE hash-partitioned window on cluster_id
     picks the keeper — no sort-merge join of the corpus against itself,
     no cartesian, and the corpus join on id broadcasts the (small)
@@ -330,7 +330,7 @@ def test_keep_best_single_keeper_window_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "label relation should broadcast"
 
 
-def test_quality_gate_routing_is_map_only(spark, sf_dir):
+def test_quality_gate_routing_is_map_only(spark):
     """The streaming gate's per-batch scoring+routing must be MAP-ONLY:
     no Exchange (shuffle) anywhere — per-epoch work is O(batch) with no
     state store at any scale."""
@@ -340,10 +340,10 @@ def test_quality_gate_routing_is_map_only(spark, sf_dir):
         [(1, "the and is of to good text"), (2, "zz")],
         "doc_id bigint, text string",
     )
+    from pyspark.sql import functions as F
+
     scored = score_and_route(docs, 0.6, ("en",))
     for side in ("accepted", "rejected"):
-        from pyspark.sql import functions as F
-
         part = scored.filter(
             (F.col("status") == "accepted")
             if side == "accepted"
