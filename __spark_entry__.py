@@ -86,6 +86,7 @@ _PRIORITY = [
     "dedup_keep_best",
     "streaming_quality_gate",
     "dedup_keep_best_incremental",
+    "embedding_random_projection",
     # ── latest driver row r03 (44 queries, 4 rounds stale) ──
     "dedup_minhash_lsh", "ann_ivf_topk", "agg_decimal_exact",
     "quantified_subquery", "group_concat_ordered", "multimodal_resize",

@@ -87,6 +87,60 @@ def quant_abs_errors(vec: Column, scale: Column) -> Column:
     return F.transform(v, lambda x: F.abs(x - F.floor(x / scale + F.lit(0.5)) * scale))
 
 
+def projection_signs(
+    out_dim: int, in_dim: int, seed: int = 0x9E3779B9
+) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for JL random projection (Achlioptas
+    sign construction) — same LCG discipline as dedup._hash_params, so
+    executor, driver, and DuckDB oracle share one matrix by SEED, never
+    by shipping state."""
+    rows: list[list[float]] = []
+    state = seed
+    for _ in range(out_dim):
+        row: list[float] = []
+        for _ in range(in_dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (state >> 32) & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    vec: Column, out_dim: int, in_dim: int, seed: int = 0x9E3779B9
+) -> Column:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims —
+    the train-free dimensionality cut for ANN candidate generation
+    (project → bucket/search in k dims → rerank survivors in full
+    dims): a 64→8 cut shrinks the distance work 8× while JL bounds the
+    pairwise-distance distortion.
+
+    Map-only per-row expression like everything in this module: the
+    sign matrix is ONE parsed literal (no per-cell py4j traffic — see
+    the MinHash F.expr lesson, operators/dedup.py), the projection a
+    transform/zip_with fold, scaled 1/sqrt(out_dim).  Left-fold order
+    and sign-by-multiplication are IEEE-identical to the oracle's
+    ``± e[i]`` term chain, so results are bit-reproducible."""
+    import math
+
+    v = _d(vec)
+    rows = projection_signs(out_dim, in_dim, seed)
+    m = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")" for row in rows
+        )
+        + ")"
+    )
+    inv = 1.0 / math.sqrt(out_dim)
+    return F.transform(
+        m,
+        lambda r: F.aggregate(
+            F.zip_with(r, v, lambda s, x: s * x), F.lit(0.0), lambda a, b: a + b
+        )
+        * F.lit(inv),
+    )
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,

@@ -1391,6 +1391,56 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_oracle_sql(out_dim: int = 8, in_dim: int = 64) -> str:
+    """DuckDB oracle for embedding_random_projection: the SAME seeded
+    sign matrix (operators/embeddings.py projection_signs) rendered as
+    ``± v[i]`` term chains — left-fold order and sign-by-subtraction
+    are IEEE-identical to the Spark fold, so values match bit-for-bit
+    before the shared 6-dp round."""
+    import math
+
+    from infinidb_spark.operators.embeddings import projection_signs
+
+    inv = repr(1.0 / math.sqrt(out_dim))
+    dims = []
+    for j, row in enumerate(projection_signs(out_dim, in_dim)):
+        # the chain starts at 0.0 because Spark's aggregate folds from
+        # a 0.0 seed — ((0.0 ± v1) ± v2) ... keeps the IEEE order
+        # identical on both engines
+        chain = "0.0 " + " ".join(
+            f"{'+' if s > 0 else '-'} v[{i + 1}]" for i, s in enumerate(row)
+        )
+        dims.append(
+            f"SELECT vec_id, {j} AS dim, round(({chain}) * {inv}, 6) AS value FROM v"
+        )
+    union = " UNION ALL ".join(dims)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT vec_id, dim, value FROM ({union})
+    ORDER BY vec_id, dim
+    """
+
+
+@query("embedding_random_projection", oracle=_rp_oracle_sql())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (operators/embeddings.py
+    random_projection): the train-free 64→8 dimensionality cut for ANN
+    candidate generation, exposed per (vec_id, dim) so the hash compare
+    sees scalars.  Seeded sign matrix shared with the oracle; the fold
+    is IEEE-deterministic, 6-dp round on both sides."""
+    from infinidb_spark.operators import embeddings as E
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    proj = E.random_projection(F.col("embedding"), out_dim=8, in_dim=64)
+    return (
+        emb.select("vec_id", F.posexplode(proj).alias("dim", "value"))
+        .select("vec_id", "dim", F.round("value", 6).alias("value"))
+        .orderBy("vec_id", "dim")
+    )
+
+
 @query(
     "embedding_quantize",
     oracle="""

@@ -197,3 +197,43 @@ def test_semantic_dedup_incremental_contract(spark, sf_dir):
     for r in solo:
         if r.is_dup:
             assert 150 <= r.rep_id < r.vec_id  # new-vs-new only
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL sanity: the 64→8 sign projection preserves pairwise squared
+    distances within a loose distortion band on real vectors (the
+    guarantee that makes project-then-rerank a valid ANN candidate
+    generator), and the matrix is seed-deterministic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.embeddings import (
+        projection_signs,
+        random_projection,
+    )
+
+    assert projection_signs(4, 8) == projection_signs(4, 8)
+    assert projection_signs(4, 8) != projection_signs(4, 8, seed=7)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 40
+    )
+    rows = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        random_projection(F.col("embedding"), out_dim=8, in_dim=64).alias("p"),
+    ).collect()
+    by_id = {r.vec_id: r for r in rows}
+    ids = sorted(by_id)
+    ratios = []
+    for a, b in zip(ids[:-1], ids[1:]):
+        d_full = sum((x - y) ** 2 for x, y in zip(by_id[a].v, by_id[b].v))
+        d_proj = sum((x - y) ** 2 for x, y in zip(by_id[a].p, by_id[b].p))
+        if d_full > 1e-9:
+            ratios.append(d_proj / d_full)
+    # individual pairs vary (k=8 is small); the MEAN ratio must sit
+    # near 1 (unbiasedness of the sign projection estimator)
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.4, mean
+    assert all(r > 0.05 for r in ratios), min(ratios)
