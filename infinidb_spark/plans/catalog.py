@@ -59,7 +59,7 @@ def register_system_catalog(spark: SparkSession) -> None:
            CAST(sum(CASE WHEN data_type IN ('BIGINT', 'INTEGER') THEN 1 ELSE 0 END) AS BIGINT) AS n_int
     FROM information_schema.columns
     WHERE table_name IN ('lineitem', 'orders', 'customer', 'nation', 'region')
-    GROUP BY table_name ORDER BY table_name
+    GROUP BY table_name ORDER BY tablename
     """,
 )
 def system_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -142,7 +142,7 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem
 WHERE l_orderkey <= 400
   AND {_TIME_EXPR} > '10:00:00'
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_orderkey, l_linenumber, t_secs, price_u, q_round
 """
 
 
@@ -164,7 +164,7 @@ ORDER BY l_orderkey, l_linenumber
       WHERE l_orderkey <= 400
     )
     SELECT * FROM t WHERE t_time > '10:00:00'
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, t_secs, price_u, q_round
     """,
 )
 def mysql_dialect_cast(spark: SparkSession, sf_dir: str) -> DataFrame:

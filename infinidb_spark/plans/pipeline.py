@@ -206,7 +206,7 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT doc_id, source,
                string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS words
-        FROM documents WHERE doc_id < 120
+        FROM documents
       )
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -218,11 +218,15 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard pairs within a prefilter bucket (source)."""
+    """Word-3-gram Jaccard pairs within a prefilter bucket (source).
+
+    Runs over the full documents table (no doc_id prefilter): the
+    synthetic data carries planted near-dup pairs spread across the id
+    space, so a narrow range attests vacuously (0 = 0 rows).  At sf0.01
+    the result is non-empty (pinned in tests/test_pipeline_queries.py).
+    """
     (docs,) = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(
-        docs.filter(F.col("doc_id") < 120), n=3, threshold=0.2, prefilter_col="source"
-    )
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, prefilter_col="source")
 
 
 @query(
@@ -1119,7 +1123,7 @@ def _pq_oracle_sql(m: int = 8, k: int = 8, d0: int = 8, stride: int = 50) -> str
            CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
            CAST(count(*) AS BIGINT)             AS n_vectors,
            round(avg(d), 6)                     AS avg_err2
-    FROM a2 GROUP BY s ORDER BY s
+    FROM a2 GROUP BY s ORDER BY subspace
     """
 
 
@@ -1596,7 +1600,7 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(s.n_shared / CAST(t.n_grams AS DOUBLE), 6) AS overlap
     FROM shared s JOIN totals t USING (doc_id)
     WHERE s.n_shared >= 20
-    ORDER BY overlap DESC, s.doc_id
+    ORDER BY overlap DESC, doc_id
     """,
 )
 def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2090,7 +2094,7 @@ _KMEANS_CTE = """
     SELECT cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_vectors,
            round(avg(sim), 6) AS cohesion
-    FROM a2 GROUP BY cid ORDER BY cid
+    FROM a2 GROUP BY cid ORDER BY cluster_id
     """,
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -498,7 +498,8 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,9 +507,14 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: ANTI join flag (``dbcon/joblist/joblisttypes.h:83-95``),
     ``doNonCorrelatedExists`` (``jlf_subquery.cpp:359``).
+
+    The subquery is price-restricted so the anti side is non-empty at
+    every test SF — the unrestricted form returned 0 rows at sf0.01
+    (every customer has an order), which attests vacuously.
     """
     customer, orders = _t(spark, sf_dir, "customer", "orders")
-    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+    big = orders.filter(F.col("o_totalprice") > 400000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
