@@ -76,34 +76,12 @@ SF0_001 = "/root/testdata/sf0.001"
 # slotted directly after the stalest block so they get first verdicts in
 # the same window.
 _PRIORITY = [
-    # ── never driver-checked (added r06; the r06 window cut off before
-    # them) — first verdicts lead the r07 window ──
-    "text_lang_id",
-    "concurrent_dml_disjoint",
-    "manifest_sharded_scan",
-    # ── added round 7 — never driver-checked ──
-    "mysql_dialect_cast",
-    "dedup_keep_best",
-    "streaming_quality_gate",
-    "dedup_keep_best_incremental",
-    "embedding_random_projection",
-    # ── latest driver row r03 (44 queries, 4 rounds stale) ──
-    "dedup_minhash_lsh", "ann_ivf_topk", "agg_decimal_exact",
-    "quantified_subquery", "group_concat_ordered", "multimodal_resize",
-    "embedding_quantize", "corpus_mixture", "outfile_export_roundtrip",
-    "tpch_q3", "tpch_q5", "tpch_q10", "events_cohort_retention",
-    "eval_decontamination", "corpus_curation_pipeline",
-    "jsonl_load_roundtrip", "orc_storage_parity", "ref_avg_battery",
-    "events_anomaly_zscore", "data_profile_histogram",
-    "events_strict_funnel", "orders_week_over_week", "ref_scan_order",
-    "ref_filter_count", "ref_small_side_count", "ref_outer_left",
-    "ref_outer_right", "ref_ordered_hint_join", "ref_pricing_summary",
-    "ref_part_join_count", "ref_join_agg", "ref_discount_groups",
-    "part_lineitem_agg", "func_time", "mysql_dialect_datetime",
-    "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
-    "func_string", "func_datetime", "func_control", "func_json",
-    "dedup_simhash", "dedup_ngram_jaccard",
-    # ── latest driver row r04 (43 queries) ──
+    # ── r08 window leads: the two r03-stale stragglers the r07 window
+    # cut, then the red r07 row (values verified equal; its ORDER BY was
+    # made total this round so the driver hash can re-attest green) ──
+    "dedup_ngram_jaccard", "dedup_simhash", "mysql_dialect_cast",
+    # ── new round-8 queries slot here (never driver-checked) ──
+    # ── latest driver row r04 (43 queries, 4 rounds stale) ──
     "tpch_q1", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
     "dedup_simhash_portable", "ann_cosine_topk", "ann_lsh_topk",
     "text_quality", "text_analyze", "text_analyze_portable",
@@ -114,10 +92,10 @@ _PRIORITY = [
     "date_format_week_tokens", "data_validation",
     "similarity_pairs_bucketed", "dedup_embedding_cosine",
     "multimodal_frame_plan", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22",
-    "events_sliding_window", "events_json_funnel",
-    # ── latest driver row r05 (50 queries, freshest) ──
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22", "events_sliding_window",
+    "events_json_funnel",
+    # ── latest driver row r05 (50 queries) ──
     "ref_scan_range_order", "ref_point_lookup", "ref_agg_battery_wide",
     "ref_pm_join_ranges", "ref_um_join_ranges", "ref_single_avg",
     "ref_groupby_minmax_str", "ref_count_int_probe", "ref_global_min",
@@ -132,12 +110,11 @@ _PRIORITY = [
     "dataset_stratified_split", "streaming_click_view_join",
     "streaming_running_totals", "dedup_semantic", "streaming_ann_ingest",
     "char_null_semantics", "dedup_semantic_incremental", "dedup_hybrid",
-    "xml_load_roundtrip", "events_variant_props",
-    "pivot_unpivot_roundtrip", "lateral_topn_per_group",
-    "extent_elimination_scan", "mysql_ddl_alter", "mysql_dialect_query",
-    "bulk_load_csv_roundtrip", "dedup_exact", "dedup_minhash_portable",
-    # ── latest driver row r06 (50 queries, freshest — the relational /
-    # window / function base set plus ann_recall_attest) ──
+    "xml_load_roundtrip", "events_variant_props", "pivot_unpivot_roundtrip",
+    "lateral_topn_per_group", "extent_elimination_scan", "mysql_ddl_alter",
+    "mysql_dialect_query", "bulk_load_csv_roundtrip", "dedup_exact",
+    "dedup_minhash_portable",
+    # ── latest driver row r06 (50 queries) ──
     "q1_pricing_summary", "scan_filter_project", "filter_between_in_like",
     "filter_regexp_null", "filter_col_vs_col", "filter_expression",
     "constant_select", "groupby_join_agg", "agg_distinct", "agg_stats",
@@ -153,6 +130,24 @@ _PRIORITY = [
     "window_range_frame", "window_navigation", "window_stats",
     "window_distinct_agg", "percentiles_within_group", "window_regr",
     "func_math", "ann_recall_attest",
+    # ── latest driver row r07 (freshest) ──
+    "text_lang_id", "concurrent_dml_disjoint", "manifest_sharded_scan",
+    "dedup_keep_best", "streaming_quality_gate",
+    "dedup_keep_best_incremental", "embedding_random_projection",
+    "dedup_minhash_lsh", "ann_ivf_topk", "agg_decimal_exact",
+    "quantified_subquery", "group_concat_ordered", "multimodal_resize",
+    "embedding_quantize", "corpus_mixture", "outfile_export_roundtrip",
+    "tpch_q3", "tpch_q5", "tpch_q10", "events_cohort_retention",
+    "eval_decontamination", "corpus_curation_pipeline",
+    "jsonl_load_roundtrip", "orc_storage_parity", "ref_avg_battery",
+    "events_anomaly_zscore", "data_profile_histogram",
+    "events_strict_funnel", "orders_week_over_week", "ref_scan_order",
+    "ref_filter_count", "ref_small_side_count", "ref_outer_left",
+    "ref_outer_right", "ref_ordered_hint_join", "ref_pricing_summary",
+    "ref_part_join_count", "ref_join_agg", "ref_discount_groups",
+    "part_lineitem_agg", "func_time", "mysql_dialect_datetime",
+    "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
+    "func_string", "func_datetime", "func_control", "func_json",
 ]
 
 
