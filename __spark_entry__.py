@@ -81,6 +81,7 @@ _PRIORITY = [
     # made total this round so the driver hash can re-attest green) ──
     "dedup_ngram_jaccard", "dedup_simhash", "mysql_dialect_cast",
     # ── new round-8 queries slot here (never driver-checked) ──
+    "mysql_dialect_interval",
     # ── latest driver row r04 (43 queries, 4 rounds stale) ──
     "tpch_q1", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
     "dedup_simhash_portable", "ann_cosine_topk", "ann_lsh_topk",

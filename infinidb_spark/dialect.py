@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import re as _re
 
+from infinidb_spark.functions import intervals as _iv
 from infinidb_spark.functions.mysql_format import mysql_datetime_format_to_spark
 
 Token = tuple[str, str]  # (kind, text); kind ∈ ws|comment|string|bident|word|number|sym|code
@@ -457,6 +458,34 @@ _INTERVAL_UNITS = {
 }
 
 
+def _compound_interval(name: str, base: str, unit: str, qty: list[Token],
+                       plus: bool) -> list[Token]:
+    """``INTERVAL '<multi-field literal>' <compound unit>`` → the
+    make_interval sum the reference's dateAdd computes
+    (``utils/funcexp/func_date_add.cpp:173-246``).  The operand must be
+    a literal: the reference parses the operand STRING per row with
+    getNumbers, and in SQL text that string is a translate-time
+    constant — a non-literal operand has no MySQL-exact Spark rewrite,
+    so it is refused rather than guessed at."""
+    if len(qty) != 1 or qty[0][0] not in ("string", "number"):
+        raise DialectError(
+            f"{name}: compound INTERVAL {unit} needs a literal operand"
+        )
+    raw = _unquote(qty[0][1]) if qty[0][0] == "string" else qty[0][1]
+    nums = _iv.interval_numbers(raw, negate=not plus)
+    if not nums:
+        # reference: index <= 0 → "expression type is not supported"
+        raise DialectError(f"{name}: INTERVAL operand {raw!r} has no numbers")
+    slots = _iv.compound_slots(unit, nums)
+    if slots is None:
+        # more numbers than the unit has fields → reference returns
+        # datetime 0; surfaced as NULL
+        return [("code", "CAST(NULL AS TIMESTAMP)")]
+    # ANSI typed interval: DATE + day-time → TIMESTAMP (MySQL's DATE →
+    # DATETIME promotion), DATE + year-month stays DATE
+    return [("code", f"(({base}) + {_iv.ansi_interval_sql(unit, slots)})")]
+
+
 def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
     """DATE_ADD/DATE_SUB/ADDDATE/SUBDATE → interval arithmetic.
 
@@ -464,6 +493,8 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
     form (preserves DATE-ness); an expression n emits
     ``(n * mult) * INTERVAL '1' unit`` (Spark returns TIMESTAMP for
     day-time intervals — MySQL keeps DATE; acceptable drift, documented).
+    Compound units (HOUR_MINUTE, DAY_SECOND, …) take a literal
+    multi-field operand — see ``_compound_interval``.
     The 2-arg day form (``ADDDATE(d, n)``) maps to date_add/date_sub.
     """
     args = _split_args(inner)
@@ -471,9 +502,28 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
         raise DialectError(f"{name} expects 2 arguments")
     plus = name in ("DATE_ADD", "ADDDATE")
     base = render(args[0]).strip()
+    first = [t for t in args[0] if t[0] not in ("ws", "comment")]
+    if len(first) == 1 and first[0][0] == "string":
+        # MySQL coerces a string datetime operand; Spark resolves
+        # string + day-time interval but NOT string + year-month
+        base = f"CAST({base} AS TIMESTAMP)"
     second = [t for t in args[1] if t[0] not in ("ws", "comment")]
+    if (
+        len(second) == 1
+        and second[0][0] == "code"
+        and second[0][1].startswith(("INTERVAL ", "CAST(NULL AS INTERVAL"))
+    ):
+        # a compound INTERVAL the inner _rewrite already folded into an
+        # ANSI typed-interval literal; negation distributes over the
+        # field sum, so the external ± is exact for DATE_SUB too
+        op = "+" if plus else "-"
+        return [("code", f"(({base}) {op} {second[0][1]})")]
     if second and second[0][0] == "word" and second[0][1].upper() == "INTERVAL":
         unit_tok = second[-1]
+        if unit_tok[0] == "word" and unit_tok[1].upper() in _iv.COMPOUND_UNITS:
+            return _compound_interval(
+                name, base, unit_tok[1].upper(), second[1:-1], plus
+            )
         spec = _INTERVAL_UNITS.get(unit_tok[1].upper()) if unit_tok[0] == "word" else None
         if spec is None:
             raise DialectError(f"{name}: unsupported INTERVAL unit {unit_tok[1]!r}")
@@ -489,6 +539,29 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
         return [("code", f"(({base}) {op} {ival})")]
     fn = "date_add" if plus else "date_sub"
     return [("code", f"{fn}({base}, {render(args[1]).strip()})")]
+
+def _extract_func(inner: list[Token]) -> list[Token] | None:
+    """``EXTRACT(<field> FROM <expr>)`` — compound fields return the
+    reference's packed integers (``utils/funcexp/func_extract.cpp:
+    68-86``: DAY_HOUR → day*100+hour, …); EXTRACT(WEEK) uses MySQL week
+    mode 0 (``calc_mysql_week(y,m,d,0)``, func_extract.cpp:79) where
+    Spark's native extract would give ISO.  Single units return None
+    and pass through to Spark's extract unchanged."""
+    code = [(j, t) for j, t in enumerate(inner) if t[0] not in ("ws", "comment")]
+    if len(code) < 3 or code[0][1][0] != "word":
+        return None
+    if code[1][1][0] != "word" or code[1][1][1].upper() != "FROM":
+        return None
+    field = code[0][1][1].upper()
+    expr = render(inner[code[1][0] + 1 :]).strip()
+    if field in _iv.EXTRACT_PACKED:
+        body = _iv.EXTRACT_PACKED[field].format(x="e_")
+        bound = _bind1(f"CAST(({expr}) AS TIMESTAMP)", "e_", f"({body})")
+        return [("code", f"CAST({bound} AS BIGINT)")]
+    if field == "WEEK":
+        return [("code", _week_sql(f"(CAST(({expr}) AS TIMESTAMP))", 0))]
+    return None
+
 
 _FMT_FUNCS = {"DATE_FORMAT": "date_format", "TIME_FORMAT": "date_format",
               "STR_TO_DATE": "to_timestamp"}
@@ -1086,6 +1159,41 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     if tail is None or toks[tail] == ("sym", ";"):
                         i = matched[-1] + 1
                         continue
+            if upper == "INTERVAL":
+                # bare `expr ± INTERVAL '<lit>' <compound unit>` — the
+                # external ± distributes over the field sum, so the
+                # interval itself always parses with negate=False
+                lit = _next_code(toks, i + 1)
+                if lit is not None and toks[lit][0] in ("string", "number"):
+                    u = _next_code(toks, lit + 1)
+                    if (
+                        u is not None
+                        and toks[u][0] == "word"
+                        and toks[u][1].upper() in _iv.COMPOUND_UNITS
+                    ):
+                        unit_u = toks[u][1].upper()
+                        raw = (
+                            _unquote(toks[lit][1])
+                            if toks[lit][0] == "string"
+                            else toks[lit][1]
+                        )
+                        nums = _iv.interval_numbers(raw, negate=False)
+                        if not nums:
+                            raise DialectError(
+                                f"INTERVAL operand {raw!r} has no numbers"
+                            )
+                        slots = _iv.compound_slots(unit_u, nums)
+                        if slots is None:
+                            # overflowed field count → NULL interval
+                            # (reference dateAdd returns datetime 0)
+                            out.append(("code",
+                                        "CAST(NULL AS INTERVAL DAY TO SECOND)"))
+                        else:
+                            out.append(
+                                ("code", _iv.ansi_interval_sql(unit_u, slots))
+                            )
+                        i = u + 1
+                        continue
             nxt = _next_code(toks, i + 1)
             if nxt is not None and toks[nxt] == ("sym", "("):
                 close = _match_paren(toks, nxt)
@@ -1102,6 +1210,12 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.extend(_date_addsub(upper, inner))
                     i = close + 1
                     continue
+                if upper == "EXTRACT":
+                    hit = _extract_func(inner)
+                    if hit is not None:
+                        out.extend(hit)
+                        i = close + 1
+                        continue
                 if upper in ("WEEK", "YEARWEEK"):
                     out.extend(_week_func(upper, inner))
                     i = close + 1

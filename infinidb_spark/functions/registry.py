@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from infinidb_spark.functions import intervals as _iv
 from infinidb_spark.functions.mysql_format import mysql_datetime_format_to_spark
 
 FUNC_MAP: dict[str, Callable[..., Column]] = {}
@@ -607,9 +608,30 @@ def _unit_interval(n, unit: str) -> Column:
     return F.make_interval(**args)
 
 
+def _compound_interval_col(n, unit: str, negate: bool) -> Column:
+    """Typed-interval Column for a compound unit — reference dateAdd
+    (``utils/funcexp/func_date_add.cpp:173-246``): the operand must be
+    a literal (the reference parses the operand string with getNumbers;
+    a Column operand has no MySQL-exact Spark rewrite)."""
+    if isinstance(n, Column):
+        raise NotImplementedError(
+            f"compound INTERVAL {unit} needs a literal operand"
+        )
+    nums = _iv.interval_numbers(str(n), negate=negate)
+    if not nums:
+        raise ValueError(f"INTERVAL operand {n!r} has no numbers")
+    slots = _iv.compound_slots(unit, nums)
+    if slots is None:
+        # more numbers than fields → reference returns datetime 0
+        return F.expr("CAST(NULL AS INTERVAL DAY TO SECOND)")
+    return F.expr(_iv.ansi_interval_sql(unit, slots))
+
+
 @_reg("date_add", "adddate")
 def date_add(c, n, unit: str = "day") -> Column:
     c = _c(c)
+    if unit.upper() in _iv.COMPOUND_UNITS:
+        return c + _compound_interval_col(n, unit.upper(), negate=False)
     unit = unit.lower()
     if unit == "day" and not isinstance(n, Column):
         return F.date_add(c.cast("date"), n)
@@ -619,6 +641,10 @@ def date_add(c, n, unit: str = "day") -> Column:
 @_reg("date_sub", "subdate")
 def date_sub(c, n, unit: str = "day") -> Column:
     c = _c(c)
+    if unit.upper() in _iv.COMPOUND_UNITS:
+        # getNumbers negates each field for OP_SUB and addition is
+        # distributive over the field sum, so negate-at-parse ≡ c - ival
+        return c + _compound_interval_col(n, unit.upper(), negate=True)
     unit = unit.lower()
     if unit == "day" and not isinstance(n, Column):
         return F.date_sub(c.cast("date"), n)
@@ -717,6 +743,12 @@ def timestampdiff(unit: str, a, b) -> Column:
 
 @_reg("extract")
 def extract(field: str, c) -> Column:
+    f_u = field.upper()
+    if f_u in _iv.EXTRACT_PACKED:
+        # packed compound fields (func_extract.cpp:68-86):
+        # DAY_HOUR → day*100+hour, SECOND_MICROSECOND → sec*1e6+usec, …
+        x = f"CAST({_colname(c)} AS TIMESTAMP)"
+        return F.expr(f"CAST({_iv.EXTRACT_PACKED[f_u].format(x=x)} AS BIGINT)")
     return F.expr(f"extract({field} FROM {_colname(c)})")
 
 

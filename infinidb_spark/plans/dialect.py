@@ -215,6 +215,65 @@ def mysql_dialect_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mysql_dialect_interval",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(MIN(o_orderdate) AS TIMESTAMP)
+             + INTERVAL '1 day 2 hours 30 minutes'                        AS due_dm,
+           CAST(CAST(MAX(o_orderdate) AS DATE)
+             + INTERVAL '1 year 2 months' AS DATE)                        AS due_ym,
+           CAST(MIN(o_orderdate) AS TIMESTAMP)
+             - INTERVAL '1 hour 30 minutes'                               AS cut_hm,
+           CAST(day(CAST(MIN(o_orderdate) AS TIMESTAMP)
+                    + INTERVAL '26 days 13 hours 45 minutes 50 seconds') * 100
+                + hour(CAST(MIN(o_orderdate) AS TIMESTAMP)
+                       + INTERVAL '26 days 13 hours 45 minutes 50 seconds')
+                AS BIGINT)                                                AS x_dh,
+           CAST(year(MAX(o_orderdate)) * 100
+                + month(MAX(o_orderdate)) AS BIGINT)                      AS x_ym,
+           CAST(hour(CAST(MIN(o_orderdate) AS TIMESTAMP)
+                     + INTERVAL '9 hours 8 minutes 7 seconds') * 10000
+                + minute(CAST(MIN(o_orderdate) AS TIMESTAMP)
+                         + INTERVAL '9 hours 8 minutes 7 seconds') * 100
+                + second(CAST(MIN(o_orderdate) AS TIMESTAMP)
+                         + INTERVAL '9 hours 8 minutes 7 seconds')
+                AS BIGINT)                                                AS x_hs,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def mysql_dialect_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound INTERVAL units through the dialect front-end — the
+    round-7 verdict's one genuine surface gap.  DATE_ADD/DATE_SUB with
+    DAY_MINUTE / YEAR_MONTH / HOUR_MINUTE / DAY_SECOND / HOUR_SECOND
+    multi-field operands (ref ``utils/funcexp/func_date_add.cpp:
+    173-246``) and EXTRACT's packed compound fields DAY_HOUR /
+    YEAR_MONTH / HOUR_SECOND (ref ``utils/funcexp/func_extract.cpp:
+    68-86``).  MySQL's type promotion is pinned: DAY_MINUTE on a DATE
+    yields DATETIME (due_dm), YEAR_MONTH keeps DATE (due_ym).  The
+    oracle hand-writes the same arithmetic in DuckDB SQL."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(translate_mysql("""
+        SELECT o_orderstatus,
+               DATE_ADD(MIN(o_orderdate), INTERVAL '1 2:30' DAY_MINUTE)   AS due_dm,
+               DATE_ADD(CAST(MAX(o_orderdate) AS DATE),
+                        INTERVAL '1 2' YEAR_MONTH)                        AS due_ym,
+               DATE_SUB(MIN(o_orderdate), INTERVAL '1:30' HOUR_MINUTE)    AS cut_hm,
+               EXTRACT(DAY_HOUR FROM DATE_ADD(MIN(o_orderdate),
+                       INTERVAL '26 13:45:50' DAY_SECOND))                AS x_dh,
+               EXTRACT(YEAR_MONTH FROM MAX(o_orderdate))                  AS x_ym,
+               EXTRACT(HOUR_SECOND FROM DATE_ADD(MIN(o_orderdate),
+                       INTERVAL '9:08:07' HOUR_SECOND))                   AS x_hs,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """))
+
+
+@query(
     "date_format_week_tokens",
     oracle="""
     WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
