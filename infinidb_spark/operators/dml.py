@@ -44,6 +44,7 @@ import os
 import shutil
 import time
 import uuid
+from collections import OrderedDict
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -966,6 +967,46 @@ def _pinned_versions(table_dir: str) -> set[str]:
     return out
 
 
+#: directory-identity memo for _snapshot: {dir: (dir mtime_ns,
+#: {filename: (size, mtime_ns)}, [subdir names])}.  LRU-bounded like
+#: the sharded manifest's shard cache.
+_SNAP_CACHE: "OrderedDict[str, tuple[int, dict[str, tuple[int, int]], list[str]]]" = (
+    OrderedDict()
+)
+_SNAP_CACHE_MAX = 8192
+#: "racily clean" guard (the make/git idiom): a directory whose mtime
+#: is within this window of now is never trusted from cache NOR cached
+#: — a writer landing in the same timestamp tick after our scan would
+#: otherwise alias.  Quiescent directories (the historical bulk of a
+#: large table) are exactly the ones that hit the memo.
+_SNAP_RACY_NS = 500_000_000
+
+
+def _scan_dir(d: str) -> tuple[dict[str, tuple[int, int]], list[str]]:
+    """One directory's file identities + subdir names (os.walk parity:
+    dot-dirs skipped, symlinked dirs listed-but-not-descended, file
+    stats follow symlinks)."""
+    files: dict[str, tuple[int, int]] = {}
+    subdirs: list[str] = []
+    try:
+        with os.scandir(d) as it:
+            for de in it:
+                try:
+                    if de.is_dir(follow_symlinks=False):
+                        if not de.name.startswith("."):
+                            subdirs.append(de.name)
+                    elif de.is_dir(follow_symlinks=True):
+                        continue  # symlink to dir: os.walk doesn't recurse
+                    else:
+                        st = de.stat()
+                        files[de.name] = (st.st_size, st.st_mtime_ns)
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return files, sorted(subdirs)
+
+
 def _snapshot(table_dir: str) -> tuple[str, str, dict[str, tuple[int, int]]]:
     """(resolved version dir, content token, per-file identity map).
 
@@ -978,18 +1019,46 @@ def _snapshot(table_dir: str) -> tuple[str, str, dict[str, tuple[int, int]]]:
     The identity map ``{relpath: (size, mtime_ns)}`` is the same
     per-file identity the sharded manifest memoizes
     (manifest_sharded.py refresh); the conflict path diffs two of these
-    maps so it reads only CHANGED files, never the whole table."""
+    maps so it reads only CHANGED files, never the whole table.
+
+    Cost: O(directories) stat + O(changed-directory files) scandir per
+    statement, NOT O(files) — each directory's listing is memoized
+    against its mtime (every writer here creates/renames/unlinks
+    entries, which bumps the parent mtime; nothing writes parquet in
+    place).  The reference keeps its extent map memory-resident for the
+    same reason (``versioning/BRM/extentmap.h:116``): snapshot identity
+    must be consultable per-statement without touching the extents.
+    Directories modified within ``_SNAP_RACY_NS`` of now are rescanned
+    unconditionally, so a concurrent writer in the same timestamp tick
+    can never alias a stale listing."""
     real = os.path.realpath(table_dir.rstrip("/"))
     entries: dict[str, tuple[int, int]] = {}
-    for dirpath, dirnames, files in os.walk(real):
-        dirnames[:] = sorted(d for d in dirnames if not d.startswith("."))
-        for f in sorted(files):
-            p = os.path.join(dirpath, f)
-            try:
-                st = os.stat(p)
-            except OSError:
-                continue
-            entries[os.path.relpath(p, real)] = (st.st_size, st.st_mtime_ns)
+    now = time.time_ns()
+    stack = [real]
+    while stack:
+        d = stack.pop()
+        try:
+            dmt = os.stat(d).st_mtime_ns
+        except OSError:
+            continue
+        hit = _SNAP_CACHE.get(d)
+        if hit is not None and hit[0] == dmt and now - dmt > _SNAP_RACY_NS:
+            _, files, subdirs = hit
+            _SNAP_CACHE.move_to_end(d)
+        else:
+            files, subdirs = _scan_dir(d)
+            if now - dmt > _SNAP_RACY_NS:
+                _SNAP_CACHE[d] = (dmt, files, subdirs)
+                _SNAP_CACHE.move_to_end(d)
+                while len(_SNAP_CACHE) > _SNAP_CACHE_MAX:
+                    _SNAP_CACHE.popitem(last=False)
+            else:
+                _SNAP_CACHE.pop(d, None)
+        rel_base = os.path.relpath(d, real)
+        for name, key in files.items():
+            rel = name if rel_base == "." else os.path.join(rel_base, name)
+            entries[rel] = key
+        stack.extend(os.path.join(d, s) for s in subdirs)
     token = hashlib.sha256(
         json.dumps([os.path.basename(real), sorted(entries.items())]).encode()
     ).hexdigest()

@@ -602,3 +602,79 @@ def test_insert_then_swap_winner_rebases_not_aborts(spark, tmp_path):
     assert out.filter(F.col("v") == 2).count() == 5
     assert out.filter(F.col("v") == 1).count() == 10
     assert _no_debris(t)
+
+
+def test_snapshot_stats_o_changed_dirs(tmp_path, monkeypatch):
+    """_snapshot is O(directories) + O(changed-dir files), not O(files):
+    a warm snapshot of a quiescent N-file table re-lists ZERO
+    directories; touching one subdirectory re-lists exactly that one.
+    The reference keeps its extent map memory-resident for the same
+    per-statement-identity reason (versioning/BRM/extentmap.h:116)."""
+    from infinidb_spark.operators import dml
+
+    root = tmp_path / "t"
+    for d in range(6):
+        sub = root / f"part={d}"
+        sub.mkdir(parents=True)
+        for f in range(20):
+            (sub / f"f{f}.parquet").write_bytes(b"x" * (d + f + 1))
+
+    # disable the racily-clean guard: the files were just written, and
+    # the test asserts the steady-state (quiescent-table) behavior
+    monkeypatch.setattr(dml, "_SNAP_RACY_NS", -1)
+    dml._SNAP_CACHE.clear()
+
+    calls: list[str] = []
+    real_scan = dml._scan_dir
+
+    def counting_scan(d):
+        calls.append(d)
+        return real_scan(d)
+
+    monkeypatch.setattr(dml, "_scan_dir", counting_scan)
+
+    _, tok1, entries1 = dml._snapshot(str(root))
+    assert len(entries1) == 120
+    assert len(calls) == 7  # root + 6 subdirs, cold
+
+    calls.clear()
+    _, tok2, entries2 = dml._snapshot(str(root))
+    assert calls == []  # warm: zero directory listings, zero file stats
+    assert (tok2, entries2) == (tok1, entries1)
+
+    # one new file in one subdir → exactly that directory re-listed
+    (root / "part=3" / "f_new.parquet").write_bytes(b"y" * 9)
+    calls.clear()
+    _, tok3, entries3 = dml._snapshot(str(root))
+    assert [os.path.basename(c) for c in calls] == ["part=3"]
+    assert tok3 != tok1 and len(entries3) == 121
+
+    # deleting it restores the original token (content-addressed)
+    (root / "part=3" / "f_new.parquet").unlink()
+    calls.clear()
+    _, tok4, _ = dml._snapshot(str(root))
+    assert [os.path.basename(c) for c in calls] == ["part=3"]
+    assert tok4 == tok1
+    dml._SNAP_CACHE.clear()
+
+
+def test_snapshot_racy_window_always_rescans(tmp_path, monkeypatch):
+    """Directories modified within the racy window are rescanned AND not
+    cached — a same-tick concurrent writer can never alias."""
+    from infinidb_spark.operators import dml
+
+    root = tmp_path / "t"
+    root.mkdir()
+    (root / "a.parquet").write_bytes(b"x")
+
+    dml._SNAP_CACHE.clear()
+    calls: list[str] = []
+    real_scan = dml._scan_dir
+    monkeypatch.setattr(dml, "_scan_dir", lambda d: (calls.append(d), real_scan(d))[1])
+
+    # default window (0.5 s) — the directory was JUST written
+    dml._snapshot(str(root))
+    dml._snapshot(str(root))
+    assert len(calls) == 2  # no cache hit inside the window
+    assert str(root) not in dml._SNAP_CACHE
+    dml._SNAP_CACHE.clear()
