@@ -169,3 +169,91 @@ def test_quality_gate_replay_converges_both_relations(spark, tmp_path):
     assert a.count() == 1 and a.collect()[0].doc_id == 1
     assert r.count() == 1 and r.collect()[0].doc_id == 2
     assert r.collect()[0].status == "low_quality"
+
+
+def test_quality_gate_sigkill_between_writes_converges(spark, tmp_path):
+    """Chaos: SIGKILL the stream driver BETWEEN the accepted-write and
+    the reject-write of one epoch (the documented torn state,
+    quality_gate.py:14-19), then restart the stream on the same
+    checkpoint.  Structured streaming replays the uncommitted epoch
+    with the SAME epoch id; the marker skips the committed accepted
+    side and only the missing reject side lands — both tables converge
+    to exactly-once."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.streaming.quality_gate import (
+        ACCEPTED_DIR,
+        REJECTS_DIR,
+        read_gate_results,
+        stream_quality_gate,
+    )
+    from infinidb_spark.streaming.sink import read_committed
+
+    work = str(tmp_path)
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    good = "the and is of to in good long text " * 20
+    spark.createDataFrame(
+        [(1, good), (2, "zz"), (3, good + "more"), (4, "qq xx"), (5, good + "yet")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(in_dir)
+
+    child_src = textwrap.dedent(f"""
+        import os, signal
+        from infinidb_spark.session import get_spark
+        import infinidb_spark.streaming.quality_gate as qg
+
+        spark = get_spark("gate-victim", cpus=2)
+        spark.sparkContext.setLogLevel("ERROR")
+        real = qg.write_epoch_idempotent
+
+        def sabotaged(df, epoch_id, table_dir, **kw):
+            if table_dir.endswith(qg.REJECTS_DIR):
+                # accepted already committed for this epoch; die hard
+                os.kill(os.getpid(), signal.SIGKILL)
+            return real(df, epoch_id, table_dir, **kw)
+
+        qg.write_epoch_idempotent = sabotaged
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .parquet({in_dir!r}))
+        q = qg.stream_quality_gate(stream, {out_dir!r}, {ckpt!r}, min_quality=0.6)
+        q.awaitTermination(300)
+    """)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        cwd="/root/repo",
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        proc.wait(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == -9  # died by its own SIGKILL, mid-epoch
+
+    # torn state: accepted committed, rejects missing entirely
+    acc = read_committed(spark, os.path.join(out_dir, ACCEPTED_DIR))
+    assert acc is not None and acc.count() == 3
+    rej = read_committed(spark, os.path.join(out_dir, REJECTS_DIR))
+    assert rej is None or rej.count() == 0
+
+    # restart on the SAME checkpoint — epoch replays, markers dedupe
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(in_dir)
+    q = stream_quality_gate(stream, out_dir, ckpt, min_quality=0.6)
+    assert q.awaitTermination(300)
+
+    res = read_gate_results(spark, out_dir)
+    got = {(r.doc_id, r.status) for r in res.collect()}
+    assert got == {
+        (1, "accepted"), (3, "accepted"), (5, "accepted"),
+        (2, "low_quality"), (4, "low_quality"),
+    }
+    assert res.count() == 5  # exactly-once: no replay dupes anywhere
+    assert res.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
