@@ -305,22 +305,40 @@ def _cast_time_sql(e: str) -> str:
     )
 
 
-def _extreme_sql(args: list[str], least: bool) -> str:
+def _extreme_sql(
+    args: list[str], least: bool, subquery_flags: list[bool] | None = None
+) -> str:
     """MySQL LEAST/GREATEST: NULL when ANY argument is NULL (the
     reference's func_greatest.cpp propagates isNull through every
     operand), where Spark's least/greatest SKIP nulls.  Emitted as a
-    bind-fold of two-arg comparisons WITHOUT the least/greatest words,
-    so the translator stays idempotent on its own output (each operand
-    evaluates once via ``_bind1``)."""
+    fold of two-arg comparisons WITHOUT the least/greatest words, so
+    the translator stays idempotent on its own output.
+
+    Clean operands evaluate once via ``_bind1``; operands containing a
+    scalar subquery cannot live inside a higher-order lambda (Spark
+    rejects subqueries in HOFs), so those steps fold as plain CASE
+    text with the operand repeated — Catalyst's ReuseSubquery dedups
+    identical scalar subqueries, and LEAST/GREATEST is order-
+    insensitive, so subquery operands are folded LAST to keep every
+    clean operand bound."""
     cmp = "<" if least else ">"
-    acc = args[0]
-    for j, a in enumerate(args[1:]):
-        xv, yv = f"x{j}_", f"y{j}_"
-        body = (
-            f"(CASE WHEN {xv} IS NULL OR {yv} IS NULL THEN NULL"
-            f" WHEN {yv} {cmp} {xv} THEN {yv} ELSE {xv} END)"
-        )
-        acc = _bind1(acc, xv, _bind1(a, yv, body))
+    flags = list(subquery_flags) if subquery_flags else [False] * len(args)
+    pairs = sorted(zip(args, flags), key=lambda af: af[1])  # clean first
+    acc, acc_sub = pairs[0]
+    for j, (a, a_sub) in enumerate(pairs[1:]):
+        if acc_sub or a_sub:
+            acc = (
+                f"(CASE WHEN {acc} IS NULL OR {a} IS NULL THEN NULL"
+                f" WHEN {a} {cmp} {acc} THEN {a} ELSE {acc} END)"
+            )
+            acc_sub = True
+        else:
+            xv, yv = f"x{j}_", f"y{j}_"
+            body = (
+                f"(CASE WHEN {xv} IS NULL OR {yv} IS NULL THEN NULL"
+                f" WHEN {yv} {cmp} {xv} THEN {yv} ELSE {xv} END)"
+            )
+            acc = _bind1(acc, xv, _bind1(a, yv, body))
     return acc
 
 
@@ -947,25 +965,36 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                 )
             if upper in ("LEAST", "GREATEST") and not _qualified:
                 # MySQL null-strict semantics — see _extreme_sql.
-                # Subquery arguments pass through NATIVE least/greatest
-                # (documented divergence: null-skip instead of
-                # null-strict): Spark rejects subquery expressions
-                # inside the higher-order bind, and a CASE-based
-                # fallback would break translator idempotency.
+                # Subquery arguments fold as plain CASE text (they are
+                # rejected inside the higher-order bind), capped at 3:
+                # each subquery step triples the accumulated text, and
+                # past that the honest move is the XOR-style refusal,
+                # not a silent null-skip divergence.
                 op = _next_code(toks, i + 1)
                 if op is not None and toks[op] == ("sym", "("):
                     close = _match_paren(toks, op)
                     parts = _split_args(toks[op + 1 : close])
-                    has_subquery = any(
-                        t[0] == "word" and t[1].upper() == "SELECT"
+                    flags = [
+                        any(
+                            t[0] == "word" and t[1].upper() == "SELECT"
+                            for t in p
+                        )
                         for p in parts
-                        for t in p
-                    )
-                    if len(parts) >= 2 and not has_subquery:
+                    ]
+                    if len(parts) >= 2 and sum(flags) > 3:
+                        raise DialectError(
+                            f"{upper} with more than 3 subquery arguments "
+                            "is not supported — hoist the subqueries into "
+                            "a derived table"
+                        )
+                    if len(parts) >= 2:
                         args = [
                             "(" + render(_rewrite(p)).strip() + ")" for p in parts
                         ]
-                        out.append(("code", _extreme_sql(args, upper == "LEAST")))
+                        out.append(
+                            ("code",
+                             _extreme_sql(args, upper == "LEAST", flags))
+                        )
                         i = close + 1
                         continue
             if upper == "CAST" and not _qualified:

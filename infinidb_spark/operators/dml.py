@@ -58,18 +58,59 @@ def _new_version_dir(table_dir: str) -> str:
 # The reference serializes DML/bulk-load per table through DMLProc's
 # lock table, inspectable with calviewtablelock() and recoverable with
 # calcleartablelock(id) after a crash (`dbcon/mysql/ha_calpont_impl.cpp:
-# 1966-2061`).  Analog: an O_EXCL lock file `<table>.__lock__` held for
-# the duration of a rewrite; a crash leaves it behind exactly like a
-# dangling DMLProc lock, and clear_table_lock is the manual recovery.
+# 1966-2061`).  Analog: a per-holder O_EXCL lock file
+# `<table>.__lock__.<lock_id>` held for the duration of a rewrite; a
+# crash leaves it behind exactly like a dangling DMLProc lock, and
+# clear_table_lock is the manual recovery.
 
 
-def _lock_path(table_dir: str) -> str:
-    return table_dir.rstrip("/") + ".__lock__"
+_LOCK_MARK = ".__lock__"
+
+
+def _lock_prefix(table_dir: str) -> str:
+    return table_dir.rstrip("/") + _LOCK_MARK
+
+
+def _lock_name_parts(fname: str) -> tuple[str, str | None]:
+    """(table, holder id from the file name or None) for a lock file:
+    the per-holder form ``<table>.__lock__.<lock_id>`` or the bare
+    (legacy / crashed-before-name) ``<table>.__lock__``."""
+    tbl, _, suffix = fname.partition(_LOCK_MARK)
+    return tbl, (suffix[1:] or None) if suffix.startswith(".") else None
+
+
+def _lock_files(table_dir: str) -> list[str]:
+    """Every lock file for this table (any holder, plus the bare form)."""
+    prefix = _lock_prefix(table_dir)
+    parent = os.path.dirname(prefix) or "."
+    base = os.path.basename(prefix)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(parent, f)
+        for f in names
+        if f == base or f.startswith(base + ".")
+    )
 
 
 @contextmanager
 def _table_lock(table_dir: str, op: str):
-    path = _lock_path(table_dir)
+    """PER-HOLDER lock files: each acquirer owns a uniquely-named file
+    ``<table>.__lock__.<lock_id>``, so release is one unlink of the
+    holder's OWN file — atomic by construction.  The old single-file
+    design released via read-then-remove, and a clear_table_lock plus a
+    re-acquire slipping between the json.load and os.remove freed the
+    NEW holder's lock.  Now an operator's stale-clear removes exactly
+    one holder's file and can never be raced by another holder's
+    release.
+
+    Mutual exclusion: create own file, then verify it is the ONLY lock
+    file.  A proceeder verified sole ownership after creating, so two
+    proceeders are impossible; simultaneous acquirers may BOTH back off
+    (each removes its own file and raises) — safe, and the retry in
+    _table_lock_wait resolves it."""
     payload = {
         # integer id — the reference's calcleartablelock takes the
         # lockID as an INT argument
@@ -79,47 +120,44 @@ def _table_lock(table_dir: str, op: str):
         "pid": os.getpid(),
         "since": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        # the holder may not have flushed its payload yet (O_EXCL create
-        # and the JSON write are two steps) — report what's readable
-        try:
-            with open(path) as fh:
-                holder = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            holder = {}
+    own = f"{_lock_prefix(table_dir)}.{payload['lock_id']}"
+
+    def _locked(others: list[str]):
+        holder = {}
+        for p in others:
+            try:
+                with open(p) as fh:
+                    holder = json.load(fh)
+                break
+            except (OSError, json.JSONDecodeError):
+                continue  # mid-write / corrupt: still a live lock file
         raise RuntimeError(
             f"table {payload['table']!r} is locked by {holder.get('op')} "
             f"(lock_id {holder.get('lock_id')}, pid {holder.get('pid')}) — "
             "calcleartablelock to clear a stale lock"
         ) from None
+
+    others = _lock_files(table_dir)
+    if others:
+        _locked(others)
+    fd = os.open(own, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh)
+    others = [p for p in _lock_files(table_dir) if p != own]
+    if others:
+        # collided with a concurrent acquirer: back off symmetrically
+        try:
+            os.remove(own)
+        except FileNotFoundError:
+            pass
+        _locked(others)
     try:
-        with os.fdopen(fd, "w") as fh:
-            json.dump(payload, fh)
         yield
     finally:
-        # release ONLY our own lock: if an operator cleared this lock as
-        # stale and another writer re-acquired, removing blindly would
-        # free THAT writer's lock and let a third rewrite race it.
-        # KNOWN NARROW RACE: the read-then-remove below is not atomic —
-        # a clear_table_lock plus a re-acquire can slip between the
-        # json.load and os.remove, freeing the new holder's lock.  That
-        # window needs a manual stale-clear DURING the microseconds of
-        # another writer's release, so it is accepted for a file-lock
-        # design (the reference's DMLProc lock has the same manual-
-        # clear hazard); a per-holder lock FILE NAME
-        # (table.__lock__.<lock_id> + symlink) would close it.
         try:
-            with open(path) as fh:
-                holder = json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            holder = None
-        if holder is not None and holder.get("lock_id") == payload["lock_id"]:
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
+            os.remove(own)
+        except FileNotFoundError:
+            pass  # cleared as stale by an operator — nothing else to free
 
 
 def view_table_locks(root: str, table: str | None = None) -> list[dict]:
@@ -127,45 +165,60 @@ def view_table_locks(root: str, table: str | None = None) -> list[dict]:
     (calviewtablelock's listing)."""
     out = []
     for f in sorted(os.listdir(root)):
-        if f.endswith(".__lock__"):
-            try:
-                with open(os.path.join(root, f)) as fh:
-                    rec = json.load(fh)
-            except FileNotFoundError:
-                continue  # released between listdir and open
-            except (OSError, json.JSONDecodeError):
-                # mid-write or crashed-before-flush: still a live lock
-                # file blocking DML, so SHOW it (lock_id None) — a
-                # corrupt lock is clearable by table name, see
-                # clear_table_lock
-                rec = {"lock_id": None, "table": f[: -len(".__lock__")],
-                       "op": None, "pid": None, "since": None}
-            if table is None or rec.get("table") == table:
-                out.append(rec)
+        if _LOCK_MARK not in f:
+            continue
+        tbl, name_id = _lock_name_parts(f)
+        try:
+            with open(os.path.join(root, f)) as fh:
+                rec = json.load(fh)
+        except FileNotFoundError:
+            continue  # released between listdir and open
+        except (OSError, json.JSONDecodeError):
+            # mid-write or crashed-before-flush: still a live lock
+            # file blocking DML, so SHOW it — the per-holder file NAME
+            # carries the id even when the payload never flushed; a
+            # bare corrupt lock (no id anywhere) is clearable by table
+            # name, see clear_table_lock
+            rec = {
+                "lock_id": int(name_id) if name_id and name_id.isdigit()
+                else name_id,
+                "table": tbl, "op": None, "pid": None, "since": None,
+            }
+        if table is None or rec.get("table") == table:
+            out.append(rec)
     return out
 
 
 def clear_table_lock(root: str, lock_id) -> str:
     """Remove a (stale) lock by id — calcleartablelock's recovery path.
 
-    A writer that crashed between the O_EXCL create and the JSON flush
-    leaves an EMPTY lock file with no id; such a corrupt lock is
-    clearable by passing the TABLE NAME instead (the only identity it
-    has), so recovery never requires a manual rm."""
+    The per-holder file name carries the id, so even a holder that
+    crashed before flushing its JSON payload is clearable by id; a
+    bare corrupt lock file (legacy single-file form, no id anywhere)
+    is clearable by passing the TABLE NAME instead, so recovery never
+    requires a manual rm.  Removal targets one specific holder's file,
+    so it can never free a lock acquired after the stale one."""
     for f in os.listdir(root):
-        if f.endswith(".__lock__"):
-            p = os.path.join(root, f)
+        if _LOCK_MARK not in f:
+            continue
+        p = os.path.join(root, f)
+        tbl, name_id = _lock_name_parts(f)
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            rec = None  # crashed mid-write: match on the name instead
+        hit = (
+            (rec is not None and str(rec.get("lock_id")) == str(lock_id))
+            or (name_id is not None and name_id == str(lock_id))
+            or (rec is None and name_id is None and tbl == str(lock_id))
+        )
+        if hit:
             try:
-                with open(p) as fh:
-                    rec = json.load(fh)
-            except (OSError, json.JSONDecodeError):
-                rec = None  # crashed mid-write: no payload to match on
-            if rec is not None and str(rec.get("lock_id")) == str(lock_id):
                 os.remove(p)
-                return f"Lock {lock_id} is cleared"
-            if rec is None and f[: -len(".__lock__")] == str(lock_id):
-                os.remove(p)
-                return f"Lock {lock_id} is cleared"
+            except FileNotFoundError:
+                continue  # holder released it first — fine either way
+            return f"Lock {lock_id} is cleared"
     return f"No lock with id {lock_id}"
 
 

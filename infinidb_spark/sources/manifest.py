@@ -347,6 +347,7 @@ def scan_with_manifest(
     path: str,
     predicates: list[Predicate],
     manifest: list[dict[str, Any]] | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Plan a scan over only the files that can match, filters re-applied.
 
@@ -354,16 +355,23 @@ def scan_with_manifest(
     files never become input splits.  Row-group skip within surviving
     files still happens natively (predicates are pushed down as usual).
 
+    .. note:: ON-DISK SIDE EFFECT — the default path WRITES a
+       ``<path>.__manifest__/`` shard directory next to the data (and
+       refreshes it on later scans) whenever the parent directory is
+       writable.  Callers that need a read-only scan — directory
+       trees that get rsync'd/diffed, shared datasets, audit reads —
+       pass ``persist=False`` to use the in-memory loop pruner instead
+       (same survivors, no files created).
+
     DEFAULT PATH: delegates to the sharded vectorized extent map
     (manifest_sharded.py — Parquet shards, one DuckDB predicate over
     the Arrow stats relation, <100 ms over 100k files), which is the
     posture that survives 10⁵–10⁶ files.  The Python-loop pruner below
-    remains for two callers: an explicitly-passed ``manifest`` (tests,
-    pre-built stats) and tables whose parent directory is read-only
-    (the sharded map persists shards next to the data).  Survivor
-    equality between the two pruners is pinned by
-    tests/test_manifest_sharded.py."""
-    if manifest is None and predicates:
+    remains for three callers: an explicitly-passed ``manifest``
+    (tests, pre-built stats), ``persist=False``, and tables whose
+    parent directory is read-only.  Survivor equality between the two
+    pruners is pinned by tests/test_manifest_sharded.py."""
+    if manifest is None and predicates and persist:
         real = os.path.realpath(path.rstrip("/"))
         # the shard dir lands next to the UNRESOLVED path
         # (<path>.__manifest__), so test THAT parent for writability —

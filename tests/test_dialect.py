@@ -908,3 +908,28 @@ def test_least_greatest_translation_idempotent():
         assert translate_mysql(once) == once
         low = once.lower()
         assert "least(" not in low and "greatest(" not in low
+
+
+def test_least_greatest_subquery_null_strict(spark):
+    """Subquery arguments now fold as plain CASE text (no HOF bind), so
+    null-strictness holds for EVERY operand — including when the NULL
+    comes from a clean operand next to a subquery, and when the scalar
+    subquery itself returns NULL (ADVICE r07: the old native-least
+    fallback silently null-SKIPPED)."""
+    one = lambda s: spark.sql(translate_mysql(f"SELECT {s} AS v")).collect()[0][0]
+    assert one("LEAST((SELECT 5), 3)") == 3
+    assert one("GREATEST((SELECT 5), 3)") == 5
+    assert one("LEAST((SELECT 5), NULL, 3)") is None
+    assert one("LEAST((SELECT NULL), 3)") is None
+    assert one("GREATEST(2, (SELECT CAST(NULL AS INT)), 7)") is None
+    assert one("LEAST((SELECT 2), (SELECT 8), 5)") == 2
+
+
+def test_least_greatest_subquery_idempotent_and_capped():
+    sql = "SELECT LEAST((SELECT max(x) FROM t), a, b) FROM u"
+    once = translate_mysql(sql)
+    assert translate_mysql(once) == once
+    assert "least(" not in once.lower()
+    subs = ", ".join(f"(SELECT {i})" for i in range(4))
+    with pytest.raises(DialectError, match="subquery"):
+        translate_mysql(f"SELECT LEAST({subs}, 1)")

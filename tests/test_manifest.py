@@ -389,3 +389,26 @@ def test_scan_with_manifest_single_file(spark, tmp_path):
     f = [x for x in os.listdir(p) if x.endswith(".parquet")][0]
     df = scan_with_manifest(spark, os.path.join(p, f), [("a", ">", 90)])
     assert df.count() == 9
+
+
+def test_scan_with_manifest_persist_false_writes_nothing(spark, tmp_path):
+    """persist=False is the read-only path: same survivors via the loop
+    pruner, and NO <path>.__manifest__ shard dir appears next to the
+    data (ADVICE r07: the default path's on-disk side effect needs an
+    opt-out for rsync'd / shared / audit-read trees)."""
+    import os
+
+    from infinidb_spark.sources.manifest import scan_with_manifest
+
+    t = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS k", "id % 7 AS v").repartition(4).write.parquet(t)
+
+    preds = [("k", ">=", 50)]
+    got = scan_with_manifest(spark, t, preds, persist=False)
+    assert got.count() == 50
+    assert not os.path.exists(t + ".__manifest__")
+
+    # default path on the same table does persist (and agrees)
+    got2 = scan_with_manifest(spark, t, preds)
+    assert got2.count() == 50
+    assert os.path.isdir(t + ".__manifest__")

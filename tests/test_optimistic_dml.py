@@ -678,3 +678,33 @@ def test_snapshot_racy_window_always_rescans(tmp_path, monkeypatch):
     assert len(calls) == 2  # no cache hit inside the window
     assert str(root) not in dml._SNAP_CACHE
     dml._SNAP_CACHE.clear()
+
+
+def test_lock_file_is_per_holder_and_release_is_own_unlink(tmp_path):
+    """The lock file name carries the holder id
+    (<table>.__lock__.<lock_id>), so release/clear unlink one specific
+    holder's file and can never free a later holder's lock; an
+    unflushed holder is clearable BY ID from the name alone."""
+    from infinidb_spark.operators.dml import (
+        _table_lock,
+        clear_table_lock,
+        view_table_locks,
+    )
+
+    t = str(tmp_path / "t")
+    cm = _table_lock(t, "UPDATE")
+    cm.__enter__()
+    (lockfile,) = [f for f in os.listdir(tmp_path) if ".__lock__" in f]
+    (rec,) = view_table_locks(str(tmp_path), "t")
+    assert lockfile == f"t.__lock__.{rec['lock_id']}"
+    with pytest.raises(RuntimeError, match="locked"):
+        _table_lock(t, "DELETE").__enter__()
+    cm.__exit__(None, None, None)
+    assert view_table_locks(str(tmp_path), "t") == []
+
+    # crashed-before-flush holder: empty named file → id from the NAME
+    open(t + ".__lock__.424242", "w").close()
+    (rec,) = view_table_locks(str(tmp_path), "t")
+    assert rec["lock_id"] == 424242
+    assert "cleared" in clear_table_lock(str(tmp_path), 424242)
+    assert view_table_locks(str(tmp_path), "t") == []
