@@ -814,15 +814,27 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
     )
-    base = pre.select(F.col("_id"), grams.alias("_g"), F.col("_k"))
-    a = base.select(F.col("_k"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    base = pre.select(
+        F.col("_id"), grams.alias("_g"), F.col("_k"), F.size(grams).alias("_n")
+    )
+    a = base.select(
+        F.col("_k"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"),
+        F.col("_n").alias("n_a"),
+    )
     b = base.select(
-        F.col("_k").alias("_k_b"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b")
+        F.col("_k").alias("_k_b"), F.col("_id").alias("id_b"),
+        F.col("_g").alias("g_b"), F.col("_n").alias("n_b"),
     )
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+    # lossless size band inside the join condition: J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so J ≥ t needs min ≥ t·max — an int
+    # compare prunes the quadratic within-bucket pair stream BEFORE the
+    # per-pair set ops (the join's output explodes at scale; the set
+    # intersections must not run on pairs the sizes already exclude)
+    band = F.least(a.n_a, b.n_b) >= F.lit(threshold) * F.greatest(a.n_a, b.n_b)
     return (
-        a.join(b, (a._k == b._k_b) & (a.id_a < b.id_b))
+        a.join(b, (a._k == b._k_b) & (a.id_a < b.id_b) & band)
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
