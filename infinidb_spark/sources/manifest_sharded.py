@@ -32,6 +32,7 @@ This module is the scale path:
 from __future__ import annotations
 
 import os
+import time
 import zlib
 from collections import OrderedDict
 from functools import reduce
@@ -50,6 +51,11 @@ from infinidb_spark.sources.manifest import (
 )
 
 _KEY_COLS = ("basename", "mtime_ns", "size", "ino", "rows")
+
+
+#: racily-clean window for the directory-mtime refresh gate — see
+#: operators/dml._SNAP_RACY_NS (same idiom, same hazard).
+_DIR_SIG_RACY_NS = 500_000_000
 
 
 def _shard_of(basename: str, n_shards: int) -> int:
@@ -73,6 +79,7 @@ class ShardedManifest:
         self._shard_keys: dict[int, dict[str, tuple[int, int, int]]] = {}
         self._relation: pa.Table | None = None
         self._clean_fp: tuple | None = None
+        self._dir_sig: tuple[str, int] | None = None
 
     # -- storage ------------------------------------------------------
 
@@ -102,19 +109,41 @@ class ShardedManifest:
 
     def refresh(self) -> "ShardedManifest":
         real = os.path.realpath(self.table_dir)
+
+        # Directory-mtime gate: every writer creates/renames/unlinks
+        # entries in the table dir (nothing rewrites parquet in place),
+        # so an unchanged dir mtime means an unchanged file set — a
+        # clean refresh of a 10⁵-file table costs ONE stat, not
+        # O(files).  Same racily-clean guard as operators/dml._snapshot:
+        # a dir modified within the window is never trusted from (nor
+        # admitted to) the memo, so a same-tick writer can't alias.
+        try:
+            dir_mtime = os.stat(real).st_mtime_ns
+        except OSError:
+            dir_mtime = None
+        racy = (
+            dir_mtime is None
+            or time.time_ns() - dir_mtime <= _DIR_SIG_RACY_NS
+        )
+        if (
+            not racy
+            and self._dir_sig == (real, dir_mtime)
+            and self._clean_fp is not None
+        ):
+            return self
+
         current: dict[str, tuple[int, int, int]] = {}
         for f in _member_files(real):
             st = os.stat(f)
             current[os.path.basename(f)] = (st.st_mtime_ns, st.st_size, st.st_ino)
 
-        # Clean-snapshot fast path: the os.stat pass above is the
-        # freshness check itself and unavoidable, but when the file set
-        # is identical to the last refresh there is nothing to compare
-        # per shard — skip the per-shard key materialization entirely
-        # (the sharded analog of manifest.py's directory-level memo; a
-        # per-scan refresh of a clean 100k-file table must not pay
-        # O(files) Python-object work).
+        # Clean-snapshot fast path: when the file set is identical to
+        # the last refresh there is nothing to compare per shard — skip
+        # the per-shard key materialization entirely (a per-scan
+        # refresh of a clean 100k-file table must not pay O(files)
+        # Python-object work).
         fp = (real, tuple(sorted(current.items())))
+        self._dir_sig = (real, dir_mtime) if not racy else None
         if fp == self._clean_fp:
             return self
 

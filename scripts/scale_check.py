@@ -51,6 +51,10 @@ HEADLINE = [
     # round-7: dialect CAST family (map-only over lineitem), keeper
     # selection (pairs -> connected components -> quality window)
     "mysql_dialect_cast", "dedup_keep_best",
+    # round-8: compound-interval dialect arithmetic (map-side over a
+    # groupBy), full-range n-gram Jaccard (size-banded bucket pairs),
+    # price-restricted anti join
+    "mysql_dialect_interval", "dedup_ngram_jaccard", "join_anti",
 ]
 #: 10× data should cost ≤ ~10× time; 20 allows this box's run variance
 #: without hiding quadratics (an all-pairs operator would show ≥ ~100).

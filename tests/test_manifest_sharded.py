@@ -190,3 +190,39 @@ def test_clean_refresh_fast_path(spark, sf_dir, tmp_path):
     m.refresh()  # clean: fingerprint short-circuits before shard loads
     assert m._shard_keys == {}  # fast path touched no shard
     assert set(m.prune(PREDS)) == before
+
+
+def test_refresh_dir_mtime_gate_skips_stat_pass(spark, tmp_path, monkeypatch):
+    """A clean refresh of a quiescent table costs ONE directory stat,
+    not O(files): the per-file stat pass is skipped when the dir mtime
+    matches the memoized signature (outside the racy window); touching
+    the table re-arms the pass."""
+    import os
+
+    import infinidb_spark.sources.manifest_sharded as ms
+
+    t = str(tmp_path / "t")
+    spark.range(200).selectExpr("id AS k", "id % 5 AS v").repartition(4).write.parquet(t)
+
+    m = ms.ShardedManifest(t)
+    monkeypatch.setattr(ms, "_DIR_SIG_RACY_NS", -1)
+    m.refresh()
+
+    calls = []
+    real_member = ms._member_files
+    monkeypatch.setattr(
+        ms, "_member_files", lambda p: (calls.append(p), real_member(p))[1]
+    )
+    m.refresh()
+    assert calls == []  # gated: zero per-file stats
+
+    # a new file bumps the dir mtime → the stat pass runs again
+    src_bytes = open(
+        next(os.path.join(t, f) for f in sorted(os.listdir(t))
+             if f.endswith(".parquet") and not f.startswith(("_", "."))),
+        "rb",
+    ).read()
+    with open(os.path.join(t, "part-extra.parquet"), "wb") as fh:
+        fh.write(src_bytes)
+    m.refresh()
+    assert len(calls) == 1
