@@ -470,6 +470,7 @@ def _template_arity(name: str) -> int:
 #: MySQL INTERVAL units → (multiplier, Spark unit).  WEEK/QUARTER have
 #: no Spark literal form and normalize to DAY/MONTH.
 _INTERVAL_UNITS = {
+    "MICROSECOND": (1, "MICROSECOND"),
     "SECOND": (1, "SECOND"), "MINUTE": (1, "MINUTE"), "HOUR": (1, "HOUR"),
     "DAY": (1, "DAY"), "WEEK": (7, "DAY"),
     "MONTH": (1, "MONTH"), "QUARTER": (3, "MONTH"), "YEAR": (1, "YEAR"),

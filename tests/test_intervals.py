@@ -236,3 +236,13 @@ def test_registry_column_operand_refused(spark):
 
     with pytest.raises(NotImplementedError):
         FUNCTIONS["date_add"](F.col("ts"), F.col("n"), "HOUR_MINUTE")
+
+
+def test_dialect_single_unit_microsecond(spark):
+    """Single-unit MICROSECOND was missing from the dialect's unit map
+    (the registry path had it) — all 9 single units now translate."""
+    v = spark.sql(translate_mysql(
+        "SELECT DATE_ADD(TIMESTAMP '2020-01-31 10:00:00',"
+        " INTERVAL 5 MICROSECOND) AS v"
+    )).collect()[0][0]
+    assert v == datetime.datetime(2020, 1, 31, 10, 0, 0, 5)
