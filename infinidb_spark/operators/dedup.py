@@ -794,12 +794,28 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefilter_col: str | None = None,
+    candidate: str = "prefix",
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for all candidate pairs.
+    """Exact word-n-gram Jaccard similarity join: every pair with
+    J ≥ ``threshold`` (within a ``prefilter_col`` bucket), no misses.
 
-    Quadratic — meant for verification inside a prefilter bucket
-    (``prefilter_col``), not a whole-corpus sweep; at 100 TB the bucket
-    column is the LSH band or a metadata partition.
+    ``candidate="prefix"`` (default) generates candidate pairs with the
+    PPJoin prefix filter (Xiao, Wang, Lin, Yu — "Efficient Similarity
+    Joins for Near Duplicate Detection", WWW'08; also Bayardo et al.
+    All-Pairs, WWW'07): order every doc's gram set by ascending GLOBAL
+    gram frequency, keep only the first ``|X| − ⌈t·|X|⌉ + 1`` grams
+    (two sets with J ≥ t must share a prefix gram under any common
+    total order), and join on those rare prefix grams.  Exactness is
+    preserved — every qualifying pair shares a prefix gram — while the
+    candidate stream scales with shared-rare-gram pairs, NOT with the
+    quadratic within-bucket pair count (the r08 scale sweep measured
+    the all-pairs form at 72× per 10× data at sf1; prefix filtering is
+    the textbook fix).  A lossless size band (J ≤ min/max sizes) and
+    the bucket key further cut candidates before the exact set ops.
+
+    ``candidate="allpairs"`` keeps the brute-force within-bucket join —
+    the verification tier for small buckets, and the equality oracle
+    for the prefix path (pinned in tests/test_pipeline.py).
     """
     key = F.col(prefilter_col) if prefilter_col else F.lit(1)
     pre = fan_out(df).select(
@@ -817,24 +833,71 @@ def ngram_jaccard_pairs(
     base = pre.select(
         F.col("_id"), grams.alias("_g"), F.col("_k"), F.size(grams).alias("_n")
     )
-    a = base.select(
-        F.col("_k"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"),
-        F.col("_n").alias("n_a"),
-    )
-    b = base.select(
-        F.col("_k").alias("_k_b"), F.col("_id").alias("id_b"),
-        F.col("_g").alias("g_b"), F.col("_n").alias("n_b"),
-    )
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
-    # lossless size band inside the join condition: J(A,B) ≤
-    # min(|A|,|B|)/max(|A|,|B|), so J ≥ t needs min ≥ t·max — an int
-    # compare prunes the quadratic within-bucket pair stream BEFORE the
-    # per-pair set ops (the join's output explodes at scale; the set
-    # intersections must not run on pairs the sizes already exclude)
-    band = F.least(a.n_a, b.n_b) >= F.lit(threshold) * F.greatest(a.n_a, b.n_b)
+    if candidate == "allpairs":
+        a = base.select(
+            F.col("_k"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"),
+            F.col("_n").alias("n_a"),
+        )
+        b = base.select(
+            F.col("_k").alias("_k_b"), F.col("_id").alias("id_b"),
+            F.col("_g").alias("g_b"), F.col("_n").alias("n_b"),
+        )
+        band = F.least(a.n_a, b.n_b) >= F.lit(threshold) * F.greatest(a.n_a, b.n_b)
+        return (
+            a.join(b, (a._k == b._k_b) & (a.id_a < b.id_b) & band)
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    if candidate != "prefix":
+        raise ValueError(f"unknown candidate strategy {candidate!r}")
+    # base recomputes per use (returning an unexecuted plan must not
+    # pin cache on the caller's behalf); callers looping over batches
+    # can .persist() the input themselves
+    exploded = base.select("_id", "_k", "_n", F.explode("_g").alias("_gram"))
+    freq = exploded.groupBy("_gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    # per doc: grams ordered rarest-first (global frequency asc, gram
+    # asc as the tiebreak — any shared total order keeps exactness)
+    ordered = (
+        exploded.join(freq, "_gram")
+        .groupBy("_id", "_k", "_n")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_cnt", "_gram"))),
+                lambda s: s._gram,
+            ).alias("_gs")
+        )
+    )
+    # PPJoin prefix: |X| − ⌈t·|X|⌉ + 1 rarest grams
+    plen = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
+    prefix = ordered.select(
+        "_id", "_k", "_n",
+        F.explode(F.slice("_gs", 1, plen)).alias("_pgram"),
+    )
+    pa_ = prefix.select(
+        F.col("_pgram"), F.col("_k"),
+        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"),
+    )
+    pb = prefix.select(
+        F.col("_pgram").alias("_pgram_b"), F.col("_k").alias("_k_b"),
+        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"),
+    )
+    band = F.least(pa_.n_a, pb.n_b) >= F.lit(threshold) * F.greatest(pa_.n_a, pb.n_b)
+    cands = (
+        pa_.join(
+            pb,
+            (pa_._pgram == pb._pgram_b) & (pa_._k == pb._k_b)
+            & (pa_.id_a < pb.id_b) & band,
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    gb = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
     return (
-        a.join(b, (a._k == b._k_b) & (a.id_a < b.id_b) & band)
+        cands.join(ga, "id_a").join(gb, "id_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -214,7 +214,7 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                  len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
     FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,10 +223,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Runs over the full documents table (no doc_id prefilter): the
     synthetic data carries planted near-dup pairs spread across the id
     space, so a narrow range attests vacuously (0 = 0 rows).  At sf0.01
-    the result is non-empty (pinned in tests/test_pipeline_queries.py).
+    the result is non-empty (pinned in tests/test_oracle_audit.py).
+    Threshold 0.8 is the production near-dup tier; with the PPJoin
+    prefix filter the candidate stream scales with shared-rare-gram
+    pairs instead of the quadratic within-bucket count (the all-pairs
+    form measured 72x per decade at sf1 in the r08 sweep).
     """
     (docs,) = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.2, prefilter_col="source")
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.8, prefilter_col="source")
 
 
 @query(

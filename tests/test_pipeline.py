@@ -622,3 +622,24 @@ def test_keep_best_in_clusters_picks_quality_winner(spark):
     # exactly one keeper per cluster
     keepers = [r for r in out.values() if r.is_keeper]
     assert len({r.cluster_id for r in keepers}) == len(keepers) == 3
+
+
+def test_ngram_jaccard_prefix_equals_allpairs(spark, sf_dir):
+    """The PPJoin prefix-filtered candidate path is EXACT: identical
+    pair set to the brute-force within-bucket join at two thresholds
+    (the prefix-filter lemma says every J>=t pair shares a
+    rarest-first prefix gram)."""
+    from infinidb_spark.operators import dedup as D
+    from infinidb_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    for t in (0.8, 0.3):
+        fast = D.ngram_jaccard_pairs(
+            docs, n=3, threshold=t, prefilter_col="source", candidate="prefix"
+        )
+        brute = D.ngram_jaccard_pairs(
+            docs, n=3, threshold=t, prefilter_col="source", candidate="allpairs"
+        )
+        got = {tuple(r) for r in fast.collect()}
+        want = {tuple(r) for r in brute.collect()}
+        assert got == want and len(want) > 0, (t, got ^ want)
