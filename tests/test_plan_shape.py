@@ -351,3 +351,25 @@ def test_quality_gate_routing_is_map_only(spark):
         )
         plan = part._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, (side, plan)
+
+
+def test_ngram_jaccard_prefix_no_cartesian(spark):
+    """The PPJoin candidate path must plan as an equi-join on the
+    prefix gram (+ bucket key) — never a cartesian/broadcast-nested-
+    loop over the corpus against itself (the quadratic shape the r08
+    sweep caught in the all-pairs form)."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.range(500).select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    df = ngram_jaccard_pairs(docs, n=3, threshold=0.8, prefilter_col="source")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_pgram" in plan, "candidate join should key on the prefix gram"
