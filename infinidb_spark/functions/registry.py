@@ -749,6 +749,13 @@ def extract(field: str, c) -> Column:
         # DAY_HOUR → day*100+hour, SECOND_MICROSECOND → sec*1e6+usec, …
         x = f"CAST({_colname(c)} AS TIMESTAMP)"
         return F.expr(f"CAST({_iv.EXTRACT_PACKED[f_u].format(x=x)} AS BIGINT)")
+    if f_u == "WEEK":
+        # MySQL week mode 0 (func_extract.cpp:79 calc_mysql_week(...,0)),
+        # not Spark's ISO extract — same rule as the dialect's EXTRACT.
+        # extract() takes column NAMES as strings (F.expr composition),
+        # so resolve before handing to week(), whose _c treats a plain
+        # string as a literal.
+        return week(F.col(c) if isinstance(c, str) else c, 0)
     return F.expr(f"extract({field} FROM {_colname(c)})")
 
 

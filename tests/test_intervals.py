@@ -246,3 +246,12 @@ def test_dialect_single_unit_microsecond(spark):
         " INTERVAL 5 MICROSECOND) AS v"
     )).collect()[0][0]
     assert v == datetime.datetime(2020, 1, 31, 10, 0, 0, 5)
+
+
+def test_registry_extract_week_mode0(spark):
+    """Registry extract('week') matches the dialect's EXTRACT(WEEK):
+    MySQL mode 0, where 2020-01-04 is week 0 (Spark ISO says 1)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(F.lit("2020-01-04").cast("date").alias("d"))
+    assert df.select(FUNCTIONS["extract"]("week", "d").alias("v")).collect()[0].v == 0
