@@ -255,3 +255,25 @@ def test_registry_extract_week_mode0(spark):
 
     df = spark.range(1).select(F.lit("2020-01-04").cast("date").alias("d"))
     assert df.select(FUNCTIONS["extract"]("week", "d").alias("v")).collect()[0].v == 0
+
+
+def test_compound_interval_translation_idempotent():
+    """translate_mysql(translate_mysql(x)) == translate_mysql(x) for
+    compound-interval SQL (the emitted ANSI literals and CAST wrappers
+    must pass back through untouched)."""
+    for sql in [
+        f"SELECT DATE_ADD({_TS}, INTERVAL '1:30' HOUR_MINUTE) AS v",
+        f"SELECT DATE_SUB({_TS}, INTERVAL '1 2' YEAR_MONTH) AS v",
+        f"SELECT {_TS} + INTERVAL '1 2:03:04' DAY_SECOND AS v",
+        "SELECT EXTRACT(DAY_HOUR FROM o_orderdate) AS v FROM orders",
+        "SELECT EXTRACT(WEEK FROM o_orderdate) AS v FROM orders",
+    ]:
+        once = translate_mysql(sql)
+        assert translate_mysql(once) == once, sql
+
+
+def test_compound_unit_case_insensitive(spark):
+    v = spark.sql(translate_mysql(
+        f"SELECT date_add({_TS}, interval '1:30' hour_minute) AS v"
+    )).collect()[0][0]
+    assert v == datetime.datetime(2020, 1, 31, 11, 30)
