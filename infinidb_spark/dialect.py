@@ -320,7 +320,9 @@ def _extreme_sql(
     text with the operand repeated — Catalyst's ReuseSubquery dedups
     identical scalar subqueries, and LEAST/GREATEST is order-
     insensitive, so subquery operands are folded LAST to keep every
-    clean operand bound."""
+    clean operand bound.  In a textual step the accumulated clean
+    expression re-evaluates up to 3× (deterministic-only: the caller
+    refuses RAND/UUID operands next to subqueries)."""
     cmp = "<" if least else ">"
     flags = list(subquery_flags) if subquery_flags else [False] * len(args)
     pairs = sorted(zip(args, flags), key=lambda af: af[1])  # clean first
@@ -477,34 +479,6 @@ _INTERVAL_UNITS = {
 }
 
 
-def _compound_interval(name: str, base: str, unit: str, qty: list[Token],
-                       plus: bool) -> list[Token]:
-    """``INTERVAL '<multi-field literal>' <compound unit>`` → the
-    make_interval sum the reference's dateAdd computes
-    (``utils/funcexp/func_date_add.cpp:173-246``).  The operand must be
-    a literal: the reference parses the operand STRING per row with
-    getNumbers, and in SQL text that string is a translate-time
-    constant — a non-literal operand has no MySQL-exact Spark rewrite,
-    so it is refused rather than guessed at."""
-    if len(qty) != 1 or qty[0][0] not in ("string", "number"):
-        raise DialectError(
-            f"{name}: compound INTERVAL {unit} needs a literal operand"
-        )
-    raw = _unquote(qty[0][1]) if qty[0][0] == "string" else qty[0][1]
-    nums = _iv.interval_numbers(raw, negate=not plus)
-    if not nums:
-        # reference: index <= 0 → "expression type is not supported"
-        raise DialectError(f"{name}: INTERVAL operand {raw!r} has no numbers")
-    slots = _iv.compound_slots(unit, nums)
-    if slots is None:
-        # more numbers than the unit has fields → reference returns
-        # datetime 0; surfaced as NULL
-        return [("code", "CAST(NULL AS TIMESTAMP)")]
-    # ANSI typed interval: DATE + day-time → TIMESTAMP (MySQL's DATE →
-    # DATETIME promotion), DATE + year-month stays DATE
-    return [("code", f"(({base}) + {_iv.ansi_interval_sql(unit, slots)})")]
-
-
 def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
     """DATE_ADD/DATE_SUB/ADDDATE/SUBDATE → interval arithmetic.
 
@@ -540,8 +514,15 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
     if second and second[0][0] == "word" and second[0][1].upper() == "INTERVAL":
         unit_tok = second[-1]
         if unit_tok[0] == "word" and unit_tok[1].upper() in _iv.COMPOUND_UNITS:
-            return _compound_interval(
-                name, base, unit_tok[1].upper(), second[1:-1], plus
+            # unreachable for LITERAL operands: the inner _rewrite
+            # already folded those into the code-token branch above
+            # (see the bare-INTERVAL handler).  Reaching here means a
+            # non-literal operand — the reference parses the operand
+            # STRING per row with getNumbers, and a column operand has
+            # no MySQL-exact Spark rewrite, so refuse rather than guess.
+            raise DialectError(
+                f"{name}: compound INTERVAL {unit_tok[1].upper()} needs "
+                "a literal operand"
             )
         spec = _INTERVAL_UNITS.get(unit_tok[1].upper()) if unit_tok[0] == "word" else None
         if spec is None:
@@ -992,6 +973,20 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                         args = [
                             "(" + render(_rewrite(p)).strip() + ")" for p in parts
                         ]
+                        if any(flags) and any(
+                            _re.search(r"\b(RAND|UUID)\s*\(", a, _re.I)
+                            for a in args
+                        ):
+                            # the subquery fold splices operands as
+                            # plain CASE text (evaluated up to 3×); a
+                            # nondeterministic operand would compare
+                            # one draw and return another — refuse
+                            # like the >3-subquery case
+                            raise DialectError(
+                                f"{upper} mixing subqueries with "
+                                "nondeterministic arguments is not "
+                                "supported — hoist into a derived table"
+                            )
                         out.append(
                             ("code",
                              _extreme_sql(args, upper == "LEAST", flags))

@@ -53,7 +53,10 @@ EXTRACT_PACKED: dict[str, str] = {
     "HOUR_SECOND": "hour({x}) * 10000 + minute({x}) * 100 + second({x})",
     "MINUTE_SECOND": "minute({x}) * 100 + second({x})",
     "SECOND_MICROSECOND": (
-        "second({x}) * 1000000 + unix_micros({x}) % 1000000"
+        # pmod, not %: Spark's % follows the dividend's sign, so a
+        # pre-1970 timestamp's negative unix_micros would subtract the
+        # fraction instead of adding it
+        "second({x}) * 1000000 + pmod(unix_micros({x}), 1000000)"
     ),
 }
 

@@ -844,7 +844,10 @@ def ngram_jaccard_pairs(
             F.col("_k").alias("_k_b"), F.col("_id").alias("id_b"),
             F.col("_g").alias("g_b"), F.col("_n").alias("n_b"),
         )
-        band = F.least(a.n_a, b.n_b) >= F.lit(threshold) * F.greatest(a.n_a, b.n_b)
+        band = (
+            F.least(a.n_a, b.n_b)
+            >= F.lit(threshold) * F.greatest(a.n_a, b.n_b) - F.lit(1e-9)
+        )
         return (
             a.join(b, (a._k == b._k_b) & (a.id_a < b.id_b) & band)
             .withColumn("jaccard", inter / union)
@@ -870,8 +873,17 @@ def ngram_jaccard_pairs(
             ).alias("_gs")
         )
     )
-    # PPJoin prefix: |X| − ⌈t·|X|⌉ + 1 rarest grams
-    plen = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
+    # PPJoin prefix: |X| − ⌈t·|X|⌉ + 1 rarest grams.  The 1e-9 slack
+    # guards the FP integer crossing: t·n that is exactly integer k in
+    # real arithmetic can evaluate to k+ε in doubles, over-rounding the
+    # ceil and shortening the prefix below the lemma's requirement
+    # (e.g. 0.56·100) — slack only ever LENGTHENS the prefix, so
+    # exactness is preserved in the safe direction.  Same slack on the
+    # size bands below.
+    plen = (
+        F.col("_n")
+        - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
+    ).cast("int")
     prefix = ordered.select(
         "_id", "_k", "_n",
         F.explode(F.slice("_gs", 1, plen)).alias("_pgram"),
@@ -884,7 +896,10 @@ def ngram_jaccard_pairs(
         F.col("_pgram").alias("_pgram_b"), F.col("_k").alias("_k_b"),
         F.col("_id").alias("id_b"), F.col("_n").alias("n_b"),
     )
-    band = F.least(pa_.n_a, pb.n_b) >= F.lit(threshold) * F.greatest(pa_.n_a, pb.n_b)
+    band = (
+        F.least(pa_.n_a, pb.n_b)
+        >= F.lit(threshold) * F.greatest(pa_.n_a, pb.n_b) - F.lit(1e-9)
+    )
     cands = (
         pa_.join(
             pb,

@@ -108,9 +108,13 @@ def _table_lock(table_dir: str, op: str):
 
     Mutual exclusion: create own file, then verify it is the ONLY lock
     file.  A proceeder verified sole ownership after creating, so two
-    proceeders are impossible; simultaneous acquirers may BOTH back off
-    (each removes its own file and raises) — safe, and the retry in
-    _table_lock_wait resolves it."""
+    proceeders are impossible; simultaneous acquirers may BOTH back
+    off.  Because bare _table_lock callers fail fast (no _table_lock_
+    wait loop), a both-backed-off collision is retried here a few
+    times with per-holder jitter — the old single-file O_EXCL design
+    always admitted one of two simultaneous acquirers, and fail-fast
+    callers must not regress to zero winners.  An ESTABLISHED holder
+    (file present before we create ours) still fails fast."""
     payload = {
         # integer id — the reference's calcleartablelock takes the
         # lockID as an INT argument
@@ -137,20 +141,26 @@ def _table_lock(table_dir: str, op: str):
             "calcleartablelock to clear a stale lock"
         ) from None
 
-    others = _lock_files(table_dir)
-    if others:
-        _locked(others)
-    fd = os.open(own, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as fh:
-        json.dump(payload, fh)
-    others = [p for p in _lock_files(table_dir) if p != own]
-    if others:
+    for attempt in range(3):
+        others = _lock_files(table_dir)
+        if others:
+            _locked(others)  # established (or stale) holder: fail fast
+        fd = os.open(own, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh)
+        others = [p for p in _lock_files(table_dir) if p != own]
+        if not others:
+            break  # sole owner — acquired
         # collided with a concurrent acquirer: back off symmetrically
         try:
             os.remove(own)
         except FileNotFoundError:
             pass
-        _locked(others)
+        if attempt == 2:
+            _locked(others)
+        # per-holder jitter desynchronizes the retry so one of two
+        # simultaneous acquirers wins the next round
+        time.sleep(0.005 + (payload["lock_id"] % 29) / 1000.0)
     try:
         yield
     finally:
@@ -1035,10 +1045,13 @@ _SNAP_CACHE_MAX = 8192
 _SNAP_RACY_NS = 500_000_000
 
 
-def _scan_dir(d: str) -> tuple[dict[str, tuple[int, int]], list[str]]:
-    """One directory's file identities + subdir names (os.walk parity:
-    dot-dirs skipped, symlinked dirs listed-but-not-descended, file
-    stats follow symlinks)."""
+def _scan_dir(d: str) -> tuple[dict[str, tuple[int, int]], list[str], bool]:
+    """One directory's (file identities, subdir names, listing-complete)
+    — os.walk parity: dot-dirs skipped, symlinked dirs listed-but-not-
+    descended, file stats follow symlinks.  ``complete=False`` means
+    the scandir itself failed (EMFILE/EACCES/...): the caller must NOT
+    memoize the empty listing, or a transient error would poison the
+    snapshot identity until the dir mtime next changes."""
     files: dict[str, tuple[int, int]] = {}
     subdirs: list[str] = []
     try:
@@ -1056,8 +1069,8 @@ def _scan_dir(d: str) -> tuple[dict[str, tuple[int, int]], list[str]]:
                 except OSError:
                     continue
     except OSError:
-        pass
-    return files, sorted(subdirs)
+        return files, sorted(subdirs), False
+    return files, sorted(subdirs), True
 
 
 def _snapshot(table_dir: str) -> tuple[str, str, dict[str, tuple[int, int]]]:
@@ -1099,13 +1112,15 @@ def _snapshot(table_dir: str) -> tuple[str, str, dict[str, tuple[int, int]]]:
             _, files, subdirs = hit
             _SNAP_CACHE.move_to_end(d)
         else:
-            files, subdirs = _scan_dir(d)
-            if now - dmt > _SNAP_RACY_NS:
+            files, subdirs, complete = _scan_dir(d)
+            if complete and now - dmt > _SNAP_RACY_NS:
                 _SNAP_CACHE[d] = (dmt, files, subdirs)
                 _SNAP_CACHE.move_to_end(d)
                 while len(_SNAP_CACHE) > _SNAP_CACHE_MAX:
                     _SNAP_CACHE.popitem(last=False)
             else:
+                # racy window OR a failed listing: never memoize —
+                # a transient EMFILE/EACCES must self-heal next call
                 _SNAP_CACHE.pop(d, None)
         rel_base = os.path.relpath(d, real)
         for name, key in files.items():

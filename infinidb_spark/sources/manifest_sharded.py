@@ -111,12 +111,18 @@ class ShardedManifest:
         real = os.path.realpath(self.table_dir)
 
         # Directory-mtime gate: every writer creates/renames/unlinks
-        # entries in the table dir (nothing rewrites parquet in place),
-        # so an unchanged dir mtime means an unchanged file set — a
-        # clean refresh of a 10⁵-file table costs ONE stat, not
-        # O(files).  Same racily-clean guard as operators/dml._snapshot:
-        # a dir modified within the window is never trusted from (nor
-        # admitted to) the memo, so a same-tick writer can't alias.
+        # entries in the table dir, so an unchanged dir mtime means an
+        # unchanged file set — a clean refresh of a 10⁵-file table
+        # costs ONE stat, not O(files).  Same racily-clean guard as
+        # operators/dml._snapshot: a dir modified within the window is
+        # never trusted from (nor admitted to) the memo, so a same-tick
+        # writer can't alias.  KNOWN LIMIT (documented trade): an
+        # in-place overwrite of an existing file (open+truncate on the
+        # same name, no rename) does not bump the dir mtime and is
+        # invisible to the gate — this engine's writers never do that
+        # (Spark/pyarrow write temp + rename), but externally-managed
+        # dirs modified that way should delete <table>.__manifest__ to
+        # force a rebuild.
         try:
             dir_mtime = os.stat(real).st_mtime_ns
         except OSError:
@@ -131,6 +137,10 @@ class ShardedManifest:
             and self._clean_fp is not None
         ):
             return self
+        # arm the signature only at a SUCCESS exit: a mid-rebuild
+        # exception (torn footer, disk full) must leave the gate
+        # disarmed so the retry rescans instead of serving stale shards
+        self._dir_sig = None
 
         current: dict[str, tuple[int, int, int]] = {}
         for f in _member_files(real):
@@ -143,8 +153,8 @@ class ShardedManifest:
         # refresh of a clean 100k-file table must not pay O(files)
         # Python-object work).
         fp = (real, tuple(sorted(current.items())))
-        self._dir_sig = (real, dir_mtime) if not racy else None
         if fp == self._clean_fp:
+            self._dir_sig = (real, dir_mtime) if not racy else None
             return self
 
         by_shard: dict[int, dict[str, tuple[int, int, int]]] = {}
@@ -199,6 +209,7 @@ class ShardedManifest:
             self._shard_keys[i] = dict(want)
             self._relation = None
         self._clean_fp = fp
+        self._dir_sig = (real, dir_mtime) if not racy else None
         return self
 
     # -- the resident stats relation ----------------------------------

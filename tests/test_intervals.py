@@ -277,3 +277,14 @@ def test_compound_unit_case_insensitive(spark):
         f"SELECT date_add({_TS}, interval '1:30' hour_minute) AS v"
     )).collect()[0][0]
     assert v == datetime.datetime(2020, 1, 31, 11, 30)
+
+
+def test_extract_second_microsecond_pre_epoch(spark):
+    """Pre-1970 timestamps: unix_micros is negative and % follows the
+    dividend's sign — pmod keeps the packed value correct
+    (59.5 s → 59500000, not 58500000)."""
+    sql = translate_mysql(
+        "SELECT EXTRACT(SECOND_MICROSECOND FROM"
+        " TIMESTAMP '1969-12-31 23:59:59.5') AS v"
+    )
+    assert spark.sql(sql).collect()[0][0] == 59500000

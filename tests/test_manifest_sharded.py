@@ -226,3 +226,40 @@ def test_refresh_dir_mtime_gate_skips_stat_pass(spark, tmp_path, monkeypatch):
         fh.write(src_bytes)
     m.refresh()
     assert len(calls) == 1
+
+
+def test_refresh_failure_does_not_arm_dir_gate(spark, tmp_path, monkeypatch):
+    """A refresh that dies mid-rebuild (torn footer) must NOT arm the
+    dir-mtime gate: the retry after the file is fixed rescans and picks
+    the change up (code-review r08: _dir_sig was set before the rebuild,
+    so the retry served stale shards)."""
+    import os
+
+    import pytest
+
+    import infinidb_spark.sources.manifest_sharded as ms
+
+    t = str(tmp_path / "t")
+    spark.range(50).selectExpr("id AS k").coalesce(1).write.parquet(t)
+    monkeypatch.setattr(ms, "_DIR_SIG_RACY_NS", -1)
+    m = ms.ShardedManifest(t)
+    m.refresh()
+
+    # torn new file: refresh stats it, then the footer harvest raises
+    torn = os.path.join(t, "part-torn.parquet")
+    open(torn, "wb").close()
+    with pytest.raises(Exception):
+        m.refresh()
+    assert m._dir_sig is None  # gate disarmed by the failure
+
+    # fix the file; the retry must rescan (same dir mtime would have
+    # been served stale under the old early _dir_sig assignment)
+    good = next(
+        os.path.join(t, f) for f in sorted(os.listdir(t))
+        if f.endswith(".parquet") and not f.startswith(("_", ".")) and "torn" not in f
+    )
+    with open(torn, "wb") as fh:
+        fh.write(open(good, "rb").read())
+    m.refresh()
+    rel = m.relation()
+    assert "part-torn.parquet" in rel.column("basename").to_pylist()

@@ -643,3 +643,26 @@ def test_ngram_jaccard_prefix_equals_allpairs(spark, sf_dir):
         got = {tuple(r) for r in fast.collect()}
         want = {tuple(r) for r in brute.collect()}
         assert got == want and len(want) > 0, (t, got ^ want)
+
+
+def test_ngram_jaccard_fp_integer_crossing(spark):
+    """Threshold 0.56 with |A|=56, |B|=100, A ⊂ B: J = 56/100 = 0.56
+    exactly, but 0.56*100 = 56.000000000000007 in doubles — without
+    the 1e-9 slack both the size band and the prefix length over-round
+    and silently drop the qualifying pair (code-review r08 finding)."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = [f"w{i:03d}" for i in range(102)]
+    a_text = " ".join(words[:58])    # 56 distinct 3-grams
+    b_text = " ".join(words)         # 100 distinct 3-grams, superset
+    docs = spark.createDataFrame(
+        [(1, a_text, "s"), (2, b_text, "s")],
+        "doc_id bigint, text string, source string",
+    )
+    for mode in ("prefix", "allpairs"):
+        got = ngram_jaccard_pairs(
+            docs, n=3, threshold=0.56, prefilter_col="source", candidate=mode
+        ).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.56)], mode
