@@ -41,6 +41,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import random
 import shutil
 import time
 import uuid
@@ -158,9 +159,10 @@ def _table_lock(table_dir: str, op: str):
             pass
         if attempt == 2:
             _locked(others)
-        # per-holder jitter desynchronizes the retry so one of two
-        # simultaneous acquirers wins the next round
-        time.sleep(0.005 + (payload["lock_id"] % 29) / 1000.0)
+        # fresh random jitter EACH attempt: a fixed per-holder delay
+        # would let two acquirers with colliding residues re-collide
+        # deterministically on every retry (zero winners)
+        time.sleep(0.002 + random.random() * 0.02)
     try:
         yield
     finally:
@@ -1041,8 +1043,12 @@ _SNAP_CACHE_MAX = 8192
 #: is within this window of now is never trusted from cache NOR cached
 #: — a writer landing in the same timestamp tick after our scan would
 #: otherwise alias.  Quiescent directories (the historical bulk of a
-#: large table) are exactly the ones that hit the memo.
-_SNAP_RACY_NS = 500_000_000
+#: large table) are exactly the ones that hit the memo.  2 s, not a few
+#: hundred ms: the window must exceed the FILESYSTEM's mtime
+#: granularity (1 s on coarse filesystems; git's racily-clean rule
+#: sizes to the same bound), else a writer landing in the same
+#: truncated-mtime tick after the window closes would alias.
+_SNAP_RACY_NS = 2_000_000_000
 
 
 def _scan_dir(d: str) -> tuple[dict[str, tuple[int, int]], list[str], bool]:

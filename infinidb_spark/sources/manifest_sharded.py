@@ -54,8 +54,9 @@ _KEY_COLS = ("basename", "mtime_ns", "size", "ino", "rows")
 
 
 #: racily-clean window for the directory-mtime refresh gate — see
-#: operators/dml._SNAP_RACY_NS (same idiom, same hazard).
-_DIR_SIG_RACY_NS = 500_000_000
+#: operators/dml._SNAP_RACY_NS (same idiom, same hazard; 2 s to exceed
+#: coarse filesystem mtime granularity).
+_DIR_SIG_RACY_NS = 2_000_000_000
 
 
 def _shard_of(basename: str, n_shards: int) -> int:
