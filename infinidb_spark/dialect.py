@@ -487,7 +487,9 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
     ``(n * mult) * INTERVAL '1' unit`` (Spark returns TIMESTAMP for
     day-time intervals — MySQL keeps DATE; acceptable drift, documented).
     Compound units (HOUR_MINUTE, DAY_SECOND, …) take a literal
-    multi-field operand — see ``_compound_interval``.
+    multi-field operand, folded to an ANSI typed-interval literal by
+    the bare-INTERVAL rewrite before this function runs (non-literal
+    compound operands are refused below).
     The 2-arg day form (``ADDDATE(d, n)``) maps to date_add/date_sub.
     """
     args = _split_args(inner)
