@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from infinidb_spark.functions.prng import lcg_next
+
 # Deterministic MinHash parameters: h_j(x) = (a_j * x + b_j) mod p, with
 # p a Mersenne prime; a/b generated once from a fixed linear-congruential
 # sequence so every run (and every executor) agrees.
@@ -57,9 +59,9 @@ def _hash_params(n: int) -> list[tuple[int, int]]:
     params = []
     state = 0x9E3779B97F4A7C15
     for _ in range(n):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        state = lcg_next(state)
         a = (state % (_MERSENNE_P - 1)) + 1
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        state = lcg_next(state)
         b = state % _MERSENNE_P
         params.append((a, b))
     return params

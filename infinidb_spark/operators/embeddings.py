@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from infinidb_spark.functions.prng import lcg_next
+
 #: guard against all-zero vectors — scale never reaches 0 so x/scale
 #: stays finite; 1e-12 is far below any real float32 embedding range.
 _EPS = 1e-12
@@ -36,6 +38,20 @@ _EPS = 1e-12
 
 def _d(vec: Column) -> Column:
     return vec.cast("array<double>")
+
+
+def _null_if_ragged(v: Column, out: Column) -> Column:
+    """NULL result when the vector is NULL or has a NULL element.
+
+    The folds below are built from least/greatest/aggregate, all of
+    which silently SKIP nulls — a single corrupt element would
+    otherwise come out as max-magnitude garbage (e.g. the int8 clamp
+    turned floor(NULL)+clamp into code 127, and l2_normalize turned a
+    NULL norm into a 1e12-scale 'unit' vector).  Corrupt input yields
+    NULL, which downstream joins/filters drop visibly."""
+    return F.when(
+        v.isNull() | F.exists(v, lambda x: x.isNull()), F.lit(None)
+    ).otherwise(out)
 
 
 def l2_norm(vec: Column) -> Column:
@@ -46,17 +62,18 @@ def l2_norm(vec: Column) -> Column:
 
 def l2_normalize(vec: Column) -> Column:
     """Unit-normalize a vector; all-zero vectors pass through unchanged
-    (norm clamped to eps keeps 0/eps = 0)."""
+    (norm clamped to eps keeps 0/eps = 0); NULL-element vectors → NULL."""
     v = _d(vec)
     n = F.greatest(l2_norm(v), F.lit(_EPS))
-    return F.transform(v, lambda x: x / n)
+    return _null_if_ragged(v, F.transform(v, lambda x: x / n))
 
 
 def quant_scale(vec: Column) -> Column:
-    """Symmetric per-vector int8 scale: max|x| / 127, clamped to eps."""
+    """Symmetric per-vector int8 scale: max|x| / 127, clamped to eps;
+    NULL-element vectors → NULL."""
     v = _d(vec)
     amax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
-    return F.greatest(amax, F.lit(_EPS)) / F.lit(127.0)
+    return _null_if_ragged(v, F.greatest(amax, F.lit(_EPS)) / F.lit(127.0))
 
 
 def quantize_int8(vec: Column, scale: Column) -> Column:
@@ -66,11 +83,17 @@ def quantize_int8(vec: Column, scale: Column) -> Column:
     engines disagree on round-half semantics for doubles; floor is IEEE
     and reproduces bit-identically everywhere.  max|x|/127 scaling means
     the un-clamped code already lies in [-127, 127]; the clamp guards
-    the x == -max edge where floor(-127 + 0.5) = -127 exactly."""
+    the x == -max edge where floor(-127 + 0.5) = -127 exactly.
+    NULL-element vectors → NULL (the clamp would otherwise silently
+    turn a NULL element into code 127)."""
     v = _d(vec)
     code = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)))
-    return F.transform(
-        code, lambda c: F.greatest(F.least(c, F.lit(127)), F.lit(-127)).cast("int")
+    return _null_if_ragged(
+        v,
+        F.transform(
+            code,
+            lambda c: F.greatest(F.least(c, F.lit(127)), F.lit(-127)).cast("int"),
+        ),
     )
 
 
@@ -99,7 +122,7 @@ def projection_signs(
     for _ in range(out_dim):
         row: list[float] = []
         for _ in range(in_dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            state = lcg_next(state)
             row.append(1.0 if (state >> 32) & 1 else -1.0)
         rows.append(row)
     return rows

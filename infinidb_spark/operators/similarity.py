@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from infinidb_spark.functions.prng import lcg_next
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -142,7 +144,7 @@ def _lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
     for _ in range(n_planes):
         coeffs = []
         for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            state = lcg_next(state)
             coeffs.append((state / float(1 << 63)) * 2.0 - 1.0)
         planes.append(coeffs)
     return planes
@@ -244,10 +246,13 @@ def ivf_probe_ids(
     n_probe: int,
 ) -> list[int]:
     """The ``n_probe`` centroid ids nearest the query — driver-side over
-    the K-row model, with the SAME rounding (9 dp) and tie rule (lowest
-    cid) as the executor-side assignment, so any engine replays the
-    probe decision exactly."""
+    the K-row model, with the SAME rounding (9 dp HALF_UP over the
+    shortest decimal repr, i.e. Spark's F.round — NOT Python's
+    banker's round over the binary value) and tie rule (lowest cid) as
+    the executor-side assignment, so any engine replays the probe
+    decision exactly."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     def _pycos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))
@@ -255,9 +260,13 @@ def ivf_probe_ids(
         nb = math.sqrt(sum(x * x for x in b))
         return dot / (na * nb)
 
+    def _round9(v: float) -> float:
+        # F.round semantics: decimal HALF_UP on repr(v), not round(v, 9)
+        return float(Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
     q = [float(x) for x in query_vec]
     ranked = sorted(
-        ((round(_pycos(q, cv), 9), -cid) for cid, cv in centroids), reverse=True
+        ((_round9(_pycos(q, cv)), -cid) for cid, cv in centroids), reverse=True
     )
     return [-nc for _s, nc in ranked[:n_probe]]
 
@@ -501,7 +510,12 @@ def ivf_best_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colu
         s = F.round(cosine_similarity(vec, c), 9)
         entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
     best = F.array_max(F.array(*entries))
-    return F.struct(best["s"].alias("sim"), (-best["nc"]).cast("long").alias("cid"))
+    # a NULL best cosine (dimension mismatch with the centroid model, a
+    # NULL element) must yield cid NULL — the struct argmax would
+    # otherwise tie on s=NULL and silently dump every bad vector into
+    # the lowest centroid's posting list
+    cid = F.when(best["s"].isNull(), F.lit(None)).otherwise(-best["nc"])
+    return F.struct(best["s"].alias("sim"), cid.cast("long").alias("cid"))
 
 
 def kmeans_fit_predict(
@@ -636,7 +650,9 @@ def semantic_dedup_incremental(
     new_df: DataFrame,
     corpus_index: DataFrame,
     centroids: list[tuple[int, list[float]]],
-    threshold: float = 0.3,
+    threshold: float = 0.6,  # same default as semantic_dedup — the
+    # "same contract" the docstring promises (every in-repo caller
+    # passes threshold explicitly)
     cluster_cap: int = 1000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",

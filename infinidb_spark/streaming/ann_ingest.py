@@ -78,6 +78,7 @@ def ann_index_serve(
     k: int = 10,
     n_probe: int = 2,
     id_col: str = "vec_id",
+    id_type: str = "long",
 ) -> DataFrame:
     """Serve a top-k query from the streamed index: probe selection
     driver-side over the K-row model (ivf_probe_ids — same rounding and
@@ -98,7 +99,10 @@ def ann_index_serve(
     qcol = F.array(*[F.lit(x) for x in q])
     idx = read_committed(spark, index_dir)
     if idx is None:
-        return spark.createDataFrame([], f"{id_col} long, cosine double")
+        # id_type keeps the pre-first-commit schema identical to the
+        # committed-data path for non-long id columns (string ids are
+        # legal elsewhere in the ANN family)
+        return spark.createDataFrame([], f"{id_col} {id_type}, cosine double")
     return (
         idx.filter(F.col("cid").isin(probes))
         .select(

@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from infinidb_spark.operators.dedup import dedup_exact_incremental
-from infinidb_spark.streaming.sink import sink_id_for, write_epoch_idempotent
+from infinidb_spark.streaming.sink import (
+    sink_id_for,
+    start_epoch_stream,
+    write_epoch_idempotent,
+)
 
 _STORE_DIR = "_hash_store"
 
@@ -95,11 +99,4 @@ def stream_dedup_ingest(
         finally:
             classified.unpersist()
 
-    writer = (
-        stream.writeStream.foreachBatch(_ingest_epoch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_epoch_stream(stream, _ingest_epoch, checkpoint_dir, available_now)

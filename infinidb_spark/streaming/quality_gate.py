@@ -35,6 +35,7 @@ from infinidb_spark.operators.text import lang_id, quality_score
 from infinidb_spark.streaming.sink import (
     read_committed,
     sink_id_for,
+    start_epoch_stream,
     write_epoch_idempotent,
 )
 
@@ -107,32 +108,28 @@ def stream_quality_gate(
         finally:
             scored.unpersist()
 
-    writer = (
-        stream.writeStream.foreachBatch(_gate_epoch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_epoch_stream(stream, _gate_epoch, checkpoint_dir, available_now)
 
 
-def read_gate_results(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    """Audit view over both relations: (doc_id, status, quality,
+def read_gate_results(
+    spark: SparkSession, table_dir: str, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """Audit view over both relations: (id, status, quality,
     lang_guess) — 'accepted' rows from the corpus table, reject rows
-    with their failing rule.  Reads COMMITTED epochs only
-    (sink.read_committed): the epoch protocol links files before the
-    marker, so a raw read racing the linker — serve-while-ingest with
-    available_now=False — could see a torn micro-batch.  Returns None
-    before any epoch commits."""
+    with their failing rule.  ``id_col`` must match the one the gate
+    was started with (stream_quality_gate parameterizes it).  Reads
+    COMMITTED epochs only (sink.read_committed): the epoch protocol
+    links files before the marker, so a raw read racing the linker —
+    serve-while-ingest with available_now=False — could see a torn
+    micro-batch.  Returns None before any epoch commits."""
     acc = read_committed(spark, os.path.join(table_dir, ACCEPTED_DIR))
     rej = read_committed(spark, os.path.join(table_dir, REJECTS_DIR))
     if acc is not None:
         acc = acc.select(
-            "doc_id", F.lit("accepted").alias("status"), "quality", "lang_guess"
+            id_col, F.lit("accepted").alias("status"), "quality", "lang_guess"
         )
     if rej is not None:
-        rej = rej.select("doc_id", F.col("status"), "quality", "lang_guess")
+        rej = rej.select(id_col, F.col("status"), "quality", "lang_guess")
     if acc is None:
         return rej
     return acc if rej is None else acc.unionByName(rej)

@@ -65,7 +65,19 @@ def write_epoch_idempotent(
         # foreachBatch batch_df is a normal DataFrame; the enclosing
         # streaming query's id is reachable via the active session
         active = batch_df.sparkSession.streams.active
-        sink_id = active[0].id if len(active) == 1 else "default"
+        if len(active) == 1:
+            sink_id = active[0].id
+        elif not active:
+            sink_id = "default"  # batch caller: single-writer namespace
+        else:
+            # sharing 'default' across concurrent queries would let one
+            # query's marker silently skip another's epoch — the exact
+            # data-loss hazard the per-sink namespace exists to prevent
+            raise ValueError(
+                "write_epoch_idempotent: cannot infer the sink id with "
+                f"{len(active)} active streaming queries — pass sink_id "
+                "explicitly (sink_id_for(checkpoint_dir))"
+            )
     safe = str(sink_id).replace(os.sep, "_")
     marker = os.path.join(table_dir, _EPOCH_DIR, safe, str(epoch_id))
     if os.path.exists(marker):
@@ -144,6 +156,27 @@ def sink_id_for(checkpoint_dir: str) -> str:
     return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
 
 
+def start_epoch_stream(
+    stream: DataFrame,
+    foreach_fn,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """ONE writer-setup chokepoint for every foreachBatch sink in this
+    package (stream_to_table, dedup ingest, quality gate): checkpoint,
+    append mode, optional availableNow drain.  Three hand-rolled copies
+    of this block had already drifted risk-wise — a future option change
+    must land exactly once."""
+    writer = (
+        stream.writeStream.foreachBatch(foreach_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_table(
     stream: DataFrame,
     table_dir: str,
@@ -163,11 +196,4 @@ def stream_to_table(
             batch_df, epoch_id, table_dir, partition_by, sink_id=sink_id
         )
 
-    writer = (
-        stream.writeStream.foreachBatch(_write_epoch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_epoch_stream(stream, _write_epoch, checkpoint_dir, available_now)

@@ -233,3 +233,70 @@ def test_alter_grammar_roundtrip_property():
         assert st["kind"] == "alter" and st["actions"] == want
 
     check()
+
+
+def test_lcg_golden_sequences_pinned():
+    """The shared LCG (functions/prng.py) feeds MinHash params, LSH
+    planes, and JL signs; persisted signature stores and oracle-embedded
+    plane literals depend on these sequences bit-for-bit, so a refactor
+    must never change them."""
+    from infinidb_spark.operators.dedup import _hash_params
+    from infinidb_spark.operators.embeddings import projection_signs
+    from infinidb_spark.operators.similarity import _lsh_planes
+
+    assert _hash_params(2) == [
+        (930818101715844099, 756733711409122640),
+        (1424422031489206581, 2047395389979782426),
+    ]
+    assert [round(c, 12) for c in _lsh_planes(1, 3)[0]] == [
+        -0.22834025123, -0.369085486375, 0.452483627839,
+    ]
+    assert projection_signs(1, 6)[0] == [-1.0, 1.0, 1.0, 1.0, -1.0, 1.0]
+
+
+def test_embedding_null_element_guards(spark):
+    """Ragged/corrupt vectors (NULL element) yield NULL, never
+    max-magnitude garbage (quantize) or 1e12-scale 'unit' vectors
+    (l2_normalize) — the null-skipping least/greatest folds were
+    silently absorbing the NULL (code-review r08)."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.embeddings import (
+        l2_normalize,
+        quant_scale,
+        quantize_int8,
+    )
+
+    df = spark.sql(
+        "SELECT array(0.5D, CAST(NULL AS DOUBLE)) AS bad,"
+        "       array(0.5D, -1.0D) AS good"
+    )
+    row = df.select(
+        l2_normalize(F.col("bad")).alias("n_bad"),
+        quant_scale(F.col("bad")).alias("s_bad"),
+        quantize_int8(F.col("bad"), F.lit(0.01)).alias("q_bad"),
+        l2_normalize(F.col("good")).alias("n_good"),
+        quantize_int8(F.col("good"), quant_scale(F.col("good"))).alias("q_good"),
+    ).collect()[0]
+    assert row.n_bad is None and row.s_bad is None and row.q_bad is None
+    assert row.n_good is not None and row.q_good == [64, -127]
+
+
+def test_ivf_assign_null_cosine_is_null_cid(spark):
+    """A vector that cannot be scored against the centroid model
+    (dimension mismatch → NULL cosine) must get cid NULL, not silently
+    land in the lowest centroid's posting list."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.similarity import ivf_best_expr
+
+    cents = [(3, [1.0, 0.0]), (7, [0.0, 1.0])]
+    df = spark.sql(
+        "SELECT array(1.0D) AS short_vec, array(1.0D, 0.0D) AS ok_vec"
+    )
+    row = df.select(
+        ivf_best_expr(F.col("short_vec"), cents).alias("bad"),
+        ivf_best_expr(F.col("ok_vec"), cents).alias("ok"),
+    ).collect()[0]
+    assert row.bad.cid is None
+    assert row.ok.cid == 3 and abs(row.ok.sim - 1.0) < 1e-9
