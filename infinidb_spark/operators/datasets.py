@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from infinidb_spark.operators.dedup import md5_hash56
 from pyspark.sql.window import Window
 
 #: bucket space for split assignment — 10k buckets ≙ 0.01% weight grain.
@@ -47,7 +49,7 @@ def split_bucket(
     """
     s = F.concat(key.cast("string"), F.lit(":" + salt))
     if portable:
-        h = F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint")
+        h = md5_hash56(s)
     else:
         h = F.xxhash64(s)
     return F.pmod(h, F.lit(n_buckets))

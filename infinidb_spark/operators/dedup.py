@@ -76,6 +76,16 @@ def _sig_params(n_hashes: int) -> list[tuple[int, int]]:
     return [((a % (p31 - 1)) + 1, b % p31) for a, b in _hash_params(n_hashes)]
 
 
+def md5_hash56(col: Column) -> Column:
+    """56-bit md5-derived portable hash (first 14 hex chars → BIGINT) —
+    THE shared expression for every portable=True integer-hash path
+    (CMS buckets, dataset split buckets, document fingerprints, window
+    hashes); any SQL engine reproduces it literally.  The 28-bit
+    shingle variant lives in _shingle_hash_expr; a drifting copy of
+    either breaks cross-engine hash verification silently."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+
+
 def _shingle_hash_expr(shingle: Column, portable_hash: bool) -> Column:
     """Shingle → int64 hash; portable mode = md5-derived (< 2^28,
     reproducible in any SQL engine), default = xxhash64.  Shared by the
@@ -87,8 +97,14 @@ def _shingle_hash_expr(shingle: Column, portable_hash: bool) -> Column:
 
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse whitespace, strip — the canonical form used by
-    every dedup tier so near-dup ≡ same pipeline at different tolerance."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    every dedup tier so near-dup ≡ same pipeline at different tolerance.
+
+    NULL text normalizes to '' (the empty document): every text metric
+    built on this (token_count, stopword_ratio, fingerprints) otherwise
+    propagates NULL into size()/ratio expressions that return -1 or
+    garbage under null-skipping folds — a NULL-text JSONL row must read
+    as an empty doc (0 tokens), not as a -1-token one."""
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " "))
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -24,11 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from infinidb_spark.operators.dedup import md5_hash56
+
 
 def _bucket(key: Column, j: Column, width: int, portable: bool) -> Column:
     s = F.concat(key.cast("string"), F.lit(":cms:"), j.cast("string"))
     if portable:
-        h = F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint")
+        h = md5_hash56(s)
     else:
         h = F.xxhash64(s)
     return F.pmod(h, F.lit(width))
@@ -42,8 +44,9 @@ def count_min_sketch(
     portable: bool = False,
 ) -> DataFrame:
     """Build the sketch relation: one row per non-empty (j, bucket) with
-    its counter.  One explode (×depth) + one groupBy — fixed ≤ d·w
-    output rows whatever the input size."""
+    its counter, plus the build parameters as constant metadata columns
+    (depth, width, portable).  One explode (×depth) + one groupBy —
+    fixed ≤ d·w output rows whatever the input size."""
     j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
     return (
         df.select(F.col(key_col).alias("_k"))
@@ -51,6 +54,9 @@ def count_min_sketch(
         .select("j", _bucket(F.col("_k"), F.col("j"), width, portable).alias("bucket"))
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("counter"))
+        .withColumn("depth", F.lit(depth))
+        .withColumn("width", F.lit(width))
+        .withColumn("portable", F.lit(portable))
     )
 
 
@@ -58,13 +64,38 @@ def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,
     key_col: str,
-    depth: int = 4,
-    width: int = 1024,
-    portable: bool = False,
+    depth: int | None = None,
+    width: int | None = None,
+    portable: bool | None = None,
 ) -> DataFrame:
     """Estimate each key's frequency: min over its d counters.  The
     sketch is tiny (≤ d·w rows) — broadcast it; a missing (j, bucket)
-    row means a zero counter, so such keys estimate to 0."""
+    row means a zero counter, so such keys estimate to 0.
+
+    Parameters default to the metadata the sketch relation carries; a
+    parameter passed explicitly must MATCH it.  Probing with different
+    depth/width/portable than the build computes different buckets and
+    silently estimates ~0 for every key — inverting CMS's
+    always-over-estimate guarantee — so a mismatch raises instead."""
+    if {"depth", "width", "portable"} <= set(sketch.columns):
+        meta = sketch.select("depth", "width", "portable").first()
+        if meta is not None:
+            for name, given, built in (
+                ("depth", depth, meta.depth),
+                ("width", width, meta.width),
+                ("portable", portable, meta.portable),
+            ):
+                if given is not None and given != built:
+                    raise ValueError(
+                        f"cms_estimate: {name}={given} does not match the "
+                        f"sketch's build parameter {name}={built}"
+                    )
+            depth, width, portable = meta.depth, meta.width, meta.portable
+    if depth is None or width is None or portable is None:
+        raise ValueError(
+            "cms_estimate: sketch carries no build metadata — pass "
+            "depth/width/portable matching the build call"
+        )
     j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
     probes = (
         keys.select(F.col(key_col))

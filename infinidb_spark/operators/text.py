@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from infinidb_spark.operators.dedup import (
+    md5_hash56,
     _shingle_hash_expr,
     fan_out,
     normalize_text,
@@ -118,9 +119,7 @@ def fingerprint(
     n = F.greatest(F.length(t) - (window - 1), F.lit(1))
     if portable_hash:
         def h(i):
-            return F.conv(
-                F.substring(F.md5(F.substring(t, i, F.lit(window))), 1, 14), 16, 10
-            ).cast("long")
+            return md5_hash56(F.substring(t, i, F.lit(window)))
     else:
         def h(i):
             return F.xxhash64(F.substring(t, i, F.lit(window)))
@@ -291,7 +290,7 @@ def window_dup_fraction(
     )
     win_text = F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), window))
     h = (
-        F.conv(F.substring(F.md5(win_text), 1, 14), 16, 10).cast("long")
+        md5_hash56(win_text)
         if portable_hash
         else F.xxhash64(win_text)
     )
@@ -542,11 +541,13 @@ def classify_quality(
             F.round(F.sum("_w") / F.count(F.lit(1)), 6).alias("score"),
         )
     )
-    # ONE ROW PER INPUT DOC (the contract every signal operator in this
-    # module keeps — window_dup_fraction documents why): a doc whose
-    # normalized text tokenizes to nothing still gets an explicit
-    # verdict (n_tokens=0, neutral score 0.0) instead of silently
-    # vanishing, which a joining pipeline would misread as NULL/unknown
+    # ONE ROW PER INPUT DOC (window_dup_fraction keeps the same spine
+    # contract; repetition_signals is the documented EXCEPTION — docs
+    # with fewer than n tokens have no n-grams and emit no row, a rule
+    # its oracle replays): a doc whose normalized text tokenizes to
+    # nothing still gets an explicit verdict (n_tokens=0, neutral score
+    # 0.0) instead of silently vanishing, which a joining pipeline
+    # would misread as NULL/unknown
     spine = df.select(F.col(id_col).alias("_id")).distinct()
     return (
         spine.join(scored, "_id", "left")

@@ -1291,7 +1291,29 @@ class InfiniSession:
                     path = self.tables[n].inputFiles()[0]
                     path = path[5:] if path.startswith("file:") else path
                 try:
-                    nrows = sum(e["rows"] for e in cached_manifest(path))
+                    from infinidb_spark.sources.manifest import _has_nested_data
+
+                    if _has_nested_data(path):
+                        # hive-partitioned layout: no top-level member
+                        # files to sum — count the footers recursively
+                        # (still metadata-only, no data scan)
+                        import pyarrow.parquet as _pq
+
+                        nrows = 0
+                        for dirpath, dirnames, fnames in os.walk(path):
+                            dirnames[:] = [
+                                d for d in dirnames
+                                if not d.startswith((".", "_"))
+                            ]
+                            for f in fnames:
+                                if f.endswith(".parquet") and not f.startswith(
+                                    ("_", ".")
+                                ):
+                                    nrows += _pq.ParquetFile(
+                                        os.path.join(dirpath, f)
+                                    ).metadata.num_rows
+                    else:
+                        nrows = sum(e["rows"] for e in cached_manifest(path))
                 except Exception:
                     nrows = None
                 rows.append((n, "InfiniDB", nrows))

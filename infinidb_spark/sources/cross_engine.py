@@ -46,6 +46,13 @@ def read_jdbc_table(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JVM as the literal 'None' and
+            # die in a NumberFormatException deep in the JDBC source
+            raise ValueError(
+                "read_jdbc_table: partition_column requires lower_bound "
+                "and upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

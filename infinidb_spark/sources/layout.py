@@ -117,10 +117,16 @@ def zorder_write(
         else:  # numeric / boolean
             proxies[c] = col.cast("double")
     proxied = df.select("*", *[proxies[c].alias(f"__zq_{c}") for c in cluster_by])
-    quantized = []
-    for c in cluster_by:
-        bounds = proxied.approxQuantile(f"__zq_{c}", probes, 1.0 / (4 << bits))
-        quantized.append(_quantile_bucket(F.col(f"__zq_{c}"), bounds, (1 << bits) - 1))
+    # ONE approxQuantile pass for all cluster columns (the list form):
+    # a per-column loop re-scans the whole input K times before the
+    # write — K× the pre-write I/O on this module's own 100 TB target
+    all_bounds = proxied.approxQuantile(
+        [f"__zq_{c}" for c in cluster_by], probes, 1.0 / (4 << bits)
+    )
+    quantized = [
+        _quantile_bucket(F.col(f"__zq_{c}"), bounds, (1 << bits) - 1)
+        for c, bounds in zip(cluster_by, all_bounds)
+    ]
     z = zorder_value(quantized, bits)
     (
         proxied.withColumn("__z", z)
@@ -190,9 +196,16 @@ def compact_table(
         part_cols = _partition_columns(table_dir)
         new_dir = _new_version_dir(table_dir)
         if cluster_by:
+            # hive partition columns lead the in-task sort (when
+            # present) so the dynamic-partition write doesn't inject
+            # its own SortExec over the clustered order — see
+            # table_write.write_table
+            sort_cols = [c for c in part_cols if c not in cluster_by] + list(
+                cluster_by
+            )
             writer = (
                 df.repartitionByRange(n_target, *cluster_by)
-                .sortWithinPartitions(*cluster_by)
+                .sortWithinPartitions(*sort_cols)
                 .write.mode("overwrite")
             )
         else:

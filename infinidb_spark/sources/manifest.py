@@ -74,6 +74,28 @@ def _member_files(path: str) -> list[str]:
     return [path]
 
 
+def _has_nested_data(path: str) -> bool:
+    """True when a directory has NO top-level member files but parquet
+    somewhere below — the hive-partitioned layout (``dt=…/part.parquet``
+    from partition_by writers).  The extent maps key member files at
+    the TOP level (the engine's managed flat-clustered layout);
+    partitioned tables prune natively through their partition columns,
+    so the scanners must fall back to a plain filtered scan instead of
+    mis-reading "no member files" as "no data" (which returned ZERO
+    rows for every partitioned table)."""
+    real = os.path.realpath(path)
+    if not os.path.isdir(real) or _member_files(real):
+        return False
+    for dirpath, dirnames, files in os.walk(real):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
+            return True
+    return False
+
+
 def _harvest_file(f: str) -> dict[str, Any]:
     md = pq.ParquetFile(f).metadata
     cols: dict[str, dict[str, Any]] = {}
@@ -107,8 +129,14 @@ def _harvest_file(f: str) -> dict[str, Any]:
                 entry["null_count"] = None
                 entry["_poisoned"] = True
                 continue
-            if st.null_count is not None and entry["null_count"] is not None:
-                entry["null_count"] += st.null_count
+            if entry["null_count"] is not None:
+                if st.null_count is not None:
+                    entry["null_count"] += st.null_count
+                else:
+                    # a chunk with min/max but NO null_count (legal
+                    # Parquet) makes the aggregate UNKNOWN — same
+                    # never-undercount rule as the DuckDB path below
+                    entry["null_count"] = None
             if not entry.get("_poisoned"):
                 if entry["min"] is None or st.min < entry["min"]:
                     entry["min"] = st.min
@@ -190,19 +218,21 @@ _MANIFEST_CACHE: dict[tuple, list[dict[str, Any]]] = {}
 
 
 def _path_key(path: str) -> tuple:
-    """Keyed on every member file's (name, mtime, size) — a file
+    """Keyed on every member file's (name, mtime, size, INODE) — a file
     rewritten IN PLACE (same name) changes its own mtime even though
-    the directory's doesn't, so stale stats can never mis-prune."""
+    the directory's doesn't, and the inode catches the residual case a
+    same-size rename-replace lands within filesystem mtime granularity
+    (the same hazard write_manifest's sidecar 'ino' field defends)."""
     real = os.path.realpath(path)
     if os.path.isdir(real):
         stats = []
         for f in sorted(os.listdir(real)):
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 st = os.stat(os.path.join(real, f))
-                stats.append((f, st.st_mtime_ns, st.st_size))
+                stats.append((f, st.st_mtime_ns, st.st_size, st.st_ino))
         return (real, tuple(stats))
     st = os.stat(real)
-    return (real, st.st_mtime_ns, st.st_size)
+    return (real, st.st_mtime_ns, st.st_size, st.st_ino)
 
 
 #: per-FILE footer memo: (inode, mtime_ns, size) -> harvested stats.
@@ -390,8 +420,12 @@ def scan_with_manifest(
     manifest = manifest if manifest is not None else cached_manifest(path)
     if not predicates:  # nothing to eliminate with — plain full scan
         return spark.read.parquet(path)
-    files = prune(manifest, predicates)
     residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
+    if not manifest and _has_nested_data(path):
+        # hive-partitioned table: no top-level member files to map —
+        # plain scan; partition pruning + pushdown still apply natively
+        return spark.read.parquet(path).filter(residual)
+    files = prune(manifest, predicates)
     if not files:
         # all extents eliminated: plan over one file for the schema, with
         # an always-false residual Catalyst folds to an empty relation

@@ -47,6 +47,7 @@ from infinidb_spark.sources.manifest import (
     Predicate,
     _as_filter,
     _harvest_file,
+    _has_nested_data,
     _member_files,
 )
 
@@ -436,9 +437,15 @@ def scan_with_sharded_manifest(
     if not predicates:
         return spark.read.parquet(path)  # manifest never consulted
     m = manifest or cached_sharded_manifest(path)
+    residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
+    if _has_nested_data(path):
+        # hive-partitioned table: the extent map keys TOP-LEVEL member
+        # files and would read the layout as empty (zero rows for a
+        # table with data) — plain scan; partition pruning + pushdown
+        # still apply natively
+        return spark.read.parquet(path).filter(residual)
     m.refresh()
     files = m.prune(predicates)
-    residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
     if not files:
         anchor = _member_files(os.path.realpath(path))[:1] or [path]
         return spark.read.parquet(*anchor).filter(F.lit(False) & residual)

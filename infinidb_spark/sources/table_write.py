@@ -36,7 +36,13 @@ def write_table(
     if cluster_by:
         if partition_by:
             out = out.repartition(*[out[c] for c in partition_by])
-        out = out.sortWithinPartitions(*cluster_by)
+            # the partition columns LEAD the sort: Spark's dynamic-
+            # partition write requires ordering on them and would
+            # otherwise insert its own SortExec on top, double-sorting
+            # and (under spill-merge) destroying the cluster order
+            out = out.sortWithinPartitions(*partition_by, *cluster_by)
+        else:
+            out = out.sortWithinPartitions(*cluster_by)
     writer = out.write.mode(mode).option("compression", "snappy")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

@@ -412,3 +412,22 @@ def test_scan_with_manifest_persist_false_writes_nothing(spark, tmp_path):
     got2 = scan_with_manifest(spark, t, preds)
     assert got2.count() == 50
     assert os.path.isdir(t + ".__manifest__")
+
+
+def test_partitioned_table_scan_is_not_vacuous(spark, tmp_path):
+    """A hive-partitioned table has NO top-level member files; both
+    pruners previously read that as an empty manifest and returned ZERO
+    rows for a table full of data (code-review r08).  They now fall
+    back to a plain filtered scan (partition pruning still applies
+    natively)."""
+    from infinidb_spark.sources.manifest import scan_with_manifest
+    from infinidb_spark.sources.manifest_sharded import scan_with_sharded_manifest
+
+    t = str(tmp_path / "pt")
+    spark.range(100).selectExpr("id AS k", "id % 3 AS dt").write.partitionBy(
+        "dt"
+    ).parquet(t)
+    preds = [("k", ">", 5)]
+    assert scan_with_manifest(spark, t, preds).count() == 94
+    assert scan_with_manifest(spark, t, preds, persist=False).count() == 94
+    assert scan_with_sharded_manifest(spark, t, preds).count() == 94

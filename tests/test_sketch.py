@@ -95,3 +95,20 @@ def test_cms_builds_incrementally_on_stream(spark, sf_dir):
         assert got == want  # stream converges to the batch sketch exactly
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_cms_estimate_parameter_mismatch_raises(spark):
+    """Probing with different depth/width/portable than the build
+    computes different buckets and silently estimates ~0 for every key
+    (inverting the over-estimate guarantee) — a mismatch now raises,
+    and omitted parameters default to the sketch's own metadata."""
+    import pytest
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    sketch = count_min_sketch(df, "k", depth=4, width=512, portable=True)
+    with pytest.raises(ValueError, match="width"):
+        cms_estimate(sketch, df, "k", depth=4, width=1024, portable=True)
+    with pytest.raises(ValueError, match="portable"):
+        cms_estimate(sketch, df, "k", portable=False)
+    est = {r.k: r.est_n for r in cms_estimate(sketch, df, "k").collect()}
+    assert est == {"a": 1, "b": 1}
