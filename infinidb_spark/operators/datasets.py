@@ -104,7 +104,10 @@ def exact_stratified_split(
     bucket = split_bucket(F.col(key_col), salt, N_BUCKETS, portable)
     w = Window.partitionBy(strata_col).orderBy(bucket, F.col(key_col))
     n = Window.partitionBy(strata_col)
-    rank0 = (F.row_number().over(w) - F.lit(1)) * F.lit(N_BUCKETS)
+    # bigint BEFORE the multiply: row_number is 32-bit and
+    # (rn-1)*10000 silently wraps past rank ~214,748 with ANSI off —
+    # every row in a 300k-row stratum landed in the FIRST label
+    rank0 = (F.row_number().over(w) - F.lit(1)).cast("bigint") * F.lit(N_BUCKETS)
     size = F.count(F.lit(1)).over(n)
     expr: Column | None = None
     cum = 0.0
@@ -132,6 +135,8 @@ def pack_sequences(
     ``budget + max(doc tokens in shard)``, and a doc longer than the
     budget gets bins to itself.  Adds ``shard`` and ``bin_id``.
     """
+    if budget <= 0:
+        raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
     shard = split_bucket(F.col(id_col), "shard", n_shards, portable)
     out = df.withColumn("shard", shard)
     w = (

@@ -30,6 +30,18 @@ from pyspark.sql import functions as F
 _SALT = "__salt__"
 
 
+def _row_salt(df: DataFrame, n_salt: int):
+    """Deterministic per-row salt from ROW CONTENT, never from
+    monotonically_increasing_id: a partial stage retry after a shuffle-
+    fetch failure recomputes rows in a different order, and an
+    id-derived salt would route the recomputed rows to different
+    (key, salt) reducer partitions than the original run — rows
+    silently vanish or duplicate (the SPARK-23207 correctness class).
+    Content-hash salts are recomputation-stable; identical duplicate
+    rows share a salt, which only costs balance, never correctness."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+
+
 def salted_join(
     skewed: DataFrame,
     build: DataFrame,
@@ -48,9 +60,9 @@ def salted_join(
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
     if how.lower() not in allowed:
         raise ValueError(f"salted_join supports {sorted(allowed)}, not {how!r}")
-    salted = skewed.withColumn(
-        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
-    )
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    salted = skewed.withColumn(_SALT, _row_salt(skewed, n_salt))
     replicated = build.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
@@ -69,9 +81,9 @@ def salted_aggregate(
     stage 2 merges the n partials per key.  Algebraic aggregates only
     (count/sum here; min/max/avg extend the same way)."""
     sum_cols = sum_cols or {}
-    salted = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
-    )
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    salted = df.withColumn(_SALT, _row_salt(df, n_salt))
     stage1 = salted.groupBy(*keys, _SALT).agg(
         F.count(F.lit(1)).alias("_pc"),
         *[F.sum(src).alias(f"_ps_{alias}") for src, alias in sum_cols.items()],

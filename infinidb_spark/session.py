@@ -391,30 +391,38 @@ class InfiniSession:
             _re.IGNORECASE,
         )
 
+    def _table_schema(self, name: str):
+        """Schema for SHOW COLUMNS / SHOW CREATE — managed tables read
+        through the versioned reader (schema-merged), external tables
+        from their registered DataFrame.  ONE resolution path so the
+        two SHOW statements can never drift."""
+        if name in self._managed:
+            from infinidb_spark.operators.dml import read_table
+
+            return read_table(self.spark, self._managed[name]).schema
+        if name in self.tables:
+            return self.tables[name].schema
+        raise KeyError(f"no such table {name!r}")
+
+    def _mysql_show_type(self, spark_type) -> str:
+        """Spark type → the MySQL name SHOW statements print."""
+        t = spark_type.simpleString()
+        if t.startswith("decimal"):
+            return f"DECIMAL{t[7:]}".replace(" ", "")
+        return self._MYSQL_SHOW_TYPES.get(t, t.upper())
+
     def _show_columns(self, name: str):
         """SHOW COLUMNS FROM t / DESCRIBE t — MySQL's six-column shape
         (Field, Type, Null, Key, Default, Extra).  Key is always empty
         (the reference engine has no indexes); Extra carries
         auto_increment like mysqld does."""
-        if name in self._managed:
-            from infinidb_spark.operators.dml import read_table
-
-            schema = read_table(self.spark, self._managed[name]).schema
-        elif name in self.tables:
-            schema = self.tables[name].schema
-        else:
-            raise KeyError(f"no such table {name!r}")
+        schema = self._table_schema(name)
         meta = self._table_meta.get(name, {})
         defaults = meta.get("defaults", {})
         notnull = set(meta.get("notnull", []))
         rows = []
         for f in schema.fields:
-            t = f.dataType.simpleString()
-            mysql_t = (
-                f"DECIMAL{t[7:]}".replace(" ", "")
-                if t.startswith("decimal")
-                else self._MYSQL_SHOW_TYPES.get(t, t.upper())
-            ).lower()
+            mysql_t = self._mysql_show_type(f.dataType).lower()
             rows.append(
                 (
                     f.name,
@@ -437,25 +445,13 @@ class InfiniSession:
         table was declared through DDL), ENGINE=InfiniDB tag like every
         reference script (`dbcon/ddlpackage/ddl.y` output form).
         Returns the MySQL two-column result (Table, Create Table)."""
-        if name in self._managed:
-            from infinidb_spark.operators.dml import read_table
-
-            schema = read_table(self.spark, self._managed[name]).schema
-        elif name in self.tables:
-            schema = self.tables[name].schema
-        else:
-            raise KeyError(f"no such table {name!r}")
+        schema = self._table_schema(name)
         meta = self._table_meta.get(name, {})
         defaults = meta.get("defaults", {})
         notnull = set(meta.get("notnull", []))
         lines = []
         for f in schema.fields:
-            t = f.dataType.simpleString()
-            mysql_t = (
-                f"DECIMAL{t[7:]}".replace(" ", "")
-                if t.startswith("decimal")
-                else self._MYSQL_SHOW_TYPES.get(t, t.upper())
-            )
+            mysql_t = self._mysql_show_type(f.dataType)
             piece = f"  `{f.name}` {mysql_t}"
             if f.name in notnull:
                 piece += " NOT NULL"
@@ -1005,7 +1001,12 @@ class InfiniSession:
                 name = rest[0][1].lower()
                 value = d.render(list(rest[2:])).strip().rstrip(";").strip()
                 if name == "autocommit":
-                    self._autocommit = value not in ("0", "OFF", "off")
+                    # same normalization as _sysvar_on: MySQL accepts
+                    # 0/OFF/FALSE in any case/quoting — 'OFF' or FALSE
+                    # previously left autocommit ON and silently
+                    # committed the open transaction
+                    norm = str(value).strip().strip("'\"").upper()
+                    self._autocommit = norm not in ("0", "OFF", "FALSE", "NO")
                     if self._autocommit:
                         self.commit()
                     return 0
@@ -1155,8 +1156,13 @@ class InfiniSession:
                 toks_fr = d.tokenize(st["sql"])
                 lim = d._top_level_word(toks_fr, "LIMIT")
                 inner_sql = d.render(toks_fr[:lim] if lim is not None else toks_fr)
+                # the count wrapper must take the SAME translator path
+                # as the SELECT it mirrors (permissive GROUP BY, string
+                # aliases) — raw Spark SQL threw MISSING_AGGREGATION on
+                # queries the main statement executed fine
                 self._found_rows = self.sql(
-                    f"SELECT count(*) AS c FROM ({inner_sql}) _fr"
+                    f"SELECT count(*) AS c FROM ({inner_sql}) _fr",
+                    dialect="mysql",
                 ).collect()[0].c
             # the ORIGINAL text through the FULL translator — the
             # post-rewrite passes (_string_aliases, ci literals,
@@ -1180,7 +1186,7 @@ class InfiniSession:
             # the library call (sources/export.py) defaults to a
             # directory of part files for cluster-scale exports
             return export_outfile(
-                self.sql(st["sql"]),
+                self.sql(st["sql"], dialect="mysql"),
                 st["path"],
                 sep=st["sep"],
                 quote=st["quote"],
@@ -1190,7 +1196,15 @@ class InfiniSession:
                 single_file=True,
             )
         if st["kind"] == "explain":
-            return self.explain(st["sql"])
+            # same translator path as the SELECT being explained —
+            # EXPLAIN must never reject a query execute() runs fine
+            from infinidb_spark.dialect import translate_mysql
+
+            return self.explain(translate_mysql(
+                st["sql"],
+                strict_group_by="ONLY_FULL_GROUP_BY"
+                in self._sysvars.get("sql_mode", "").upper(),
+            ))
         if st["kind"] == "create_view":
             # views merge into the plan at translate time, exactly the
             # reference's View handling (dbcon/mysql/ha_view.cpp) — a
@@ -1284,13 +1298,21 @@ class InfiniSession:
             for n in sorted({*self.tables, *self._managed}):
                 if st.get("like") and not self._mysql_like_rx(st["like"]).match(n):
                     continue
-                if n in self._managed:
-                    path = self._managed[n]
-                else:
-                    # inputFiles returns URIs (file:/...) — strip scheme
-                    path = self.tables[n].inputFiles()[0]
-                    path = path[5:] if path.startswith("file:") else path
                 try:
+                    if n in self._managed:
+                        path = self._managed[n]
+                    else:
+                        # inputFiles returns URIs (file:/...) — strip
+                        # scheme; a directory-backed table reports one
+                        # PART file, so climb to the table directory
+                        # (a no-input-files table lands in the except)
+                        path = self.tables[n].inputFiles()[0]
+                        path = path[5:] if path.startswith("file:") else path
+                        parent = os.path.dirname(path)
+                        if os.path.basename(path).startswith("part-") and (
+                            os.path.isdir(parent)
+                        ):
+                            path = parent
                     from infinidb_spark.sources.manifest import _has_nested_data
 
                     if _has_nested_data(path):
@@ -1547,7 +1569,13 @@ class InfiniSession:
             # materialize the empty relation first — create_table's
             # overwrite would otherwise read from the dir it replaces
             empty = self.spark.createDataFrame([], empty.schema)
-            create_table(empty, path)
+            meta = self._table_meta.get(st["table"]) or {}
+            # keep the table's declared codec through the recreate
+            create_table(empty, path, codec=meta.get("codec"))
+            # MySQL TRUNCATE resets the AUTO_INCREMENT counter (unlike
+            # DELETE FROM, which keeps it)
+            if "next_ai" in meta:
+                meta["next_ai"] = 1
             self._refresh(st["table"])
             return 0
         path = self._managed.get(st["table"])

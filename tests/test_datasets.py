@@ -167,3 +167,29 @@ def test_mixture_sample_rejects_negative_weight(spark):
 
     with _pytest.raises(ValueError):
         mixture_sample(df, "source", {"a": -0.5}, "doc_id")
+
+
+def test_stratified_split_large_stratum_no_overflow(spark):
+    """(row_number-1)*10000 silently wrapped 32-bit past rank ~214,748,
+    landing EVERY row of a 300k-row stratum in the first label
+    (code-review r08) — the rank is now bigint before the multiply."""
+    from infinidb_spark.operators.datasets import exact_stratified_split
+
+    df = spark.range(300_000).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("src")
+    )
+    out = exact_stratified_split(
+        df, "doc_id", "src", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    got = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert got == {"train": 240_000, "val": 30_000, "test": 30_000}
+
+
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    import pytest
+
+    from infinidb_spark.operators.datasets import pack_sequences
+
+    df = spark.range(3).selectExpr("id AS doc_id", "10 AS n_tokens")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "n_tokens", budget=0)

@@ -229,3 +229,50 @@ def test_show_table_status(spark, sf_dir):
     sess.execute("CREATE TABLE sts_t AS SELECT * FROM region")
     row = sess.execute("SHOW TABLE STATUS LIKE 'sts_t'").collect()[0]
     assert row.Rows == 5
+
+
+def test_autocommit_spellings_and_truncate_resets_ai(spark, tmp_path):
+    """SET @@autocommit='OFF'/FALSE must disable autocommit (the quoted
+    and boolean spellings previously left it ON, silently committing an
+    open transaction); TRUNCATE resets the AUTO_INCREMENT counter."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark)
+    sess.execute(
+        "CREATE TABLE t_ai (id INT AUTO_INCREMENT, v INT)"
+    )
+    sess.execute("INSERT INTO t_ai (v) VALUES (10), (11)")
+    assert {r.id for r in sess.execute("SELECT id FROM t_ai").collect()} == {1, 2}
+
+    sess.execute("TRUNCATE TABLE t_ai")
+    sess.execute("INSERT INTO t_ai (v) VALUES (12)")
+    assert [r.id for r in sess.execute("SELECT id FROM t_ai").collect()] == [1]
+
+    # quoted/boolean OFF spellings disable autocommit for real
+    sess.execute("SET @@autocommit='OFF'")
+    sess.execute("UPDATE t_ai SET v = 99 WHERE id = 1")
+    sess.execute("ROLLBACK")
+    assert sess.execute("SELECT v FROM t_ai").collect()[0].v == 12
+    sess.execute("SET @@autocommit=1")
+
+
+def test_found_rows_and_explain_take_dialect_path(spark, sf_dir):
+    """SQL_CALC_FOUND_ROWS' count wrapper and EXPLAIN must take the
+    same permissive-GROUP-BY translator path as the SELECT itself —
+    raw Spark SQL threw MISSING_AGGREGATION on queries execute() ran
+    fine."""
+    from infinidb_spark.session import InfiniSession
+
+    sess = InfiniSession(spark, sf_dir)
+    sess.execute(
+        "SELECT SQL_CALC_FOUND_ROWS c_nationkey, c_name FROM customer "
+        "GROUP BY c_nationkey LIMIT 2"
+    )
+    n = sess.execute("SELECT FOUND_ROWS()").collect()[0][0]
+    assert n == sess.execute(
+        "SELECT COUNT(DISTINCT c_nationkey) FROM customer"
+    ).collect()[0][0]
+    plan = sess.execute(
+        "EXPLAIN SELECT c_nationkey, c_name FROM customer GROUP BY c_nationkey"
+    )
+    assert "Aggregate" in str(plan) or "HashAggregate" in str(plan)

@@ -45,3 +45,21 @@ def test_salted_aggregate_matches_plain(spark):
     want = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
     got = salted_aggregate(df, ["k"], count_col="n", sum_cols={"v": "sv"}, n_salt=8)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salt_is_content_derived_and_validated(spark):
+    """The salt must be recomputation-stable (content hash, never
+    monotonically_increasing_id — the SPARK-23207 retry class), and
+    n_salt < 1 must fail fast instead of silently deleting the build
+    side via an empty explode."""
+    import pytest
+
+    from infinidb_spark.operators.skew import _row_salt, salted_join
+
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    s1 = [r[0] for r in df.select(_row_salt(df, 8)).collect()]
+    s2 = [r[0] for r in df.select(_row_salt(df, 8)).collect()]
+    assert s1 == s2 and all(0 <= x < 8 for x in s1)
+    build = spark.range(10).selectExpr("id AS k", "id AS b")
+    with pytest.raises(ValueError, match="n_salt"):
+        salted_join(df, build, ["k"], n_salt=0)
