@@ -82,15 +82,35 @@ def media_repartition(df: DataFrame, target_partition_bytes: int = 128 * 1024 * 
     relation falls back to a one-row aggregate over payload lengths.
     """
     import os
+    from urllib.parse import urlparse
+
+    def _local(uri: str) -> str | None:
+        # urlparse, not a byte-slice: 'file:/x' (Hadoop's 1-slash form)
+        # and 'file:///x' both resolve; non-local schemes return None
+        p = urlparse(uri)
+        if p.scheme in ("", "file"):
+            return p.path or uri
+        return None
 
     files = df.inputFiles()
-    if files:
-        total = sum(os.path.getsize(f[7:] if f.startswith("file:") else f)
-                    for f in files if os.path.exists(f[7:] if f.startswith("file:") else f))
+    sizes = []
+    for f in files:
+        lp = _local(f)
+        if lp is not None and os.path.exists(lp):
+            sizes.append(os.path.getsize(lp))
+    if files and len(sizes) == len(files):
+        total = sum(sizes)
     else:
-        stats = df.select(F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("b")).collect()
+        # remote object store (s3://…) or unresolvable paths: a silent
+        # total=0 collapsed a multi-TB table into ONE partition — use
+        # the one-row payload aggregate instead (a scan, but correct)
+        stats = df.select(
+            F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("b")
+        ).collect()
         total = stats[0].b
-    n = max(1, int((total or 1) / target_partition_bytes))
+    # ceil, not floor: a 255 MB table should get 2 partitions at a
+    # 128 MB target, not one double-size partition
+    n = max(1, -(-int(total or 1) // target_partition_bytes))
     return df.repartition(n, "media_id")
 
 
@@ -163,7 +183,13 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     timestamps (JVM-side); actual frame decode would be a second
     mapInPandas over (media_id, frame_ts) — stubbed at the decode layer,
     real at the plan layer."""
-    n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
+    # frames at ts = 0, every, 2·every, … while ts < duration:
+    # floor((duration−1)/every)+1 — plain truncation undersampled by one
+    # whenever duration is not an exact multiple (1999 ms @ 1000 ms
+    # yielded only ts=0, missing t=1000)
+    n_frames = F.greatest(
+        ((F.col("duration_ms") - 1) / every_ms).cast("int") + 1, F.lit(1)
+    )
     return (
         df.filter(F.col("modality") == "video")
         .select(
@@ -197,6 +223,9 @@ def _resize_stub(payload: bytes | None, in_w, in_h, out_w: int, out_h: int):
     implementation would interpolate pixels/samples)."""
     if payload is None:
         return None
+    if len(payload) == 0:
+        return b""  # empty media resizes to empty (linspace over an
+        # empty buffer would index out of bounds)
     ratio = (out_w * out_h) / max(in_w * in_h, 1)
     out_len = max(int(len(payload) * min(ratio, 1.0)), 1)
     data = np.frombuffer(payload, dtype=np.uint8)
@@ -216,8 +245,17 @@ def resize_media(df: DataFrame, out_width: int = 224, out_height: int = 224) -> 
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # Arrow→pandas renders nullable ints as float64 NaN, and
+            # NaN is TRUTHY — `w or out_width` kept NaN and the stub
+            # died on int(NaN); null dims (audio rows) take the default
             out_payload = [
-                _resize_stub(p, w or out_width, h or out_height, out_width, out_height)
+                _resize_stub(
+                    p,
+                    out_width if w is None or pd.isna(w) else w,
+                    out_height if h is None or pd.isna(h) else h,
+                    out_width,
+                    out_height,
+                )
                 for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
             ]
             in_bytes = pdf["payload"].map(lambda b: 0 if b is None else len(b))

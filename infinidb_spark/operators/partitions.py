@@ -237,6 +237,18 @@ def drop_partitions(table_dir: str, parts: str | list) -> str:
         os.makedirs(new_dir)
         for f in keep:
             os.link(os.path.join(real, f), os.path.join(new_dir, f))
+        if not keep:
+            # dropping EVERY partition must leave a readable empty
+            # table, not a parquet-less directory that fails schema
+            # inference on every later read (the DELETE-all path writes
+            # an empty schema-bearing file for the same reason)
+            import pyarrow.parquet as _pq
+
+            first = _part_files(real)[0]
+            schema = _pq.read_schema(os.path.join(real, first))
+            _pq.write_table(
+                schema.empty_table(), os.path.join(new_dir, "part-empty.parquet")
+            )
         survivors = {"disabled": sorted(set(state["disabled"]) & set(keep))}
         if survivors["disabled"]:
             _write_sidecar(new_dir, survivors)

@@ -816,7 +816,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS media_id,
            unnest([1000 * (i - 1)
-                   for i in range(1, greatest(CAST(floor(length(text) * 10 / 1000.0) AS INT), 1) + 1)]) AS frame_ts
+                   for i in range(1, greatest(CAST(floor((length(text) * 10 - 1) / 1000.0) AS INT) + 1, 1) + 1)]) AS frame_ts
     FROM documents WHERE doc_id < 100 AND doc_id % 3 = 2
     """,
 )

@@ -90,8 +90,22 @@ def bulk_load_csv(
     # the CSV reader's quote / lineSep; quote='' (disabled) when the
     # statement declared none, matching MySQL's unquoted default.
     reader = reader.option("quote", quote if quote is not None else "")
-    if line_sep is not None:
+    if quote is not None and line_sep in (None, "\n", "\r\n"):
+        # an ENCLOSED field may carry embedded line terminators (the
+        # export writes them raw inside quotes); without multiLine the
+        # reader splits such a record mid-row and rejects both halves.
+        # multiLine handles \n and \r\n natively; an exotic declared
+        # terminator falls through to lineSep below (mutually exclusive
+        # options in Spark's CSV source)
+        reader = reader.option("multiLine", "true")
+    elif line_sep is not None:
         reader = reader.option("lineSep", line_sep)
+    # KNOWN DIVERGENCE (documented): in unquoted mode Spark's CSV
+    # reader only honors `escape` INSIDE quoted fields, so a MySQL
+    # OUTFILE row whose data embeds the separator as '\|' still splits
+    # on the raw byte and lands in the reject relation — re-export with
+    # ENCLOSED BY for lossless round-trips (plans/sources.py pins the
+    # quoted round-trip end-to-end).
     raw = reader.csv(src)
     return _split_rejects(spark, raw, dest, partition_by, reject_dest)
 
@@ -133,13 +147,15 @@ def _split_rejects(
     # raw CSV/JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — reading
     # from the cache is the supported path.
     raw = raw.persist()
-    rows_total = raw.count()
+    counts = raw.agg(
+        F.count(F.lit(1)).alias("_t"), F.count(_CORRUPT).alias("_bad")
+    ).collect()[0]
+    rows_total, rows_rejected = counts._t, counts._bad
+    rows_loaded = rows_total - rows_rejected
     loaded = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     rejected = raw.filter(F.col(_CORRUPT).isNotNull()).select(
         F.col(_CORRUPT).alias("raw_record")
     )
-    rows_loaded = loaded.count()
-    rows_rejected = rows_total - rows_loaded
 
     if reject_dest is not None and rows_rejected:
         rejected.write.mode("overwrite").text(reject_dest)

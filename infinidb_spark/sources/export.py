@@ -65,6 +65,13 @@ def _line_expr(
             # inside enclosed fields (SELECT INTO OUTFILE escaping rules)
             c = F.replace(c, F.lit(line_sep[0]), F.lit(escape + line_sep[0]))
             c = F.concat(F.lit(quote), c, F.lit(quote))
+        else:
+            # OPTIONALLY ENCLOSED leaves non-string fields unenclosed,
+            # but MySQL still applies ESCAPED BY to them — an exotic
+            # separator colliding with numeric/date/time text ('.',
+            # '-', ':') would otherwise split the line on re-import
+            for special in (escape, sep, line_sep):
+                c = F.replace(c, F.lit(special), F.lit(escape + special))
         fields.append(F.coalesce(c, F.lit(NULL_MARKER)))
     return F.concat_ws(sep, *fields)
 
@@ -93,6 +100,9 @@ def export_outfile(
     """
     if os.path.exists(path):
         raise OutfileExistsError(f"File '{path}' already exists")
+    tmp = path + "__outfile_tmp"
+    if single_file and os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale leftover from an earlier failure
     out = df.select(
         _line_expr(df, sep, quote, escape, line_sep, quote_optional).alias("value")
     )
@@ -102,13 +112,23 @@ def export_outfile(
     try:
         total = out.count()
         writer = out.write.format("text").option("lineSep", line_sep)
-        target = path + "__outfile_tmp" if single_file else path
+        target = tmp if single_file else path
         writer.save(target)
     finally:
         out.unpersist()
     if single_file:
-        parts = sorted(glob.glob(os.path.join(target, "part-*")))
-        assert len(parts) == 1, "coalesce(1) must yield exactly one part file"
-        shutil.move(parts[0], path)
-        shutil.rmtree(target)
+        try:
+            parts = sorted(glob.glob(os.path.join(target, "part-*")))
+            if len(parts) != 1:
+                # explicit raise, not assert (stripped under python -O)
+                raise RuntimeError(
+                    f"expected exactly one part file in {target}, "
+                    f"found {len(parts)}"
+                )
+            shutil.move(parts[0], path)
+        finally:
+            # never leave the tmp dir behind: a stale one would make
+            # the NEXT export die inside writer.save with a generic
+            # path-exists error instead of OutfileExistsError
+            shutil.rmtree(target, ignore_errors=True)
     return total

@@ -45,7 +45,20 @@ def with_pseudo_columns(df: DataFrame, names: list[str] | None = None) -> DataFr
     empty list attaches none — only None means 'all')."""
     out = df
     for name in (names if names is not None else list(PSEUDO_COLUMNS)):
-        out = out.withColumn(name, PSEUDO_COLUMNS[name](df))
+        fn = PSEUDO_COLUMNS.get(name)
+        if fn is None:
+            # a bare KeyError gave no hint where the per-extent stats
+            # live — route the caller instead of stranding them
+            extra = (
+                " (extent min/max stats are exposed by extent_min_max)"
+                if name in ("idbextentmin", "idbextentmax")
+                else ""
+            )
+            raise ValueError(
+                f"unknown pseudo-column {name!r}; supported: "
+                f"{sorted(PSEUDO_COLUMNS)}{extra}"
+            )
+        out = out.withColumn(name, fn(df))
     return out
 
 

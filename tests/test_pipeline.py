@@ -122,7 +122,10 @@ def test_frame_plan_counts(spark, sf_dir):
     for r in plan:
         by_id[r.media_id] = by_id.get(r.media_id, 0) + 1
     for mid, dur in videos.items():
-        assert by_id[mid] == max(dur // 1000, 1)
+        # frames at ts = 0, 1000, 2000, … while ts < duration (a
+        # 1999 ms video has frames at 0 and 1000; plain dur//1000
+        # undersampled by one for non-multiples — code-review r08)
+        assert by_id[mid] == max((dur - 1) // 1000 + 1, 1)
 
 
 def test_validation_violations_are_tagged(spark):
