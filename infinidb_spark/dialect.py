@@ -399,19 +399,20 @@ _TEMPLATES = {
     "PERIOD_DIFF": (
         "((({0} DIV 100) * 12 + ({0} % 100)) - (({1} DIV 100) * 12 + ({1} % 100)))"
     ),
-    "TIME_TO_SEC": (
-        # sign applies to the WHOLE value ('-01:00:30' -> -3630)
-        "((CASE WHEN {0} LIKE '-%' THEN -1 ELSE 1 END) *"
-        " (CAST(split(regexp_replace({0}, '^-', ''), ':')[0] AS BIGINT) * 3600"
-        " + CAST(split(regexp_replace({0}, '^-', ''), ':')[1] AS BIGINT) * 60"
-        " + CAST(split(regexp_replace({0}, '^-', ''), ':')[2] AS BIGINT)))"
-    ),
+    # _time_secs_sql handles the full TIME input class — '[-]H:MM'
+    # 2-part strings, packed 1230 numerics, fractional seconds — where
+    # the old 3-way split crashed under ANSI on 2-part input; the
+    # BIGINT cast keeps the established integral output shape
+    "TIME_TO_SEC": "CAST(" + _time_secs_sql("{0}") + " AS BIGINT)",
     "SEC_TO_TIME": _sec_to_time_sql("{0}"),
-    "INET_ATON": (
-        "(CAST(split({0}, '\\\\.')[0] AS BIGINT) * 16777216"
-        " + CAST(split({0}, '\\\\.')[1] AS BIGINT) * 65536"
-        " + CAST(split({0}, '\\\\.')[2] AS BIGINT) * 256"
-        " + CAST(split({0}, '\\\\.')[3] AS BIGINT))"
+    # try_cast + octet range guard: malformed / out-of-range octets
+    # -> NULL (MySQL); a raw CAST raised under ANSI
+    "INET_ATON": _bind1(
+        "transform(split({0}, '\\\\.'), o_ -> try_cast(o_ AS BIGINT))", "p_",
+        "(CASE WHEN size(p_) = 4"
+        " AND p_[0] BETWEEN 0 AND 255 AND p_[1] BETWEEN 0 AND 255"
+        " AND p_[2] BETWEEN 0 AND 255 AND p_[3] BETWEEN 0 AND 255"
+        " THEN p_[0] * 16777216 + p_[1] * 65536 + p_[2] * 256 + p_[3] END)"
     ),
     "STRCMP": (
         "(CASE WHEN {0} IS NULL OR {1} IS NULL THEN NULL"
@@ -428,7 +429,11 @@ _TEMPLATES = {
     "TRUNCATE": (
         "(signum({0}) * floor(abs({0}) * pow(10.0, {1})) / pow(10.0, {1}))"
     ),
-    "MAKEDATE": "date_add(make_date({0}, 1, 1), CAST({1} - 1 AS INT))",
+    # doy <= 0 -> NULL (MySQL), not a walk into the previous year
+    "MAKEDATE": (
+        "(CASE WHEN {1} >= 1"
+        " THEN date_add(make_date({0}, 1, 1), CAST({1} - 1 AS INT)) END)"
+    ),
     "MAKETIME": (
         # hour via format_string (lpad truncates >= 100 h / negatives);
         # minute/second out of [0,60) -> NULL (MySQL); fractional
@@ -437,7 +442,8 @@ _TEMPLATES = {
         # seconds in [59.9999995, 60) pass the < 60 guard but would
         # render as the invalid '60' (a blanket 6-dp floor corrupts
         # values like 1.000001 whose double sits just below)
-        "(CASE WHEN {1} BETWEEN 0 AND 59 AND CAST({2} AS DOUBLE) >= 0"
+        "(CASE WHEN {0} IS NOT NULL"
+        " AND {1} BETWEEN 0 AND 59 AND CAST({2} AS DOUBLE) >= 0"
         " AND CAST({2} AS DOUBLE) < 60 THEN"
         " concat(CASE WHEN {0} < 0 THEN '-' ELSE '' END,"
         " format_string('%02d:%02d:', abs(CAST({0} AS BIGINT)),"

@@ -96,10 +96,19 @@ def round_(x, d=0) -> Column:
 
 @_reg("truncate")
 def truncate(x, d=0) -> Column:
-    # MySQL TRUNCATE: toward zero at d decimal places.
+    # MySQL TRUNCATE: toward zero at d decimal places.  The scale is an
+    # INTEGER literal (10**d), not pow(10.0, d): double multiplication
+    # corrupted exactly-representable decimals (0.29 * 100 = 28.999…
+    # floored to 0.28), and signum() returns double, which would force
+    # the whole expression out of decimal arithmetic.
     x = _c(x)
-    p = F.pow(F.lit(10.0), F.lit(d))
-    return F.signum(x) * F.floor(F.abs(x) * p) / p
+    if d >= 0:
+        e = F.lit(10 ** d)
+        mag = F.floor(F.abs(x) * e) / e
+    else:
+        e = F.lit(10 ** (-d))
+        mag = F.floor(F.abs(x) / e) * e
+    return F.when(x < 0, -mag).otherwise(mag)
 
 
 @_reg("conv")
@@ -147,12 +156,9 @@ for _n, _f in {
     "lcase": F.lower, "lower": F.lower, "ucase": F.upper, "upper": F.upper,
     "ltrim": F.ltrim, "rtrim": F.rtrim, "trim": F.trim, "md5": F.md5,
     "reverse": F.reverse, "sha": F.sha1, "sha1": F.sha1,
-    "soundex": F.soundex, "bin": F.bin, "quote": None, "oct": None,
+    "soundex": F.soundex, "bin": F.bin,
 }.items():
-    if _f is not None:
-        FUNC_MAP[_n] = _f
-FUNC_MAP.pop("quote", None)
-FUNC_MAP.pop("oct", None)
+    FUNC_MAP[_n] = _f
 
 
 @_reg("concat")
@@ -189,7 +195,7 @@ def insert(s, pos, length, repl) -> Column:
 
 @_reg("instr")
 def instr(s, sub) -> Column:
-    return F.instr(_c(s), sub if isinstance(sub, str) else sub)
+    return F.instr(_c(s), sub)
 
 
 @_reg("locate", "position")
@@ -280,7 +286,9 @@ for _n, _f in {
 
 @_reg("microsecond")
 def microsecond(c) -> Column:
-    return (F.unix_micros(_c(c).cast("timestamp")) % 1000000).cast("int")
+    # pmod, not %: pre-epoch timestamps have negative unix_micros and
+    # % follows the dividend's sign (same rule as intervals.py)
+    return F.pmod(F.unix_micros(_c(c).cast("timestamp")), F.lit(1000000)).cast("int")
 
 
 @_reg("dayofweek")
@@ -404,7 +412,12 @@ def from_days(n) -> Column:
 
 @_reg("makedate")
 def makedate(y, doy) -> Column:
-    return F.date_add(F.make_date(_c(y), F.lit(1), F.lit(1)), (_c(doy) - 1).cast("int"))
+    # MySQL: NULL for dayofyear <= 0 (the unguarded date_add walked
+    # into the previous year)
+    d = _c(doy)
+    return F.when(
+        d >= 1, F.date_add(F.make_date(_c(y), F.lit(1), F.lit(1)), (d - 1).cast("int"))
+    )
 
 
 @_reg("maketime")
@@ -429,8 +442,10 @@ def maketime(h, m, s) -> Column:
         F.regexp_replace(F.format_string("%09.6f", sd6), r"\.?0+$", "")
     )
     body = F.concat(F.format_string("%02d:%02d:", F.abs(h), m), sec_txt)
+    # h.isNotNull in the guard: format_string renders a NULL hour as
+    # the TEXT 'null' ('null:01:02'); MySQL MAKETIME(NULL, …) is NULL
     return F.when(
-        m.between(0, 59) & (sd >= 0) & (sd < 60),
+        h.isNotNull() & m.between(0, 59) & (sd >= 0) & (sd < 60),
         F.concat(F.when(h < 0, F.lit("-")).otherwise(F.lit("")), body),
     )
 
@@ -473,17 +488,12 @@ def sec_to_time(s) -> Column:
 
 @_reg("time_to_sec")
 def time_to_sec(t) -> Column:
-    # the sign of a negative TIME applies to the WHOLE value, not just
-    # the hour field ('-01:00:30' is -(3630), not -3600 + 30)
-    t = _c(t)
-    neg = t.startswith("-")
-    body = F.when(neg, F.substring(t, 2, 2147483647)).otherwise(t)
-    total = (
-        F.split(body, ":").getItem(0).cast("bigint") * 3600
-        + F.split(body, ":").getItem(1).cast("bigint") * 60
-        + F.split(body, ":").getItem(2).cast("bigint")
-    )
-    return F.when(neg, -total).otherwise(total)
+    # _time_value_secs handles the full TIME input class — '[-]H:MM'
+    # 2-part strings, packed 1230 numerics, fractional '.5' seconds —
+    # where the old 3-way ':'-split crashed under ANSI on 2-part input
+    # and raw-cast fractional seconds.  The sign applies to the WHOLE
+    # value; fractions are preserved (MySQL returns the decimal).
+    return _time_value_secs(_c(t))
 
 
 @_reg("date_format")
@@ -557,7 +567,9 @@ def time_format(c, fmt: str) -> Column:
 
 @_reg("str_to_date")
 def str_to_date(s, fmt: str) -> Column:
-    return F.to_timestamp(_c(s), mysql_datetime_format_to_spark(fmt))
+    # try_to_timestamp: MySQL STR_TO_DATE returns NULL on unparseable
+    # input; to_timestamp raises under ANSI (the gate-session default)
+    return F.try_to_timestamp(_c(s), F.lit(mysql_datetime_format_to_spark(fmt)))
 
 
 @_reg("get_format")
@@ -592,7 +604,6 @@ def _unit_interval(n, unit: str) -> Column:
     Column into INTERVAL text is a guaranteed ParseException)."""
     nc = _c(n) if isinstance(n, Column) else F.lit(n)
     nc = nc.cast("int")
-    zero = F.lit(0)
     args = {
         "year": dict(years=nc),
         "quarter": dict(months=nc * 3),
@@ -604,7 +615,6 @@ def _unit_interval(n, unit: str) -> Column:
         "second": dict(secs=nc.cast("double")),
         "microsecond": dict(secs=nc.cast("double") / 1e6),
     }[unit]
-    _ = zero
     return F.make_interval(**args)
 
 
@@ -633,8 +643,9 @@ def date_add(c, n, unit: str = "day") -> Column:
     if unit.upper() in _iv.COMPOUND_UNITS:
         return c + _compound_interval_col(n, unit.upper(), negate=False)
     unit = unit.lower()
-    if unit == "day" and not isinstance(n, Column):
-        return F.date_add(c.cast("date"), n)
+    # no DATE-cast fast path for day: it silently dropped the
+    # time-of-day of datetime inputs (MySQL preserves it); the typed
+    # interval keeps DATE inputs DATE and timestamps timestamps
     return c + _unit_interval(n, unit)
 
 
@@ -646,8 +657,6 @@ def date_sub(c, n, unit: str = "day") -> Column:
         # distributive over the field sum, so negate-at-parse ≡ c - ival
         return c + _compound_interval_col(n, unit.upper(), negate=True)
     unit = unit.lower()
-    if unit == "day" and not isinstance(n, Column):
-        return F.date_sub(c.cast("date"), n)
     return c - _unit_interval(n, unit)
 
 
@@ -697,10 +706,18 @@ def datediff(a, b) -> Column:
 
 @_reg("timediff")
 def timediff(a, b) -> Column:
-    # returns HH:MM:SS string of a - b (ref func_timediff.cpp)
-    secs = F.unix_timestamp(_c(a)) - F.unix_timestamp(_c(b))
-    sign = F.when(secs < 0, "-").otherwise("")
-    return F.concat(sign, sec_to_time(F.abs(secs)))
+    # returns HH:MM:SS string of a - b (ref func_timediff.cpp).
+    # Datetime operands diff on the epoch; bare TIME operands
+    # ('10:00:00', which no timestamp cast accepts) diff through
+    # _time_value_secs.  sec_to_time renders the sign itself — the old
+    # sign/abs wrapper was byte-identical duplication.
+    a, b = _c(a), _c(b)
+    secs = F.coalesce(
+        F.unix_timestamp(a.try_cast("timestamp"))
+        - F.unix_timestamp(b.try_cast("timestamp")),
+        (_time_value_secs(a) - _time_value_secs(b)).cast("bigint"),
+    )
+    return sec_to_time(secs)
 
 
 @_reg("timestampdiff")
@@ -977,12 +994,16 @@ def idbpartition() -> Column:
 
 @_reg("inet_aton")
 def inet_aton(ip) -> Column:
+    # try_cast + octet range guard: MySQL returns NULL for malformed
+    # addresses and out-of-range octets; a raw cast raised under ANSI
+    # and '1.2.3.999' computed a bogus non-NULL sum
     p = F.split(_c(ip), r"\.")
-    return (
-        p.getItem(0).cast("bigint") * 16777216
-        + p.getItem(1).cast("bigint") * 65536
-        + p.getItem(2).cast("bigint") * 256
-        + p.getItem(3).cast("bigint")
+    o = [p.getItem(i).try_cast("bigint") for i in range(4)]
+    valid = (F.size(p) == 4) & F.lit(True)
+    for x in o:
+        valid = valid & x.isNotNull() & x.between(0, 255)
+    return F.when(
+        valid, o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
     )
 
 

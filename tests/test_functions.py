@@ -180,3 +180,41 @@ def test_idbpartition_func_map_entry(spark, tmp_path):
         .collect()
     )
     assert len(rows) == 1 and rows[0].part.endswith(".parquet")
+
+
+def test_registry_edge_semantics_round8(spark):
+    """Round-8 review fixes, Column path: TIME_TO_SEC input classes,
+    MAKETIME/MAKEDATE NULL rules, MICROSECOND pre-epoch pmod,
+    STR_TO_DATE NULL-on-garbage, TIMEDIFF over bare TIME strings,
+    TRUNCATE decimal exactness, INET_ATON validity, DATE_ADD preserving
+    time-of-day."""
+    from decimal import Decimal
+
+    from infinidb_spark.functions.registry import func
+
+    df = spark.range(1)
+
+    def one(col):
+        return df.select(col.alias("v")).collect()[0].v
+
+    assert one(func("time_to_sec", F.lit("12:30"))) == 45000
+    assert one(func("time_to_sec", F.lit(1230))) == 750
+    assert one(func("time_to_sec", F.lit("-01:00:30"))) == -3630
+    assert one(func("time_to_sec", F.lit("12:30:45.5"))) == Decimal("45045.5")
+    assert one(func("maketime", F.lit(None).cast("int"), F.lit(1), F.lit(2))) is None
+    assert one(func("makedate", F.lit(2020), F.lit(0))) is None
+    assert str(one(func("makedate", F.lit(2020), F.lit(32)))) == "2020-02-01"
+    assert one(func("microsecond", F.lit("1969-12-31 23:59:59.5"))) == 500000
+    assert one(func("str_to_date", F.lit("garbage"), "%Y-%m-%d")) is None
+    assert one(func("timediff", F.lit("10:00:00"), F.lit("08:00:00"))) == "02:00:00"
+    assert one(func("timediff", F.lit("08:00:00"), F.lit("10:00:00"))) == "-02:00:00"
+    assert one(
+        func("truncate", F.lit("0.29").cast("decimal(5,2)"), 2)
+    ) == Decimal("0.29")
+    assert one(func("truncate", F.lit(123), -1)) == 120
+    assert one(func("inet_aton", F.lit("1.2.3.999"))) is None
+    assert one(func("inet_aton", F.lit("1.2.3.abc"))) is None
+    assert one(func("inet_aton", F.lit("192.168.0.1"))) == 3232235521
+    ts = F.lit("2020-01-01 10:30:00").cast("timestamp")
+    assert str(one(func("date_add", ts, 1))) == "2020-01-02 10:30:00"
+    assert str(one(func("date_sub", ts, 1))) == "2019-12-31 10:30:00"
