@@ -241,35 +241,55 @@ def _cast_int_sql(e: str, target: str) -> str:
     max-range bigint strings), and the string gate is
     LIKE 'string%' because collated columns render typeof as
     'string collate <NAME>'.  ``target`` is 'BIGINT' (SIGNED) or
-    'DECIMAL(20,0)' (UNSIGNED; Spark has no unsigned — negatives keep
-    their sign rather than wrapping into 2^64, the documented
-    divergence)."""
+    'DECIMAL(20,0)' (UNSIGNED).  Both directions wrap at 2^64 the way
+    the reference's C cast does (func_cast.cpp:234 ``uint64_t ret =
+    (uint64_t) value``): a negative operand to UNSIGNED adds 2^64
+    (CAST(-1 AS UNSIGNED) = 18446744073709551615) and an operand above
+    2^63−1 to SIGNED subtracts 2^64 (CAST(18446744073709551615 AS
+    SIGNED) = −1) — DECIMAL arithmetic keeps both exact."""
+    inner = "DECIMAL(38,0)" if target == "BIGINT" else target
     d = "try_cast(v_ AS DOUBLE)"
     s = "trim(CAST(v_ AS STRING))"
     trunc = f"(CASE WHEN {d} >= 0 THEN floor({d}) ELSE ceil({d}) END)"
     str_val = (
-        f"(CASE WHEN {s} RLIKE '^[+-]?[0-9]+$' THEN try_cast({s} AS {target})"
-        f" ELSE try_cast({trunc} AS {target}) END)"
+        f"(CASE WHEN {s} RLIKE '^[+-]?[0-9]+$' THEN try_cast({s} AS {inner})"
+        f" ELSE try_cast({trunc} AS {inner}) END)"
     )
     if target == "BIGINT":
         # decimal input rounds EXACTLY via a scale-0 decimal cast
         # (HALF_UP) — round(double) would corrupt values above 2^53
         tail = (
             f" WHEN typeof(v_) IN ('tinyint', 'smallint', 'int', 'bigint')"
-            f" THEN try_cast(v_ AS {target})"
+            f" THEN try_cast(v_ AS {inner})"
             f" WHEN typeof(v_) LIKE 'decimal%'"
-            f" THEN try_cast(try_cast(v_ AS DECIMAL(38,0)) AS {target})"
-            f" WHEN {d} IS NOT NULL THEN try_cast(round({d}, 0) AS {target})"
+            f" THEN try_cast(v_ AS {inner})"
+            f" WHEN {d} IS NOT NULL THEN try_cast(round({d}, 0) AS {inner})"
         )
     else:
         # DECIMAL(20,0) casts round HALF_UP exactly for int/decimal
         # input — no numeric sub-branches needed
         tail = ""
-    return _bind1(
+    core = _bind1(
         e, "v_",
         f"(CASE WHEN typeof(v_) LIKE 'string%' THEN {str_val}"
         f"{tail}"
-        f" ELSE try_cast(v_ AS {target}) END)",
+        f" ELSE try_cast(v_ AS {inner}) END)",
+    )
+    if target == "BIGINT":
+        # SIGNED runs through DECIMAL(38,0) so the (2^63−1, 2^64−1]
+        # band survives to wrap instead of NULLing in a bigint try_cast
+        return _bind1(
+            core, "w_",
+            "(CASE WHEN w_ > 9223372036854775807"
+            " AND w_ <= 18446744073709551615"
+            " THEN CAST(w_ - 18446744073709551616 AS BIGINT)"
+            " ELSE try_cast(w_ AS BIGINT) END)",
+        )
+    return _bind1(
+        core, "u_",
+        "(CASE WHEN u_ < 0"
+        " THEN CAST(u_ + 18446744073709551616 AS DECIMAL(20,0))"
+        " ELSE u_ END)",
     )
 
 
@@ -302,6 +322,71 @@ def _cast_time_sql(e: str) -> str:
         e, "v_",
         f"(CASE WHEN {is_dt} THEN {tod}"
         f" ELSE {_sec_to_time_sql(secs)} END)",
+    )
+
+
+def _truncate_func(inner: list[Token]) -> list[Token]:
+    """TRUNCATE(x, d) — toward-zero truncation at d decimals
+    (func_truncate.cpp), the text-path mirror of registry truncate()
+    INCLUDING its integer-scale fix: the old pow(10.0,d) double
+    arithmetic corrupted exactly-representable decimals (0.29 at d=2
+    floored to 0.28) and signum() forced decimals to double.  A
+    literal d (the overwhelmingly common call shape, and the only one
+    the registry's Python builder accepts) folds to an INTEGER scale
+    literal so decimal inputs stay in decimal arithmetic end-to-end;
+    the sign is a CASE, not signum().  A non-literal d cannot pick the
+    branch at translate time, and a runtime CASE would unify the two
+    branches' decimal types by DROPPING scale — so it falls back to
+    the double-arithmetic form (approximate, like MySQL on doubles)."""
+    args = _split_args(inner)
+    if len(args) != 2:
+        raise DialectError("TRUNCATE expects 2 arguments")
+    x = _arg_text(args[0])
+    dtext = render(args[1]).strip()
+    if _re.fullmatch(r"[+-]?[0-9]+", dtext):
+        d = int(dtext)
+        scale = 10 ** abs(d)
+        if d >= 0:
+            mag = f"(floor(abs(x_) * {scale}) / {scale})"
+        else:
+            mag = f"(floor(abs(x_) / {scale}) * {scale})"
+        body = f"(CASE WHEN x_ < 0 THEN -{mag} ELSE {mag} END)"
+        return [("code", _bind1(x, "x_", body))]
+    mag = "(floor(abs(x_) * pow(10.0, d_)) / pow(10.0, d_))"
+    body = f"(CASE WHEN x_ < 0 THEN -{mag} ELSE {mag} END)"
+    return [("code", _bind1(x, "x_", _bind1(f"({dtext})", "d_", body)))]
+
+
+def _addsubtime_sql(plus: bool) -> str:
+    """Template text for ADDTIME/SUBTIME (ref func_add_time.cpp,
+    funcexp.cpp:75): the return shape follows the FIRST operand.  A
+    datetime-looking first operand (date / datetime / a string that
+    parses as one) adds the second operand's TIME value and renders
+    the MySQL DATETIME string; anything else is read as a TIME value
+    and the result renders as a TIME string — never coerced onto
+    today's date (ADDTIME('01:00:00','01:30:00') = '02:30:00', not a
+    current-date timestamp).  TIMESTAMP_NTZ keeps the datetime branch
+    zoneless (MySQL DATETIME, dataconvert.h:142-160)."""
+    op = "+" if plus else "-"
+    secs_b = _time_secs_sql("{1}")
+    ts = "try_cast(a_ AS TIMESTAMP_NTZ)"
+    # numerics try_cast to timestamp too (epoch seconds), so gate the
+    # datetime branch on the text actually LOOKING like a date — same
+    # guard as _cast_time_sql
+    is_dt = (
+        f"({ts} IS NOT NULL AND trim(CAST(a_ AS STRING)) RLIKE"
+        f" '^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?')"
+    )
+    dt_branch = (
+        f"CAST(({ts} {op} make_interval(0, 0, 0, 0, 0, 0, {secs_b}))"
+        f" AS STRING)"
+    )
+    time_branch = _sec_to_time_sql(
+        f"({_time_secs_sql('a_')} {op} {secs_b})"
+    )
+    return _bind1(
+        "{0}", "a_",
+        f"(CASE WHEN {is_dt} THEN {dt_branch} ELSE {time_branch} END)",
     )
 
 
@@ -371,7 +456,13 @@ def _cast_frag(expr_toks: list[Token], tpart: list[Token], k: int) -> str | None
     if tword == "TIME":
         return _cast_time_sql(e)
     if tword == "DATETIME":
-        return f"try_cast({e} AS TIMESTAMP)"
+        # TIMESTAMP_NTZ, not TIMESTAMP: MySQL DATETIME is zoneless (the
+        # reference stores it as a tz-free bitfield,
+        # utils/dataconvert/dataconvert.h:142-160) — a tz-aware Spark
+        # TIMESTAMP would round-trip through the session zone and
+        # serialize as Arrow timestamp[us, tz=UTC] instead of the
+        # zoneless timestamp[us] every consumer of DATETIME expects
+        return f"try_cast({e} AS TIMESTAMP_NTZ)"
     # CHAR / NCHAR / JSON → string; bare CHAR crashes Spark's parser
     # (DATATYPE_MISSING_SIZE) and CHAR(n) would PAD where MySQL
     # truncates → string + substring
@@ -406,13 +497,19 @@ _TEMPLATES = {
     "TIME_TO_SEC": "CAST(" + _time_secs_sql("{0}") + " AS BIGINT)",
     "SEC_TO_TIME": _sec_to_time_sql("{0}"),
     # try_cast + octet range guard: malformed / out-of-range octets
-    # -> NULL (MySQL); a raw CAST raised under ANSI
+    # -> NULL (MySQL); a raw CAST raised under ANSI.  1-3 part short
+    # forms resolve per the reference (func_inet_aton.cpp dot_count
+    # switch): the LAST part fills the low bytes — '127.1' →
+    # 127.0.0.1, '127.2.1' → 127.2.0.1.
     "INET_ATON": _bind1(
         "transform(split({0}, '\\\\.'), o_ -> try_cast(o_ AS BIGINT))", "p_",
-        "(CASE WHEN size(p_) = 4"
-        " AND p_[0] BETWEEN 0 AND 255 AND p_[1] BETWEEN 0 AND 255"
-        " AND p_[2] BETWEEN 0 AND 255 AND p_[3] BETWEEN 0 AND 255"
-        " THEN p_[0] * 16777216 + p_[1] * 65536 + p_[2] * 256 + p_[3] END)"
+        "(CASE WHEN exists(p_, x_ -> x_ IS NULL OR x_ < 0 OR x_ > 255)"
+        " THEN CAST(NULL AS BIGINT)"
+        " WHEN size(p_) = 4"
+        " THEN p_[0] * 16777216 + p_[1] * 65536 + p_[2] * 256 + p_[3]"
+        " WHEN size(p_) = 3 THEN p_[0] * 16777216 + p_[1] * 65536 + p_[2]"
+        " WHEN size(p_) = 2 THEN p_[0] * 16777216 + p_[1]"
+        " WHEN size(p_) = 1 THEN p_[0] END)"
     ),
     "STRCMP": (
         "(CASE WHEN {0} IS NULL OR {1} IS NULL THEN NULL"
@@ -424,11 +521,8 @@ _TEMPLATES = {
         " CAST(({0} DIV 256) % 256 AS STRING), '.',"
         " CAST({0} % 256 AS STRING))"
     ),
-    # toward-zero truncation at d decimals (func_truncate.cpp) — the
-    # text-path mirror of registry truncate()
-    "TRUNCATE": (
-        "(signum({0}) * floor(abs({0}) * pow(10.0, {1})) / pow(10.0, {1}))"
-    ),
+    # TRUNCATE routes through _truncate_func in _rewrite (it needs the
+    # literal-d fold; see its docstring)
     # doy <= 0 -> NULL (MySQL), not a walk into the previous year
     "MAKEDATE": (
         "(CASE WHEN {1} >= 1"
@@ -455,8 +549,13 @@ _TEMPLATES = {
         " THEN 59.999999 ELSE CAST({2} AS DOUBLE) END),"
         " '\\\\.?0+$', '') END) END)"
     ),
-    "ADDTIME": "({0} + make_interval(0, 0, 0, 0, 0, 0, " + _time_secs_sql("{1}") + "))",
-    "SUBTIME": "({0} - make_interval(0, 0, 0, 0, 0, 0, " + _time_secs_sql("{1}") + "))",
+    # ADDTIME/SUBTIME return-type follows the FIRST operand
+    # (func_add_time.cpp): a datetime-ish first operand yields the
+    # MySQL DATETIME render, a bare TIME first operand yields a TIME
+    # string — the old template coerced TIME-string firsts to a
+    # timestamp on TODAY's date (a current-date-dependent wrong answer)
+    "ADDTIME": _addsubtime_sql(plus=True),
+    "SUBTIME": _addsubtime_sql(plus=False),
     "TIMEDIFF": (
         "concat(CASE WHEN unix_timestamp({0}) < unix_timestamp({1})"
         " THEN '-' ELSE '' END,"
@@ -466,6 +565,27 @@ _TEMPLATES = {
         " abs(unix_timestamp({0}) - unix_timestamp({1})) % 60))"
     ),
     "MICROSECOND": "CAST(unix_micros(CAST({0} AS TIMESTAMP)) % 1000000 AS INT)",
+    # MySQL DAYNAME/MONTHNAME return FULL names ('Saturday', ref
+    # funchelpers.h:150 weekday_names; funcexp.cpp:105,156); Spark 4's
+    # bare dayname/monthname builtins abbreviate ('Sat') — same
+    # EEEE/MMMM rewrite as the registry Column builders
+    "DAYNAME": "date_format({0}, 'EEEE')",
+    "MONTHNAME": "date_format({0}, 'MMMM')",
+    # MySQL renders boolean-valued functions as 1/0, not true/false
+    "ISNULL": "(CASE WHEN {0} IS NULL THEN 1 ELSE 0 END)",
+    # MySQL INSERT(str,pos,len,newstr) (func_insert.cpp, funcexp.cpp:
+    # 130): pos outside [1, length] returns str unchanged; negative or
+    # overlong len replaces through the end; NULL any-operand → NULL.
+    # Routed here only for paren-call sites — statement-keyword INSERT
+    # is never followed by '(' (see _rewrite)
+    "MYSQL_INSERT_FUNC": (
+        "(CASE WHEN {1} IS NULL OR {2} IS NULL OR {3} IS NULL"
+        " THEN CAST(NULL AS STRING)"
+        " WHEN {1} BETWEEN 1 AND char_length({0}) THEN"
+        " (CASE WHEN {2} < 0 THEN concat(substring({0}, 1, {1} - 1), {3})"
+        " ELSE overlay({0}, {3}, {1}, {2}) END)"
+        " ELSE {0} END)"
+    ),
 }
 
 _RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring",
@@ -506,8 +626,17 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
     first = [t for t in args[0] if t[0] not in ("ws", "comment")]
     if len(first) == 1 and first[0][0] == "string":
         # MySQL coerces a string datetime operand; Spark resolves
-        # string + day-time interval but NOT string + year-month
-        base = f"CAST({base} AS TIMESTAMP)"
+        # string + day-time interval but NOT string + year-month.
+        # A bare DATE string ('2020-01-31', no time part) keeps its
+        # date-ness through date-only units (func_date_add.cpp:
+        # string-date + date unit returns a date) — Spark's DATE +
+        # single-unit interval stays DATE, so the cast picks the type.
+        # Anything else promotes to MySQL DATETIME, which is zoneless
+        # (dataconvert.h:142-160) → TIMESTAMP_NTZ
+        bare_date = _re.fullmatch(
+            r"[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}", _unquote(first[0][1]).strip()
+        )
+        base = f"CAST({base} AS {'DATE' if bare_date else 'TIMESTAMP_NTZ'})"
     second = [t for t in args[1] if t[0] not in ("ws", "comment")]
     if (
         len(second) == 1
@@ -547,6 +676,56 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
         return [("code", f"(({base}) {op} {ival})")]
     fn = "date_add" if plus else "date_sub"
     return [("code", f"{fn}({base}, {render(args[1]).strip()})")]
+
+#: GET_FORMAT lookup (ref func_get_format.cpp; mirrors the registry's
+#: get_format Column builder — the returned value is MySQL's format
+#: string, exactly what the reference emits).
+_GET_FORMAT_TABLE = {
+    ("date", "iso"): "%Y-%m-%d", ("date", "usa"): "%m.%d.%Y",
+    ("date", "eur"): "%d.%m.%Y", ("date", "jis"): "%Y-%m-%d",
+    ("date", "internal"): "%Y%m%d",
+    ("time", "iso"): "%H:%i:%s", ("time", "usa"): "%h:%i:%s %p",
+    ("time", "eur"): "%H.%i.%s", ("time", "jis"): "%H:%i:%s",
+    ("time", "internal"): "%H%i%s",
+    ("datetime", "iso"): "%Y-%m-%d %H:%i:%s",
+    ("datetime", "usa"): "%Y-%m-%d %H.%i.%s",
+    ("datetime", "eur"): "%Y-%m-%d %H.%i.%s",
+    ("datetime", "jis"): "%Y-%m-%d %H:%i:%s",
+    ("datetime", "internal"): "%Y%m%d%H%i%s",
+}
+
+
+def _get_format_func(inner: list[Token]) -> list[Token] | None:
+    """``GET_FORMAT(DATE|TIME|DATETIME|TIMESTAMP, region)`` — the first
+    operand is a bare keyword (never an expression), which Spark's
+    parser can't see as a function argument, so the whole call folds
+    here: literal regions fold to the format-string literal, expression
+    regions to a CASE over the five known regions (unknown → NULL,
+    MySQL's behavior).  Ref func_get_format.cpp, funcexp.cpp:119."""
+    args = _split_args(inner)
+    if len(args) != 2:
+        return None
+    kind_toks = [t for t in args[0] if t[0] not in ("ws", "comment")]
+    if len(kind_toks) != 1 or kind_toks[0][0] != "word":
+        return None
+    kind = kind_toks[0][1].lower()
+    if kind == "timestamp":  # MySQL: GET_FORMAT(TIMESTAMP, x) ≡ DATETIME
+        kind = "datetime"
+    if kind not in ("date", "time", "datetime"):
+        return None
+    reg_toks = [t for t in args[1] if t[0] not in ("ws", "comment")]
+    if len(reg_toks) == 1 and reg_toks[0][0] == "string":
+        std = _unquote(reg_toks[0][1]).lower()
+        pat = _GET_FORMAT_TABLE.get((kind, std))
+        return [("code", _sql_str(pat) if pat else "CAST(NULL AS STRING)")]
+    r = "upper(trim(" + render(args[1]).strip() + "))"
+    cases = " ".join(
+        f"WHEN '{std.upper()}' THEN {_sql_str(pat)}"
+        for (k, std), pat in _GET_FORMAT_TABLE.items()
+        if k == kind
+    )
+    return [("code", f"(CASE {r} {cases} END)")]
+
 
 def _extract_func(inner: list[Token]) -> list[Token] | None:
     """``EXTRACT(<field> FROM <expr>)`` — compound fields return the
@@ -669,6 +848,17 @@ def _fmt_func(name: str, inner: list[Token]) -> list[Token]:
         raise DialectError(
             f"{name}: {ex} — use the Column-level registry builder for composed tokens"
         ) from ex
+    if name == "STR_TO_DATE":
+        # MySQL STR_TO_DATE returns a zoneless DATETIME and NULL on
+        # unparseable input: try_to_timestamp (to_timestamp raises
+        # under ANSI) parsed in the UTC session zone, then re-typed
+        # TIMESTAMP_NTZ (field-preserving under session tz = UTC) —
+        # same shape as the registry's str_to_date builder
+        text = (
+            f"try_cast(try_to_timestamp({render(args[0]).strip()},"
+            f" {_sql_str(pattern)}) AS TIMESTAMP_NTZ)"
+        )
+        return [("code", text)]
     text = f"{_FMT_FUNCS[name]}({render(args[0]).strip()}, {_sql_str(pattern)})"
     return [("code", text)]
 
@@ -1253,6 +1443,60 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.extend(_week_func(upper, inner))
                     i = close + 1
                     continue
+                if upper == "INSERT":
+                    # the 4-arg string function (func_insert.cpp,
+                    # funcexp.cpp:130) — safe to claim at a paren-call
+                    # site: the INSERT STATEMENT keyword is never
+                    # followed by '(' (a table name or INTO comes
+                    # first, and parse_statement dispatches DML before
+                    # expression rewriting matters)
+                    args = [_arg_text(a) for a in _split_args(inner)]
+                    if len(args) == 4:
+                        out.append(
+                            ("code",
+                             _TEMPLATES["MYSQL_INSERT_FUNC"].format(*args))
+                        )
+                        i = close + 1
+                        continue
+                if upper == "CHAR" and not _qualified:
+                    # multi-arg CHAR(77,121,...) concatenates code
+                    # points (func_char.cpp; mysqldump/ETL output uses
+                    # it); MySQL SKIPS NULL arguments — concat_ws('')
+                    # does too where concat would NULL the result.
+                    # 1-arg CHAR passes through untouched: it is
+                    # Spark's own char() AND the CHAR(10) column type
+                    # in DDL, which must not be rewritten.
+                    args = [_arg_text(a) for a in _split_args(inner)]
+                    if len(args) >= 2:
+                        parts = ", ".join(f"char({a})" for a in args)
+                        out.append(("code", f"concat_ws('', {parts})"))
+                        i = close + 1
+                        continue
+                if upper == "GET_FORMAT":
+                    hit = _get_format_func(inner)
+                    if hit is not None:
+                        out.extend(hit)
+                        i = close + 1
+                        continue
+                if upper == "TRUNCATE":
+                    out.extend(_truncate_func(inner))
+                    i = close + 1
+                    continue
+                if upper == "FIELD":
+                    # bonus beyond the reference FuncMap (it lacks
+                    # FIELD; MySQL migrations use it for custom sort
+                    # orders): 1-based index of x among the rest, 0
+                    # when absent or NULL
+                    args = [_arg_text(a) for a in _split_args(inner)]
+                    if len(args) >= 2:
+                        arr = ", ".join(args[1:])
+                        out.append(
+                            ("code",
+                             f"coalesce(array_position(array({arr}),"
+                             f" {args[0]}), 0)")
+                        )
+                        i = close + 1
+                        continue
                 if upper in _TEMPLATES:
                     args = [_arg_text(a) for a in _split_args(inner)]
                     arity = _template_arity(upper)
@@ -2306,7 +2550,9 @@ _MYSQL_TYPES = {
     "FLOAT": "float", "DOUBLE": "double", "REAL": "double",
     "CHAR": "string", "VARCHAR": "string", "TEXT": "string",
     "TINYTEXT": "string", "MEDIUMTEXT": "string", "LONGTEXT": "string",
-    "DATE": "date", "DATETIME": "timestamp", "TIMESTAMP": "timestamp",
+    # DATETIME is zoneless in MySQL (dataconvert.h:142-160 bitfield) →
+    # timestamp_ntz; TIMESTAMP is the session-zone type → ltz timestamp
+    "DATE": "date", "DATETIME": "timestamp_ntz", "TIMESTAMP": "timestamp",
     "TIME": "string", "VARBINARY": "binary", "BLOB": "binary",
     "CLOB": "string",
 }

@@ -187,6 +187,16 @@ def find_in_set(x, s) -> Column:
     return F.call_function("find_in_set", _c(x), _c(s))
 
 
+@_reg("field")
+def field(x, *vals) -> Column:
+    # bonus beyond the reference FuncMap (it lacks FIELD): MySQL
+    # FIELD(x, a, b, ...) = 1-based index of x, 0 when absent or NULL
+    return F.coalesce(
+        F.array_position(F.array(*[_c(v) for v in vals]), _c(x)),
+        F.lit(0).cast("bigint"),
+    )
+
+
 @_reg("insert")
 def insert(s, pos, length, repl) -> Column:
     # MySQL INSERT(str, pos, len, newstr) ≡ OVERLAY.
@@ -568,8 +578,12 @@ def time_format(c, fmt: str) -> Column:
 @_reg("str_to_date")
 def str_to_date(s, fmt: str) -> Column:
     # try_to_timestamp: MySQL STR_TO_DATE returns NULL on unparseable
-    # input; to_timestamp raises under ANSI (the gate-session default)
-    return F.try_to_timestamp(_c(s), F.lit(mysql_datetime_format_to_spark(fmt)))
+    # input; to_timestamp raises under ANSI (the gate-session default).
+    # The ntz re-type keeps the result a zoneless MySQL DATETIME
+    # (field-preserving under the UTC session zone)
+    return F.try_to_timestamp(
+        _c(s), F.lit(mysql_datetime_format_to_spark(fmt))
+    ).try_cast("timestamp_ntz")
 
 
 @_reg("get_format")
@@ -886,18 +900,30 @@ def cast_signed(c) -> Column:
     v = _c(c)
     d = v.try_cast("double")
     s = F.trim(v.try_cast("string"))
-    trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("bigint")
-    str_val = F.when(s.rlike("^[+-]?[0-9]+$"), s.try_cast("bigint")).otherwise(trunc)
+    # run through DECIMAL(38,0) so the (2^63−1, 2^64−1] band survives
+    # to the 2^64 wrap below (func_cast.cpp:234 C-cast semantics:
+    # CAST(18446744073709551615 AS SIGNED) = −1) instead of NULLing
+    # in a premature bigint try_cast
+    trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("decimal(38,0)")
+    str_val = F.when(
+        s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(38,0)")
+    ).otherwise(trunc)
     t = F.call_function("typeof", v)
-    return (
+    w = (
         F.when(t.startswith("string"), str_val)
-        .when(t.isin("tinyint", "smallint", "int", "bigint"), v.try_cast("bigint"))
+        .when(t.isin("tinyint", "smallint", "int", "bigint"), v.try_cast("decimal(38,0)"))
         # decimal input rounds EXACTLY via a scale-0 decimal cast
         # (HALF_UP) — round(double) would corrupt values above 2^53
-        .when(t.startswith("decimal"), v.try_cast("decimal(38,0)").try_cast("bigint"))
-        .when(d.isNotNull(), F.round(d, 0).try_cast("bigint"))
-        .otherwise(v.try_cast("bigint"))
+        .when(t.startswith("decimal"), v.try_cast("decimal(38,0)"))
+        .when(d.isNotNull(), F.round(d, 0).try_cast("decimal(38,0)"))
+        .otherwise(v.try_cast("decimal(38,0)"))
     )
+    max_i64 = F.lit("9223372036854775807").cast("decimal(38,0)")
+    max_u64 = F.lit("18446744073709551615").cast("decimal(38,0)")
+    two_64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+    return F.when(
+        (w > max_i64) & (w <= max_u64), (w - two_64).try_cast("bigint")
+    ).otherwise(w.try_cast("bigint"))
 
 
 @_reg("cast_unsigned")
@@ -908,8 +934,9 @@ def cast_unsigned(c) -> Column:
     # exact for int/decimal input, no double detour needed), string
     # input truncates at the decimal point ('2.9' -> 2; integer-
     # looking strings cast directly for full-range exactness).
-    # Divergence note: MySQL wraps negatives into the 2^64 domain;
-    # this keeps the sign (see dialect.py CAST note).
+    # Negative operands wrap into the 2^64 domain the way the
+    # reference's C cast does (func_cast.cpp:234): CAST(-1 AS
+    # UNSIGNED) = 18446744073709551615.
     v = _c(c)
     d = v.try_cast("double")
     s = F.trim(v.try_cast("string"))
@@ -917,9 +944,11 @@ def cast_unsigned(c) -> Column:
     str_val = F.when(
         s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(20,0)")
     ).otherwise(trunc)
-    return F.when(
+    u = F.when(
         F.call_function("typeof", v).startswith("string"), str_val
     ).otherwise(v.try_cast("decimal(20,0)"))
+    two_64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+    return F.when(u < 0, (u + two_64).cast("decimal(20,0)")).otherwise(u)
 
 
 @_reg("cast_char")
@@ -935,7 +964,10 @@ def cast_date(c) -> Column:
 
 @_reg("cast_datetime")
 def cast_datetime(c) -> Column:
-    return _c(c).try_cast("timestamp")
+    # timestamp_ntz, not timestamp: MySQL DATETIME is zoneless (the
+    # reference stores a tz-free bitfield, dataconvert.h:142-160);
+    # mirrors the SQL-text _cast_frag DATETIME branch
+    return _c(c).try_cast("timestamp_ntz")
 
 
 @_reg("cast_time")
@@ -996,15 +1028,22 @@ def idbpartition() -> Column:
 def inet_aton(ip) -> Column:
     # try_cast + octet range guard: MySQL returns NULL for malformed
     # addresses and out-of-range octets; a raw cast raised under ANSI
-    # and '1.2.3.999' computed a bogus non-NULL sum
+    # and '1.2.3.999' computed a bogus non-NULL sum.  1-3 part short
+    # forms resolve per the reference (func_inet_aton.cpp dot_count
+    # switch): the LAST part fills the low bytes — '127.1' →
+    # 127.0.0.1, '127.2.1' → 127.2.0.1.
     p = F.split(_c(ip), r"\.")
-    o = [p.getItem(i).try_cast("bigint") for i in range(4)]
-    valid = (F.size(p) == 4) & F.lit(True)
-    for x in o:
-        valid = valid & x.isNotNull() & x.between(0, 255)
-    return F.when(
-        valid, o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+    parts = F.transform(p, lambda x: x.try_cast("bigint"))
+    bad = F.exists(parts, lambda x: x.isNull() | (x < 0) | (x > 255))
+    o = [parts.getItem(i) for i in range(4)]
+    n = F.size(p)
+    val = (
+        F.when(n == 4, o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3])
+        .when(n == 3, o[0] * 16777216 + o[1] * 65536 + o[2])
+        .when(n == 2, o[0] * 16777216 + o[1])
+        .when(n == 1, o[0])
     )
+    return F.when(~bad, val)
 
 
 @_reg("inet_ntoa")

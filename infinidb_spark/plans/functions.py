@@ -175,7 +175,10 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         func("last_day", d).alias("f_last_day"),
         func("to_days", d).cast("bigint").alias("f_to_days"),
         func("unix_timestamp", d).alias("f_unix"),
-        func("date_add", d, 31, "day").cast("timestamp").alias("f_plus31"),
+        # timestamp_ntz: DATE + day interval is a MySQL DATETIME, which
+        # is zoneless (dataconvert.h:142-160) — and the DuckDB oracle's
+        # date + INTERVAL is Arrow timestamp[us] (ntz)
+        func("date_add", d, 31, "day").cast("timestamp_ntz").alias("f_plus31"),
         func("date_sub", d, 2, "month").alias("f_minus2m"),
         func("datediff", d, F.lit("1995-06-17")).alias("f_datediff"),
         func("monthname", d).alias("f_monthname"),

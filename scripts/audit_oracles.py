@@ -36,101 +36,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from tests.oracle_util import _canon, duck_con  # noqa: E402
-
-
-def top_level_order_by(sql: str) -> list[str] | None:
-    """Return the column terms of the LAST paren-depth-0 ORDER BY, or
-    None if the statement has no top-level ORDER BY.  Terms are
-    stripped of ASC/DESC/NULLS FIRST|LAST decoration."""
-    depth = 0
-    in_str = None
-    spans: list[int] = []
-    i, n = 0, len(sql)
-    upper = sql.upper()
-    while i < n:
-        c = sql[i]
-        if in_str:
-            if c == in_str:
-                in_str = None
-            i += 1
-            continue
-        if c in ("'", '"'):
-            in_str = c
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif (
-            depth == 0
-            and upper.startswith("ORDER", i)
-            and re.match(r"ORDER\s+BY\b", upper[i:])
-            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
-        ):
-            spans.append(i)
-        i += 1
-    if not spans:
-        return None
-    start = spans[-1]
-    clause = sql[start:]
-    clause = re.sub(r"(?is)^ORDER\s+BY", "", clause)
-    # cut at a depth-0 LIMIT/OFFSET if present
-    depth = 0
-    in_str = None
-    cut = len(clause)
-    up = clause.upper()
-    for j, c in enumerate(clause):
-        if in_str:
-            if c == in_str:
-                in_str = None
-            continue
-        if c in ("'", '"'):
-            in_str = c
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif (
-            depth == 0
-            and (re.match(r"LIMIT\b", up[j:]) or re.match(r"OFFSET\b", up[j:]))
-            and (j == 0 or not (clause[j - 1].isalnum() or clause[j - 1] == "_"))
-        ):
-            cut = j
-            break
-    clause = clause[:cut]
-    # split on depth-0 commas
-    terms: list[str] = []
-    buf: list[str] = []
-    depth = 0
-    in_str = None
-    for c in clause:
-        if in_str:
-            buf.append(c)
-            if c == in_str:
-                in_str = None
-            continue
-        if c in ("'", '"'):
-            in_str = c
-            buf.append(c)
-        elif c == "(":
-            depth += 1
-            buf.append(c)
-        elif c == ")":
-            depth -= 1
-            buf.append(c)
-        elif c == "," and depth == 0:
-            terms.append("".join(buf))
-            buf = []
-        else:
-            buf.append(c)
-    if buf:
-        terms.append("".join(buf))
-    out = []
-    for t in terms:
-        t = re.sub(r"(?is)\bNULLS\s+(FIRST|LAST)\s*$", "", t.strip()).strip()
-        t = re.sub(r"(?is)\b(ASC|DESC)\s*$", "", t).strip()
-        out.append(t)
-    return out
+from tests.oracle_util import _canon, duck_con, top_level_order_by  # noqa: E402
 
 
 def audit_one(con, name: str, sql: str) -> tuple[str, str]:

@@ -66,7 +66,11 @@ def _canon_arrow_type(t: pa.DataType) -> str:
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # tz-aware vs zoneless MUST differ: the r08 mysql_dialect_cast
+        # driver-hash red was Spark timestamp[us, tz=UTC] vs DuckDB
+        # timestamp[us] with every value identical — the old shared
+        # "timestamp" canon made the mirror structurally blind to it
+        return "timestamp_ltz" if t.tz is not None else "timestamp_ntz"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{_canon_arrow_type(t.value_type)}>"
     if pa.types.is_struct(t):
@@ -98,8 +102,13 @@ def _canon_spark_type(t) -> str:
         return "binary"
     if isinstance(t, T.DateType):
         return "date"
-    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
-        return "timestamp"
+    if isinstance(t, T.TimestampType):
+        # Spark's toArrow() serializes TimestampType as
+        # timestamp[us, tz=UTC] and TimestampNTZType as timestamp[us] —
+        # mirror that split (see _canon_arrow_type)
+        return "timestamp_ltz"
+    if isinstance(t, T.TimestampNTZType):
+        return "timestamp_ntz"
     if isinstance(t, T.ArrayType):
         return f"list<{_canon_spark_type(t.elementType)}>"
     if isinstance(t, T.StructType):
@@ -108,6 +117,104 @@ def _canon_spark_type(t) -> str:
         )
         return f"struct<{inner}>"
     return t.simpleString()
+
+
+def top_level_order_by(sql: str) -> list[str] | None:
+    """Return the column terms of the LAST paren-depth-0 ORDER BY, or
+    None if the statement has no top-level ORDER BY.  Terms are
+    stripped of ASC/DESC/NULLS FIRST|LAST decoration.  (Shared with
+    scripts/audit_oracles.py, which uses the terms to prove the order
+    total; compare() only needs presence.)"""
+    import re
+
+    depth = 0
+    in_str = None
+    spans: list[int] = []
+    i, n = 0, len(sql)
+    upper = sql.upper()
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and upper.startswith("ORDER", i)
+            and re.match(r"ORDER\s+BY\b", upper[i:])
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+        ):
+            spans.append(i)
+        i += 1
+    if not spans:
+        return None
+    start = spans[-1]
+    clause = sql[start:]
+    clause = re.sub(r"(?is)^ORDER\s+BY", "", clause)
+    # cut at a depth-0 LIMIT/OFFSET if present
+    depth = 0
+    in_str = None
+    cut = len(clause)
+    up = clause.upper()
+    for j, c in enumerate(clause):
+        if in_str:
+            if c == in_str:
+                in_str = None
+            continue
+        if c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and (re.match(r"LIMIT\b", up[j:]) or re.match(r"OFFSET\b", up[j:]))
+            and (j == 0 or not (clause[j - 1].isalnum() or clause[j - 1] == "_"))
+        ):
+            cut = j
+            break
+    clause = clause[:cut]
+    # split on depth-0 commas
+    terms: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str = None
+    for c in clause:
+        if in_str:
+            buf.append(c)
+            if c == in_str:
+                in_str = None
+            continue
+        if c in ("'", '"'):
+            in_str = c
+            buf.append(c)
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            terms.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    if buf:
+        terms.append("".join(buf))
+    out = []
+    for t in terms:
+        t = re.sub(r"(?is)\bNULLS\s+(FIRST|LAST)\s*$", "", t.strip()).strip()
+        t = re.sub(r"(?is)\b(ASC|DESC)\s*$", "", t).strip()
+        out.append(t)
+    return out
 
 
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
@@ -143,11 +250,17 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
         return False, f"row count mismatch: spark={len(sp_rows)} duck={len(du_rows)}"
 
     order = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
-    sp_set = sorted(
-        (tuple(_canon(r[sp_cols[i]]) for i in order) for r in sp_rows), key=repr
-    )
     du_order = sorted(range(len(du_cols)), key=lambda i: du_cols[i])
-    du_set = sorted((tuple(_canon(r[i]) for i in du_order) for r in du_rows), key=repr)
+    sp_set = [tuple(_canon(r[sp_cols[i]]) for i in order) for r in sp_rows]
+    du_set = [tuple(_canon(r[i]) for i in du_order) for r in du_rows]
+    if top_level_order_by(sql) is None:
+        # no ORDER BY → any permutation is acceptable: sort both sides
+        sp_set = sorted(sp_set, key=repr)
+        du_set = sorted(du_set, key=repr)
+    # else: the driver's value hash is ROW-ORDER-sensitive and both
+    # engines must emit the ordered result identically — compare in
+    # fetched order (the r07/r08 mysql_dialect_cast lesson: the old
+    # unconditional sort hid order-channel divergence from the mirror)
     if sp_set != du_set:
         diff = [(a, b) for a, b in zip(sp_set, du_set) if a != b][:3]
         return False, f"value mismatch, first diffs: {diff}"

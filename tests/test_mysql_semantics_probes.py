@@ -1,0 +1,154 @@
+"""The round-8 judge's live MySQL-semantics probe battery, retired into
+the suite (VERDICT r08 "Next round" item 8).
+
+Each probe is a SQL-TEXT expression through the dialect front-end with
+the value MySQL 8 documents for it — the probes that caught the round-8
+findings (ADDTIME's today-anchored wrong answer, abbreviated
+DAY/MONTHNAME, boolean ISNULL, missing 2^64 cast wrap, unrouted
+INSERT/CHAR/GET_FORMAT) plus the families the judge verified as already
+exact (MOD/DIV/ROUND/TRUNCATE/CONV/HEX, TO_DAYS/PERIOD_*/YEARWEEK/
+MAKEDATE, INET_ATON/NTOA, CRC32, GREATEST null-strictness, compound
+INTERVAL units, week modes, %r/%j tokens).
+
+Reference for the function roster: utils/funcexp/funcexp.cpp FuncMap;
+per-function cpp files cited in functions/registry.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from infinidb_spark.dialect import translate_mysql
+
+# (expression, MySQL-documented value).  Values compare with == after
+# str() for strings / float() for numerics (see _check).
+PROBES = [
+    # --- math family (verified exact by the r08 judge battery) ---
+    ("MOD(29, 9)", 2),
+    ("29 MOD 9", 2),
+    ("29 DIV 9", 3),
+    ("-29 DIV 9", -3),
+    ("ROUND(2.5)", 3),
+    ("ROUND(-2.5)", -3),
+    ("TRUNCATE(3.14159, 2)", 3.14),
+    ("TRUNCATE(0.29, 2)", 0.29),
+    ("TRUNCATE(-3.999, 1)", -3.9),
+    ("TRUNCATE(12345, -2)", 12300),
+    ("CONV('a', 16, 2)", "1010"),
+    ("HEX(255)", "FF"),
+    ("CRC32('MySQL')", 3259397556),
+    # --- date/time family ---
+    ("TO_DAYS('2007-10-07')", 733321),
+    ("FROM_DAYS(733321)", "2007-10-07"),
+    ("PERIOD_ADD(200801, 2)", 200803),
+    ("PERIOD_DIFF(200802, 200703)", 11),
+    ("YEARWEEK('1987-01-01')", 198652),
+    ("MAKEDATE(2011, 31)", "2011-01-31"),
+    ("MAKEDATE(2011, 0)", None),
+    ("WEEK('2008-02-20')", 7),
+    ("WEEK('2008-02-20', 1)", 8),
+    ("DATE_FORMAT('2006-06-01', '%j')", "152"),
+    ("DATE_FORMAT('1997-10-04 22:23:00', '%r')", "10:23:00 PM"),
+    ("MAKETIME(12, 15, 30)", "12:15:30"),
+    ("SEC_TO_TIME(2378)", "00:39:38"),
+    ("TIME_TO_SEC('22:23:00')", 80580),
+    ("MICROSECOND('2019-12-31 23:59:59.000010')", 10),
+    # the round-8 finding: TIME-string FIRST operand must yield TIME,
+    # never a today-anchored timestamp (func_add_time.cpp)
+    ("ADDTIME('01:00:00', '01:30:00')", "02:30:00"),
+    ("ADDTIME('2007-12-31 23:59:59', '1:1:1')", "2008-01-01 01:01:00"),
+    ("SUBTIME('01:00:00', '00:30:00')", "00:30:00"),
+    # full names, not Spark's abbreviations (funchelpers.h:150)
+    ("DAYNAME('2007-02-03')", "Saturday"),
+    ("MONTHNAME('2008-02-03')", "February"),
+    # --- compound INTERVAL units (funcexp getNumbers operand scan) ---
+    ("DATE_ADD('2020-01-01', INTERVAL '1 2:30' DAY_MINUTE)",
+     "2020-01-02 02:30:00"),
+    ("DATE_ADD('2020-01-01', INTERVAL '1 2' YEAR_MONTH)", "2021-03-01"),
+    # string date + date-only unit preserves date-ness
+    # (func_date_add.cpp) — closed this round, no longer deferred
+    ("DATE_ADD('2020-01-31', INTERVAL 1 MONTH)", "2020-02-29"),
+    ("DATE_SUB('2020-03-31', INTERVAL 1 MONTH)", "2020-02-29"),
+    ("DATE_ADD('2020-01-31', INTERVAL 1 DAY)", "2020-02-01"),
+    ("EXTRACT(YEAR_MONTH FROM DATE '2019-07-02')", 201907),
+    # --- casts (func_cast.cpp; the 2^64 wrap is func_cast.cpp:234) ---
+    ("CAST(2.63 AS SIGNED)", 3),
+    ("CAST('2.9' AS SIGNED)", 2),
+    ("CAST(-1 AS UNSIGNED)", 18446744073709551615),
+    ("CAST(18446744073709551615 AS SIGNED)", -1),
+    ("CAST(-1.5 AS UNSIGNED)", 18446744073709551614),
+    ("CAST('nope' AS DATETIME)", None),
+    # --- control/null family ---
+    ("GREATEST(2, NULL, 5)", None),
+    ("LEAST(2, NULL, 5)", None),
+    ("ISNULL(NULL)", 1),
+    ("ISNULL(1/0)", 1),  # MySQL: division by zero yields NULL
+    ("ISNULL(5)", 0),
+    ("IFNULL(NULL, 10)", 10),
+    ("NULLIF(1, 1)", None),
+    # --- string family + the three names routed this round ---
+    ("INSERT('Quadratic', 3, 4, 'What')", "QuWhattic"),
+    ("INSERT('Quadratic', -1, 4, 'What')", "Quadratic"),
+    ("INSERT('Quadratic', 3, 100, 'What')", "QuWhat"),
+    ("CHAR(77, 121, 83, 81, 76)", "MySQL"),
+    ("CHAR(77, 77.3, '77.3')", "MMM"),
+    ("GET_FORMAT(DATE, 'USA')", "%m.%d.%Y"),
+    ("GET_FORMAT(DATETIME, 'JIS')", "%Y-%m-%d %H:%i:%s"),
+    ("GET_FORMAT(TIME, 'INTERNAL')", "%H%i%s"),
+    ("STRCMP('text', 'text2')", -1),
+    ("QUOTE(\"Don't\")", "'Don\\'t'"),
+    ("FIELD('Bb', 'Aa', 'Bb', 'Cc', 'Dd', 'Ff')", 2),
+    # --- misc (func_inet_aton.cpp incl. the dot_count short forms) ---
+    ("INET_ATON('10.0.5.9')", 167773449),
+    ("INET_ATON('127.1')", 2130706433),
+    ("INET_ATON('127.2.1')", 2130837505),
+    ("INET_ATON('1.2.3.999')", None),
+    ("INET_NTOA(167773449)", "10.0.5.9"),
+]
+
+#: probes whose MySQL-exact form is deliberately deferred —
+#: documented render-level divergences, not wrong values.  The round-8
+#: verdict's one deferred probe (DATE_ADD date-string render) was FIXED
+#: this round and moved into PROBES; the list stays for future defers.
+XFAIL_PROBES: list[tuple[str, object]] = []
+
+
+def _check(spark, expr: str, expected) -> None:
+    got = spark.sql(translate_mysql(f"SELECT {expr} AS v")).collect()[0].v
+    if expected is None:
+        assert got is None, f"{expr}: got {got!r}, MySQL gives NULL"
+        return
+    assert got is not None, f"{expr}: got NULL, MySQL gives {expected!r}"
+    if isinstance(expected, (int, float)) and not isinstance(expected, bool):
+        assert not (isinstance(got, float) and math.isnan(got)), expr
+        assert float(got) == float(expected), f"{expr}: got {got!r}"
+    else:
+        assert str(got) == str(expected), f"{expr}: got {got!r}"
+
+
+@pytest.mark.parametrize("expr,expected", PROBES, ids=[p[0][:50] for p in PROBES])
+def test_mysql_probe(spark, expr, expected):
+    _check(spark, expr, expected)
+
+
+@pytest.mark.parametrize(
+    "expr,expected", XFAIL_PROBES, ids=[p[0][:50] for p in XFAIL_PROBES]
+)
+@pytest.mark.xfail(reason="documented render-level divergence")
+def test_mysql_probe_deferred(spark, expr, expected):
+    _check(spark, expr, expected)
+
+
+def test_mysql_probe_packed_time_string():
+    """TIME_TO_SEC('130'): MySQL reads a colon-less TIME string as the
+    packed form (00:01:30 → 90) — pinned separately because the packed
+    read is easy to regress to an epoch-seconds cast."""
+    from infinidb_spark.session import get_spark
+
+    spark = get_spark()
+    got = spark.sql(
+        translate_mysql("SELECT TIME_TO_SEC('130') AS v")
+    ).collect()[0].v
+    assert got == 90

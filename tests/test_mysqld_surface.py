@@ -379,9 +379,13 @@ def test_funcmap_text_path_completions(sess):
     TIMEDIFF / MICROSECOND / SYSDATE (funcexp.cpp registry names)."""
     r = sess.execute(
         "SELECT TRUNCATE(3.14159, 2) AS a, TRUNCATE(-3.999, 1) AS b, "
-        "TRUNCATE(12345, -2) AS c"
+        "TRUNCATE(12345, -2) AS c, TRUNCATE(0.29, 2) AS d"
     ).collect()[0]
-    assert (r.a, r.b, r.c) == (3.14, -3.9, 12300.0)
+    # decimal input now STAYS decimal (the registry truncate() parity
+    # fix: pow(10.0,d) double arithmetic floored 0.29 to 0.28)
+    assert (float(r.a), float(r.b), float(r.c), float(r.d)) == (
+        3.14, -3.9, 12300.0, 0.29,
+    )
     assert str(sess.execute("SELECT MAKEDATE(2024, 60) AS d").collect()[0].d) == "2024-02-29"
     assert sess.execute("SELECT MAKETIME(10, 5, 3) AS t").collect()[0].t == "10:05:03"
     # fractional seconds preserved through the SQL-text template too
