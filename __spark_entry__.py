@@ -76,13 +76,65 @@ SF0_001 = "/root/testdata/sf0.001"
 # slotted directly after the stalest block so they get first verdicts in
 # the same window.
 _PRIORITY = [
-    # ── r08 window leads: the two r03-stale stragglers the r07 window
-    # cut, then the red r07 row (values verified equal; its ORDER BY was
-    # made total this round so the driver hash can re-attest green) ──
-    "dedup_ngram_jaccard", "dedup_simhash", "mysql_dialect_cast",
-    # ── new round-8 queries slot here (never driver-checked) ──
-    "mysql_dialect_interval",
-    # ── latest driver row r04 (43 queries, 4 rounds stale) ──
+    # ── r09 window leads: the r08 red row (root-caused to the tz-aware
+    # AS DATETIME type, now TIMESTAMP_NTZ — VERDICT r08 #1), then the
+    # two round-9 queries awaiting first verdicts ──
+    "mysql_dialect_cast", "mysql_dialect_functions",
+    "ann_ivfpq_topk_pretrained",
+    # ── latest driver row r05 (47 queries, the stalest tier) ──
+    "ref_pm_join_ranges", "ref_um_join_ranges",
+    "ref_single_avg", "ref_groupby_minmax_str", "ref_count_int_probe",
+    "ref_global_min", "ref_full_count", "ref_star_self_join",
+    "ref_multi_pred_max", "ref_minmax_join", "ref_part_probe",
+    "ref_var_driven_report", "dedup_exact_incremental",
+    "dedup_minhash_incremental", "ann_batch_topk", "embedding_kmeans",
+    "cluster_balanced_sample", "multi_table_dml", "streaming_dedup_ingest",
+    "text_repetition", "text_window_dedup", "func_cast", "dml_lifecycle",
+    "mysql_dml_statements", "system_catalog", "multimodal_features",
+    "text_classifier_quality", "embedding_pq", "ann_ivfpq_topk",
+    "dataset_stratified_split", "streaming_click_view_join",
+    "streaming_running_totals", "dedup_semantic", "streaming_ann_ingest",
+    "char_null_semantics", "dedup_semantic_incremental", "dedup_hybrid",
+    "xml_load_roundtrip", "events_variant_props", "pivot_unpivot_roundtrip",
+    "lateral_topn_per_group", "extent_elimination_scan", "mysql_ddl_alter",
+    "mysql_dialect_query", "bulk_load_csv_roundtrip", "dedup_exact",
+    "dedup_minhash_portable",
+    # ── latest driver row r06 (50 queries) ──
+    "q1_pricing_summary", "scan_filter_project",
+    "filter_between_in_like", "filter_regexp_null", "filter_col_vs_col",
+    "filter_expression", "constant_select", "groupby_join_agg",
+    "agg_distinct", "agg_stats", "agg_bit", "group_concat", "agg_having",
+    "join_inner_broadcast", "join_left_outer", "join_full_outer",
+    "join_semi", "join_anti", "join_not_in_nullaware", "join_multiway",
+    "join_cross", "join_theta", "scalar_subquery", "select_list_subquery",
+    "in_subquery", "derived_table", "view_query", "topn_order_limit",
+    "limit_offset", "order_nulls_last", "distinct_select",
+    "union_all_normalize", "union_distinct", "intersect_except",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "set_ops_all",
+    "join_salted_skew", "window_rank", "window_row_number_topk_per_group",
+    "window_agg_frame", "window_range_frame", "window_navigation",
+    "window_stats", "window_distinct_agg", "percentiles_within_group",
+    "window_regr", "func_math", "ann_recall_attest",
+    # ── latest driver row r07 (49 queries) ──
+    "text_lang_id",
+    "concurrent_dml_disjoint", "manifest_sharded_scan", "dedup_keep_best",
+    "streaming_quality_gate", "dedup_keep_best_incremental",
+    "embedding_random_projection", "dedup_minhash_lsh", "ann_ivf_topk",
+    "agg_decimal_exact", "quantified_subquery", "group_concat_ordered",
+    "multimodal_resize", "embedding_quantize", "corpus_mixture",
+    "outfile_export_roundtrip", "tpch_q3", "tpch_q5", "tpch_q10",
+    "events_cohort_retention", "eval_decontamination",
+    "corpus_curation_pipeline", "jsonl_load_roundtrip", "orc_storage_parity",
+    "ref_avg_battery", "events_anomaly_zscore", "data_profile_histogram",
+    "events_strict_funnel", "orders_week_over_week", "ref_scan_order",
+    "ref_filter_count", "ref_small_side_count", "ref_outer_left",
+    "ref_outer_right", "ref_ordered_hint_join", "ref_pricing_summary",
+    "ref_part_join_count", "ref_join_agg", "ref_discount_groups",
+    "part_lineitem_agg", "func_time", "mysql_dialect_datetime",
+    "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
+    "func_string", "func_datetime", "func_control", "func_json",
+    # ── latest driver row r08 (freshest) ──
+    "dedup_ngram_jaccard", "dedup_simhash", "mysql_dialect_interval",
     "tpch_q1", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
     "dedup_simhash_portable", "ann_cosine_topk", "ann_lsh_topk",
     "text_quality", "text_analyze", "text_analyze_portable",
@@ -95,60 +147,8 @@ _PRIORITY = [
     "multimodal_frame_plan", "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22", "events_sliding_window",
-    "events_json_funnel",
-    # ── latest driver row r05 (50 queries) ──
-    "ref_scan_range_order", "ref_point_lookup", "ref_agg_battery_wide",
-    "ref_pm_join_ranges", "ref_um_join_ranges", "ref_single_avg",
-    "ref_groupby_minmax_str", "ref_count_int_probe", "ref_global_min",
-    "ref_full_count", "ref_star_self_join", "ref_multi_pred_max",
-    "ref_minmax_join", "ref_part_probe", "ref_var_driven_report",
-    "dedup_exact_incremental", "dedup_minhash_incremental",
-    "ann_batch_topk", "embedding_kmeans", "cluster_balanced_sample",
-    "multi_table_dml", "streaming_dedup_ingest", "text_repetition",
-    "text_window_dedup", "func_cast", "dml_lifecycle",
-    "mysql_dml_statements", "system_catalog", "multimodal_features",
-    "text_classifier_quality", "embedding_pq", "ann_ivfpq_topk",
-    "dataset_stratified_split", "streaming_click_view_join",
-    "streaming_running_totals", "dedup_semantic", "streaming_ann_ingest",
-    "char_null_semantics", "dedup_semantic_incremental", "dedup_hybrid",
-    "xml_load_roundtrip", "events_variant_props", "pivot_unpivot_roundtrip",
-    "lateral_topn_per_group", "extent_elimination_scan", "mysql_ddl_alter",
-    "mysql_dialect_query", "bulk_load_csv_roundtrip", "dedup_exact",
-    "dedup_minhash_portable",
-    # ── latest driver row r06 (50 queries) ──
-    "q1_pricing_summary", "scan_filter_project", "filter_between_in_like",
-    "filter_regexp_null", "filter_col_vs_col", "filter_expression",
-    "constant_select", "groupby_join_agg", "agg_distinct", "agg_stats",
-    "agg_bit", "group_concat", "agg_having", "join_inner_broadcast",
-    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
-    "join_not_in_nullaware", "join_multiway", "join_cross", "join_theta",
-    "scalar_subquery", "select_list_subquery", "in_subquery",
-    "derived_table", "view_query", "topn_order_limit", "limit_offset",
-    "order_nulls_last", "distinct_select", "union_all_normalize",
-    "union_distinct", "intersect_except", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "set_ops_all", "join_salted_skew", "window_rank",
-    "window_row_number_topk_per_group", "window_agg_frame",
-    "window_range_frame", "window_navigation", "window_stats",
-    "window_distinct_agg", "percentiles_within_group", "window_regr",
-    "func_math", "ann_recall_attest",
-    # ── latest driver row r07 (freshest) ──
-    "text_lang_id", "concurrent_dml_disjoint", "manifest_sharded_scan",
-    "dedup_keep_best", "streaming_quality_gate",
-    "dedup_keep_best_incremental", "embedding_random_projection",
-    "dedup_minhash_lsh", "ann_ivf_topk", "agg_decimal_exact",
-    "quantified_subquery", "group_concat_ordered", "multimodal_resize",
-    "embedding_quantize", "corpus_mixture", "outfile_export_roundtrip",
-    "tpch_q3", "tpch_q5", "tpch_q10", "events_cohort_retention",
-    "eval_decontamination", "corpus_curation_pipeline",
-    "jsonl_load_roundtrip", "orc_storage_parity", "ref_avg_battery",
-    "events_anomaly_zscore", "data_profile_histogram",
-    "events_strict_funnel", "orders_week_over_week", "ref_scan_order",
-    "ref_filter_count", "ref_small_side_count", "ref_outer_left",
-    "ref_outer_right", "ref_ordered_hint_join", "ref_pricing_summary",
-    "ref_part_join_count", "ref_join_agg", "ref_discount_groups",
-    "part_lineitem_agg", "func_time", "mysql_dialect_datetime",
-    "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
-    "func_string", "func_datetime", "func_control", "func_json",
+    "events_json_funnel", "ref_scan_range_order", "ref_point_lookup",
+    "ref_agg_battery_wide",
 ]
 
 

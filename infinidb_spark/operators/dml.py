@@ -1102,8 +1102,19 @@ def _snapshot(table_dir: str) -> tuple[str, str, dict[str, tuple[int, int]]]:
     must be consultable per-statement without touching the extents.
     Directories modified within ``_SNAP_RACY_NS`` of now are rescanned
     unconditionally, so a concurrent writer in the same timestamp tick
-    can never alias a stale listing."""
+    can never alias a stale listing.
+
+    LIMIT (same as manifest_sharded.refresh): the memo keys on the
+    PARENT directory's mtime, which an in-place rewrite of an existing
+    file (open + truncate on the same name) does NOT bump — such an
+    external edit is invisible to conflict detection until something
+    creates/renames/unlinks in that directory.  No writer in this
+    engine modifies parquet in place, so the blind spot only matters
+    for table dirs also written by EXTERNAL tools; for those, set
+    ``INFINIDB_SPARK_SNAPSHOT_NO_MEMO=1`` to stat every file on every
+    snapshot (the pre-memo O(files) behavior)."""
     real = os.path.realpath(table_dir.rstrip("/"))
+    no_memo = os.environ.get("INFINIDB_SPARK_SNAPSHOT_NO_MEMO", "") not in ("", "0")
     entries: dict[str, tuple[int, int]] = {}
     now = time.time_ns()
     stack = [real]
@@ -1113,7 +1124,7 @@ def _snapshot(table_dir: str) -> tuple[str, str, dict[str, tuple[int, int]]]:
             dmt = os.stat(d).st_mtime_ns
         except OSError:
             continue
-        hit = _SNAP_CACHE.get(d)
+        hit = None if no_memo else _SNAP_CACHE.get(d)
         if hit is not None and hit[0] == dmt and now - dmt > _SNAP_RACY_NS:
             _, files, subdirs = hit
             _SNAP_CACHE.move_to_end(d)
@@ -1305,7 +1316,14 @@ def _optimistic_rewrite(
     ``transform(df, cond_true) -> rewritten df``.  ``_before_commit``
     is a test hook invoked after the rewrite is built, before the
     commit lock — the deterministic way to interleave a competing
-    committed write."""
+    committed write.
+
+    Conflict detection sees every create/rename/unlink any engine
+    writer performs; see the ``_snapshot`` LIMIT note for the one
+    external-writer pattern it cannot see (in-place file rewrites,
+    which bump no directory mtime) and the
+    ``INFINIDB_SPARK_SNAPSHOT_NO_MEMO`` escape hatch for
+    externally-managed table dirs."""
     from pyspark.sql import functions as F
 
     from infinidb_spark.operators.partitions import carry_disabled

@@ -673,6 +673,12 @@ def semantic_dedup_incremental(
     Returns one row per BATCH vector: (id, cluster_id, rep_id, is_dup)
     — min-id representative among similar cluster members (stored or
     earlier-id batch), same contract as ``semantic_dedup``.
+
+    CHANGED DEFAULT (round 8): ``threshold`` moved 0.3 → 0.6 to match
+    semantic_dedup's default — the "same contract" this docstring
+    promises.  A caller who relied on the old 0.3 default silently
+    gets FEWER duplicate matches; pass ``threshold=0.3`` explicitly to
+    keep the old behavior.
     """
     vec = F.col(vec_col).cast("array<double>")
     batch = new_df.select(

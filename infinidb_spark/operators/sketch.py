@@ -91,6 +91,14 @@ def cms_estimate(
                         f"sketch's build parameter {name}={built}"
                     )
             depth, width, portable = meta.depth, meta.width, meta.portable
+        else:
+            # zero-row sketch (the build input was empty): every
+            # counter is zero, so every key estimates to 0 whatever
+            # probe parameters are used — default any missing ones
+            # instead of raising "carries no build metadata"
+            depth = 1 if depth is None else depth
+            width = 1 if width is None else width
+            portable = True if portable is None else portable
     if depth is None or width is None or portable is None:
         raise ValueError(
             "cms_estimate: sketch carries no build metadata — pass "

@@ -274,6 +274,63 @@ def mysql_dialect_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mysql_dialect_functions",
+    oracle="""
+    SELECT o_orderkey,
+           substr(o_orderpriority, 1, 2) || '!'                      AS pri_ins,
+           chr(65 + CAST(o_orderkey % 26 AS INT))
+             || chr(97 + CAST(o_orderkey % 26 AS INT))               AS two_chars,
+           '%m.%d.%Y'                                                AS fmt_usa,
+           dayname(CAST(o_orderdate AS DATE))                        AS dname,
+           monthname(CAST(o_orderdate AS DATE))                      AS mname,
+           printf('%02d:%02d:%02d',
+                  CAST(((o_orderkey % 12) * 3600 + 1800 + 4530) // 3600 AS INT),
+                  CAST((((o_orderkey % 12) * 3600 + 1800 + 4530) % 3600) // 60 AS INT),
+                  CAST(((o_orderkey % 12) * 3600 + 1800 + 4530) % 60 AS INT)) AS t_plus,
+           strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 2 HOUR,
+                    '%Y-%m-%d %H:%M:%S')                             AS dt_plus,
+           CAST(CASE WHEN o_orderkey = 0 THEN 0
+                     ELSE 18446744073709551616 - o_orderkey
+                END AS DECIMAL(20,0))                                AS wrapped,
+           CASE WHEN nullif(o_orderstatus, 'F') IS NULL
+                THEN 1 ELSE 0 END                                    AS is_f
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def mysql_dialect_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 SQL-text routing closures in one attested query (ref
+    FuncMap names that had Column builders but no dialect path, VERDICT
+    r08 "What's missing"): INSERT(str,pos,len,new) (`func_insert.cpp`),
+    multi-arg CHAR(n,..) (`func_char.cpp`), GET_FORMAT (`func_get_
+    format.cpp`), full-name DAYNAME/MONTHNAME (`funchelpers.h:150`),
+    ADDTIME with TIME-string AND datetime first operands
+    (`func_add_time.cpp` — the TIME form must NOT anchor to today),
+    the 2^64 UNSIGNED wrap (`func_cast.cpp:234`), and 1/0 ISNULL.
+    The oracle hand-writes each in DuckDB SQL."""
+    load_tables(spark, sf_dir, names=("orders",))
+    return spark.sql(translate_mysql("""
+        SELECT o_orderkey,
+               INSERT(o_orderpriority, 3, 100, '!')          AS pri_ins,
+               CHAR(65 + o_orderkey MOD 26,
+                    97 + o_orderkey MOD 26)                  AS two_chars,
+               GET_FORMAT(DATE, 'USA')                       AS fmt_usa,
+               DAYNAME(o_orderdate)                          AS dname,
+               MONTHNAME(o_orderdate)                        AS mname,
+               ADDTIME(CONCAT(o_orderkey MOD 12, ':30:00'),
+                       '01:15:30')                           AS t_plus,
+               ADDTIME(CAST(o_orderdate AS DATETIME),
+                       '2:00:00')                            AS dt_plus,
+               CAST(0 - o_orderkey AS UNSIGNED)              AS wrapped,
+               ISNULL(NULLIF(o_orderstatus, 'F'))            AS is_f
+        FROM orders
+        WHERE o_orderkey <= 500
+        ORDER BY o_orderkey
+    """))
+
+
+@query(
     "date_format_week_tokens",
     oracle="""
     WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d

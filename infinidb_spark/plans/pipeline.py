@@ -1242,6 +1242,136 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50)
 
 
+def _ivfpq_model() -> tuple[
+    list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]
+]:
+    """The checked-in offline IVF+PQ model (scripts/train_ivfpq_model.py
+    trains it once on the fixed sf0.001 reference corpus and writes
+    plans/ivfpq_model.json).  Loading literals is the 100 TB serving
+    contract: the model is k×dim + m×k×(dim/m) floats shipped to
+    executors; no Lloyd pass ever runs at query time."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ivfpq_model.json"
+    )
+    with open(path) as fh:
+        model = json.load(fh)
+    centroids = [
+        (int(c), [float(x) for x in v]) for c, v in model["centroids"]
+    ]
+    codebooks = [
+        [(int(c), [float(x) for x in v]) for c, v in book]
+        for book in model["codebooks"]
+    ]
+    return centroids, codebooks
+
+
+def _ivfpq_pretrained_oracle_sql(k: int = 10, n_probe: int = 2) -> str:
+    """DuckDB replay of the PRETRAINED serving path: the centroid /
+    codebook / LUT literals come from the same checked-in JSON the
+    Spark query loads, so the oracle verifies routing + ADC scoring
+    without re-deriving the model (the inline-training twin
+    ann_ivfpq_topk already pins the Lloyd replay)."""
+    from infinidb_spark.operators.similarity import ivf_probe_ids
+
+    centroids, codebooks = _ivfpq_model()
+    m = len(codebooks)
+    d0 = len(codebooks[0][0][1])
+    probes = ivf_probe_ids(_QUERY_VEC, centroids, n_probe)
+    q = [float(x) for x in _QUERY_VEC]
+    # literal LUT — identical arithmetic (left-to-right, Python
+    # round(·, 9)) to embeddings.ann_ivfpq_topk's LUT build, so both
+    # engines consume byte-identical distance values
+    lut_rows = []
+    for s in range(m):
+        for code, cv in codebooks[s]:
+            d2 = 0.0
+            for i, w in enumerate(cv):
+                x = q[s * d0 + i] - w
+                d2 = d2 + x * x
+            lut_rows.append((s, code, round(d2, 9)))
+    cent_vals = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}])" for cid, cv in centroids
+    )
+    book_vals = ", ".join(
+        f"({s}, {code}, [{', '.join(repr(x) for x in cv)}])"
+        for s in range(m)
+        for code, cv in codebooks[s]
+    )
+    # CAST to DOUBLE: DuckDB reads bare decimal literals as DECIMAL,
+    # which would carry decimal types through the ADC sum and round
+    lut_vals = ", ".join(
+        f"({s}, {code}, CAST({v!r} AS DOUBLE))" for s, code, v in lut_rows
+    )
+    probes_sql = ", ".join(str(p) for p in probes)
+    dist = " + ".join(
+        f"(sub.sv[{i}]-book.cv[{i}])*(sub.sv[{i}]-book.cv[{i}])"
+        for i in range(1, d0 + 1)
+    )
+    adc_sum = " + ".join(f"max(CASE WHEN s = {s} THEN lv END)" for s in range(m))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent(cid, cv) AS (VALUES {cent_vals}),
+    route AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.e, cent.cv), 9) DESC,
+                        cent.cid
+             ) AS rn
+      FROM v, cent
+    ),
+    cand0 AS (SELECT vec_id, e FROM route WHERE rn = 1 AND cid IN ({probes_sql})),
+    ss AS (SELECT unnest(range(0, {m})) AS s),
+    sub AS (
+      SELECT vec_id, s, e[s*{d0}+1 : s*{d0}+{d0}] AS sv
+      FROM cand0 CROSS JOIN ss
+    ),
+    book(s, code, cv) AS (VALUES {book_vals}),
+    enc AS (
+      SELECT sub.vec_id, sub.s, book.code, round({dist}, 9) AS d
+      FROM sub JOIN book ON sub.s = book.s
+      QUALIFY row_number() OVER (
+        PARTITION BY sub.vec_id, sub.s ORDER BY d ASC, book.code ASC
+      ) = 1
+    ),
+    lut(s, code, lv) AS (VALUES {lut_vals}),
+    cand AS (
+      SELECT enc.vec_id, enc.s, lut.lv
+      FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+    )
+    SELECT vec_id, round({adc_sum}, 6) AS approx_d2
+    FROM cand GROUP BY vec_id
+    ORDER BY approx_d2 ASC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("ann_ivfpq_topk_pretrained", oracle=_ivfpq_pretrained_oracle_sql())
+def ann_ivfpq_topk_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ serving with a PRE-TRAINED model — the shape a user sizes
+    a 100 TB cluster with: centroids + codebooks load from the
+    checked-in JSON (scripts/train_ivfpq_model.py, trained once on the
+    sf0.001 reference corpus), and the query is scan → literal-centroid
+    routing projection → probe filter → literal-LUT ADC →
+    TakeOrderedAndProject.  Zero joins, zero shuffles, ZERO inline
+    Lloyd passes — unlike the ann_ivfpq_topk twin, whose documented
+    linear sweep step is all training.  At scale the encoded corpus is
+    m bytes/vector partitioned by cid; this query attests the serving
+    arithmetic on the raw table (reference analog: a query against a
+    prebuilt index, not an index build)."""
+    from infinidb_spark.operators import embeddings as E
+
+    centroids, codebooks = _ivfpq_model()
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return E.ann_ivfpq_topk(
+        emb, _QUERY_VEC, k=10, n_probe=2,
+        centroids=centroids, codebooks=codebooks,
+    )
+
+
 def _recall_oracle_sql(k: int = 10, n_probe: int = 2, stride: int = 50) -> str:
     """DuckDB replay of BOTH sides of the recall@k attestation: the
     exact brute-force top-k AND the IVF (batch) / IVF+PQ (canonical

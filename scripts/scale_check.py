@@ -55,6 +55,10 @@ HEADLINE = [
     # groupBy), full-range n-gram Jaccard (size-banded bucket pairs),
     # price-restricted anti join
     "mysql_dialect_interval", "dedup_ngram_jaccard", "join_anti",
+    # round-9: pretrained IVF+PQ serving (no inline Lloyd — the decade
+    # step should sit near the dispatch floor), SQL-text function
+    # routing battery (map-only over orders)
+    "ann_ivfpq_topk_pretrained", "mysql_dialect_functions",
 ]
 #: 10× data should cost ≤ ~10× time; 20 allows this box's run variance
 #: without hiding quadratics (an all-pairs operator would show ≥ ~100).

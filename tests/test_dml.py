@@ -297,7 +297,8 @@ def test_parse_alter_statements():
     # DEFAULT NULL normalizes to the metadata-only path
     st = parse_statement("ALTER TABLE t ADD c DATETIME DEFAULT NULL")
     assert st["actions"][0]["default"] is None
-    assert st["actions"][0]["type"] == "timestamp"
+    # timestamp_ntz: MySQL DATETIME is zoneless (dataconvert.h:142-160)
+    assert st["actions"][0]["type"] == "timestamp_ntz"
     import pytest as _pytest
 
     with _pytest.raises(DialectError):

@@ -112,3 +112,23 @@ def test_cms_estimate_parameter_mismatch_raises(spark):
         cms_estimate(sketch, df, "k", portable=False)
     est = {r.k: r.est_n for r in cms_estimate(sketch, df, "k").collect()}
     assert est == {"a": 1, "b": 1}
+
+
+def test_cms_estimate_zero_row_sketch_estimates_zero(spark):
+    """A sketch built from an EMPTY corpus has zero rows, so first()
+    yields no carried metadata — every key must estimate to 0 (all
+    counters are zero whatever the probe parameters), not raise
+    'carries no build metadata' when parameters were defaulted."""
+    empty = spark.createDataFrame([], "k string")
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    sketch = count_min_sketch(empty, "k", depth=4, width=512, portable=True)
+    est = {r.k: r.est_n for r in cms_estimate(sketch, keys, "k").collect()}
+    assert est == {"a": 0, "b": 0}
+    # explicit params over an empty sketch also estimate 0
+    est2 = {
+        r.k: r.est_n
+        for r in cms_estimate(
+            sketch, keys, "k", depth=4, width=512, portable=True
+        ).collect()
+    }
+    assert est2 == {"a": 0, "b": 0}
