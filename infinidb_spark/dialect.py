@@ -589,7 +589,10 @@ _TEMPLATES = {
 }
 
 _RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring",
-            "FORMAT": "format_number", "SYSDATE": "current_timestamp"}
+            "FORMAT": "format_number", "SYSDATE": "current_timestamp",
+            # MySQL LENGTH is BYTES (the reference's func_length.cpp
+            # uses strlen); Spark's length counts characters
+            "LENGTH": "octet_length"}
 
 
 def _template_arity(name: str) -> int:
@@ -1507,6 +1510,18 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.append(("code", _TEMPLATES[upper].format(*args)))
                     i = close + 1
                     continue
+                if upper in ("SUBSTRING", "SUBSTR", "MID"):
+                    # MySQL defines position 0 as the before-start
+                    # sentinel → EMPTY string, where Spark reads 0
+                    # like 1.  Folded only for a LITERAL 0 (the
+                    # documented MySQL edge); a runtime-zero position
+                    # keeps Spark's reading — wrapping every substring
+                    # in a CASE would break translator idempotency.
+                    args = _split_args(inner)
+                    if len(args) >= 2 and render(args[1]).strip() == "0":
+                        out.append(("string", "''"))
+                        i = close + 1
+                        continue
                 if upper in _RENAMES:
                     out.append(("word", _RENAMES[upper]))
                     i += 1

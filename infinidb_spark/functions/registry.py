@@ -152,7 +152,9 @@ def rightshift(a, n) -> Column:
 # ---------------------------------------------------------------------------
 
 for _n, _f in {
-    "ascii": F.ascii, "char_length": F.char_length, "length": F.length,
+    # LENGTH is BYTES in MySQL and the reference (func_length.cpp uses
+    # strlen) — octet_length, not the char-counting F.length
+    "ascii": F.ascii, "char_length": F.char_length, "length": F.octet_length,
     "lcase": F.lower, "lower": F.lower, "ucase": F.upper, "upper": F.upper,
     "ltrim": F.ltrim, "rtrim": F.rtrim, "trim": F.trim, "md5": F.md5,
     "reverse": F.reverse, "sha": F.sha1, "sha1": F.sha1,

@@ -100,6 +100,35 @@ PROBES = [
     ("STRCMP('text', 'text2')", -1),
     ("QUOTE(\"Don't\")", "'Don\\'t'"),
     ("FIELD('Bb', 'Aa', 'Bb', 'Cc', 'Dd', 'Ff')", 2),
+    # --- string family, round-9 extended sweep (MySQL-doc examples) ---
+    ("LENGTH('héllo')", 6),  # BYTES (func_length.cpp strlen), not chars
+    ("CHAR_LENGTH('héllo')", 5),
+    ("LENGTH(CAST('ab' AS BINARY))", 2),
+    ("SUBSTRING('Quadratically', 5)", "ratically"),
+    ("SUBSTRING('Sakila', -5, 3)", "aki"),
+    ("SUBSTRING('Sakila', 0)", ""),  # pos 0 = before-start sentinel
+    ("SUBSTRING_INDEX('www.mysql.com', '.', -2)", "mysql.com"),
+    ("TRIM(BOTH 'x' FROM 'xxbarxx')", "bar"),
+    ("TRIM(LEADING 'x' FROM 'xxbarxx')", "barxx"),
+    ("ELT(2, 'Heja', 'ej')", "ej"),
+    ("FIND_IN_SET('b', 'a,b,c,d')", 2),
+    ("CONCAT_WS(',', 'a', NULL, 'b')", "a,b"),
+    ("REPLACE('www.mysql.com', 'w', 'Ww')", "WwWwWw.mysql.com"),
+    ("LOCATE('bar', 'foobarbar', 5)", 7),
+    ("LPAD('hi', 1, '??')", "h"),
+    ("FORMAT(12332.123456, 4)", "12,332.1235"),
+    # --- date/time, round-9 extended sweep ---
+    ("LAST_DAY('2003-02-05')", "2003-02-28"),
+    ("DAYOFWEEK('2007-02-03')", 7),
+    ("WEEKDAY('2008-02-03')", 6),
+    ("TIMESTAMPDIFF(MONTH, '2003-02-01', '2003-05-01')", 3),
+    ("TIMESTAMPDIFF(YEAR, '2002-05-01', '2001-01-01')", -1),
+    ("TIMESTAMPADD(MINUTE, 1, '2003-01-02')", "2003-01-02 00:01:00"),
+    ("FROM_UNIXTIME(1447430881)", "2015-11-13 16:08:01"),  # UTC session
+    ("UNIX_TIMESTAMP('2015-11-13 10:20:19')", 1447410019),
+    ("TIME_FORMAT('19:30:10', '%H %k %h %I %l')", "19 19 07 07 7"),
+    ("DATE_FORMAT('2009-10-04 22:23:00', '%W %M %Y')", "Sunday October 2009"),
+    ("DATEDIFF('2007-12-31 23:59:59', '2007-12-30')", 1),
     # --- misc (func_inet_aton.cpp incl. the dot_count short forms) ---
     ("INET_ATON('10.0.5.9')", 167773449),
     ("INET_ATON('127.1')", 2130706433),
