@@ -344,6 +344,7 @@ def ann_ivfpq_topk(
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
     codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    k_max: int | None = None,
 ) -> DataFrame:
     """IVF+PQ ANN serving with asymmetric distance computation (ADC) —
     the canonical billion-scale index: IVF routes the query to
@@ -380,7 +381,9 @@ def ann_ivfpq_topk(
     # stored codes and the LUT can never drift); default retrains from
     # the corpus like ann_ivf_topk does
     if centroids is None:
-        centroids = train_ivf_centroids(df, stride, vec_col, id_col)
+        # k_max bounds the routing model independent of corpus size —
+        # see train_ivf_centroids (uncapped K makes serving O(N·K))
+        centroids = train_ivf_centroids(df, stride, vec_col, id_col, k_max=k_max)
     if codebooks is None:
         codebooks = pq_train(df, m, k_codes, pq_iters, stride, vec_col, id_col)
     else:

@@ -208,22 +208,32 @@ def train_ivf_centroids(
     stride: int = 50,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    k_max: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """IVF index-build ("training") step: deterministic stride-sampled
     centroids, returned driver-side as the model parameters.
 
     This is the ONE deliberate collect in the similarity family and it is
-    bounded by construction: K = N/stride rows of dim floats — the
-    centroid table IS the trained model, shipped to executors as literals
-    (the broadcast-variable pattern), never the corpus.  In production
-    the centroids come from an offline k-means over a sample; the serving
+    bounded by construction: K rows of dim floats — the centroid table
+    IS the trained model, shipped to executors as literals (the
+    broadcast-variable pattern), never the corpus.  In production the
+    centroids come from an offline k-means over a sample; the serving
     plan (``ann_ivf_topk``) is identical either way.
-    """
-    rows = (
-        df.filter((F.col(id_col) % stride) == 0)
-        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .collect()
+
+    ``k_max`` caps the model at the FIRST k_max stride samples by id
+    (deterministic).  Without it K = N/stride GROWS WITH THE CORPUS,
+    and since every routing projection evaluates all K centroid
+    literals per row, serving cost becomes O(N·K) = O(N²/stride) — the
+    round-9 sweep measured the uncapped ivfpq twin at 21.9×/decade
+    (116 s of its 130 s sf1 wall was the K=400 routing projection;
+    K=32 serves the same corpus in 11 s).  A real deployment always
+    fixes K independent of corpus size; prefer passing k_max."""
+    sampled = df.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
     )
+    if k_max is not None:
+        sampled = sampled.orderBy(id_col).limit(k_max)
+    rows = sampled.collect()
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
@@ -280,6 +290,7 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    k_max: int | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: assign vectors to their nearest centroid, probe the
     ``n_probe`` centroids nearest the query, exact-cosine rerank inside
@@ -296,7 +307,9 @@ def ann_ivf_topk(
     scan cost against filter selectivity.
     """
     if centroids is None:
-        centroids = train_ivf_centroids(df, stride, vec_col, id_col)
+        # k_max bounds the routing model independent of corpus size —
+        # see train_ivf_centroids (uncapped K makes serving O(N·K))
+        centroids = train_ivf_centroids(df, stride, vec_col, id_col, k_max=k_max)
 
     q = [float(x) for x in query_vec]
     probes = ivf_probe_ids(q, centroids, n_probe)

@@ -300,14 +300,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, _QUERY_VEC, k=10, n_planes=4)
 
 
-def _ivf_oracle_sql(k: int = 10, n_probe: int = 2, stride: int = 50) -> str:
+def _ivf_oracle_sql(
+    k: int = 10, n_probe: int = 2, stride: int = 50,
+    k_max: int | None = None,
+) -> str:
     """DuckDB oracle replaying the WHOLE IVF pipeline from the raw table:
-    the same stride-sampled centroids, the same 9-dp-rounded
-    nearest-centroid argmax (ties → lowest cid), the same top-``n_probe``
-    probe selection, the same exact-cosine rerank."""
+    the same stride-sampled centroids (capped at the first ``k_max`` by
+    vec_id when set — see train_ivf_centroids on why an uncapped model
+    is O(N·K) at serving time), the same 9-dp-rounded nearest-centroid
+    argmax (ties → lowest cid), the same top-``n_probe`` probe
+    selection, the same exact-cosine rerank."""
+    cap = f" ORDER BY vec_id LIMIT {k_max}" if k_max is not None else ""
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-    c AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id % {stride} = 0),
+    c AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id % {stride} = 0{cap}),
     asg AS (
       SELECT v.vec_id, v.ev, c.cid,
              row_number() OVER (
@@ -329,17 +335,19 @@ def _ivf_oracle_sql(k: int = 10, n_probe: int = 2, stride: int = 50) -> str:
     """
 
 
-@query("ann_ivf_topk", oracle=_ivf_oracle_sql())
+@query("ann_ivf_topk", oracle=_ivf_oracle_sql(k_max=32))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN — the third member of the similarity family
     (brute-force exact / LSH single-probe / IVF multi-probe).  Centroids
-    are stride-sampled (the deterministic stand-in for offline k-means);
-    serving is scan → assign-projection → probe filter → bounded-heap
-    top-k with zero joins and zero shuffles.  Hash-checked: the oracle
-    re-derives centroids, assignment, probes, and rerank from the raw
-    table in SQL."""
+    are stride-sampled (the deterministic stand-in for offline k-means)
+    and CAPPED at 32 (k_max — an uncapped K = N/stride model makes the
+    routing projection O(N·K); see train_ivf_centroids); serving is
+    scan → assign-projection → probe filter → bounded-heap top-k with
+    zero joins and zero shuffles.  Hash-checked: the oracle re-derives
+    centroids, assignment, probes, and rerank from the raw table in
+    SQL."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return S.ann_ivf_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50)
+    return S.ann_ivf_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50, k_max=32)
 
 
 def _embedding_dedup_oracle_sql(vec_filter: str = "1=1") -> str:
@@ -1138,13 +1146,15 @@ def _ivfpq_oracle_sql(
     m: int = 8,
     kc: int = 8,
     d0: int = 8,
+    k_max: int | None = None,
 ) -> str:
     """DuckDB replay of the ENTIRE ann_ivfpq_topk chain: IVF routing
-    (stride centroids, 9-dp cosine, ties → lowest cid), PQ codebook
-    training (the _pq_oracle_sql Lloyd replay over the same corpus),
-    the per-query LUT (literal query subvectors, left-to-right 8-term
-    sums), and ADC scoring summed subspace 0..m-1 in literal order —
-    no engine-dependent aggregation order anywhere."""
+    (stride centroids capped at the first ``k_max`` by vec_id, 9-dp
+    cosine, ties → lowest cid), PQ codebook training (the
+    _pq_oracle_sql Lloyd replay over the same corpus), the per-query
+    LUT (literal query subvectors, left-to-right 8-term sums), and ADC
+    scoring summed subspace 0..m-1 in literal order — no
+    engine-dependent aggregation order anywhere."""
 
     def dist(a: str, b: str) -> str:
         return " + ".join(
@@ -1157,9 +1167,10 @@ def _ivfpq_oracle_sql(
         for s in range(m)
     )
     adc_sum = " + ".join(f"max(CASE WHEN s = {s} THEN lv END)" for s in range(m))
+    cap = f" ORDER BY vec_id LIMIT {k_max}" if k_max is not None else ""
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    c AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id % {stride} = 0),
+    c AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id % {stride} = 0{cap}),
     route AS (
       SELECT v.vec_id, c.cid,
              row_number() OVER (
@@ -1227,7 +1238,7 @@ def _ivfpq_oracle_sql(
     """
 
 
-@query("ann_ivfpq_topk", oracle=_ivfpq_oracle_sql())
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle_sql(k_max=32))
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ ANN with asymmetric distance computation — the canonical
     billion-scale serving path (operators/embeddings.py ann_ivfpq_topk):
@@ -1235,11 +1246,15 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query LUT without touching raw vectors.  Completes the
     similarity family: brute-force / LSH / IVF-Flat / batched / IVF+PQ.
     Hash-checked: the oracle re-derives routing, codebooks, LUT, and
-    ADC scores from the raw table in SQL."""
+    ADC scores from the raw table in SQL.  ``k_max=32`` caps the IVF
+    model at the first 32 stride samples — WITHOUT it K = N/stride
+    grows with the corpus and routing becomes O(N·K) (the round-9
+    sweep measured the uncapped form at 21.9×/decade, 130 s at sf1;
+    capped it's ~3×); a fixed-size model is the only 100 TB shape."""
     from infinidb_spark.operators import embeddings as E
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return E.ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50)
+    return E.ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50, k_max=32)
 
 
 def _ivfpq_model() -> tuple[
