@@ -44,7 +44,10 @@ from __future__ import annotations
 import re as _re
 
 from infinidb_spark.functions import intervals as _iv
-from infinidb_spark.functions.mysql_format import mysql_datetime_format_to_spark
+from infinidb_spark.functions.mysql_format import (
+    GET_FORMAT_TABLE,
+    mysql_datetime_format_to_spark,
+)
 
 Token = tuple[str, str]  # (kind, text); kind ∈ ws|comment|string|bident|word|number|sym|code
 
@@ -344,7 +347,9 @@ def _truncate_func(inner: list[Token]) -> list[Token]:
     x = _arg_text(args[0])
     dtext = render(args[1]).strip()
     if _re.fullmatch(r"[+-]?[0-9]+", dtext):
-        d = int(dtext)
+        # MySQL clamps d to ±30; an unclamped 10**|d| literal above
+        # 38 digits fails Spark's DECIMAL precision check at analysis
+        d = max(-30, min(30, int(dtext)))
         scale = 10 ** abs(d)
         if d >= 0:
             mag = f"(floor(abs(x_) * {scale}) / {scale})"
@@ -627,19 +632,27 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
     plus = name in ("DATE_ADD", "ADDDATE")
     base = render(args[0]).strip()
     first = [t for t in args[0] if t[0] not in ("ws", "comment")]
-    if len(first) == 1 and first[0][0] == "string":
+    is_str = len(first) == 1 and first[0][0] == "string"
+    # a bare DATE string ('2020-01-31', no time part) keeps its
+    # date-ness through date-only units (func_date_add.cpp:
+    # string-date + date unit returns a date); any other string, or a
+    # time-bearing unit, promotes to MySQL DATETIME — zoneless
+    # (dataconvert.h:142-160) → TIMESTAMP_NTZ.  The cast is chosen PER
+    # INTERVAL KIND below: Spark's DATE + sub-day interval returns a
+    # tz-aware TIMESTAMP, so a date base must only be used when the
+    # result stays a DATE.
+    bare_date = is_str and _re.fullmatch(
+        r"[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}", _unquote(first[0][1]).strip()
+    )
+
+    def _cast_base(date_ok: bool) -> str:
+        if not is_str:
+            return base
         # MySQL coerces a string datetime operand; Spark resolves
-        # string + day-time interval but NOT string + year-month.
-        # A bare DATE string ('2020-01-31', no time part) keeps its
-        # date-ness through date-only units (func_date_add.cpp:
-        # string-date + date unit returns a date) — Spark's DATE +
-        # single-unit interval stays DATE, so the cast picks the type.
-        # Anything else promotes to MySQL DATETIME, which is zoneless
-        # (dataconvert.h:142-160) → TIMESTAMP_NTZ
-        bare_date = _re.fullmatch(
-            r"[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}", _unquote(first[0][1]).strip()
-        )
-        base = f"CAST({base} AS {'DATE' if bare_date else 'TIMESTAMP_NTZ'})"
+        # string + day-time interval but NOT string + year-month
+        t = "DATE" if (bare_date and date_ok) else "TIMESTAMP_NTZ"
+        return f"CAST({base} AS {t})"
+
     second = [t for t in args[1] if t[0] not in ("ws", "comment")]
     if (
         len(second) == 1
@@ -648,9 +661,12 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
     ):
         # a compound INTERVAL the inner _rewrite already folded into an
         # ANSI typed-interval literal; negation distributes over the
-        # field sum, so the external ± is exact for DATE_SUB too
+        # field sum, so the external ± is exact for DATE_SUB too.
+        # Year-month compounds keep a date base a DATE; day-time
+        # compounds need the ntz base (DATE + sub-day → tz-aware).
+        ym = "YEAR" in second[0][1] or "MONTH" in second[0][1]
         op = "+" if plus else "-"
-        return [("code", f"(({base}) {op} {second[0][1]})")]
+        return [("code", f"(({_cast_base(ym)}) {op} {second[0][1]})")]
     if second and second[0][0] == "word" and second[0][1].upper() == "INTERVAL":
         unit_tok = second[-1]
         if unit_tok[0] == "word" and unit_tok[1].upper() in _iv.COMPOUND_UNITS:
@@ -668,34 +684,29 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
         if spec is None:
             raise DialectError(f"{name}: unsupported INTERVAL unit {unit_tok[1]!r}")
         mult, unit = spec
+        date_only = unit in ("DAY", "MONTH", "YEAR")  # WEEK/QUARTER normalize here
+        b = _cast_base(date_only)
         qty = second[1:-1]
         op = "+" if plus else "-"
         if len(qty) == 1 and qty[0][0] == "number" and mult == 1:
             ival = f"INTERVAL {qty[0][1]} {unit}"
-        else:
-            n = render(qty).strip()
-            n = f"({n}) * {mult}" if mult != 1 else f"({n})"
-            ival = f"({n}) * INTERVAL '1' {unit}"
-        return [("code", f"(({base}) {op} {ival})")]
+            return [("code", f"(({b}) {op} {ival})")]
+        n = render(qty).strip()
+        n = f"({n}) * {mult}" if mult != 1 else f"({n})"
+        ival = f"({n}) * INTERVAL '1' {unit}"
+        expr = f"(({b}) {op} {ival})"
+        if bare_date and unit == "DAY":
+            # a multiplied day-time interval widens to sub-day
+            # granularity, so DATE + it comes back tz-aware — re-pin
+            # the date-only result (whole days never leave midnight)
+            expr = f"CAST({expr} AS DATE)"
+        return [("code", expr)]
     fn = "date_add" if plus else "date_sub"
     return [("code", f"{fn}({base}, {render(args[1]).strip()})")]
 
-#: GET_FORMAT lookup (ref func_get_format.cpp; mirrors the registry's
-#: get_format Column builder — the returned value is MySQL's format
-#: string, exactly what the reference emits).
-_GET_FORMAT_TABLE = {
-    ("date", "iso"): "%Y-%m-%d", ("date", "usa"): "%m.%d.%Y",
-    ("date", "eur"): "%d.%m.%Y", ("date", "jis"): "%Y-%m-%d",
-    ("date", "internal"): "%Y%m%d",
-    ("time", "iso"): "%H:%i:%s", ("time", "usa"): "%h:%i:%s %p",
-    ("time", "eur"): "%H.%i.%s", ("time", "jis"): "%H:%i:%s",
-    ("time", "internal"): "%H%i%s",
-    ("datetime", "iso"): "%Y-%m-%d %H:%i:%s",
-    ("datetime", "usa"): "%Y-%m-%d %H.%i.%s",
-    ("datetime", "eur"): "%Y-%m-%d %H.%i.%s",
-    ("datetime", "jis"): "%Y-%m-%d %H:%i:%s",
-    ("datetime", "internal"): "%Y%m%d%H%i%s",
-}
+#: GET_FORMAT lookup — the shared table in functions/mysql_format.py
+#: (ref func_get_format.cpp), same copy the registry builder reads.
+_GET_FORMAT_TABLE = GET_FORMAT_TABLE
 
 
 def _get_format_func(inner: list[Token]) -> list[Token] | None:
@@ -1489,14 +1500,19 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     # bonus beyond the reference FuncMap (it lacks
                     # FIELD; MySQL migrations use it for custom sort
                     # orders): 1-based index of x among the rest, 0
-                    # when absent or NULL
+                    # when absent or NULL.  Case-insensitive like
+                    # MySQL's default collation (mirrors registry
+                    # field(); numerics coerce through their string
+                    # render — see its docstring)
                     args = [_arg_text(a) for a in _split_args(inner)]
                     if len(args) >= 2:
-                        arr = ", ".join(args[1:])
+                        arr = ", ".join(
+                            f"upper(CAST({a} AS STRING))" for a in args[1:]
+                        )
                         out.append(
                             ("code",
                              f"coalesce(array_position(array({arr}),"
-                             f" {args[0]}), 0)")
+                             f" upper(CAST({args[0]} AS STRING))), 0)")
                         )
                         i = close + 1
                         continue
@@ -1517,9 +1533,15 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     # documented MySQL edge); a runtime-zero position
                     # keeps Spark's reading — wrapping every substring
                     # in a CASE would break translator idempotency.
+                    # NULL-ness of the string operand still propagates
+                    # (SUBSTRING(NULL, 0) is NULL, not '').
                     args = _split_args(inner)
                     if len(args) >= 2 and render(args[1]).strip() == "0":
-                        out.append(("string", "''"))
+                        out.append(
+                            ("code",
+                             f"(CASE WHEN {_arg_text(args[0])} IS NULL"
+                             " THEN CAST(NULL AS STRING) ELSE '' END)")
+                        )
                         i = close + 1
                         continue
                 if upper in _RENAMES:

@@ -89,3 +89,22 @@ def mysql_datetime_format_to_spark(fmt: str) -> str:
             i += 1
     flush()
     return "".join(out)
+
+
+#: GET_FORMAT(kind, region) lookup (ref func_get_format.cpp) — the ONE
+#: copy both the registry Column builder and the dialect SQL-text fold
+#: read, so the two paths can never drift.  Values are MySQL's own
+#: format strings, exactly what the reference emits.
+GET_FORMAT_TABLE = {
+    ("date", "iso"): "%Y-%m-%d", ("date", "usa"): "%m.%d.%Y",
+    ("date", "eur"): "%d.%m.%Y", ("date", "jis"): "%Y-%m-%d",
+    ("date", "internal"): "%Y%m%d",
+    ("time", "iso"): "%H:%i:%s", ("time", "usa"): "%h:%i:%s %p",
+    ("time", "eur"): "%H.%i.%s", ("time", "jis"): "%H:%i:%s",
+    ("time", "internal"): "%H%i%s",
+    ("datetime", "iso"): "%Y-%m-%d %H:%i:%s",
+    ("datetime", "usa"): "%Y-%m-%d %H.%i.%s",
+    ("datetime", "eur"): "%Y-%m-%d %H.%i.%s",
+    ("datetime", "jis"): "%Y-%m-%d %H:%i:%s",
+    ("datetime", "internal"): "%Y%m%d%H%i%s",
+}

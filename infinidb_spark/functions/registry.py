@@ -192,9 +192,15 @@ def find_in_set(x, s) -> Column:
 @_reg("field")
 def field(x, *vals) -> Column:
     # bonus beyond the reference FuncMap (it lacks FIELD): MySQL
-    # FIELD(x, a, b, ...) = 1-based index of x, 0 when absent or NULL
+    # FIELD(x, a, b, ...) = 1-based index of x, 0 when absent or NULL.
+    # String comparison is CASE-INSENSITIVE (MySQL's default ci
+    # collation — the typical enum-ordering use case); the upper()
+    # normalization coerces numerics through their string render, so
+    # FIELD(2, 1.0, 2.0) diverges ('2' vs '2.0') — numeric callers
+    # should pass consistently-typed literals.
+    arr = F.array(*[F.upper(_c(v).cast("string")) for v in vals])
     return F.coalesce(
-        F.array_position(F.array(*[_c(v) for v in vals]), _c(x)),
+        F.array_position(arr, F.upper(_c(x).cast("string"))),
         F.lit(0).cast("bigint"),
     )
 
@@ -590,21 +596,11 @@ def str_to_date(s, fmt: str) -> Column:
 
 @_reg("get_format")
 def get_format(kind: str, standard: str) -> Column:
-    # ref func_get_format.cpp — static lookup
-    table = {
-        ("date", "iso"): "%Y-%m-%d", ("date", "usa"): "%m.%d.%Y",
-        ("date", "eur"): "%d.%m.%Y", ("date", "jis"): "%Y-%m-%d",
-        ("date", "internal"): "%Y%m%d",
-        ("time", "iso"): "%H:%i:%s", ("time", "usa"): "%h:%i:%s %p",
-        ("time", "eur"): "%H.%i.%s", ("time", "jis"): "%H:%i:%s",
-        ("time", "internal"): "%H%i%s",
-        ("datetime", "iso"): "%Y-%m-%d %H:%i:%s",
-        ("datetime", "usa"): "%Y-%m-%d %H.%i.%s",
-        ("datetime", "eur"): "%Y-%m-%d %H.%i.%s",
-        ("datetime", "jis"): "%Y-%m-%d %H:%i:%s",
-        ("datetime", "internal"): "%Y%m%d%H%i%s",
-    }
-    return F.lit(table[(kind.lower(), standard.lower())])
+    # ref func_get_format.cpp — static lookup, shared with the dialect
+    # SQL-text fold (ONE copy in functions/mysql_format.py)
+    from infinidb_spark.functions.mysql_format import GET_FORMAT_TABLE
+
+    return F.lit(GET_FORMAT_TABLE[(kind.lower(), standard.lower())])
 
 
 _UNIT_TO_INTERVAL = {

@@ -100,6 +100,9 @@ PROBES = [
     ("STRCMP('text', 'text2')", -1),
     ("QUOTE(\"Don't\")", "'Don\\'t'"),
     ("FIELD('Bb', 'Aa', 'Bb', 'Cc', 'Dd', 'Ff')", 2),
+    ("FIELD('bb', 'Aa', 'Bb', 'Cc')", 2),  # ci like MySQL's collation
+    ("TRUNCATE(1.5, 40)", 1.5),   # MySQL clamps d to 30
+    ("SUBSTRING(NULL, 0)", None),  # NULL-ness beats the pos-0 fold
     # --- string family, round-9 extended sweep (MySQL-doc examples) ---
     ("LENGTH('héllo')", 6),  # BYTES (func_length.cpp strlen), not chars
     ("CHAR_LENGTH('héllo')", 5),
@@ -168,6 +171,46 @@ def test_mysql_probe(spark, expr, expected):
 @pytest.mark.xfail(reason="documented render-level divergence")
 def test_mysql_probe_deferred(spark, expr, expected):
     _check(spark, expr, expected)
+
+
+#: (expression, (rendered value, Spark result type)) — DATE_ADD's
+#: date-ness/zonelessness matrix (func_date_add.cpp): string-date +
+#: date-only unit stays DATE; any time-bearing unit or datetime string
+#: promotes to zoneless DATETIME (TIMESTAMP_NTZ — never the tz-aware
+#: TIMESTAMP Spark returns for DATE + sub-day intervals).
+TYPED_PROBES = [
+    ("DATE_ADD('2020-01-01', INTERVAL '1 2:30' DAY_MINUTE)",
+     ("2020-01-02 02:30:00", "timestamp_ntz")),
+    ("DATE_ADD('2020-01-01', INTERVAL '2' DAY)", ("2020-01-03", "date")),
+    ("DATE_ADD('2020-01-31', INTERVAL 1 MONTH)", ("2020-02-29", "date")),
+    ("DATE_ADD('2020-01-01', INTERVAL '1 2' YEAR_MONTH)",
+     ("2021-03-01", "date")),
+    ("DATE_ADD('2020-01-01', INTERVAL 2 WEEK)", ("2020-01-15", "date")),
+    ("DATE_ADD('2020-01-01', INTERVAL 1 QUARTER)", ("2020-04-01", "date")),
+    ("DATE_ADD('2020-01-01', INTERVAL 90 MINUTE)",
+     ("2020-01-01 01:30:00", "timestamp_ntz")),
+    ("DATE_ADD('2020-01-01 10:00:00', INTERVAL 1 DAY)",
+     ("2020-01-02 10:00:00", "timestamp_ntz")),
+    ("DATE_SUB('2020-03-31', INTERVAL 1 MONTH)", ("2020-02-29", "date")),
+    ("ADDDATE('2008-01-02', 31)", ("2008-02-02", "date")),
+    ("CAST('2024-01-03 10:30:45' AS DATETIME)",
+     ("2024-01-03 10:30:45", "timestamp_ntz")),
+    ("STR_TO_DATE('2024-03-01 10:30:00', '%Y-%m-%d %H:%i:%s')",
+     ("2024-03-01 10:30:00", "timestamp_ntz")),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,expected", TYPED_PROBES, ids=[p[0][:50] for p in TYPED_PROBES]
+)
+def test_mysql_probe_typed(spark, expr, expected):
+    want_val, want_type = expected
+    df = spark.sql(translate_mysql(f"SELECT {expr} AS v"))
+    got_type = df.schema["v"].dataType.simpleString()
+    got_val = str(df.collect()[0].v)
+    assert (got_val, got_type) == (want_val, want_type), (
+        f"{expr}: got ({got_val!r}, {got_type})"
+    )
 
 
 def test_mysql_probe_packed_time_string():
