@@ -193,8 +193,12 @@ def minhash_lsh_pairs(
       3. band the signature and group docs per (band, band-hash) bucket —
          ONE shuffle, candidate pairs exploded from each bucket's id
          list; the skew guard is a plain ``size(ids) <= candidate_cap``
-         filter (adversarial boilerplate buckets dropped, logged by
-         count), no anti-join, no second shuffle of the banded relation;
+         filter — adversarial boilerplate buckets are SILENTLY dropped
+         (the bounded-work contract; no log line exists because the
+         count is only known executor-side).  Callers who must account
+         for the drops re-run the banded groupBy with a
+         ``size > candidate_cap`` filter, or raise ``candidate_cap``;
+         no anti-join, no second shuffle of the banded relation;
       4. exact Jaccard over ``collect_set`` shingle arrays built ONLY for
          docs that appear in a candidate pair (array_intersect on a few
          hundred rows is noise; the corpus-wide relation is never
@@ -696,7 +700,11 @@ def dedup_exact_incremental(
     hashed = new_df.select(F.col(id_col), h)
     w_min = F.min(id_col).over(Window.partitionBy("content_hash"))
     in_corpus = hashed.join(
-        corpus_hashes.select(F.col("content_hash"), F.lit(True).alias("_seen")),
+        # dropDuplicates: the documented accumulation pattern unions
+        # every batch's output into the store, so a hash can repeat —
+        # joining the raw store would multiply output rows per new doc
+        corpus_hashes.select(F.col("content_hash"), F.lit(True).alias("_seen"))
+        .dropDuplicates(["content_hash"]),
         "content_hash",
         "left",
     )
@@ -776,7 +784,7 @@ def dedup_simhash(
     """
     n_bits = 56 if portable_hash else 64
     if portable_hash:
-        h_expr = F.conv(F.substring(F.md5(F.col("_tok")), 1, 14), 16, 10).cast("long")
+        h_expr = md5_hash56(F.col("_tok"))  # THE shared portable hash
     else:
         h_expr = F.xxhash64(F.col("_tok"))
     votes = [
@@ -966,9 +974,11 @@ def connected_components(
 
     Returns (id, cluster_id) for every node that appears in a pair.
     """
-    e = pairs.select(
-        F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d")
-    )
+    # id-type agnostic like every other operator in this module:
+    # min-label propagation only needs an ORDERABLE id.  The old hard
+    # cast("long") turned string doc ids into NULLs and the clustering
+    # silently degenerated (every duplicate kept).
+    e = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     edges = (
         e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
         .distinct()

@@ -379,6 +379,35 @@ def create_table(
         _swap(table_dir, new_dir)
 
 
+def _hive_partition_cols(table_dir: str) -> list[str]:
+    """Partition columns of a hive-partitioned managed table, inferred
+    from the live version's ``col=value`` directory names (outermost →
+    innermost); ``[]`` for flat layouts.  The layout IS the metadata
+    (no sidecar records partition_by), so every writer that must
+    preserve partitioning reads it from here — a flat append into a
+    partitioned root makes Spark's partition discovery raise
+    'Conflicting directory structures' and the table unreadable."""
+    cols: list[str] = []
+    d = os.path.realpath(table_dir.rstrip("/"))
+    while True:
+        try:
+            subs = [
+                e for e in os.listdir(d)
+                if "=" in e and not e.startswith(("_", "."))
+                and os.path.isdir(os.path.join(d, e))
+            ]
+        except OSError:
+            break
+        if not subs:
+            break
+        name = subs[0].split("=", 1)[0]
+        if any(s.split("=", 1)[0] != name for s in subs):
+            break  # mixed names: not a hive layout — stop inferring
+        cols.append(name)
+        d = os.path.join(d, subs[0])
+    return cols
+
+
 def insert_into(df: DataFrame, table_dir: str, codec: str | None = None,
                 lock_timeout: float = 60.0) -> None:
     """INSERT: append-only new files — no existing file is touched
@@ -391,9 +420,12 @@ def insert_into(df: DataFrame, table_dir: str, codec: str | None = None,
     statements "succeed" and the inserted rows vanish.  Under the lock
     an insert lands either before a committer's validation (token
     mismatch → the rewrite rebases over it) or after its swap (files
-    land in the new live version)."""
+    land in the new live version).  A hive-partitioned table's append
+    keeps the layout (_hive_partition_cols) — a flat append would
+    break partition discovery on every subsequent read."""
     with _table_lock_wait(table_dir, "INSERT", lock_timeout):
-        managed_writer(df, "append", codec).parquet(table_dir)
+        cols = [c for c in _hive_partition_cols(table_dir) if c in df.columns]
+        managed_writer(df, "append", codec, cols or None).parquet(table_dir)
 
 
 def assign_auto_increment(df: DataFrame, col: str, start: int) -> DataFrame:
@@ -460,12 +492,46 @@ def assign_auto_increment(df: DataFrame, col: str, start: int) -> DataFrame:
     return out.drop("_ai_pid", "_ai_mid", "_ai_rank", "_ai_off")
 
 
-def _rewrite_writer(df: DataFrame, codec: str | None):
+def _rewrite_writer(df: DataFrame, codec: str | None,
+                    table_dir: str | None = None):
     """Overwrite-mode writer honoring the table's pinned compression
     codec (COMMENT='compression=N'; None = Spark default snappy) — every
     copy-on-write rewrite must keep the storage setting, not just the
-    INSERT paths."""
-    return managed_writer(df, "overwrite", codec)
+    INSERT paths.  When ``table_dir`` is given, the rewrite also keeps
+    a hive-partitioned layout (a flat rewrite of a partitioned table
+    silently dropped the partitioning)."""
+    cols = None
+    if table_dir is not None:
+        cols = [
+            c for c in _hive_partition_cols(table_dir) if c in df.columns
+        ] or None
+    return managed_writer(df, "overwrite", codec, cols)
+
+
+def _apply_assignments(
+    df: DataFrame, cond: Column, assignments: dict[str, Column]
+) -> DataFrame:
+    """THE UPDATE SET application, shared by every variant (full, join,
+    pruned, optimistic) so the semantics can never drift: pin the WHERE
+    verdict against the ORIGINAL row before any assignment (MySQL
+    evaluates the predicate pre-SET, so a SET that writes a column the
+    WHERE references must not change which rows later assignments
+    touch; SET exprs still see updated values left-to-right, as MySQL
+    does), and keep each column's declared type (MySQL: SET casts to
+    the column type — essential for pruned rewrites, where hard-linked
+    files retain the old type and a type-changing SET would split the
+    table schema)."""
+    from pyspark.sql import functions as F
+
+    match = "__idb_upd_match__"
+    out = df.withColumn(match, F.coalesce(cond, F.lit(False)))
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for col_name, expr in assignments.items():
+        out = out.withColumn(
+            col_name,
+            F.when(F.col(match), expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
+        )
+    return out.drop(match)
 
 
 def update_table(
@@ -488,23 +554,9 @@ def update_table(
     with _table_lock(table_dir, "UPDATE"):
         df = read_table(spark, table_dir)
         n = df.filter(condition).count()
-        # Pin the WHERE verdict BEFORE any assignment: MySQL evaluates
-        # the predicate against the ORIGINAL row, so a SET that writes a
-        # column the WHERE references must not change which rows later
-        # assignments touch (SET exprs still see updated values
-        # left-to-right, as MySQL does).
-        match = "__idb_upd_match__"
-        updated = df.withColumn(match, F.coalesce(condition, F.lit(False)))
-        dtypes = {f.name: f.dataType for f in df.schema.fields}
-        for col_name, expr in assignments.items():
-            # SET keeps the column's declared type (MySQL semantics)
-            updated = updated.withColumn(
-                col_name,
-                F.when(F.col(match), expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
-            )
-        updated = updated.drop(match)
+        updated = _apply_assignments(df, condition, assignments)
         new_dir = _new_version_dir(table_dir)
-        _rewrite_writer(updated, codec).parquet(new_dir)
+        _rewrite_writer(updated, codec, table_dir).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -632,18 +684,14 @@ def update_table_join(
             df, other, target_key, other_key, where, join_type
         )
         n = joined.filter(matched).count()
-        out = joined
-        dtypes = {f.name: f.dataType for f in df.schema.fields}
-        for col_name, expr in assignments.items():
-            out = out.withColumn(
-                col_name,
-                F.when(matched, expr)
-                .otherwise(F.col(col_name))
-                .cast(dtypes[col_name]),
-            )
+        # matched is a MATERIALIZED coalesced column of the joined
+        # relation, so the shared pin inside _apply_assignments is a
+        # no-op re-pin — used anyway so all four UPDATE variants share
+        # one SET application
+        out = _apply_assignments(joined, matched, assignments)
         out = out.select(*[F.col(c) for c in df.columns])
         new_dir = _new_version_dir(table_dir)
-        _rewrite_writer(out, codec).parquet(new_dir)
+        _rewrite_writer(out, codec, table_dir).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -678,7 +726,7 @@ def delete_from_join(
         n = joined.filter(matched).count()
         out = joined.filter(~matched).select(*[F.col(c) for c in df.columns])
         new_dir = _new_version_dir(table_dir)
-        _rewrite_writer(out, codec).parquet(new_dir)
+        _rewrite_writer(out, codec, table_dir).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -714,29 +762,35 @@ def _pruned_rewrite(
             "pruned DML needs at least one predicate — for a full-table "
             "rewrite use update_table/delete_from"
         )
-    real = os.path.realpath(table_dir.rstrip("/"))
-    if any(
-        os.path.isdir(os.path.join(real, f))
-        for f in os.listdir(real)
-        if not f.startswith(("_", "."))
-    ):
-        raise ValueError(
-            "pruned DML supports flat table layouts only — for a "
-            "partitioned table, filter on the partition column instead "
-            "(Spark prunes those directories natively)"
-        )
     from infinidb_spark.operators.partitions import carry_disabled, disabled_partitions
 
-    off = disabled_partitions(table_dir)
-    manifest = [
-        e for e in build_manifest(real) if os.path.basename(e["file"]) not in off
-    ]
-    if not manifest and not off:
-        return 0
-    touched = set(prune(manifest, predicates))
     cond = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
-
     with _table_lock(table_dir, "DML"):
+        # EVERYTHING version-dependent — realpath resolution, layout
+        # check, disabled set, manifest, pruning — runs UNDER the lock:
+        # a rewrite committed between an unlocked snapshot and the lock
+        # acquisition would otherwise have its files hard-linked from
+        # the OUTGOING version (silently reverting it, or crashing on
+        # the GC'd paths).  update_table resolves under the lock for
+        # the same reason.
+        real = os.path.realpath(table_dir.rstrip("/"))
+        if any(
+            os.path.isdir(os.path.join(real, f))
+            for f in os.listdir(real)
+            if not f.startswith(("_", "."))
+        ):
+            raise ValueError(
+                "pruned DML supports flat table layouts only — for a "
+                "partitioned table, filter on the partition column instead "
+                "(Spark prunes those directories natively)"
+            )
+        off = disabled_partitions(table_dir)
+        manifest = [
+            e for e in build_manifest(real) if os.path.basename(e["file"]) not in off
+        ]
+        if not manifest and not off:
+            return 0
+        touched = set(prune(manifest, predicates))
         new_dir = _new_version_dir(table_dir)
         os.makedirs(new_dir)
         for entry in manifest:
@@ -766,20 +820,7 @@ def update_table_pruned(
 
     def transform(df: DataFrame, cond: Column):
         n = df.filter(cond).count()
-        # pin the WHERE verdict against the ORIGINAL row (MySQL) before
-        # any assignment can overwrite a column the WHERE references
-        match = "__idb_upd_match__"
-        out = df.withColumn(match, F.coalesce(cond, F.lit(False)))
-        dtypes = {f.name: f.dataType for f in df.schema.fields}
-        for col_name, expr in assignments.items():
-            # SET keeps the column's declared type (MySQL semantics);
-            # essential here — hard-linked files retain the old type, so
-            # a type-changing SET would otherwise split the table schema
-            out = out.withColumn(
-                col_name,
-                F.when(F.col(match), expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
-            )
-        return out.drop(match), n
+        return _apply_assignments(df, cond, assignments), n
 
     return _pruned_rewrite(spark, table_dir, predicates, transform, codec)
 
@@ -849,28 +890,34 @@ def alter_table(
     from infinidb_spark.operators.partitions import disabled_partitions
 
     op = action["op"]
-    real = os.path.realpath(table_dir.rstrip("/"))
-    if disabled_partitions(table_dir):
-        # a rewrite from the enabled files only would fork the schema
-        # away from the out-of-service data; the reference likewise
-        # refuses DDL over disabled partitions
-        raise RuntimeError(
-            "ALTER TABLE with out-of-service partitions — "
-            "calenablepartitions or caldroppartitions first"
+    # Everything version-dependent — realpath, the disabled check, the
+    # layout check, and the READ PLAN (Spark pins the file listing when
+    # the DataFrame is created) — runs UNDER the lock: an unlocked plan
+    # racing a concurrent committed UPDATE would hard-link / re-read
+    # the outgoing version and silently revert it (or crash on GC'd
+    # paths).  update_table resolves under the lock for the same reason.
+    with _table_lock(table_dir, "ALTER"):
+        real = os.path.realpath(table_dir.rstrip("/"))
+        if disabled_partitions(table_dir):
+            # a rewrite from the enabled files only would fork the schema
+            # away from the out-of-service data; the reference likewise
+            # refuses DDL over disabled partitions
+            raise RuntimeError(
+                "ALTER TABLE with out-of-service partitions — "
+                "calenablepartitions or caldroppartitions first"
+            )
+        flat = not any(
+            os.path.isdir(os.path.join(real, f))
+            for f in os.listdir(real)
+            if not f.startswith(("_", "."))
         )
-    flat = not any(
-        os.path.isdir(os.path.join(real, f))
-        for f in os.listdir(real)
-        if not f.startswith(("_", "."))
-    )
-    if op == "add" and action.get("default") is None and flat:
         df = read_table(spark, table_dir)
-        if action["column"] in df.columns:
-            raise ValueError(f"column {action['column']!r} already exists")
-        widened = df.limit(0).withColumn(
-            action["column"], F.lit(None).cast(action["type"])
-        )
-        with _table_lock(table_dir, "ALTER"):
+        if op == "add" and action.get("default") is None and flat:
+            if action["column"] in df.columns:
+                raise ValueError(f"column {action['column']!r} already exists")
+            widened = df.limit(0).withColumn(
+                action["column"], F.lit(None).cast(action["type"])
+            )
             new_dir = _new_version_dir(table_dir)
             os.makedirs(new_dir)
             for f in os.listdir(real):
@@ -878,49 +925,60 @@ def alter_table(
                     os.link(os.path.join(real, f), os.path.join(new_dir, f))
             managed_writer(widened, "append", codec).parquet(new_dir)
             _swap(table_dir, new_dir)
-        return
+            return
 
-    df = read_table(spark, table_dir)
-    if op == "add":
-        if action["column"] in df.columns:
-            raise ValueError(f"column {action['column']!r} already exists")
-        dflt = action.get("default")
-        out = df.withColumn(
-            action["column"],
-            (F.expr(dflt) if dflt is not None else F.lit(None)).cast(action["type"]),
-        )
-    elif op == "drop":
-        if action["column"] not in df.columns:
-            raise ValueError(f"no such column {action['column']!r}")
-        out = df.drop(action["column"])
-    elif op == "modify":
-        out = df.withColumn(action["column"], F.col(action["column"]).cast(action["type"]))
-    elif op == "change":
-        out = df.withColumn(
-            action["old"], F.col(action["old"]).cast(action["type"])
-        ).withColumnRenamed(action["old"], action["new"])
-    elif op == "rename_column":
-        # RENAME COLUMN old TO new (ddl.y AtaRenameColumn): type kept
-        if action["old"] not in df.columns:
-            raise ValueError(f"no such column {action['old']!r}")
-        if action["new"] in df.columns:
-            raise ValueError(f"column {action['new']!r} already exists")
-        out = df.withColumnRenamed(action["old"], action["new"])
-    else:
-        raise ValueError(f"unknown ALTER action {op!r}")
-    with _table_lock(table_dir, "ALTER"):
+        if op == "add":
+            if action["column"] in df.columns:
+                raise ValueError(f"column {action['column']!r} already exists")
+            dflt = action.get("default")
+            out = df.withColumn(
+                action["column"],
+                (F.expr(dflt) if dflt is not None else F.lit(None)).cast(action["type"]),
+            )
+        elif op == "drop":
+            if action["column"] not in df.columns:
+                raise ValueError(f"no such column {action['column']!r}")
+            out = df.drop(action["column"])
+        elif op == "modify":
+            out = df.withColumn(action["column"], F.col(action["column"]).cast(action["type"]))
+        elif op == "change":
+            out = df.withColumn(
+                action["old"], F.col(action["old"]).cast(action["type"])
+            ).withColumnRenamed(action["old"], action["new"])
+        elif op == "rename_column":
+            # RENAME COLUMN old TO new (ddl.y AtaRenameColumn): type kept
+            if action["old"] not in df.columns:
+                raise ValueError(f"no such column {action['old']!r}")
+            if action["new"] in df.columns:
+                raise ValueError(f"column {action['new']!r} already exists")
+            out = df.withColumnRenamed(action["old"], action["new"])
+        else:
+            raise ValueError(f"unknown ALTER action {op!r}")
         new_dir = _new_version_dir(table_dir)
-        managed_writer(out, "overwrite", codec).parquet(new_dir)
+        _rewrite_writer(out, codec, table_dir).parquet(new_dir)
         _swap(table_dir, new_dir)
 
 
 def rename_table(table_dir: str, new_dir: str) -> None:
     """ALTER TABLE ... RENAME TO — move the live pointer (symlink or
     plain directory).  The link target is version-dir BASENAME-relative
-    (same parent), so renaming only the link preserves resolution."""
-    if os.path.lexists(new_dir):
+    (same parent), so renaming only the link preserves resolution.
+
+    Runs under the table lock (every other mutator does; an unlocked
+    rename racing a committer's _swap could re-create the old path and
+    leave the table live under both names), and CARRIES THE SIDECARS:
+    retention (``.__retain__``) and pins (``.__pins__``) are
+    name-keyed, so leaving them behind would silently stop protecting
+    snapshots — the next rewrite's GC would collect a version an open
+    transaction still reads."""
+    src, dst = table_dir.rstrip("/"), new_dir.rstrip("/")
+    if os.path.lexists(dst):
         raise ValueError(f"target {new_dir!r} already exists")
-    os.rename(table_dir.rstrip("/"), new_dir.rstrip("/"))
+    with _table_lock(src, "RENAME"):
+        os.rename(src, dst)
+        for suffix in (".__retain__", ".__pins__"):
+            if os.path.lexists(src + suffix):
+                os.rename(src + suffix, dst + suffix)
 
 
 def delete_from(
@@ -946,7 +1004,7 @@ def delete_from(
         n = df.filter(cond_true).count()
         kept = df.filter(~cond_true)
         new_dir = _new_version_dir(table_dir)
-        _rewrite_writer(kept, codec).parquet(new_dir)
+        _rewrite_writer(kept, codec, table_dir).parquet(new_dir)
         carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return n
@@ -1345,7 +1403,7 @@ def _optimistic_rewrite(
             # _sweep_orphan_versions treats any unpinned non-live
             # version dir as crash debris
             pins.append(_pin_version(table_dir, os.path.basename(new_dir)))
-            _rewrite_writer(transform(df, cond_true), codec).parquet(new_dir)
+            _rewrite_writer(transform(df, cond_true), codec, table_dir).parquet(new_dir)
             carry_disabled(table_dir, new_dir)
             if _before_commit is not None:
                 hook, _before_commit = _before_commit, None
@@ -1445,17 +1503,7 @@ def update_table_optimistic(
     from pyspark.sql import functions as F
 
     def transform(df: DataFrame, cond_true: Column) -> DataFrame:
-        dtypes = {f.name: f.dataType for f in df.schema.fields}
-        # pin the WHERE verdict against the ORIGINAL row (MySQL) before
-        # any assignment can overwrite a column the WHERE references
-        match = "__idb_upd_match__"
-        out = df.withColumn(match, cond_true)
-        for col_name, expr in assignments.items():
-            out = out.withColumn(
-                col_name,
-                F.when(F.col(match), expr).otherwise(F.col(col_name)).cast(dtypes[col_name]),
-            )
-        return out.drop(match)
+        return _apply_assignments(df, cond_true, assignments)
 
     return _optimistic_rewrite(
         spark, table_dir, "UPDATE", condition, transform, codec,

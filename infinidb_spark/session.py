@@ -301,12 +301,21 @@ class InfiniSession:
             prefix=".stage_", dir=os.path.dirname(path) or None
         )
         try:
-            from infinidb_spark.operators.dml import managed_writer
+            from infinidb_spark.operators.dml import (
+                _hive_partition_cols,
+                managed_writer,
+            )
 
             # the shared chokepoint applies char-null semantics BEFORE
             # the NOT NULL check below, so '' into a NOT NULL string
-            # column is rejected (it would be stored as NULL)
-            managed_writer(aligned, "overwrite", codec).parquet(stage)
+            # column is rejected (it would be stored as NULL).  A
+            # hive-partitioned table stages WITH its layout so the
+            # link-in below lands files in the right col=value dirs —
+            # a flat link-in would break partition discovery.
+            pcols = [
+                c for c in _hive_partition_cols(path) if c in aligned.columns
+            ]
+            managed_writer(aligned, "overwrite", codec, pcols or None).parquet(stage)
             staged = self.spark.read.parquet(stage)
             pred = " OR ".join(f"`{c}` IS NULL" for c in notnull)
             bad = staged.filter(pred).count()
@@ -324,10 +333,17 @@ class InfiniSession:
             from infinidb_spark.operators.dml import _table_lock_wait
 
             with _table_lock_wait(path, "INSERT"):
-                for f in os.listdir(stage):
-                    if f.startswith("part-") and f.endswith(".parquet"):
-                        dst = os.path.join(path, f"ins_{uuid.uuid4().hex[:12]}_{f}")
-                        src = os.path.join(stage, f)
+                # walk, not listdir: a partitioned stage nests part
+                # files under col=value/ dirs that must be mirrored
+                for root_, _dirs, files_ in os.walk(stage):
+                    rel = os.path.relpath(root_, stage)
+                    for f in files_:
+                        if not (f.startswith("part-") and f.endswith(".parquet")):
+                            continue
+                        ddir = path if rel == "." else os.path.join(path, rel)
+                        os.makedirs(ddir, exist_ok=True)
+                        dst = os.path.join(ddir, f"ins_{uuid.uuid4().hex[:12]}_{f}")
+                        src = os.path.join(root_, f)
                         try:
                             os.link(src, dst)
                         except OSError:  # EXDEV or a no-hardlink filesystem
