@@ -23,7 +23,6 @@ from infinidb_spark.operators import multimodal as M
 from infinidb_spark.operators import similarity as S
 from infinidb_spark.operators import text as T
 from infinidb_spark.plans.registry import query
-from infinidb_spark.session import load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -33,8 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 # A fixed query vector for similarity search (64-dim, deterministic).
+# %.17g round-trips each double bit-exactly, so DuckDB oracles compute
+# cosines from the SAME doubles as Spark's F.lit values — a %.10f
+# literal drifts ~3e-11 per component, enough to flip the 9-dp-rounded
+# routing argmax on ~0.5% of vectors (the LSH planes and PQ literals
+# already render %.17g / repr for exactly this reason).
 _QUERY_VEC = [((i * 37) % 13 - 6) / 6.0 for i in range(64)]
-_QV_SQL = "[" + ", ".join(f"{x:.10f}" for x in _QUERY_VEC) + "]"
+_QV_SQL = "[" + ", ".join(f"{x:.17g}" for x in _QUERY_VEC) + "]"
 
 
 @query(
@@ -412,10 +416,7 @@ def dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings, and vice versa).  doc_id and vec_id share the id space
     (TESTDATA contract).  Composition of two hash-verified pipelines;
     the oracle composes their replays the same way."""
-    docs, emb = (
-        _t(spark, sf_dir, "documents")[0],
-        _t(spark, sf_dir, "embeddings")[0],
-    )
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
     tpairs = D.minhash_lsh_pairs(
         docs.filter(F.col("doc_id") < 150),
         n_hashes=16,
@@ -465,11 +466,13 @@ def similarity_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sub.select(F.col("label").alias("_b2"), F.col("vec_id").alias("id_b"),
                    F.col("embedding").cast("array<double>").alias("v_b"))
     sim = S.cosine_similarity(F.col("v_a"), F.col("v_b"))
+    # filter on the RAW cosine (like every other threshold query here
+    # and the oracle's WHERE clause); round only for display — a pair
+    # at raw 0.2000003 must survive on both sides
     return (
         a.join(b, (a._b == b._b2) & (a.id_a < b.id_b))
-        .withColumn("cosine", F.round(sim, 6))
-        .filter(F.col("cosine") > 0.2)
-        .select("id_a", "id_b", "cosine")
+        .filter(sim > 0.2)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
     )
 
 
@@ -477,7 +480,9 @@ def similarity_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     oracle="""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS BIGINT) AS n_tokens,
+           -- empty-token rule mirrored from operators.text: split('')
+           -- yields [''], which T.token_count counts as 0 tokens
+           CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
            length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars,
            round(CAST(length(regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
                  / greatest(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1), 6) AS punct_ratio
@@ -980,8 +985,10 @@ def dataset_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     oracle="""
     WITH d AS (
+      -- empty-token rule mirrored from operators.text: split('')
+      -- yields [''], which T.token_count counts as 0 tokens
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'), w -> w <> '')) AS BIGINT) AS n_tokens,
              ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), ':shard')), 1, 14))::BIGINT
                % 8 AS shard
       FROM documents
@@ -1387,19 +1394,25 @@ def ann_ivfpq_topk_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_oracle_sql(k: int = 10, n_probe: int = 2, stride: int = 50) -> str:
+def _recall_oracle_sql(
+    k: int = 10, n_probe: int = 2, stride: int = 50,
+    k_max: int | None = None,
+) -> str:
     """DuckDB replay of BOTH sides of the recall@k attestation: the
     exact brute-force top-k AND the IVF (batch) / IVF+PQ (canonical
     query) approximate top-k, joined into per-query hit counts.  Every
     ranking uses the engines' shared pins (6/9-dp rounding, vec_id
     tie-break), so the recall NUMBER itself is deterministic and
-    hash-verifiable."""
-    ivfpq = _ivfpq_oracle_sql(k=k, n_probe=n_probe, stride=stride)
+    hash-verifiable.  ``k_max`` caps the centroid model like
+    train_ivf_centroids — recall is attested for the index actually
+    SERVED (ann_ivf_topk uses k_max=32), not an uncapped one."""
+    ivfpq = _ivfpq_oracle_sql(k=k, n_probe=n_probe, stride=stride, k_max=k_max)
+    cap = f" ORDER BY vec_id LIMIT {k_max}" if k_max is not None else ""
     return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
     q AS (SELECT vec_id AS qid, ev AS qv FROM v
           WHERE vec_id % 97 = 3 AND vec_id < 2000),
-    c AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id % {stride} = 0),
+    c AS (SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id % {stride} = 0{cap}),
     truth AS (
       SELECT qid, vec_id FROM (
         SELECT q.qid, v.vec_id,
@@ -1470,7 +1483,7 @@ def _recall_oracle_sql(k: int = 10, n_probe: int = 2, stride: int = 50) -> str:
     """
 
 
-@query("ann_recall_attest", oracle=_recall_oracle_sql())
+@query("ann_recall_attest", oracle=_recall_oracle_sql(k_max=32))
 def ann_recall_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index QUALITY attestation (VERDICT-r05 #5): recall@10 of the
     IVF index over a deterministic query batch at n_probe = 2 and 4
@@ -1490,7 +1503,10 @@ def ann_recall_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both n_probe points (identical truth subplans collapse to a
     # ReusedExchange) — the O(corpus×queries) pass is paid once, which
     # matters because this query also runs at the sweep's sf1 tier
-    cents = S.train_ivf_centroids(emb, 50)
+    # k_max=32: attest the index users actually SERVE (ann_ivf_topk /
+    # ann_ivfpq_topk cap the model at 32); an uncapped K=N/stride model
+    # would also make routing O(N·K) at sweep tiers
+    cents = S.train_ivf_centroids(emb, 50, k_max=32)
     truth = S.cosine_topk_batch(emb, queries, 10)
     parts = [
         S.ann_recall_at_k(
@@ -1505,9 +1521,9 @@ def ann_recall_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     ivf = parts[0].unionByName(parts[1])
     exact = S.cosine_topk(emb, _QUERY_VEC, k=10).select("vec_id")
-    pq = E.ann_ivfpq_topk(emb, _QUERY_VEC, k=10, n_probe=2, stride=50).select(
-        "vec_id"
-    )
+    pq = E.ann_ivfpq_topk(
+        emb, _QUERY_VEC, k=10, n_probe=2, stride=50, k_max=32
+    ).select("vec_id")
     pqdf = (
         pq.join(exact, "vec_id")
         .agg(F.count(F.lit(1)).alias("hits"))
@@ -1848,34 +1864,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_curation_pipeline",
-    oracle="""
-    WITH norm AS (
-      SELECT doc_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-      FROM documents
-    ),
-    feat AS (
-      SELECT doc_id, t,
-             length(t) AS n_chars,
-             greatest(len(string_split_regex(t, '\\s+')), 1) AS n_tok,
-             CAST(length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS DOUBLE)
-               / greatest(length(t), 1) AS punct_ratio,
-             CAST(len(list_filter(string_split_regex(t, '\\s+'),
-                  x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS DOUBLE)
-               / greatest(len(string_split_regex(t, '\\s+')), 1) AS sw_ratio
-      FROM norm
-    ),
+    # composed from the shared quality fragments (ONE source of truth
+    # with dedup_keep_best / streaming_quality_gate / text_analyze —
+    # a ladder or stopword tweak can never leave this oracle stale);
+    # `d` is joined back in for the md5(t) dedup key
+    oracle=f"""
+    WITH {_quality_base_cte("TRUE")},
     scored AS (
-      SELECT doc_id, t, n_chars,
-             round((
-               (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0
-                     WHEN n_chars BETWEEN 20 AND 100 THEN 0.5 ELSE 0.1 END)
-             + (CASE WHEN punct_ratio BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.3 END)
-             + (CASE WHEN sw_ratio >= 0.05 THEN 1.0
-                     WHEN sw_ratio > 0.0 THEN 0.5 ELSE 0.1 END)
-             + (CASE WHEN CAST(n_chars AS DOUBLE) / n_tok BETWEEN 2.5 AND 9.0
-                     THEN 1.0 ELSE 0.3 END)) / 4.0, 6) AS qual
-      FROM feat
+      SELECT li.doc_id, d.t, li.n_chars,
+             {_QUALITY_LADDER_SQL} AS qual
+      FROM {_LADDER_INPUT_SQL} li JOIN d ON d.doc_id = li.doc_id
     ),
     kept AS (SELECT * FROM scored WHERE qual >= 0.5),
     survivors AS (
@@ -2806,7 +2804,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-@query("streaming_ann_ingest", oracle=_ivf_oracle_sql())
+@query("streaming_ann_ingest", oracle=_ivf_oracle_sql(k_max=32))
 def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVF index maintenance END TO END with a hash oracle
     (streaming/ann_ingest.py): embeddings split into two epoch files
@@ -2826,7 +2824,10 @@ def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    centroids = S.train_ivf_centroids(emb, stride=50)
+    # same fixed model as ann_ivf_topk (stride=50, k_max=32) so the
+    # documented row-for-row equivalence actually holds — and so the
+    # routing projection stays O(N·32), not O(N·K) with K = N/stride
+    centroids = S.train_ivf_centroids(emb, stride=50, k_max=32)
     work = tempfile.mkdtemp(prefix="infinidb_sai_")
     try:
         in_dir = stage_epoch_inputs(
