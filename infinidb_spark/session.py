@@ -25,6 +25,7 @@ cluster reading 100 TB):
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,10 +114,10 @@ def load_tables(
         if not os.path.exists(path):
             continue
         st = os.stat(path)
-        # DataFrames and temp views are per-SparkSession (id(spark)),
-        # not per-context; mtime+size catch a rewritten/regenerated file
-        # whose first-read file listing would otherwise be served stale.
-        ident = (app_id, id(spark), sf_dir, name)
+        # DataFrames and temp views are per-SparkSession, not per-
+        # context; mtime+size catch a rewritten/regenerated file whose
+        # first-read file listing would otherwise be served stale.
+        ident = (app_id, _session_token(spark), sf_dir, name)
         key = (*ident, st.st_mtime_ns, st.st_size)
         # evict superseded versions of this table (rewritten file ⇒ new
         # mtime/size key) so pinned file listings can't accumulate
@@ -126,7 +127,7 @@ def load_tables(
         # key each (session, name) currently points to, so loading the
         # same table name from a DIFFERENT dir (or a rewritten file)
         # re-registers instead of silently serving the other dir's view
-        view_slot = (app_id, id(spark), name)
+        view_slot = (app_id, _session_token(spark), name)
         cached = _TABLE_CACHE.get(key)
         if cached is not None:
             if register and _REGISTERED.get(view_slot) != key:
@@ -145,6 +146,25 @@ def load_tables(
             _REGISTERED[view_slot] = key
         out[name] = df
     return out
+
+
+#: Session-identity tokens: id(spark) would alias a NEW session to a
+#: dead one's cache entries after CPython address reuse (load_tables
+#: would then skip createOrReplaceTempView against the live catalog).
+#: A counter stamped ON the session object is collision-free; a session
+#: that refuses the attribute just misses the cache (safe direction).
+_TOKEN_SEQ = itertools.count(1)
+
+
+def _session_token(spark: SparkSession) -> int:
+    tok = getattr(spark, "_infinidb_cache_token", None)
+    if tok is None:
+        tok = next(_TOKEN_SEQ)
+        try:
+            spark._infinidb_cache_token = tok
+        except Exception:
+            return -id(spark)
+    return tok
 
 
 #: Memoized table handles — a DataFrame is an immutable logical plan, so
@@ -511,11 +531,10 @@ class InfiniSession:
                     # @@session.sql_mode / @@global.sql_mode forms
                     name = toks[i + 4][1].lower()
                     skip = 5
-                if name == "version":
-                    out.append(("string", d._sql_str(self._VERSION)))
-                elif name == "version_comment":
-                    out.append(("string", d._sql_str("infinidb-spark engine")))
-                elif name == "autocommit":
+                # version / version_comment fall through to _sysvars so
+                # SELECT @@version_comment and SHOW VARIABLES can never
+                # disagree (they once did — two hardcoded literals)
+                if name == "autocommit":
                     out.append(("number", "1" if self._autocommit else "0"))
                 elif name in ("warning_count", "error_count"):
                     # diagnostics-area counters clients read after DML
@@ -656,20 +675,44 @@ class InfiniSession:
                     rows.append((full, op, "status", "OK"))
                     continue
                 if op == "check":
-                    from infinidb_spark.sources.manifest import build_manifest
+                    from infinidb_spark.sources.manifest import (
+                        _harvest_file, _has_nested_data,
+                        _nested_parquet_files, build_manifest,
+                    )
 
-                    m = build_manifest(path)
-                    rows.append((full, op, "status", f"OK ({len(m)} file(s))"))
+                    if _has_nested_data(path):
+                        # hive-partitioned layout: member files live
+                        # INSIDE col=value subdirs — open every nested
+                        # footer (a flat build_manifest sees 0 files
+                        # and would report OK without checking any)
+                        files = _nested_parquet_files(path)
+                        for f in files:
+                            _harvest_file(f)
+                        rows.append((full, op, "status",
+                                     f"OK ({len(files)} file(s))"))
+                    else:
+                        m = build_manifest(path)
+                        rows.append((full, op, "status",
+                                     f"OK ({len(m)} file(s))"))
                 elif op == "analyze":
                     from infinidb_spark.sources.manifest import (
-                        build_manifest, write_manifest,
+                        _has_nested_data, build_manifest, write_manifest,
                     )
 
-                    m = build_manifest(path)
-                    write_manifest(
-                        m, os.path.join(path, "_infinidb_manifest.json")
-                    )
-                    rows.append((full, op, "status", "OK"))
+                    if _has_nested_data(path):
+                        # the flat extent manifest doesn't model the
+                        # col=value layout (scanners prune partitioned
+                        # tables natively); an EMPTY sidecar here would
+                        # claim "0 files" to future readers
+                        rows.append((full, op, "note",
+                                     "Partitioned table; native partition"
+                                     " pruning applies, manifest skipped"))
+                    else:
+                        m = build_manifest(path)
+                        write_manifest(
+                            m, os.path.join(path, "_infinidb_manifest.json")
+                        )
+                        rows.append((full, op, "status", "OK"))
                 elif op == "optimize":
                     from infinidb_spark.sources.layout import (
                         compact_table, table_file_stats,
@@ -792,7 +835,15 @@ class InfiniSession:
             self._warnings = []
 
         t0 = _time.perf_counter()
-        result = self._execute_inner(statement, dialect)
+        try:
+            result = self._execute_inner(statement, dialect)
+        except Exception as exc:
+            # mysqld records the failure in the diagnostics area —
+            # SHOW ERRORS / @@error_count read it after a failed
+            # statement (1064 = parse error, 1105 = unknown error)
+            code = 1064 if isinstance(exc, _d.DialectError) else 1105
+            self._warnings.append(("Error", code, str(exc)[:512]))
+            raise
         # calgetstats() analog: wall time + affected rows of the last
         # statement (rows only for eagerly-executed DML/DDL — a SELECT
         # returns a lazy DataFrame, its fetch happens at the caller)
@@ -835,6 +886,20 @@ class InfiniSession:
         self._txn = {}
         self._savepoints = []
 
+    @staticmethod
+    def _snap_files(real: str) -> set[str]:
+        """Relative paths of every file under a version dir, nested
+        partition subdirs included — hive-partitioned writers append
+        part files INSIDE dt=X/ subdirs and may create new ones, both
+        of which a top-level listdir snapshot would miss (ROLLBACK
+        would then silently keep the rolled-back rows)."""
+        out: set[str] = set()
+        for dirpath, _dirs, files in os.walk(real):
+            rel = os.path.relpath(dirpath, real)
+            for f in files:
+                out.add(f if rel == "." else os.path.join(rel, f))
+        return out
+
     def _txn_touch(self, name: str, path: str) -> None:
         """Snapshot a table on its first DML inside the transaction."""
         if self._txn is None or name in self._txn:
@@ -845,7 +910,7 @@ class InfiniSession:
         retain_version(path, os.path.basename(real))
         snap = {
             "version": os.path.basename(real),
-            "files": set(os.listdir(real)),
+            "files": self._snap_files(real),
         }
         self._txn[name] = snap
         # a savepoint set BEFORE this table was first touched restores
@@ -870,7 +935,7 @@ class InfiniSession:
             retain_version(path, os.path.basename(real))
             tables[tname] = {
                 "version": os.path.basename(real),
-                "files": set(os.listdir(real)),
+                "files": self._snap_files(real),
             }
         self._savepoints = [sp for sp in self._savepoints if sp[0] != name]
         self._savepoints.append((name, tables))
@@ -904,10 +969,18 @@ class InfiniSession:
         want = os.path.join(os.path.dirname(path.rstrip("/")), snap["version"])
         if os.path.basename(os.path.realpath(path)) != snap["version"]:
             _swap(path, want)  # superseded unpinned versions GC'd
-        for f in set(os.listdir(want)) - snap["files"]:
+        for f in self._snap_files(want) - snap["files"]:
             fp = os.path.join(want, f)
             if os.path.isfile(fp):
                 os.remove(fp)
+        # prune partition dirs emptied by the removal (a dt=Y/ created
+        # since the snapshot would otherwise break partition discovery)
+        for dirpath, _d, _f in os.walk(want, topdown=False):
+            if dirpath != want:
+                try:
+                    os.rmdir(dirpath)  # no-op unless empty
+                except OSError:
+                    pass
         self._refresh(tname)
 
     def commit(self) -> None:
@@ -985,6 +1058,125 @@ class InfiniSession:
         self._warnings = [("Warning", 9999, self._AUTOSWITCH_WARNING)]
         return df
 
+    def _apply_sysvar_assignment(self, name: str, value: str, d) -> None:
+        """Apply one system-variable assignment.  autocommit gets the
+        _sysvar_on normalization (0/OFF/FALSE/NO in any case/quoting)
+        and MySQL's enable-commits rule; everything else is stored for
+        SHOW VARIABLES / @@ echo."""
+        if name == "autocommit":
+            norm = str(value).strip().strip("'\"").upper()
+            self._autocommit = norm not in ("0", "OFF", "FALSE", "NO")
+            if self._autocommit:
+                self.commit()
+        else:
+            self._sysvars[name] = (
+                d._unquote(value) if value[:1] in "'\"" else value
+            )
+
+    def _parse_set_segment(self, seg: list, d):
+        """One ``name = value`` item of a SET assignment list →
+        ('sysvar'|'uservar', name, value_text), or None when the shape
+        isn't one this session applies (NAMES, CHARACTER SET, ...)."""
+        if not seg:
+            return None
+        if seg[0] == ("sym", "@"):
+            if len(seg) >= 2 and seg[1] == ("sym", "@"):
+                rest = seg[2:]
+                if (
+                    rest and rest[0][0] == "word"
+                    and rest[0][1].lower() in ("session", "global", "local")
+                    and len(rest) >= 2 and rest[1] == ("sym", ".")
+                ):
+                    rest = rest[2:]
+                if len(rest) >= 3 and rest[0][0] == "word" and rest[1] == ("sym", "="):
+                    return ("sysvar", rest[0][1].lower(),
+                            d.render(list(rest[2:])).strip())
+                return None
+            # @name = expr / @name := expr (user variable; name keeps
+            # its case like parse_set_user_var)
+            rest = seg[1:]
+            if len(rest) >= 3 and rest[0][0] == "word" and rest[1] == ("sym", "="):
+                return ("uservar", rest[0][1], d.render(list(rest[2:])).strip())
+            if (
+                len(rest) >= 4 and rest[0][0] == "word"
+                and rest[1] == ("sym", ":") and rest[2] == ("sym", "=")
+            ):
+                return ("uservar", rest[0][1], d.render(list(rest[3:])).strip())
+            return None
+        if seg[0][0] == "word":
+            rest = seg
+            if rest[0][1].upper() == "NAMES" and len(rest) >= 2 and rest[1][0] in (
+                "word", "string",
+            ):
+                # SET NAMES <charset>[, ...] — legal inside MySQL's
+                # option_value_list; recorded like the standalone form
+                v = rest[1][1]
+                return ("sysvar", "character_set_client",
+                        d._unquote(v) if v[:1] in "'\"" else v)
+            if (
+                rest[0][1].upper() in ("SESSION", "GLOBAL", "LOCAL")
+                and len(rest) >= 2 and rest[1][0] == "word"
+            ):
+                rest = rest[1:]
+            if len(rest) >= 3 and rest[0][0] == "word" and rest[1] == ("sym", "="):
+                return ("sysvar", rest[0][1].lower(),
+                        d.render(list(rest[2:])).strip())
+        return None
+
+    def _set_multi(self, toks: list, d):
+        """MySQL SET with a comma-separated assignment list — the form
+        every connector's connect string uses (``SET @@session.
+        autocommit = 0, @@session.sql_mode = ''``).  The old
+        single-assignment fast path swallowed the whole tail as the
+        first variable's value, silently LOSING an autocommit toggle.
+        Splits on depth-0 commas, parses every segment BEFORE applying
+        any (a malformed item fails the whole statement, mysqld's
+        rule), then applies left to right.  Returns 0 when handled;
+        None (single segment / unrecognized form) falls through to the
+        existing single-assignment routes."""
+        toks = list(toks)
+        while toks and toks[-1] == ("sym", ";"):
+            toks.pop()
+        segs: list[list] = []
+        cur: list = []
+        depth = 0
+        for t in toks:
+            if t == ("sym", "("):
+                depth += 1
+            elif t == ("sym", ")"):
+                depth -= 1
+            if t == ("sym", ",") and depth == 0:
+                segs.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        segs.append(cur)
+        if len(segs) < 2:
+            return None
+        plans = []
+        for seg in segs:
+            plan = self._parse_set_segment(seg, d)
+            if plan is None:
+                # a genuine assignment LIST with an unrecognized item
+                # must not fall through: the single-assignment path
+                # would swallow the tail as the first variable's value
+                raise d.DialectError(
+                    "unsupported item in SET assignment list: "
+                    + d.render(list(seg)).strip()[:80]
+                )
+            plans.append(plan)
+        for kind, name, value in plans:
+            if kind == "sysvar":
+                self._apply_sysvar_assignment(name, value, d)
+            else:
+                etoks = self._substitute_system_vars(d.tokenize(value), d)
+                etoks = self._substitute_session_funcs(etoks, d)
+                expr = d.render(d.substitute_user_vars(etoks, self._user_vars))
+                self._user_vars[name] = self.sql(
+                    f"SELECT ({d.translate_mysql(expr)}) AS v"
+                ).collect()[0].v
+        return 0
+
     def _execute_inner(self, statement: str, dialect: str):
         from pyspark.sql import functions as F
 
@@ -1004,6 +1196,14 @@ class InfiniSession:
         # lhs as a literal
         codes = [t for t in toks if t[0] not in ("ws", "comment")]
         if (
+            codes
+            and codes[0][0] == "word"
+            and codes[0][1].upper() == "SET"
+        ):
+            handled = self._set_multi(codes[1:], d)
+            if handled is not None:
+                return handled
+        if (
             len(codes) >= 5
             and codes[0][1].upper() == "SET"
             and codes[1] == ("sym", "@")
@@ -1016,19 +1216,7 @@ class InfiniSession:
             if len(rest) >= 3 and rest[0][0] == "word" and rest[1] == ("sym", "="):
                 name = rest[0][1].lower()
                 value = d.render(list(rest[2:])).strip().rstrip(";").strip()
-                if name == "autocommit":
-                    # same normalization as _sysvar_on: MySQL accepts
-                    # 0/OFF/FALSE in any case/quoting — 'OFF' or FALSE
-                    # previously left autocommit ON and silently
-                    # committed the open transaction
-                    norm = str(value).strip().strip("'\"").upper()
-                    self._autocommit = norm not in ("0", "OFF", "FALSE", "NO")
-                    if self._autocommit:
-                        self.commit()
-                    return 0
-                self._sysvars[name] = (
-                    d._unquote(value) if value[:1] in "'\"" else value
-                )
+                self._apply_sysvar_assignment(name, value, d)
                 return 0
         toks = self._substitute_system_vars(toks, d)
         toks = self._substitute_session_funcs(toks, d)
@@ -1864,7 +2052,7 @@ class InfiniSession:
                     {c: F.expr(e) for c, e in st["assignments"].items()},
                     codec=self._table_meta.get(st["table"], {}).get("codec"),
                 )
-        else:
+        elif st["kind"] == "delete":
             if self._sysvar_on("infinidb_concurrent_dml"):
                 from infinidb_spark.operators.dml import delete_from_optimistic
 
@@ -1877,6 +2065,11 @@ class InfiniSession:
                     self.spark, path, F.expr(st["where"] or "true"),
                     codec=self._table_meta.get(st["table"], {}).get("codec"),
                 )
+        else:
+            # a catch-all `else: delete` here would turn any FUTURE
+            # parser kind that carries a 'table' key but is missed
+            # above into a full-table DELETE — fail loudly instead
+            raise ValueError(f"unsupported DML statement kind {st['kind']!r}")
         self._refresh(st["table"])
         return n
 

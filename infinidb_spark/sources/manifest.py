@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import OrderedDict
 from functools import reduce
 from typing import Any
 
@@ -96,7 +97,30 @@ def _has_nested_data(path: str) -> bool:
     return False
 
 
+def _nested_parquet_files(path: str) -> list[str]:
+    """Every member parquet file under a hive-partitioned table dir
+    (``col=value`` subdirs), sorted for determinism — the nested
+    counterpart of ``_member_files`` for callers (CHECK TABLE) that
+    must open every footer regardless of layout."""
+    real = os.path.realpath(path)
+    out: list[str] = []
+    for dirpath, dirnames, files in os.walk(real):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
 def _harvest_file(f: str) -> dict[str, Any]:
+    # identity captured BEFORE the footer read: write_manifest persists
+    # THIS stat, so an external same-name replacement between harvest
+    # and persist can never stamp the new file's (mtime,size,ino) onto
+    # the old file's min/max (the safe failure direction is old
+    # identity + new stats — a future seed check just re-harvests)
+    fst = os.stat(f)
     md = pq.ParquetFile(f).metadata
     cols: dict[str, dict[str, Any]] = {}
     undecodable: set[str] = set()
@@ -145,7 +169,12 @@ def _harvest_file(f: str) -> dict[str, Any]:
     if undecodable:
         for name, stats in _duckdb_stats(f, undecodable).items():
             cols[name] = stats
-    return {"file": f, "rows": md.num_rows, "columns": cols}
+    return {
+        "file": f,
+        "rows": md.num_rows,
+        "columns": cols,
+        "stat": (fst.st_mtime_ns, fst.st_size, fst.st_ino),
+    }
 
 
 def _duckdb_stats(f: str, names: set) -> dict[str, dict[str, Any]]:
@@ -213,8 +242,12 @@ def _duck_con():
 #: mtime/size-keyed manifest memo — the in-process analog of the
 #: persisted extent map (the BRM keeps it resident; re-reading footers
 #: per query is pure overhead).  Same keying idiom as session.py's
-#: table cache; stale keys for a path are evicted on refresh.
-_MANIFEST_CACHE: dict[tuple, list[dict[str, Any]]] = {}
+#: table cache; stale keys for a path are evicted on refresh.  LRU-
+#: bounded like _SHARDED_CACHE: stale-key eviction only covers the
+#: SAME path, so a session scanning many short-lived table dirs would
+#: otherwise accumulate full per-file manifests forever.
+_MANIFEST_CACHE: "OrderedDict[tuple, list[dict[str, Any]]]" = OrderedDict()
+_MANIFEST_CACHE_MAX = 64
 
 
 def _path_key(path: str) -> tuple:
@@ -255,6 +288,8 @@ def cached_manifest(path: str) -> list[dict[str, Any]]:
     on top keeps the unchanged-table path allocation-free."""
     key = _path_key(path)
     hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        _MANIFEST_CACHE.move_to_end(key)
     if hit is None:
         for k in [k for k in _MANIFEST_CACHE if k[0] == key[0]]:
             _MANIFEST_CACHE.pop(k, None)
@@ -292,9 +327,17 @@ def cached_manifest(path: str) -> list[dict[str, Any]]:
                     cached = _FILE_ENTRY_CACHE[fkey] = side[3]
                 else:
                     cached = _FILE_ENTRY_CACHE[fkey] = _harvest_file(f)
-            # stats are path-independent; the entry's file is not
-            entries.append({**cached, "file": f})
+            # stats are path-independent; the entry's file is not.
+            # The check-time stat rides along so a later persist
+            # (write_manifest) records the VALIDATED identity, never a
+            # persist-time re-stat of a possibly-replaced file.
+            entries.append(
+                {**cached, "file": f,
+                 "stat": (st.st_mtime_ns, st.st_size, st.st_ino)}
+            )
         hit = _MANIFEST_CACHE[key] = entries
+        while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.popitem(last=False)
     return hit
 
 
@@ -514,19 +557,29 @@ def write_manifest(manifest: list[dict[str, Any]], out_path: str) -> None:
     changed are simply re-harvested."""
     entries = []
     for e in manifest:
-        try:
-            st = os.stat(e["file"])
-        except OSError:
-            continue  # file vanished between harvest and persist
+        # the identity is the HARVEST-time stat carried on the entry —
+        # a persist-time re-stat could stamp a newer same-name file's
+        # (mtime,size,ino) onto the old file's min/max if an external
+        # writer replaced it between harvest and persist, and a fresh
+        # process would then seed wrong stats and prune wrongly.  The
+        # fallback stat covers hand-built manifests only.
+        if "stat" in e:
+            mtime_ns, size, ino = e["stat"]
+        else:
+            try:
+                st = os.stat(e["file"])
+            except OSError:
+                continue  # file vanished between harvest and persist
+            mtime_ns, size, ino = st.st_mtime_ns, st.st_size, st.st_ino
         entries.append({
             "basename": os.path.basename(e["file"]),
-            "mtime_ns": st.st_mtime_ns,
-            "size": st.st_size,
+            "mtime_ns": mtime_ns,
+            "size": size,
             # harvest-time inode: a file rewritten in place with an
             # identical (mtime_ns, size) — clock-granularity collisions,
             # same-length rewrite — still changes inode on the rename-
             # into-place write path, so seeding can detect it
-            "ino": st.st_ino,
+            "ino": ino,
             "rows": e["rows"],
             "columns": {
                 name: {

@@ -436,14 +436,16 @@ def scan_with_sharded_manifest(
     re-applied (result-transparent)."""
     if not predicates:
         return spark.read.parquet(path)  # manifest never consulted
-    m = manifest or cached_sharded_manifest(path)
     residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
     if _has_nested_data(path):
         # hive-partitioned table: the extent map keys TOP-LEVEL member
         # files and would read the layout as empty (zero rows for a
         # table with data) — plain scan; partition pruning + pushdown
-        # still apply natively
+        # still apply natively.  Checked BEFORE touching the LRU cache:
+        # building a ShardedManifest that is never consulted would also
+        # evict a live table's warm stats relation from the 64 slots.
         return spark.read.parquet(path).filter(residual)
+    m = manifest or cached_sharded_manifest(path)
     m.refresh()
     files = m.prune(predicates)
     if not files:

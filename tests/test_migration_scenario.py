@@ -49,7 +49,7 @@ def test_day_one_session(sess, tmp_path_factory):
     SELECT count(*) cnt, round(sum(amount), 2) total FROM sales;
     """)
     assert r[:3] == [0, 0, 0]
-    assert r[3][0][0] == "infinidb-spark engine"
+    assert r[3][0][0] == "infinidb_spark (PySpark engine)"  # same string SHOW VARIABLES reports
     assert r[4] == 0 and r[5] == 3 and r[6] == 1
     assert (r[7][0].cnt, float(r[7][0].total)) == (4, 145.5)
 

@@ -116,6 +116,10 @@ def test_show_index_empty_no_indexes(sess):
 
 
 def test_show_misc(sess):
+    # failed statements now populate the diagnostics area (mysqld
+    # semantics), and the module-scoped session just ran one in
+    # test_show_index — a successful statement clears it again
+    sess.execute("SELECT 1")
     assert sess.execute("SHOW WARNINGS").collect() == []
     assert sess.execute("SHOW ERRORS").collect() == []
     grants = sess.execute("SHOW GRANTS").collect()
