@@ -46,8 +46,18 @@ def split_bucket(
 
     ``portable``: md5-derived 56-bit integer (DuckDB-reproducible);
     default xxhash64 (faster, production path).
+
+    A NULL key coalesces to a sentinel BEFORE hashing: concat(NULL)
+    would otherwise yield bucket NULL on the portable path (md5(NULL))
+    but a real bucket on the default path (xxhash64 seed-hashes the
+    null away) — portable would stop replaying production, and
+    mixture_sample's ``_reps > 0`` filter would silently DROP
+    NULL-key rows in portable mode only.
     """
-    s = F.concat(key.cast("string"), F.lit(":" + salt))
+    s = F.concat(
+        F.coalesce(key.cast("string"), F.lit("\x00null")),
+        F.lit(":" + salt),
+    )
     if portable:
         h = md5_hash56(s)
     else:
@@ -132,8 +142,11 @@ def pack_sequences(
     Documents are sharded by key hash, ordered by id within the shard,
     and assigned ``bin_id = floor(cumulative_tokens_before / budget)`` —
     the streaming-packing approximation: every bin's total stays below
-    ``budget + max(doc tokens in shard)``, and a doc longer than the
-    budget gets bins to itself.  Adds ``shard`` and ``bin_id``.
+    ``budget + max(doc tokens in shard)``.  A doc longer than the
+    budget spans multiple bin ids, but its FIRST bin can still be
+    shared with earlier docs when partially filled (consumers needing
+    solo-doc bins for oversized docs must re-bin those).  Adds
+    ``shard`` and ``bin_id``.
     """
     if budget <= 0:
         raise ValueError(f"pack_sequences: budget must be positive, got {budget}")

@@ -44,8 +44,11 @@ def token_count(col: Column) -> Column:
 
 def subword_count(col: Column) -> Column:
     """BPE-ish subword estimate: word-boundary pieces + intra-word splits
-    every ~4 chars (the empirical BPE fertility for English), plus
-    punctuation/digit runs counted as single tokens."""
+    every ~4 chars (the empirical BPE fertility for English), plus one
+    extra unit per sentence-punctuation/bracket CHARACTER (digits get
+    no special handling — they count through the word path like
+    letters; a '...' run costs 3, matching byte-level BPE's tendency to
+    split punctuation runs)."""
     t = normalize_text(col)
     # same empty-token rule as token_count: '' contributes 0 subwords
     words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
@@ -313,8 +316,10 @@ def window_dup_fraction(
             F.count("_dup").alias("dup_windows"),
         )
     )
-    # every input doc gets a row; short docs → 0 windows, fraction 0.0
-    all_ids = df.select(F.col(id_col).alias("_id"))
+    # every input doc gets a row; short docs → 0 windows, fraction 0.0.
+    # distinct: a duplicated input id (e.g. mixture_sample epochs) must
+    # not multiply the joined rows — same spine rule as classify_quality
+    all_ids = df.select(F.col(id_col).alias("_id")).distinct()
     return (
         all_ids.join(per_doc, "_id", "left")
         .select(
@@ -337,10 +342,12 @@ def classifier_weights(n_buckets: int = 64) -> list[float]:
     accumulation drift).  A real deployment swaps in trained fastText /
     logistic-regression weights of the same shape; nothing else in the
     scoring plan changes."""
+    from infinidb_spark.functions.prng import lcg_next
+
     out = []
     state = 0x9E3779B97F4A7C15
     for _ in range(n_buckets):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        state = lcg_next(state)
         out.append(((state % 2049) - 1024) / 1024.0)
     return out
 
@@ -364,11 +371,13 @@ def lang_classifier_weights(
             return int(hashlib.md5(word.encode()).hexdigest()[:7], 16) % n_buckets
 
     out: dict[str, list[float]] = {}
+    from infinidb_spark.functions.prng import LCG_MOD, lcg_next
+
     for li, (lang, words) in enumerate(sorted(_STOPWORDS.items())):
-        state = (0xA5A5A5A5 + 7919 * li) % (1 << 63)
+        state = (0xA5A5A5A5 + 7919 * li) % LCG_MOD
         w = []
         for _ in range(n_buckets):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            state = lcg_next(state)
             # noise in [-51/1024, 51/1024] (max 0.0498): STRICTLY under
             # classify_lang's default 0.05 'und' floor, so even a
             # 1-token gibberish doc whose bucket drew maximal noise

@@ -118,7 +118,7 @@ def export_outfile(
         out.unpersist()
     if single_file:
         try:
-            parts = sorted(glob.glob(os.path.join(target, "part-*")))
+            parts = sorted(glob.glob(os.path.join(glob.escape(target), "part-*")))
             if len(parts) != 1:
                 # explicit raise, not assert (stripped under python -O)
                 raise RuntimeError(

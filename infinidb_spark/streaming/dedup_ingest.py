@@ -52,12 +52,18 @@ def read_hash_store(
     before the first epoch.  ``exclude_prefix`` drops files of the
     epoch currently being written (replay-safety, module docstring)."""
     store = os.path.join(table_dir, _STORE_DIR)
-    files = sorted(glob.glob(os.path.join(store, "*.parquet")))
+    # glob.escape: a table path containing glob metacharacters ([, *, ?)
+    # would otherwise match nothing — an always-empty hash store means
+    # every batch classifies as "new" and duplicates land silently
+    files = sorted(glob.glob(os.path.join(glob.escape(store), "*.parquet")))
     if exclude_prefix:
         files = [f for f in files if not os.path.basename(f).startswith(exclude_prefix)]
     if not files:
         return spark.createDataFrame([], "content_hash string")
-    return spark.read.parquet(*files)
+    from infinidb_spark.streaming.sink import hadoop_glob_escape
+
+    # Spark's reader globs each path again JVM-side — escape those too
+    return spark.read.parquet(*(hadoop_glob_escape(f) for f in files))
 
 
 def stream_dedup_ingest(

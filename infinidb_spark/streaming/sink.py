@@ -89,11 +89,24 @@ def write_epoch_idempotent(
     # (char-null semantics + partitioning, operators/dml.py)
     managed_writer(batch_df, "overwrite", partition_by=partition_by).parquet(stage)
 
-    # clear a previous partial attempt, then link deterministically
+    # Clear a previous partial attempt, then link.  Part names carry a
+    # fresh writer uuid per attempt, so the sweep is what makes replay
+    # idempotent.  Scoped to the partition dirs the JUST-STAGED output
+    # contains (checkpoint replay regenerates the same batch, hence the
+    # same partitions): per-epoch cost tracks the epoch's own files,
+    # not total table size — the old recursive table-wide glob made a
+    # long-running stream's ingest O(total files) per micro-batch.
+    # glob.escape keeps metacharacter table paths from matching nothing
+    # (which would silently leave the stale attempt in place).
     prefix = f"ep_{safe}_{epoch_id}_"
-    for old in glob.glob(os.path.join(table_dir, "**", f"{prefix}*"),
-                         recursive=True):
-        os.remove(old)
+    sweep_dirs = {table_dir}
+    for dirpath, _, files in os.walk(stage):
+        rel = os.path.relpath(dirpath, stage)
+        if rel != "." and any(f.endswith(".parquet") for f in files):
+            sweep_dirs.add(os.path.join(table_dir, rel))
+    for d in sweep_dirs:
+        for old in glob.glob(os.path.join(glob.escape(d), f"{prefix}*")):
+            os.remove(old)
     for dirpath, _, files in os.walk(stage):
         rel = os.path.relpath(dirpath, stage)
         for f in files:
@@ -142,7 +155,25 @@ def read_committed(spark, table_dir: str) -> DataFrame | None:
             files.append(os.path.join(dirpath, f))
     if not files:
         return None
-    return spark.read.option("basePath", table_dir).parquet(*sorted(files))
+    # basePath is compared as a literal path (never globbed) — only the
+    # file paths go through the Hadoop globber and need escaping
+    return spark.read.option("basePath", table_dir).parquet(
+        *(hadoop_glob_escape(f) for f in sorted(files))
+    )
+
+
+def hadoop_glob_escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a LITERAL path.
+
+    Spark's file reader runs every input path through the Hadoop
+    globber, so a table dir like ``run[1]/corpus`` reads ``[1]`` as a
+    character class and fails PATH_NOT_FOUND (or worse, silently
+    matches a sibling) even when the Python-side listing found the
+    files.  The Python glob.escape counterpart covers os-level globs;
+    this covers the JVM-side ones."""
+    import re
+
+    return re.sub(r"([\[\]{}*?\\])", r"\\\1", path)
 
 
 def sink_id_for(checkpoint_dir: str) -> str:

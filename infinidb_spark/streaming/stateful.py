@@ -102,8 +102,6 @@ def stream_stream_join(
     """
     c = clicks.withWatermark("ts", watermark).alias("c")
     v = views.withWatermark("ts", watermark).alias("v")
-    from pyspark.sql import functions as F
-
     return c.join(
         v,
         (F.col("c.user_id") == F.col("v.user_id"))
