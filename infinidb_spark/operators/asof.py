@@ -48,35 +48,25 @@ def asof_join(
     * ``forward`` — earliest right row with ``ts >= left.ts`` (the
       mirrored window: ``first`` over unbounded FOLLOWING);
     * ``nearest`` — whichever of the two is closer in time (ties →
-      the backward row, like pandas).  Runs both windows over the ONE
-      merged sort — still a single shuffle, no extra pass.
+      the backward row, like pandas).  Both candidates come from TWO
+      value-range frames over the ONE merged sort (same partitioning
+      and ordering, so Spark evaluates them in a single Window exec —
+      one shuffle, one sort, no second pass over the union).
+
+    A right row with NULL timestamp is dropped before the merge: NULL
+    satisfies neither ``<=`` nor ``>=`` (pandas merge_asof never
+    matches NaT either), but under NULLS FIRST it would sort to the
+    partition head and be carried to every left row with no genuine
+    predecessor.  A left row with NULL timestamp gets NULLs.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
-    if direction == "nearest":
-        b = asof_join(left, right, on, left_ts, right_ts, tolerance_seconds,
-                      right_cols, "_bwd")
-        f = asof_join(b, right, on, left_ts, right_ts, tolerance_seconds,
-                      right_cols, "_fwd", direction="forward")
-        rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
-        lts = F.unix_timestamp(F.col(left_ts))
-        db = lts - F.unix_timestamp(F.col(f"{right_ts}_bwd"))
-        df_ = F.unix_timestamp(F.col(f"{right_ts}_fwd")) - lts
-        pick_b = F.col(f"{right_ts}_fwd").isNull() | (
-            F.col(f"{right_ts}_bwd").isNotNull() & (db <= df_)
-        )
-        sel = [
-            F.when(pick_b, F.col(f"{c}_bwd")).otherwise(F.col(f"{c}_fwd")).alias(
-                f"{c}{suffix}"
-            )
-            for c in [*rcols, right_ts]
-        ]
-        return f.select(*[F.col(c) for c in left.columns], *sel)
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     lt = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
-        right.select(
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
             F.col(on),
             F.col(right_ts).alias("_ats"),
             *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
@@ -84,6 +74,52 @@ def asof_join(
         .withColumn("_side", F.lit(0))
     )
     merged = lt.unionByName(rt, allowMissingColumns=True)
+
+    if direction == "nearest":
+        # value-range frames are ordering-tie independent, so ONE
+        # (ts) ordering serves both directions: the backward frame is
+        # rows at-or-before the current ts, the forward frame rows
+        # at-or-after — equal-ts right rows fall in BOTH (the <= / >=
+        # semantics), wherever the tie-break placed them
+        merged = merged.withColumn(
+            "_tsl", F.unix_micros(F.col("_ats").cast("timestamp"))
+        )
+        payload = F.when(
+            F.col("_side") == 0,
+            F.struct(
+                F.col("_ats").alias("_mts"),
+                *[F.col(f"{c}{suffix}").alias(c) for c in rcols],
+            ),
+        )
+        base = Window.partitionBy(on).orderBy(F.col("_tsl").asc())
+        wb = base.rangeBetween(Window.unboundedPreceding, 0)
+        wf = base.rangeBetween(0, Window.unboundedFollowing)
+        out = merged.select(
+            *[F.col(c) for c in left.columns],
+            F.col("_side"),
+            F.col("_tsl"),
+            F.last(payload, ignorenulls=True).over(wb).alias("_mb"),
+            F.first(payload, ignorenulls=True).over(wf).alias("_mf"),
+        ).filter(F.col("_side") == 1)
+        for cand in ("_mb", "_mf"):
+            out = out.withColumn(
+                cand, F.when(F.col(left_ts).isNotNull(), F.col(cand))
+            )
+        db = F.col("_tsl") - F.unix_micros(F.col("_mb._mts").cast("timestamp"))
+        df_ = F.unix_micros(F.col("_mf._mts").cast("timestamp")) - F.col("_tsl")
+        if tolerance_seconds is not None:
+            tol_us = F.lit(int(tolerance_seconds) * 1_000_000)
+            out = out.withColumn("_mb", F.when(db <= tol_us, F.col("_mb")))
+            out = out.withColumn("_mf", F.when(df_ <= tol_us, F.col("_mf")))
+        pick_b = F.col("_mf").isNull() | (
+            F.col("_mb").isNotNull() & (db <= df_)
+        )
+        m = F.when(pick_b, F.col("_mb")).otherwise(F.col("_mf"))
+        return out.select(
+            *[F.col(c) for c in left.columns],
+            *[m.getField(c).alias(f"{c}{suffix}") for c in rcols],
+            m.getField("_mts").alias(f"{right_ts}{suffix}"),
+        )
 
     if direction == "forward":
         # left rows sort before right rows at equal ts (>= semantics);
@@ -123,6 +159,10 @@ def asof_join(
         F.col("_side"),
         carried.alias("_m"),
     ).filter(F.col("_side") == 1)
+    # a left row with NULL ts can never satisfy <=/>= — without this
+    # mask the forward window (which spans the whole partition from a
+    # NULLS-FIRST position) would hand it the EARLIEST right row
+    out = out.withColumn("_m", F.when(F.col(left_ts).isNotNull(), F.col("_m")))
     if tolerance_seconds is not None:
         gap = (
             F.unix_timestamp("_m._mts") - F.unix_timestamp(left_ts)
@@ -154,14 +194,29 @@ def range_join(
     `on=None` joins on bins alone (global ranges).  At scale pick
     `bin_width` ≈ typical interval width so each interval replicates
     into O(1) bins.
+
+    The exact predicate lives IN the join condition (Catalyst still
+    extracts the bin/key equi-keys; the range check becomes the join
+    residual): a post-join ``.filter(cond)`` would silently turn
+    ``how='left'`` into an inner join — NULL-extended rows evaluate
+    the predicate to NULL and get dropped.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     lbin = F.floor(F.col(left_value) / bin_width).cast("long")
     lo_bin = F.floor(F.col(right_lo) / bin_width).cast("long")
     hi_bin = F.floor(F.col(right_hi) / bin_width).cast("long")
 
-    l2 = left.withColumn("_bin", lbin)
-    r2 = right.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_bin)))
-
-    keys = ["_bin"] if on is None else [on, "_bin"]
-    cond = (F.col(right_lo) <= F.col(left_value)) & (F.col(left_value) <= F.col(right_hi))
-    return l2.join(r2, keys, how).filter(cond).drop("_bin")
+    l2 = left.withColumn("_bin", lbin).alias("_l")
+    r2 = right.withColumn("_rbin", F.explode(F.sequence(lo_bin, hi_bin))).alias("_r")
+    cond = (
+        (F.col("_l._bin") == F.col("_r._rbin"))
+        & (F.col(f"_r.{right_lo}") <= F.col(f"_l.{left_value}"))
+        & (F.col(f"_l.{left_value}") <= F.col(f"_r.{right_hi}"))
+    )
+    if on is not None:
+        cond = (F.col(f"_l.{on}") == F.col(f"_r.{on}")) & cond
+    out = l2.join(r2, cond, how).drop(F.col("_l._bin")).drop(F.col("_r._rbin"))
+    if on is not None:
+        out = out.drop(F.col(f"_r.{on}"))  # keep the left key, like a keys-join
+    return out

@@ -23,29 +23,42 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     where it is false or NULL (three-valued logic counts unknown as
     invalid, the conservative gate)."""
     total = F.count(F.lit(1))
+    # positional aliases + F.lit names, never interpolated SQL text: a
+    # rule name like 'non-negative' or one containing a quote would
+    # crash (or escape) a stack()-string selectExpr
     aggs = [
-        F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0)).alias(name)
-        for name, cond in rules.items()
+        F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0)).alias(f"_r{i}")
+        for i, cond in enumerate(rules.values())
     ]
     row = df.agg(total.alias("_total"), *aggs)
-    names = list(rules)
-    stacked = row.selectExpr(
-        "_total",
-        f"stack({len(names)}, "
-        + ", ".join(f"'{n}', {n}" for n in names)
-        + ") as (rule, n_violations)",
-    )
-    return stacked.select(
-        "rule",
-        F.col("n_violations").cast("long").alias("n_violations"),
-        F.round(F.col("n_violations") / F.greatest(F.col("_total"), F.lit(1)), 6).alias(
-            "violation_rate"
-        ),
+    pair = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"_r{i}").alias("n_violations"),
+                )
+                for i, name in enumerate(rules)
+            ]
+        )
+    ).alias("_p")
+    return row.select("_total", pair).select(
+        F.col("_p.rule").alias("rule"),
+        F.col("_p.n_violations").cast("long").alias("n_violations"),
+        F.round(
+            F.col("_p.n_violations") / F.greatest(F.col("_total"), F.lit(1)), 6
+        ).alias("violation_rate"),
     )
 
 
 def violations(df: DataFrame, rules: dict[str, Column], limit_per_rule: int | None = None) -> DataFrame:
-    """Rows failing any rule, tagged with the rule names they violate."""
+    """Rows failing any rule, tagged with the rule names they violate.
+
+    ``limit_per_rule`` caps the sample at up to N rows PER RULE (a
+    global ``limit(N * n_rules)`` could return thousands of rule-A rows
+    and zero rule-B examples).  The per-rule pick is arbitrary (like
+    ``limit``), and identical duplicate rows collapse in capped mode —
+    the uncapped result is unaffected."""
     flags = F.array_compact(
         F.array(
             *[
@@ -56,5 +69,14 @@ def violations(df: DataFrame, rules: dict[str, Column], limit_per_rule: int | No
     )
     out = df.withColumn("violated_rules", flags).filter(F.size("violated_rules") > 0)
     if limit_per_rule is not None:
-        out = out.limit(limit_per_rule * len(rules))
+        from pyspark.sql import Window
+
+        ex = out.withColumn("_rule", F.explode("violated_rules"))
+        w = Window.partitionBy("_rule").orderBy(F.lit(0))
+        out = (
+            ex.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= limit_per_rule)
+            .drop("_rn", "_rule")
+            .dropDuplicates()
+        )
     return out

@@ -63,6 +63,7 @@ def bulk_load_csv(
     dest: str | None = None,
     partition_by: list[str] | None = None,
     reject_dest: str | None = None,
+    multi_line: bool | None = None,
 ) -> BulkLoadResult:
     """Load a delimited file (tree) with an explicit schema.
 
@@ -75,8 +76,38 @@ def bulk_load_csv(
     column-store segment-file write, `writeengine/bulk/we_colbuf.cpp` ≅
     Parquet encoder) and ``loaded`` re-reads from there so downstream
     scans get row-group statistics.
+
+    ``multi_line``: None (default) enables Spark's multiLine mode
+    whenever a quote is declared — MySQL-correct (ENCLOSED fields may
+    embed the line terminator) but NON-SPLITTABLE: one giant file
+    parses in a single task.  Callers who know their quoted data has no
+    embedded terminators pass ``multi_line=False`` to keep the scan
+    split-by-offset parallel (the right call for a 100 TB load).
+
+    A LINES TERMINATED BY string longer than one character (MySQL
+    allows any string; Spark's CSV ``lineSep`` takes exactly one) is
+    handled by splitting records with Hadoop's record reader and
+    parsing fields with ``from_csv`` — still splittable by record.
     """
     read_schema = StructType(schema.fields[:]).add(_CORRUPT, StringType())
+    multiline_ok = line_sep in (None, "\n", "\r\n")
+    use_multiline = (
+        multi_line if multi_line is not None else (quote is not None and multiline_ok)
+    )
+    if line_sep is not None and len(line_sep) != 1 and not (
+        use_multiline and multiline_ok
+    ):
+        if header:
+            raise ValueError(
+                "bulk_load_csv: header=True is unsupported with a "
+                "multi-character line terminator"
+            )
+        return _bulk_load_custom_terminator(
+            spark, src, read_schema, line_sep,
+            delimiter=delimiter, null_value=null_value, quote=quote,
+            escape=escape, dest=dest, partition_by=partition_by,
+            reject_dest=reject_dest,
+        )
     reader = (
         spark.read.schema(read_schema)
         .option("mode", "PERMISSIVE")
@@ -90,13 +121,11 @@ def bulk_load_csv(
     # the CSV reader's quote / lineSep; quote='' (disabled) when the
     # statement declared none, matching MySQL's unquoted default.
     reader = reader.option("quote", quote if quote is not None else "")
-    if quote is not None and line_sep in (None, "\n", "\r\n"):
+    if use_multiline and multiline_ok:
         # an ENCLOSED field may carry embedded line terminators (the
         # export writes them raw inside quotes); without multiLine the
         # reader splits such a record mid-row and rejects both halves.
-        # multiLine handles \n and \r\n natively; an exotic declared
-        # terminator falls through to lineSep below (mutually exclusive
-        # options in Spark's CSV source)
+        # multiLine handles \n and \r\n natively.
         reader = reader.option("multiLine", "true")
     elif line_sep is not None:
         reader = reader.option("lineSep", line_sep)
@@ -107,6 +136,56 @@ def bulk_load_csv(
     # ENCLOSED BY for lossless round-trips (plans/sources.py pins the
     # quoted round-trip end-to-end).
     raw = reader.csv(src)
+    return _split_rejects(spark, raw, dest, partition_by, reject_dest)
+
+
+def _bulk_load_custom_terminator(
+    spark: SparkSession,
+    src: str,
+    read_schema: StructType,
+    line_sep: str,
+    *,
+    delimiter: str,
+    null_value: str,
+    quote: str | None,
+    escape: str,
+    dest: str | None,
+    partition_by: list[str] | None,
+    reject_dest: str | None,
+) -> BulkLoadResult:
+    """LINES TERMINATED BY a multi-character string (MySQL allows any
+    string; Spark's CSV ``lineSep`` takes exactly one character, so the
+    whole load used to crash).  Records are split by Hadoop's
+    TextInputFormat — ``textinputformat.record.delimiter`` supports
+    arbitrary strings and splits BY RECORD, keeping the scan parallel —
+    and fields are parsed per record with ``from_csv`` under the same
+    PERMISSIVE/corrupt-record contract as the main path.  One of the
+    few justified RDD touches in the repo: no DataFrame source exposes
+    a multi-char record delimiter."""
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        src,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf={"textinputformat.record.delimiter": line_sep},
+    ).map(lambda kv: (kv[1],))
+    lines = spark.createDataFrame(rdd, "value string").filter(
+        F.col("value") != ""  # trailing terminator yields one empty record
+    )
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in read_schema.fields
+    )
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": _CORRUPT,
+        "sep": delimiter,
+        "nullValue": null_value,
+        "escape": escape,
+        "quote": quote if quote is not None else "",
+    }
+    raw = lines.select(
+        F.from_csv(F.col("value"), ddl, opts).alias("_row")
+    ).select("_row.*")
     return _split_rejects(spark, raw, dest, partition_by, reject_dest)
 
 

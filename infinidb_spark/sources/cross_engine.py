@@ -41,6 +41,15 @@ def read_jdbc_table(
 ) -> DataFrame:
     """Read a foreign table (or `(subquery) alias`) over JDBC."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if num_partitions is not None and partition_column is None:
+        # the JDBC source ignores numPartitions without a partition
+        # column — the caller would get a SINGLE-connection serial scan
+        # while believing the read is fanned out
+        raise ValueError(
+            "read_jdbc_table: num_partitions requires partition_column "
+            "(plus lower_bound/upper_bound) — without it the JDBC "
+            "source reads over one connection"
+        )
     if driver:
         reader = reader.option("driver", driver)
     for k, v in (properties or {}).items():

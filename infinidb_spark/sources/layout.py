@@ -53,6 +53,14 @@ def zorder_value(quantized: list, bits: int):
     tight hyper-rectangle in ALL clustered dimensions — single-column
     range clustering makes one predicate prunable, Z-order keeps each
     of them prunable."""
+    if bits * len(quantized) > 63:
+        # the interleave must fit a signed long: one more bit lands the
+        # leading column's high bit in the SIGN bit, silently inverting
+        # the sort for half the rows (and >64 drops bits entirely)
+        raise ValueError(
+            f"zorder_value: {len(quantized)} columns x {bits} bits "
+            "exceeds the 63-bit long capacity — reduce bits"
+        )
     one = F.lit(1).cast("long")
     z = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):
@@ -93,7 +101,11 @@ def zorder_write(
     serialized the entire table through a single window partition per
     column.  ``bits`` defaults to 8: 256 rank buckets per dimension is
     ample for FILE-level pruning (files ≪ 256² hyper-rectangles) and
-    keeps the lookup array small."""
+    keeps the lookup array small.  With many cluster columns ``bits``
+    auto-reduces so the interleave fits the signed long (63 bits):
+    8 columns get 7 bits each, 9-12 columns 5, and so on — coarser
+    buckets, still one tight hyper-rectangle per file."""
+    bits = max(1, min(bits, 63 // max(1, len(cluster_by))))
     probes = [i / (1 << bits) for i in range(1, 1 << bits)]
     # approxQuantile only accepts NUMERIC columns, so every cluster key
     # is first coerced to an order-preserving double proxy: temporals ->
@@ -188,6 +200,7 @@ def compact_table(
     metadata-only ADD COLUMN survives, and a hive-partitioned layout is
     rewritten WITH its partition columns, never flattened."""
     from infinidb_spark.operators.dml import _table_lock, read_table
+    from infinidb_spark.operators.partitions import carry_disabled
 
     with _table_lock(table_dir, "OPTIMIZE"):
         n_files, total = table_file_stats(table_dir)
@@ -213,5 +226,11 @@ def compact_table(
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(new_dir)
+        # same invariant as every DML rewrite: read_table excluded the
+        # DISABLED partitions from the compaction input, so their files
+        # must be hard-linked into the new version before the swap —
+        # without this, OPTIMIZE silently and permanently destroyed
+        # out-of-service data (_swap GCs the old version dir)
+        carry_disabled(table_dir, new_dir)
         _swap(table_dir, new_dir)
     return table_file_stats(table_dir)[0]

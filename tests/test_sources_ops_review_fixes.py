@@ -1,0 +1,179 @@
+"""Regression pins for the sources/operators review findings: OPTIMIZE
+vs disabled partitions, outer range joins, NULL-timestamp as-of
+semantics, rule-name quoting, multi-char line terminators, and z-order
+bit capacity."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from infinidb_spark.operators import partitions as P
+from infinidb_spark.operators.dml import create_table, read_table
+
+
+@pytest.fixture()
+def work():
+    d = tempfile.mkdtemp(prefix="infinidb_rev_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_preserves_disabled_partitions(spark, work):
+    """compact_table used to rewrite from enabled rows only and swap
+    WITHOUT carrying the disabled files — silently and permanently
+    destroying out-of-service data (the old version dir is GC'd)."""
+    from infinidb_spark.sources.layout import compact_table
+
+    table = os.path.join(work, "t")
+    df = spark.range(10).toDF("id").repartitionByRange(3, "id")
+    create_table(df, table)
+    files = sorted(P._part_files(P._real(table)))
+    P.disable_partitions(table, "0")
+    visible_before = read_table(spark, table).count()
+    compact_table(spark, table)
+    # disabled rows still excluded from reads...
+    assert read_table(spark, table).count() == visible_before
+    # ...but the file survived the rewrite and can be re-enabled
+    assert P.disabled_partitions(table) != set()
+    P.enable_partitions(table, sorted(P.disabled_partitions(table)))
+    assert read_table(spark, table).count() == 10
+    assert files  # fixture sanity
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from infinidb_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0)], "id long, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, 0.0, 10.0, "band")], "id long, lo double, hi double, tag string"
+    )
+    out = range_join(
+        left, right, "id", "v", "lo", "hi", 10.0, how="left"
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert len(out) == 2
+    assert by_id[1].tag == "band"
+    assert by_id[2].tag is None  # unmatched left row NULL-extended
+    with pytest.raises(ValueError):
+        range_join(left, right, "id", "v", "lo", "hi", 10.0, how="full")
+
+
+def test_asof_join_null_timestamps(spark):
+    from infinidb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:10"), ("k", None)], "k string, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", None, 9.0)], "k string, ts string, p double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "p")
+    for direction in ("backward", "forward", "nearest"):
+        rows = asof_join(left, right, on="k", direction=direction).collect()
+        # a NULL-ts right row satisfies neither <= nor >= (pandas
+        # merge_asof never matches NaT) and a NULL-ts left row has no
+        # defined match — every payload must be NULL
+        assert all(r.p_right is None for r in rows), direction
+
+
+def test_asof_nearest_single_pass_results(spark):
+    from infinidb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:04"), ("k", "2024-01-01 10:00:09")],
+        "k string, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 1.0), ("k", "2024-01-01 10:00:10", 2.0)],
+        "k string, ts string, p double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "p")
+    got = {
+        r.ts.second: r.p_right
+        for r in asof_join(left, right, on="k", direction="nearest").collect()
+    }
+    assert got == {4: 1.0, 9: 2.0}
+    # tolerance prunes BOTH candidate directions
+    got_tol = {
+        r.ts.second: r.p_right
+        for r in asof_join(
+            left, right, on="k", direction="nearest", tolerance_seconds=1
+        ).collect()
+    }
+    assert got_tol == {4: None, 9: 2.0}
+
+
+def test_validate_rule_names_not_interpolated(spark):
+    from infinidb_spark.operators.validate import check, violations
+
+    df = spark.createDataFrame([(1,), (-2,), (-3,)], "x long")
+    rules = {
+        "non-negative": F.col("x") >= 0,
+        "it's small": F.col("x") < 100,
+    }
+    rows = {r.rule: r.n_violations for r in check(df, rules).collect()}
+    assert rows == {"non-negative": 2, "it's small": 0}
+    v = violations(df, rules).collect()
+    assert sorted(r.x for r in v) == [-3, -2]
+
+
+def test_violations_limit_is_per_rule(spark):
+    from infinidb_spark.operators.validate import violations
+
+    # 50 ruleA-only violations (x<0) and ONE ruleB violation (y<0)
+    rows = [(-i, 1) for i in range(1, 51)] + [(1, -1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = violations(
+        df,
+        {"xpos": F.col("x") >= 0, "ypos": F.col("y") >= 0},
+        limit_per_rule=5,
+    ).collect()
+    # the single ypos example MUST be represented (a global limit of
+    # 5*2 could fill up with xpos rows first)
+    assert any("ypos" in r.violated_rules for r in out)
+    n_x = sum(1 for r in out if "xpos" in r.violated_rules)
+    assert n_x <= 5
+
+
+def test_bulk_load_multichar_line_terminator(spark, work):
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from infinidb_spark.sources.bulk_load import bulk_load_csv
+
+    src = os.path.join(work, "data.txt")
+    with open(src, "w") as fh:
+        fh.write("1|alpha<EOL>2|beta<EOL>x|gamma<EOL>")
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    res = bulk_load_csv(spark, src, schema, line_sep="<EOL>")
+    assert res.rows_loaded == 2
+    assert res.rows_rejected == 1  # 'x' fails the bigint cast
+    assert {r.name for r in res.loaded.collect()} == {"alpha", "beta"}
+
+
+def test_zorder_bits_capacity(spark, work):
+    from infinidb_spark.sources.layout import zorder_value, zorder_write
+
+    with pytest.raises(ValueError):
+        zorder_value([F.lit(1).cast("long")] * 8, 8)  # 64 > 63 bits
+    # zorder_write auto-reduces bits and still produces a valid layout
+    df = spark.createDataFrame(
+        [tuple(range(i, i + 8)) for i in range(32)],
+        ", ".join(f"c{j} long" for j in range(8)),
+    )
+    path = os.path.join(work, "z")
+    zorder_write(df, path, [f"c{j}" for j in range(8)], n_files=2)
+    assert spark.read.parquet(path).count() == 32
+
+
+def test_jdbc_num_partitions_requires_partition_column(spark):
+    from infinidb_spark.sources.cross_engine import read_jdbc_table
+
+    with pytest.raises(ValueError):
+        read_jdbc_table(
+            spark, "jdbc:duckdb:", "t", num_partitions=32
+        )
