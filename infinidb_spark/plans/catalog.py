@@ -79,15 +79,23 @@ def system_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def information_schema_tables(spark: SparkSession) -> DataFrame:
+def information_schema_tables(
+    spark: SparkSession, view_names: set[str] | frozenset = frozenset()
+) -> DataFrame:
     """MySQL ``information_schema.tables`` shape (the subset every
     migration tool queries: schema/name/type/engine).  The reference
-    serves this from mysqld with ENGINE='InfiniDB' for its tables."""
+    serves this from mysqld with ENGINE='InfiniDB' for its tables.
+
+    ``view_names``: names the session created via CREATE VIEW.  Spark
+    registers BOTH managed tables and dialect views as TEMPORARY temp
+    views (tableType 'VIEW' never appears for them), so without this
+    set every view reports as 'BASE TABLE'."""
     rows = [
         (
             t.namespace[0] if t.namespace else "default",
             t.name,
-            "VIEW" if t.tableType == "VIEW" else "BASE TABLE",
+            "VIEW" if (t.tableType == "VIEW" or t.name in view_names)
+            else "BASE TABLE",
             "InfiniDB",
         )
         for t in spark.catalog.listTables()
@@ -128,9 +136,13 @@ def information_schema_columns(spark: SparkSession) -> DataFrame:
     )
 
 
-def register_information_schema(spark: SparkSession) -> None:
+def register_information_schema(
+    spark: SparkSession, view_names: set[str] | frozenset = frozenset()
+) -> None:
     """Register the information_schema views (the dialect rewrites
     ``information_schema.tables``/``.columns`` to these names — Spark
     temp views cannot be schema-qualified)."""
-    information_schema_tables(spark).createOrReplaceTempView("infoschema_tables")
+    information_schema_tables(spark, view_names).createOrReplaceTempView(
+        "infoschema_tables"
+    )
     information_schema_columns(spark).createOrReplaceTempView("infoschema_columns")

@@ -120,6 +120,7 @@ def mysql_dml_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+        spark.catalog.dropTempView("supplier_m")  # no ghost view
 
 
 #: the TIME expression reused across select list and predicate —
@@ -499,3 +500,4 @@ def multi_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+        spark.catalog.dropTempView("supplier_j")  # no ghost view

@@ -150,6 +150,11 @@ def mysql_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+        # drop the ghost temp views too: they outlive the scratch dirs
+        # in the SHARED SparkSession, so SHOW TABLES / infoschema would
+        # list tables whose files are gone (and reads would crash)
+        for v in ("alter_t", "alter_done"):
+            spark.catalog.dropTempView(v)
 
 
 @query(
@@ -206,6 +211,7 @@ def auto_increment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+        spark.catalog.dropTempView("ai_t")  # no ghost view in the shared session
 
 
 @query(
@@ -257,6 +263,8 @@ def char_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
+        for v in ("cns_c", "cns_i"):  # no ghost views in the shared session
+            spark.catalog.dropTempView(v)
 
 
 @query(

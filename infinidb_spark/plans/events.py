@@ -19,10 +19,9 @@ from infinidb_spark.streaming.events import (
 )
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    from infinidb_spark.plans.registry import load_registered
-
-    return load_registered(spark, sf_dir, *names)
+# load_registered owns the load/register contract (plans/registry.py);
+# _t is just the conventional short local name
+from infinidb_spark.plans.registry import load_registered as _t  # noqa: E402
 
 
 @query(
@@ -94,7 +93,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)                                             AS n,
            CAST(count(DISTINCT user_id) AS BIGINT)              AS uniq_users,
-           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+           floor(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_k
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     GROUP BY event_type
@@ -112,7 +111,13 @@ def events_json_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("uniq_users"),
-            F.round(F.avg(F.col("_k").cast("double")), 6).alias("avg_k"),
+            # floor(x*1e6+0.5)/1e6, not round: engines disagree on the
+            # exact .5 double boundary (the tumbling-window avg hit
+            # this live at sf0.1) — IEEE floor is exact in both
+            (
+                F.floor(F.avg(F.col("_k").cast("double")) * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("avg_k"),
         )
     )
 
@@ -439,7 +444,7 @@ def orders_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                        AS n,
            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum,
-           round(avg(value), 6)                            AS avg_value
+           floor(avg(value) * 1000000 + 0.5) / 1000000     AS avg_value
     FROM events
     WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
     GROUP BY 1, 2
@@ -465,6 +470,10 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("_k").alias("k_sum"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # floor-half-up, not round: the engines' .5-boundary
+            # disagreement hit this exact column live at sf0.1
+            (F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "avg_value"
+            ),
         )
     )

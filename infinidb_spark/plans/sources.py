@@ -27,8 +27,22 @@ from infinidb_spark.sources.pseudocol import extent_min_max, with_pseudo_columns
 
 
 def _workdir(sf_dir: str, kind: str) -> str:
+    """Per-(sf_dir, kind) scratch dir whose NAME carries the source
+    data's identity (abspath + every parquet's mtime_ns/size).  The
+    build-once sentinels inside are therefore self-invalidating: a
+    regenerated testdata dir — or a different dir sharing a basename —
+    gets a fresh workdir instead of silently serving stale exports
+    while the oracle reads the new parquet (the same identity rule as
+    session.load_tables' cache key)."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, f))
+            h.update(f"|{f}:{st.st_mtime_ns}:{st.st_size}".encode())
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return f"/tmp/infinidb_spark_{kind}_{tag}"
+    return f"/tmp/infinidb_spark_{kind}_{tag}_{h.hexdigest()[:10]}"
 
 
 def _clustered_lineitem(spark: SparkSession, sf_dir: str) -> str:
@@ -72,11 +86,17 @@ def bulk_load_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_dir = os.path.join(work, "supplier_csv")
     done = os.path.join(work, "_csv_done")
     if not os.path.exists(done):
-        supplier.write.mode("overwrite").option("sep", "|").option("header", False).csv(
-            csv_dir
-        )
+        # quote/escape EXPLICIT and mirrored by the reader below: the
+        # writer's default quoting wraps any field containing '|' or a
+        # quote, and a quote-disabled reader would read the quote
+        # characters back as data — a silently lossy "roundtrip"
+        supplier.write.mode("overwrite").option("sep", "|").option(
+            "header", False
+        ).option("quote", '"').option("escape", "\\").csv(csv_dir)
         open(done, "w").close()
-    result = bulk_load_csv(spark, csv_dir, supplier.schema, delimiter="|")
+    result = bulk_load_csv(
+        spark, csv_dir, supplier.schema, delimiter="|", quote='"', escape="\\"
+    )
     assert result.rows_rejected == 0, "clean export must load without rejects"
     result.unpersist()  # counts done, no rejects to inspect — drop the scan cache
     return (

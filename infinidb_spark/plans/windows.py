@@ -22,13 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from infinidb_spark.plans.registry import query
-from infinidb_spark.session import load_tables
 
 
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    from infinidb_spark.plans.registry import load_registered
-
-    return load_registered(spark, sf_dir, *names)
+# load_registered owns the load/register contract (plans/registry.py);
+# _t is just the conventional short local name
+from infinidb_spark.plans.registry import load_registered as _t  # noqa: E402
 
 
 @query(

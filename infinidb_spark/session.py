@@ -195,6 +195,10 @@ class InfiniSession:
         self.spark = spark or get_spark()
         self.tables: dict[str, DataFrame] = {}
         self._managed: dict[str, str] = {}  # writable tables: name -> dir
+        # names created via CREATE VIEW: Spark registers views AND
+        # managed tables as TEMPORARY temp views, so information_schema
+        # needs this to report table_type='VIEW' correctly
+        self._views: set[str] = set()
         self._managed_root: str | None = None
         # admin-UDF state (ref ha_calpont_impl.cpp cal* UDFs): trace flag
         # mirrors calsettrace/calgettrace, stats mirrors calgetstats
@@ -264,7 +268,7 @@ class InfiniSession:
             # so tables/columns created this session are visible
             from infinidb_spark.plans.catalog import register_information_schema
 
-            register_information_schema(self.spark)
+            register_information_schema(self.spark, self._views)
         df = self.spark.sql(query)
         if self._trace:
             # calsettrace(1) semantics: capture the plan of every query
@@ -1426,9 +1430,11 @@ class InfiniSession:
                     )
                 vdf = vdf.toDF(*st["columns"])
             vdf.createOrReplaceTempView(st["table"])
+            self._views.add(st["table"])
             return 0
         if st["kind"] == "drop_view":
             dropped = self.spark.catalog.dropTempView(st["table"])
+            self._views.discard(st["table"])
             if not dropped and not st["if_exists"]:
                 raise KeyError(f"no such view {st['table']!r}")
             return 0

@@ -185,3 +185,30 @@ def test_sharded_scan_partitioned_skips_cache(spark, tmp_path):
     assert out.count() == 2
     # a never-consulted ShardedManifest must not evict live entries
     assert os.path.abspath(d.rstrip("/")) not in set(MS._SHARDED_CACHE) - before
+
+
+def test_information_schema_reports_views(spark, tmp_path):
+    """Spark registers dialect views as TEMPORARY temp views, so the
+    tableType=='VIEW' branch was dead — every CREATE VIEW reported as
+    'BASE TABLE' on the exact surface migration tools query."""
+    s = InfiniSession(spark)
+    df = spark.createDataFrame([(1,)], "x long")
+    s.create_table_as("ist_t", df)
+    s.execute("CREATE VIEW ist_v AS SELECT x FROM ist_t")
+    rows = {
+        r.table_name: r.table_type
+        for r in s.execute(
+            "SELECT table_name, table_type FROM information_schema.tables"
+        ).collect()
+    }
+    assert rows["ist_v"] == "VIEW"
+    assert rows["ist_t"] == "BASE TABLE"
+    s.execute("DROP VIEW ist_v")
+    rows = {
+        r.table_name: r.table_type
+        for r in s.execute(
+            "SELECT table_name, table_type FROM information_schema.tables"
+        ).collect()
+    }
+    assert "ist_v" not in rows
+    spark.catalog.dropTempView("ist_t")
