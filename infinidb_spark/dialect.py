@@ -251,32 +251,43 @@ def _cast_int_sql(e: str, target: str) -> str:
     2^63−1 to SIGNED subtracts 2^64 (CAST(18446744073709551615 AS
     SIGNED) = −1) — DECIMAL arithmetic keeps both exact."""
     inner = "DECIMAL(38,0)" if target == "BIGINT" else target
-    d = "try_cast(v_ AS DOUBLE)"
-    s = "trim(CAST(v_ AS STRING))"
+    # EVERY branch must be analysis-legal for EVERY static input type
+    # (a CASE type-checks all branches even though typeof folds):
+    # try_cast(DATE AS DOUBLE/DECIMAL) and year(BIGINT) each fail
+    # ANALYSIS of the whole expression, so every branch detours through
+    # the string render — sv_ for numerics (exact for every numeric
+    # type), sv_ re-parsed as TIMESTAMP for the temporal packs.
+    sv = "CAST(v_ AS STRING)"
+    tsv = f"try_cast({sv} AS TIMESTAMP)"
+    d = f"try_cast({sv} AS DOUBLE)"
+    s = f"trim({sv})"
     trunc = f"(CASE WHEN {d} >= 0 THEN floor({d}) ELSE ceil({d}) END)"
     str_val = (
         f"(CASE WHEN {s} RLIKE '^[+-]?[0-9]+$' THEN try_cast({s} AS {inner})"
         f" ELSE try_cast({trunc} AS {inner}) END)"
     )
-    if target == "BIGINT":
-        # decimal input rounds EXACTLY via a scale-0 decimal cast
-        # (HALF_UP) — round(double) would corrupt values above 2^53
-        tail = (
-            f" WHEN typeof(v_) IN ('tinyint', 'smallint', 'int', 'bigint')"
-            f" THEN try_cast(v_ AS {inner})"
-            f" WHEN typeof(v_) LIKE 'decimal%'"
-            f" THEN try_cast(v_ AS {inner})"
-            f" WHEN {d} IS NOT NULL THEN try_cast(round({d}, 0) AS {inner})"
-        )
-    else:
-        # DECIMAL(20,0) casts round HALF_UP exactly for int/decimal
-        # input — no numeric sub-branches needed
-        tail = ""
+    # temporal input packs to MySQL's numeric render (YYYYMMDD /
+    # YYYYMMDDHHMMSS, dataconvert.h), NOT epoch seconds
+    packed = (
+        f" WHEN typeof(v_) = 'date' THEN try_cast("
+        f"year({tsv}) * 10000 + month({tsv}) * 100 + day({tsv}) AS {inner})"
+        f" WHEN typeof(v_) LIKE 'timestamp%' THEN try_cast("
+        f"CAST(year({tsv}) AS DECIMAL(38,0)) * 10000000000"
+        f" + month({tsv}) * 100000000 + day({tsv}) * 1000000"
+        f" + hour({tsv}) * 10000 + minute({tsv}) * 100 + second({tsv})"
+        f" AS {inner})"
+        f" WHEN typeof(v_) = 'boolean' THEN CAST("
+        f"CASE WHEN {sv} = 'true' THEN 1 ELSE 0 END AS {inner})"
+    )
+    # ONE numeric fallthrough (the ELSE): every numeric type's string
+    # render parses back to DECIMAL exactly and string→decimal rounds
+    # HALF_UP like MySQL's numeric CAST — fewer branches keeps the
+    # CASE inside codegen's method-size budget
     core = _bind1(
         e, "v_",
         f"(CASE WHEN typeof(v_) LIKE 'string%' THEN {str_val}"
-        f"{tail}"
-        f" ELSE try_cast(v_ AS {inner}) END)",
+        f"{packed}"
+        f" ELSE try_cast({sv} AS {inner}) END)",
     )
     if target == "BIGINT":
         # SIGNED runs through DECIMAL(38,0) so the (2^63−1, 2^64−1]
@@ -482,18 +493,31 @@ def _cast_frag(expr_toks: list[Token], tpart: list[Token], k: int) -> str | None
 
 
 #: MySQL-only function → Spark expression template ({0}, {1} = args,
+#: months since year 0 of a MySQL period ({p} injected) with the YYMM
+#: 2-digit-year resolution (00-69 → 20xx, 70-99 → 19xx) — mirrors
+#: registry._period_months
+_PERIOD_MONTHS_SQL = (
+    "((CASE WHEN ({p} DIV 100) < 70 THEN ({p} DIV 100) + 2000"
+    " WHEN ({p} DIV 100) < 100 THEN ({p} DIV 100) + 1900"
+    " ELSE ({p} DIV 100) END) * 12 + ({p} % 100))"
+)
+
 #: already parenthesized).  Mirrors the Column-level builders in
 #: functions/registry.py (reference: utils/funcexp/func_*.cpp).
 _TEMPLATES = {
     # days since year 0 (func_to_days.cpp); 719528 = TO_DAYS('1970-01-01')
     "TO_DAYS": "CAST(datediff(CAST({0} AS DATE), DATE '1970-01-01') + 719528 AS BIGINT)",
     "FROM_DAYS": "date_add(DATE '1970-01-01', CAST({0} - 719528 AS INT))",
+    # periods may be YYMM as well as YYYYMM (func_period_add.cpp /
+    # my_time convert_period_to_month): 2-digit years resolve 00-69 →
+    # 20xx, 70-99 → 19xx — PERIOD_ADD(6801, 2) is 206803, not 6803
     "PERIOD_ADD": (
-        "((({0} DIV 100) * 12 + ({0} % 100) - 1 + {1}) DIV 12 * 100"
-        " + (({0} DIV 100) * 12 + ({0} % 100) - 1 + {1}) % 12 + 1)"
+        "((" + _PERIOD_MONTHS_SQL.format(p="{0}") + " - 1 + {1}) DIV 12 * 100"
+        " + (" + _PERIOD_MONTHS_SQL.format(p="{0}") + " - 1 + {1}) % 12 + 1)"
     ),
     "PERIOD_DIFF": (
-        "((({0} DIV 100) * 12 + ({0} % 100)) - (({1} DIV 100) * 12 + ({1} % 100)))"
+        "(" + _PERIOD_MONTHS_SQL.format(p="{0}")
+        + " - " + _PERIOD_MONTHS_SQL.format(p="{1}") + ")"
     ),
     # _time_secs_sql handles the full TIME input class — '[-]H:MM'
     # 2-part strings, packed 1230 numerics, fractional seconds — where
@@ -688,9 +712,24 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
         b = _cast_base(date_only)
         qty = second[1:-1]
         op = "+" if plus else "-"
-        if len(qty) == 1 and qty[0][0] == "number" and mult == 1:
-            ival = f"INTERVAL {qty[0][1]} {unit}"
-            return [("code", f"(({b}) {op} {ival})")]
+        if len(qty) == 1 and qty[0][0] == "number":
+            num = qty[0][1]
+            if "." in num and unit != "SECOND":
+                # MySQL ROUNDS a fractional operand for whole units
+                # (INTERVAL 1.5 DAY = 2 days, half away from zero);
+                # Spark's typed literal rejects the fraction outright.
+                # SECOND keeps its fraction (real microseconds).
+                import decimal as _dec
+
+                num = str(int(
+                    _dec.Decimal(num).quantize(
+                        _dec.Decimal(1), rounding=_dec.ROUND_HALF_UP
+                    )
+                ))
+                qty = [("number", num)]
+            if mult == 1:
+                ival = f"INTERVAL {num} {unit}"
+                return [("code", f"(({b}) {op} {ival})")]
         n = render(qty).strip()
         n = f"({n}) * {mult}" if mult != 1 else f"({n})"
         ival = f"({n}) * INTERVAL '1' {unit}"
@@ -962,8 +1001,15 @@ def _compose_date_format(x: str, fmt: str) -> str:
         if lit:
             s = "".join(lit)
             if "%" in s:
-                pieces.append(
-                    f"date_format({x}, {_sql_str(mysql_datetime_format_to_spark(s))})"
+                from infinidb_spark.functions.mysql_format import (
+                    mysql_datetime_format_to_spark_chunks,
+                )
+
+                # chunked: adjacent tokens like %e%d render as separate
+                # date_format calls (a merged 'ddd' is ONE 3-digit field)
+                pieces.extend(
+                    f"date_format({x}, {_sql_str(ch)})"
+                    for ch in mysql_datetime_format_to_spark_chunks(s)
                 )
             else:
                 pieces.append(_sql_str(s))

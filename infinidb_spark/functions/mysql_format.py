@@ -49,25 +49,24 @@ _TOKENS: dict[str, str | None] = {
 }
 
 
-def mysql_datetime_format_to_spark(fmt: str) -> str:
-    """Translate a MySQL format string to a Spark datetime pattern.
-
-    Literal (non-token) characters that are letters must be quoted in
-    Java patterns; we quote every literal run defensively.  Raises
+def _translate_pieces(fmt: str) -> list[tuple[bool, str]]:
+    """(is_field, text) pieces of the translated pattern.  Raises
     ``ValueError`` for tokens that need expression composition
-    (``%D %U %u %V %v %X %x %w``) — ``date_format_mysql`` in
-    registry.py handles those above the pattern layer.
-    """
-    out: list[str] = []
+    (``%D %U %u %V %v %X %x %w``)."""
+    out: list[tuple[bool, str]] = []
     lit: list[str] = []
 
     def flush() -> None:
         if lit:
             s = "".join(lit)
-            if any(c.isalpha() for c in s):
-                out.append("'" + s.replace("'", "''") + "'")
+            # quote when the run contains a LETTER (Java reads bare
+            # letters as fields) or a QUOTE (a bare quote starts an
+            # unbalanced quoted section — "%H'%i" used to emit the
+            # dangling-quote pattern HH'mm and crash at render)
+            if any(c.isalpha() for c in s) or "'" in s:
+                out.append((False, "'" + s.replace("'", "''") + "'"))
             else:
-                out.append(s)
+                out.append((False, s))
             lit.clear()
 
     i = 0
@@ -80,7 +79,7 @@ def mysql_datetime_format_to_spark(fmt: str) -> str:
                 raise ValueError(f"MySQL token %{tok} needs expression composition")
             flush()
             if mapped is not None:
-                out.append(mapped)
+                out.append((True, mapped))
             else:
                 lit.append(tok)  # unknown token: MySQL emits it literally
             i += 2
@@ -88,7 +87,46 @@ def mysql_datetime_format_to_spark(fmt: str) -> str:
             lit.append(c)
             i += 1
     flush()
-    return "".join(out)
+    return out
+
+
+def mysql_datetime_format_to_spark_chunks(fmt: str) -> list[str]:
+    """Spark pattern CHUNKS for ``fmt``, split wherever two adjacent
+    Java fields would merge into one longer field: '%e%d' is 'd' then
+    'dd', but a single 'ddd' pattern renders a 3-digit day (001, not
+    MySQL's '101').  Callers concat the per-chunk renders; the common
+    no-hazard case returns one chunk."""
+    chunks: list[str] = []
+    cur = ""
+    prev_field_last = ""  # last pattern letter when the previous piece was a field
+    for is_field, text in _translate_pieces(fmt):
+        if is_field and prev_field_last and text[0] == prev_field_last:
+            chunks.append(cur)
+            cur = ""
+        cur += text
+        prev_field_last = text[-1] if is_field else ""
+    if cur:
+        chunks.append(cur)
+    return chunks or [""]
+
+
+def mysql_datetime_format_to_spark(fmt: str) -> str:
+    """Translate a MySQL format string to ONE Spark datetime pattern.
+
+    Literal (non-token) characters that are letters must be quoted in
+    Java patterns; we quote every literal run defensively.  Raises
+    ``ValueError`` for tokens that need expression composition
+    (``%D %U %u %V %v %X %x %w``) — ``date_format_mysql`` in
+    registry.py handles those above the pattern layer — and for
+    adjacent-field merge hazards (``%e%d``), which the same composed
+    path renders chunk-by-chunk."""
+    chunks = mysql_datetime_format_to_spark_chunks(fmt)
+    if len(chunks) > 1:
+        raise ValueError(
+            f"adjacent MySQL tokens in {fmt!r} merge into one Java field"
+            " — needs chunked composition"
+        )
+    return chunks[0]
 
 
 #: GET_FORMAT(kind, region) lookup (ref func_get_format.cpp) — the ONE

@@ -175,8 +175,9 @@ def concat_ws(sep, *args) -> Column:
 
 @_reg("char")
 def char_(*args) -> Column:
-    # MySQL CHAR(65,66) -> 'AB'
-    return F.concat(*[F.chr(_c(a)) for a in args])
+    # MySQL CHAR(65,66) -> 'AB'; NULL arguments are SKIPPED
+    # (CHAR(65,NULL,66) -> 'AB'), where concat would propagate them
+    return F.concat(*[F.coalesce(F.chr(_c(a)), F.lit("")) for a in args])
 
 
 @_reg("elt")
@@ -207,8 +208,16 @@ def field(x, *vals) -> Column:
 
 @_reg("insert")
 def insert(s, pos, length, repl) -> Column:
-    # MySQL INSERT(str, pos, len, newstr) ≡ OVERLAY.
-    return F.overlay(_c(s), _c(repl), _c(pos), _c(length))
+    # MySQL INSERT(str, pos, len, newstr) (func_insert.cpp): OVERLAY,
+    # except a pos outside 1..CHAR_LENGTH(str) returns str UNCHANGED
+    # (overlay splices anyway: pos=10 on 'abc' appended, pos=0
+    # prepended), and a negative len replaces through the END of the
+    # string (overlay reads -1 as "length of newstr").
+    sc, pc, lc = _c(s), _c(pos), _c(length)
+    eff_len = F.when(lc < 0, F.lit(2147483647)).otherwise(lc)
+    return F.when(
+        (pc < 1) | (pc > F.length(sc)), sc
+    ).otherwise(F.overlay(sc, _c(repl), pc, eff_len))
 
 
 @_reg("instr")
@@ -468,19 +477,29 @@ def maketime(h, m, s) -> Column:
     )
 
 
+def _period_months(p: Column) -> Column:
+    """Months since year 0 of a MySQL period.  Periods may be YYMM as
+    well as YYYYMM (func_period_add.cpp); 2-digit years resolve 00-69
+    → 20xx, 70-99 → 19xx — without this PERIOD_ADD(6801, 2) returned
+    6803 where MySQL gives 206803."""
+    y = (p / 100).cast("int")
+    y = (
+        F.when(y < 70, y + 2000)
+        .when(y < 100, y + 1900)
+        .otherwise(y)
+    )
+    return y * 12 + (p % 100)
+
+
 @_reg("period_add")
 def period_add(p, n) -> Column:
-    p = _c(p)
-    months = (p / 100).cast("int") * 12 + (p % 100) - 1 + _c(n)
+    months = _period_months(_c(p)) - 1 + _c(n)
     return ((months / 12).cast("int") * 100 + (months % 12) + 1).cast("bigint")
 
 
 @_reg("period_diff")
 def period_diff(p1, p2) -> Column:
-    p1, p2 = _c(p1), _c(p2)
-    m1 = (p1 / 100).cast("int") * 12 + (p1 % 100)
-    m2 = (p2 / 100).cast("int") * 12 + (p2 % 100)
-    return (m1 - m2).cast("bigint")
+    return (_period_months(_c(p1)) - _period_months(_c(p2))).cast("bigint")
 
 
 @_reg("sec_to_time")
@@ -534,7 +553,20 @@ def date_format_mysql(c, fmt: str) -> Column:
     def flush_lit() -> None:
         if lit:
             s = "".join(lit)
-            parts.append(F.date_format(c, mysql_datetime_format_to_spark(s)) if "%" in s else F.lit(s))
+            if "%" in s:
+                # chunked: adjacent tokens like %e%d must render as
+                # separate date_format calls — a merged 'ddd' pattern
+                # is one 3-digit field, not '1' then '01'
+                from infinidb_spark.functions.mysql_format import (
+                    mysql_datetime_format_to_spark_chunks,
+                )
+
+                parts.extend(
+                    F.date_format(c, ch)
+                    for ch in mysql_datetime_format_to_spark_chunks(s)
+                )
+            else:
+                parts.append(F.lit(s))
             lit.clear()
 
     while i < len(fmt):
@@ -597,10 +629,12 @@ def str_to_date(s, fmt: str) -> Column:
 @_reg("get_format")
 def get_format(kind: str, standard: str) -> Column:
     # ref func_get_format.cpp — static lookup, shared with the dialect
-    # SQL-text fold (ONE copy in functions/mysql_format.py)
+    # SQL-text fold (ONE copy in functions/mysql_format.py).  Unknown
+    # kind/region → NULL like MySQL, not a KeyError at plan build
     from infinidb_spark.functions.mysql_format import GET_FORMAT_TABLE
 
-    return F.lit(GET_FORMAT_TABLE[(kind.lower(), standard.lower())])
+    hit = GET_FORMAT_TABLE.get((kind.lower(), standard.lower()))
+    return F.lit(hit) if hit is not None else F.lit(None).cast("string")
 
 
 _UNIT_TO_INTERVAL = {
@@ -615,17 +649,27 @@ def _unit_interval(n, unit: str) -> Column:
     built with make_interval, never f-string SQL (interpolating a
     Column into INTERVAL text is a guaranteed ParseException)."""
     nc = _c(n) if isinstance(n, Column) else F.lit(n)
-    nc = nc.cast("int")
+    if unit == "second":
+        # fractional seconds are REAL in MySQL (+ INTERVAL 1.5 SECOND
+        # adds 1.5 s) — no int cast, pass decimal seconds through
+        return F.make_interval(secs=nc.cast("double"))
+    if unit == "microsecond":
+        # no int cast: 3e9 us (50 min) is a legal MySQL operand that
+        # overflowed INT (ANSI crash / silent wrap); double keeps
+        # integer us exact up to 2^53
+        return F.make_interval(secs=nc.cast("double") / F.lit(1e6))
+    # MySQL ROUNDS a fractional operand for whole units (INTERVAL 1.5
+    # DAY = 2 days, func_date_add.cpp via getNumbers) — the old bare
+    # int cast truncated it to 1
+    whole = F.round(nc.cast("double"), 0).cast("int")
     args = {
-        "year": dict(years=nc),
-        "quarter": dict(months=nc * 3),
-        "month": dict(months=nc),
-        "week": dict(weeks=nc),
-        "day": dict(days=nc),
-        "hour": dict(hours=nc),
-        "minute": dict(mins=nc),
-        "second": dict(secs=nc.cast("double")),
-        "microsecond": dict(secs=nc.cast("double") / 1e6),
+        "year": dict(years=whole),
+        "quarter": dict(months=whole * 3),
+        "month": dict(months=whole),
+        "week": dict(weeks=whole),
+        "day": dict(days=whole),
+        "hour": dict(hours=whole),
+        "minute": dict(mins=whole),
     }[unit]
     return F.make_interval(**args)
 
@@ -896,7 +940,10 @@ def cast_signed(c) -> Column:
     # max-range bigint strings.  startswith('string'), not equality:
     # collated columns render typeof as 'string collate <NAME>'.
     v = _c(c)
-    d = v.try_cast("double")
+    # string detour for the double probe: try_cast(date AS DOUBLE) is
+    # STATICALLY illegal (analysis error for the whole expression, not
+    # a runtime NULL), and the temporal branches below never run
+    d = v.try_cast("string").try_cast("double")
     s = F.trim(v.try_cast("string"))
     # run through DECIMAL(38,0) so the (2^63−1, 2^64−1] band survives
     # to the 2^64 wrap below (func_cast.cpp:234 C-cast semantics:
@@ -906,15 +953,30 @@ def cast_signed(c) -> Column:
     str_val = F.when(
         s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(38,0)")
     ).otherwise(trunc)
+    # EVERY branch must be analysis-legal for EVERY static input type
+    # (a CASE type-checks all branches even though typeof folds): the
+    # temporal branches read fields from a string→timestamp re-parse
+    # (year(bigint) would fail analysis for numeric inputs), and the
+    # numeric branches go string→decimal (decimal(date) would fail for
+    # date inputs).  The string renders are exact for every numeric
+    # type, so runtime values are unchanged.
+    sv = v.try_cast("string")
+    ts = sv.try_cast("timestamp")
     t = F.call_function("typeof", v)
+    # ONE numeric fallthrough: every numeric type's string render
+    # parses back to DECIMAL(38,0) exactly (int/decimal digits are
+    # verbatim; double round-trips incl. scientific notation) and the
+    # string→decimal cast rounds HALF_UP like MySQL's numeric CAST —
+    # fewer branches keeps the whole CASE inside codegen's method-size
+    # budget.  Temporal input packs to MySQL's numeric render
+    # (dataconvert DATE/DATETIME → YYYYMMDD / YYYYMMDDHHMMSS), NOT
+    # epoch seconds.
     w = (
         F.when(t.startswith("string"), str_val)
-        .when(t.isin("tinyint", "smallint", "int", "bigint"), v.try_cast("decimal(38,0)"))
-        # decimal input rounds EXACTLY via a scale-0 decimal cast
-        # (HALF_UP) — round(double) would corrupt values above 2^53
-        .when(t.startswith("decimal"), v.try_cast("decimal(38,0)"))
-        .when(d.isNotNull(), F.round(d, 0).try_cast("decimal(38,0)"))
-        .otherwise(v.try_cast("decimal(38,0)"))
+        .when(t == "date", _packed_date_num(ts))
+        .when(t.startswith("timestamp"), _packed_datetime_num(ts))
+        .when(t == "boolean", F.when(sv == "true", 1).otherwise(0).cast("decimal(38,0)"))
+        .otherwise(sv.try_cast("decimal(38,0)"))
     )
     max_i64 = F.lit("9223372036854775807").cast("decimal(38,0)")
     max_u64 = F.lit("18446744073709551615").cast("decimal(38,0)")
@@ -936,23 +998,61 @@ def cast_unsigned(c) -> Column:
     # reference's C cast does (func_cast.cpp:234): CAST(-1 AS
     # UNSIGNED) = 18446744073709551615.
     v = _c(c)
-    d = v.try_cast("double")
+    # same string detour as cast_signed: date input must not poison
+    # the expression at analysis
+    d = v.try_cast("string").try_cast("double")
     s = F.trim(v.try_cast("string"))
     trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("decimal(20,0)")
     str_val = F.when(
         s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(20,0)")
     ).otherwise(trunc)
-    u = F.when(
-        F.call_function("typeof", v).startswith("string"), str_val
-    ).otherwise(v.try_cast("decimal(20,0)"))
+    # same analysis-legality rule as cast_signed: every branch via the
+    # string render, exact for every numeric type
+    sv = v.try_cast("string")
+    ts = sv.try_cast("timestamp")
+    t = F.call_function("typeof", v)
+    u = (
+        F.when(t.startswith("string"), str_val)
+        # temporal input packs like cast_signed (MySQL numeric render)
+        .when(t == "date", _packed_date_num(ts).cast("decimal(20,0)"))
+        .when(
+            t.startswith("timestamp"),
+            _packed_datetime_num(ts).cast("decimal(20,0)"),
+        )
+        .when(t == "boolean", F.when(sv == "true", 1).otherwise(0).cast("decimal(20,0)"))
+        .otherwise(sv.try_cast("decimal(20,0)"))
+    )
     two_64 = F.lit("18446744073709551616").cast("decimal(21,0)")
     return F.when(u < 0, (u + two_64).cast("decimal(20,0)")).otherwise(u)
+
+
+def _packed_date_num(v: Column) -> Column:
+    """MySQL's numeric render of a DATE: YYYYMMDD."""
+    return (
+        F.year(v).cast("decimal(38,0)") * 10000
+        + F.month(v) * 100
+        + F.dayofmonth(v)
+    )
+
+
+def _packed_datetime_num(v: Column) -> Column:
+    """MySQL's numeric render of a DATETIME: YYYYMMDDHHMMSS
+    (fractional seconds truncate)."""
+    return (
+        F.year(v).cast("decimal(38,0)") * F.lit(10000000000)
+        + F.month(v).cast("decimal(38,0)") * 100000000
+        + F.dayofmonth(v) * 1000000
+        + F.hour(v) * 10000
+        + F.minute(v) * 100
+        + F.second(v)
+    )
 
 
 @_reg("cast_char")
 def cast_char(c, n=None) -> Column:
     s = _c(c).try_cast("string")
-    return F.substring(s, 1, n) if n else s
+    # `n is not None`, not truthiness: CAST(x AS CHAR(0)) is ''
+    return F.substring(s, 1, n) if n is not None else s
 
 
 @_reg("cast_date")

@@ -76,8 +76,18 @@ def cms_estimate(
     parameter passed explicitly must MATCH it.  Probing with different
     depth/width/portable than the build computes different buckets and
     silently estimates ~0 for every key — inverting CMS's
-    always-over-estimate guarantee — so a mismatch raises instead."""
-    if {"depth", "width", "portable"} <= set(sketch.columns):
+    always-over-estimate guarantee — so a mismatch raises instead.
+
+    When all three parameters are passed, the metadata read is skipped
+    entirely: the ``first()`` action would EXECUTE the whole sketch
+    aggregation once just to read three constants, and the join below
+    then recomputes it — the build cost paid twice on an uncached
+    sketch (the mismatch guard trades away for that; callers passing
+    params explicitly own their consistency)."""
+    if (
+        (depth is None or width is None or portable is None)
+        and {"depth", "width", "portable"} <= set(sketch.columns)
+    ):
         meta = sketch.select("depth", "width", "portable").first()
         if meta is not None:
             for name, given, built in (

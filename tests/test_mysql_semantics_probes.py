@@ -138,6 +138,22 @@ PROBES = [
     ("INET_ATON('127.2.1')", 2130837505),
     ("INET_ATON('1.2.3.999')", None),
     ("INET_NTOA(167773449)", "10.0.5.9"),
+    # --- round-9 review batch: period YYMM forms, temporal numeric
+    # casts, fractional intervals, format edge tokens ---
+    ("PERIOD_ADD(6801, 2)", 206803),          # YY < 70 → 20xx
+    ("PERIOD_DIFF(200802, 6703)", -709),      # mixed YYMM/YYYYMM
+    ("CAST(DATE '2020-01-01' AS SIGNED)", 20200101),
+    ("CAST(TIMESTAMP '2020-01-01 10:20:30' AS SIGNED)", 20200101102030),
+    ("CAST(DATE '2020-01-01' AS UNSIGNED)", 20200101),
+    ("INSERT('abc', 10, 2, 'xy')", "abc"),    # pos out of range → unchanged
+    ("INSERT('abc', 0, 2, 'xy')", "abc"),
+    ("INSERT('Quadratic', 3, 100, 'What')", "QuWhat"),
+    ("CHAR(65, NULL, 66)", "AB"),             # NULL args skipped
+    ("GET_FORMAT(DATE, 'bogus')", None),
+    ("CAST('abc' AS CHAR(0))", ""),
+    ("DATE_FORMAT('2009-09-01', '%e%d')", "101"),   # adjacent tokens
+    ("DATE_FORMAT('2009-09-01 14:30:05', '%H''%i')", "14'30"),
+    ("DATE_ADD('2020-01-01', INTERVAL 1.5 DAY)", "2020-01-03"),
 ]
 
 #: probes whose MySQL-exact form is deliberately deferred —

@@ -107,10 +107,21 @@ def test_cms_estimate_parameter_mismatch_raises(spark):
     df = spark.createDataFrame([("a",), ("b",)], "k string")
     sketch = count_min_sketch(df, "k", depth=4, width=512, portable=True)
     with pytest.raises(ValueError, match="width"):
-        cms_estimate(sketch, df, "k", depth=4, width=1024, portable=True)
+        cms_estimate(sketch, df, "k", width=1024)
     with pytest.raises(ValueError, match="portable"):
         cms_estimate(sketch, df, "k", portable=False)
     est = {r.k: r.est_n for r in cms_estimate(sketch, df, "k").collect()}
+    assert est == {"a": 1, "b": 1}
+    # ALL THREE explicit skips the metadata read entirely (the first()
+    # action executed the whole sketch aggregation once and the join
+    # recomputed it — build cost paid twice); matching params still
+    # estimate correctly, and consistency is the caller's contract
+    est = {
+        r.k: r.est_n
+        for r in cms_estimate(
+            sketch, df, "k", depth=4, width=512, portable=True
+        ).collect()
+    }
     assert est == {"a": 1, "b": 1}
 
 
