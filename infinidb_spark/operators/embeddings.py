@@ -203,7 +203,14 @@ def pq_train(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
     seed_rows = (
-        base.filter((F.col(id_col) % stride) == 0)
+        base.filter(
+            ((F.col(id_col) % stride) == 0)
+            # a NULL vector/element cannot seed a sub-centroid —
+            # float(None) would kill the training collect driver-side
+            # (same guard as train_ivf_centroids)
+            & F.col("_v").isNotNull()
+            & ~F.exists("_v", lambda x: x.isNull())
+        )
         .orderBy(id_col)
         .limit(k)
         .collect()  # bounded: k vectors — the training sample
@@ -239,8 +246,13 @@ def pq_train(
             "_x",
         )
         means = (
-            longd.groupBy("_s", "_code", "_dd")
+            # code NULL = unscorable subvector (the pq_best_expr NULL
+            # guard) — drop it before the driver rebuild int()s the
+            # group key; an all-NULL dim mean is dropped the same way
+            longd.filter(F.col("_code").isNotNull())
+            .groupBy("_s", "_code", "_dd")
             .agg(F.avg("_x").alias("_m"))
+            .filter(F.col("_m").isNotNull())
             .collect()  # bounded: m × k × d0 = k × dim — the model update
         )
         new_books: list[dict[int, dict[int, float]]] = [dict() for _ in range(m)]
@@ -250,7 +262,8 @@ def pq_train(
             )
         codebooks = [
             [(code, [dims[i] for i in range(d0)])
-             for code, dims in sorted(new_books[s].items())]
+             for code, dims in sorted(new_books[s].items())
+             if len(dims) == d0]  # drop degenerate codes (all-NULL dim)
             for s in range(m)
         ]
     return codebooks
@@ -280,7 +293,18 @@ def pq_best_expr(
             for i, w in enumerate(cv)
         )
         entries.append(f"named_struct('d', round({terms}, 9), 'c', {code})")
-    return F.expr(f"array_min(array({', '.join(entries)}))")
+    # the same NULL guard as ivf_best_expr: a NULL distance (NULL
+    # element / short vector) must yield code NULL — the struct argmin
+    # would otherwise tie on d=NULL and silently assign every corrupt
+    # vector to code 0, polluting that code's Lloyd mean in training
+    # and misrepresenting the vector as a valid member when encoding
+    return F.expr(
+        f"(CASE WHEN best_.d IS NULL THEN"
+        f" named_struct('d', CAST(NULL AS DOUBLE), 'c', CAST(NULL AS INT))"
+        f" ELSE best_ END)".replace(
+            "best_", f"array_min(array({', '.join(entries)}))"
+        )
+    )
 
 
 def pq_fit_encode(

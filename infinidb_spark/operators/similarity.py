@@ -228,9 +228,16 @@ def train_ivf_centroids(
     (116 s of its 130 s sf1 wall was the K=400 routing projection;
     K=32 serves the same corpus in 11 s).  A real deployment always
     fixes K independent of corpus size; prefer passing k_max."""
-    sampled = df.filter((F.col(id_col) % stride) == 0).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>")
-    )
+    v = F.col(vec_col).cast("array<double>")
+    sampled = df.filter(
+        ((F.col(id_col) % stride) == 0)
+        # a NULL vector (or NULL element) cannot seed a centroid —
+        # float(None) would kill the whole training collect driver-side;
+        # skipping the bad seed keeps the model buildable (the same
+        # vectors route to cid NULL at assignment, the r08 guard)
+        & v.isNotNull()
+        & ~F.exists(v, lambda x: x.isNull())
+    ).select(F.col(id_col), v)
     if k_max is not None:
         sampled = sampled.orderBy(id_col).limit(k_max)
     rows = sampled.collect()
@@ -336,20 +343,30 @@ def ann_ivf_topk_batch(
     q_vec_col: str = "embedding",
     q_id_col: str = "query_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    k_max: int | None = 32,
 ) -> DataFrame:
     """Batched IVF-Flat serving: ONE corpus scan + assignment projection
     serves the whole query batch; each query reranks only its probed
     cells.  Probe routing is driver-side over the K-row centroid model
     (bounded), shipped back as a broadcast (query_id, cid) relation —
     candidates flow through ONE broadcast join, and the per-query top-k
-    window shuffles only (query_id, vec_id, cosine) triples."""
+    window shuffles only (query_id, vec_id, cosine) triples.
+
+    ``k_max`` caps the default-trained model like the single-query
+    paths (32, the c6b09aa fix) — an uncapped K = N/stride model makes
+    routing O(N·K); pass ``k_max=None`` only with a bounded corpus.
+    Queries whose vector is NULL (or has a NULL element) are SKIPPED —
+    float(None) would kill the whole batch driver-side."""
     from pyspark.sql import Window
 
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, stride, vec_col, id_col)
-    qrows = queries.select(
+        centroids = train_ivf_centroids(corpus, stride, vec_col, id_col, k_max)
+    qv = F.col(q_vec_col).cast("array<double>")
+    qrows = queries.filter(
+        qv.isNotNull() & ~F.exists(qv, lambda x: x.isNull())
+    ).select(
         F.col(q_id_col).alias("_qid"),
-        F.col(q_vec_col).cast("array<double>").alias("_qv"),
+        qv.alias("_qv"),
     ).collect()  # a query BATCH is bounded by definition (same contract
     # as cosine_topk_batch's broadcast)
     spark = corpus.sparkSession
@@ -413,9 +430,13 @@ def ann_recall_at_k(
     q_id_col: str = "query_id",
     centroids: list[tuple[int, list[float]]] | None = None,
     truth: DataFrame | None = None,
+    k_max: int | None = 32,
 ) -> DataFrame:
     """Index-QUALITY attestation: per-query recall@k of the IVF index
     against the exact brute-force top-k on the same vectors.
+
+    ``k_max`` caps the default-trained model like the serving paths
+    (an uncapped K = N/stride model makes routing O(N·K)).
 
     Determinism of both sides is already pinned (6/9-dp rounding,
     vec_id tie-breaks), so recall itself is a deterministic, oracle-
@@ -426,7 +447,7 @@ def ann_recall_at_k(
     identical subplans across the points collapse to a ReusedExchange
     at execution, so the O(corpus×queries) truth pass is paid once)."""
     if centroids is None:
-        centroids = train_ivf_centroids(corpus, stride, vec_col, id_col)
+        centroids = train_ivf_centroids(corpus, stride, vec_col, id_col, k_max)
     if truth is None:
         truth = cosine_topk_batch(
             corpus, queries, k, vec_col, id_col, q_vec_col, q_id_col
@@ -477,11 +498,17 @@ def embedding_dedup(
     Returns (vec_id, rep_id, is_dup) for every input row.
     """
     if dim is None:
-        # derive from the data (bounded: one row).  A hardcoded wrong
-        # dim would null-pad through zip_with, send every vector to
-        # bucket 0, and silently degenerate the LSH prefilter into the
-        # all-pairs join it exists to prevent.
-        first = df.select(F.size(F.col(vec_col))).first()
+        # derive from the data (bounded: one row).  Anchored on a row
+        # whose vector is non-NULL: a hardcoded wrong dim — or a NULL
+        # first row collapsing the inference to 1 — would null-pad
+        # through zip_with, send every vector to bucket 0, and silently
+        # degenerate the LSH prefilter into the all-pairs join it
+        # exists to prevent.
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)))
+            .first()
+        )
         dim = int(first[0]) if first is not None and first[0] is not None else 1
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(
@@ -571,9 +598,16 @@ def kmeans_fit_predict(
             "_v",
         )
         dim_means = (
-            assigned.select("_cid", F.posexplode("_v").alias("_d", "_x"))
+            # cid NULL = unscorable vector (NULL element / ragged dim,
+            # the ivf_best_expr guard) — it must not form a phantom
+            # group that int(None)/float(None) crashes the driver
+            # rebuild on; a NULL _x mean (all members NULL in that dim)
+            # is dropped the same way
+            assigned.filter(F.col("_cid").isNotNull())
+            .select("_cid", F.posexplode("_v").alias("_d", "_x"))
             .groupBy("_cid", "_d")
             .agg(F.avg("_x").alias("_m"))
+            .filter(F.col("_m").isNotNull())
             .collect()  # bounded: k × dim rows — the model update
         )
         by_cid: dict[int, dict[int, float]] = {}
@@ -581,10 +615,13 @@ def kmeans_fit_predict(
             by_cid.setdefault(int(r["_cid"]), {})[int(r["_d"])] = round(
                 float(r["_m"]), 9
             )
-        model = [
-            (cid, [dims[i] for i in range(len(dims))])
-            for cid, dims in sorted(by_cid.items())
-        ]
+        model = []
+        for cid, dims in sorted(by_cid.items()):
+            n = max(dims) + 1
+            if len(dims) == n:
+                model.append((cid, [dims[i] for i in range(n)]))
+            # else: degenerate cluster (some dim's mean was all-NULL)
+            # — drop it; members re-route to surviving centroids
     best = ivf_best_expr(F.col("_v"), model)
     return base.select(
         F.col(id_col),

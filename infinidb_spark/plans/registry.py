@@ -46,3 +46,16 @@ def load_registered(spark: "SparkSession", sf_dir: str, *names: str):
 
     tables = load_tables(spark, sf_dir, register=True, names=names)
     return [tables[n] for n in names]
+
+
+def run_mysql(spark: "SparkSession", sf_dir: str, text: str, *tables: str):
+    """Shared MySQL-text runner for the plan modules: register the
+    named tables, translate the statement through the dialect
+    front-end, execute via Spark SQL.  ONE copy (tpch.py and
+    ref_perf.py each carried an identical inline `_mysql`) so the
+    load/translate contract can never drift between them."""
+    from infinidb_spark.dialect import translate_mysql
+    from infinidb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, register=True, names=tables)
+    return spark.sql(translate_mysql(text))

@@ -32,14 +32,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from infinidb_spark.dialect import translate_mysql
 from infinidb_spark.plans.registry import query
-from infinidb_spark.session import load_tables
 
 
-def _mysql(spark: SparkSession, sf_dir: str, text: str, *tables: str) -> DataFrame:
-    load_tables(spark, sf_dir, register=True, names=tables)
-    return spark.sql(translate_mysql(text))
+# shared MySQL-text runner (plans/registry.py) — one copy of the
+# load/translate contract
+from infinidb_spark.plans.registry import run_mysql as _mysql  # noqa: E402
 
 
 # --- Q1: pricing summary report (dbcon/doc/tpch01.sql) -----------------
