@@ -47,6 +47,7 @@ from infinidb_spark.functions import intervals as _iv
 from infinidb_spark.functions.mysql_format import (
     GET_FORMAT_TABLE,
     mysql_datetime_format_to_spark,
+    mysql_datetime_format_to_spark_chunks,
 )
 
 Token = tuple[str, str]  # (kind, text); kind ∈ ws|comment|string|bident|word|number|sym|code
@@ -267,17 +268,25 @@ def _cast_int_sql(e: str, target: str) -> str:
         f" ELSE try_cast({trunc} AS {inner}) END)"
     )
     # temporal input packs to MySQL's numeric render (YYYYMMDD /
-    # YYYYMMDDHHMMSS, dataconvert.h), NOT epoch seconds
+    # YYYYMMDDHHMMSS, dataconvert.h), NOT epoch seconds; the re-parsed
+    # timestamp binds ONCE per branch (six splices re-render + re-parse
+    # per field).  The boolean CASE has no ELSE: a NULL boolean stays
+    # NULL (an `ELSE 0` turned CAST(NULL > 1 AS SIGNED) into 0).
     packed = (
-        f" WHEN typeof(v_) = 'date' THEN try_cast("
-        f"year({tsv}) * 10000 + month({tsv}) * 100 + day({tsv}) AS {inner})"
-        f" WHEN typeof(v_) LIKE 'timestamp%' THEN try_cast("
-        f"CAST(year({tsv}) AS DECIMAL(38,0)) * 10000000000"
-        f" + month({tsv}) * 100000000 + day({tsv}) * 1000000"
-        f" + hour({tsv}) * 10000 + minute({tsv}) * 100 + second({tsv})"
-        f" AS {inner})"
+        " WHEN typeof(v_) = 'date' THEN try_cast("
+        + _bind1(tsv, "t2_", "year(t2_) * 10000 + month(t2_) * 100 + day(t2_)")
+        + f" AS {inner})"
+        " WHEN typeof(v_) LIKE 'timestamp%' THEN try_cast("
+        + _bind1(
+            tsv, "t3_",
+            "CAST(year(t3_) AS DECIMAL(38,0)) * 10000000000"
+            " + month(t3_) * 100000000 + day(t3_) * 1000000"
+            " + hour(t3_) * 10000 + minute(t3_) * 100 + second(t3_)",
+        )
+        + f" AS {inner})"
         f" WHEN typeof(v_) = 'boolean' THEN CAST("
-        f"CASE WHEN {sv} = 'true' THEN 1 ELSE 0 END AS {inner})"
+        f"CASE WHEN {sv} = 'true' THEN 1 WHEN {sv} = 'false' THEN 0 END"
+        f" AS {inner})"
     )
     # ONE numeric fallthrough (the ELSE): every numeric type's string
     # render parses back to DECIMAL exactly and string→decimal rounds
@@ -492,7 +501,6 @@ def _cast_frag(expr_toks: list[Token], tpart: list[Token], k: int) -> str | None
     return f"substring({s}, 1, {n})" if n else s
 
 
-#: MySQL-only function → Spark expression template ({0}, {1} = args,
 #: months since year 0 of a MySQL period ({p} injected) with the YYMM
 #: 2-digit-year resolution (00-69 → 20xx, 70-99 → 19xx) — mirrors
 #: registry._period_months
@@ -502,6 +510,7 @@ _PERIOD_MONTHS_SQL = (
     " ELSE ({p} DIV 100) END) * 12 + ({p} % 100))"
 )
 
+#: MySQL-only function → Spark expression template ({0}, {1} = args,
 #: already parenthesized).  Mirrors the Column-level builders in
 #: functions/registry.py (reference: utils/funcexp/func_*.cpp).
 _TEMPLATES = {
@@ -510,14 +519,20 @@ _TEMPLATES = {
     "FROM_DAYS": "date_add(DATE '1970-01-01', CAST({0} - 719528 AS INT))",
     # periods may be YYMM as well as YYYYMM (func_period_add.cpp /
     # my_time convert_period_to_month): 2-digit years resolve 00-69 →
-    # 20xx, 70-99 → 19xx — PERIOD_ADD(6801, 2) is 206803, not 6803
-    "PERIOD_ADD": (
-        "((" + _PERIOD_MONTHS_SQL.format(p="{0}") + " - 1 + {1}) DIV 12 * 100"
-        " + (" + _PERIOD_MONTHS_SQL.format(p="{0}") + " - 1 + {1}) % 12 + 1)"
+    # 20xx, 70-99 → 19xx — PERIOD_ADD(6801, 2) is 206803, not 6803.
+    # Operands bind ONCE via _bind1 (the months fragment reads its
+    # period 4×; an unbound splice re-evaluates the operand per copy)
+    "PERIOD_ADD": _bind1(
+        "{0}", "pp_",
+        _bind1(
+            "(" + _PERIOD_MONTHS_SQL.format(p="pp_") + " - 1 + {1})",
+            "mm_",
+            "(mm_ DIV 12 * 100 + mm_ % 12 + 1)",
+        ),
     ),
     "PERIOD_DIFF": (
-        "(" + _PERIOD_MONTHS_SQL.format(p="{0}")
-        + " - " + _PERIOD_MONTHS_SQL.format(p="{1}") + ")"
+        "(" + _bind1("{0}", "pa_", _PERIOD_MONTHS_SQL.format(p="pa_"))
+        + " - " + _bind1("{1}", "pb_", _PERIOD_MONTHS_SQL.format(p="pb_")) + ")"
     ),
     # _time_secs_sql handles the full TIME input class — '[-]H:MM'
     # 2-part strings, packed 1230 numerics, fractional seconds — where
@@ -712,24 +727,32 @@ def _date_addsub(name: str, inner: list[Token]) -> list[Token]:
         b = _cast_base(date_only)
         qty = second[1:-1]
         op = "+" if plus else "-"
-        if len(qty) == 1 and qty[0][0] == "number":
-            num = qty[0][1]
-            if "." in num and unit != "SECOND":
+        # literal operand detection covers the SIGNED (-1.5), QUOTED
+        # ('1.5') and e-notation (15e-1) forms, not just a bare number
+        # token — each used to bypass MySQL's round-to-integer rule
+        # for whole units (or crash Spark's typed-literal parser)
+        qtext = render(qty).strip().replace(" ", "")
+        if len(qty) == 1 and qty[0][0] == "string":
+            qtext = _unquote(qty[0][1]).strip()
+        if _re.fullmatch(
+            r"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?", qtext
+        ):
+            import decimal as _dec
+
+            val = _dec.Decimal(qtext)
+            if unit != "SECOND":
                 # MySQL ROUNDS a fractional operand for whole units
                 # (INTERVAL 1.5 DAY = 2 days, half away from zero);
                 # Spark's typed literal rejects the fraction outright.
                 # SECOND keeps its fraction (real microseconds).
-                import decimal as _dec
-
-                num = str(int(
-                    _dec.Decimal(num).quantize(
-                        _dec.Decimal(1), rounding=_dec.ROUND_HALF_UP
-                    )
-                ))
-                qty = [("number", num)]
+                val = val.quantize(
+                    _dec.Decimal(1), rounding=_dec.ROUND_HALF_UP
+                )
+            num = format(val, "f")  # plain render, no exponent
             if mult == 1:
                 ival = f"INTERVAL {num} {unit}"
                 return [("code", f"(({b}) {op} {ival})")]
+            qty = [("number", num)]
         n = render(qty).strip()
         n = f"({n}) * {mult}" if mult != 1 else f"({n})"
         ival = f"({n}) * INTERVAL '1' {unit}"
@@ -1001,10 +1024,6 @@ def _compose_date_format(x: str, fmt: str) -> str:
         if lit:
             s = "".join(lit)
             if "%" in s:
-                from infinidb_spark.functions.mysql_format import (
-                    mysql_datetime_format_to_spark_chunks,
-                )
-
                 # chunked: adjacent tokens like %e%d render as separate
                 # date_format calls (a merged 'ddd' is ONE 3-digit field)
                 pieces.extend(

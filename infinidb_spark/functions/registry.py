@@ -29,7 +29,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from infinidb_spark.functions import intervals as _iv
-from infinidb_spark.functions.mysql_format import mysql_datetime_format_to_spark
+from infinidb_spark.functions.mysql_format import (
+    mysql_datetime_format_to_spark,
+    mysql_datetime_format_to_spark_chunks,
+)
 
 FUNC_MAP: dict[str, Callable[..., Column]] = {}
 
@@ -557,10 +560,6 @@ def date_format_mysql(c, fmt: str) -> Column:
                 # chunked: adjacent tokens like %e%d must render as
                 # separate date_format calls — a merged 'ddd' pattern
                 # is one 3-digit field, not '1' then '01'
-                from infinidb_spark.functions.mysql_format import (
-                    mysql_datetime_format_to_spark_chunks,
-                )
-
                 parts.extend(
                     F.date_format(c, ch)
                     for ch in mysql_datetime_format_to_spark_chunks(s)
@@ -975,7 +974,9 @@ def cast_signed(c) -> Column:
         F.when(t.startswith("string"), str_val)
         .when(t == "date", _packed_date_num(ts))
         .when(t.startswith("timestamp"), _packed_datetime_num(ts))
-        .when(t == "boolean", F.when(sv == "true", 1).otherwise(0).cast("decimal(38,0)"))
+        .when(t == "boolean",
+              # no otherwise: a NULL boolean stays NULL (MySQL)
+              F.when(sv == "true", 1).when(sv == "false", 0).cast("decimal(38,0)"))
         .otherwise(sv.try_cast("decimal(38,0)"))
     )
     max_i64 = F.lit("9223372036854775807").cast("decimal(38,0)")
@@ -1019,7 +1020,9 @@ def cast_unsigned(c) -> Column:
             t.startswith("timestamp"),
             _packed_datetime_num(ts).cast("decimal(20,0)"),
         )
-        .when(t == "boolean", F.when(sv == "true", 1).otherwise(0).cast("decimal(20,0)"))
+        .when(t == "boolean",
+              # no otherwise: a NULL boolean stays NULL (MySQL)
+              F.when(sv == "true", 1).when(sv == "false", 0).cast("decimal(20,0)"))
         .otherwise(sv.try_cast("decimal(20,0)"))
     )
     two_64 = F.lit("18446744073709551616").cast("decimal(21,0)")

@@ -154,6 +154,10 @@ PROBES = [
     ("DATE_FORMAT('2009-09-01', '%e%d')", "101"),   # adjacent tokens
     ("DATE_FORMAT('2009-09-01 14:30:05', '%H''%i')", "14'30"),
     ("DATE_ADD('2020-01-01', INTERVAL 1.5 DAY)", "2020-01-03"),
+    ("DATE_ADD('2020-01-10', INTERVAL -1.4 DAY)", "2020-01-09"),  # signed frac
+    ("DATE_ADD('2020-01-01', INTERVAL '1.5' DAY)", "2020-01-03"),  # quoted frac
+    ("DATE_ADD('2020-01-01', INTERVAL 15e-1 DAY)", "2020-01-03"),  # e-notation
+    ("CAST(NULL > 1 AS SIGNED)", None),  # NULL boolean stays NULL
 ]
 
 #: probes whose MySQL-exact form is deliberately deferred —
