@@ -113,6 +113,11 @@ def ansi_interval_sql(unit: str, slots: dict[str, int]) -> str:
     g = slots.get
     if unit == "YEAR_MONTH":
         months = g("year", 0) * 12 + g("month", 0)
+        if abs(months) > 2**31 - 1:
+            # beyond Spark's int-month literal range the parser raises
+            # AnalysisException — the reference overflows to datetime 0,
+            # surfaced as NULL (module contract), so render NULL
+            return "CAST(NULL AS INTERVAL YEAR TO MONTH)"
         sign = "-" if months < 0 else ""
         y, m = divmod(abs(months), 12)
         return f"INTERVAL '{sign}{y}-{m}' YEAR TO MONTH"
@@ -120,6 +125,10 @@ def ansi_interval_sql(unit: str, slots: dict[str, int]) -> str:
         g("day", 0) * 86400 + g("hour", 0) * 3600 + g("minute", 0) * 60
         + g("second", 0)
     ) * 10**6 + g("microsecond", 0)
+    if abs(usec) > 2**63 - 1:
+        # long-microsecond literal cap (~106751991 days) — same
+        # NULL-on-overflow surface as the too-many-numbers case
+        return "CAST(NULL AS INTERVAL DAY TO SECOND)"
     sign = "-" if usec < 0 else ""
     usec = abs(usec)
     sec_total, frac = divmod(usec, 10**6)

@@ -89,12 +89,16 @@ def information_schema_tables(
     ``view_names``: names the session created via CREATE VIEW.  Spark
     registers BOTH managed tables and dialect views as TEMPORARY temp
     views (tableType 'VIEW' never appears for them), so without this
-    set every view reports as 'BASE TABLE'."""
+    set every view reports as 'BASE TABLE'.  The match is
+    case-insensitive: the catalog lowercases registered names
+    (CREATE VIEW MyView lists as 'myview') while the dialect preserves
+    the typed case."""
+    vlow = {v.lower() for v in view_names}
     rows = [
         (
             t.namespace[0] if t.namespace else "default",
             t.name,
-            "VIEW" if (t.tableType == "VIEW" or t.name in view_names)
+            "VIEW" if (t.tableType == "VIEW" or t.name.lower() in vlow)
             else "BASE TABLE",
             "InfiniDB",
         )
@@ -113,7 +117,7 @@ def information_schema_columns(spark: SparkSession) -> DataFrame:
         "integer": "int", "smallint": "smallint", "tinyint": "tinyint",
         "double": "double", "float": "float", "boolean": "tinyint",
         "date": "date", "timestamp": "datetime", "timestamp_ntz": "datetime",
-        "binary": "blob",
+        "binary": "blob", "decimal": "decimal",
     }
     rows = []
     for t in spark.catalog.listTables():
@@ -125,7 +129,11 @@ def information_schema_columns(spark: SparkSession) -> DataFrame:
                     t.name,
                     c.name,
                     pos,
-                    to_mysql.get(base, c.dataType.lower()),
+                    # fall back to the BASE keyword, never the full
+                    # parameterized render: MySQL's data_type column is
+                    # 'decimal', not 'decimal(15,2)' — consumers filter
+                    # WHERE data_type = 'decimal'
+                    to_mysql.get(base, base),
                     "YES" if c.nullable else "NO",
                 )
             )

@@ -269,6 +269,14 @@ class InfiniSession:
             from infinidb_spark.plans.catalog import register_information_schema
 
             register_information_schema(self.spark, self._views)
+        if "systable" in query or "syscolumn" in query:
+            # calpontsys-schema reference: same per-query refresh rule —
+            # these are createDataFrame SNAPSHOTS, so without this a
+            # table created this session never appears (and the first
+            # query would fail TABLE_OR_VIEW_NOT_FOUND outright)
+            from infinidb_spark.plans.catalog import register_system_catalog
+
+            register_system_catalog(self.spark)
         df = self.spark.sql(query)
         if self._trace:
             # calsettrace(1) semantics: capture the plan of every query

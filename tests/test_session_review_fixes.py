@@ -212,3 +212,49 @@ def test_information_schema_reports_views(spark, tmp_path):
     }
     assert "ist_v" not in rows
     spark.catalog.dropTempView("ist_t")
+
+
+def test_information_schema_view_case_insensitive(spark):
+    s = InfiniSession(spark)
+    s.execute("CREATE VIEW MyCasedView AS SELECT 1 AS one")
+    rows = {
+        r.table_name: r.table_type
+        for r in s.execute(
+            "SELECT table_name, table_type FROM information_schema.tables"
+        ).collect()
+    }
+    # the catalog lowercases registered names; the match must too
+    assert rows.get("mycasedview") == "VIEW"
+    s.execute("DROP VIEW MyCasedView")
+
+
+def test_information_schema_decimal_base_type(spark, sf_dir):
+    s = InfiniSession(spark, sf_dir)
+    rows = s.execute(
+        "SELECT data_type FROM information_schema.columns "
+        "WHERE table_name = 'orders' AND column_name = 'o_totalprice'"
+    ).collect()
+    # MySQL's data_type is the bare keyword, never 'decimal(15,2)'
+    assert rows and rows[0].data_type in ("decimal", "double")
+
+
+def test_system_catalog_refreshes_per_query(spark):
+    s = InfiniSession(spark)
+    s.create_table_as("sysc_t", spark.createDataFrame([(1,)], "x long"))
+    # no manual register_system_catalog: session.sql must self-register
+    names = {r.tablename for r in s.execute(
+        "SELECT tablename FROM systable"
+    ).collect()}
+    assert "sysc_t" in names
+    spark.catalog.dropTempView("sysc_t")
+
+
+def test_compound_interval_overflow_is_null(spark):
+    s = InfiniSession(spark)
+    v = s.execute(
+        "SELECT DATE_ADD(TIMESTAMP '2020-01-01 00:00:00',"
+        " INTERVAL '99999999999:00' HOUR_MINUTE) AS v"
+    ).collect()[0].v
+    # beyond Spark's long-microsecond literal cap: NULL (the reference
+    # overflows to datetime 0), never an AnalysisException
+    assert v is None
