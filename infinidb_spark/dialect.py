@@ -905,6 +905,60 @@ def _group_concat(inner: list[Token]) -> list[Token]:
     return [("code", text)]
 
 
+def _trim_func(inner: list[Token]) -> list[Token] | None:
+    """``TRIM([BOTH|LEADING|TRAILING] remstr FROM str)`` with a
+    MULTI-CHARACTER remstr: MySQL removes repeated occurrences of the
+    full STRING (TRIM(TRAILING 'xyz' FROM 'barxxyz') = 'barx'), while
+    Spark's native TRIM reads a multi-char trim string as a character
+    SET ('bar').  Rewritten to regexp_replace with a literal-escaped
+    pattern; the single-char and plain-whitespace forms keep Spark's
+    native TRIM (identical semantics there).  None → pass through."""
+    codes = [t for t in inner if t[0] not in ("ws", "comment")]
+    if len(codes) < 4 or codes[0][0] != "word":
+        return None
+    mode = codes[0][1].upper()
+    if mode not in ("BOTH", "LEADING", "TRAILING"):
+        return None
+    if codes[1][0] != "string":
+        return None
+    if codes[2][0] != "word" or codes[2][1].upper() != "FROM":
+        return None
+    rem = _unquote(codes[1][1])
+    if len(rem) <= 1:
+        return None
+    # operand = everything after the depth-0 FROM in the raw stream
+    depth, from_i, seen_str = 0, None, False
+    for idx, t in enumerate(inner):
+        if t == ("sym", "("):
+            depth += 1
+        elif t == ("sym", ")"):
+            depth -= 1
+        elif depth == 0 and t[0] == "string":
+            seen_str = True
+        elif (
+            depth == 0 and seen_str and t[0] == "word"
+            and t[1].upper() == "FROM"
+        ):
+            from_i = idx
+            break
+    if from_i is None:
+        return None
+    operand = "(" + render(inner[from_i + 1 :]).strip() + ")"
+    esc = "".join("\\" + c if c in "\\.^$*+?()[]{}|" else c for c in rem)
+    lead = _sql_str(f"^(?:{esc})+")
+    trail = _sql_str(f"(?:{esc})+$")
+    if mode == "LEADING":
+        body = f"regexp_replace({operand}, {lead}, '')"
+    elif mode == "TRAILING":
+        body = f"regexp_replace({operand}, {trail}, '')"
+    else:
+        body = (
+            f"regexp_replace(regexp_replace({operand}, {lead}, ''),"
+            f" {trail}, '')"
+        )
+    return [("code", f"({body})")]
+
+
 def _fmt_func(name: str, inner: list[Token]) -> list[Token]:
     args = _split_args(inner)
     if len(args) != 2:
@@ -1557,6 +1611,34 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                         out.extend(hit)
                         i = close + 1
                         continue
+                if upper == "TRIM":
+                    hit = _trim_func(inner)
+                    if hit is not None:
+                        out.extend(hit)
+                        i = close + 1
+                        continue
+                if upper in ("LPAD", "RPAD"):
+                    # MySQL: a NEGATIVE pad length is NULL
+                    # (func_lpad.cpp); Spark clamps it to ''.  Folded
+                    # only for a LITERAL negative length — a template
+                    # emitting lpad(...) would re-match its own output
+                    # and break translator idempotency; column-valued
+                    # lengths keep Spark's native clamp (the registry
+                    # Column builder carries the full runtime guard).
+                    args = _split_args(inner)
+                    if len(args) == 3:
+                        ntoks = [
+                            t for t in args[1]
+                            if t[0] not in ("ws", "comment")
+                        ]
+                        if (
+                            len(ntoks) == 2
+                            and ntoks[0] == ("sym", "-")
+                            and ntoks[1][0] == "number"
+                        ):
+                            out.append(("code", "CAST(NULL AS STRING)"))
+                            i = close + 1
+                            continue
                 if upper == "TRUNCATE":
                     out.extend(_truncate_func(inner))
                     i = close + 1

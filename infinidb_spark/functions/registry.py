@@ -245,12 +245,20 @@ def right(s, n) -> Column:
 
 @_reg("lpad")
 def lpad(s, n, pad=" ") -> Column:
-    return F.lpad(_c(s), n, pad)
+    # MySQL: a NEGATIVE target length is NULL (func_lpad.cpp); Spark
+    # clamps it to ''
+    nn = _c(n)
+    return F.when(nn < 0, F.lit(None).cast("string")).otherwise(
+        F.lpad(_c(s), nn, pad)
+    )
 
 
 @_reg("rpad")
 def rpad(s, n, pad=" ") -> Column:
-    return F.rpad(_c(s), n, pad)
+    nn = _c(n)
+    return F.when(nn < 0, F.lit(None).cast("string")).otherwise(
+        F.rpad(_c(s), nn, pad)
+    )
 
 
 @_reg("mid", "substr", "substring")

@@ -158,6 +158,19 @@ PROBES = [
     ("DATE_ADD('2020-01-01', INTERVAL '1.5' DAY)", "2020-01-03"),  # quoted frac
     ("DATE_ADD('2020-01-01', INTERVAL 15e-1 DAY)", "2020-01-03"),  # e-notation
     ("CAST(NULL > 1 AS SIGNED)", None),  # NULL boolean stays NULL
+    # --- multi-char TRIM remstr (full-string occurrences, not a char
+    # set) and negative pad lengths ---
+    ("TRIM(TRAILING 'xyz' FROM 'barxxyz')", "barx"),
+    ("TRIM(LEADING 'ab' FROM 'ababfoo')", "foo"),
+    ("TRIM(BOTH 'ab' FROM 'abfooab')", "foo"),
+    ("TRIM(TRAILING '.*' FROM 'v1.*.*')", "v1"),  # regex metachars
+    ("TRIM(BOTH 'x' FROM 'xxbarxx')", "bar"),
+    ("LPAD('hi', -1, '?')", None),
+    ("RPAD('hi', -1, '?')", None),
+    ("LPAD('hi', 4, '??')", "??hi"),
+    ("SUBSTRING_INDEX('www.mysql.com', '.', -2)", "mysql.com"),
+    ("STRCMP('text', 'text2')", -1),
+    ("ELT(4, 'a', 'b')", None),
 ]
 
 #: probes whose MySQL-exact form is deliberately deferred —
