@@ -617,6 +617,9 @@ _TEMPLATES = {
     "MONTHNAME": "date_format({0}, 'MMMM')",
     # MySQL renders boolean-valued functions as 1/0, not true/false
     "ISNULL": "(CASE WHEN {0} IS NULL THEN 1 ELSE 0 END)",
+    # MySQL SIGN is an INTEGER -1/0/1; spelled signum so the template
+    # never re-matches its own output (translator idempotency)
+    "SIGN": "CAST(signum({0}) AS BIGINT)",
     # MySQL INSERT(str,pos,len,newstr) (func_insert.cpp, funcexp.cpp:
     # 130): pos outside [1, length] returns str unchanged; negative or
     # overlong len replaces through the end; NULL any-operand → NULL.
@@ -1183,6 +1186,11 @@ def _bits_to_hex(bits: str) -> str:
 def _rewrite(toks: list[Token]) -> list[Token]:
     out: list[Token] = []
     i = 0
+    # searched-vs-value CASE tracking: True = searched (CASE WHEN ...).
+    # A bare NULL condition in a SEARCHED case fails Spark's analysis
+    # (MySQL reads it as falsy); in a VALUE case (CASE x WHEN NULL) the
+    # NULL is a comparison operand and must stay untouched.
+    case_stack: list[bool] = []
     while i < len(toks):
         kind, text = toks[i]
         if kind == "sym" and text == "&&":
@@ -1212,6 +1220,30 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                 continue
         if kind == "word":
             upper = text.upper()
+            if upper == "CASE":
+                nxt_c = _next_code(toks, i + 1)
+                case_stack.append(
+                    nxt_c is not None
+                    and toks[nxt_c][0] == "word"
+                    and toks[nxt_c][1].upper() == "WHEN"
+                )
+            elif upper == "END" and case_stack:
+                case_stack.pop()
+            elif upper == "NULL" and case_stack and case_stack[-1]:
+                pv = _prev_code(toks, i)
+                nx = _next_code(toks, i + 1)
+                if (
+                    pv is not None and toks[pv][0] == "word"
+                    and toks[pv][1].upper() == "WHEN"
+                    and nx is not None and toks[nx][0] == "word"
+                    and toks[nx][1].upper() == "THEN"
+                ):
+                    # searched CASE WHEN NULL THEN ...: MySQL reads the
+                    # bare NULL as falsy; Spark's analyzer rejects a
+                    # non-boolean condition outright
+                    out.append(("code", "CAST(NULL AS BOOLEAN)"))
+                    i += 1
+                    continue
             if (
                 upper in ("B", "X")
                 and i + 1 < len(toks)

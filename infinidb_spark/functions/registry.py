@@ -64,11 +64,18 @@ for _n, _f in {
     "abs": F.abs, "acos": F.acos, "asin": F.asin, "atan": F.atan,
     "cos": F.cos, "cot": F.cot, "degrees": F.degrees, "exp": F.exp,
     "floor": F.floor, "ln": F.log, "log2": F.log2, "log10": F.log10,
-    "radians": F.radians, "sign": F.sign, "sqrt": F.sqrt, "sin": F.sin,
+    "radians": F.radians, "sqrt": F.sqrt, "sin": F.sin,
     "tan": F.tan, "ceil": F.ceil, "ceiling": F.ceil, "crc32": F.crc32,
     "hex": F.hex, "unhex": F.unhex, "rand": F.rand,
 }.items():
     FUNC_MAP[_n] = _f
+
+
+@_reg("sign")
+def sign_(x) -> Column:
+    # MySQL SIGN returns an INTEGER -1/0/1 (func_sign.cpp); Spark's
+    # sign/signum is a double
+    return F.sign(_c(x)).cast("bigint")
 
 
 @_reg("atan2")

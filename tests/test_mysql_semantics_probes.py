@@ -171,6 +171,14 @@ PROBES = [
     ("SUBSTRING_INDEX('www.mysql.com', '.', -2)", "mysql.com"),
     ("STRCMP('text', 'text2')", -1),
     ("ELT(4, 'a', 'b')", None),
+    # --- NULL-condition CASE, integer SIGN, null-safe compare ---
+    ("CASE WHEN NULL THEN 'a' ELSE 'b' END", "b"),   # bare NULL is falsy
+    ("CASE 1 WHEN NULL THEN 'a' ELSE 'b' END", "b"),  # value form untouched
+    ("SIGN(-32)", -1),
+    ("NULL <=> NULL", 1),
+    ("5 DIV 0", None),
+    ("LAST_DAY('2004-02-05')", "2004-02-29"),
+    ("TIMESTAMPDIFF(YEAR, '2002-05-01', '2001-01-01')", -1),
 ]
 
 #: probes whose MySQL-exact form is deliberately deferred —
