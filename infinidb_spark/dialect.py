@@ -639,7 +639,12 @@ _RENAMES = {"UCASE": "upper", "LCASE": "lower", "MID": "substring",
             "FORMAT": "format_number", "SYSDATE": "current_timestamp",
             # MySQL LENGTH is BYTES (the reference's func_length.cpp
             # uses strlen); Spark's length counts characters
-            "LENGTH": "octet_length"}
+            "LENGTH": "octet_length",
+            # MySQL STD/STDDEV/VARIANCE are POPULATION statistics
+            # (STDDEV_SAMP/VAR_SAMP are the sample forms); Spark's
+            # bare stddev/variance are SAMPLE
+            "STD": "stddev_pop", "STDDEV": "stddev_pop",
+            "VARIANCE": "var_pop"}
 
 
 def _template_arity(name: str) -> int:
