@@ -501,6 +501,46 @@ def _cast_frag(expr_toks: list[Token], tpart: list[Token], k: int) -> str | None
     return f"substring({s}, 1, {n})" if n else s
 
 
+def _timediff_sql() -> str:
+    """TIMEDIFF(a, b) = a − b as a MySQL TIME string with microseconds
+    (func_timediff.cpp).  Each operand reads as a DATETIME when it
+    LOOKS like one (unix_micros), else as a TIME value through
+    ``_time_secs_sql`` ('8:59:40', packed 85940, fractional seconds) —
+    the old template ran both through unix_timestamp, which NULLs on
+    TIME strings and rendered the literal text 'null:null:null'.  The
+    fraction appears only when nonzero; NULL operands yield NULL."""
+
+    def micros(ph: str, var: str) -> str:
+        ts = f"try_cast({var} AS TIMESTAMP)"
+        is_dt = (
+            f"({ts} IS NOT NULL AND trim(CAST({var} AS STRING)) RLIKE"
+            f" '^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?')"
+        )
+        return _bind1(
+            ph, var,
+            f"(CASE WHEN {is_dt} THEN CAST(unix_micros({ts}) AS DECIMAL(20,0))"
+            f" ELSE CAST({_time_secs_sql(var)} * 1000000 AS DECIMAL(20,0))"
+            f" END)",
+        )
+
+    diff = f"({micros('{0}', 'ta_')} - {micros('{1}', 'tb_')})"
+    render_body = (
+        "concat(CASE WHEN td_ < 0 THEN '-' ELSE '' END,"
+        " format_string('%02d:%02d:%02d',"
+        " CAST(abs(td_) DIV 3600000000 AS BIGINT),"
+        " CAST((abs(td_) % 3600000000) DIV 60000000 AS BIGINT),"
+        " CAST((abs(td_) % 60000000) DIV 1000000 AS BIGINT)),"
+        " CASE WHEN abs(td_) % 1000000 > 0 THEN"
+        " format_string('.%06d', CAST(abs(td_) % 1000000 AS BIGINT))"
+        " ELSE '' END)"
+    )
+    return _bind1(
+        diff, "td_",
+        f"(CASE WHEN td_ IS NULL THEN CAST(NULL AS STRING)"
+        f" ELSE {render_body} END)",
+    )
+
+
 #: months since year 0 of a MySQL period ({p} injected) with the YYMM
 #: 2-digit-year resolution (00-69 → 20xx, 70-99 → 19xx) — mirrors
 #: registry._period_months
@@ -600,14 +640,7 @@ _TEMPLATES = {
     # timestamp on TODAY's date (a current-date-dependent wrong answer)
     "ADDTIME": _addsubtime_sql(plus=True),
     "SUBTIME": _addsubtime_sql(plus=False),
-    "TIMEDIFF": (
-        "concat(CASE WHEN unix_timestamp({0}) < unix_timestamp({1})"
-        " THEN '-' ELSE '' END,"
-        " format_string('%02d:%02d:%02d',"
-        " abs(unix_timestamp({0}) - unix_timestamp({1})) DIV 3600,"
-        " (abs(unix_timestamp({0}) - unix_timestamp({1})) % 3600) DIV 60,"
-        " abs(unix_timestamp({0}) - unix_timestamp({1})) % 60))"
-    ),
+    "TIMEDIFF": _timediff_sql(),
     "MICROSECOND": "CAST(unix_micros(CAST({0} AS TIMESTAMP)) % 1000000 AS INT)",
     # MySQL DAYNAME/MONTHNAME return FULL names ('Saturday', ref
     # funchelpers.h:150 weekday_names; funcexp.cpp:105,156); Spark 4's
@@ -831,6 +864,14 @@ def _extract_func(inner: list[Token]) -> list[Token] | None:
         return [("code", f"CAST({bound} AS BIGINT)")]
     if field == "WEEK":
         return [("code", _week_sql(f"(CAST(({expr}) AS TIMESTAMP))", 0))]
+    if field == "MICROSECOND":
+        # MySQL extracts the fractional-second field; Spark's native
+        # extract has no MICROSECOND
+        return [(
+            "code",
+            f"CAST(unix_micros(CAST(({expr}) AS TIMESTAMP)) % 1000000"
+            f" AS INT)",
+        )]
     return None
 
 
@@ -1646,6 +1687,19 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     hit = _get_format_func(inner)
                     if hit is not None:
                         out.extend(hit)
+                        i = close + 1
+                        continue
+                if upper == "TIME":
+                    # TIME(expr) = CAST(expr AS TIME) (the reference
+                    # maps it to Func_time, funcexp.cpp:190); Spark has
+                    # no TIME type, so the shared cast_time fragment
+                    # renders the canonical 'HH:MM:SS' string.  DDL
+                    # TIME(n) column types never reach this rewriter
+                    # (CREATE goes through the ddl grammar).
+                    targs = _split_args(inner)
+                    if len(targs) == 1 and targs[0]:
+                        e = "(" + render(targs[0]).strip() + ")"
+                        out.append(("code", _cast_time_sql(e)))
                         i = close + 1
                         continue
                 if upper == "TRIM":

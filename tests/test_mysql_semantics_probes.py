@@ -179,6 +179,15 @@ PROBES = [
     ("5 DIV 0", None),
     ("LAST_DAY('2004-02-05')", "2004-02-29"),
     ("TIMESTAMPDIFF(YEAR, '2002-05-01', '2001-01-01')", -1),
+    # --- TIMEDIFF over TIME and DATETIME operands, TIME() extraction,
+    # EXTRACT(MICROSECOND) ---
+    ("TIMEDIFF('08:59:40', '07:00:10')", "01:59:30"),
+    ("TIMEDIFF('2000-01-01 00:00:00', '2000-01-01 00:00:00.000001')",
+     "-00:00:00.000001"),
+    ("TIMEDIFF(NULL, '07:00:10')", None),
+    ("TIME('2003-12-31 01:02:03')", "01:02:03"),
+    ("TIME('8:3:2')", "08:03:02"),
+    ("EXTRACT(MICROSECOND FROM '2003-01-02 10:30:00.000123')", 123),
 ]
 
 #: probes whose MySQL-exact form is deliberately deferred —
