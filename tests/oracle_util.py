@@ -246,6 +246,28 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
             type_diffs
         )
 
+    # Arrow-nullability parity (VERDICT r09 #1c) — DIAGNOSTIC, not a
+    # failure: hash-green counterexamples exist (mysql_dialect_query's
+    # n_orders is Spark not-null vs DuckDB nullable and attested green
+    # r06/r09), so field nullability is provably NOT a driver-hash
+    # channel.  Reported so the mirror can still SEE the last
+    # schema-level divergence class when triaging a red row.
+    sp_null = {f.name: f.nullable for f in spark_df.schema.fields}
+    du_null = {
+        arrow.schema.field(i).name: arrow.schema.field(i).nullable
+        for i in range(len(arrow.schema))
+    }
+    null_diffs = [
+        f"{c}(spark={'null' if sp_null[c] else 'not null'})"
+        for c in sp_cols
+        if sp_null[c] != du_null[c]
+    ]
+    null_note = (
+        f" [nullability diff, diagnostic: {', '.join(null_diffs)}]"
+        if null_diffs
+        else ""
+    )
+
     if len(sp_rows) != len(du_rows):
         return False, f"row count mismatch: spark={len(sp_rows)} duck={len(du_rows)}"
 
@@ -264,4 +286,4 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     if sp_set != du_set:
         diff = [(a, b) for a, b in zip(sp_set, du_set) if a != b][:3]
         return False, f"value mismatch, first diffs: {diff}"
-    return True, "ok"
+    return True, "ok" + null_note
