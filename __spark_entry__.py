@@ -76,30 +76,17 @@ SF0_001 = "/root/testdata/sf0.001"
 # slotted directly after the stalest block so they get first verdicts in
 # the same window.
 _PRIORITY = [
-    # ── r09 window leads: the r08 red row (root-caused to the tz-aware
-    # AS DATETIME type, now TIMESTAMP_NTZ — VERDICT r08 #1), then the
-    # two round-9 queries awaiting first verdicts ──
+    # ── r10 window leads: the two driver-red dialect rows after the
+    # channel-elimination fix (VERDICT r09 #1 — decimal(20,0) outputs
+    # now render →VARCHAR on both sides), then the three queries whose
+    # semantics/oracles materially changed this round and need fresh
+    # verdicts (func_cast: string-prefix CAST + oracle; func_time:
+    # TIME_FORMAT now renders from TIME seconds; func_datetime:
+    # UNIX_TIMESTAMP via timestamp try_cast) ──
     "mysql_dialect_cast", "mysql_dialect_functions",
-    "ann_ivfpq_topk_pretrained",
-    # ── latest driver row r05 (47 queries, the stalest tier) ──
-    "ref_pm_join_ranges", "ref_um_join_ranges",
-    "ref_single_avg", "ref_groupby_minmax_str", "ref_count_int_probe",
-    "ref_global_min", "ref_full_count", "ref_star_self_join",
-    "ref_multi_pred_max", "ref_minmax_join", "ref_part_probe",
-    "ref_var_driven_report", "dedup_exact_incremental",
-    "dedup_minhash_incremental", "ann_batch_topk", "embedding_kmeans",
-    "cluster_balanced_sample", "multi_table_dml", "streaming_dedup_ingest",
-    "text_repetition", "text_window_dedup", "func_cast", "dml_lifecycle",
-    "mysql_dml_statements", "system_catalog", "multimodal_features",
-    "text_classifier_quality", "embedding_pq", "ann_ivfpq_topk",
-    "dataset_stratified_split", "streaming_click_view_join",
-    "streaming_running_totals", "dedup_semantic", "streaming_ann_ingest",
-    "char_null_semantics", "dedup_semantic_incremental", "dedup_hybrid",
-    "xml_load_roundtrip", "events_variant_props", "pivot_unpivot_roundtrip",
-    "lateral_topn_per_group", "extent_elimination_scan", "mysql_ddl_alter",
-    "mysql_dialect_query", "bulk_load_csv_roundtrip", "dedup_exact",
-    "dedup_minhash_portable",
-    # ── latest driver row r06 (50 queries) ──
+    "func_cast", "func_time", "func_datetime",
+    # ── latest driver row r06 (50 queries, the stalest tier —
+    # VERDICT r09 #8: this tier leads r10) ──
     "q1_pricing_summary", "scan_filter_project",
     "filter_between_in_like", "filter_regexp_null", "filter_col_vs_col",
     "filter_expression", "constant_select", "groupby_join_agg",
@@ -115,7 +102,7 @@ _PRIORITY = [
     "window_agg_frame", "window_range_frame", "window_navigation",
     "window_stats", "window_distinct_agg", "percentiles_within_group",
     "window_regr", "func_math", "ann_recall_attest",
-    # ── latest driver row r07 (49 queries) ──
+    # ── latest driver row r07 (next-stalest) ──
     "text_lang_id",
     "concurrent_dml_disjoint", "manifest_sharded_scan", "dedup_keep_best",
     "streaming_quality_gate", "dedup_keep_best_incremental",
@@ -130,10 +117,10 @@ _PRIORITY = [
     "ref_filter_count", "ref_small_side_count", "ref_outer_left",
     "ref_outer_right", "ref_ordered_hint_join", "ref_pricing_summary",
     "ref_part_join_count", "ref_join_agg", "ref_discount_groups",
-    "part_lineitem_agg", "func_time", "mysql_dialect_datetime",
+    "part_lineitem_agg", "mysql_dialect_datetime",
     "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
-    "func_string", "func_datetime", "func_control", "func_json",
-    # ── latest driver row r08 (freshest) ──
+    "func_string", "func_control", "func_json",
+    # ── latest driver row r08 ──
     "dedup_ngram_jaccard", "dedup_simhash", "mysql_dialect_interval",
     "tpch_q1", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
     "dedup_simhash_portable", "ann_cosine_topk", "ann_lsh_topk",
@@ -149,6 +136,25 @@ _PRIORITY = [
     "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q22", "events_sliding_window",
     "events_json_funnel", "ref_scan_range_order", "ref_point_lookup",
     "ref_agg_battery_wide",
+    # ── latest driver row r09 (freshest tier) ──
+    "ann_ivfpq_topk_pretrained",
+    "ref_pm_join_ranges", "ref_um_join_ranges",
+    "ref_single_avg", "ref_groupby_minmax_str", "ref_count_int_probe",
+    "ref_global_min", "ref_full_count", "ref_star_self_join",
+    "ref_multi_pred_max", "ref_minmax_join", "ref_part_probe",
+    "ref_var_driven_report", "dedup_exact_incremental",
+    "dedup_minhash_incremental", "ann_batch_topk", "embedding_kmeans",
+    "cluster_balanced_sample", "multi_table_dml", "streaming_dedup_ingest",
+    "text_repetition", "text_window_dedup", "dml_lifecycle",
+    "mysql_dml_statements", "system_catalog", "multimodal_features",
+    "text_classifier_quality", "embedding_pq", "ann_ivfpq_topk",
+    "dataset_stratified_split", "streaming_click_view_join",
+    "streaming_running_totals", "dedup_semantic", "streaming_ann_ingest",
+    "char_null_semantics", "dedup_semantic_incremental", "dedup_hybrid",
+    "xml_load_roundtrip", "events_variant_props", "pivot_unpivot_roundtrip",
+    "lateral_topn_per_group", "extent_elimination_scan", "mysql_ddl_alter",
+    "mysql_dialect_query", "bulk_load_csv_roundtrip", "dedup_exact",
+    "dedup_minhash_portable",
 ]
 
 

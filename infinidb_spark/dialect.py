@@ -48,6 +48,8 @@ from infinidb_spark.functions.mysql_format import (
     GET_FORMAT_TABLE,
     mysql_datetime_format_to_spark,
     mysql_datetime_format_to_spark_chunks,
+    mysql_format_has_time,
+    mysql_parse_format_to_spark,
 )
 
 Token = tuple[str, str]  # (kind, text); kind ∈ ws|comment|string|bident|word|number|sym|code
@@ -260,12 +262,25 @@ def _cast_int_sql(e: str, target: str) -> str:
     # type), sv_ re-parsed as TIMESTAMP for the temporal packs.
     sv = "CAST(v_ AS STRING)"
     tsv = f"try_cast({sv} AS TIMESTAMP)"
-    d = f"try_cast({sv} AS DOUBLE)"
     s = f"trim({sv})"
+    # PREFIX parse for strings (atoll/strtoul, func_cast.cpp:144/253):
+    # 'abc' → 0, '12abc' → 12, '-12.7xyz' → −12 — regexp_extract pulls
+    # the leading numeric (bound once: the double-truncate branch reads
+    # it three times); no prefix at all → 0, never NULL.  Mirrors
+    # registry.py cast_signed/cast_unsigned.
+    d = "try_cast(p_ AS DOUBLE)"
     trunc = f"(CASE WHEN {d} >= 0 THEN floor({d}) ELSE ceil({d}) END)"
+    pfx = f"regexp_extract({s}, '^[+-]?[0-9]+([.][0-9]+)?', 0)"
     str_val = (
         f"(CASE WHEN {s} RLIKE '^[+-]?[0-9]+$' THEN try_cast({s} AS {inner})"
-        f" ELSE try_cast({trunc} AS {inner}) END)"
+        " ELSE "
+        + _bind1(
+            pfx, "p_",
+            f"(CASE WHEN p_ = '' THEN CAST(0 AS {inner})"
+            f" WHEN p_ RLIKE '^[+-]?[0-9]+$' THEN try_cast(p_ AS {inner})"
+            f" ELSE try_cast({trunc} AS {inner}) END)",
+        )
+        + " END)"
     )
     # temporal input packs to MySQL's numeric render (YYYYMMDD /
     # YYYYMMDDHHMMSS, dataconvert.h), NOT epoch seconds; the re-parsed
@@ -380,6 +395,30 @@ def _truncate_func(inner: list[Token]) -> list[Token]:
     mag = "(floor(abs(x_) * pow(10.0, d_)) / pow(10.0, d_))"
     body = f"(CASE WHEN x_ < 0 THEN -{mag} ELSE {mag} END)"
     return [("code", _bind1(x, "x_", _bind1(f"({dtext})", "d_", body)))]
+
+
+def _domain_guard_func(name: str, inner: list[Token]) -> list[Token] | None:
+    """SQRT/ASIN/ACOS with MySQL's NULL-out-of-domain semantics (ref
+    func_math.cpp:969-972: SQRT of a negative is NULL, ASIN/ACOS
+    outside [−1,1] are NULL; Spark returns NaN, which silently poisons
+    aggregates).  The guard must re-emit the function name itself, so
+    re-entry is detected via the bound variable the guard introduced
+    (sr_/an_/ar_): when the sole argument renders exactly as that
+    variable, the call IS our own guarded output — return None to pass
+    it through untouched and keep the translator idempotent."""
+    var = {"SQRT": "sr_", "ASIN": "an_", "ACOS": "ar_"}[name]
+    args = _split_args(inner)
+    if len(args) != 1:
+        raise DialectError(f"{name} expects 1 argument")
+    arg = render(args[0]).strip()
+    if arg == var:
+        return None
+    cond = f"{var} < 0" if name == "SQRT" else f"abs({var}) > 1"
+    body = (
+        f"(CASE WHEN {cond} THEN CAST(NULL AS DOUBLE)"
+        f" ELSE {name.lower()}({var}) END)"
+    )
+    return [("code", _bind1(f"({arg})", var, body))]
 
 
 def _addsubtime_sql(plus: bool) -> str:
@@ -501,16 +540,98 @@ def _cast_frag(expr_toks: list[Token], tpart: list[Token], k: int) -> str | None
     return f"substring({s}, 1, {n})" if n else s
 
 
+#: TIME_FORMAT tokens renderable from TIME seconds (func_time_format.cpp)
+_TIME_FMT_SQL_TOKENS = frozenset("HhIiklprSsTf%")
+
+
+def _time_format_sql(x: str, fmt: str) -> str:
+    """TIME_FORMAT(x, fmt) over a MySQL TIME VALUE for pure-time-token
+    formats (ref func_time_format.cpp): hours may exceed 24 or be
+    negative, so rendering reads the value's seconds — %H/%k show the
+    full hour count ('100'), %h/%I/%l are mod-12 with 0 → 12.  Mirrors
+    registry.time_format; format_string('%02d') because lpad TRUNCATES
+    a 3-digit hour field."""
+    ts = "try_cast(tf_ AS TIMESTAMP)"
+    is_dt = (
+        f"({ts} IS NOT NULL AND trim(CAST(tf_ AS STRING)) RLIKE"
+        f" '^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?')"
+    )
+    secs = _bind1(
+        x, "tf_",
+        f"(CASE WHEN {is_dt} THEN CAST(hour({ts}) * 3600 + minute({ts}) * 60"
+        f" + second({ts}) AS DECIMAL(17,6))"
+        f" ELSE {_time_secs_sql('tf_')} END)",
+    )
+    sign = "(CASE WHEN s_ < 0 THEN '-' ELSE '' END)"
+    h = "CAST(abs(s_) DIV 3600 AS BIGINT)"
+    mi = "CAST((abs(s_) % 3600) DIV 60 AS BIGINT)"
+    se = "CAST(floor(abs(s_) % 60) AS BIGINT)"
+    micros = "CAST(round((abs(s_) % 1) * 1000000, 0) AS BIGINT)"
+    h12 = f"(CASE WHEN {h} % 12 = 0 THEN 12 ELSE {h} % 12 END)"
+    ampm = f"(CASE WHEN ({h} % 24) < 12 THEN 'AM' ELSE 'PM' END)"
+    parts: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i + 1]
+            if tok == "H":
+                parts.append(f"concat({sign}, format_string('%02d', {h}))")
+            elif tok == "k":
+                parts.append(f"concat({sign}, CAST({h} AS STRING))")
+            elif tok in ("h", "I"):
+                parts.append(f"format_string('%02d', {h12})")
+            elif tok == "l":
+                parts.append(f"CAST({h12} AS STRING)")
+            elif tok == "i":
+                parts.append(f"format_string('%02d', {mi})")
+            elif tok in ("s", "S"):
+                parts.append(f"format_string('%02d', {se})")
+            elif tok == "f":
+                parts.append(f"format_string('%06d', {micros})")
+            elif tok == "p":
+                parts.append(ampm)
+            elif tok == "r":
+                parts.append(
+                    f"concat(format_string('%02d:%02d:%02d', {h12}, {mi},"
+                    f" {se}), ' ', {ampm})"
+                )
+            elif tok == "T":
+                parts.append(
+                    f"concat({sign}, format_string('%02d:%02d:%02d', {h},"
+                    f" {mi}, {se}))"
+                )
+            else:  # %% and unknown tokens render literally
+                parts.append(_sql_str(tok))
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            parts.append(_sql_str(fmt[i:j]))
+            i = j
+    body = f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
+    return _bind1(
+        secs, "s_",
+        f"(CASE WHEN s_ IS NULL THEN CAST(NULL AS STRING) ELSE {body} END)",
+    )
+
+
 def _timediff_sql() -> str:
     """TIMEDIFF(a, b) = a − b as a MySQL TIME string with microseconds
     (func_timediff.cpp).  Each operand reads as a DATETIME when it
     LOOKS like one (unix_micros), else as a TIME value through
     ``_time_secs_sql`` ('8:59:40', packed 85940, fractional seconds) —
     the old template ran both through unix_timestamp, which NULLs on
-    TIME strings and rendered the literal text 'null:null:null'.  The
-    fraction appears only when nonzero; NULL operands yield NULL."""
+    TIME strings and rendered the literal text 'null:null:null'.
 
-    def micros(ph: str, var: str) -> str:
+    Each operand's classification binds ONCE into a (flag, micros)
+    struct: MIXED operand types (one DATETIME-looking, one TIME) are
+    NULL like MySQL — the old per-operand classification subtracted
+    epoch micros from time-of-day micros and returned a huge bogus
+    duration.  The result clamps to MySQL's TIME range ±838:59:59.
+    999999.  The fraction appears only when nonzero; NULL → NULL."""
+
+    def opnd(ph: str, var: str) -> str:
         ts = f"try_cast({var} AS TIMESTAMP)"
         is_dt = (
             f"({ts} IS NOT NULL AND trim(CAST({var} AS STRING)) RLIKE"
@@ -518,12 +639,26 @@ def _timediff_sql() -> str:
         )
         return _bind1(
             ph, var,
-            f"(CASE WHEN {is_dt} THEN CAST(unix_micros({ts}) AS DECIMAL(20,0))"
+            f"named_struct('d', (CASE WHEN {is_dt} THEN 1 ELSE 0 END),"
+            f" 'u', (CASE WHEN {is_dt}"
+            f" THEN CAST(unix_micros({ts}) AS DECIMAL(20,0))"
             f" ELSE CAST({_time_secs_sql(var)} * 1000000 AS DECIMAL(20,0))"
-            f" END)",
+            f" END))",
         )
 
-    diff = f"({micros('{0}', 'ta_')} - {micros('{1}', 'tb_')})"
+    pair = f"named_struct('x', {opnd('{0}', 'ta_')}, 'y', {opnd('{1}', 'tb_')})"
+    raw = _bind1(
+        pair, "tp_",
+        "(CASE WHEN tp_.x.d <> tp_.y.d THEN CAST(NULL AS DECIMAL(21,0))"
+        " ELSE tp_.x.u - tp_.y.u END)",
+    )
+    lim = 838 * 3600000000 + 59 * 60000000 + 59 * 1000000 + 999999
+    clamped = _bind1(
+        raw, "tu_",
+        f"(CASE WHEN tu_ > {lim} THEN CAST({lim} AS DECIMAL(21,0))"
+        f" WHEN tu_ < -{lim} THEN CAST(-{lim} AS DECIMAL(21,0))"
+        f" ELSE tu_ END)",
+    )
     render_body = (
         "concat(CASE WHEN td_ < 0 THEN '-' ELSE '' END,"
         " format_string('%02d:%02d:%02d',"
@@ -535,7 +670,7 @@ def _timediff_sql() -> str:
         " ELSE '' END)"
     )
     return _bind1(
-        diff, "td_",
+        clamped, "td_",
         f"(CASE WHEN td_ IS NULL THEN CAST(NULL AS STRING)"
         f" ELSE {render_body} END)",
     )
@@ -1016,6 +1151,44 @@ def _fmt_func(name: str, inner: list[Token]) -> list[Token]:
     if len(fmt_toks) != 1 or fmt_toks[0][0] != "string":
         raise DialectError(f"{name}: format must be a string literal to translate")
     fmt = _unquote(fmt_toks[0][1])
+    if name == "STR_TO_DATE":
+        # MySQL STR_TO_DATE parses with a LENIENT format scan
+        # (func_str_to_date.cpp accepts 1-2 digit numeric fields and
+        # month names) and returns NULL on unparseable input:
+        # try_to_timestamp (to_timestamp raises under ANSI) parsed in
+        # the UTC session zone, then re-typed by the format's fields —
+        # time tokens → zoneless DATETIME (TIMESTAMP_NTZ,
+        # field-preserving under session tz = UTC), date-only format →
+        # DATE.  Same shape as the registry's str_to_date builder.
+        try:
+            pattern = mysql_parse_format_to_spark(fmt)
+        except ValueError as ex:
+            raise DialectError(
+                f"{name}: {ex} — use the Column-level registry builder"
+                " for composed tokens"
+            ) from ex
+        target = "TIMESTAMP_NTZ" if mysql_format_has_time(fmt) else "DATE"
+        # input-side whitespace normalization, the twin of the pattern-
+        # literal normalization (MYSQL_PARSE_INPUT_NORM): collapse runs,
+        # drop whitespace after punctuation — MySQL's scan skips it
+        norm = f"trim(CAST(({render(args[0]).strip()}) AS STRING))"
+        norm = f"regexp_replace({norm}, '\\\\s+', ' ')"
+        norm = f"regexp_replace({norm}, '([^0-9A-Za-z]) ', '$1')"
+        text = (
+            f"try_cast(try_to_timestamp({norm},"
+            f" {_sql_str(pattern)}) AS {target})"
+        )
+        return [("code", text)]
+    if name == "TIME_FORMAT":
+        toks = {fmt[i + 1] for i in range(len(fmt) - 1) if fmt[i] == "%"}
+        if toks and not (toks - _TIME_FMT_SQL_TOKENS):
+            # pure time-token format renders from the operand's TIME
+            # seconds — a timestamp cast NULLs every >24 h TIME value
+            # ('100:00:00'), func_time_format.cpp
+            return [(
+                "code",
+                _time_format_sql(f"({render(args[0]).strip()})", fmt),
+            )]
     try:
         pattern = mysql_datetime_format_to_spark(fmt)
     except ValueError as ex:
@@ -1027,17 +1200,6 @@ def _fmt_func(name: str, inner: list[Token]) -> list[Token]:
         raise DialectError(
             f"{name}: {ex} — use the Column-level registry builder for composed tokens"
         ) from ex
-    if name == "STR_TO_DATE":
-        # MySQL STR_TO_DATE returns a zoneless DATETIME and NULL on
-        # unparseable input: try_to_timestamp (to_timestamp raises
-        # under ANSI) parsed in the UTC session zone, then re-typed
-        # TIMESTAMP_NTZ (field-preserving under session tz = UTC) —
-        # same shape as the registry's str_to_date builder
-        text = (
-            f"try_cast(try_to_timestamp({render(args[0]).strip()},"
-            f" {_sql_str(pattern)}) AS TIMESTAMP_NTZ)"
-        )
-        return [("code", text)]
     text = f"{_FMT_FUNCS[name]}({render(args[0]).strip()}, {_sql_str(pattern)})"
     return [("code", text)]
 
@@ -1263,6 +1425,23 @@ def _rewrite(toks: list[Token]) -> list[Token]:
             if _re.fullmatch(r"[bB][01]+", adj):
                 out.append(("code", _bits_to_hex(adj[1:])))
                 i += 2
+                continue
+        if kind == "number" and case_stack and case_stack[-1]:
+            pv = _prev_code(toks, i)
+            nx = _next_code(toks, i + 1)
+            if (
+                pv is not None and toks[pv][0] == "word"
+                and toks[pv][1].upper() == "WHEN"
+                and nx is not None and toks[nx][0] == "word"
+                and toks[nx][1].upper() == "THEN"
+            ):
+                # searched CASE WHEN <number> THEN: MySQL numeric
+                # truthiness reads nonzero as true (sql item_cmpfunc
+                # val_bool); Spark's analyzer rejects a non-boolean
+                # condition outright.  Value-form CASE x WHEN 1 keeps
+                # the literal as a comparison operand (case_stack).
+                out.append(("code", f"(({text}) <> 0)"))
+                i += 1
                 continue
         if kind == "word":
             upper = text.upper()
@@ -1734,6 +1913,45 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     out.extend(_truncate_func(inner))
                     i = close + 1
                     continue
+                if upper == "ATAN":
+                    # the reference registers atan AND atan2 to the
+                    # same functor and dispatches on parm.size()
+                    # (funcexp.cpp:78-79, func_math.cpp:294-300):
+                    # ATAN(y, x) = ATAN2(y, x).  1-arg passes through
+                    # (Spark-native atan).
+                    aargs = _split_args(inner)
+                    if len(aargs) == 2:
+                        out.append((
+                            "code",
+                            f"atan2({_arg_text(aargs[0])},"
+                            f" {_arg_text(aargs[1])})",
+                        ))
+                        i = close + 1
+                        continue
+                if upper in ("SQRT", "ASIN", "ACOS"):
+                    hit = _domain_guard_func(upper, inner)
+                    if hit is not None:
+                        out.extend(hit)
+                        i = close + 1
+                        continue
+                if upper == "UNIX_TIMESTAMP":
+                    # date-only STRING operands NULL under Spark's
+                    # default 'yyyy-MM-dd HH:mm:ss' pattern; MySQL
+                    # converts the operand to DATETIME first
+                    # (func_unix_timestamp.cpp) — a timestamp try_cast
+                    # accepts both.  unix_seconds avoids re-emitting
+                    # the matched name (translator idempotency).
+                    uargs = _split_args(inner)
+                    if len(uargs) == 1 and any(
+                        t[0] not in ("ws", "comment") for t in uargs[0]
+                    ):
+                        out.append((
+                            "code",
+                            f"unix_seconds(try_cast(CAST({_arg_text(uargs[0])}"
+                            f" AS STRING) AS TIMESTAMP))",
+                        ))
+                        i = close + 1
+                        continue
                 if upper == "FIELD":
                     # bonus beyond the reference FuncMap (it lacks
                     # FIELD; MySQL migrations use it for custom sort

@@ -110,6 +110,109 @@ def mysql_datetime_format_to_spark_chunks(fmt: str) -> list[str]:
     return chunks or [""]
 
 
+#: parse-side overlay: MySQL's format scan (ref func_str_to_date.cpp)
+#: accepts 1-2 digit numeric fields ('%d' reads '1' AND '01'), where the
+#: render-side 2-letter Java patterns are FIXED-width and reject '1,5'.
+#: Single-letter Java numeric patterns parse 1-2 digits, so parsing maps
+#: through these.  %y stays 'yy' (single 'y' reads '13' as year 13, not
+#: 2013); %f stays 'SSSSSS'.
+_PARSE_TOKENS: dict[str, str] = {
+    "d": "d", "e": "d", "m": "M", "c": "M", "Y": "y", "j": "D",
+    "H": "H", "k": "H", "h": "h", "I": "h", "l": "h",
+    "i": "m", "s": "s", "S": "s", "T": "H:m:s", "r": "h:m:s a",
+}
+
+#: tokens that carry time-of-day: a format with NONE of these makes
+#: STR_TO_DATE return a DATE, not a DATETIME (func_str_to_date.cpp —
+#: MySQL types the result by which fields the format populates).
+_TIME_PART_TOKENS = frozenset("fHhIiklprSsT")
+
+
+def mysql_format_has_time(fmt: str) -> bool:
+    """True when the MySQL format string contains any time-part token."""
+    i = 0
+    while i < len(fmt) - 1:
+        if fmt[i] == "%":
+            if fmt[i + 1] in _TIME_PART_TOKENS:
+                return True
+            i += 2
+        else:
+            i += 1
+    return False
+
+
+def mysql_parse_format_to_spark(fmt: str) -> str:
+    """Translate a MySQL format string to a Spark pattern for PARSING
+    (STR_TO_DATE): numeric fields map to lenient single-letter Java
+    patterns that accept 1-2 digits, matching MySQL's format scan.
+
+    Falls back to the strict (fixed-width) translation when any two
+    fields are ADJACENT in the format ('%Y%m%d'): Java resolves
+    adjacent numeric fields only when their widths are fixed, so
+    '20130501' needs 'yyyyMMdd' — leniency there would break parsing
+    entirely.  Raises ``ValueError`` for composed tokens, same as the
+    strict path."""
+    import re as _re2
+
+    pieces = _translate_pieces(fmt)
+    adjacent = any(
+        pieces[i][0] and pieces[i + 1][0] for i in range(len(pieces) - 1)
+    )
+    if adjacent:
+        return mysql_datetime_format_to_spark(fmt)
+    out: list[str] = []
+    i = 0
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            s = "".join(lit)
+            # MySQL's scan skips input whitespace around delimiters
+            # ('May 1, 2013' parses under '%M %d,%Y'); Java literals
+            # are exact.  Normalize pattern literals the same way
+            # STR_TO_DATE normalizes its input (see
+            # mysql_parse_input_norm): collapse whitespace runs,
+            # drop whitespace after punctuation.
+            s = _re2.sub(r"\s+", " ", s)
+            s = _re2.sub(r"([^0-9A-Za-z]) ", r"\1", s)
+            if any(c.isalpha() for c in s) or "'" in s:
+                out.append("'" + s.replace("'", "''") + "'")
+            elif s:
+                out.append(s)
+            lit.clear()
+
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            tok = fmt[i + 1]
+            lenient = _PARSE_TOKENS.get(tok)
+            mapped = _TOKENS.get(tok)
+            if mapped is None and tok in _TOKENS:
+                raise ValueError(f"MySQL token %{tok} needs expression composition")
+            flush()
+            if lenient is not None:
+                out.append(lenient)
+            elif mapped is not None:
+                out.append(mapped)
+            else:
+                lit.append(tok)
+            i += 2
+        else:
+            lit.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+#: the input-side twin of the pattern-literal normalization in
+#: mysql_parse_format_to_spark: (collapse-ws regex, drop-ws-after-punct
+#: regex with '$1' replacement) applied in that order before parsing.
+MYSQL_PARSE_INPUT_NORM: tuple[tuple[str, str], ...] = (
+    (r"\s+", " "),
+    (r"([^0-9A-Za-z]) ", r"$1"),
+)
+
+
 def mysql_datetime_format_to_spark(fmt: str) -> str:
     """Translate a MySQL format string to ONE Spark datetime pattern.
 

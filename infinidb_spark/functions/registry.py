@@ -30,8 +30,11 @@ from pyspark.sql import functions as F
 
 from infinidb_spark.functions import intervals as _iv
 from infinidb_spark.functions.mysql_format import (
+    MYSQL_PARSE_INPUT_NORM,
     mysql_datetime_format_to_spark,
     mysql_datetime_format_to_spark_chunks,
+    mysql_format_has_time,
+    mysql_parse_format_to_spark,
 )
 
 FUNC_MAP: dict[str, Callable[..., Column]] = {}
@@ -61,14 +64,45 @@ def _c(x) -> Column:
 # ---------------------------------------------------------------------------
 
 for _n, _f in {
-    "abs": F.abs, "acos": F.acos, "asin": F.asin, "atan": F.atan,
+    "abs": F.abs,
     "cos": F.cos, "cot": F.cot, "degrees": F.degrees, "exp": F.exp,
     "floor": F.floor, "ln": F.log, "log2": F.log2, "log10": F.log10,
-    "radians": F.radians, "sqrt": F.sqrt, "sin": F.sin,
+    "radians": F.radians, "sin": F.sin,
     "tan": F.tan, "ceil": F.ceil, "ceiling": F.ceil, "crc32": F.crc32,
     "hex": F.hex, "unhex": F.unhex, "rand": F.rand,
 }.items():
     FUNC_MAP[_n] = _f
+
+
+@_reg("sqrt")
+def sqrt_(x) -> Column:
+    # MySQL and the reference return NULL for a negative operand
+    # (func_math.cpp:969-972 `if (isNull || value < 0) isNull = true`);
+    # bare F.sqrt returns NaN, which silently poisons aggregates.
+    # when() without otherwise → NULL for negatives AND NULL input.
+    v = _c(x)
+    return F.when(v >= 0, F.sqrt(v))
+
+
+@_reg("asin")
+def asin_(x) -> Column:
+    # out-of-domain |x| > 1 is NULL in MySQL/reference, NaN in Spark
+    v = _c(x)
+    return F.when((v >= -1) & (v <= 1), F.asin(v))
+
+
+@_reg("acos")
+def acos_(x) -> Column:
+    v = _c(x)
+    return F.when((v >= -1) & (v <= 1), F.acos(v))
+
+
+@_reg("atan")
+def atan_(y, x=None) -> Column:
+    # the reference registers atan AND atan2 to the same functor and
+    # dispatches on parm.size() (funcexp.cpp:78-79, func_math.cpp:
+    # 294-300): ATAN(y, x) is ATAN2(y, x)
+    return F.atan(_c(y)) if x is None else F.atan2(_c(y), _c(x))
 
 
 @_reg("sign")
@@ -324,9 +358,23 @@ for _n, _f in {
     "hour": F.hour, "last_day": F.last_day,
     "minute": F.minute, "month": F.month, "quarter": F.quarter,
     "second": F.second, "year": F.year, "weekofyear": F.weekofyear,
-    "unix_timestamp": F.unix_timestamp, "from_unixtime": F.from_unixtime,
+    "from_unixtime": F.from_unixtime,
 }.items():
     FUNC_MAP[_n] = _f
+
+
+@_reg("unix_timestamp")
+def unix_timestamp_(c=None, fmt: str | None = None) -> Column:
+    # UNIX_TIMESTAMP('1970-01-02') — a date-only STRING — is 86400 in
+    # MySQL (func_unix_timestamp.cpp converts the operand to DATETIME
+    # first); F.unix_timestamp's default 'yyyy-MM-dd HH:mm:ss' pattern
+    # NULLed it.  A timestamp try_cast accepts date-only AND full
+    # datetime strings; an explicit caller format keeps the old path.
+    if c is None:
+        return F.unix_timestamp()
+    if fmt is not None:
+        return F.unix_timestamp(_c(c), fmt)
+    return F.unix_timestamp(_c(c).try_cast("string").try_cast("timestamp"))
 
 
 @_reg("microsecond")
@@ -624,20 +672,106 @@ def date_format_mysql(c, fmt: str) -> Column:
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
+#: TIME_FORMAT tokens renderable from a TIME value's seconds (the only
+#: tokens MySQL defines for TIME_FORMAT, func_time_format.cpp)
+_TIME_FMT_TOKENS = frozenset("HhIiklprSsTf%")
+
+
 @_reg("time_format")
 def time_format(c, fmt: str) -> Column:
-    return date_format_mysql(c, fmt)
+    """TIME_FORMAT over a MySQL TIME VALUE (ref func_time_format.cpp):
+    the operand converts to TIME — which may exceed 24 h or be negative
+    ('100:00:00') — so rendering goes through the value's seconds, not
+    a timestamp (a timestamp cast NULLed every >24 h TIME).  %H/%k show
+    the full hour count; %h/%I/%l are mod-12 (0 → 12).  Formats with
+    date tokens keep the datetime path (MySQL renders zeros for date
+    fields of a TIME; callers passing datetimes get full rendering)."""
+    toks = {fmt[i + 1] for i in range(len(fmt) - 1) if fmt[i] == "%"}
+    if toks - _TIME_FMT_TOKENS:
+        return date_format_mysql(c, fmt)
+    v = _c(c)
+    sv = F.trim(v.try_cast("string"))
+    ts = sv.try_cast("timestamp")
+    # datetime-looking input takes its time-of-day (same gate as
+    # cast_time); everything else reads as a TIME value
+    looks_dt = ts.isNotNull() & sv.rlike(
+        "^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?"
+    )
+    secs = F.when(
+        looks_dt,
+        (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast(
+            "decimal(17,6)"
+        ),
+    ).otherwise(_time_value_secs(v))
+    a = F.abs(secs)
+    sign = F.when(secs < 0, F.lit("-")).otherwise(F.lit(""))
+    h = F.floor(a / 3600).cast("bigint")
+    mi = F.floor((a % 3600) / 60).cast("bigint")
+    se = F.floor(a % 60).cast("bigint")
+    micros = F.round((a % 1) * 1000000, 0).cast("bigint")
+    h12 = F.when(h % 12 == 0, F.lit(12)).otherwise(h % 12)
+    ampm = F.when((h % 24) < 12, F.lit("AM")).otherwise(F.lit("PM"))
+    # format_string('%02d'), not lpad: lpad TRUNCATES a 3-digit hour
+    parts: list[Column] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i + 1]
+            if tok == "H":
+                parts.append(F.concat(sign, F.format_string("%02d", h)))
+            elif tok == "k":
+                parts.append(F.concat(sign, h.cast("string")))
+            elif tok in ("h", "I"):
+                parts.append(F.format_string("%02d", h12))
+            elif tok == "l":
+                parts.append(h12.cast("string"))
+            elif tok == "i":
+                parts.append(F.format_string("%02d", mi))
+            elif tok in ("s", "S"):
+                parts.append(F.format_string("%02d", se))
+            elif tok == "f":
+                parts.append(F.format_string("%06d", micros))
+            elif tok == "p":
+                parts.append(ampm)
+            elif tok == "r":
+                parts.append(
+                    F.concat(
+                        F.format_string("%02d:%02d:%02d", h12, mi, se),
+                        F.lit(" "), ampm,
+                    )
+                )
+            elif tok == "T":
+                parts.append(
+                    F.concat(sign, F.format_string("%02d:%02d:%02d", h, mi, se))
+                )
+            else:  # %% and unknown tokens render literally
+                parts.append(F.lit(tok))
+            i += 2
+        else:
+            parts.append(F.lit(fmt[i]))
+            i += 1
+    body = F.concat(*parts) if len(parts) > 1 else parts[0]
+    # NULL/invalid TIME → NULL (concat of literals would mask it)
+    return F.when(secs.isNotNull(), body)
 
 
 @_reg("str_to_date")
 def str_to_date(s, fmt: str) -> Column:
     # try_to_timestamp: MySQL STR_TO_DATE returns NULL on unparseable
     # input; to_timestamp raises under ANSI (the gate-session default).
-    # The ntz re-type keeps the result a zoneless MySQL DATETIME
-    # (field-preserving under the UTC session zone)
-    return F.try_to_timestamp(
-        _c(s), F.lit(mysql_datetime_format_to_spark(fmt))
-    ).try_cast("timestamp_ntz")
+    # The PARSE-variant pattern accepts non-padded numeric fields and
+    # %M/%b month names the way MySQL's format scan does
+    # (func_str_to_date.cpp: 1-2 digit numeric reads) — the strict
+    # render-side pattern rejected '01,5,2013' with '%d,%m,%Y'.
+    # Result type follows the format's fields (MySQL): time tokens →
+    # zoneless DATETIME; date-only format → DATE.
+    v = F.trim(_c(s).try_cast("string"))
+    for pat, rep in MYSQL_PARSE_INPUT_NORM:
+        v = F.regexp_replace(v, pat, rep)
+    ts = F.try_to_timestamp(v, F.lit(mysql_parse_format_to_spark(fmt)))
+    if mysql_format_has_time(fmt):
+        return ts.try_cast("timestamp_ntz")
+    return ts.try_cast("date")
 
 
 @_reg("get_format")
@@ -957,16 +1091,25 @@ def cast_signed(c) -> Column:
     # string detour for the double probe: try_cast(date AS DOUBLE) is
     # STATICALLY illegal (analysis error for the whole expression, not
     # a runtime NULL), and the temporal branches below never run
-    d = v.try_cast("string").try_cast("double")
     s = F.trim(v.try_cast("string"))
+    # MySQL's string→integer conversion is a PREFIX parse (atoll,
+    # func_cast.cpp:144): 'abc' → 0, '12abc' → 12, '-12.7xyz' → −12.
+    # regexp_extract pulls the leading numeric; no prefix at all → 0
+    # (never NULL for a non-NULL string).  [.] dodges regex escaping.
+    pfx = F.regexp_extract(s, "^[+-]?[0-9]+([.][0-9]+)?", 0)
+    d = pfx.try_cast("double")
     # run through DECIMAL(38,0) so the (2^63−1, 2^64−1] band survives
     # to the 2^64 wrap below (func_cast.cpp:234 C-cast semantics:
     # CAST(18446744073709551615 AS SIGNED) = −1) instead of NULLing
     # in a premature bigint try_cast
     trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("decimal(38,0)")
-    str_val = F.when(
-        s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(38,0)")
-    ).otherwise(trunc)
+    str_val = (
+        F.when(s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(38,0)"))
+        .when(pfx == "", F.lit(0).cast("decimal(38,0)"))
+        # integer-looking prefix casts directly (exact to 2^64)
+        .when(pfx.rlike("^[+-]?[0-9]+$"), pfx.try_cast("decimal(38,0)"))
+        .otherwise(trunc)
+    )
     # EVERY branch must be analysis-legal for EVERY static input type
     # (a CASE type-checks all branches even though typeof folds): the
     # temporal branches read fields from a string→timestamp re-parse
@@ -1015,13 +1158,18 @@ def cast_unsigned(c) -> Column:
     # UNSIGNED) = 18446744073709551615.
     v = _c(c)
     # same string detour as cast_signed: date input must not poison
-    # the expression at analysis
-    d = v.try_cast("string").try_cast("double")
+    # the expression at analysis.  Same PREFIX parse (strtoul,
+    # func_cast.cpp:253): 'abc' → 0, '12abc' → 12.
     s = F.trim(v.try_cast("string"))
+    pfx = F.regexp_extract(s, "^[+-]?[0-9]+([.][0-9]+)?", 0)
+    d = pfx.try_cast("double")
     trunc = F.when(d >= 0, F.floor(d)).otherwise(F.ceil(d)).try_cast("decimal(20,0)")
-    str_val = F.when(
-        s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(20,0)")
-    ).otherwise(trunc)
+    str_val = (
+        F.when(s.rlike("^[+-]?[0-9]+$"), s.try_cast("decimal(20,0)"))
+        .when(pfx == "", F.lit(0).cast("decimal(20,0)"))
+        .when(pfx.rlike("^[+-]?[0-9]+$"), pfx.try_cast("decimal(20,0)"))
+        .otherwise(trunc)
+    )
     # same analysis-legality rule as cast_signed: every branch via the
     # string render, exact for every numeric type
     sv = v.try_cast("string")

@@ -108,7 +108,11 @@ def asof_join(
         db = F.col("_tsl") - F.unix_micros(F.col("_mb._mts").cast("timestamp"))
         df_ = F.unix_micros(F.col("_mf._mts").cast("timestamp")) - F.col("_tsl")
         if tolerance_seconds is not None:
-            tol_us = F.lit(int(tolerance_seconds) * 1_000_000)
+            # round at the microsecond, not int(seconds): a 0.5 s
+            # tolerance truncated to 0 here while the backward/forward
+            # paths compared the float directly — inconsistent matching
+            # across directions for sub-second tolerances
+            tol_us = F.lit(int(round(tolerance_seconds * 1_000_000)))
             out = out.withColumn("_mb", F.when(db <= tol_us, F.col("_mb")))
             out = out.withColumn("_mf", F.when(df_ <= tol_us, F.col("_mf")))
         pick_b = F.col("_mf").isNull() | (

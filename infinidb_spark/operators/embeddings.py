@@ -297,13 +297,16 @@ def pq_best_expr(
     # element / short vector) must yield code NULL — the struct argmin
     # would otherwise tie on d=NULL and silently assign every corrupt
     # vector to code 0, polluting that code's Lloyd mean in training
-    # and misrepresenting the vector as a valid member when encoding
+    # and misrepresenting the vector as a valid member when encoding.
+    # The argmin binds ONCE via the transform-array idiom (dialect.
+    # _bind1): the old str.replace spliced the full m×k×d0 literal
+    # tree into BOTH CASE branches, doubling generated-code size per
+    # subspace against janino's 64 KB method cap.
     return F.expr(
-        f"(CASE WHEN best_.d IS NULL THEN"
+        f"transform(array(array_min(array({', '.join(entries)}))),"
+        f" best_ -> (CASE WHEN best_.d IS NULL THEN"
         f" named_struct('d', CAST(NULL AS DOUBLE), 'c', CAST(NULL AS INT))"
-        f" ELSE best_ END)".replace(
-            "best_", f"array_min(array({', '.join(entries)}))"
-        )
+        f" ELSE best_ END))[0]"
     )
 
 

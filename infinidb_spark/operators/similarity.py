@@ -615,11 +615,16 @@ def kmeans_fit_predict(
             by_cid.setdefault(int(r["_cid"]), {})[int(r["_d"])] = round(
                 float(r["_m"]), 9
             )
+        # a rebuilt centroid is complete only when it has a mean for
+        # EVERY dimension of the current model's vectors — max(dims)+1
+        # missed the case where the HIGHEST dim's mean was all-NULL
+        # (the dict just looked shorter), emitting a short centroid
+        # that silently skewed every subsequent assignment distance
+        expect = len(model[0][1]) if model else 0
         model = []
         for cid, dims in sorted(by_cid.items()):
-            n = max(dims) + 1
-            if len(dims) == n:
-                model.append((cid, [dims[i] for i in range(n)]))
+            if len(dims) == expect and max(dims) + 1 == expect:
+                model.append((cid, [dims[i] for i in range(expect)]))
             # else: degenerate cluster (some dim's mean was all-NULL)
             # — drop it; members re-route to surviving centroids
     best = ivf_best_expr(F.col("_v"), model)

@@ -239,7 +239,9 @@ def func_control(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS DATE)                       AS c_date,
            CAST(CAST(round(o_totalprice, 1) AS DECIMAL(18,2)) AS VARCHAR) AS c_decimal,
            printf('%.4f', CAST(o_orderkey AS DOUBLE))      AS c_double,
-           TRY_CAST(o_orderstatus AS BIGINT)               AS c_bad
+           coalesce(TRY_CAST(o_orderstatus AS BIGINT),
+                    CASE WHEN o_orderstatus IS NOT NULL
+                         THEN 0 END)                       AS c_bad
     FROM orders WHERE o_orderkey <= 300
     """,
 )
@@ -247,8 +249,9 @@ def func_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast family (ref func_cast.cpp; funcexp.cpp:83-88).
 
     MySQL CAST(double AS SIGNED) rounds half-away; DuckDB's BIGINT cast
-    rounds too — same semantics.  Bad casts → NULL (non-ANSI mode), the
-    reference's permissive MySQL behavior.
+    rounds too — same semantics.  Non-numeric strings PREFIX-parse to 0
+    (atoll, func_cast.cpp:144 — r10 fix; only NULL input stays NULL),
+    which the oracle hand-writes with coalesce.
 
     The decimal/double outputs are pinned through fixed-format strings on
     BOTH sides (the bal_sum recipe): the casts themselves still execute;

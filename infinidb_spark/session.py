@@ -1088,35 +1088,51 @@ class InfiniSession:
     def _parse_set_segment(self, seg: list, d):
         """One ``name = value`` item of a SET assignment list →
         ('sysvar'|'uservar', name, value_text), or None when the shape
-        isn't one this session applies (NAMES, CHARACTER SET, ...)."""
-        if not seg:
+        isn't one this session applies (NAMES, CHARACTER SET, ...).
+
+        ``seg`` keeps its whitespace/comment tokens: structural
+        matching works on the code-only view, but VALUES render from
+        the raw slice so adjacent word/number tokens don't fuse —
+        ``@a = (SELECT max(x) FROM t)`` used to render the value as
+        ``(SELECTmax(x)FROMt)``, which re-tokenizes into broken SQL."""
+        raw = list(seg)
+        idx = [i for i, t in enumerate(raw) if t[0] not in ("ws", "comment")]
+        codes = [raw[i] for i in idx]
+
+        def val(k: int) -> str:
+            # render the raw (ws-preserving) tail from code index k on
+            return d.render(raw[idx[k]:]).strip()
+
+        if not codes:
             return None
-        if seg[0] == ("sym", "@"):
-            if len(seg) >= 2 and seg[1] == ("sym", "@"):
-                rest = seg[2:]
+        if codes[0] == ("sym", "@"):
+            if len(codes) >= 2 and codes[1] == ("sym", "@"):
+                rest = codes[2:]
+                b = 2
                 if (
                     rest and rest[0][0] == "word"
                     and rest[0][1].lower() in ("session", "global", "local")
                     and len(rest) >= 2 and rest[1] == ("sym", ".")
                 ):
                     rest = rest[2:]
+                    b += 2
                 if len(rest) >= 3 and rest[0][0] == "word" and rest[1] == ("sym", "="):
-                    return ("sysvar", rest[0][1].lower(),
-                            d.render(list(rest[2:])).strip())
+                    return ("sysvar", rest[0][1].lower(), val(b + 2))
                 return None
             # @name = expr / @name := expr (user variable; name keeps
             # its case like parse_set_user_var)
-            rest = seg[1:]
+            rest = codes[1:]
             if len(rest) >= 3 and rest[0][0] == "word" and rest[1] == ("sym", "="):
-                return ("uservar", rest[0][1], d.render(list(rest[2:])).strip())
+                return ("uservar", rest[0][1], val(3))
             if (
                 len(rest) >= 4 and rest[0][0] == "word"
                 and rest[1] == ("sym", ":") and rest[2] == ("sym", "=")
             ):
-                return ("uservar", rest[0][1], d.render(list(rest[3:])).strip())
+                return ("uservar", rest[0][1], val(4))
             return None
-        if seg[0][0] == "word":
-            rest = seg
+        if codes[0][0] == "word":
+            rest = codes
+            b = 0
             if rest[0][1].upper() == "NAMES" and len(rest) >= 2 and rest[1][0] in (
                 "word", "string",
             ):
@@ -1130,9 +1146,9 @@ class InfiniSession:
                 and len(rest) >= 2 and rest[1][0] == "word"
             ):
                 rest = rest[1:]
+                b += 1
             if len(rest) >= 3 and rest[0][0] == "word" and rest[1] == ("sym", "="):
-                return ("sysvar", rest[0][1].lower(),
-                        d.render(list(rest[2:])).strip())
+                return ("sysvar", rest[0][1].lower(), val(b + 2))
         return None
 
     def _set_multi(self, toks: list, d):
@@ -1147,7 +1163,9 @@ class InfiniSession:
         None (single segment / unrecognized form) falls through to the
         existing single-assignment routes."""
         toks = list(toks)
-        while toks and toks[-1] == ("sym", ";"):
+        while toks and (
+            toks[-1][0] in ("ws", "comment") or toks[-1] == ("sym", ";")
+        ):
             toks.pop()
         segs: list[list] = []
         cur: list = []
@@ -1212,7 +1230,14 @@ class InfiniSession:
             and codes[0][0] == "word"
             and codes[0][1].upper() == "SET"
         ):
-            handled = self._set_multi(codes[1:], d)
+            # pass the ws-PRESERVING tail: _parse_set_segment renders
+            # values from the raw stream (stripped tokens fused
+            # adjacent words — '(SELECT max(x) FROM t)' became
+            # '(SELECTmax(x)FROMt)')
+            set_i = next(
+                i for i, t in enumerate(toks) if t[0] not in ("ws", "comment")
+            )
+            handled = self._set_multi(toks[set_i + 1 :], d)
             if handled is not None:
                 return handled
         if (

@@ -72,7 +72,10 @@ def test_try_cast_malformed_returns_null(ansi_spark):
         func("cast_datetime", F.lit("t?")).alias("t"),
     )
     row = df.collect()[0]
-    assert all(row[c] is None for c in ["s", "d", "dec", "f", "u", "t"])
+    # integer casts PREFIX-parse like the reference (atoll/strtoul,
+    # func_cast.cpp:144/253): garbage strings → 0, not NULL (r10 fix)
+    assert row["s"] == 0 and row["u"] == 0
+    assert all(row[c] is None for c in ["d", "dec", "f", "t"])
 
 
 def test_recursive_cte_capability_boundary(spark):

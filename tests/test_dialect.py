@@ -748,7 +748,12 @@ def test_translate_mysql_idempotent_on_corpus_texts():
         ("CAST(-2.5 AS SIGNED)", -3),
         ("CAST('2.9' AS SIGNED)", 2),
         ("CAST('-2.9' AS SIGNED)", -2),
-        ("CAST('abc' AS SIGNED)", None),
+        # string→integer is a PREFIX parse (atoll, func_cast.cpp:144):
+        # no numeric prefix → 0 (r09 probe battery; was NULL)
+        ("CAST('abc' AS SIGNED)", 0),
+        ("CAST('12abc' AS SIGNED)", 12),
+        ("CAST('-12.7xyz' AS SIGNED)", -12),
+        ("CAST('' AS SIGNED)", 0),
         ("CAST(2.9 AS UNSIGNED)", 3),
         ("CAST('2.9' AS UNSIGNED)", 2),
         # CHAR: bare → string (Spark alone: DATATYPE_MISSING_SIZE

@@ -151,8 +151,11 @@ def test_casts(spark):
     assert one(spark, func("cast_signed", F.lit("12"))) == 12
     assert one(spark, func("cast_char", F.lit(1234), 2)) == "12"
     assert str(one(spark, func("cast_date", F.lit("2020-05-05 01:02:03")))) == "2020-05-05"
-    # permissive (non-ANSI) cast: garbage → NULL, as MySQL/reference
-    assert one(spark, func("cast_signed", F.lit("xyz"))) is None
+    # string→integer is a PREFIX parse (atoll, func_cast.cpp:144):
+    # garbage → 0, numeric prefix parses (r10 fix; was NULL)
+    assert one(spark, func("cast_signed", F.lit("xyz"))) == 0
+    assert one(spark, func("cast_signed", F.lit("12abc"))) == 12
+    assert one(spark, func("cast_signed", F.lit(None).cast("string"))) is None
 
 
 def test_not_in_is_negated(spark):

@@ -188,6 +188,59 @@ PROBES = [
     ("TIME('2003-12-31 01:02:03')", "01:02:03"),
     ("TIME('8:3:2')", "08:03:02"),
     ("EXTRACT(MICROSECOND FROM '2003-01-02 10:30:00.000123')", 123),
+    # --- round-10 fixes: the r09 judge battery's failures retired as
+    # regression pins (VERDICT r09 "Next round" #2-#7) ---
+    # the reference registers atan AND atan2 to one functor and
+    # dispatches on arity (funcexp.cpp:78-79, func_math.cpp:294-300)
+    ("ATAN(-2, 2)", -0.7853981633974483),
+    ("ATAN2(-2, 2)", -0.7853981633974483),
+    ("ATAN(2)", 1.1071487177940904),
+    # out-of-domain math is NULL, never NaN (func_math.cpp:969-972)
+    ("SQRT(-1)", None),
+    ("SQRT(20.25)", 4.5),
+    ("ASIN(2)", None),
+    ("ACOS(-1.1)", None),
+    ("ACOS(1)", 0.0),
+    # string→integer CAST is a PREFIX parse (atoll func_cast.cpp:144,
+    # strtoul :253): garbage → 0, numeric prefix parses, never NULL
+    # for a non-NULL string
+    ("CAST('abc' AS SIGNED)", 0),
+    ("CAST('12abc' AS SIGNED)", 12),
+    ("CAST('-12.7xyz' AS SIGNED)", -12),
+    ("CAST('abc' AS UNSIGNED)", 0),
+    ("CAST('' AS SIGNED)", 0),
+    ("CAST('18446744073709551615abc' AS UNSIGNED)", 18446744073709551615),
+    # STR_TO_DATE's lenient format scan (func_str_to_date.cpp):
+    # non-padded numeric fields, month names, whitespace after
+    # delimiters; date-only formats return DATE (see TYPED_PROBES)
+    ("STR_TO_DATE('01,5,2013','%d,%m,%Y')", "2013-05-01"),
+    ("STR_TO_DATE('May 1, 2013','%M %d,%Y')", "2013-05-01"),
+    ("STR_TO_DATE('1 May 2013','%e %M %Y')", "2013-05-01"),
+    ("STR_TO_DATE('20130501','%Y%m%d')", "2013-05-01"),
+    ("STR_TO_DATE('2013-05-01 12:30:45','%Y-%m-%d %H:%i:%s')",
+     "2013-05-01 12:30:45"),
+    ("STR_TO_DATE('nonsense','%d,%m,%Y')", None),
+    # TIME_FORMAT over a TIME VALUE: >24 h hours render in full
+    # (func_time_format.cpp); %h/%I/%l are mod-12 with 0 → 12
+    ("TIME_FORMAT('100:00:00','%H %k %h %I %l')", "100 100 04 04 4"),
+    ("TIME_FORMAT('25:30:10','%T')", "25:30:10"),
+    ("TIME_FORMAT('00:30:00','%h %p')", "12 AM"),
+    # date-only strings convert to DATETIME first
+    # (func_unix_timestamp.cpp), not NULL under a datetime pattern
+    ("UNIX_TIMESTAMP('1970-01-02')", 86400),
+    # TIMEDIFF with MIXED operand classes is NULL (func_timediff.cpp);
+    # results clamp to MySQL's TIME range ±838:59:59.999999
+    ("TIMEDIFF('2000-01-01 00:00:00', '01:00:00')", None),
+    ("TIMEDIFF('01:00:00', '2000-01-01 00:00:00')", None),
+    ("TIMEDIFF('2008-12-31 23:59:59.000001', '2008-01-01 00:00:00')",
+     "838:59:59.999999"),
+    ("TIMEDIFF('2008-01-01 00:00:00', '2008-12-31 23:59:59.000001')",
+     "-838:59:59.999999"),
+    # searched-CASE numeric truthiness (nonzero = true); value-form
+    # CASE keeps the literal as a comparison operand
+    ("CASE WHEN 1 THEN 'a' ELSE 'b' END", "a"),
+    ("CASE WHEN 0 THEN 'a' ELSE 'b' END", "b"),
+    ("CASE 0 WHEN 0 THEN 'a' ELSE 'b' END", "a"),
 ]
 
 #: probes whose MySQL-exact form is deliberately deferred —
@@ -255,6 +308,10 @@ TYPED_PROBES = [
      ("2024-01-03 10:30:45", "timestamp_ntz")),
     ("STR_TO_DATE('2024-03-01 10:30:00', '%Y-%m-%d %H:%i:%s')",
      ("2024-03-01 10:30:00", "timestamp_ntz")),
+    # MySQL types STR_TO_DATE by the format's FIELDS: no time tokens →
+    # DATE (func_str_to_date.cpp / r09 verdict "What's missing" #2)
+    ("STR_TO_DATE('01,5,2013', '%d,%m,%Y')", ("2013-05-01", "date")),
+    ("STR_TO_DATE('May 1, 2013', '%M %d,%Y')", ("2013-05-01", "date")),
 ]
 
 

@@ -72,6 +72,25 @@ def test_set_assignment_list_mixed_user_var(spark):
     assert s._sysvars["collation_connection"] == "utf8mb4_general_ci"
 
 
+def test_set_assignment_list_preserves_value_whitespace(spark):
+    """r10 advice fix: _set_multi used to receive whitespace-stripped
+    tokens, so a multi-assignment value with adjacent word tokens fused
+    — SET @a = (SELECT max(x) ...), @b = 1 rendered the value as
+    '(SELECTmax(x)...)' which re-tokenizes into broken SQL.  Values now
+    render from the ws-preserving stream."""
+    s = InfiniSession(spark)
+    s.execute(
+        "SET @a = (SELECT max(v) FROM (SELECT 41 AS v UNION ALL"
+        " SELECT 7 AS v)), @b = 1 + 1"
+    )
+    assert s._user_vars["a"] == 41
+    assert s._user_vars["b"] == 2
+    s.execute(
+        "SET @c = CASE WHEN 1 = 1 THEN 'yes' ELSE 'no' END, @@sql_mode = ''"
+    )
+    assert s._user_vars["c"] == "yes"
+
+
 def test_set_assignment_list_names_form(spark):
     s = InfiniSession(spark)
     s.execute("SET NAMES utf8, @@sql_mode = 'TRADITIONAL'")
