@@ -46,9 +46,12 @@ import re as _re
 from infinidb_spark.functions import intervals as _iv
 from infinidb_spark.functions.mysql_format import (
     GET_FORMAT_TABLE,
+    MYSQL_PARSE_INPUT_NORM,
+    MYSQL_TIME_FORMAT_TOKENS,
     mysql_datetime_format_to_spark,
     mysql_datetime_format_to_spark_chunks,
     mysql_format_has_time,
+    mysql_format_tokens,
     mysql_parse_format_to_spark,
 )
 
@@ -540,27 +543,28 @@ def _cast_frag(expr_toks: list[Token], tpart: list[Token], k: int) -> str | None
     return f"substring({s}, 1, {n})" if n else s
 
 
-#: TIME_FORMAT tokens renderable from TIME seconds (func_time_format.cpp)
-_TIME_FMT_SQL_TOKENS = frozenset("HhIiklprSsTf%")
-
-
 def _time_format_sql(x: str, fmt: str) -> str:
     """TIME_FORMAT(x, fmt) over a MySQL TIME VALUE for pure-time-token
     formats (ref func_time_format.cpp): hours may exceed 24 or be
     negative, so rendering reads the value's seconds — %H/%k show the
     full hour count ('100'), %h/%I/%l are mod-12 with 0 → 12.  Mirrors
     registry.time_format; format_string('%02d') because lpad TRUNCATES
-    a 3-digit hour field."""
-    ts = "try_cast(tf_ AS TIMESTAMP)"
+    a 3-digit hour field.  The timestamp re-parse binds ONCE (tt_);
+    pmod of unix_micros keeps the fractional second for %f and stays
+    positive pre-1970."""
     is_dt = (
-        f"({ts} IS NOT NULL AND trim(CAST(tf_ AS STRING)) RLIKE"
-        f" '^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?')"
+        "(tt_ IS NOT NULL AND trim(CAST(tf_ AS STRING)) RLIKE"
+        " '^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?')"
     )
     secs = _bind1(
         x, "tf_",
-        f"(CASE WHEN {is_dt} THEN CAST(hour({ts}) * 3600 + minute({ts}) * 60"
-        f" + second({ts}) AS DECIMAL(17,6))"
-        f" ELSE {_time_secs_sql('tf_')} END)",
+        _bind1(
+            "try_cast(tf_ AS TIMESTAMP)", "tt_",
+            f"(CASE WHEN {is_dt} THEN"
+            " CAST(CAST(pmod(unix_micros(tt_), 86400000000)"
+            " AS DECIMAL(20,0)) / 1000000 AS DECIMAL(17,6))"
+            f" ELSE {_time_secs_sql('tf_')} END)",
+        ),
     )
     sign = "(CASE WHEN s_ < 0 THEN '-' ELSE '' END)"
     h = "CAST(abs(s_) DIV 3600 AS BIGINT)"
@@ -604,9 +608,14 @@ def _time_format_sql(x: str, fmt: str) -> str:
                 parts.append(_sql_str(tok))
             i += 2
         else:
+            # literal run up to the next '%'; max(j, i+1) also consumes
+            # a TRAILING lone '%' (fmt[i]=='%' with no token after it),
+            # which otherwise left i unchanged and spun this loop
+            # forever
             j = i
             while j < len(fmt) and fmt[j] != "%":
                 j += 1
+            j = max(j, i + 1)
             parts.append(_sql_str(fmt[i:j]))
             i = j
     body = f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
@@ -647,17 +656,29 @@ def _timediff_sql() -> str:
         )
 
     pair = f"named_struct('x', {opnd('{0}', 'ta_')}, 'y', {opnd('{1}', 'tb_')})"
+    # 'f': does either operand carry fractional seconds?  MySQL's
+    # clamped maximum follows the result fsp ('838:59:59' for
+    # second-resolution operands, '838:59:59.999999' when an operand
+    # has microseconds)
     raw = _bind1(
         pair, "tp_",
-        "(CASE WHEN tp_.x.d <> tp_.y.d THEN CAST(NULL AS DECIMAL(21,0))"
-        " ELSE tp_.x.u - tp_.y.u END)",
+        "named_struct("
+        "'u', (CASE WHEN tp_.x.d <> tp_.y.d THEN CAST(NULL AS DECIMAL(21,0))"
+        " ELSE CAST(tp_.x.u - tp_.y.u AS DECIMAL(21,0)) END),"
+        " 'f', (CASE WHEN tp_.x.u % 1000000 <> 0"
+        " OR tp_.y.u % 1000000 <> 0 THEN 1 ELSE 0 END))",
     )
-    lim = 838 * 3600000000 + 59 * 60000000 + 59 * 1000000 + 999999
+    lim0 = 838 * 3600000000 + 59 * 60000000 + 59 * 1000000
+    limf = lim0 + 999999
     clamped = _bind1(
-        raw, "tu_",
-        f"(CASE WHEN tu_ > {lim} THEN CAST({lim} AS DECIMAL(21,0))"
-        f" WHEN tu_ < -{lim} THEN CAST(-{lim} AS DECIMAL(21,0))"
-        f" ELSE tu_ END)",
+        raw, "tq_",
+        _bind1(
+            f"(CASE WHEN tq_.f = 1 THEN CAST({limf} AS DECIMAL(21,0))"
+            f" ELSE CAST({lim0} AS DECIMAL(21,0)) END)",
+            "tl_",
+            "(CASE WHEN tq_.u > tl_ THEN tl_"
+            " WHEN tq_.u < -tl_ THEN -tl_ ELSE tq_.u END)",
+        ),
     )
     render_body = (
         "concat(CASE WHEN td_ < 0 THEN '-' ELSE '' END,"
@@ -1168,23 +1189,26 @@ def _fmt_func(name: str, inner: list[Token]) -> list[Token]:
                 " for composed tokens"
             ) from ex
         target = "TIMESTAMP_NTZ" if mysql_format_has_time(fmt) else "DATE"
-        # input-side whitespace normalization, the twin of the pattern-
-        # literal normalization (MYSQL_PARSE_INPUT_NORM): collapse runs,
-        # drop whitespace after punctuation — MySQL's scan skips it
+        # input-side whitespace normalization from the SAME constant
+        # the registry builder iterates (MYSQL_PARSE_INPUT_NORM) so the
+        # two paths can't drift; regex backslashes double for Spark's
+        # escape-processing string literals
         norm = f"trim(CAST(({render(args[0]).strip()}) AS STRING))"
-        norm = f"regexp_replace({norm}, '\\\\s+', ' ')"
-        norm = f"regexp_replace({norm}, '([^0-9A-Za-z]) ', '$1')"
+        for pat, rep in MYSQL_PARSE_INPUT_NORM:
+            pat_sql = _sql_str(pat.replace("\\", "\\\\"))
+            norm = f"regexp_replace({norm}, {pat_sql}, {_sql_str(rep)})"
         text = (
             f"try_cast(try_to_timestamp({norm},"
             f" {_sql_str(pattern)}) AS {target})"
         )
         return [("code", text)]
     if name == "TIME_FORMAT":
-        toks = {fmt[i + 1] for i in range(len(fmt) - 1) if fmt[i] == "%"}
-        if toks and not (toks - _TIME_FMT_SQL_TOKENS):
-            # pure time-token format renders from the operand's TIME
-            # seconds — a timestamp cast NULLs every >24 h TIME value
-            # ('100:00:00'), func_time_format.cpp
+        # shared pairwise token scan + token set (mysql_format.py): a
+        # '%%' escape must not leak its following literal into the
+        # gate, and a LITERAL-ONLY format still takes the TIME path
+        # (date_format would NULL a >24 h TIME operand) — both exactly
+        # like the registry twin
+        if not (mysql_format_tokens(fmt) - MYSQL_TIME_FORMAT_TOKENS):
             return [(
                 "code",
                 _time_format_sql(f"({render(args[0]).strip()})", fmt),
@@ -1428,19 +1452,30 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                 continue
         if kind == "number" and case_stack and case_stack[-1]:
             pv = _prev_code(toks, i)
+            sign = ""
+            wi = pv
+            if pv is not None and toks[pv] in (("sym", "-"), ("sym", "+")):
+                sign = toks[pv][1]
+                wi = _prev_code(toks, pv)
             nx = _next_code(toks, i + 1)
             if (
-                pv is not None and toks[pv][0] == "word"
-                and toks[pv][1].upper() == "WHEN"
+                wi is not None and toks[wi][0] == "word"
+                and toks[wi][1].upper() == "WHEN"
                 and nx is not None and toks[nx][0] == "word"
                 and toks[nx][1].upper() == "THEN"
             ):
-                # searched CASE WHEN <number> THEN: MySQL numeric
+                # searched CASE WHEN [±]<number> THEN: MySQL numeric
                 # truthiness reads nonzero as true (sql item_cmpfunc
                 # val_bool); Spark's analyzer rejects a non-boolean
                 # condition outright.  Value-form CASE x WHEN 1 keeps
                 # the literal as a comparison operand (case_stack).
-                out.append(("code", f"(({text}) <> 0)"))
+                if sign:
+                    # the sign sym is already in out — fold it into
+                    # the rewritten literal
+                    while out and out[-1][0] in ("ws", "comment"):
+                        out.pop()
+                    out.pop()
+                out.append(("code", f"(({sign}{text}) <> 0)"))
                 i += 1
                 continue
         if kind == "word":

@@ -128,17 +128,32 @@ _PARSE_TOKENS: dict[str, str] = {
 _TIME_PART_TOKENS = frozenset("fHhIiklprSsT")
 
 
-def mysql_format_has_time(fmt: str) -> bool:
-    """True when the MySQL format string contains any time-part token."""
+#: the TIME_FORMAT tokens renderable from a TIME value's seconds (ref
+#: func_time_format.cpp) — the ONE copy both the registry Column
+#: builder and the dialect SQL-text fragment gate on, so the two paths
+#: can never route the same format differently.
+MYSQL_TIME_FORMAT_TOKENS = frozenset("HhIiklprSsTf%")
+
+
+def mysql_format_tokens(fmt: str) -> set[str]:
+    """The set of %-token characters in a MySQL format string.  Scans
+    pairwise so a '%%'-escaped percent doesn't leak the FOLLOWING
+    literal character into the set ('%k%%Y' is {'k', '%'}, not
+    {'k', '%', 'Y'})."""
+    out: set[str] = set()
     i = 0
     while i < len(fmt) - 1:
         if fmt[i] == "%":
-            if fmt[i + 1] in _TIME_PART_TOKENS:
-                return True
+            out.add(fmt[i + 1])
             i += 2
         else:
             i += 1
-    return False
+    return out
+
+
+def mysql_format_has_time(fmt: str) -> bool:
+    """True when the MySQL format string contains any time-part token."""
+    return bool(mysql_format_tokens(fmt) & _TIME_PART_TOKENS)
 
 
 def mysql_parse_format_to_spark(fmt: str) -> str:

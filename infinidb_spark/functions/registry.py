@@ -31,9 +31,11 @@ from pyspark.sql import functions as F
 from infinidb_spark.functions import intervals as _iv
 from infinidb_spark.functions.mysql_format import (
     MYSQL_PARSE_INPUT_NORM,
+    MYSQL_TIME_FORMAT_TOKENS,
     mysql_datetime_format_to_spark,
     mysql_datetime_format_to_spark_chunks,
     mysql_format_has_time,
+    mysql_format_tokens,
     mysql_parse_format_to_spark,
 )
 
@@ -672,11 +674,6 @@ def date_format_mysql(c, fmt: str) -> Column:
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-#: TIME_FORMAT tokens renderable from a TIME value's seconds (the only
-#: tokens MySQL defines for TIME_FORMAT, func_time_format.cpp)
-_TIME_FMT_TOKENS = frozenset("HhIiklprSsTf%")
-
-
 @_reg("time_format")
 def time_format(c, fmt: str) -> Column:
     """TIME_FORMAT over a MySQL TIME VALUE (ref func_time_format.cpp):
@@ -686,22 +683,26 @@ def time_format(c, fmt: str) -> Column:
     the full hour count; %h/%I/%l are mod-12 (0 → 12).  Formats with
     date tokens keep the datetime path (MySQL renders zeros for date
     fields of a TIME; callers passing datetimes get full rendering)."""
-    toks = {fmt[i + 1] for i in range(len(fmt) - 1) if fmt[i] == "%"}
-    if toks - _TIME_FMT_TOKENS:
+    if mysql_format_tokens(fmt) - MYSQL_TIME_FORMAT_TOKENS:
         return date_format_mysql(c, fmt)
     v = _c(c)
     sv = F.trim(v.try_cast("string"))
     ts = sv.try_cast("timestamp")
     # datetime-looking input takes its time-of-day (same gate as
-    # cast_time); everything else reads as a TIME value
+    # cast_time); everything else reads as a TIME value.  pmod of
+    # unix_micros keeps the FRACTIONAL second (hour/minute/second
+    # dropped it, rendering %f as 000000) and stays positive for
+    # pre-1970 datetimes.
     looks_dt = ts.isNotNull() & sv.rlike(
         "^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?"
     )
     secs = F.when(
         looks_dt,
-        (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast(
-            "decimal(17,6)"
-        ),
+        (
+            F.pmod(F.unix_micros(ts), F.lit(86400000000))
+            .cast("decimal(20,0)")
+            / 1000000
+        ).cast("decimal(17,6)"),
     ).otherwise(_time_value_secs(v))
     a = F.abs(secs)
     sign = F.when(secs < 0, F.lit("-")).otherwise(F.lit(""))

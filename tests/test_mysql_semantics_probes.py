@@ -240,7 +240,21 @@ PROBES = [
     # CASE keeps the literal as a comparison operand
     ("CASE WHEN 1 THEN 'a' ELSE 'b' END", "a"),
     ("CASE WHEN 0 THEN 'a' ELSE 'b' END", "b"),
+    ("CASE WHEN -1 THEN 'a' ELSE 'b' END", "a"),
     ("CASE 0 WHEN 0 THEN 'a' ELSE 'b' END", "a"),
+    # r10 review pins: trailing lone '%' must not hang translation;
+    # '%%' escapes must not leak the next literal into the token gate;
+    # literal-only formats still take the TIME path; datetime operands
+    # keep their microseconds; TIMEDIFF's clamp follows the operands'
+    # second resolution (838:59:59 plain, .999999 with micros)
+    ("TIME_FORMAT('10:20:30', '%H%')", "10%"),
+    ("TIME_FORMAT('100:00:00', '%k%%Y')", "100%Y"),
+    ("TIME_FORMAT('25:30:10', 'abc')", "abc"),
+    ("TIME_FORMAT('2003-12-31 01:02:03.000123', '%H:%i:%s.%f')",
+     "01:02:03.000123"),
+    ("TIME_FORMAT('10:20:30.000123', '%f')", "000123"),
+    ("TIMEDIFF('500:00:00', '-500:00:00')", "838:59:59"),
+    ("TIMEDIFF('-500:00:00', '500:00:00')", "-838:59:59"),
 ]
 
 #: probes whose MySQL-exact form is deliberately deferred —
