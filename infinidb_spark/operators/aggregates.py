@@ -28,20 +28,31 @@ def group_concat(
     ``order_by`` — sort-key Columns *independent of the value* (MySQL's
     `ORDER BY expr` list).  Keys sort ascending; for a descending
     numeric key pass its negation (struct sort is field-wise ascending).
-    Without ``order_by`` the values themselves sort ascending, matching
-    the deterministic default the corpus uses.  ``distinct`` dedups
+    Without ``order_by`` the values themselves sort ascending IN THEIR
+    OWN TYPE (numerics numerically — casting first made 10 sort before
+    9), matching MySQL GROUP_CONCAT(x ORDER BY x).  ``distinct`` dedups
     values (MySQL requires the ORDER BY expr to BE the value then, and
-    so does this builder).  NULL values are skipped, as in MySQL.
-    """
-    value = value.cast("string")
+    so does this builder).  NULL values are skipped, as in MySQL; a
+    group whose every value is NULL yields NULL, not '' (MySQL and
+    listagg/string_agg agree — the dialect path at
+    dialect._group_concat already returned NULL)."""
+
+    def _join(arr: Column) -> Column:
+        joined = F.array_join(
+            F.transform(arr, lambda v: v.cast("string")), separator
+        )
+        return F.when(F.size(arr) > 0, joined)
+
     if distinct:
         if order_by:
             raise ValueError("DISTINCT orders by the value itself (MySQL rule)")
-        return F.array_join(F.sort_array(F.collect_set(value)), separator)
+        return _join(F.sort_array(F.collect_set(value)))
     if not order_by:
-        return F.array_join(F.sort_array(F.collect_list(value)), separator)
+        return _join(F.sort_array(F.collect_list(value)))
+    sval = value.cast("string")
     entry = F.struct(
-        *[k.alias(f"_k{i}") for i, k in enumerate(order_by)], value.alias("_v")
+        *[k.alias(f"_k{i}") for i, k in enumerate(order_by)], sval.alias("_v")
     )
-    arr = F.sort_array(F.collect_list(F.when(value.isNotNull(), entry)))
-    return F.array_join(F.transform(arr, lambda s: s["_v"]), separator)
+    arr = F.sort_array(F.collect_list(F.when(sval.isNotNull(), entry)))
+    joined = F.array_join(F.transform(arr, lambda s: s["_v"]), separator)
+    return F.when(F.size(arr) > 0, joined)

@@ -63,22 +63,23 @@ def quantified_filter(
         F.struct(
             bound_agg,
             F.count(sub_col).alias("cnt"),
-            (F.count(F.lit(1)) - F.count(sub_col)).alias("nulls"),
+            F.count(F.lit(1)).alias("total"),
         ).alias("_q")
     ).scalar()
 
     base = _OPS[op](left, stats.getField("b"))  # NULL iff x NULL or S empty
-    cnt, nulls = stats.getField("cnt"), stats.getField("nulls")
+    cnt, total = stats.getField("cnt"), stats.getField("total")
+    has_nulls = total > cnt
     if quantifier == "all":
         cond = (
-            F.when(cnt + nulls == 0, F.lit(True))
-            .when(base & (nulls > 0), F.lit(None).cast("boolean"))
+            F.when(total == 0, F.lit(True))
+            .when(base & has_nulls, F.lit(None).cast("boolean"))
             .otherwise(base)
         )
     else:
         cond = (
-            F.when(cnt + nulls == 0, F.lit(False))
-            .when((~base) & (nulls > 0), F.lit(None).cast("boolean"))
+            F.when(total == 0, F.lit(False))
+            .when((~base) & has_nulls, F.lit(None).cast("boolean"))
             .otherwise(base)
         )
     return df.filter(cond)

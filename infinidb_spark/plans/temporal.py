@@ -9,8 +9,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from infinidb_spark.operators.asof import asof_join, range_join
+# load_registered owns the load/register contract (plans/registry.py)
+from infinidb_spark.plans.registry import load_registered as _t
 from infinidb_spark.plans.registry import query
-from infinidb_spark.session import load_tables
 
 
 @query(
@@ -38,7 +39,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each click matched to the user's latest
     prior view — merged-stream window formulation (one shuffle, no
     per-key cross product); oracle is DuckDB's native ASOF JOIN."""
-    events = load_tables(spark, sf_dir, register=True, names=("events",))["events"]
+    (events,) = _t(spark, sf_dir, "events")
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("event_id"), F.col("user_id"), F.col("ts")
     )
@@ -87,7 +88,7 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: orders matched into OVERLAPPING price bands via
     bin-bucketed equi-join (no nested loop; each interval replicates
     into its bins).  Oracle is the plain BETWEEN theta join."""
-    orders = load_tables(spark, sf_dir, register=True, names=("orders",))["orders"]
+    (orders,) = _t(spark, sf_dir, "orders")
     bands = spark.range(8).select(
         F.col("id").cast("int").alias("band_id"),
         (F.col("id") * 40000.0).alias("lo"),

@@ -31,7 +31,15 @@ def write_bucketed(
     Sorted buckets additionally enable merge-join without a sort step —
     the full TupleBPS scan → join pipeline with zero shuffle AND zero
     sort at query time.
+
+    The input repartitions on the bucket column first (same murmur3
+    hash family the bucket spec uses), so each task holds exactly one
+    bucket and every bucket lands in ONE file.  Without it each input
+    task wrote a file per bucket — n_tasks × n_buckets small files at
+    scale — and Spark only honors the sortBy metadata (eliding the
+    query-time Sort) when a bucket has a single file (SPARK-19256).
     """
+    df = df.repartition(n_buckets, df[bucket_col])
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
@@ -41,9 +49,25 @@ def write_bucketed(
 
 
 def bucketed_join(
-    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+    sorted_scan: bool = False,
 ) -> DataFrame:
     """Join two bucketed tables on their bucket key — planner elides
     both Exchanges when bucket specs line up (verify with
-    `df.explain()`: no Exchange above either scan)."""
+    `df.explain()`: no Exchange above either scan).
+
+    ``sorted_scan=True`` additionally elides the merge-join Sort by
+    enabling ``spark.sql.legacy.bucketedTableScan.outputOrdering``
+    (off by default since Spark 3.0 because a bucket spread over
+    MULTIPLE files is only per-file sorted).  Safe exactly when every
+    joined bucketed table was written by ``write_bucketed`` with a
+    ``sort_col``: its repartition guarantees one file per bucket.
+    The flag is session-wide — callers joining foreign bucketed
+    tables with multi-file buckets must leave it off."""
+    if sorted_scan:
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     return spark.table(left_table).join(spark.table(right_table), on, how)

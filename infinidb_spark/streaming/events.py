@@ -77,7 +77,17 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     twin)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last: Spark's default ASC sorts NULLs FIRST while
+    # DuckDB (and the events_sessionize oracle) sort them LAST — a
+    # single NULL-ts event would otherwise land at opposite ends of
+    # the partition and shift every lag/cumsum value for that user.
+    # With NULLs last, the gap formula below also matches the oracle's
+    # exact semantics for the trailing NULL block (first NULL-ts row
+    # continues the session: its gap is non-NULL but the diff is NULL
+    # → falsy; later NULL-ts rows see a NULL lag → new session).
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     gap = F.lag("ts").over(w)
     new_session = (
         F.when(gap.isNull(), 1)

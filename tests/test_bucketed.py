@@ -74,3 +74,44 @@ def test_ann_recall_floor(spark, sf_dir):
     assert mean["ivf_p4"] >= mean["ivf_p2"]       # more probes, more recall
     assert mean["ivf_p4"] >= 0.3                  # pinned quality floor
     assert all(0.0 <= r <= 1.0 for rs in by.values() for r in rs)
+
+
+def test_bucketed_sorted_write_one_file_per_bucket(spark, sf_dir):
+    """r10 review pin: write_bucketed repartitions on the bucket column
+    first, so a many-task input still lands ONE file per bucket —
+    without it Spark ignores the sortBy metadata (SPARK-19256) and
+    re-adds the query-time Sort the module promises to elide."""
+    import glob
+    import os
+
+    t = load_tables(spark, sf_dir, names=("lineitem",))
+    df = t["lineitem"].repartition(6)
+    write_bucketed(
+        df, "li_bkt_sorted", "l_orderkey", n_buckets=4, sort_col="l_orderkey"
+    )
+    try:
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED li_bkt_sorted")
+            .filter("col_name = 'Location'")
+            .collect()[0][1]
+        )
+        files = glob.glob(os.path.join(loc.replace("file:", ""), "*.parquet"))
+        assert len(files) == 4, f"expected 4 bucket files, got {files}"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(
+            spark, "li_bkt_sorted", "li_bkt_sorted", ["l_orderkey"],
+            sorted_scan=True,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # ' Sort [' matches only genuine Sort nodes (SortMergeJoin has
+        # no space-bracket after 'Sort')
+        assert " Sort [" not in plan, f"sorted buckets still re-sort:\n{plan}"
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        spark.sql("drop table if exists li_bkt_sorted")

@@ -221,3 +221,32 @@ def test_registry_edge_semantics_round8(spark):
     ts = F.lit("2020-01-01 10:30:00").cast("timestamp")
     assert str(one(func("date_add", ts, 1))) == "2020-01-02 10:30:00"
     assert str(one(func("date_sub", ts, 1))) == "2019-12-31 10:30:00"
+
+
+def test_group_concat_numeric_order_and_all_null_group(spark):
+    """r10 review pins: values sort in their OWN type (10 after 9, not
+    lexicographic '10' < '9'), and a group whose every value is NULL
+    yields NULL like MySQL/listagg — not '' (the dialect _group_concat
+    path already returned NULL; the two paths now agree)."""
+    from infinidb_spark.operators.aggregates import group_concat
+
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 10), ("a", 9), ("b", None), ("b", None)],
+        "g string, n int",
+    )
+    out = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g")
+        .agg(group_concat(F.col("n")).alias("s"))
+        .collect()
+    }
+    assert out["a"] == "2,9,10"
+    assert out["b"] is None
+    out2 = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g")
+        .agg(group_concat(F.col("n"), distinct=True).alias("s"))
+        .collect()
+    }
+    assert out2["a"] == "2,9,10"
+    assert out2["b"] is None

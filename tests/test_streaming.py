@@ -132,3 +132,23 @@ def test_stream_dedup_converges_to_distinct(spark, sf_dir):
         assert (got.n, got.d) == (want, want)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_sessionize_null_ts_matches_duckdb_order(spark):
+    """r10 review pin: a NULL-ts event must sort LAST (DuckDB/oracle
+    parity — Spark's bare ASC sorts NULLs first and shifted every
+    lag/cumsum value for the user), and the first NULL-ts row CONTINUES
+    the prior session (its gap-diff is NULL → falsy, the oracle's exact
+    CASE semantics)."""
+    import datetime
+
+    from infinidb_spark.streaming.events import sessionize
+
+    rows = [
+        (1, 1, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, 2, datetime.datetime(2024, 1, 1, 10, 5, 0)),
+        (1, 3, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    out = sessionize(df, gap_minutes=30).orderBy("event_id").collect()
+    assert [r["session_id"] for r in out] == ["1-1", "1-1", "1-1"]
