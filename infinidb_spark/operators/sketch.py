@@ -28,7 +28,15 @@ from infinidb_spark.operators.dedup import md5_hash56
 
 
 def _bucket(key: Column, j: Column, width: int, portable: bool) -> Column:
-    s = F.concat(key.cast("string"), F.lit(":cms:"), j.cast("string"))
+    # NULL keys hash through a sentinel: bare concat null-propagates,
+    # so NULL-key counts landed in a bucket=NULL row at build time but
+    # probed to no match (non-null-safe join) at estimate time —
+    # est_n = 0 for a real frequency, inverting the never-under-
+    # estimate guarantee.  '\\x00N' cannot collide with a key's own
+    # string render (raw NUL never survives a cast to string source
+    # data in the corpus formats).
+    key = F.coalesce(key.cast("string"), F.lit("\x00N"))
+    s = F.concat(key, F.lit(":cms:"), j.cast("string"))
     if portable:
         h = md5_hash56(s)
     else:

@@ -26,8 +26,13 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     # positional aliases + F.lit names, never interpolated SQL text: a
     # rule name like 'non-negative' or one containing a quote would
     # crash (or escape) a stack()-string selectExpr
+    # coalesce: sum over ZERO rows is NULL — an empty (e.g. fully
+    # pre-filtered) batch must report 0 violations, not a NULL that
+    # drops the rule row out of every downstream threshold compare
     aggs = [
-        F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0)).alias(f"_r{i}")
+        F.coalesce(
+            F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0)), F.lit(0)
+        ).alias(f"_r{i}")
         for i, cond in enumerate(rules.values())
     ]
     row = df.agg(total.alias("_total"), *aggs)

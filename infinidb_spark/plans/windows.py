@@ -21,12 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from infinidb_spark.plans.registry import query
-
-
 # load_registered owns the load/register contract (plans/registry.py);
 # _t is just the conventional short local name
-from infinidb_spark.plans.registry import load_registered as _t  # noqa: E402
+from infinidb_spark.plans.registry import load_registered as _t
+from infinidb_spark.plans.registry import query
 
 
 @query(

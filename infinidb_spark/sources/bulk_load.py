@@ -20,6 +20,7 @@ free on every subsequent scan.
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +28,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructType
 
 _CORRUPT = "_corrupt_record"
+
+#: sentinel for the unquoted-escape parse: a raw NUL byte can never
+#: appear in MySQL-escaped text (OUTFILE writes it as ESCAPED BY + '0')
+_SENT = "\x00"
 
 
 @dataclass
@@ -108,6 +113,23 @@ def bulk_load_csv(
             escape=escape, dest=dest, partition_by=partition_by,
             reject_dest=reject_dest,
         )
+    if quote is None and escape and not header:
+        # unquoted mode parses with MySQL's everywhere-escaping rules
+        # (_parse_unquoted_escaped) — Spark's CSV reader honors
+        # `escape` only INSIDE quoted fields, so a re-ingested OUTFILE
+        # row embedding the separator as esc+sep used to split on the
+        # raw byte and land in rejects (the r09 documented divergence,
+        # now closed; escaped line-terminator BYTES are the remaining
+        # narrower one — see the parser docstring)
+        text_reader = spark.read
+        if line_sep is not None:
+            text_reader = text_reader.option("lineSep", line_sep)
+        lines = text_reader.text(src)
+        raw = _parse_unquoted_escaped(
+            lines, read_schema,
+            delimiter=delimiter, escape=escape, null_value=null_value,
+        )
+        return _split_rejects(spark, raw, dest, partition_by, reject_dest)
     reader = (
         spark.read.schema(read_schema)
         .option("mode", "PERMISSIVE")
@@ -129,12 +151,6 @@ def bulk_load_csv(
         reader = reader.option("multiLine", "true")
     elif line_sep is not None:
         reader = reader.option("lineSep", line_sep)
-    # KNOWN DIVERGENCE (documented): in unquoted mode Spark's CSV
-    # reader only honors `escape` INSIDE quoted fields, so a MySQL
-    # OUTFILE row whose data embeds the separator as '\|' still splits
-    # on the raw byte and lands in the reject relation — re-export with
-    # ENCLOSED BY for lossless round-trips (plans/sources.py pins the
-    # quoted round-trip end-to-end).
     raw = reader.csv(src)
     return _split_rejects(spark, raw, dest, partition_by, reject_dest)
 
@@ -172,6 +188,13 @@ def _bulk_load_custom_terminator(
     lines = spark.createDataFrame(rdd, "value string").filter(
         F.col("value") != ""  # trailing terminator yields one empty record
     )
+    if quote is None and escape:
+        # same MySQL everywhere-escaping parse as the main path
+        raw = _parse_unquoted_escaped(
+            lines, read_schema,
+            delimiter=delimiter, escape=escape, null_value=null_value,
+        )
+        return _split_rejects(spark, raw, dest, partition_by, reject_dest)
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in read_schema.fields
     )
@@ -212,6 +235,80 @@ def bulk_load_jsonl(
         .json(src)
     )
     return _split_rejects(spark, raw, dest, partition_by, reject_dest)
+
+
+def _parse_unquoted_escaped(
+    lines: DataFrame,
+    read_schema: StructType,
+    *,
+    delimiter: str,
+    escape: str,
+    null_value: str,
+) -> DataFrame:
+    """Parse unquoted MySQL-escaped records (LOAD DATA with no
+    ENCLOSED BY): ESCAPED BY applies EVERYWHERE, which Spark's CSV
+    reader cannot do (univocity honors escapes only inside quoted
+    fields) — a re-ingested OUTFILE row whose data embedded the
+    separator as esc+sep used to split on the raw byte and land in
+    rejects, and an escaped escape came back doubled
+    (`writeengine/bulk` parses escapes unconditionally, like MySQL).
+
+    Two sentinel passes make the field split unambiguous: escaped-
+    escape then escaped-separator collapse to NUL-marked tokens (a raw
+    NUL cannot occur in MySQL-escaped text), the line splits on the
+    remaining separators, and each field unescapes — a field that IS
+    ``esc+N`` is NULL, the mysqldump letter escapes map to their
+    control characters, any other esc+X is X (this recovers the
+    escaped line-terminator byte too).  Wrong field count or a failed
+    cast rejects the row with its ORIGINAL text, the same
+    PERMISSIVE-mode contract as the CSV path.
+
+    Remaining (narrower) divergence, documented: a literal line-
+    terminator byte inside an unquoted value is still a raw byte in
+    the file, so the record SPLITTER breaks the row before this parser
+    sees it — use ENCLOSED BY for data embedding line terminators."""
+    data_fields = [f for f in read_schema.fields if f.name != _CORRUPT]
+    n = len(data_fields)
+    v = F.col("value")
+    r = F.replace(v, F.lit(escape + escape), F.lit(_SENT + "E"))
+    r = F.replace(r, F.lit(escape + delimiter), F.lit(_SENT + "S"))
+    arr = F.split(r, _re.escape(delimiter), -1)
+
+    def unesc(x: F.Column) -> F.Column:
+        # esc+'0' (a NUL in the data) goes through its own sentinel --
+        # converting it to a raw NUL before the SENT restores would
+        # fabricate marker sequences out of data
+        y = F.replace(x, F.lit(escape + "0"), F.lit(_SENT + "0"))
+        for ch, rep in (
+            ("b", "\b"), ("n", "\n"),
+            ("r", "\r"), ("t", "\t"), ("Z", "\x1a"),
+        ):
+            y = F.replace(y, F.lit(escape + ch), F.lit(rep))
+        # generic esc+X → X; (?s) so an escaped raw newline unescapes
+        y = F.regexp_replace(y, "(?s)" + _re.escape(escape) + "(.)", "$1")
+        y = F.replace(y, F.lit(_SENT + "S"), F.lit(delimiter))
+        y = F.replace(y, F.lit(_SENT + "E"), F.lit(escape))
+        y = F.replace(y, F.lit(_SENT + "0"), F.lit("\u0000"))
+        out = F.when(y == null_value, F.lit(None).cast("string")).otherwise(y)
+        # \N (the exact field) is NULL — tested on the PRE-unescape
+        # text so a data value that unescapes to 'N' stays data
+        return F.when(x == escape + "N", F.lit(None).cast("string")).otherwise(
+            out
+        )
+
+    cols = []
+    bad_cast = F.lit(False)
+    for i, f0 in enumerate(data_fields):
+        # F.get (0-based) is NULL out of bounds even under ANSI
+        val = unesc(F.get(arr, i))
+        if isinstance(f0.dataType, StringType):
+            cols.append(val.alias(f0.name))
+        else:
+            cast = val.try_cast(f0.dataType)
+            bad_cast = bad_cast | (val.isNotNull() & cast.isNull())
+            cols.append(cast.alias(f0.name))
+    corrupt = F.when((F.size(arr) != n) | bad_cast, v).alias(_CORRUPT)
+    return lines.select(*cols, corrupt)
 
 
 def _split_rejects(

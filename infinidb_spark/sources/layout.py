@@ -168,20 +168,14 @@ def table_file_stats(table_dir: str) -> tuple[int, int]:
 
 def _partition_columns(table_dir: str) -> list[str]:
     """Hive-partition column names from the directory layout, outermost
-    first ([] for a flat table)."""
-    real = os.path.realpath(table_dir)
-    cols: list[str] = []
-    cur = real
-    while True:
-        subs = [
-            d for d in os.listdir(cur)
-            if "=" in d and os.path.isdir(os.path.join(cur, d))
-            and not d.startswith((".", "_"))
-        ]
-        if not subs:
-            return cols
-        cols.append(subs[0].split("=", 1)[0])
-        cur = os.path.join(cur, subs[0])
+    first ([] for a flat table).  Thin alias for the ONE walker in
+    operators/dml.py — the local copy dropped dml's mixed-name guard,
+    so a stray 'x=y' directory beside plain part files made
+    compact_table partitionBy() a column absent from the DataFrame and
+    abort inside the table lock."""
+    from infinidb_spark.operators.dml import _hive_partition_cols
+
+    return _hive_partition_cols(table_dir)
 
 
 def compact_table(
@@ -200,31 +194,52 @@ def compact_table(
     metadata-only ADD COLUMN survives, and a hive-partitioned layout is
     rewritten WITH its partition columns, never flattened."""
     from infinidb_spark.operators.dml import _table_lock, read_table
-    from infinidb_spark.operators.partitions import carry_disabled
+    from infinidb_spark.operators.partitions import carry_disabled, disabled_partitions
 
     with _table_lock(table_dir, "OPTIMIZE"):
         n_files, total = table_file_stats(table_dir)
+        # size from the ENABLED bytes only: read_table excludes
+        # disabled partitions from the rewrite input, so counting
+        # their bytes over-targeted the file count (under-compacting
+        # a half-disabled table by up to 2×)
+        real = os.path.realpath(table_dir)
+        for f in disabled_partitions(table_dir):
+            p = os.path.join(real, f)
+            if os.path.isfile(p):
+                total -= os.path.getsize(p)
+        total = max(total, 0)
         n_target = max(1, -(-total // target_file_bytes))
         df = read_table(spark, table_dir)
         part_cols = _partition_columns(table_dir)
         new_dir = _new_version_dir(table_dir)
-        if cluster_by:
-            # hive partition columns lead the in-task sort (when
-            # present) so the dynamic-partition write doesn't inject
-            # its own SortExec over the clustered order — see
-            # table_write.write_table
-            sort_cols = [c for c in part_cols if c not in cluster_by] + list(
-                cluster_by
+        if part_cols:
+            # one task per partition VALUE (write_table's shape): a
+            # round-robin repartition(n_target) put every value in
+            # every task and wrote n_target × n_values files —
+            # MULTIPLYING the file count compaction promised to cut.
+            # maxRecordsPerFile splits oversized values into
+            # target-sized chunks; with the in-task sort those chunks
+            # are cluster-ordered ranges.
+            rows = df.count()
+            rpf = max(1, int(rows * target_file_bytes / max(total, 1)))
+            sort_cols = part_cols + [
+                c for c in (cluster_by or []) if c not in part_cols
+            ]
+            writer = (
+                df.repartition(*part_cols)
+                .sortWithinPartitions(*sort_cols)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", str(rpf))
+                .partitionBy(*part_cols)
             )
+        elif cluster_by:
             writer = (
                 df.repartitionByRange(n_target, *cluster_by)
-                .sortWithinPartitions(*sort_cols)
+                .sortWithinPartitions(*cluster_by)
                 .write.mode("overwrite")
             )
         else:
             writer = df.repartition(n_target).write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
         writer.parquet(new_dir)
         # same invariant as every DML rewrite: read_table excluded the
         # DISABLED partitions from the compaction input, so their files

@@ -111,3 +111,42 @@ def test_zorder_keeps_both_dimensions_prunable(spark, tmp_path):
     assert kept(zed, part_pred) <= n_files // 2
     # and the primary column stays prunable too (sanity on single)
     assert kept(single, key_pred) <= 2
+
+
+def test_compact_partitioned_table_reduces_files(spark, tmp_path):
+    """r10 review fix: compacting a hive-partitioned table used to
+    round-robin repartition, writing one file per partition VALUE per
+    task (n_target × n_values files — MULTIPLYING the count).  Each
+    partition value now compacts to target-sized files."""
+    import glob
+    import os
+
+    table = str(tmp_path / "pt")
+    df = spark.range(2000).selectExpr(
+        "id", "CAST(id % 5 AS STRING) AS pv", "id * 2 AS v"
+    )
+    # many tasks × 5 partition values → lots of small files
+    df.repartition(8).write.partitionBy("pv").parquet(table)
+    before = len(glob.glob(os.path.join(table, "pv=*", "*.parquet")))
+    assert before >= 20
+    n_after = compact_table(spark, table, target_file_bytes=1 << 30)
+    files = glob.glob(os.path.join(table, "pv=*", "*.parquet"))
+    assert len(files) == 5, files  # one file per partition value
+    assert n_after == 5
+    # data intact, partition columns preserved
+    got = spark.read.parquet(table)
+    assert got.count() == 2000
+    assert set(got.columns) == {"id", "pv", "v"}
+
+
+def test_validate_check_empty_input_reports_zero(spark):
+    """r10 review fix: sum over zero rows is NULL — an empty batch must
+    report 0 violations, not NULLs that fall out of threshold gates."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.validate import check
+
+    df = spark.range(10).filter("id < 0")  # empty
+    out = check(df, {"pos": F.col("id") >= 0}).collect()
+    assert out[0]["n_violations"] == 0
+    assert out[0]["violation_rate"] == 0.0

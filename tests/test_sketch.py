@@ -143,3 +143,20 @@ def test_cms_estimate_zero_row_sketch_estimates_zero(spark):
         ).collect()
     }
     assert est2 == {"a": 0, "b": 0}
+
+
+def test_cms_null_keys_never_underestimate(spark):
+    """r10 review fix: NULL keys hash through a sentinel — concat's
+    null-propagation used to count them into a bucket=NULL row that the
+    estimate probe could never match, returning 0 for a real frequency
+    (inverting the over-estimate guarantee)."""
+    from infinidb_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), ("a",)], "k string"
+    )
+    sk = count_min_sketch(df, "k", depth=3, width=64)
+    keys = spark.createDataFrame([(None,), ("a",)], "k string")
+    est = {r.k: r.est_n for r in cms_estimate(sk, keys, "k").collect()}
+    assert est[None] >= 3
+    assert est["a"] >= 1

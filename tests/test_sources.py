@@ -127,3 +127,66 @@ def test_bulk_load_jsonl_reject_capture(spark, tmp_path):
     rows = sorted(map(tuple, res.loaded.collect()))
     res.unpersist()
     assert rows == [(1, "ok"), (2, None)]
+
+
+def test_unquoted_escape_roundtrip(spark, tmp_path):
+    """r10 review fix: ESCAPED BY applies EVERYWHERE in unquoted mode
+    (MySQL LOAD DATA / writeengine bulk parse) — a re-ingested OUTFILE
+    row embedding the separator as esc+sep used to split on the raw
+    byte and land in rejects, and an escaped escape came back doubled."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from infinidb_spark.sources.bulk_load import bulk_load_csv
+    from infinidb_spark.sources.export import export_outfile
+
+    rows = [
+        (1, "with|pipe"),
+        (2, "back\\slash"),
+        (3, None),
+        (5, "tab\there"),
+        (6, "double\\\\esc"),
+        (7, "N"),
+        (8, "ends with esc\\"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = os.path.join(str(tmp_path), "t.txt")
+    export_outfile(df, out, sep="|", quote=None, escape="\\", line_sep="\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("s", StringType())]
+    )
+    res = bulk_load_csv(
+        spark, out, schema, delimiter="|", quote=None, escape="\\",
+    )
+    assert res.rows_rejected == 0
+    got = sorted((r.id, r.s) for r in res.loaded.collect())
+    assert got == sorted(rows)
+    res.unpersist()
+
+
+def test_unquoted_escape_rejects_bad_rows(spark, tmp_path):
+    """Field-count and cast failures keep the PERMISSIVE reject
+    contract on the escape-aware unquoted path."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from infinidb_spark.sources.bulk_load import bulk_load_csv
+
+    p = os.path.join(str(tmp_path), "bad.txt")
+    with open(p, "w") as f:
+        f.write("1|ok\n")
+        f.write("2|too|many|fields\n")
+        f.write("notanint|x\n")
+        f.write("\\N|nullkey\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("s", StringType())]
+    )
+    res = bulk_load_csv(spark, p, schema, delimiter="|", quote=None, escape="\\")
+    assert res.rows_loaded == 2 and res.rows_rejected == 2
+    got = sorted(((r.id, r.s) for r in res.loaded.collect()), key=repr)
+    assert got == sorted([(None, "nullkey"), (1, "ok")], key=repr)
+    bad = sorted(r.raw_record for r in res.rejected.collect())
+    assert bad == ["2|too|many|fields", "notanint|x"]
+    res.unpersist()
