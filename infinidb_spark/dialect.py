@@ -2146,6 +2146,28 @@ def _string_aliases(toks: list[Token]) -> list[Token]:
 _CMP_SYMS = frozenset({"=", "<>", "!=", "<=", ">=", "<", ">", "<=>"})
 
 
+def _like_to_regex(pat: str) -> str:
+    """MySQL LIKE pattern → anchored case-insensitive Java regex:
+    % → .*, _ → ., backslash-escaped chars stay literal; (?s) because
+    LIKE's % matches line terminators where bare .* would not."""
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            out.append(_re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return "(?si)^" + "".join(out) + "$"
+
+
 def _ci_literals(toks: list[Token]) -> list[Token]:
     """Case-insensitive collation mode: MySQL's default collation
     (latin1_swedish_ci / utf8mb4_general_ci) compares and orders
@@ -2180,6 +2202,42 @@ def _ci_literals(toks: list[Token]) -> list[Token]:
                     if out[j][0] == "string" and out[j][1].startswith("'"):
                         out[j] = ("code", f"collate({out[j][1]}, 'UTF8_LCASE')")
                 i = close + 1
+                continue
+        if out[i][0] == "word" and out[i][1].upper() == "LIKE":
+            # ci LIKE with a LITERAL pattern folds to an anchored
+            # case-insensitive RLIKE — a purely local rewrite (the left
+            # operand's span is unknown at token level, and Spark 4's
+            # LIKE ignores pattern-side collation).  ESCAPE clauses
+            # keep the binary LIKE (rare; collation opt-out documented).
+            p = _next_code(out, i + 1)
+            if (
+                p is not None and out[p][0] == "string"
+                and out[p][1].startswith("'")
+            ):
+                after = _next_code(out, p + 1)
+                if not (
+                    after is not None and out[after][0] == "word"
+                    and out[after][1].upper() == "ESCAPE"
+                ):
+                    rx = _like_to_regex(_unquote(out[p][1]))
+                    out[i] = ("word", "RLIKE")
+                    out[p] = ("code", _sql_str(rx.replace("\\", "\\\\")))
+                    i = p + 1
+                    continue
+        if out[i][0] == "word" and out[i][1].upper() in ("RLIKE", "REGEXP"):
+            # MySQL REGEXP follows the (ci) collation — prefix (?i)
+            # onto literal patterns; skip patterns that already carry
+            # an inline flag group (incl. our own LIKE fold above) so
+            # re-entry stays idempotent
+            p = _next_code(out, i + 1)
+            if (
+                p is not None and out[p][0] == "string"
+                and out[p][1].startswith("'")
+                and not _unquote(out[p][1]).startswith("(?")
+            ):
+                rx = "(?i)" + _unquote(out[p][1])
+                out[p] = ("code", _sql_str(rx))
+                i = p + 1
                 continue
         i += 1
     return out

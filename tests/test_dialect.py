@@ -938,3 +938,27 @@ def test_least_greatest_subquery_idempotent_and_capped():
     subs = ", ".join(f"(SELECT {i})" for i in range(4))
     with pytest.raises(DialectError, match="subquery"):
         translate_mysql(f"SELECT LEAST({subs}, 1)")
+
+
+@pytest.mark.parametrize(
+    ("expr", "want"),
+    [
+        # ci-collation mode extends beyond =/IN literals (r10): LIKE
+        # with a literal pattern folds to an anchored (?si) RLIKE —
+        # MySQL's default ci collation governs LIKE too — and REGEXP
+        # literal patterns gain (?i), matching MySQL's collation-aware
+        # regex.  Both rewrites are idempotent on their own output.
+        ("'ACME corp' LIKE 'acme%'", True),
+        ("'ACME corp' LIKE 'acmX%'", False),
+        ("'A_B' LIKE 'a\\_b'", True),
+        ("'AXB' LIKE 'a_b'", True),
+        ("'ACME' REGEXP '^acme$'", True),
+        ("'xyz' REGEXP '^acme$'", False),
+    ],
+)
+def test_ci_collation_like_regexp(spark, expr, want):
+    from infinidb_spark.dialect import translate_mysql
+
+    t1 = translate_mysql(f"SELECT {expr} AS v", ci_collation=True)
+    assert translate_mysql(t1, ci_collation=True) == t1
+    assert spark.sql(t1).collect()[0][0] is want
