@@ -299,7 +299,13 @@ def _cast_int_sql(e: str, target: str) -> str:
             tsv, "t3_",
             "CAST(year(t3_) AS DECIMAL(38,0)) * 10000000000"
             " + month(t3_) * 100000000 + day(t3_) * 1000000"
-            " + hour(t3_) * 10000 + minute(t3_) * 100 + second(t3_)",
+            # extract() forms, not hour()/minute()/second() calls:
+            # those names are rewritten by the TIME-field handler on
+            # re-entry (translator idempotency).  SECOND extracts a
+            # fractional decimal — floor() keeps MySQL's truncation.
+            " + extract(HOUR FROM t3_) * 10000"
+            " + extract(MINUTE FROM t3_) * 100"
+            " + CAST(floor(extract(SECOND FROM t3_)) AS BIGINT)",
         )
         + f" AS {inner})"
         f" WHEN typeof(v_) = 'boolean' THEN CAST("
@@ -352,9 +358,14 @@ def _cast_time_sql(e: str) -> str:
         f"({ts} IS NOT NULL AND {s} RLIKE"
         f" '^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?')"
     )
+    # extract() forms (not hour()/minute()/second() calls — re-entry
+    # idempotency); SECOND is a fractional decimal, floored to the
+    # BIGINT format_string('%d') needs
     tod = (
         f"format_string('%02d:%02d:%02d',"
-        f" hour({ts}), minute({ts}), second({ts}))"
+        f" CAST(extract(HOUR FROM {ts}) AS BIGINT),"
+        f" CAST(extract(MINUTE FROM {ts}) AS BIGINT),"
+        f" CAST(floor(extract(SECOND FROM {ts})) AS BIGINT))"
     )
     # fractional TIME seconds ROUND to the second (MySQL TIME(0));
     # round-on-decimal is exact HALF_UP
@@ -622,6 +633,34 @@ def _time_format_sql(x: str, fmt: str) -> str:
     return _bind1(
         secs, "s_",
         f"(CASE WHEN s_ IS NULL THEN CAST(NULL AS STRING) ELSE {body} END)",
+    )
+
+
+def _time_field_sql(field: str, x: str) -> str:
+    """HOUR/MINUTE/SECOND over the full MySQL operand class (ref
+    func_hour/minute/second.cpp, mirrors registry._time_field): TIME
+    values keep their full hour count (HOUR('272:59:59') = 272) and
+    negatives read their magnitude; datetime-looking input extracts
+    its time-of-day field.  extract(FIELD FROM ts), not hour()/
+    minute()/second() calls — re-emitting the matched name would break
+    translator idempotency."""
+    is_dt = (
+        "(tt_ IS NOT NULL AND trim(CAST(tv_ AS STRING)) RLIKE"
+        " '^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?')"
+    )
+    dt = f"CAST(extract({field} FROM tt_) AS INT)"
+    tval_body = {
+        "HOUR": "CAST(ta_ DIV 3600 AS INT)",
+        "MINUTE": "CAST((ta_ % 3600) DIV 60 AS INT)",
+        "SECOND": "CAST(floor(ta_ % 60) AS INT)",
+    }[field]
+    tval = _bind1(f"abs({_time_secs_sql('tv_')})", "ta_", tval_body)
+    return _bind1(
+        x, "tv_",
+        _bind1(
+            "try_cast(tv_ AS TIMESTAMP)", "tt_",
+            f"(CASE WHEN {is_dt} THEN {dt} ELSE {tval} END)",
+        ),
     )
 
 
@@ -1967,6 +2006,17 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                     hit = _domain_guard_func(upper, inner)
                     if hit is not None:
                         out.extend(hit)
+                        i = close + 1
+                        continue
+                if upper in ("HOUR", "MINUTE", "SECOND"):
+                    targs2 = _split_args(inner)
+                    if len(targs2) == 1 and any(
+                        t[0] not in ("ws", "comment") for t in targs2[0]
+                    ):
+                        out.append((
+                            "code",
+                            _time_field_sql(upper, _arg_text(targs2[0])),
+                        ))
                         i = close + 1
                         continue
                 if upper == "UNIX_TIMESTAMP":

@@ -41,22 +41,30 @@ COMPOUND_UNITS: dict[str, tuple[str, ...]] = {
 #: note DAY/HOUR/MINUTE_MICROSECOND are NOT extractable in the
 #: reference, matching MySQL's EXTRACT).  Formulas over a bound
 #: timestamp operand ``{x}``.
+#: extract() spellings, not hour()/minute()/second() calls: the
+#: dialect rewrites those names through the TIME-field handler on
+#: re-entry (translator idempotency).  extract's SECOND is a
+#: fractional decimal — floor() keeps MySQL's truncation.
+_H = "extract(HOUR FROM {x})"
+_M = "extract(MINUTE FROM {x})"
+_S = "CAST(floor(extract(SECOND FROM {x})) AS BIGINT)"
+
 EXTRACT_PACKED: dict[str, str] = {
     "YEAR_MONTH": "year({x}) * 100 + month({x})",
-    "DAY_HOUR": "day({x}) * 100 + hour({x})",
-    "DAY_MINUTE": "day({x}) * 10000 + hour({x}) * 100 + minute({x})",
+    "DAY_HOUR": "day({x}) * 100 + " + _H,
+    "DAY_MINUTE": "day({x}) * 10000 + " + _H + " * 100 + " + _M,
     "DAY_SECOND": (
-        "day({x}) * 1000000 + hour({x}) * 10000"
-        " + minute({x}) * 100 + second({x})"
+        "day({x}) * 1000000 + " + _H + " * 10000"
+        " + " + _M + " * 100 + " + _S
     ),
-    "HOUR_MINUTE": "hour({x}) * 100 + minute({x})",
-    "HOUR_SECOND": "hour({x}) * 10000 + minute({x}) * 100 + second({x})",
-    "MINUTE_SECOND": "minute({x}) * 100 + second({x})",
+    "HOUR_MINUTE": _H + " * 100 + " + _M,
+    "HOUR_SECOND": _H + " * 10000 + " + _M + " * 100 + " + _S,
+    "MINUTE_SECOND": _M + " * 100 + " + _S,
     "SECOND_MICROSECOND": (
         # pmod, not %: Spark's % follows the dividend's sign, so a
         # pre-1970 timestamp's negative unix_micros would subtract the
         # fraction instead of adding it
-        "second({x}) * 1000000 + pmod(unix_micros({x}), 1000000)"
+        _S + " * 1000000 + pmod(unix_micros({x}), 1000000)"
     ),
 }
 

@@ -357,12 +357,51 @@ _MYSQL_EPOCH_TO_DAYS = 719528  # TO_DAYS('1970-01-01'), ref func_to_days.cpp
 
 for _n, _f in {
     "day": F.dayofmonth, "dayofmonth": F.dayofmonth, "dayofyear": F.dayofyear,
-    "hour": F.hour, "last_day": F.last_day,
-    "minute": F.minute, "month": F.month, "quarter": F.quarter,
-    "second": F.second, "year": F.year, "weekofyear": F.weekofyear,
+    "last_day": F.last_day,
+    "month": F.month, "quarter": F.quarter,
+    "year": F.year, "weekofyear": F.weekofyear,
     "from_unixtime": F.from_unixtime,
 }.items():
     FUNC_MAP[_n] = _f
+
+
+def _time_field(c, field: str) -> Column:
+    """HOUR/MINUTE/SECOND over the full MySQL operand class (ref
+    func_hour/minute/second.cpp): a TIME VALUE keeps its full hour
+    count — HOUR('272:59:59') = 272 (MySQL doc example) where a
+    timestamp cast NULLed every >24 h TIME — and negatives read their
+    magnitude; datetime-looking input takes its time-of-day field."""
+    v = _c(c)
+    sv = F.trim(v.try_cast("string"))
+    ts = sv.try_cast("timestamp")
+    looks_dt = ts.isNotNull() & sv.rlike(
+        "^[0-9][0-9][0-9][0-9]-[0-9][0-9]?-[0-9][0-9]?"
+    )
+    a = F.abs(_time_value_secs(v))
+    tval = {
+        "hour": F.floor(a / 3600),
+        "minute": F.floor((a % 3600) / 60),
+        "second": F.floor(a % 60),
+    }[field]
+    dval = {"hour": F.hour(ts), "minute": F.minute(ts), "second": F.second(ts)}[
+        field
+    ]
+    return F.when(looks_dt, dval).otherwise(tval).cast("int")
+
+
+@_reg("hour")
+def hour_(c) -> Column:
+    return _time_field(c, "hour")
+
+
+@_reg("minute")
+def minute_(c) -> Column:
+    return _time_field(c, "minute")
+
+
+@_reg("second")
+def second_(c) -> Column:
+    return _time_field(c, "second")
 
 
 @_reg("unix_timestamp")

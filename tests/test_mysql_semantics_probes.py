@@ -255,6 +255,26 @@ PROBES = [
     ("TIME_FORMAT('10:20:30.000123', '%f')", "000123"),
     ("TIMEDIFF('500:00:00', '-500:00:00')", "838:59:59"),
     ("TIMEDIFF('-500:00:00', '500:00:00')", "-838:59:59"),
+    # HOUR/MINUTE/SECOND over TIME VALUES (func_hour.cpp — the MySQL
+    # doc example HOUR('272:59:59') = 272); a timestamp cast NULLed
+    # every >24 h TIME.  Negatives read their magnitude.
+    ("HOUR('272:59:59')", 272),
+    ("MINUTE('272:59:59')", 59),
+    ("SECOND('272:59:58')", 58),
+    ("HOUR('-26:10:05')", 26),
+    ("HOUR('2007-02-03 13:02:03')", 13),
+    ("SECOND(130)", 30),
+    ("HOUR('abc')", None),
+    # r10 edge battery, verified exact: negative/zero string lengths,
+    # REPEAT counts, SPACE, ASCII('')
+    ("LEFT('foobar', -1)", ""),
+    ("RIGHT('foobar', -1)", ""),
+    ("REPEAT('ab', -1)", ""),
+    ("SUBSTRING('foobar', 2, -1)", ""),
+    ("SPACE(3)", "   "),
+    ("ASCII('')", 0),
+    ("MD5('testing')", "ae2b1fca515949e5d54fb22b8ed95575"),
+    ("SHA1('abc')", "a9993e364706816aba3e25717850c26c9cd0d89d"),
 ]
 
 #: probes whose MySQL-exact form is deliberately deferred —
