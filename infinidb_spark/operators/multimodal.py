@@ -63,13 +63,20 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     container has no real media files): payload = utf-8 bytes, metadata
     derived from content.  Exercises the exact schema/partitioning paths
     a real corpus would."""
+    # pmod, not %: Spark's % follows the dividend's sign, so a negative
+    # id yielded element_at index 0 (INVALID_INDEX_OF_ZERO crash) or a
+    # silent from-the-end pick
+    mid = F.col(id_col)
     return df.select(
-        F.col(id_col).alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col(id_col) % 3 + 1).cast("int")).alias("modality"),
+        mid.alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(mid, F.lit(3)) + 1).cast("int"),
+        ).alias("modality"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
-        (F.col(id_col) % 640 + 32).cast("int").alias("width"),
-        (F.col(id_col) % 480 + 32).cast("int").alias("height"),
+        (F.pmod(mid, F.lit(640)) + 32).cast("int").alias("width"),
+        (F.pmod(mid, F.lit(480)) + 32).cast("int").alias("height"),
         (F.length(F.col(text_col)) * 10).cast("bigint").alias("duration_ms"),
     )
 
@@ -80,7 +87,13 @@ def media_repartition(df: DataFrame, target_partition_bytes: int = 128 * 1024 * 
     Sizing comes from FILE metadata when the table is file-backed (sum
     of input-file sizes — free, no scan); only a synthesized in-memory
     relation falls back to a one-row aggregate over payload lengths.
-    """
+
+    Known sizing skews (partition COUNT only, never correctness): the
+    file path measures the WHOLE underlying table's compressed bytes —
+    a filtered/projected ``df`` still counts every input file, and
+    compressed on-disk bytes undercount in-memory payload size.  Pass
+    a pre-materialized subset (or rely on the fallback) when the
+    estimate must track the actual relation."""
     import os
     from urllib.parse import urlparse
 

@@ -88,7 +88,19 @@ def salted_aggregate(
         F.count(F.lit(1)).alias("_pc"),
         *[F.sum(src).alias(f"_ps_{alias}") for src, alias in sum_cols.items()],
     )
+    # merged sums cast back to the SINGLE-stage result type: stacked
+    # F.sum widens DECIMAL twice (p+20,s vs the plain aggregate's
+    # p+10,s), so the salted relation's schema would diverge from the
+    # un-salted equivalent it promises to match (schema analysis only —
+    # no job runs)
+    single = {
+        alias: df.select(F.sum(src).alias(alias)).schema[0].dataType
+        for src, alias in sum_cols.items()
+    }
     return stage1.groupBy(*keys).agg(
         F.sum("_pc").alias(count_col),
-        *[F.sum(f"_ps_{alias}").alias(alias) for alias in sum_cols.values()],
+        *[
+            F.sum(f"_ps_{alias}").cast(single[alias]).alias(alias)
+            for alias in sum_cols.values()
+        ],
     )

@@ -62,11 +62,19 @@ def read_jdbc_table(
                 "read_jdbc_table: partition_column requires lower_bound "
                 "and upper_bound"
             )
+        if num_partitions is not None and num_partitions < 1:
+            # `or 8` silently rewrote an explicit 0 (a caller's
+            # underflowed fan-out) to 8 — fail fast like the other
+            # argument validations here
+            raise ValueError(
+                f"read_jdbc_table: num_partitions must be >= 1, got "
+                f"{num_partitions}"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions or 8))
+            .option("numPartitions", str(8 if num_partitions is None else num_partitions))
         )
     return reader.load()
 
@@ -77,11 +85,16 @@ def write_jdbc_table(
     table: str,
     *,
     driver: str | None = None,
-    mode: str = "overwrite",
+    mode: str = "error",
     properties: dict[str, str] | None = None,
 ) -> None:
     """Write a DataFrame to a foreign table over JDBC (the reverse path;
-    the reference only reads foreign engines — this is a superset)."""
+    the reference only reads foreign engines — this is a superset).
+
+    ``mode`` keeps Spark's fail-fast default ('error'): the old
+    'overwrite' default silently DROPPED and recreated an existing
+    foreign table — destroying its rows, indexes and declared column
+    types — for any caller that omitted the argument."""
     props = dict(properties or {})
     if driver:
         props["driver"] = driver

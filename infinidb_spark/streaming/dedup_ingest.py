@@ -37,6 +37,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from infinidb_spark.operators.dedup import dedup_exact_incremental
 from infinidb_spark.streaming.sink import (
+    epoch_prefix,
     sink_id_for,
     start_epoch_stream,
     write_epoch_idempotent,
@@ -83,7 +84,11 @@ def stream_dedup_ingest(
 
     def _ingest_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        prefix = f"ep_{sink_id}_{epoch_id}_"
+        # THE shared spelling (sink.epoch_prefix) — a hand-rolled
+        # copy that drifted from the writer's prefix would stop
+        # excluding the current epoch's partial store files on
+        # replay, making the batch's own docs classify as dups
+        prefix = epoch_prefix(sink_id, epoch_id)
         store = read_hash_store(spark, table_dir, exclude_prefix=prefix)
         # persist the CLASSIFICATION — both writes (doc rows + hash
         # rows) derive from it, so the normalize+hash+store-join runs

@@ -30,6 +30,24 @@ from pyspark.sql.streaming import StreamingQuery
 _EPOCH_DIR = "_epochs"
 
 
+def epoch_prefix(sink_id: str, epoch_id: int) -> str:
+    """THE epoch file-name prefix — the single spelling shared by the
+    writer, the replay sweep, and dedup_ingest's hash-store exclusion
+    (three independent copies had already been spelled by hand; a
+    drift in any one silently breaks replay safety in another)."""
+    return f"ep_{sink_id}_{epoch_id}_"
+
+
+def _fsync_path(path: str) -> None:
+    """fsync a file or directory by path (directory fsync persists the
+    directory ENTRIES — the link/marker names themselves)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def write_epoch_idempotent(
     batch_df: DataFrame,
     epoch_id: int,
@@ -78,6 +96,14 @@ def write_epoch_idempotent(
                 f"{len(active)} active streaming queries — pass sink_id "
                 "explicitly (sink_id_for(checkpoint_dir))"
             )
+    if partition_by and any(c.startswith(("_", ".")) for c in partition_by):
+        # read_committed (and Spark's own partition discovery) prune
+        # '_'/'.'-prefixed directories — a commit under such a layout
+        # would be invisible to the module's own reader
+        raise ValueError(
+            "write_epoch_idempotent: partition column names must not "
+            f"start with '_' or '.': {partition_by}"
+        )
     safe = str(sink_id).replace(os.sep, "_")
     marker = os.path.join(table_dir, _EPOCH_DIR, safe, str(epoch_id))
     if os.path.exists(marker):
@@ -98,15 +124,24 @@ def write_epoch_idempotent(
     # long-running stream's ingest O(total files) per micro-batch.
     # glob.escape keeps metacharacter table paths from matching nothing
     # (which would silently leave the stale attempt in place).
-    prefix = f"ep_{safe}_{epoch_id}_"
+    prefix = epoch_prefix(safe, epoch_id)
     sweep_dirs = {table_dir}
     for dirpath, _, files in os.walk(stage):
         rel = os.path.relpath(dirpath, stage)
         if rel != "." and any(f.endswith(".parquet") for f in files):
             sweep_dirs.add(os.path.join(table_dir, rel))
     for d in sweep_dirs:
-        for old in glob.glob(os.path.join(glob.escape(d), f"{prefix}*")):
+        # the 'part-' anchor scopes the sweep to THIS sink's files:
+        # bare '{prefix}*' also matched a sibling sink whose id starts
+        # with this sink's id plus '_' ('ep_a_1_*' caught sink a_1's
+        # committed 'ep_a_1_2_part-…' while sweeping sink a's epoch 1 —
+        # silent cross-sink data loss).  glob.escape covers metachars
+        # in the sink id itself, not just the directory.
+        for old in glob.glob(
+            glob.escape(os.path.join(d, prefix)) + "part-*"
+        ):
             os.remove(old)
+    linked_dirs = set()
     for dirpath, _, files in os.walk(stage):
         rel = os.path.relpath(dirpath, stage)
         for f in files:
@@ -114,13 +149,22 @@ def write_epoch_idempotent(
                 continue
             dst_dir = table_dir if rel == "." else os.path.join(table_dir, rel)
             os.makedirs(dst_dir, exist_ok=True)
-            os.link(
-                os.path.join(dirpath, f),
-                os.path.join(dst_dir, f"{prefix}{f}"),
-            )
+            dst = os.path.join(dst_dir, f"{prefix}{f}")
+            os.link(os.path.join(dirpath, f), dst)
+            # flush the part data BEFORE the marker: the exactly-once
+            # protocol rests on marker-written-last, which process
+            # crashes respect but an OS crash/power loss does not
+            # without fsync
+            _fsync_path(dst)
+            linked_dirs.add(dst_dir)
+    for d in linked_dirs:
+        _fsync_path(d)
     shutil.rmtree(stage)
     os.makedirs(os.path.dirname(marker), exist_ok=True)
-    open(marker, "w").close()
+    with open(marker, "w") as mf:
+        mf.flush()
+        os.fsync(mf.fileno())
+    _fsync_path(os.path.dirname(marker))
     return True
 
 

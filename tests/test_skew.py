@@ -63,3 +63,19 @@ def test_salt_is_content_derived_and_validated(spark):
     build = spark.range(10).selectExpr("id AS k", "id AS b")
     with pytest.raises(ValueError, match="n_salt"):
         salted_join(df, build, ["k"], n_salt=0)
+
+
+def test_salted_aggregate_decimal_dtype_matches_plain(spark):
+    """r10 review fix: stacked sums widened DECIMAL twice — the salted
+    relation's schema must equal the un-salted equivalent's."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("k", 1.0)], "k string, p double"
+    ).select("k", F.col("p").cast("decimal(12,2)").alias("p"))
+    salted = salted_aggregate(df, ["k"], sum_cols={"p": "s"})
+    plain = df.groupBy("k").agg(F.sum("p").alias("s"))
+    assert salted.schema["s"].dataType == plain.schema["s"].dataType
+    assert salted.collect()[0]["s"] == plain.collect()[0]["s"]

@@ -257,3 +257,61 @@ def test_quality_gate_sigkill_between_writes_converges(spark, tmp_path):
     }
     assert res.count() == 5  # exactly-once: no replay dupes anywhere
     assert res.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_replay_sweep_never_touches_prefix_sibling_sink(spark, tmp_path):
+    """r10 review fix: sweeping sink 'a' epoch 1 used to glob
+    'ep_a_1_*', which matched sink 'a_1' epoch 2's COMMITTED files —
+    silent cross-sink data loss on replay.  The 'part-' anchor scopes
+    the sweep to this sink's own files."""
+    import os
+
+    from infinidb_spark.streaming.sink import (
+        read_committed,
+        write_epoch_idempotent,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    assert write_epoch_idempotent(df, 2, table, sink_id="a_1") is True
+    # replay sink 'a' epoch 1 twice (second run sweeps its own files)
+    assert write_epoch_idempotent(df, 1, table, sink_id="a") is True
+    marker = os.path.join(table, "_epochs", "a", "1")
+    os.remove(marker)  # crash-after-link: force the sweep on replay
+    assert write_epoch_idempotent(df, 1, table, sink_id="a") is True
+    got = read_committed(spark, table)
+    assert got is not None and got.count() == 2  # a_1's row SURVIVES
+
+
+def test_epoch_sink_id_with_glob_metachars(spark, tmp_path):
+    """A sink id containing glob metacharacters must still sweep its
+    own partial files on replay (the pattern is escaped)."""
+    import os
+
+    from infinidb_spark.streaming.sink import write_epoch_idempotent
+
+    table = str(tmp_path / "t2")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    assert write_epoch_idempotent(df, 3, table, sink_id="q[1]") is True
+    marker = os.path.join(table, "_epochs", "q[1]", "3")
+    os.remove(marker)
+    assert write_epoch_idempotent(df, 3, table, sink_id="q[1]") is True
+    assert spark.read.parquet(table).count() == 1  # swept, not doubled
+
+
+def test_underscore_partition_column_rejected(spark, tmp_path):
+    """Committing a layout the module's own reader prunes must fail
+    fast at write time."""
+    import os
+
+    import pytest as _pytest
+
+    from infinidb_spark.streaming.sink import write_epoch_idempotent
+
+    table = str(tmp_path / "t3")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, "x")], "_b long, s string")
+    with _pytest.raises(ValueError, match="must not start"):
+        write_epoch_idempotent(df, 0, table, partition_by=["_b"], sink_id="q")
