@@ -107,12 +107,24 @@ def exact_stratified_split(
     * stratum_size`` — the float form (``rank/n < cum``) flips boundary
     rows whenever the accumulated cum differs from an oracle's decimal
     literal by 1 ulp (0.1 + 0.2 != 0.3 in doubles; the 0.8/0.1/0.1
-    default was green only because 0.8 + 0.1 happens to be exact)."""
+    default was green only because 0.8 + 0.1 happens to be exact).
+
+    Determinism: rows sharing (bucket, key) — duplicate or NULL keys —
+    tie in the rank order, so a boundary tie could flip a DISTINCT row
+    between splits across recomputations (task retry, re-run): exactly
+    the train/test instability the module exists to prevent.  The
+    production path adds a full-row hash as the final tie-break;
+    portable mode keeps the 2-key order the hand-written SQL oracle
+    reproduces — callers there must pass a UNIQUE key_col (the
+    document id, the documented shape)."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
     bucket = split_bucket(F.col(key_col), salt, N_BUCKETS, portable)
-    w = Window.partitionBy(strata_col).orderBy(bucket, F.col(key_col))
+    order = [bucket, F.col(key_col)]
+    if not portable:
+        order.append(F.xxhash64(*[F.col(c) for c in df.columns]))
+    w = Window.partitionBy(strata_col).orderBy(*order)
     n = Window.partitionBy(strata_col)
     # bigint BEFORE the multiply: row_number is 32-bit and
     # (rn-1)*10000 silently wraps past rank ~214,748 with ANSI off —

@@ -138,6 +138,13 @@ def partitions_by_value(
         st = (entry or {}).get("columns", {}).get(column)
         if not st or st["min"] is None or st["max"] is None:
             continue  # CPINVALID: no stats → never range-selected
+        # Parquet min/max EXCLUDE NULLs: a partition holding NULL rows
+        # is not fully contained in any value range — dropping it by
+        # [min,max] alone would destroy those rows (violating the
+        # cannot-lose-a-row invariant above).  Unknown null_count →
+        # not selectable, same conservatism as missing stats.
+        if st.get("null_count") != 0:
+            continue
         mn, mx = st["min"], st["max"]
         try:
             lo_ok = start is None or mn >= _coerce(start, mn, "start")

@@ -298,10 +298,12 @@ def window_dup_fraction(
         else F.xxhash64(win_text)
     )
     hashed = base.select("_id", h.alias("_h"))
-    # windows seen in >1 DISTINCT doc = cross-document boilerplate;
-    # this set is TINY relative to the corpus → broadcast marker join,
-    # then ONE groupBy(doc) computes both counters (two passes over the
-    # exploded relation total — dup detection is inherently global)
+    # windows seen in >1 DISTINCT doc = cross-document boilerplate.
+    # NO forced broadcast: the duplicated-window set grows with corpus
+    # size on exactly the template-heavy web data this signal targets —
+    # at 100 TB it can exceed the broadcast hard cap and OOM the
+    # driver.  AQE still picks a broadcast join when the set really is
+    # small; a shuffled marker join stays linear when it is not.
     dup_windows = (
         hashed.groupBy("_h")
         .agg(F.count_distinct("_id").alias("_docs"))
@@ -309,7 +311,7 @@ def window_dup_fraction(
         .select("_h", F.lit(True).alias("_dup"))
     )
     per_doc = (
-        hashed.join(F.broadcast(dup_windows), "_h", "left")
+        hashed.join(dup_windows, "_h", "left")
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -455,22 +457,52 @@ def classify_lang(
     # every engine (Spark's BigDecimal half-up and a binary-double
     # round() disagree on exactly those ties).  All intermediates stay
     # under 2^53, so the double division is exact and floor is safe.
-    iw = {lang: [int(round(x * 1024)) for x in weights[lang]] for lang in langs}
-    sums = [
-        F.sum(
-            F.element_at(F.array(*[F.lit(x) for x in iw[lang]]), F.col("_b"))
-        ).alias(f"_s_{lang}")
+    on_grid = all(
+        abs(x * 1024 - round(x * 1024)) < 1e-9
         for lang in langs
-    ]
-    per = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n_tokens"), *sums)
-    d = F.col("n_tokens") * F.lit(1024)
-    scores = {
-        lang: F.floor(
-            (F.col(f"_s_{lang}") * F.lit(2000000) + d) / (d * F.lit(2))
-        ).cast("double")
-        / F.lit(1000000.0)
-        for lang in langs
-    }
+        for x in weights[lang]
+    )
+    if on_grid:
+        iw = {
+            lang: [int(round(x * 1024)) for x in weights[lang]]
+            for lang in langs
+        }
+        sums = [
+            F.sum(
+                F.element_at(F.array(*[F.lit(x) for x in iw[lang]]), F.col("_b"))
+            ).alias(f"_s_{lang}")
+            for lang in langs
+        ]
+        per = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n_tokens"), *sums)
+        d = F.col("n_tokens") * F.lit(1024)
+        scores = {
+            lang: F.floor(
+                (F.col(f"_s_{lang}") * F.lit(2000000) + d) / (d * F.lit(2))
+            ).cast("double")
+            / F.lit(1000000.0)
+            for lang in langs
+        }
+    else:
+        # CALLER-supplied weight table off the 1/1024 grid (trained
+        # heads): the integer-exactness trick would QUANTIZE it —
+        # small-magnitude weights collapsed to all-zero scores, every
+        # doc 'und'.  Score in plain doubles like classify_quality;
+        # the exact-tie-rounding guarantee applies only to the
+        # built-in grid tables (document portability accordingly).
+        sums = [
+            F.sum(
+                F.element_at(
+                    F.array(*[F.lit(float(x)) for x in weights[lang]]),
+                    F.col("_b"),
+                )
+            ).alias(f"_s_{lang}")
+            for lang in langs
+        ]
+        per = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n_tokens"), *sums)
+        scores = {
+            lang: F.round(F.col(f"_s_{lang}") / F.col("n_tokens"), 6)
+            for lang in langs
+        }
     entries = [
         F.struct(scores[lang].alias("s"), F.lit(-rank).alias("nr"))
         for rank, lang in enumerate(langs)

@@ -593,8 +593,14 @@ def write_manifest(manifest: list[dict[str, Any]], out_path: str) -> None:
     src_dir = (
         os.path.dirname(os.path.abspath(manifest[0]["file"])) if manifest else ""
     )
-    with open(out_path, "w") as fh:
+    # tmp + os.replace, the same idiom as partitions._write_sidecar and
+    # ShardedManifest._write_shard: a crash mid-dump would otherwise
+    # leave a permanently truncated sidecar (JSONDecodeError on every
+    # explicit load; _sidecar_seed silently {} forever)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"version": 2, "dir": src_dir, "entries": entries}, fh)
+    os.replace(tmp, out_path)
 
 
 def read_manifest(in_path: str) -> list[dict[str, Any]]:

@@ -32,6 +32,7 @@ This module is the scale path:
 from __future__ import annotations
 
 import os
+import threading
 import time
 import zlib
 from collections import OrderedDict
@@ -58,6 +59,10 @@ _KEY_COLS = ("basename", "mtime_ns", "size", "ino", "rows")
 #: operators/dml._SNAP_RACY_NS (same idiom, same hazard; 2 s to exceed
 #: coarse filesystem mtime granularity).
 _DIR_SIG_RACY_NS = 2_000_000_000
+
+#: serializes prune()'s register→execute→unregister on the SHARED
+#: DuckDB connection (see prune for the wrong-table hazard)
+_PRUNE_LOCK = threading.Lock()
 
 
 def _shard_of(basename: str, n_shards: int) -> int:
@@ -137,12 +142,29 @@ class ShardedManifest:
             not racy
             and self._dir_sig == (real, dir_mtime)
             and self._clean_fp is not None
+            # the documented rebuild remedy is "delete <table>.
+            # __manifest__" — a live instance must notice that deletion
+            # (the in-memory shard memo would otherwise serve stale
+            # stats forever); one extra stat per clean refresh
+            and os.path.isdir(self.manifest_dir)
         ):
             return self
         # arm the signature only at a SUCCESS exit: a mid-rebuild
         # exception (torn footer, disk full) must leave the gate
         # disarmed so the retry rescans instead of serving stale shards
         self._dir_sig = None
+        if not os.path.isdir(self.manifest_dir) and (
+            self._shard_tables or self._shard_keys or self._clean_fp
+        ):
+            # the user invoked the documented rebuild remedy (deleted
+            # the manifest dir): drop EVERY in-memory memo — both the
+            # clean-fingerprint fast path below and _load_shard's
+            # memory-first lookup would otherwise keep serving the
+            # stale stats the deletion was meant to purge
+            self._shard_tables = {}
+            self._shard_keys = {}
+            self._clean_fp = None
+            self._relation = None
 
         current: dict[str, tuple[int, int, int]] = {}
         for f in _member_files(real):
@@ -263,6 +285,13 @@ class ShardedManifest:
             if rel.num_rows == 0:
                 return []
         con = _duck_con()
+        # the register→execute→unregister span runs under a module
+        # lock: _duck_con is one shared connection and the view name is
+        # fixed, so a concurrent prune (second session / parallel
+        # driver thread) re-registering mid-query would silently serve
+        # ANOTHER table's basenames — zero of which match this dir,
+        # planning an all-eliminated (empty) scan for a query with rows
+        _PRUNE_LOCK.acquire()
         con.register("_idb_sharded_manifest", rel)
         try:
             clauses, params = [], []
@@ -304,7 +333,10 @@ class ShardedManifest:
                             continue
                     names = sorted(names)
         finally:
-            con.unregister("_idb_sharded_manifest")
+            try:
+                con.unregister("_idb_sharded_manifest")
+            finally:
+                _PRUNE_LOCK.release()
         return [os.path.join(real, b) for b in sorted(names)]
 
 
@@ -369,7 +401,16 @@ def _rows_to_table(rows: list[dict[str, Any]]) -> pa.Table:
 def _pred_sql(pred: Predicate, avail: set[str]) -> tuple[str, list] | None:
     """(WHERE clause, params) for one predicate over the stats relation;
     None when the column has no stat columns at all (keep everything —
-    same contract as `manifest._may_match` on a missing column)."""
+    same contract as `manifest._may_match` on a missing column).
+
+    Timestamp predicates compare validly ONLY because both engines are
+    pinned UTC (session.py builds every Spark session with
+    spark.sql.session.timeZone=UTC; manifest._duck_con sets
+    TimeZone='UTC') — the DuckDB-side comparison and Spark's residual
+    filter then read a timestamp literal as the same instant.  An
+    embedder running a non-UTC Spark session must treat timestamp
+    predicates as non-prunable (elimination could drop files whose
+    rows the residual filter would match)."""
     col, op = pred[0], pred[1]
     mn, mx = f'"min::{col}"', f'"max::{col}"'
     if f"min::{col}" not in avail or f"max::{col}" not in avail:
@@ -437,6 +478,13 @@ def scan_with_sharded_manifest(
     if not predicates:
         return spark.read.parquet(path)  # manifest never consulted
     residual = reduce(lambda a, b: a & b, (_as_filter(p) for p in predicates))
+    if not os.path.isdir(os.path.realpath(path)):
+        # single parquet FILE: the extent map keys member files of a
+        # DIRECTORY — refreshing here would key the file by its own
+        # basename and prune() would emit bogus '<file>/<file>' paths
+        # (plus a stray sidecar dir beside the file).  Plain scan; the
+        # loop pruner (scan_with_manifest) documents the same gate.
+        return spark.read.parquet(path).filter(residual)
     if _has_nested_data(path):
         # hive-partitioned table: the extent map keys TOP-LEVEL member
         # files and would read the layout as empty (zero rows for a

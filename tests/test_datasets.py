@@ -193,3 +193,20 @@ def test_pack_sequences_rejects_nonpositive_budget(spark):
     df = spark.range(3).selectExpr("id AS doc_id", "10 AS n_tokens")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_stratified_split_deterministic_with_duplicate_keys(spark):
+    """r10 review fix: distinct rows sharing (bucket, key) tied in the
+    rank order, so a boundary tie could flip a row between splits
+    across recomputations; the production path adds a full-row hash
+    tie-break."""
+    from infinidb_spark.operators.datasets import exact_stratified_split
+
+    rows = [(None, "s", f"payload-{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "k string, st string, body string")
+    a = exact_stratified_split(df, "k", "st", {"train": 0.8, "test": 0.2})
+    b = exact_stratified_split(df, "k", "st", {"train": 0.8, "test": 0.2})
+    ga = sorted((r.body, r.split) for r in a.collect())
+    gb = sorted((r.body, r.split) for r in b.collect())
+    assert ga == gb
+    assert sum(1 for _, s in ga if s == "train") == 40

@@ -263,3 +263,46 @@ def test_refresh_failure_does_not_arm_dir_gate(spark, tmp_path, monkeypatch):
     m.refresh()
     rel = m.relation()
     assert "part-torn.parquet" in rel.column("basename").to_pylist()
+
+
+def test_manifest_dir_deletion_forces_rebuild(spark, tmp_path):
+    """r10 review fix: deleting <table>.__manifest__ (the documented
+    rebuild remedy) must purge a live instance's in-memory shard memo —
+    it used to keep serving the stale stats from memory."""
+    import os
+    import shutil
+
+    from infinidb_spark.sources.manifest_sharded import ShardedManifest
+
+    table = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS v").coalesce(1).write.parquet(table)
+    m = ShardedManifest(table)
+    m.refresh()
+    assert m.relation().num_rows >= 1
+    # simulate an external in-place rewrite + the documented remedy
+    shutil.rmtree(table + ".__manifest__")
+    import time
+
+    time.sleep(0.01)
+    m.refresh()
+    # memo was dropped and the manifest dir rebuilt from footers
+    assert os.path.isdir(table + ".__manifest__")
+    assert m.relation().num_rows >= 1
+
+
+def test_sharded_scan_single_file_path(spark, tmp_path):
+    """r10 review fix: a single parquet FILE path must plain-scan with
+    the residual filter, not fabricate '<file>/<file>' survivor paths."""
+    import glob
+    import os
+
+    from infinidb_spark.sources.manifest_sharded import (
+        scan_with_sharded_manifest,
+    )
+
+    d = str(tmp_path / "d")
+    spark.range(50).selectExpr("id AS v").coalesce(1).write.parquet(d)
+    f = glob.glob(os.path.join(d, "*.parquet"))[0]
+    out = scan_with_sharded_manifest(spark, f, [("v", ">=", 40)])
+    assert out.count() == 10
+    assert not os.path.exists(f + ".__manifest__")

@@ -159,3 +159,24 @@ def test_byvalue_timestamp_bounds(spark, sf_dir):
         table_dir, "o_orderdate", None, r0["max"]
     )
     assert sel == [r0["file"]]
+
+
+def test_drop_by_value_never_selects_null_bearing_partitions(spark, tmp_path):
+    """r10 review fix: Parquet min/max exclude NULLs, so a partition
+    whose stats sit inside [start, end] can still hold NULL rows that
+    are NOT in the value range — selecting it for drop destroyed them."""
+    import os
+
+    from infinidb_spark.operators.partitions import partitions_by_value
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    spark.createDataFrame(
+        [(5, "a"), (50, "b"), (None, "null-row")], "v int, s string"
+    ).coalesce(1).write.mode("append").parquet(table)
+    spark.createDataFrame(
+        [(10, "c"), (20, "d")], "v int, s string"
+    ).coalesce(1).write.mode("append").parquet(table)
+    sel = partitions_by_value(table, "v", 0, 100)
+    # only the NULL-free partition qualifies
+    assert len(sel) == 1

@@ -669,3 +669,25 @@ def test_ngram_jaccard_fp_integer_crossing(spark):
             docs, n=3, threshold=0.56, prefilter_col="source", candidate=mode
         ).collect()
         assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.56)], mode
+
+
+def test_classify_lang_accepts_off_grid_weights(spark):
+    """r10 review fix: a caller-supplied trained weight table off the
+    1/1024 grid used to be quantized (small-magnitude heads collapsed
+    to all-zero scores -> every doc 'und'); off-grid tables now score
+    in plain doubles."""
+    from infinidb_spark.operators.text import classify_lang
+
+    df = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd")], "doc_id long, text string"
+    )
+    n_b = 64
+    tiny = {
+        "xx": [0.0001] * n_b,   # off-grid, sub-1/2048 magnitude
+        "yy": [0.00005] * n_b,
+    }
+    out = classify_lang(
+        df, weights=tiny, floor=0.00001, portable_hash=True
+    ).collect()
+    assert out[0]["lang"] == "xx"
+    assert out[0]["score"] > 0.0
