@@ -37,38 +37,66 @@ from infinidb_spark.functions.registry import FUNC_MAP
 UDAF_MAP: dict[str, tuple[Callable, str]] = {}
 
 
-def register_column_fn(name: str, fn: Callable[..., Column]) -> Callable[..., Column]:
+def _claim(name: str, replace: bool) -> str:
+    """Collision gate for every register_* chokepoint: silently
+    overwriting a built-in (or another plugin's) FUNC_MAP entry would
+    change the semantics of every subsequently translated query using
+    that name — require an explicit ``replace=True`` opt-in."""
+    key = name.lower()
+    if not replace and key in FUNC_MAP:
+        raise ValueError(
+            f"function {name!r} is already registered — pass replace=True "
+            "to deliberately override it"
+        )
+    return key
+
+
+def register_column_fn(
+    name: str, fn: Callable[..., Column], *, replace: bool = False
+) -> Callable[..., Column]:
     """Register a Column-expression builder (tier 1 — no Python at run
     time).  Returns the builder so it can be used directly."""
-    FUNC_MAP[name.lower()] = fn
+    FUNC_MAP[_claim(name, replace)] = fn
     return fn
 
 
 def register_pandas_udf(
-    spark: SparkSession, name: str, fn: Callable, return_type: str
+    spark: SparkSession, name: str, fn: Callable, return_type: str,
+    *, replace: bool = False,
 ) -> Callable[..., Column]:
     """Register an Arrow-batched pandas UDF (tier 2) in both FUNC_MAP
     and spark.udf (usable from DataFrame code AND spark.sql)."""
+    key = _claim(name, replace)
     udf = F.pandas_udf(fn, return_type)
     spark.udf.register(name, udf)
-    FUNC_MAP[name.lower()] = udf
+    FUNC_MAP[key] = udf
     return udf
 
 
 def register_python_udf(
-    spark: SparkSession, name: str, fn: Callable, return_type: str
+    spark: SparkSession, name: str, fn: Callable, return_type: str,
+    *, replace: bool = False,
 ) -> Callable[..., Column]:
     """Register a row-at-a-time Python UDF (tier 3 — slow path)."""
+    key = _claim(name, replace)
     udf = F.udf(fn, return_type)
     spark.udf.register(name, udf)
-    FUNC_MAP[name.lower()] = udf
+    FUNC_MAP[key] = udf
     return udf
 
 
-def register_pandas_udaf(name: str, fn: Callable, output_schema: str) -> Callable:
+def register_pandas_udaf(
+    name: str, fn: Callable, output_schema: str, *, replace: bool = False
+) -> Callable:
     """Register a grouped-aggregation UDAF (tier 4): ``fn(pdf) -> pdf``
     applied per group via ``apply_udaf``."""
-    UDAF_MAP[name.lower()] = (fn, output_schema)
+    key = name.lower()
+    if not replace and key in UDAF_MAP:
+        raise ValueError(
+            f"UDAF {name!r} is already registered — pass replace=True "
+            "to deliberately override it"
+        )
+    UDAF_MAP[key] = (fn, output_schema)
     return fn
 
 

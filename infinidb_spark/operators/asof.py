@@ -34,7 +34,7 @@ def asof_join(
     on: str,
     left_ts: str = "ts",
     right_ts: str = "ts",
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     direction: str = "backward",
@@ -61,7 +61,19 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
-    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    # `is None`, not falsy: an explicit right_cols=[] means "just the
+    # matched timestamp", not "expand to every right column"
+    rcols = (
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in (on, right_ts)]
+    )
+    reserved = {"_ats", "_side", "_m", "_mb", "_mf", "_tsl"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        # a user column named like a working column would be silently
+        # overwritten (or crash with AMBIGUOUS_REFERENCE downstream)
+        raise ValueError(f"asof_join: column names collide with internals: {sorted(clash)}")
 
     lt = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
@@ -168,12 +180,16 @@ def asof_join(
     # NULLS-FIRST position) would hand it the EARLIEST right row
     out = out.withColumn("_m", F.when(F.col(left_ts).isNotNull(), F.col("_m")))
     if tolerance_seconds is not None:
-        gap = (
-            F.unix_timestamp("_m._mts") - F.unix_timestamp(left_ts)
-            if direction == "forward"
-            else F.unix_timestamp(left_ts) - F.unix_timestamp("_m._mts")
-        )
-        in_tol = F.col("_m").isNotNull() & (gap <= F.lit(tolerance_seconds))
+        # microsecond gap, like the nearest path: unix_timestamp's
+        # whole-second truncation kept matches whose true gap exceeded
+        # the tolerance (09:59:59.000 → 10:00:00.900 is 1.9 s but
+        # truncated to 1) and degenerated sub-second tolerances to
+        # "same truncated second"
+        lm = F.unix_micros(F.col(left_ts).cast("timestamp"))
+        rm = F.unix_micros(F.col("_m._mts").cast("timestamp"))
+        gap = rm - lm if direction == "forward" else lm - rm
+        tol_us = F.lit(int(round(tolerance_seconds * 1_000_000)))
+        in_tol = F.col("_m").isNotNull() & (gap <= tol_us)
         out = out.withColumn("_m", F.when(in_tol, F.col("_m")))
     return out.select(
         *[F.col(c) for c in left.columns],
@@ -207,6 +223,15 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
+    if not bin_width > 0:
+        # with ANSI off, /0 yields NULL bins and a silently EMPTY join
+        raise ValueError(f"range_join: bin_width must be > 0, got {bin_width}")
+    reserved = {"_bin", "_rbin"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"range_join: column names collide with internals: {sorted(clash)}"
+        )
     lbin = F.floor(F.col(left_value) / bin_width).cast("long")
     lo_bin = F.floor(F.col(right_lo) / bin_width).cast("long")
     hi_bin = F.floor(F.col(right_hi) / bin_width).cast("long")

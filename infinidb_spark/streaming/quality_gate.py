@@ -60,9 +60,15 @@ def score_and_route(
         .when(~lg.isin(*langs), F.lit("lang"))
         .otherwise(F.lit("accepted"))
     )
+    # id + text LEAD, then every OTHER input column passes through: the
+    # old projection dropped document metadata (url, source, timestamps)
+    # from the accepted corpus irrecoverably — per-source auditing was
+    # impossible because the source column never reached either table
+    rest = [c for c in df.columns if c not in (id_col, text_col)]
     return df.select(
         F.col(id_col),
         F.col(text_col),
+        *[F.col(c) for c in rest],
         q.alias("quality"),
         lg.alias("lang_guess"),
         status.alias("status"),
