@@ -28,11 +28,26 @@ def systable(spark: SparkSession) -> DataFrame:
     )
 
 
-def syscolumn(spark: SparkSession) -> DataFrame:
-    """One row per column of every registered table (≅ syscolumn)."""
+def syscolumn(
+    spark: SparkSession, only: set[str] | None = None
+) -> DataFrame:
+    """One row per column of every registered table (≅ syscolumn).
+
+    ``only`` restricts the listColumns calls to the named tables —
+    the shared gate session accumulates dozens of leftover temp views,
+    and resolving EVERY one costs a catalog round-trip each and fails
+    the whole relation if any single leftover no longer resolves."""
     rows = []
     for t in spark.catalog.listTables():
-        for c in spark.catalog.listColumns(t.name):
+        if only is not None and t.name not in only:
+            continue
+        try:
+            cols = spark.catalog.listColumns(t.name)
+        except Exception:
+            # a stale temp view over a since-replaced relation must not
+            # abort the catalog of the tables that DO resolve
+            continue
+        for c in cols:
             rows.append((t.name, c.name, c.dataType, c.nullable, c.isPartition, c.isBucket))
     return spark.createDataFrame(
         rows,
@@ -66,9 +81,10 @@ def system_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """syscolumn over the registered TPC-H tables: per-table column
     counts + a type histogram — proves the catalog surface works."""
     load_tables(spark, sf_dir, register=True)
+    wanted = {"lineitem", "orders", "customer", "nation", "region"}
     return (
-        syscolumn(spark)
-        .filter(F.col("tablename").isin("lineitem", "orders", "customer", "nation", "region"))
+        syscolumn(spark, only=wanted)
+        .filter(F.col("tablename").isin(*sorted(wanted)))
         .groupBy("tablename")
         .agg(
             F.count(F.lit(1)).alias("n_columns"),

@@ -76,8 +76,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id, ts,
-           user_id || '-' || CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS session_id
+           -- concat_ws, not ||: the Spark side builds session_id with
+           -- concat_ws (NULL parts skipped); || would NULL the whole
+           -- id for a NULL user_id
+           concat_ws('-', user_id, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)) AS session_id
     FROM g
     """,
 )
@@ -94,8 +97,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                                             AS n,
            CAST(count(DISTINCT user_id) AS BIGINT)              AS uniq_users,
            floor(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS avg_k
+    -- DOUBLE on both the filter and the avg (the Spark side mirrors):
+    -- a BIGINT cast truncates in Spark but ERRORS in DuckDB for a
+    -- non-integral k, and a truncated filter/avg would diverge on
+    -- fractional values ('50.5' > 50 as double, false as bigint)
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
     GROUP BY event_type
     """,
 )
@@ -103,7 +110,10 @@ def events_json_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-prop filter + per-type aggregation over the event stream
     shape (get_json_object stays JVM-side)."""
     (events,) = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # DOUBLE, not BIGINT: Spark's bigint cast TRUNCATES a fractional k
+    # where DuckDB's errors, and the truncated filter/avg diverge on
+    # values like 50.5 — double semantics agree in both engines
+    k = F.get_json_object("props", "$.k").cast("double")
     return (
         events.withColumn("_k", k)
         .filter(F.col("_k") > 50)
@@ -115,7 +125,7 @@ def events_json_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact .5 double boundary (the tumbling-window avg hit
             # this live at sf0.1) — IEEE floor is exact in both
             (
-                F.floor(F.avg(F.col("_k").cast("double")) * 1e6 + F.lit(0.5))
+                F.floor(F.avg(F.col("_k")) * 1e6 + F.lit(0.5))
                 / 1e6
             ).alias("avg_k"),
         )

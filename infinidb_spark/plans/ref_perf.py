@@ -561,7 +561,7 @@ order by o_orderpriority"""
 
 
 @query("ref_groupby_minmax_str", oracle=_GROUPBY_MINMAX_STR)
-def ref_groupby_minmaxstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ref_groupby_minmax_str(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference perf group 106 (dmpp.2tbls.groupby.orderby.str.sql):
     join + group-by with MIN/MAX over a STRING column — the dictionary-
     column aggregate drill (string min/max exercises the token→string

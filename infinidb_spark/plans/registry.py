@@ -31,6 +31,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     (reserved for genuinely non-SQL-expressible ops)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # a silent overwrite would DROP the shadowed query from the
+            # corpus invisibly: the driver gate and the mirror's union
+            # guard are both keyed by name and would keep attesting
+            # green using the survivor
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -17,14 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# load_registered owns the load/register contract (plans/registry.py);
+# _t is just the conventional short local name (same binding as
+# events.py / ref_perf.py — the old per-call wrapper re-imported the
+# registry on every query build)
+from infinidb_spark.plans.registry import load_registered as _t
 from infinidb_spark.plans.registry import query
-from infinidb_spark.session import load_tables
-
-
-def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    from infinidb_spark.plans.registry import load_registered
-
-    return load_registered(spark, sf_dir, *names)
 
 
 # ---------------------------------------------------------------------------
@@ -1045,10 +1043,10 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price_dec,
            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))      AS VARCHAR) AS sum_qty_dec,
            concat(
-             CAST((CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) * 100000
+             CAST((CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS HUGEINT) * 100000
                    // count(l_extendedprice) + 5) // 10 // 1000000 AS VARCHAR),
              '.',
-             lpad(CAST((CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) * 100000
+             lpad(CAST((CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS HUGEINT) * 100000
                         // count(l_extendedprice) + 5) // 10 % 1000000 AS VARCHAR), 6, '0')
            ) AS avg_price_dec
     FROM lineitem
@@ -1080,7 +1078,12 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("_cents"),
         F.count("l_extendedprice").alias("_cnt"),
     )
-    micros = F.expr("(_cents * 100000 DIV _cnt + 5) DIV 10")
+    # DECIMAL(38,0) intermediate (oracle: HUGEINT): the bigint product
+    # _cents * 100000 wraps silently past ~sf8 with ANSI off — the
+    # quotient itself (avg micros) fits bigint at any scale
+    micros = F.expr(
+        "(CAST(_cents AS DECIMAL(38,0)) * 100000 DIV _cnt + 5) DIV 10"
+    )
     return agg.select(
         "l_returnflag",
         "sum_price_dec",
@@ -1263,7 +1266,7 @@ def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATERAL.  Catalyst decorrelates it into the same ranking-window
     plan the oracle states; the test is that the decorrelation is
     semantically exact (ties broken by key)."""
-    load_tables(spark, sf_dir, names=("nation", "customer"))
+    _t(spark, sf_dir, "nation", "customer")
     return spark.sql(
         """
         SELECT n.n_name, t.c_name, t.c_acctbal
