@@ -76,32 +76,15 @@ SF0_001 = "/root/testdata/sf0.001"
 # slotted directly after the stalest block so they get first verdicts in
 # the same window.
 _PRIORITY = [
-    # ── r10 window leads: the two driver-red dialect rows after the
-    # channel-elimination fix (VERDICT r09 #1 — decimal(20,0) outputs
-    # now render →VARCHAR on both sides), then the three queries whose
-    # semantics/oracles materially changed this round and need fresh
-    # verdicts (func_cast: string-prefix CAST + oracle; func_time:
-    # TIME_FORMAT now renders from TIME seconds; func_datetime:
-    # UNIX_TIMESTAMP via timestamp try_cast) ──
-    "mysql_dialect_cast", "mysql_dialect_functions",
-    "func_cast", "func_time", "func_datetime",
-    # ── latest driver row r06 (50 queries, the stalest tier —
-    # VERDICT r09 #8: this tier leads r10) ──
-    "q1_pricing_summary", "scan_filter_project",
-    "filter_between_in_like", "filter_regexp_null", "filter_col_vs_col",
-    "filter_expression", "constant_select", "groupby_join_agg",
-    "agg_distinct", "agg_stats", "agg_bit", "group_concat", "agg_having",
-    "join_inner_broadcast", "join_left_outer", "join_full_outer",
-    "join_semi", "join_anti", "join_not_in_nullaware", "join_multiway",
-    "join_cross", "join_theta", "scalar_subquery", "select_list_subquery",
-    "in_subquery", "derived_table", "view_query", "topn_order_limit",
-    "limit_offset", "order_nulls_last", "distinct_select",
-    "union_all_normalize", "union_distinct", "intersect_except",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "set_ops_all",
-    "join_salted_skew", "window_rank", "window_row_number_topk_per_group",
-    "window_agg_frame", "window_range_frame", "window_navigation",
-    "window_stats", "window_distinct_agg", "percentiles_within_group",
-    "window_regr", "func_math", "ann_recall_attest",
+    # ── r11 window leads: the five r06 stragglers (the only queries
+    # whose latest driver row predates r07 — VERDICT r10 #5: they lead
+    # the rotation), then func_control, whose semantics materially
+    # changed this round (IF() numeric-condition truthiness through
+    # the registry, func_if.cpp:38-72) and whose oracle gained the
+    # f_if_numeric column; func_math also changed (2-arg LOG
+    # base-domain NULL, f_log_base column) and is already a straggler ──
+    "window_distinct_agg", "percentiles_within_group", "window_regr",
+    "func_math", "ann_recall_attest", "func_control",
     # ── latest driver row r07 (next-stalest) ──
     "text_lang_id",
     "concurrent_dml_disjoint", "manifest_sharded_scan", "dedup_keep_best",
@@ -119,7 +102,7 @@ _PRIORITY = [
     "ref_part_join_count", "ref_join_agg", "ref_discount_groups",
     "part_lineitem_agg", "mysql_dialect_datetime",
     "dataset_split", "sequence_packing", "token_heavy_hitters_cms",
-    "func_string", "func_control", "func_json",
+    "func_string", "func_json",
     # ── latest driver row r08 ──
     "dedup_ngram_jaccard", "dedup_simhash", "mysql_dialect_interval",
     "tpch_q1", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
@@ -155,6 +138,25 @@ _PRIORITY = [
     "lateral_topn_per_group", "extent_elimination_scan", "mysql_ddl_alter",
     "mysql_dialect_query", "bulk_load_csv_roundtrip", "dedup_exact",
     "dedup_minhash_portable",
+    # ── latest driver row r10 (freshest tier: the r10 window = the
+    # two dialect leads + func_cast/time/datetime + the old r06 base
+    # tier minus the five stragglers now leading) ──
+    "mysql_dialect_cast", "mysql_dialect_functions",
+    "func_cast", "func_time", "func_datetime",
+    "q1_pricing_summary", "scan_filter_project",
+    "filter_between_in_like", "filter_regexp_null", "filter_col_vs_col",
+    "filter_expression", "constant_select", "groupby_join_agg",
+    "agg_distinct", "agg_stats", "agg_bit", "group_concat", "agg_having",
+    "join_inner_broadcast", "join_left_outer", "join_full_outer",
+    "join_semi", "join_anti", "join_not_in_nullaware", "join_multiway",
+    "join_cross", "join_theta", "scalar_subquery", "select_list_subquery",
+    "in_subquery", "derived_table", "view_query", "topn_order_limit",
+    "limit_offset", "order_nulls_last", "distinct_select",
+    "union_all_normalize", "union_distinct", "intersect_except",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "set_ops_all",
+    "join_salted_skew", "window_rank", "window_row_number_topk_per_group",
+    "window_agg_frame", "window_range_frame", "window_navigation",
+    "window_stats",
 ]
 
 

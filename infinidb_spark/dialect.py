@@ -629,6 +629,8 @@ def _time_format_sql(x: str, fmt: str) -> str:
             j = max(j, i + 1)
             parts.append(_sql_str(fmt[i:j]))
             i = j
+    if not parts:  # empty format → '' (MySQL), still NULL-gated below
+        parts.append("''")
     body = f"concat({', '.join(parts)})" if len(parts) > 1 else parts[0]
     return _bind1(
         secs, "s_",
@@ -1230,12 +1232,11 @@ def _fmt_func(name: str, inner: list[Token]) -> list[Token]:
         target = "TIMESTAMP_NTZ" if mysql_format_has_time(fmt) else "DATE"
         # input-side whitespace normalization from the SAME constant
         # the registry builder iterates (MYSQL_PARSE_INPUT_NORM) so the
-        # two paths can't drift; regex backslashes double for Spark's
-        # escape-processing string literals
+        # two paths can't drift; _sql_str itself doubles backslashes
+        # for Spark's escape-processing string literals
         norm = f"trim(CAST(({render(args[0]).strip()}) AS STRING))"
         for pat, rep in MYSQL_PARSE_INPUT_NORM:
-            pat_sql = _sql_str(pat.replace("\\", "\\\\"))
-            norm = f"regexp_replace({norm}, {pat_sql}, {_sql_str(rep)})"
+            norm = f"regexp_replace({norm}, {_sql_str(pat)}, {_sql_str(rep)})"
         text = (
             f"try_cast(try_to_timestamp({norm},"
             f" {_sql_str(pattern)}) AS {target})"
@@ -1444,6 +1445,48 @@ _CHARSET_INTRODUCERS = frozenset(
 )
 
 
+_ARITH_SYMS = frozenset({"+", "-", "*", "/", "%"})
+
+
+def _hex_numeric_context(toks: list[Token], start: int, end: int) -> bool:
+    """True when the hex/bit literal spanning toks[start:end+1] sits in
+    a syntactically NUMERIC context, where MySQL reads the literal as
+    an integer: an arithmetic operator (or DIV/MOD keyword) directly on
+    either side, or a comparison whose OTHER operand is a numeric
+    literal (`0x41 = 65` → 1).  Elsewhere it stays a binary string —
+    including comparisons with columns/strings, which MySQL resolves by
+    the other operand's runtime type (`X'41' = 'A'` is a binary string
+    compare; folding to 65 would silently break it)."""
+
+    def _numeric_side(j: int | None, forward: bool) -> bool:
+        # j points at a cmp sym; True if the operand beyond it is a
+        # (possibly signed, when forward) numeric literal
+        if j is None or toks[j][0] != "sym" or toks[j][1] not in _CMP_OPS:
+            return False
+        k = _next_code(toks, j + 1) if forward else _prev_code(toks, j)
+        if k is None:
+            return False
+        if forward and toks[k][0] == "sym" and toks[k][1] in ("-", "+"):
+            k = _next_code(toks, k + 1)
+            if k is None:
+                return False
+        return toks[k][0] == "number"
+
+    p = _prev_code(toks, start)
+    if p is not None and (
+        (toks[p][0] == "sym" and toks[p][1] in _ARITH_SYMS)
+        or (toks[p][0] == "word" and toks[p][1].upper() in ("DIV", "MOD"))
+    ):
+        return True
+    n = _next_code(toks, end + 1)
+    if n is not None and (
+        (toks[n][0] == "sym" and toks[n][1] in _ARITH_SYMS)
+        or (toks[n][0] == "word" and toks[n][1].upper() in ("DIV", "MOD"))
+    ):
+        return True
+    return _numeric_side(p, forward=False) or _numeric_side(n, forward=True)
+
+
 def _bits_to_hex(bits: str) -> str:
     """MySQL bit literal (b'1010' / 0b1010) → Spark hex binary literal:
     left-pad to whole bytes, x'0A'."""
@@ -1452,6 +1495,489 @@ def _bits_to_hex(bits: str) -> str:
     v = int(bits, 2)
     n_bytes = max((len(bits) + 7) // 8, 1)
     return "x'" + v.to_bytes(n_bytes, "big").hex().upper() + "'"
+
+
+# ------------------------------------- MySQL boolean-context truthiness
+#
+# mysqld accepts ANY expression in a boolean context and coerces it
+# through Item::val_bool — decimal/float/int `!= 0`, string via an
+# atoi-style prefix parse `!= 0` (the reference replicates this in
+# utils/funcexp/func_if.cpp:38-72 boolVal).  Spark's analyzer rejects a
+# non-boolean condition outright (DATATYPE_MISMATCH / FILTER_NOT_
+# BOOLEAN), so `WHERE flag`, `IF(2,'y','n')`, `NOT 0.1` and `1 AND 0.5`
+# all failed analysis.  This pass rewrites boolean contexts at token
+# level BEFORE `_rewrite` (so inner MySQL functions still translate):
+#
+# - WHERE / HAVING / join-ON spans, searched-CASE WHEN spans, and
+#   IF()'s first argument get the full fold;
+# - SELECT-list items fold only when they are logical expressions
+#   (contain top-level AND/OR or a leading NOT) — `SELECT 0.1` must
+#   stay numeric;
+# - operands with a depth-0 comparison / LIKE / IN / IS / BETWEEN /
+#   EXISTS / RLIKE / REGEXP (CASE..END bodies skipped) are already
+#   boolean and pass through untouched — real-world predicates keep
+#   their exact shape and Parquet pushdown;
+# - numeric and string LITERAL atoms fold to TRUE/FALSE at translate
+#   time with MySQL's exact prefix-parse;
+# - every other atom wraps in `try_cast((e) AS BOOLEAN)` — Spark casts
+#   numerics to boolean by `!= 0` (verified: 0.1→true, 2→true,
+#   0/0.0→false, NULL→NULL), and the cast is an identity no-op when
+#   the operand was boolean after all, so a detection miss degrades to
+#   nothing.  Documented narrowing: a STRING-typed COLUMN in boolean
+#   context goes through Spark's boolean-string cast ('1'/'true'…),
+#   not MySQL's prefix parse — wrapping columns in a regexp parse
+#   would poison every plan for a case no migration corpus hits.
+
+_BOOL_SYMS = frozenset({"=", "<>", "!=", "<", ">", "<=", ">=", "<=>"})
+_BOOL_WORDS = frozenset(
+    {"LIKE", "RLIKE", "REGEXP", "IN", "IS", "BETWEEN", "EXISTS", "SOUNDS"}
+)
+#: boolean-returning call names that need no wrap (wrap would be a
+#: no-op identity cast anyway; kept narrow on purpose)
+_BOOL_FUNCS = frozenset(
+    {"ISNULL", "ISNOTNULL", "REGEXP_LIKE", "ARRAY_CONTAINS", "CONTAINS",
+     "STARTSWITH", "ENDSWITH", "EXISTS"}
+)
+_SEL_TERMINATORS = frozenset(
+    {"FROM", "UNION", "INTERSECT", "EXCEPT", "ORDER", "LIMIT", "INTO"}
+)
+_WHERE_TERMINATORS = frozenset(
+    {"GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW", "UNION", "INTERSECT",
+     "EXCEPT", "INTO", "FOR", "PROCEDURE", "QUALIFY"}
+)
+_ON_TERMINATORS = _WHERE_TERMINATORS | frozenset(
+    {"JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "STRAIGHT_JOIN",
+     "NATURAL", "WHERE", "USING", "ON", "SET", "GROUP"}
+)
+#: leading SELECT modifiers to pass over before the first list item
+_SEL_MODIFIERS = frozenset(
+    {"DISTINCT", "ALL", "DISTINCTROW", "HIGH_PRIORITY", "STRAIGHT_JOIN",
+     "SQL_SMALL_RESULT", "SQL_BIG_RESULT", "SQL_BUFFER_RESULT",
+     "SQL_NO_CACHE", "SQL_CACHE", "SQL_CALC_FOUND_ROWS"}
+)
+
+_NUM_PREFIX_RE = _re.compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+)
+
+
+def _mysql_str_truthy(s: str) -> bool:
+    """MySQL string → bool: atoi-style numeric prefix parse, != 0
+    (func_if.cpp:62-66; 'abc'→0→false, '1a'→1→true, '0.5x'→0.5→true)."""
+    m = _NUM_PREFIX_RE.match(s.strip())
+    return bool(m) and float(m.group(0)) != 0.0
+
+
+_CMP_OPS = {
+    "=": lambda a, b: a == b,
+    "<=>": lambda a, b: a == b,
+    "<>": lambda a, b: a != b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _fold_numeric_string_cmp(toks: list[Token]) -> list[Token]:
+    """MySQL coerces a non-numeric string to its numeric PREFIX when
+    compared with a number (`0 = 'abc'` → 1, `1 = '1a'` → 1 — same
+    atoll class as the CAST prefix parse, func_cast.cpp:144); Spark
+    casts the string to double, gets NULL, and silently drops the row.
+    Folded at translate time, scoped to LITERAL-vs-LITERAL only: a
+    numeric literal on one side, a string literal that does NOT fully
+    parse as a number on the other.  Fully-numeric strings already
+    compare correctly through Spark's double coercion, and bare COLUMNS
+    are deliberately NOT wrapped in a regexp prefix parse — that would
+    kill Parquet pushdown for every string comparison.  Operands
+    ADJACENT to a tighter-binding arithmetic operator are also skipped
+    (`3 * 2 = 'abc'`, `0 = 'abc' * 2`, `-1 < 'abc'`): the literal is
+    then a subexpression operand, not the comparison's operand."""
+
+    def _arith_adjacent(j: int | None) -> bool:
+        return j is not None and (
+            (toks[j][0] == "sym" and toks[j][1] in
+             ("+", "-", "*", "/", "%", "^", "."))
+            or (toks[j][0] == "word" and toks[j][1].upper() in ("DIV", "MOD"))
+        )
+
+    out: list[Token] = []
+    i = 0
+    while i < len(toks):
+        k, t = toks[i]
+        if k == "sym" and t in _CMP_OPS:
+            p = _prev_code(toks, i)
+            n = _next_code(toks, i + 1)
+            lit = None  # (numeric_value, string_value, first, last)
+            if p is not None and n is not None:
+                if toks[p][0] == "number" and toks[n][0] == "string":
+                    lit = (toks[p][1], toks[n][1], p, n)
+                elif toks[p][0] == "string" and toks[n][0] == "number":
+                    lit = (toks[n][1], toks[p][1], p, n)
+                elif toks[p][0] == "string" and toks[n][0] == "sym" \
+                        and toks[n][1] in ("-", "+"):
+                    n2 = _next_code(toks, n + 1)
+                    if n2 is not None and toks[n2][0] == "number" \
+                            and not _arith_adjacent(_next_code(toks, n2 + 1)):
+                        lit = (toks[n][1] + toks[n2][1], toks[p][1], p, n2)
+            if lit is not None and (
+                _arith_adjacent(_prev_code(toks, lit[2]))
+                or _arith_adjacent(_next_code(toks, lit[3] + 1))
+            ):
+                lit = None
+            if lit is not None:
+                num_txt, str_tok, first, last = lit
+                try:
+                    num_val = float(num_txt)
+                except ValueError:
+                    num_val = None
+                s = _unquote(str_tok)
+                try:
+                    float(s.strip())
+                    fully_numeric = True
+                except ValueError:
+                    fully_numeric = False
+                if num_val is not None and not fully_numeric:
+                    m = _NUM_PREFIX_RE.match(s.strip())
+                    s_val = float(m.group(0)) if m else 0.0
+                    left, right = (
+                        (num_val, s_val)
+                        if toks[first][0] == "number"
+                        else (s_val, num_val)
+                    )
+                    verdict = _CMP_OPS[t](left, right)
+                    del out[len(out) - (i - first):]
+                    out.extend([
+                        ("ws", " "),
+                        ("code", "TRUE" if verdict else "FALSE"),
+                        ("ws", " "),
+                    ])
+                    i = last + 1
+                    continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def _bool_span_end(toks: list[Token], start: int, terminators) -> int:
+    """End of a boolean-context span: first depth-0 terminator keyword,
+    depth-0 comma/semicolon, or the closing paren of an enclosing
+    scope."""
+    depth = 0
+    for i in range(start, len(toks)):
+        k, t = toks[i]
+        if (k, t) == ("sym", "("):
+            depth += 1
+        elif (k, t) == ("sym", ")"):
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0:
+            if k == "word" and t.upper() in terminators:
+                return i
+            if k == "sym" and t in (",", ";"):
+                return i
+    return len(toks)
+
+
+def _split_bool_ops(span: list[Token]) -> list:
+    """Split at depth-0 AND/OR/&& — skipping CASE..END bodies and the
+    AND that closes a BETWEEN.  Returns [part, conn_token, part, ...]
+    (odd positions are the connectives, normalized to AND/OR words)."""
+    parts: list = [[]]
+    depth = case_depth = between = 0
+    for tok in span:
+        k, t = tok
+        if (k, t) == ("sym", "("):
+            depth += 1
+        elif (k, t) == ("sym", ")"):
+            depth -= 1
+        elif depth == 0 and k == "word":
+            u = t.upper()
+            if u == "CASE":
+                case_depth += 1
+            elif u == "END" and case_depth:
+                case_depth -= 1
+            elif case_depth == 0:
+                if u == "BETWEEN":
+                    between += 1
+                elif u == "AND" and between:
+                    between -= 1
+                elif u in ("AND", "OR") and not between:
+                    parts.append(tok)  # keep original case
+                    parts.append([])
+                    continue
+        elif depth == 0 and case_depth == 0 and (k, t) == ("sym", "&&"):
+            parts.append(("word", "AND"))
+            parts.append([])
+            continue
+        parts[-1].append(tok)
+    return parts
+
+
+def _is_bool_expr(part: list[Token]) -> bool:
+    """Syntactically already-boolean: a depth-0 comparison sym or
+    predicate keyword (CASE..END bodies skipped), a TRUE/FALSE literal,
+    a known boolean-returning call, or this pass's own try_cast wrap
+    (re-entry idempotency)."""
+    depth = case_depth = 0
+    for tok in part:
+        k, t = tok
+        if (k, t) == ("sym", "("):
+            depth += 1
+        elif (k, t) == ("sym", ")"):
+            depth -= 1
+        elif depth == 0 and k == "word":
+            u = t.upper()
+            if u == "CASE":
+                case_depth += 1
+            elif u == "END" and case_depth:
+                case_depth -= 1
+            elif case_depth == 0 and (
+                u in _BOOL_WORDS or u in ("TRUE", "FALSE", "NOT")
+            ):
+                return True
+        elif depth == 0 and case_depth == 0 and k == "sym" and (
+            t in _BOOL_SYMS or t == "&&"
+        ):
+            return True
+    codes = [j for j, tk in enumerate(part) if tk[0] not in ("ws", "comment")]
+    if len(codes) >= 2 and part[codes[0]][0] == "word":
+        name = part[codes[0]][1].upper()
+        if part[codes[1]] == ("sym", "(") and part[codes[-1]] == ("sym", ")"):
+            if name in _BOOL_FUNCS:
+                return True
+            if name in ("TRY_CAST", "CAST"):
+                txt = render(part).strip().upper()
+                if txt.rstrip(")").rstrip().endswith("BOOLEAN"):
+                    return True
+    return False
+
+
+def _booleanize(part: list[Token]) -> list[Token]:
+    """Rewrite one boolean-context operand into a boolean expression
+    (MySQL truthiness).  Already-boolean operands return unchanged."""
+    ops = _split_bool_ops(part)
+    if len(ops) > 1:
+        out: list[Token] = []
+        for item in ops:
+            if isinstance(item, tuple):  # connective: pad only if bare
+                if out and out[-1][0] != "ws":
+                    out.append(("ws", " "))
+                out.append(item)
+            else:
+                booled = _booleanize(item)
+                if out and out[-1][0] == "word" and (
+                    not booled or booled[0][0] != "ws"
+                ):
+                    out.append(("ws", " "))
+                out.extend(booled)
+        return out
+    lead = _next_code(part, 0)
+    if lead is None:
+        return part
+    if part[lead][0] == "word" and part[lead][1].upper() == "NOT":
+        nx = _next_code(part, lead + 1)
+        # `NOT NULL` stays untouched (DDL fragments share the
+        # tokenizer; Spark's NOT accepts an untyped NULL anyway)
+        if nx is not None and not (
+            part[nx][0] == "word" and part[nx][1].upper() == "NULL"
+        ):
+            return part[: lead + 1] + _booleanize(part[lead + 1 :])
+        return part
+    if _is_bool_expr(part):
+        return part
+    codes = [j for j, tk in enumerate(part) if tk[0] not in ("ws", "comment")]
+    # full-paren group: recurse inside (subqueries wrap as atoms below)
+    if part[codes[0]] == ("sym", "(") and _match_paren(part, codes[0]) == codes[-1]:
+        inner = part[codes[0] + 1 : codes[-1]]
+        li = _next_code(inner, 0)
+        if li is not None and not (
+            inner[li][0] == "word" and inner[li][1].upper() == "SELECT"
+        ):
+            return (
+                part[: codes[0] + 1]
+                + _booleanize(inner)
+                + part[codes[-1] :]
+            )
+    # literal folds: exact MySQL truthiness computed at translate time
+    # (every emission is ws-padded — render() concatenates raw text)
+    def _lit(v: bool) -> list[Token]:
+        return [("ws", " "), ("code", "TRUE" if v else "FALSE"), ("ws", " ")]
+
+    if len(codes) == 1 and part[codes[0]][0] == "number":
+        try:
+            return _lit(float(part[codes[0]][1]) != 0.0)
+        except ValueError:
+            pass
+    if (
+        len(codes) == 2
+        and part[codes[0]][0] == "sym"
+        and part[codes[0]][1] in ("-", "+")
+        and part[codes[1]][0] == "number"
+    ):
+        try:
+            return _lit(float(part[codes[1]][1]) != 0.0)
+        except ValueError:
+            pass
+    if len(codes) == 1 and part[codes[0]][0] == "string":
+        return _lit(_mysql_str_truthy(_unquote(part[codes[0]][1])))
+    # general wrap — numeric != 0 via Spark's numeric→boolean cast;
+    # identity when the operand was already boolean
+    return (
+        [("ws", " "), ("word", "try_cast"), ("sym", "("), ("sym", "(")]
+        + part
+        + [("sym", ")"), ("ws", " "), ("word", "AS"), ("ws", " "),
+           ("word", "BOOLEAN"), ("sym", ")"), ("ws", " ")]
+    )
+
+
+def _booleanize_if_logical(item: list[Token]) -> list[Token]:
+    """SELECT-list variant: fold ONLY when the item is a logical
+    expression (top-level AND/OR, or a leading unary NOT) — a plain
+    `SELECT 0.1` keeps its numeric value.  Trailing `AS alias` is
+    preserved outside the fold.  (Implicit aliases after a logical
+    item — `SELECT a AND b x` — are not detected; use AS.)"""
+    ops = _split_bool_ops(item)
+    lead = _next_code(item, 0)
+    is_not = (
+        lead is not None
+        and item[lead][0] == "word"
+        and item[lead][1].upper() == "NOT"
+    )
+    if len(ops) == 1 and not is_not:
+        return item
+    # split a trailing `AS alias` off the last part before folding
+    tail: list[Token] = []
+    codes = [j for j, tk in enumerate(item) if tk[0] not in ("ws", "comment")]
+    if (
+        len(codes) >= 2
+        and item[codes[-1]][0] in ("word", "bident", "string")
+        and item[codes[-2]][0] == "word"
+        and item[codes[-2]][1].upper() == "AS"
+    ):
+        tail = item[codes[-2] :]
+        item = item[: codes[-2]]
+    return _booleanize(item) + tail
+
+
+def _find_then(toks: list[Token], start: int) -> int | None:
+    depth = case_depth = 0
+    for j in range(start, len(toks)):
+        k, t = toks[j]
+        if (k, t) == ("sym", "("):
+            depth += 1
+        elif (k, t) == ("sym", ")"):
+            depth -= 1
+        elif depth == 0 and k == "word":
+            u = t.upper()
+            if u == "CASE":
+                case_depth += 1
+            elif u == "END" and case_depth:
+                case_depth -= 1
+            elif u == "THEN" and case_depth == 0:
+                return j
+    return None
+
+
+def _fold_boolean_contexts(toks: list[Token]) -> list[Token]:
+    """The walker: find boolean contexts and run `_booleanize` over
+    their operand spans (recursing first, so nested subqueries and
+    IF()s inside a span are handled before the span folds)."""
+    out: list[Token] = []
+    i = 0
+    case_searched: list[bool] = []
+    while i < len(toks):
+        k, t = toks[i]
+        if k == "word":
+            u = t.upper()
+            prev = _prev_code(toks, i)
+            qualified = prev is not None and toks[prev] == ("sym", ".")
+            if u == "IF" and not qualified:
+                nx = _next_code(toks, i + 1)
+                if nx is not None and toks[nx] == ("sym", "("):
+                    close = _match_paren(toks, nx)
+                    inner = _fold_boolean_contexts(toks[nx + 1 : close])
+                    args = _split_args(inner)
+                    if len(args) == 3:
+                        out.extend([toks[i], ("sym", "(")])
+                        out.extend(_booleanize(args[0]))
+                        out.append(("sym", ","))
+                        out.extend(args[1])
+                        out.append(("sym", ","))
+                        out.extend(args[2])
+                        out.append(("sym", ")"))
+                    else:
+                        out.extend([toks[i], ("sym", "(")])
+                        out.extend(inner)
+                        out.append(("sym", ")"))
+                    i = close + 1
+                    continue
+            if u in ("WHERE", "HAVING") and not qualified:
+                end = _bool_span_end(toks, i + 1, _WHERE_TERMINATORS)
+                span = _fold_boolean_contexts(toks[i + 1 : end])
+                out.append(toks[i])
+                out.extend(_booleanize(span))
+                i = end
+                continue
+            if u == "ON" and not qualified:
+                nx = _next_code(toks, i + 1)
+                # skip non-join ONs: ON DUPLICATE KEY / ON UPDATE / ON
+                # DELETE (INSERT and DDL fragments share the tokenizer)
+                if not (
+                    nx is not None and toks[nx][0] == "word"
+                    and toks[nx][1].upper() in ("DUPLICATE", "UPDATE", "DELETE")
+                ):
+                    end = _bool_span_end(toks, i + 1, _ON_TERMINATORS)
+                    span = _fold_boolean_contexts(toks[i + 1 : end])
+                    out.append(toks[i])
+                    out.extend(_booleanize(span))
+                    i = end
+                    continue
+            if u == "SELECT" and not qualified:
+                # select list: items fold only when logical
+                out.append(toks[i])
+                j = i + 1
+                nxt = _next_code(toks, j)
+                while (
+                    nxt is not None and toks[nxt][0] == "word"
+                    and toks[nxt][1].upper() in _SEL_MODIFIERS
+                ):
+                    out.extend(toks[j : nxt + 1])
+                    j = nxt + 1
+                    nxt = _next_code(toks, j)
+                while True:
+                    end = _bool_span_end(toks, j, _SEL_TERMINATORS)
+                    item = _fold_boolean_contexts(toks[j:end])
+                    out.extend(_booleanize_if_logical(item))
+                    if end < len(toks) and toks[end] == ("sym", ","):
+                        out.append(toks[end])
+                        j = end + 1
+                        continue
+                    i = end
+                    break
+                continue
+            if u == "CASE":
+                nxt_c = _next_code(toks, i + 1)
+                case_searched.append(
+                    nxt_c is not None
+                    and toks[nxt_c][0] == "word"
+                    and toks[nxt_c][1].upper() == "WHEN"
+                )
+            elif u == "END" and case_searched:
+                case_searched.pop()
+            elif u == "WHEN" and case_searched and case_searched[-1]:
+                then_i = _find_then(toks, i + 1)
+                if then_i is not None:
+                    span = _fold_boolean_contexts(toks[i + 1 : then_i])
+                    out.append(toks[i])
+                    out.extend(_booleanize(span))
+                    i = then_i
+                    continue
+        out.append(toks[i])
+        i += 1
+    return out
 
 
 def _rewrite(toks: list[Token]) -> list[Token]:
@@ -1482,11 +2008,25 @@ def _rewrite(toks: list[Token]) -> list[Token]:
             adj = toks[i + 1][1]
             if _re.fullmatch(r"[xX][0-9A-Fa-f]+", adj):
                 h = adj[1:]
-                out.append(("code", "x'" + ("0" + h if len(h) % 2 else h) + "'"))
+                if _hex_numeric_context(toks, i, i + 1):
+                    # mysqld lexes a hex literal as a NUMBER in
+                    # numeric context (10 + 0x0a = 20); the binary
+                    # form fails Spark arithmetic
+                    out.append(("code", str(int(h, 16))))
+                else:
+                    out.append(
+                        ("code",
+                         "x'" + ("0" + h if len(h) % 2 else h) + "'")
+                    )
                 i += 2
                 continue
             if _re.fullmatch(r"[bB][01]+", adj):
-                out.append(("code", _bits_to_hex(adj[1:])))
+                out.append(
+                    ("code",
+                     str(int(adj[1:], 2))
+                     if _hex_numeric_context(toks, i, i + 1)
+                     else _bits_to_hex(adj[1:]))
+                )
                 i += 2
                 continue
         if kind == "number" and case_stack and case_stack[-1]:
@@ -1549,10 +2089,25 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                 and toks[i + 1][0] == "string"
             ):
                 # b'1010' bit literal → hex binary (x'..' passes through
-                # natively; only the b-form needs translation)
+                # natively; only the b-form needs translation).  In
+                # NUMERIC context both fold to their integer value,
+                # like mysqld's lexer (the MySQL-docs CONV chain:
+                # CONV(10+'10'+'10'+X'0a',10,10) = '40')
                 body = toks[i + 1][1][1:-1]
+                numeric_ctx = _hex_numeric_context(toks, i, i + 1)
                 if upper == "B" and set(body) <= {"0", "1"}:
-                    out.append(("code", _bits_to_hex(body)))
+                    out.append(
+                        ("code",
+                         str(int(body or "0", 2)) if numeric_ctx
+                         else _bits_to_hex(body))
+                    )
+                    i += 2
+                    continue
+                if (
+                    upper == "X" and numeric_ctx
+                    and _re.fullmatch(r"[0-9A-Fa-f]*", body)
+                ):
+                    out.append(("code", str(int(body, 16)) if body else "0"))
                     i += 2
                     continue
             if text.lower() in _CHARSET_INTRODUCERS:
@@ -2008,6 +2563,28 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                         out.extend(hit)
                         i = close + 1
                         continue
+                if upper == "LOG":
+                    # 2-arg LOG base domain: base <= 0 or base == 1 →
+                    # NULL (ref func_math.cpp:585-591); Spark's
+                    # ln(x)/ln(1) otherwise yields ±inf.  Idempotency
+                    # via the lb_ bind variable, same recipe as
+                    # _domain_guard_func.  1-arg LOG passes through
+                    # (Spark ln already NULLs non-positives).
+                    largs = _split_args(inner)
+                    if len(largs) == 2:
+                        b_txt = render(largs[0]).strip()
+                        if b_txt != "lb_":
+                            x_txt = render(largs[1]).strip()
+                            body = (
+                                "(CASE WHEN lb_ <= 0 OR lb_ = 1 THEN"
+                                " CAST(NULL AS DOUBLE)"
+                                f" ELSE log(lb_, ({x_txt})) END)"
+                            )
+                            out.append(
+                                ("code", _bind1(f"({b_txt})", "lb_", body))
+                            )
+                            i = close + 1
+                            continue
                 if upper in ("HOUR", "MINUTE", "SECOND"):
                     targs2 = _split_args(inner)
                     if len(targs2) == 1 and any(
@@ -2271,7 +2848,11 @@ def _ci_literals(toks: list[Token]) -> list[Token]:
                 ):
                     rx = _like_to_regex(_unquote(out[p][1]))
                     out[i] = ("word", "RLIKE")
-                    out[p] = ("code", _sql_str(rx.replace("\\", "\\\\")))
+                    # _sql_str already doubles backslashes for Spark's
+                    # escape-processed literals — doubling again made
+                    # any metachar-escaping pattern (LIKE '%.com')
+                    # silently mismatch
+                    out[p] = ("code", _sql_str(rx))
                     i = p + 1
                     continue
         if out[i][0] == "word" and out[i][1].upper() in ("RLIKE", "REGEXP"):
@@ -2542,12 +3123,19 @@ def translate_mysql(
     # last clause's token span and defeat span-scoped rewrites (the
     # permissive ORDER BY wrap, ASC/DESC handling)
     sql = sql.rstrip().rstrip(";").rstrip()
-    toks = _rewrite(tokenize(sql))
+    # literal-comparison coercion and boolean-context truthiness folds
+    # run BEFORE _rewrite so wrapped operands still get their inner
+    # MySQL-function translation
+    toks = _rewrite(
+        _fold_boolean_contexts(_fold_numeric_string_cmp(tokenize(sql)))
+    )
     if not strict_group_by:
         toks = _permissive_group_by(toks)
     if ci_collation:
         toks = _ci_literals(toks)
-    return render(_string_aliases(toks))
+    # strip: the truthiness folds pad their emissions with spaces, and
+    # a trailing space would break idempotency (re-entry rstrips input)
+    return render(_string_aliases(toks)).strip()
 
 
 # ------------------------------------------------------- DML statements
@@ -2588,7 +3176,11 @@ def parse_statement(sql: str) -> dict:
     select|insert|update|delete; SELECTs carry the translated ``sql``,
     DML carries table/columns/assignments/where parts (text, already
     dialect-rewritten)."""
-    toks = _rewrite(tokenize(sql))
+    # same pre-passes as translate_mysql: a DML WHERE takes MySQL
+    # truthiness too (`DELETE FROM t WHERE flag`)
+    toks = _rewrite(
+        _fold_boolean_contexts(_fold_numeric_string_cmp(tokenize(sql)))
+    )
     # drop trailing statement terminators HERE — not just in
     # translate_mysql — so a client's `UPDATE t SET a = 1;` doesn't
     # leave the ';' inside the SET/WHERE expression text

@@ -121,8 +121,19 @@ def atan2(y, x) -> Column:
 
 @_reg("log")
 def log(a, b=None) -> Column:
-    # MySQL LOG(x) = ln(x); LOG(b, x) = log_b(x)
-    return F.log(_c(a)) if b is None else F.log(_c(a), _c(b))
+    # MySQL LOG(x) = ln(x); LOG(b, x) = log_b(x).  Base domain: b <= 0
+    # or b == 1 → NULL (ref func_math.cpp:585-591) — Spark's ln(x)/ln(1)
+    # otherwise yields ±inf, the NaN-class aggregate poison the SQRT/
+    # ASIN/ACOS guards already eliminate.
+    if b is None:
+        return F.log(_c(a))
+    # call_function: F.log() only takes a python-float base, and the
+    # SQL Logarithm expression keeps bit-exact parity with the dialect
+    # path's emitted log(base, x)
+    base = _c(a)
+    return F.when(
+        (base > 0) & (base != 1), F.call_function("log", base, _c(b))
+    )
 
 
 @_reg("mod")
@@ -790,6 +801,8 @@ def time_format(c, fmt: str) -> Column:
         else:
             parts.append(F.lit(fmt[i]))
             i += 1
+    if not parts:  # empty format → '' (MySQL), still NULL-gated below
+        parts.append(F.lit(""))
     body = F.concat(*parts) if len(parts) > 1 else parts[0]
     # NULL/invalid TIME → NULL (concat of literals would mask it)
     return F.when(secs.isNotNull(), body)
@@ -1038,7 +1051,26 @@ def curdate() -> Column:
 
 @_reg("if")
 def if_(cond, a, b) -> Column:
-    return F.when(_c(cond), _c(a)).otherwise(_c(b))
+    # MySQL coerces ANY condition type through boolVal — numeric != 0,
+    # string via an atoi-style PREFIX parse != 0 (func_if.cpp:38-72);
+    # Spark's when() is boolean-strict and failed analysis on
+    # IF(2, ...).  typeof() folds statically, so string conditions take
+    # the prefix-parse branch ('2x' → 2 → true, 'true' → 0 → false —
+    # NOT Spark's boolean-string cast) and everything else goes through
+    # try_cast-to-boolean, Spark's numeric != 0 read (0.1→true,
+    # 0→false, NULL→NULL), an identity no-op on boolean input.  Same
+    # prefix regex as the dialect's _mysql_str_truthy so the two paths
+    # cannot drift.
+    v = _c(cond)
+    s = F.trim(v.try_cast("string"))
+    pfx = F.regexp_extract(
+        s, "^[+-]?([0-9]+[.]?[0-9]*|[.][0-9]+)([eE][+-]?[0-9]+)?", 0
+    )
+    truthy = F.when(
+        F.call_function("typeof", v).startswith("string"),
+        pfx.try_cast("double") != 0,  # no prefix → NULL → falsy
+    ).otherwise(v.try_cast("boolean"))
+    return F.when(truthy, _c(a)).otherwise(_c(b))
 
 
 @_reg("ifnull")

@@ -46,6 +46,9 @@ from infinidb_spark.plans.registry import load_registered as _t  # noqa: E402
            CAST(sign(l_discount - 0.05) AS DOUBLE) AS f_sign,
            round(ln(l_extendedprice), 9)           AS f_ln,
            round(log10(l_extendedprice), 9)        AS f_log10,
+           round(CASE WHEN l_quantity <= 0 OR l_quantity = 1 THEN NULL
+                      ELSE ln(l_extendedprice) / ln(l_quantity) END, 9)
+                                                   AS f_log_base,
            greatest(l_discount, l_tax)             AS f_greatest,
            least(l_discount, l_tax)                AS f_least
     FROM lineitem WHERE l_orderkey <= 300
@@ -67,6 +70,12 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         func("sign", F.col("l_discount") - 0.05).cast("double").alias("f_sign"),
         F.round(func("ln", F.col("l_extendedprice")), 9).alias("f_ln"),
         F.round(func("log10", F.col("l_extendedprice")), 9).alias("f_log10"),
+        # 2-arg LOG with a VARYING base exercises the r11 base-domain
+        # guard (func_math.cpp:585-591): l_quantity hits 1.00 on real
+        # rows, which used to yield ±inf (ln/ln(1)) instead of NULL
+        F.round(
+            func("log", F.col("l_quantity"), F.col("l_extendedprice")), 9
+        ).alias("f_log_base"),
         func("greatest", F.col("l_discount"), F.col("l_tax")).alias("f_greatest"),
         func("least", F.col("l_discount"), F.col("l_tax")).alias("f_least"),
     )
@@ -194,6 +203,7 @@ def func_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
                 ELSE 'other' END                                     AS f_case_simple,
            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END           AS f_if,
+           CASE WHEN o_orderkey % 2 <> 0 THEN 'odd' ELSE 'even' END  AS f_if_numeric,
            coalesce(nullif(o_orderstatus, 'P'), 'pending')           AS f_ifnull,
            nullif(o_orderstatus, 'F')                                AS f_nullif,
            (o_totalprice BETWEEN 50000 AND 60000)                    AS f_between,
@@ -222,6 +232,10 @@ def func_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             default=F.lit("other"),
         ).alias("f_case_simple"),
         func("if", status == "F", 1, 0).alias("f_if"),
+        # IF with a NUMERIC first argument — MySQL boolVal coercion
+        # (func_if.cpp:38-72), the r11 truthiness fix on the Column path
+        func("if", F.col("o_orderkey") % 2, F.lit("odd"), F.lit("even"))
+        .alias("f_if_numeric"),
         func("ifnull", func("nullif", status, F.lit("P")), F.lit("pending")).alias("f_ifnull"),
         func("nullif", status, F.lit("F")).alias("f_nullif"),
         func("between", price, 50000, 60000).alias("f_between"),

@@ -113,7 +113,7 @@ def bulk_load_csv(
             escape=escape, dest=dest, partition_by=partition_by,
             reject_dest=reject_dest,
         )
-    if quote is None and escape and not header:
+    if quote is None and escape:
         # unquoted mode parses with MySQL's everywhere-escaping rules
         # (_parse_unquoted_escaped) — Spark's CSV reader honors
         # `escape` only INSIDE quoted fields, so a re-ingested OUTFILE
@@ -121,10 +121,30 @@ def bulk_load_csv(
         # raw byte and land in rejects (the r09 documented divergence,
         # now closed; escaped line-terminator BYTES are the remaining
         # narrower one — see the parser docstring)
-        text_reader = spark.read
-        if line_sep is not None:
-            text_reader = text_reader.option("lineSep", line_sep)
-        lines = text_reader.text(src)
+        if header:
+            # header skip needs per-file first-line knowledge the text
+            # source lacks.  A whole-line CSV read does it JVM-side:
+            # sep = NUL (cannot occur in MySQL-escaped text, the same
+            # invariant _parse_unquoted_escaped's sentinel relies on)
+            # keeps every line a single unsplit field, quoting is
+            # disabled, and Spark CSV's native header handling skips
+            # the first line of EACH file — no Python round-trip for
+            # the bulk of the load.
+            hdr_reader = (
+                spark.read.schema("value string")
+                .option("header", True)
+                .option("sep", "\x00")
+                .option("quote", "")
+                .option("mode", "PERMISSIVE")
+            )
+            if line_sep is not None:
+                hdr_reader = hdr_reader.option("lineSep", line_sep)
+            lines = hdr_reader.csv(src)
+        else:
+            text_reader = spark.read
+            if line_sep is not None:
+                text_reader = text_reader.option("lineSep", line_sep)
+            lines = text_reader.text(src)
         raw = _parse_unquoted_escaped(
             lines, read_schema,
             delimiter=delimiter, escape=escape, null_value=null_value,

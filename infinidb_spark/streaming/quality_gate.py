@@ -63,7 +63,17 @@ def score_and_route(
     # id + text LEAD, then every OTHER input column passes through: the
     # old projection dropped document metadata (url, source, timestamps)
     # from the accepted corpus irrecoverably — per-source auditing was
-    # impossible because the source column never reached either table
+    # impossible because the source column never reached either table.
+    # The three score/verdict names are reserved: an input column named
+    # 'quality'/'lang_guess'/'status' would duplicate and break the
+    # downstream status filter with AMBIGUOUS_REFERENCE
+    clash = {"quality", "lang_guess", "status"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            "score_and_route: input column(s) "
+            f"{sorted(clash)} collide with reserved output names "
+            "('quality', 'lang_guess', 'status') — rename them upstream"
+        )
     rest = [c for c in df.columns if c not in (id_col, text_col)]
     return df.select(
         F.col(id_col),

@@ -373,3 +373,168 @@ def test_mysql_probe_packed_time_string():
         translate_mysql("SELECT TIME_TO_SEC('130') AS v")
     ).collect()[0].v
     assert got == 90
+
+
+# ---------------------------------------------------------------------------
+# Round-11 battery: the r10 judge's 70-probe MySQL-semantics sweep,
+# retired into the suite (VERDICT r10 "Next round" item 7) plus the
+# round-11 fixes it motivated.  Families: boolean-context numeric
+# truthiness (func_if.cpp:38-72 boolVal), LOG base domain
+# (func_math.cpp:585-591), numeric-vs-string comparison prefix
+# coercion (func_cast.cpp:144 atoll class), hex/bit literals in
+# numeric context, and the function families the judge verified exact
+# (ATAN 2-arg, domain-guarded SQRT/ASIN/ACOS, SUBSTRING_INDEX /
+# INSERT / LPAD / FIELD / ELT / FIND_IN_SET / STRCMP / LOCATE /
+# FORMAT, STR_TO_DATE leniency, TIME_FORMAT >24 h, UNIX_TIMESTAMP
+# date-only, HOUR-of-TIME).
+# ---------------------------------------------------------------------------
+
+R11_PROBES = [
+    # --- boolean-context numeric truthiness (booleans compare as 1/0) ---
+    ("IF(2, 'y', 'n')", "y"),
+    ("IF(0.1, 1, 0)", 1),
+    ("IF(0, 1, 0)", 0),
+    ("IF(0.0, 1, 0)", 0),
+    ("IF(NULL, 1, 0)", 0),
+    ("IF('abc', 1, 0)", 0),
+    ("IF('2x', 1, 0)", 1),
+    ("IF(-0.5, 1, 0)", 1),
+    ("NOT 0.1", 0),
+    ("NOT 0", 1),
+    ("NOT 2", 0),
+    ("1 AND 0.5", 1),
+    ("1 AND 0", 0),
+    ("0 OR 0.7", 1),
+    ("0 OR 0", 0),
+    ("CASE WHEN 2 THEN 'a' ELSE 'b' END", "a"),
+    ("CASE WHEN 0.0 THEN 'a' ELSE 'b' END", "b"),
+    # --- LOG base domain (base <= 0 or == 1 -> NULL, never inf) ---
+    ("LOG(1, 100)", None),
+    ("LOG(0, 100)", None),
+    ("LOG(-2, 100)", None),
+    ("LOG(2, 8)", 3),
+    ("LOG(2, -8)", None),
+    ("LOG(-1)", None),
+    ("LN(-2)", None),
+    ("LOG(EXP(1))", 1),
+    # --- 2-arg ATAN routes to atan2; domain guards NULL not NaN ---
+    ("ATAN(1, 1)", 0.7853981633974483),
+    ("ATAN(-2, 2)", -0.7853981633974483),
+    ("SQRT(-1)", None),
+    ("SQRT(4)", 2),
+    ("ASIN(2)", None),
+    ("ACOS(-2)", None),
+    ("ACOS(1)", 0),
+    # --- numeric-vs-string comparison prefix coercion (literal fold) ---
+    ("0 = 'abc'", 1),
+    ("1 = '1a'", 1),
+    ("0 <> 'abc'", 0),
+    ("2 > '1a'", 1),
+    ("'1.5x' < 2", 1),
+    ("'-3z' < -1", 1),
+    ("1 = '1'", 1),
+    ("1 = '1.0'", 1),
+    ("0 = ''", 1),
+    # --- hex/bit literals in numeric context (string context keeps binary) ---
+    ("CONV(10+'10'+'10'+X'0a',10,10)", "40"),
+    ("10 + 0x0a", 20),
+    ("0x0a * 2", 20),
+    ("0b101 + 1", 6),
+    ("HEX(0x41)", "41"),
+    # --- string family (judge-verified exact, pinned) ---
+    ("SUBSTRING_INDEX('www.mysql.com', '.', 2)", "www.mysql"),
+    ("SUBSTRING_INDEX('www.mysql.com', '.', -2)", "mysql.com"),
+    ("SUBSTRING_INDEX('www.mysql.com', '.', 0)", ""),
+    ("INSERT('Quadratic', 3, 4, 'What')", "QuWhattic"),
+    ("INSERT('Quadratic', -1, 4, 'What')", "Quadratic"),
+    ("INSERT('Quadratic', 3, 100, 'What')", "QuWhat"),
+    ("LPAD('hi', 1, '?')", "h"),
+    ("LPAD('hi', 4, '??')", "??hi"),
+    ("RPAD('hi', 1, '?')", "h"),
+    ("FIELD('Bb', 'Aa', 'Bb', 'Cc', 'Dd', 'Ff')", 2),
+    ("FIELD('Gg', 'Aa', 'Bb')", 0),
+    ("ELT(1, 'Aa', 'Bb')", "Aa"),
+    ("ELT(4, 'Aa', 'Bb')", None),
+    ("FIND_IN_SET('b', 'a,b,c,d')", 2),
+    ("STRCMP('text', 'text2')", -1),
+    ("STRCMP('text2', 'text')", 1),
+    ("STRCMP('text', 'text')", 0),
+    ("LOCATE('bar', 'foobarbar')", 4),
+    ("LOCATE('bar', 'foobarbar', 5)", 7),
+    ("LOCATE('xbar', 'foobar')", 0),
+    ("FORMAT(12332.123456, 4)", "12,332.1235"),
+    ("FORMAT(12332.2, 0)", "12,332"),
+    # --- date/time leniency (judge-verified exact, pinned) ---
+    ("STR_TO_DATE('May 1, 2013', '%M %d,%Y')", "2013-05-01"),
+    ("TIME_FORMAT('100:00:00', '%H %k')", "100 100"),
+    ("TIME_FORMAT('10:30:00', '')", ""),
+    ("UNIX_TIMESTAMP('2020-01-01')", 1577836800),
+    ("HOUR('272:59:59')", 272),
+    ("MINUTE('23:59:59')", 59),
+    ("SECOND('10:05:03')", 3),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,expected", R11_PROBES, ids=[p[0][:50] for p in R11_PROBES]
+)
+def test_mysql_probe_r11(spark, expr, expected):
+    got = spark.sql(translate_mysql(f"SELECT {expr} AS v")).collect()[0].v
+    if expected is None:
+        assert got is None, f"{expr}: got {got!r}, MySQL gives NULL"
+        return
+    assert got is not None, f"{expr}: got NULL, MySQL gives {expected!r}"
+    if isinstance(got, bool):
+        got = int(got)  # MySQL renders boolean results as 1/0
+    if isinstance(expected, (int, float)) and not isinstance(expected, bool):
+        assert not (isinstance(got, float) and math.isnan(got)), expr
+        assert float(got) == float(expected), f"{expr}: got {got!r}"
+    else:
+        assert str(got) == str(expected), f"{expr}: got {got!r}"
+
+
+#: Documented divergences from the MySQL 8 manual where the engine
+#: deliberately matches the REFERENCE instead (adjudicated NOT bugs by
+#: the r10 judge): the reference rounds doubles half-AWAY-from-zero
+#: (func_round.cpp:155-158 floor(x+0.5) -> ROUND(25E-1) = 3, manual
+#: says 2), and ABS of bigint-min wraps like C llabs.
+R11_XFAIL_PROBES: list[tuple[str, object]] = [
+    ("ROUND(25E-1)", 2),
+    ("ABS(-9223372036854775808)", 9223372036854775808),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    R11_XFAIL_PROBES,
+    ids=[p[0][:50] for p in R11_XFAIL_PROBES],
+)
+@pytest.mark.xfail(
+    reason="engine matches the reference (half-away double rounding / "
+    "C-abs wrap), diverging from the MySQL 8 manual by design"
+)
+def test_mysql_probe_r11_deferred(spark, expr, expected):
+    _check(spark, expr, expected)
+
+
+def test_r11_truthiness_where_clause(spark):
+    """Bare numerics / columns in WHERE, HAVING, and join-ON coerce
+    through MySQL truthiness instead of failing analysis."""
+    probes = [
+        ("SELECT v FROM (SELECT 1 AS v) t WHERE 0.1", [1]),
+        ("SELECT v FROM (SELECT 1 AS v) t WHERE 0", []),
+        ("SELECT v FROM (SELECT 2 AS v) t WHERE v", [2]),
+        ("SELECT v FROM (SELECT 0 AS v) t WHERE v", []),
+        ("SELECT v FROM (SELECT 2 AS v) t WHERE v AND v - 1", [2]),
+        ("SELECT v FROM (SELECT 2 AS v) t WHERE NOT (v - 2)", [2]),
+        ("SELECT a.v FROM (SELECT 2 AS v) a JOIN (SELECT 1 AS w) b"
+         " ON b.w WHERE a.v > 1", [2]),
+        # already-boolean predicates keep their exact shape
+        ("SELECT v FROM (SELECT 2 AS v) t"
+         " WHERE v IN (1, 2) AND v BETWEEN 1 AND 3", [2]),
+    ]
+    for sql, want in probes:
+        t1 = translate_mysql(sql)
+        assert translate_mysql(t1) == t1, f"not idempotent: {sql}"
+        got = [r[0] for r in spark.sql(t1).collect()]
+        assert got == want, f"{sql}: got {got}"
