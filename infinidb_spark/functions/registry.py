@@ -1352,7 +1352,7 @@ def idbpartition() -> Column:
     table."""
     from infinidb_spark.sources.pseudocol import PSEUDO_COLUMNS
 
-    return PSEUDO_COLUMNS["idbpartition"](None)
+    return PSEUDO_COLUMNS["idbpartition"]()
 
 
 # ---------------------------------------------------------------------------

@@ -41,19 +41,26 @@ def read_jdbc_table(
 ) -> DataFrame:
     """Read a foreign table (or `(subquery) alias`) over JDBC."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
-    if num_partitions is not None and partition_column is None:
-        # the JDBC source ignores numPartitions without a partition
-        # column — the caller would get a SINGLE-connection serial scan
-        # while believing the read is fanned out
+    if partition_column is None and (
+        num_partitions is not None
+        or lower_bound is not None
+        or upper_bound is not None
+    ):
+        # the JDBC source ignores numPartitions/bounds without a
+        # partition column — the caller would get a SINGLE-connection
+        # serial scan while believing the read is fanned out
         raise ValueError(
-            "read_jdbc_table: num_partitions requires partition_column "
-            "(plus lower_bound/upper_bound) — without it the JDBC "
-            "source reads over one connection"
+            "read_jdbc_table: num_partitions/lower_bound/upper_bound "
+            "require partition_column — without it the JDBC source "
+            "reads over one connection"
         )
-    if driver:
-        reader = reader.option("driver", driver)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
+    if driver:
+        # AFTER properties: the explicit argument wins, matching
+        # write_jdbc_table (the two directions used to resolve a
+        # driver conflict in opposite ways)
+        reader = reader.option("driver", driver)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             # str(None) would reach the JVM as the literal 'None' and

@@ -19,32 +19,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: reference pseudo-column name → builder taking the source DataFrame.
-#: Columns in the `_metadata` family require a file-based DataFrame
-#: (parquet/csv scan) — Spark raises otherwise, same as the reference
-#: rejecting pseudo-columns on non-InfiniDB tables.
-PSEUDO_COLUMNS = {
+#: reference pseudo-column name → zero-arg Column builder.  Columns in
+#: the `_metadata` family require a file-based DataFrame — Spark raises
+#: otherwise, same as the reference rejecting pseudo-columns on
+#: non-InfiniDB tables — and `row_index` additionally requires Parquet.
+PSEUDO_COLUMNS: dict[str, callable] = {
     # physical file ≅ segment file (one per column-set partition)
-    "idbsegment": lambda df: F.col("_metadata.file_name"),
-    "idbpartition": lambda df: F.col("_metadata.file_path"),
+    "idbsegment": lambda: F.col("_metadata.file_name"),
+    "idbpartition": lambda: F.col("_metadata.file_path"),
+    # directory holding the segment file ≅ segment dir
+    "idbsegmentdir": lambda: F.regexp_extract(
+        F.col("_metadata.file_path"), "^(.*)/[^/]*$", 1
+    ),
     # executor/thread placement ≅ PM / DBRoot assignment
-    "idbpm": lambda df: F.spark_partition_id(),
-    "idbdbroot": lambda df: F.spark_partition_id(),
-    "idblocalpm": lambda df: F.spark_partition_id(),
+    "idbpm": lambda: F.spark_partition_id(),
+    "idbdbroot": lambda: F.spark_partition_id(),
+    "idblocalpm": lambda: F.spark_partition_id(),
     # block offset within the file ≅ LBID block id
-    "idbblockid": lambda df: F.col("_metadata.file_block_start"),
+    "idbblockid": lambda: F.col("_metadata.file_block_start"),
     # extent id ≅ file identity (hashed for a stable int64)
-    "idbextentid": lambda df: F.xxhash64(F.col("_metadata.file_path")),
-    # row id within the segment file ≅ extent-relative RID
-    "idbrowid": lambda df: F.col("_metadata.row_index"),
+    "idbextentid": lambda: F.xxhash64(F.col("_metadata.file_path")),
+    # row id within the segment file ≅ extent-relative RID; Parquet-only
+    # (`_metadata.row_index` does not exist for CSV/JSON scans)
+    "idbrowid": lambda: F.col("_metadata.row_index"),
+    "idbextentrelativerid": lambda: F.col("_metadata.row_index"),
 }
 
 
 def with_pseudo_columns(df: DataFrame, names: list[str] | None = None) -> DataFrame:
-    """Attach the requested pseudo-columns (default: all; an explicit
-    empty list attaches none — only None means 'all')."""
-    out = df
-    for name in (names if names is not None else list(PSEUDO_COLUMNS)):
+    """Attach the requested pseudo-columns (an explicit empty list
+    attaches none).  Default (``names=None``) attaches every
+    pseudo-column THIS source supports — analysis-probing each builder
+    and skipping unsupported ones (``row_index`` is Parquet-only; the
+    whole ``_metadata`` family needs a file scan), exactly like the
+    reference only offering pseudo-columns on its own tables.  An
+    EXPLICITLY requested unsupported column still raises."""
+    if names is None:
+        selected = []
+        for name, fn in PSEUDO_COLUMNS.items():
+            try:
+                df.select(fn())  # analysis-only probe, nothing runs
+            except Exception:
+                continue
+            selected.append(name)
+    else:
+        selected = list(names)
+    cols: dict[str, Column] = {}
+    for name in selected:
         fn = PSEUDO_COLUMNS.get(name)
         if fn is None:
             # a bare KeyError gave no hint where the per-extent stats
@@ -58,8 +79,10 @@ def with_pseudo_columns(df: DataFrame, names: list[str] | None = None) -> DataFr
                 f"unknown pseudo-column {name!r}; supported: "
                 f"{sorted(PSEUDO_COLUMNS)}{extra}"
             )
-        out = out.withColumn(name, fn(df))
-    return out
+        cols[name] = fn()
+    # one projection for the whole batch (withColumn-in-a-loop stacked
+    # one Project node per pseudo-column)
+    return df.withColumns(cols) if cols else df
 
 
 def extent_min_max(df: DataFrame, value_col: str) -> DataFrame:
@@ -73,6 +96,9 @@ def extent_min_max(df: DataFrame, value_col: str) -> DataFrame:
     itself is Spark's Parquet filter pushdown (free, SURVEY §4).
     """
     w = Window.partitionBy(F.col("_metadata.file_path"))
-    return df.withColumn("idbextentmin", F.min(value_col).over(w)).withColumn(
-        "idbextentmax", F.max(value_col).over(w)
+    return df.withColumns(
+        {
+            "idbextentmin": F.min(value_col).over(w),
+            "idbextentmax": F.max(value_col).over(w),
+        }
     )

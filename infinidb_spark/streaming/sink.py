@@ -157,15 +157,40 @@ def write_epoch_idempotent(
             # without fsync
             _fsync_path(dst)
             linked_dirs.add(dst_dir)
-    for d in linked_dirs:
-        _fsync_path(d)
+    # fsync every linked dir AND its ancestors up to table_dir: a
+    # NEWLY-CREATED partition directory's entry lives in its parent,
+    # and without the ancestor fsyncs a power loss could persist the
+    # commit marker while losing a whole partition's directory entry —
+    # permanent silent data loss that replay then skips
+    _fsync_up_to(linked_dirs, table_dir)
     shutil.rmtree(stage)
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as mf:
         mf.flush()
         os.fsync(mf.fileno())
-    _fsync_path(os.path.dirname(marker))
+    # marker dir entries need the same ancestor durability (the first
+    # marker of a sink creates _epochs/<sink>/ and maybe _epochs/)
+    _fsync_up_to({os.path.dirname(marker)}, table_dir)
     return True
+
+
+def _fsync_up_to(dirs: set[str], table_dir: str) -> None:
+    """fsync each directory and every ancestor up to (and including)
+    ``table_dir`` — persisting the directory ENTRIES along the chain so
+    newly created partition/marker directories survive power loss."""
+    table_abs = os.path.abspath(table_dir)
+    synced: set[str] = set()
+    for d in dirs:
+        cur = os.path.abspath(d)
+        while cur not in synced:
+            _fsync_path(cur)
+            synced.add(cur)
+            if cur == table_abs:
+                break
+            parent = os.path.dirname(cur)
+            if parent == cur:
+                break
+            cur = parent
 
 
 def read_committed(spark, table_dir: str) -> DataFrame | None:
@@ -185,6 +210,22 @@ def read_committed(spark, table_dir: str) -> DataFrame | None:
     survive the explicit file list."""
     import re
 
+    # Snapshot the committed markers BEFORE walking the data files.
+    # The writer links files first and writes the marker LAST, so a
+    # marker present in this snapshot guarantees every one of its files
+    # was already linked when the walk starts.  Checking markers
+    # per-file DURING the walk (the old shape) raced the linker: an
+    # epoch committing mid-walk could surface with some partition dirs
+    # walked before its links landed and some after — a torn epoch,
+    # the exact state this function exists to prevent.  (The snapshot
+    # also replaces O(files) marker stats with one listing.)
+    committed: set[tuple[str, str]] = set()
+    ep_root = os.path.join(table_dir, _EPOCH_DIR)
+    if os.path.isdir(ep_root):
+        for sink in os.listdir(ep_root):
+            sdir = os.path.join(ep_root, sink)
+            if os.path.isdir(sdir):
+                committed.update((sink, e) for e in os.listdir(sdir))
     files: list[str] = []
     for dirpath, dirnames, fnames in os.walk(table_dir):
         dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
@@ -192,9 +233,7 @@ def read_committed(spark, table_dir: str) -> DataFrame | None:
             if not f.endswith(".parquet") or f.startswith((".", "_")):
                 continue
             m = re.match(r"ep_(.+)_(\d+)_part-", f)
-            if m and not os.path.exists(
-                os.path.join(table_dir, _EPOCH_DIR, m.group(1), m.group(2))
-            ):
+            if m and (m.group(1), m.group(2)) not in committed:
                 continue
             files.append(os.path.join(dirpath, f))
     if not files:
@@ -218,6 +257,68 @@ def hadoop_glob_escape(path: str) -> str:
     import re
 
     return re.sub(r"([\[\]{}*?\\])", r"\\\1", path)
+
+
+def vacuum_sink_table(table_dir: str, min_age_sec: float = 86400.0) -> list[str]:
+    """Reclaim abandoned epoch-attempt garbage: dot-staging directories
+    (``.epoch_<sink>_<n>_tmp``) and epoch-prefixed part files whose
+    commit marker does not exist, both untouched for ``min_age_sec``.
+
+    A stream that crashes mid-epoch and restarts with a FRESH
+    checkpoint gets a new sink id, so the writer's own replay sweep
+    never reclaims the dead sink's staging/uncommitted files — they are
+    correctly excluded by ``read_committed`` but occupy disk and
+    inflate every walk forever.  This is an EXPLICIT maintenance call,
+    not automatic: only age separates "abandoned" from "in-flight,
+    about to commit" (the writer links files BEFORE its marker), so the
+    default threshold is a day — far beyond any micro-batch.  Returns
+    the removed paths.  Analog of compact/cleanup maintenance in
+    operators/dml.py."""
+    import re
+    import time
+
+    cutoff = time.time() - min_age_sec
+    removed: list[str] = []
+    committed: set[tuple[str, str]] = set()
+    ep_root = os.path.join(table_dir, _EPOCH_DIR)
+    if os.path.isdir(ep_root):
+        for sink in os.listdir(ep_root):
+            sdir = os.path.join(ep_root, sink)
+            if os.path.isdir(sdir):
+                committed.update((sink, e) for e in os.listdir(sdir))
+    # stale staging dirs live directly under table_dir
+    for name in os.listdir(table_dir):
+        full = os.path.join(table_dir, name)
+        if (
+            name.startswith(".epoch_") and name.endswith("_tmp")
+            and os.path.isdir(full)
+        ):
+            try:
+                newest = max(
+                    (os.path.getmtime(os.path.join(dp, f))
+                     for dp, _, fs in os.walk(full) for f in fs),
+                    default=os.path.getmtime(full),
+                )
+            except OSError:
+                continue
+            if newest < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+    # uncommitted epoch part files anywhere in the data layout
+    for dirpath, dirnames, fnames in os.walk(table_dir):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for f in fnames:
+            m = re.match(r"ep_(.+)_(\d+)_part-", f)
+            if not m or (m.group(1), m.group(2)) in committed:
+                continue
+            full = os.path.join(dirpath, f)
+            try:
+                if os.path.getmtime(full) < cutoff:
+                    os.remove(full)
+                    removed.append(full)
+            except OSError:
+                continue
+    return removed
 
 
 def sink_id_for(checkpoint_dir: str) -> str:

@@ -6,10 +6,15 @@ This is the operator class the reference fundamentally cannot express
 per micro-batch with timeout-driven emission.
 
 Scale notes: state lives in the executor state store partitioned by
-key (user_id) — uniform hash, no driver involvement; watermark/timeout
-bounds retention.  `applyInPandasWithState` moves one Arrow batch per
-key-group per trigger — the Python hop prices in only on the (small)
-grouped state path, never on the main event stream.
+key (user_id) — uniform hash, no driver involvement.  Session windows
+and the stream-stream join bound retention by watermark; the
+running-totals accumulator keeps state per key FOREVER by default
+(that is what a running total means) — long-running deployments over
+unbounded key domains pass ``idle_timeout`` to evict keys idle past
+the threshold (the key restarts from zero if it reappears).
+`applyInPandasWithState` moves one Arrow batch per key-group per
+trigger — the Python hop prices in only on the (small) grouped state
+path, never on the main event stream.
 """
 
 from __future__ import annotations
@@ -70,19 +75,62 @@ def _update_running_totals(
     )
 
 
-def stream_running_totals(stream: DataFrame) -> DataFrame:
+def _make_timeout_updater(idle_timeout: str):
+    """Timeout-aware variant of ``_update_running_totals``: evicts a
+    key's accumulator after ``idle_timeout`` of processing-time
+    inactivity (emits nothing on eviction; a reappearing key restarts
+    from zero — documented in the module docstring)."""
+
+    # setTimeoutDuration takes milliseconds; pandas parses the human
+    # duration string ("30 minutes") once at operator build
+    timeout_ms = int(pd.Timedelta(idle_timeout).total_seconds() * 1000)
+
+    def _update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return _update
+
+
+def stream_running_totals(
+    stream: DataFrame, idle_timeout: str | None = None
+) -> DataFrame:
     """Per-user running totals via applyInPandasWithState — the
     'custom stateful operator' extension point (a keyed accumulator the
-    engine keeps alive across triggers)."""
+    engine keeps alive across triggers).
+
+    ``idle_timeout`` (e.g. ``"30 minutes"``): evict a key's state after
+    that much processing-time inactivity — the retention bound for
+    continuous runs over unbounded key domains.  Default ``None`` keeps
+    state forever (a drain-style availableNow run, or a bounded key
+    domain)."""
+    if idle_timeout is None:
+        fn, conf = _update_running_totals, GroupStateTimeout.NoTimeout
+    else:
+        fn = _make_timeout_updater(idle_timeout)
+        conf = GroupStateTimeout.ProcessingTimeTimeout
     return (
         stream.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_running_totals,
+            fn,
             outputStructType=RUNNING_TOTALS_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
 

@@ -177,3 +177,64 @@ def test_jdbc_num_partitions_requires_partition_column(spark):
         read_jdbc_table(
             spark, "jdbc:duckdb:", "t", num_partitions=32
         )
+
+
+# ---------------------------------------------------------------------------
+# r11 deep review: pseudocol + cross_engine (VERDICT r10 item 8).
+# ---------------------------------------------------------------------------
+
+
+def test_pseudo_columns_default_all_adapts_to_source(spark, tmp_path, sf_dir):
+    """Default-all attaches every pseudo-column the SOURCE supports:
+    all of them on Parquet (incl. the reference names idbsegmentdir /
+    idbextentrelativerid), the _metadata family minus row_index on CSV,
+    and only the placement family on an in-memory DataFrame — instead
+    of crashing on the first unsupported builder."""
+    import os
+
+    from infinidb_spark.session import load_tables
+    from infinidb_spark.sources.pseudocol import with_pseudo_columns
+
+    li = load_tables(spark, sf_dir, names=("region",))["region"]
+    pq = with_pseudo_columns(li)
+    assert {"idbsegment", "idbsegmentdir", "idbrowid",
+            "idbextentrelativerid", "idbpm"} <= set(pq.columns)
+    row = pq.limit(1).collect()[0]
+    assert row.idbpartition.startswith("file:") or "/" in row.idbpartition
+    assert row.idbsegmentdir and not row.idbsegmentdir.endswith(".parquet")
+    assert row.idbrowid == row.idbextentrelativerid
+
+    csv_path = os.path.join(str(tmp_path), "c.csv")
+    li.limit(5).write.option("header", True).csv(csv_path)
+    csv_df = spark.read.option("header", True).csv(csv_path)
+    c = with_pseudo_columns(csv_df)
+    assert "idbrowid" not in c.columns and "idbsegment" in c.columns
+    assert c.count() == 5
+
+    mem = spark.createDataFrame([(1,)], "x long")
+    m = with_pseudo_columns(mem)
+    assert "idbpm" in m.columns and "idbsegment" not in m.columns
+    assert m.count() == 1
+
+
+def test_pseudo_columns_explicit_unsupported_still_raises(spark):
+    import pytest as _pytest
+
+    from infinidb_spark.sources.pseudocol import with_pseudo_columns
+
+    mem = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError, match="extent_min_max"):
+        with_pseudo_columns(mem, ["idbextentmin"])
+    with _pytest.raises(ValueError, match="unknown pseudo-column"):
+        with_pseudo_columns(mem, ["idbnotacolumn"])
+
+
+def test_read_jdbc_bounds_require_partition_column(spark):
+    import pytest as _pytest
+
+    from infinidb_spark.sources.cross_engine import read_jdbc_table
+
+    with _pytest.raises(ValueError, match="partition_column"):
+        read_jdbc_table(
+            spark, "jdbc:derby:memory:x", "t", lower_bound=0, upper_bound=10
+        )

@@ -151,3 +151,48 @@ def test_stream_stream_join_converges_to_batch(spark, sf_dir):
         assert got == want, f"{len(got)} vs {len(want)}"
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_running_totals_idle_timeout_wiring(spark, sf_dir):
+    """idle_timeout engages ProcessingTimeTimeout eviction; in an
+    availableNow drain the timeout never fires, so totals must equal
+    the default path's (validates the timeout updater's accumulate +
+    setTimeoutDuration wiring end-to-end)."""
+    events = load_tables(spark, sf_dir, names=("events",))["events"]
+    events = events.filter(F.col("user_id") < 10)
+    workdir = tempfile.mkdtemp(prefix="infinidb_state_to_")
+    in_dir = os.path.join(workdir, "in")
+    try:
+        events.repartition(2).write.parquet(in_dir)
+        stream = events_stream_from_directory(spark, in_dir, max_files_per_trigger=1)
+        q = (
+            stream_running_totals(stream, idle_timeout="30 minutes")
+            .writeStream.format("memory")
+            .queryName("running_totals_to")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        final = spark.sql(
+            """
+            select user_id, n_events, round(total_value, 4) as total_value from (
+              select *, row_number() over (partition by user_id order by rn desc) as pick
+              from (select *, monotonically_increasing_id() as rn
+                    from running_totals_to))
+            where pick = 1
+            """
+        ).collect()
+        want = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .collect()
+        }
+        got = {(r.user_id, r.n_events, r.total_value) for r in final}
+        assert got == want
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -315,3 +315,74 @@ def test_underscore_partition_column_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], "_b long, s string")
     with _pytest.raises(ValueError, match="must not start"):
         write_epoch_idempotent(df, 0, table, partition_by=["_b"], sink_id="q")
+
+
+def test_read_committed_snapshot_with_underscore_sink_ids(spark, tmp_path):
+    """The marker snapshot keys on (sink, epoch) exactly as the writer
+    spells them — sink ids containing '_<digits>_' segments must not
+    confuse the greedy filename parse (r11 review: read_committed now
+    snapshots markers BEFORE the walk instead of statting per file)."""
+    import os
+
+    from infinidb_spark.streaming.sink import (
+        read_committed,
+        write_epoch_idempotent,
+    )
+
+    table = str(tmp_path / "snap_table")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    assert write_epoch_idempotent(df, 2, table, sink_id="a_1") is True
+    assert write_epoch_idempotent(df, 3, table, sink_id="a_1") is True
+    # simulate crash-after-link-before-marker for epoch 3
+    os.remove(os.path.join(table, "_epochs", "a_1", "3"))
+    got = read_committed(spark, table)
+    assert got is not None and got.count() == 2  # epoch 3 excluded
+
+
+def test_vacuum_sink_table_reclaims_only_old_uncommitted(spark, tmp_path):
+    """vacuum removes aged markerless epoch files and stale staging
+    dirs, and never touches committed epochs or fresh in-flight files
+    (r11 review: dead-sink garbage was unreclaimable forever)."""
+    import os
+    import time
+
+    from infinidb_spark.streaming.sink import (
+        vacuum_sink_table,
+        write_epoch_idempotent,
+    )
+
+    table = str(tmp_path / "vac_table")
+    os.makedirs(table)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    assert write_epoch_idempotent(df, 0, table, sink_id="live") is True
+    # dead sink: linked file, no marker, old mtime
+    committed = [
+        f for f in os.listdir(table)
+        if f.startswith("ep_live_0_") and f.endswith(".parquet")
+    ]
+    assert committed
+    dead = os.path.join(table, "ep_dead_7_part-00000-x.parquet")
+    with open(dead, "wb") as fh:
+        fh.write(b"junk")
+    old = time.time() - 7200
+    os.utime(dead, (old, old))
+    # dead staging dir, old
+    stale_stage = os.path.join(table, ".epoch_dead_8_tmp")
+    os.makedirs(stale_stage)
+    with open(os.path.join(stale_stage, "part-0"), "wb") as fh:
+        fh.write(b"junk")
+    os.utime(os.path.join(stale_stage, "part-0"), (old, old))
+    os.utime(stale_stage, (old, old))
+    # fresh uncommitted file (an in-flight writer): must survive
+    fresh = os.path.join(table, "ep_inflight_1_part-00000-y.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"junk")
+
+    removed = vacuum_sink_table(table, min_age_sec=3600)
+    assert set(removed) == {dead, stale_stage}
+    assert os.path.exists(fresh)
+    assert all(os.path.exists(os.path.join(table, f)) for f in committed)
+    assert spark.read.parquet(
+        *(os.path.join(table, f) for f in committed)
+    ).count() == 2
