@@ -16,12 +16,31 @@ from pyspark.sql import functions as F
 from infinidb_spark.plans.registry import query
 from infinidb_spark.session import load_tables
 
+#: the catalog surface's own helper views — excluded from every
+#: listing, otherwise two IDENTICAL consecutive catalog queries return
+#: different results (the first registration makes the second listing
+#: see the views the first one created), and migration tools would try
+#: to migrate the catalog itself as InfiniDB tables
+_CATALOG_VIEWS = frozenset(
+    {"systable", "syscolumn", "infoschema_tables", "infoschema_columns"}
+)
+
+
+def _qualified(t) -> str:
+    """Name to hand spark.catalog.listColumns: qualified with the
+    listing's own namespace, so a table outside the current database
+    (or shadowed by a same-named temp view) resolves to the row being
+    reported, not whatever the bare name happens to bind to."""
+    ns = list(t.namespace or [])
+    return ".".join([*ns, t.name]) if ns else t.name
+
 
 def systable(spark: SparkSession) -> DataFrame:
     """One row per registered table (≅ calpontsys.systable)."""
     rows = [
         (t.name, t.catalog, t.namespace[0] if t.namespace else None, t.tableType, t.isTemporary)
         for t in spark.catalog.listTables()
+        if t.name not in _CATALOG_VIEWS
     ]
     return spark.createDataFrame(
         rows, "tablename string, catalog string, schema string, tabletype string, istemporary boolean"
@@ -33,16 +52,20 @@ def syscolumn(
 ) -> DataFrame:
     """One row per column of every registered table (≅ syscolumn).
 
-    ``only`` restricts the listColumns calls to the named tables —
+    ``only`` restricts the listColumns calls to the named tables
+    (case-insensitive: the Spark catalog lowercases registered names) —
     the shared gate session accumulates dozens of leftover temp views,
     and resolving EVERY one costs a catalog round-trip each and fails
     the whole relation if any single leftover no longer resolves."""
+    only_low = {n.lower() for n in only} if only is not None else None
     rows = []
     for t in spark.catalog.listTables():
-        if only is not None and t.name not in only:
+        if t.name in _CATALOG_VIEWS:
+            continue
+        if only_low is not None and t.name.lower() not in only_low:
             continue
         try:
-            cols = spark.catalog.listColumns(t.name)
+            cols = spark.catalog.listColumns(_qualified(t))
         except Exception:
             # a stale temp view over a since-replaced relation must not
             # abort the catalog of the tables that DO resolve
@@ -84,7 +107,6 @@ def system_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     wanted = {"lineitem", "orders", "customer", "nation", "region"}
     return (
         syscolumn(spark, only=wanted)
-        .filter(F.col("tablename").isin(*sorted(wanted)))
         .groupBy("tablename")
         .agg(
             F.count(F.lit(1)).alias("n_columns"),
@@ -119,6 +141,7 @@ def information_schema_tables(
             "InfiniDB",
         )
         for t in spark.catalog.listTables()
+        if t.name not in _CATALOG_VIEWS
     ]
     return spark.createDataFrame(
         rows, "table_schema string, table_name string, table_type string, engine string"
@@ -137,7 +160,15 @@ def information_schema_columns(spark: SparkSession) -> DataFrame:
     }
     rows = []
     for t in spark.catalog.listTables():
-        for pos, c in enumerate(spark.catalog.listColumns(t.name), start=1):
+        if t.name in _CATALOG_VIEWS:
+            continue
+        try:
+            cols = spark.catalog.listColumns(_qualified(t))
+        except Exception:
+            # same stale-temp-view guard as syscolumn: one leftover
+            # unresolvable view must not abort the whole refresh
+            continue
+        for pos, c in enumerate(cols, start=1):
             base = c.dataType.split("(")[0].lower()
             rows.append(
                 (

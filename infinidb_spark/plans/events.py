@@ -31,7 +31,10 @@ from infinidb_spark.plans.registry import load_registered as _t  # noqa: E402
            event_type,
            count(*)                    AS n_events,
            round(sum(value), 4)        AS sum_value,
-           floor(avg(value) * 1000000 + 0.5) / 1000000 AS avg_value
+           -- avg from the ROUNDED sum (mirrors tumbling_event_stats):
+           -- raw-double avg carries order-dependent ULP noise that
+           -- flipped the 6-decimal rounding at sf1 (47.5396875 boundary)
+           floor(round(sum(value), 4) / count(*) * 1000000 + 0.5) / 1000000 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,

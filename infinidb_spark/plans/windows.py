@@ -92,9 +92,14 @@ def window_row_number_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFr
     "window_agg_frame",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity,
-           round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+           -- full sort-key tiebreak: the synthetic lineitem has
+           -- duplicate (l_orderkey, l_linenumber) pairs at sf1, and a
+           -- tie makes ROWS-frame running sums engine-order-dependent
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_quantity, l_extendedprice
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)   AS running_qty,
-           round(avg(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+           round(avg(l_extendedprice) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_quantity, l_extendedprice
                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6)           AS mavg_price,
            count(*) OVER (PARTITION BY l_orderkey)                       AS n_lines,
            round(min(l_extendedprice) OVER (PARTITION BY l_orderkey), 2) AS min_price,
@@ -111,7 +116,10 @@ def window_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (li,) = _t(spark, sf_dir, "lineitem")
     wp = Window.partitionBy("l_orderkey")
-    wo = wp.orderBy("l_linenumber")
+    # l_quantity/l_extendedprice tiebreakers: duplicate (l_orderkey,
+    # l_linenumber) pairs exist at sf1, and a tie makes the ROWS-frame
+    # outputs engine-order-dependent (caught by scripts/sf1_parity.py)
+    wo = wp.orderBy("l_linenumber", "l_quantity", "l_extendedprice")
     return li.filter(F.col("l_orderkey") <= 2000).select(
         "l_orderkey",
         "l_linenumber",

@@ -21,10 +21,6 @@ dialect surface, an anti-pattern for bulk data, and says so.
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
@@ -50,7 +46,9 @@ def _line_expr(
     """
     fields = []
     for f in df.schema.fields:
-        c = F.col(f.name).cast("string")
+        # backtick-quoted: a column literally named 'price.usd' must
+        # not parse as struct-field access (df[name] has the same trap)
+        c = F.col("`" + f.name.replace("`", "``") + "`").cast("string")
         if quote is None:
             for special in (escape, sep, line_sep):
                 c = F.replace(c, F.lit(special), F.lit(escape + special))
@@ -72,6 +70,11 @@ def _line_expr(
             # '-', ':') would otherwise split the line on re-import
             for special in (escape, sep, line_sep):
                 c = F.replace(c, F.lit(special), F.lit(escape + special))
+        # ASCII NUL renders as escape + the DIGIT zero in every branch
+        # (MySQL OUTFILE rule) — also the invariant bulk_load's
+        # NUL-sentinel parser relies on ("a raw NUL cannot occur in
+        # MySQL-escaped text"); the loader decodes esc+'0' back
+        c = F.replace(c, F.lit("\x00"), F.lit(escape + "0"))
         fields.append(F.coalesce(c, F.lit(NULL_MARKER)))
     return F.concat_ws(sep, *fields)
 
@@ -90,45 +93,61 @@ def export_outfile(
     """Write ``df`` as MySQL-OUTFILE-style delimited text; return the
     row count (MySQL reports rows written).
 
-    The count is a ``count()`` of the PERSISTED line relation, not a
-    byte-scan of the output files: an escaped line terminator still
-    contains the raw terminator byte (and enclosed values may embed
-    it), so terminator-counting over-reports for such data.  The
-    persist keeps the source query from running twice (one compute,
-    cached for the write); exports big enough for the cache to matter
-    should carry their row count from upstream instead.
+    The count comes from the Observation API — measured DURING the
+    single write pass, so the source query runs exactly once with no
+    persist (the old persist+count cached the whole export just to
+    count it — doubled I/O at scale).  It is not a byte-scan of the
+    output files: an escaped line terminator still contains the raw
+    terminator byte, so terminator-counting over-reports.
+
+    All path operations go through the Hadoop FileSystem of the target
+    path, not ``os.path``: the writer itself resolves paths against the
+    default Hadoop FS, so on a cluster whose default FS is HDFS (or
+    with an explicit s3a://... path) a driver-local ``os.path.exists``
+    never saw the real target — overwrite protection silently vanished
+    and single_file mode failed after writing.
     """
-    if os.path.exists(path):
+    from pyspark.sql import Observation
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         raise OutfileExistsError(f"File '{path}' already exists")
     tmp = path + "__outfile_tmp"
-    if single_file and os.path.exists(tmp):
-        shutil.rmtree(tmp)  # stale leftover from an earlier failure
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if single_file and fs.exists(jtmp):
+        fs.delete(jtmp, True)  # stale leftover from an earlier failure
     out = df.select(
         _line_expr(df, sep, quote, escape, line_sep, quote_optional).alias("value")
     )
     if single_file:
         out = out.coalesce(1)
-    out = out.persist()
-    try:
-        total = out.count()
-        writer = out.write.format("text").option("lineSep", line_sep)
-        target = tmp if single_file else path
-        writer.save(target)
-    finally:
-        out.unpersist()
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+    target = tmp if single_file else path
+    out.write.format("text").option("lineSep", line_sep).save(target)
+    total = obs.get["n"]
     if single_file:
+        jtarget = jvm.org.apache.hadoop.fs.Path(target)
         try:
-            parts = sorted(glob.glob(os.path.join(glob.escape(target), "part-*")))
+            parts = [
+                st.getPath()
+                for st in fs.globStatus(
+                    jvm.org.apache.hadoop.fs.Path(target, "part-*")
+                )
+            ]
             if len(parts) != 1:
                 # explicit raise, not assert (stripped under python -O)
                 raise RuntimeError(
                     f"expected exactly one part file in {target}, "
                     f"found {len(parts)}"
                 )
-            shutil.move(parts[0], path)
+            fs.rename(parts[0], jpath)
         finally:
             # never leave the tmp dir behind: a stale one would make
             # the NEXT export die inside writer.save with a generic
             # path-exists error instead of OutfileExistsError
-            shutil.rmtree(target, ignore_errors=True)
-    return total
+            fs.delete(jtarget, True)
+    return int(total)

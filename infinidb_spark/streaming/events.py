@@ -41,11 +41,23 @@ def tumbling_event_stats(events: DataFrame, width: str = "1 hour") -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
-            # floor(x*1e6 + 0.5)/1e6 instead of round: engines disagree
-            # on round-half semantics at ...49999/...5 double boundaries
-            # (confirmed live at sf0.1: 43.4728124999... -> Spark .472812
-            # vs DuckDB .472813); IEEE floor is exact in both
-            (F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_value"),
+            # avg derives from the ROUNDED sum, not avg(value): the raw
+            # double sum carries order-dependent ULP noise, and at sf1 a
+            # group's true mean sat exactly on the 6-decimal .5 boundary
+            # (15212.7/320 = 47.5396875) so the noise flipped the
+            # rounding between engines.  round-4 absorbs the noise (the
+            # generator's 1-decimal values keep sums far from 4-decimal
+            # boundaries); the identical double ÷ identical count is
+            # then deterministic on both engines, and floor(x*1e6+0.5)
+            # keeps HALF_UP semantics engines agree on (IEEE floor is
+            # exact; see the r06 .472812/.472813 round() divergence)
+            (
+                F.floor(
+                    F.round(F.sum("value"), 4) / F.count(F.lit(1)) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("avg_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(

@@ -24,8 +24,15 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con.execute("SET TimeZone='UTC'")
     for t in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the sf1
+            # layout from scripts/make_sf1.py); glob the parts
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con
 
 
@@ -127,6 +134,12 @@ def top_level_order_by(sql: str) -> list[str] | None:
     total; compare() only needs presence.)"""
     import re
 
+    # strip -- and /* */ comments first: a comment whose prose contains
+    # the words "ORDER BY" at depth 0 flipped compare() into
+    # order-sensitive mode (caught live on window_agg_frame's r11
+    # tiebreak comment)
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
     depth = 0
     in_str = None
     spans: list[int] = []

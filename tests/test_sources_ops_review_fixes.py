@@ -238,3 +238,105 @@ def test_read_jdbc_bounds_require_partition_column(spark):
         read_jdbc_table(
             spark, "jdbc:derby:memory:x", "t", lower_bound=0, upper_bound=10
         )
+
+
+def test_catalog_views_stable_and_exclude_self(spark, sf_dir):
+    """Two identical consecutive catalog registrations must list the
+    same tables: the catalog's own helper views are excluded from
+    their own listings (r11 review: the listing grew between runs and
+    migration tools saw the catalog as InfiniDB tables)."""
+    from infinidb_spark.plans.catalog import (
+        register_information_schema,
+        register_system_catalog,
+    )
+    from infinidb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    register_system_catalog(spark)
+    first = spark.sql("SELECT count(*) FROM syscolumn").collect()[0][0]
+    register_system_catalog(spark)
+    second = spark.sql("SELECT count(*) FROM syscolumn").collect()[0][0]
+    assert first == second
+    register_information_schema(spark)
+    tabs = {
+        r.table_name
+        for r in spark.sql("SELECT table_name FROM infoschema_tables").collect()
+    }
+    assert not (
+        {"systable", "syscolumn", "infoschema_tables", "infoschema_columns"}
+        & tabs
+    )
+
+
+def test_syscolumn_only_filter_case_insensitive(spark, sf_dir):
+    from infinidb_spark.plans.catalog import syscolumn
+    from infinidb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    got = syscolumn(spark, only={"Region"})
+    assert got.count() > 0  # catalog lowercases names; filter must too
+
+
+def test_infoschema_columns_tolerates_stale_view(spark, sf_dir):
+    """One unresolvable leftover temp view must not abort the whole
+    information_schema refresh (syscolumn already had this guard)."""
+    import os
+    import shutil
+    import tempfile
+
+    from infinidb_spark.plans.catalog import information_schema_columns
+    from infinidb_spark.session import load_tables
+
+    load_tables(spark, sf_dir, register=True)
+    d = tempfile.mkdtemp(prefix="stale_view_")
+    try:
+        p = os.path.join(d, "t.parquet")
+        spark.range(3).write.parquet(p)
+        spark.read.parquet(p).createOrReplaceTempView("stale_backing_view")
+        shutil.rmtree(d)  # the backing files vanish; the view remains
+        cols = information_schema_columns(spark)
+        names = {r.table_name for r in cols.collect()}
+        assert "region" in names  # healthy tables still listed
+    finally:
+        spark.catalog.dropTempView("stale_backing_view")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_nul_byte_escapes_and_roundtrips(spark, tmp_path):
+    """ASCII NUL exports as escape+'0' (MySQL OUTFILE rule) — also the
+    invariant bulk_load's NUL-sentinel parser depends on — and
+    round-trips through LOAD DATA."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from infinidb_spark.sources.bulk_load import bulk_load_csv
+    from infinidb_spark.sources.export import export_outfile
+
+    df = spark.createDataFrame([(1, "a\x00b"), (2, "plain")], "id long, s string")
+    out = os.path.join(str(tmp_path), "nul.txt")
+    n = export_outfile(df, out, sep="|", quote=None, escape="\\", single_file=True)
+    assert n == 2
+    raw = open(out, "rb").read()
+    assert b"\x00" not in raw and b"a\\0b" in raw
+    schema = StructType(
+        [StructField("id", LongType()), StructField("s", StringType())]
+    )
+    res = bulk_load_csv(spark, out, schema, delimiter="|", quote=None, escape="\\")
+    assert res.rows_rejected == 0
+    got = sorted((r.id, r.s) for r in res.loaded.collect())
+    assert got == [(1, "a\x00b"), (2, "plain")]
+    res.unpersist()
+
+
+def test_export_dotted_column_name(spark, tmp_path):
+    import os
+
+    from infinidb_spark.sources.export import export_outfile
+
+    df = spark.createDataFrame([(1.5,)], "x double").selectExpr(
+        "x AS `price.usd`"
+    )
+    out = os.path.join(str(tmp_path), "dotted.txt")
+    assert export_outfile(df, out, single_file=True) == 1
+    assert open(out).read().strip() == "1.5"
