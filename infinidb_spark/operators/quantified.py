@@ -52,7 +52,11 @@ def quantified_filter(
     quantifier = quantifier.lower()
     if quantifier not in ("all", "any"):
         raise ValueError(f"quantifier must be 'all' or 'any', got {quantifier!r}")
-    (sub_col,) = sub.columns
+    if len(sub.columns) != 1:
+        raise ValueError("quantified_filter: sub must have exactly one column")
+    # backtick-quoted: a column name containing '.' must not re-parse
+    # as struct-field access (df[0] routes through the same name parse)
+    sub_col = F.col("`" + sub.columns[0].replace("`", "``") + "`")
 
     # ALL with >/>= races against the maximum; ANY against the minimum
     # (mirrored for </<=).  All three stats pack into ONE struct so the

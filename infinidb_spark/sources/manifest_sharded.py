@@ -87,6 +87,13 @@ class ShardedManifest:
         self._relation: pa.Table | None = None
         self._clean_fp: tuple | None = None
         self._dir_sig: tuple[str, int] | None = None
+        # serializes refresh()/relation() per instance: instances are
+        # shared process-wide via _SHARDED_CACHE, and two driver threads
+        # interleaving a refresh could leave _shard_tables[i] and
+        # _shard_keys[i] describing DIFFERENT filesets — after which the
+        # shard reads as clean forever and its files silently vanish
+        # from every scan
+        self._lock = threading.RLock()
 
     # -- storage ------------------------------------------------------
 
@@ -115,6 +122,10 @@ class ShardedManifest:
     # -- refresh (O(changed files)) -----------------------------------
 
     def refresh(self) -> "ShardedManifest":
+        with self._lock:
+            return self._refresh_locked()
+
+    def _refresh_locked(self) -> "ShardedManifest":
         real = os.path.realpath(self.table_dir)
 
         # Directory-mtime gate: every writer creates/renames/unlinks
@@ -168,7 +179,13 @@ class ShardedManifest:
 
         current: dict[str, tuple[int, int, int]] = {}
         for f in _member_files(real):
-            st = os.stat(f)
+            try:
+                st = os.stat(f)
+            except OSError:
+                # unlinked between the listing and the stat (concurrent
+                # compaction/rewrite): a vanished file can't contribute
+                # rows — skip it rather than failing the whole query
+                continue
             current[os.path.basename(f)] = (st.st_mtime_ns, st.st_size, st.st_ino)
 
         # Clean-snapshot fast path: when the file set is identical to
@@ -180,7 +197,13 @@ class ShardedManifest:
         if fp == self._clean_fp:
             self._dir_sig = (real, dir_mtime) if not racy else None
             return self
+        # disarm BEFORE rewriting shards: a mid-rebuild crash followed
+        # by a fileset REVERT (version-symlink rollback to hard-linked
+        # files with identical stat keys) must not match the stale
+        # clean print and serve half-rebuilt shards
+        self._clean_fp = None
 
+        harvest_failed = False
         by_shard: dict[int, dict[str, tuple[int, int, int]]] = {}
         for b, key in current.items():
             by_shard.setdefault(_shard_of(b, self.n_shards), {})[b] = key
@@ -216,10 +239,21 @@ class ShardedManifest:
                 have.take(keep).to_pylist() if have is not None and keep else []
             )
             kept_names = {r["basename"] for r in rows}
+            recorded = dict(want)
             for b, (mt, sz, ino) in sorted(want.items()):
                 if b in kept_names:
                     continue
-                e = _harvest_file(os.path.join(real, b))
+                try:
+                    e = _harvest_file(os.path.join(real, b))
+                except OSError:
+                    # vanished between the stat pass and the footer
+                    # read; MUST also drop it from the recorded keys —
+                    # recording it while the shard table lacks its row
+                    # would read as clean forever and silently
+                    # eliminate the file from every scan if it returns
+                    del recorded[b]
+                    harvest_failed = True
+                    continue
                 row: dict[str, Any] = {
                     "basename": b, "mtime_ns": mt, "size": sz, "ino": ino,
                     "rows": int(e["rows"]),
@@ -230,10 +264,13 @@ class ShardedManifest:
                     row[f"nulls::{col}"] = st["null_count"]
                 rows.append(row)
             self._write_shard(i, _rows_to_table(rows))
-            self._shard_keys[i] = dict(want)
+            self._shard_keys[i] = recorded
             self._relation = None
-        self._clean_fp = fp
-        self._dir_sig = (real, dir_mtime) if not racy else None
+        if not harvest_failed:
+            # any skipped file leaves the gates disarmed: the next
+            # refresh re-lists and retries the harvest
+            self._clean_fp = fp
+            self._dir_sig = (real, dir_mtime) if not racy else None
         return self
 
     # -- the resident stats relation ----------------------------------
@@ -241,30 +278,41 @@ class ShardedManifest:
     def relation(self) -> pa.Table:
         """All shards as ONE Arrow table (schema-unified by name) — the
         shared-memory-resident extent map the planner queries."""
-        if self._relation is None:
-            tables = [
-                t for i in range(self.n_shards)
-                if (t := self._load_shard(i)) is not None and t.num_rows
-            ]
-            if not tables:
-                self._relation = _rows_to_table([])
-            else:
-                try:
-                    self._relation = pa.concat_tables(
-                        tables, promote_options="permissive"
-                    )
-                except (pa.ArrowInvalid, pa.ArrowTypeError,
-                        pa.ArrowNotImplementedError):
-                    # schema evolution can land the SAME stat column with
-                    # incompatible Arrow types in DIFFERENT shards (each
-                    # shard unified fine in isolation — _rows_to_table's
-                    # poisoning is per-shard).  Contract says typing
-                    # failures KEEP files, so poison the conflicting
-                    # columns to all-NULL everywhere and merge the rest.
-                    self._relation = pa.concat_tables(
-                        _poison_conflicts(tables), promote_options="permissive"
-                    )
-        return self._relation
+        with self._lock:
+            if self._relation is None:
+                tables = [
+                    t for i in range(self.n_shards)
+                    if (t := self._load_shard(i)) is not None and t.num_rows
+                ]
+                if not tables:
+                    self._relation = _rows_to_table([])
+                else:
+                    # lossy cross-shard promotion check FIRST: int64 and
+                    # float64 unify silently, but the widening rounds —
+                    # a stored int min above 2^53 can round UP past the
+                    # true min and mis-eliminate a file holding matching
+                    # rows.  Poison such columns (conservative: keeps
+                    # files), value-checked so the common small-value
+                    # evolution keeps its elimination.
+                    tables = _poison_lossy_promotions(tables)
+                    try:
+                        self._relation = pa.concat_tables(
+                            tables, promote_options="permissive"
+                        )
+                    except (pa.ArrowInvalid, pa.ArrowTypeError,
+                            pa.ArrowNotImplementedError):
+                        # schema evolution can land the SAME stat column
+                        # with incompatible Arrow types in DIFFERENT
+                        # shards (each shard unified fine in isolation —
+                        # _rows_to_table's poisoning is per-shard).
+                        # Contract says typing failures KEEP files, so
+                        # poison the conflicting columns to all-NULL
+                        # everywhere and merge the rest.
+                        self._relation = pa.concat_tables(
+                            _poison_conflicts(tables),
+                            promote_options="permissive",
+                        )
+            return self._relation
 
     # -- vectorized elimination ---------------------------------------
 
@@ -291,9 +339,15 @@ class ShardedManifest:
         # driver thread) re-registering mid-query would silently serve
         # ANOTHER table's basenames — zero of which match this dir,
         # planning an all-eliminated (empty) scan for a query with rows
-        _PRUNE_LOCK.acquire()
-        con.register("_idb_sharded_manifest", rel)
+        with _PRUNE_LOCK:
+            return self._prune_registered(con, rel, real, predicates)
+
+    def _prune_registered(self, con, rel, real, predicates) -> list[str]:
+        # register INSIDE the try: an exception (or KeyboardInterrupt)
+        # between a bare acquire and its try-block used to leak
+        # _PRUNE_LOCK and deadlock every future prune in the process
         try:
+            con.register("_idb_sharded_manifest", rel)
             clauses, params = [], []
             for p in predicates:
                 c = _pred_sql(p, set(rel.schema.names))
@@ -335,9 +389,54 @@ class ShardedManifest:
         finally:
             try:
                 con.unregister("_idb_sharded_manifest")
-            finally:
-                _PRUNE_LOCK.release()
+            except Exception:
+                pass  # register itself may have failed
         return [os.path.join(real, b) for b in sorted(names)]
+
+
+def _poison_lossy_promotions(tables: list[pa.Table]) -> list[pa.Table]:
+    """Null out stat columns whose cross-shard type mix would promote
+    LOSSILY under concat (integer alongside floating): float64 carries
+    53 mantissa bits, so an int64 stat above 2^53 rounds — possibly
+    RAISING a min / LOWERING a max past its true value, which breaks
+    the never-mis-eliminate contract.  Value-checked: the mix poisons
+    only when some integer instance actually exceeds 2^53."""
+    import pyarrow.compute as pc
+
+    types: dict[str, set] = {}
+    for t in tables:
+        for field in t.schema:
+            if "::" in field.name:
+                types.setdefault(field.name, set()).add(field.type)
+    bad: set[str] = set()
+    for name, ts in types.items():
+        non_null = [x for x in ts if not pa.types.is_null(x)]
+        has_int = any(pa.types.is_integer(x) for x in non_null)
+        has_float = any(
+            pa.types.is_floating(x) or pa.types.is_decimal(x)
+            for x in non_null
+        )
+        if not (has_int and has_float):
+            continue
+        for t in tables:
+            if name not in t.schema.names:
+                continue
+            col = t.column(name)
+            if not pa.types.is_integer(col.type):
+                continue
+            m = pc.max(pc.abs_checked(col)).as_py()
+            if m is not None and m > 2**53:
+                bad.add(name)
+                break
+    if not bad:
+        return tables
+    out = []
+    for t in tables:
+        for name in bad & set(t.schema.names):
+            i = t.schema.get_field_index(name)
+            t = t.set_column(i, name, pa.array([None] * t.num_rows, pa.null()))
+        out.append(t)
+    return out
 
 
 def _poison_conflicts(tables: list[pa.Table]) -> list[pa.Table]:
@@ -389,6 +488,17 @@ def _rows_to_table(rows: list[dict[str, Any]]) -> pa.Table:
     arrays, out_names = [], []
     for name in names:
         vals = [r.get(name) for r in rows]
+        # same lossy-promotion guard as _poison_lossy_promotions, at
+        # row level: pa.array over mixed int/float infers float64
+        # silently, rounding int stats above 2^53 (can raise a min past
+        # its true value → mis-elimination)
+        if "::" in name and any(isinstance(v, float) for v in vals) and any(
+            isinstance(v, int) and not isinstance(v, bool) and abs(v) > 2**53
+            for v in vals
+        ):
+            arrays.append(pa.array([None] * len(vals), pa.null()))
+            out_names.append(name)
+            continue
         try:
             arr = pa.array(vals)
         except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
@@ -412,7 +522,12 @@ def _pred_sql(pred: Predicate, avail: set[str]) -> tuple[str, list] | None:
     predicates as non-prunable (elimination could drop files whose
     rows the residual filter would match)."""
     col, op = pred[0], pred[1]
-    mn, mx = f'"min::{col}"', f'"max::{col}"'
+    # double embedded '"': a column name containing a quote otherwise
+    # yields malformed SQL for every predicate on it — swallowed
+    # conservatively, but elimination goes silently inert for the
+    # column (and crafted names could alter clause semantics)
+    q = col.replace('"', '""')
+    mn, mx = f'"min::{q}"', f'"max::{q}"'
     if f"min::{col}" not in avail or f"max::{col}" not in avail:
         return None
     guard = f"({mn} IS NULL OR {mx} IS NULL OR "

@@ -42,7 +42,13 @@ def write_table(
             # and (under spill-merge) destroying the cluster order
             out = out.sortWithinPartitions(*partition_by, *cluster_by)
         else:
-            out = out.sortWithinPartitions(*cluster_by)
+            # range-shuffle FIRST: sorting only within the arriving
+            # (hash/round-robin) partitioning leaves every output file
+            # spanning the full key range — per-file min/max never
+            # eliminates anything (same shape as layout.cluster_write)
+            out = out.repartitionByRange(*cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
     writer = out.write.mode(mode).option("compression", "snappy")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

@@ -306,3 +306,139 @@ def test_sharded_scan_single_file_path(spark, tmp_path):
     out = scan_with_sharded_manifest(spark, f, [("v", ">=", 40)])
     assert out.count() == 10
     assert not os.path.exists(f + ".__manifest__")
+
+
+def test_rows_to_table_poisons_lossy_int_float_mix():
+    """A stat column mixing floats with ints above 2^53 must poison
+    (pa.array would infer float64 and ROUND the int — a rounded-up min
+    mis-eliminates files holding matching rows)."""
+    from infinidb_spark.sources.manifest_sharded import _rows_to_table
+
+    big = 2**53 + 3
+    rows = [
+        {"basename": "a", "mtime_ns": 1, "size": 1, "ino": 1, "rows": 1,
+         "min::k": big, "max::k": big, "nulls::k": 0},
+        {"basename": "b", "mtime_ns": 1, "size": 1, "ino": 2, "rows": 1,
+         "min::k": 1.5, "max::k": 2.5, "nulls::k": 0},
+    ]
+    t = _rows_to_table(rows)
+    import pyarrow as pa
+
+    assert pa.types.is_null(t.column("min::k").type)
+    assert pa.types.is_null(t.column("max::k").type)
+    # small ints + floats still promote exactly — no poisoning
+    rows[0]["min::k"] = rows[0]["max::k"] = 7
+    t2 = _rows_to_table(rows)
+    assert not pa.types.is_null(t2.column("min::k").type)
+
+
+def test_cross_shard_lossy_promotion_keeps_files(tmp_path, spark):
+    """Across shards: an int64-stat shard above 2^53 merged with a
+    float-stat shard must not round the min past the true value —
+    prune keeps the file (conservative poisoning)."""
+    import pyarrow as pa
+
+    from infinidb_spark.sources.manifest_sharded import (
+        _poison_lossy_promotions,
+    )
+
+    big = 2**53 + 3
+    t1 = pa.table({"basename": ["a"], "min::k": [big], "max::k": [big]})
+    t2 = pa.table({"basename": ["b"], "min::k": [1.5], "max::k": [2.5]})
+    out = _poison_lossy_promotions([t1, t2])
+    assert pa.types.is_null(out[0].column("min::k").type)
+    # small values: untouched
+    t3 = pa.table({"basename": ["a"], "min::k": [7], "max::k": [9]})
+    out2 = _poison_lossy_promotions([t3, t2])
+    assert out2[0].column("min::k").to_pylist() == [7]
+
+
+def test_pred_sql_escapes_quoted_identifier():
+    from infinidb_spark.sources.manifest_sharded import _pred_sql
+
+    avail = {'min::a"b', 'max::a"b'}
+    clause, params = _pred_sql(('a"b', "=", 5), avail)
+    assert '"min::a""b"' in clause and params == [5, 5]
+
+
+def test_refresh_tolerates_vanished_file(spark, tmp_path, monkeypatch):
+    """A file unlinked between the stat pass and the footer read must
+    not crash the refresh, must not be recorded as present, and must
+    leave the clean gates disarmed so the retry re-harvests."""
+    import os
+
+    import infinidb_spark.sources.manifest_sharded as ms
+
+    table = str(tmp_path / "van_t")
+    spark.range(100).withColumnRenamed("id", "k").coalesce(2).write.parquet(table)
+    m = ms.ShardedManifest(table)
+
+    real_harvest = ms._harvest_file
+    blown = {}
+
+    def flaky(path):
+        if not blown:
+            blown["x"] = os.path.basename(path)
+            raise OSError("vanished")
+        return real_harvest(path)
+
+    monkeypatch.setattr(ms, "_harvest_file", flaky)
+    m.refresh()
+    assert m._clean_fp is None  # gates stay disarmed after a skip
+    listed = {
+        b for keys in m._shard_keys.values() for b in keys
+    }
+    assert blown["x"] not in listed  # never recorded as present
+    # retry harvests the skipped file and re-arms
+    m.refresh()
+    assert m._clean_fp is not None
+    files = m.prune([("k", ">=", 0)])
+    assert len(files) == 2
+
+
+def test_quantified_filter_dotted_column(spark):
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.quantified import quantified_filter
+
+    df = spark.createDataFrame([(1,), (5,), (9,)], "x long")
+    sub = spark.createDataFrame([(4.0,), (2.0,)], "p double").selectExpr(
+        "p AS `price.usd`"
+    )
+    got = sorted(
+        r.x for r in quantified_filter(df, F.col("x"), ">", sub, "all").collect()
+    )
+    assert got == [5, 9]
+
+
+def test_write_table_cluster_by_range_shuffles(spark, tmp_path):
+    """cluster_by without partition_by must range-shuffle first: each
+    output file's min/max covers a narrow slice, so stats eliminate —
+    a local sort of hash-distributed input left every file spanning
+    the full domain (zero elimination)."""
+    import pyarrow.parquet as pq
+
+    from infinidb_spark.sources.table_write import write_table
+
+    df = spark.range(10_000).withColumnRenamed("id", "k").repartition(8)
+    path = str(tmp_path / "clus_t")
+    # max_records_per_file splits each (sorted) partition sequentially:
+    # with the range shuffle the resulting files are disjoint slices;
+    # under the old local-sort-only shape every file spanned the full
+    # domain regardless of the split
+    write_table(df, path, cluster_by=["k"], max_records_per_file=2000)
+    import glob as _g
+
+    spans = []
+    for f in _g.glob(path + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) > 1
+    spans.sort()
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint ranges: range partitioning happened
