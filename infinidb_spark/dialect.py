@@ -1660,6 +1660,85 @@ def _fold_numeric_string_cmp(toks: list[Token]) -> list[Token]:
     return out
 
 
+def _fold_string_arith(toks: list[Token]) -> list[Token]:
+    """MySQL converts a string operand of +,-,*,/,%,DIV,MOD to DOUBLE by
+    numeric-prefix parse (`'3x' + 1` → 4, `'abc' * 2` → 0); Spark's
+    cast gives NULL for any non-fully-numeric string, silently NULLing
+    the whole expression.  Folds LITERAL strings only (a bare string
+    column stays unwrapped — the documented plan-shape trade shared
+    with `_fold_numeric_string_cmp`), skips fully-numeric literals
+    (Spark already coerces those correctly), and skips date-INTERVAL
+    arithmetic (`'2020-01-01' - INTERVAL 1 DAY` is DATE math in MySQL,
+    not a 2020−interval subtraction)."""
+
+    def _arith(j: int | None) -> bool:
+        return j is not None and (
+            (toks[j][0] == "sym" and toks[j][1] in _ARITH_SYMS)
+            or (toks[j][0] == "word" and toks[j][1].upper() in ("DIV", "MOD"))
+        )
+
+    def _cmp_vs_number(j: int | None, forward: bool) -> bool:
+        # string compared against an expression whose adjacent token is
+        # a NUMBER literal (`3 * 2 = 'abc'`): the other side is
+        # provably numeric, so MySQL's double coercion is certain even
+        # though the literal-vs-literal cmp fold (which needs the WHOLE
+        # side to be one literal) skipped it
+        if j is None or toks[j][0] != "sym" or toks[j][1] not in _CMP_OPS:
+            return False
+        k = _next_code(toks, j + 1) if forward else _prev_code(toks, j)
+        return k is not None and toks[k][0] == "number"
+
+    out: list[Token] = []
+    for i, tok in enumerate(toks):
+        k, t = tok
+        if k == "string":
+            p = _prev_code(toks, i)
+            n = _next_code(toks, i + 1)
+            # introducer/typed literals are NOT bare strings: X''/B''
+            # hex-bit forms, charset introducers (_utf8'…'), and
+            # DATE/TIME/TIMESTAMP '…' typed literals keep their string
+            introduced = (
+                p is not None
+                and toks[p][0] == "word"
+                and (
+                    toks[p][1].upper() in ("X", "B", "N", "DATE", "TIME",
+                                           "TIMESTAMP")
+                    or toks[p][1].startswith("_")
+                )
+            )
+            if not introduced and (
+                _arith(p) or _arith(n)
+                or _cmp_vs_number(p, forward=False)
+                or _cmp_vs_number(n, forward=True)
+            ):
+                s = _unquote(t)
+                try:
+                    float(s.strip())
+                    fully_numeric = True
+                except ValueError:
+                    fully_numeric = False
+                interval_adjacent = False
+                if n is not None and toks[n][0] == "sym" and toks[n][1] in ("+", "-"):
+                    n2 = _next_code(toks, n + 1)
+                    if n2 is not None and toks[n2][0] == "word" \
+                            and toks[n2][1].upper() == "INTERVAL":
+                        interval_adjacent = True
+                if p is not None and toks[p][0] == "sym" and toks[p][1] in ("+", "-"):
+                    p2 = _prev_code(toks, p)
+                    if p2 is not None and toks[p2][0] == "word" and (
+                        toks[p2][1].upper() in _INTERVAL_UNITS
+                        or toks[p2][1].upper() == "INTERVAL"
+                    ):
+                        interval_adjacent = True
+                if not fully_numeric and not interval_adjacent:
+                    m = _NUM_PREFIX_RE.match(s.strip())
+                    val = float(m.group(0)) if m else 0.0
+                    out.append(("code", repr(val)))
+                    continue
+        out.append(tok)
+    return out
+
+
 def _bool_span_end(toks: list[Token], start: int, terminators) -> int:
     """End of a boolean-context span: first depth-0 terminator keyword,
     depth-0 comma/semicolon, or the closing paren of an enclosing
@@ -3127,7 +3206,9 @@ def translate_mysql(
     # run BEFORE _rewrite so wrapped operands still get their inner
     # MySQL-function translation
     toks = _rewrite(
-        _fold_boolean_contexts(_fold_numeric_string_cmp(tokenize(sql)))
+        _fold_boolean_contexts(
+            _fold_string_arith(_fold_numeric_string_cmp(tokenize(sql)))
+        )
     )
     if not strict_group_by:
         toks = _permissive_group_by(toks)
@@ -3179,7 +3260,9 @@ def parse_statement(sql: str) -> dict:
     # same pre-passes as translate_mysql: a DML WHERE takes MySQL
     # truthiness too (`DELETE FROM t WHERE flag`)
     toks = _rewrite(
-        _fold_boolean_contexts(_fold_numeric_string_cmp(tokenize(sql)))
+        _fold_boolean_contexts(
+            _fold_string_arith(_fold_numeric_string_cmp(tokenize(sql)))
+        )
     )
     # drop trailing statement terminators HERE — not just in
     # translate_mysql — so a client's `UPDATE t SET a = 1;` doesn't

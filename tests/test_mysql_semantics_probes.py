@@ -435,6 +435,19 @@ R11_PROBES = [
     ("1 = '1'", 1),
     ("1 = '1.0'", 1),
     ("0 = ''", 1),
+    # --- string literals in arithmetic: DOUBLE numeric-prefix coercion ---
+    ("'3x' + 1", 4),
+    ("'abc' + 1", 1),
+    ("'abc' * 2", 0),
+    ("0 = 'abc' * 2", 1),
+    ("- 'abc' = 0", 1),
+    ("'1.5' + 1", 2.5),
+    ("5 DIV '2x'", 2),
+    ("'-2.5e1x' + 0", -25),
+    ("CONCAT('a', 'b')", "ab"),
+    # date-string INTERVAL arithmetic stays DATE math (the arith fold
+    # must NOT turn '2020-01-01' into 2020): value checked by prefix
+    ("CAST('2020-01-01' + INTERVAL 1 DAY AS CHAR) LIKE '2020-01-02%'", 1),
     # --- hex/bit literals in numeric context (string context keeps binary) ---
     ("CONV(10+'10'+'10'+X'0a',10,10)", "40"),
     ("10 + 0x0a", 20),

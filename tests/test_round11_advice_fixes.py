@@ -151,9 +151,11 @@ def test_bulk_load_unquoted_escaped_with_header(spark, tmp_path):
     ("expr", "want"),
     [
         # literal-cmp fold must NOT fire next to a tighter-binding
-        # arithmetic operator — the operand belongs to the arithmetic
-        ("3 * 2 = 'abc'", None),   # (6)='abc' -> Spark NULL (no fold)
-        ("0 = 'abc' * 2", None),
+        # arithmetic operator — the operand belongs to the arithmetic.
+        # (the arith fold then coerces the string itself, so these now
+        # produce MySQL's answers: (6)='abc'->(6)=0.0 false, 'abc'*2=0)
+        ("3 * 2 = 'abc'", False),
+        ("0 = 'abc' * 2", True),
         # ...but the plain literal-vs-literal case folds exactly
         ("0 = 'abc'", True),
         ("1 = '1a'", True),
