@@ -19,10 +19,11 @@ from infinidb_spark.operators.dml import (
     create_table,
     delete_from,
     insert_into,
+    read_table,
     update_table,
 )
 from infinidb_spark.plans.registry import query
-from infinidb_spark.session import load_tables
+from infinidb_spark.session import InfiniSession, load_tables
 
 
 @query(
@@ -71,7 +72,10 @@ def dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         delete_from(spark, table, F.col("n_regionkey") == 4)
         out = (
-            spark.read.parquet(table)
+            # managed read path (mergeSchema + disabled-partition
+            # exclusion) — the raw parquet read bypassed the engine's
+            # own read contract
+            read_table(spark, table)
             .groupBy("n_regionkey")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -121,8 +125,6 @@ def mysql_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hard-linked files + a schema-carrying empty file; operators/dml.py
     alter_table), as are SET/DROP DEFAULT (catalog metadata feeding
     later INSERT fills — no file touched)."""
-    from infinidb_spark.session import InfiniSession
-
     sess = InfiniSession(spark)
     load_tables(spark, sf_dir, names=("nation",))
     try:
@@ -146,8 +148,6 @@ def mysql_ddl_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
-        import shutil
-
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
         # drop the ghost temp views too: they outlive the scratch dirs
@@ -181,8 +181,6 @@ def auto_increment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dml.py assign_auto_increment — no driver loop, no global
     sort); the oracle pins each batch's exact id range via per-tag
     min/max/sum, which is assignment-order independent."""
-    from infinidb_spark.session import InfiniSession
-
     sess = InfiniSession(spark)
     workdir = tempfile.mkdtemp(prefix="infinidb_ai_q_")
     csv_path = os.path.join(workdir, "batch4.csv")
@@ -238,16 +236,14 @@ def char_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every managed-table write path), while numeric columns keep
     plain NULL semantics.  The probe counts mirror the script's exact
     expectations."""
-    from infinidb_spark.session import InfiniSession
-
     sess = InfiniSession(spark)
     try:
         sess.execute("CREATE TABLE cns_c (col1 VARCHAR(40))")
-        for v in ("null", "''", "'A'"):
-            sess.execute(f"INSERT INTO cns_c VALUES ({v})")
+        # one multi-row statement: the same charnull write-path
+        # semantics, without five sequential copy-on-write rewrites
+        sess.execute("INSERT INTO cns_c VALUES (null), (''), ('A')")
         sess.execute("CREATE TABLE cns_i (col1 INT)")
-        for v in ("null", "1"):
-            sess.execute(f"INSERT INTO cns_i VALUES ({v})")
+        sess.execute("INSERT INTO cns_i VALUES (null), (1)")
         out = sess.sql(
             """SELECT 'char_total' AS probe, count(*) AS n FROM cns_c
                UNION ALL SELECT 'char_null', count(*) FROM cns_c WHERE col1 IS NULL
@@ -259,8 +255,6 @@ def char_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
-        import shutil
-
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
         for v in ("cns_c", "cns_i"):  # no ghost views in the shared session
@@ -349,15 +343,16 @@ def concurrent_dml_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         except ConcurrentWriteConflict:
-            state = read_table(spark, probe_t)
-            key_sum = state.agg(F.sum("n_nationkey")).collect()[0][0]
+            # ONE aggregation pass over state (this probe runs on every
+            # execution — it used to issue four separate Spark jobs)
+            st = read_table(spark, probe_t).agg(
+                F.count(F.when(F.col("n_name") == "WON", 1)).alias("won"),
+                F.count(F.when(F.col("n_regionkey") < 1, 1)).alias("low"),
+                F.sum("n_nationkey").alias("key_sum"),
+            ).collect()[0]
             src_sum = nation.agg(F.sum("n_nationkey")).collect()[0][0]
-            intact = (
-                state.filter(F.col("n_name") == "WON").count()
-                == state.filter(F.col("n_regionkey") < 1).count()
-                and key_sum == src_sum  # the aborted zeroing left no trace
-            )
-            aborted = 1 if intact else 0
+            # the aborted zeroing must leave no trace
+            aborted = 1 if (st.won == st.low and st.key_sum == src_sum) else 0
 
         out = (
             read_table(spark, table)

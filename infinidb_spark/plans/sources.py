@@ -10,6 +10,7 @@ not just the aggregation.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,7 +27,7 @@ from infinidb_spark.sources.cross_engine import (
 from infinidb_spark.sources.pseudocol import extent_min_max, with_pseudo_columns
 
 
-def _workdir(sf_dir: str, kind: str) -> str:
+def _workdir(sf_dir: str, kind: str, version: str = "") -> str:
     """Per-(sf_dir, kind) scratch dir whose NAME carries the source
     data's identity (abspath + every parquet's mtime_ns/size).  The
     build-once sentinels inside are therefore self-invalidating: a
@@ -37,12 +38,30 @@ def _workdir(sf_dir: str, kind: str) -> str:
     import hashlib
 
     h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    # version folds BUILDER identity into the key: an export-shaping
+    # code change bumps it so the sentinel self-invalidates, instead of
+    # relying on someone remembering to rename the kind string
+    h.update(f"|v:{version}".encode())
     for f in sorted(os.listdir(sf_dir)):
         if f.endswith(".parquet"):
             st = os.stat(os.path.join(sf_dir, f))
             h.update(f"|{f}:{st.st_mtime_ns}:{st.st_size}".encode())
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     return f"/tmp/infinidb_spark_{kind}_{tag}_{h.hexdigest()[:10]}"
+
+
+def _build_once(work: str, done_name: str, build, clear: tuple = ()) -> None:
+    """Crash-safe build-once block — ONE copy of the semantics that six
+    hand copies had drifted on: sentinel check, clear stale outputs
+    from a crashed previous attempt, mkdir, build(), touch sentinel."""
+    done = os.path.join(work, done_name)
+    if os.path.exists(done):
+        return
+    for p in clear:
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    build()
+    open(done, "w").close()
 
 
 def _clustered_lineitem(spark: SparkSession, sf_dir: str) -> str:
@@ -56,13 +75,13 @@ def _clustered_lineitem(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "lineitem.parquet")
     work = _workdir(sf_dir, "extcluster")
     clustered = os.path.join(work, "lineitem_by_key")
-    done = os.path.join(work, "_clustered")
-    if not os.path.exists(done):
-        os.makedirs(work, exist_ok=True)
-        cluster_write(
+    _build_once(
+        work, "_clustered",
+        lambda: cluster_write(
             spark.read.parquet(src), clustered, ["l_orderkey"], n_files=8
-        )
-        open(done, "w").close()
+        ),
+        clear=(clustered,),
+    )
     return clustered
 
 
@@ -84,16 +103,17 @@ def bulk_load_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_tables(spark, sf_dir, names=("supplier",))["supplier"]
     work = _workdir(sf_dir, "bulk")
     csv_dir = os.path.join(work, "supplier_csv")
-    done = os.path.join(work, "_csv_done")
-    if not os.path.exists(done):
-        # quote/escape EXPLICIT and mirrored by the reader below: the
-        # writer's default quoting wraps any field containing '|' or a
-        # quote, and a quote-disabled reader would read the quote
-        # characters back as data — a silently lossy "roundtrip"
-        supplier.write.mode("overwrite").option("sep", "|").option(
+    # quote/escape EXPLICIT and mirrored by the reader below: the
+    # writer's default quoting wraps any field containing '|' or a
+    # quote, and a quote-disabled reader would read the quote
+    # characters back as data — a silently lossy "roundtrip"
+    _build_once(
+        work, "_csv_done",
+        lambda: supplier.write.mode("overwrite").option("sep", "|").option(
             "header", False
-        ).option("quote", '"').option("escape", "\\").csv(csv_dir)
-        open(done, "w").close()
+        ).option("quote", '"').option("escape", "\\").csv(csv_dir),
+        clear=(csv_dir,),
+    )
     result = bulk_load_csv(
         spark, csv_dir, supplier.schema, delimiter="|", quote='"', escape="\\"
     )
@@ -110,16 +130,18 @@ def bulk_load_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pseudo_columns",
-    # the testdata tables are single parquet files, so the per-segment
-    # grouping collapses to one row whose stats (row count, extent
-    # min/max of the key) DuckDB computes from the view; the segment
-    # name and extent count pin the file-identity plumbing.
+    # LAYOUT-INDEPENDENT output (the old shape emitted one row per
+    # segment FILE and pinned the filename — correct only for the
+    # single-file sf0.01/sf0.1 layout; the sf1 directory layout has 8
+    # part files and the oracle cannot see them).  The per-segment
+    # grouping still runs inside the plan; the outer aggregate folds it
+    # to totals plus a plumbing invariant that holds at ANY layout:
+    # every segment is non-empty and carries exactly one extent id.
     oracle="""
-    SELECT 'lineitem.parquet'   AS idbsegment,
-           count(*)             AS n_rows,
+    SELECT count(*)             AS n_rows,
            min(l_orderkey)      AS key_min,
            max(l_orderkey)      AS key_max,
-           CAST(1 AS BIGINT)    AS n_extents
+           CAST(1 AS BIGINT)    AS plumbing_ok
     FROM lineitem
     """,
 )
@@ -134,15 +156,31 @@ def pseudo_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_pseudo_columns(li, ["idbsegment", "idbextentid", "idbblockid"]),
         "l_orderkey",
     )
-    return (
-        enriched.groupBy("idbsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("idbextentmin").alias("key_min"),
-            F.max("idbextentmax").alias("key_max"),
-            F.count_distinct("idbextentid").alias("n_extents"),
-        )
-        .orderBy("idbsegment")
+    per_seg = enriched.groupBy("idbsegment").agg(
+        F.count(F.lit(1)).alias("seg_rows"),
+        F.min("idbextentmin").alias("seg_min"),
+        F.max("idbextentmax").alias("seg_max"),
+        F.count_distinct("idbextentid").alias("seg_extents"),
+    )
+    return per_seg.agg(
+        F.sum("seg_rows").alias("n_rows"),
+        F.min("seg_min").alias("key_min"),
+        F.max("seg_max").alias("key_max"),
+        F.count(F.lit(1)).alias("_n_segs"),
+        F.min("seg_rows").alias("_min_rows"),
+        F.min("seg_extents").alias("_min_ext"),
+        F.max("seg_extents").alias("_max_ext"),
+    ).select(
+        "n_rows",
+        "key_min",
+        "key_max",
+        F.when(
+            (F.col("_n_segs") >= 1)
+            & (F.col("_min_rows") > 0)
+            & (F.col("_min_ext") == 1)
+            & (F.col("_max_ext") == 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("bigint").alias("plumbing_ok"),
     )
 
 
@@ -255,12 +293,13 @@ def cross_engine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = load_tables(spark, sf_dir, names=("nation", "region"))
     work = _workdir(sf_dir, "derby")
     url = f"jdbc:derby:{work}/db;create=true"
-    done = os.path.join(work, "_loaded")
-    if not os.path.exists(done):
-        write_jdbc_table(
-            tables["nation"], url, "nation", driver=DERBY_DRIVER, mode="overwrite"
-        )
-        open(done, "w").close()
+    _build_once(
+        work, "_loaded",
+        lambda: write_jdbc_table(
+            tables["nation"], url, "nation", driver=DERBY_DRIVER,
+            mode="overwrite",
+        ),
+    )
     foreign_nation = read_jdbc_table(spark, url, "nation", driver=DERBY_DRIVER)
     return (
         foreign_nation.join(
@@ -330,17 +369,16 @@ def outfile_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice", "probe"]
     work = _workdir(sf_dir, "outfile2")
     out_dir = os.path.join(work, "orders_txt")
-    done = os.path.join(work, "_outfile_done")
-    if not os.path.exists(done):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(work, exist_ok=True)
-        # ENCLOSED BY mode: the probe embeds the separator, the escape
-        # char AND the quote char, which the unquoted mode cannot carry
-        # through Spark's CSV reader (it only unescapes inside quotes)
-        export_outfile(
+    # ENCLOSED BY mode: the probe embeds the separator, the escape
+    # char AND the quote char, which the unquoted mode cannot carry
+    # through Spark's CSV reader (it only unescapes inside quotes)
+    _build_once(
+        work, "_outfile_done",
+        lambda: export_outfile(
             orders.select(*cols), out_dir, sep="|", quote='"', escape="\\"
-        )
-        open(done, "w").close()
+        ),
+        clear=(out_dir,),
+    )
     schema = orders.select(*cols).schema
     result = bulk_load_csv(
         spark, out_dir, schema, delimiter="|", null_value=NULL_MARKER,
@@ -364,11 +402,21 @@ def outfile_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "jsonl_load_roundtrip",
     oracle="""
+    -- the appended tail carries every JSON-escape-sensitive shape
+    -- (double quote, backslash, non-ascii, a raw newline) so the
+    -- checksum is NON-vacuous on clean corpus text
+    WITH x AS (
+      SELECT lang, doc_id, n_chars,
+             text || ' "\qé' || chr(10) || CAST(doc_id AS VARCHAR) AS xt
+      FROM documents
+    )
     SELECT lang,
            count(*)                     AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS chars_total,
-           CAST(min(doc_id) AS BIGINT)  AS first_doc
-    FROM documents
+           CAST(min(doc_id) AS BIGINT)  AS first_doc,
+           CAST(sum(('0x' || substr(md5(xt), 1, 7))::BIGINT) AS BIGINT)
+             AS text_sum
+    FROM x
     GROUP BY lang
     """,
 )
@@ -376,22 +424,29 @@ def jsonl_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingest — the interchange format of web-crawl / LLM-corpus
     dumps: documents exported as newline-delimited JSON, re-loaded with
     the schema'd PERMISSIVE reader (sources/bulk_load.bulk_load_jsonl),
-    aggregated.  Oracle runs on the original table: a hash match proves
-    the JSON text roundtrip is lossless (unicode, nulls, quoting)."""
+    aggregated.  Oracle runs on the original table, and the text gets
+    a deterministic tail carrying every JSON-escape-sensitive shape
+    (quote, backslash, non-ascii, raw newline — the clean corpus has
+    none, which made the lossless claim vacuous before): the checksum
+    column proves the JSON string roundtrip is lossless."""
     from infinidb_spark.sources.bulk_load import bulk_load_jsonl
 
     docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
-    cols = ["doc_id", "lang", "n_chars"]
-    work = _workdir(sf_dir, "jsonl")
+    docs = docs.withColumn(
+        "xt",
+        F.concat(
+            F.col("text"), F.lit(' "\\qé\n'),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    cols = ["doc_id", "lang", "n_chars", "xt"]
+    work = _workdir(sf_dir, "jsonl", version="2")
     out_dir = os.path.join(work, "docs_jsonl")
-    done = os.path.join(work, "_jsonl_done")
-    if not os.path.exists(done):
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(work, exist_ok=True)
-        docs.select(*cols).write.json(out_dir)
-        open(done, "w").close()
+    _build_once(
+        work, "_jsonl_done",
+        lambda: docs.select(*cols).write.json(out_dir),
+        clear=(out_dir,),
+    )
     result = bulk_load_jsonl(spark, out_dir, docs.select(*cols).schema)
     assert result.rows_rejected == 0, "clean export must load without rejects"
     result.unpersist()
@@ -399,6 +454,9 @@ def jsonl_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars_total"),
         F.min("doc_id").alias("first_doc"),
+        F.sum(
+            F.conv(F.substring(F.md5("xt"), 1, 7), 16, 10).cast("long")
+        ).alias("text_sum"),
     )
 
 
@@ -420,14 +478,11 @@ def orc_storage_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
     work = _workdir(sf_dir, "orc")
     out_dir = os.path.join(work, "orders_orc")
-    done = os.path.join(work, "_orc_done")
-    if not os.path.exists(done):
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(work, exist_ok=True)
-        orders.write.orc(out_dir)
-        open(done, "w").close()
+    _build_once(
+        work, "_orc_done",
+        lambda: orders.write.orc(out_dir),
+        clear=(out_dir,),
+    )
     return (
         spark.read.orc(out_dir)
         .groupBy("o_orderstatus")
@@ -479,19 +534,20 @@ def xml_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = _workdir(sf_dir, "xmlesc")
     out_dir = os.path.join(work, "documents_xml")
-    done = os.path.join(work, "_xml_done")
-    if not os.path.exists(done):
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
-        os.makedirs(work, exist_ok=True)
-        docs.write.format("xml").option("rootTag", "docs").option(
+    _build_once(
+        work, "_xml_done",
+        lambda: docs.write.format("xml").option("rootTag", "docs").option(
             "rowTag", "doc"
-        ).save(out_dir)
-        open(done, "w").close()
+        ).save(out_dir),
+        clear=(out_dir,),
+    )
     loaded = (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        # keep edge whitespace: the reader's default trims text values,
+        # silently breaking the lossless-on-any-data contract for
+        # documents with leading/trailing whitespace
+        .option("ignoreSurroundingSpaces", False)
         .schema(docs.schema)
         .load(out_dir)
     )
