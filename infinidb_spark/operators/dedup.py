@@ -698,8 +698,17 @@ def dedup_exact_incremental(
 
     h = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
     hashed = new_df.select(F.col(id_col), h)
-    w_min = F.min(id_col).over(Window.partitionBy("content_hash"))
-    in_corpus = hashed.join(
+    # row_number, not `id > min(id)`: the min-comparison let EVERY
+    # holder of a duplicated id classify 'new' (id == min for all of
+    # them), and a NULL id compared NULL → 'new' even when the hash was
+    # batch-shared — both silently landed duplicate content.  NULLs
+    # order last (they lose ties to any real id); exactly one row per
+    # hash is ever non-dup.
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col(id_col).asc_nulls_last()
+    )
+    rn = F.row_number().over(w)
+    in_corpus = hashed.withColumn("_rn", rn).join(
         # dropDuplicates: the documented accumulation pattern unions
         # every batch's output into the store, so a hash can repeat —
         # joining the raw store would multiply output rows per new doc
@@ -712,7 +721,7 @@ def dedup_exact_incremental(
         F.col(id_col),
         "content_hash",
         F.when(F.col("_seen"), F.lit("corpus_dup"))
-        .when(F.col(id_col) > w_min, F.lit("batch_dup"))
+        .when(F.col("_rn") > 1, F.lit("batch_dup"))
         .otherwise(F.lit("new"))
         .alias("status"),
     )

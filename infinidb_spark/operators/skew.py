@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 _SALT = "__salt__"
 
 
+def _hashable(dt) -> bool:
+    """xxhash64 rejects MapType anywhere in the column's type tree."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _row_salt(df: DataFrame, n_salt: int):
     """Deterministic per-row salt from ROW CONTENT, never from
     monotonically_increasing_id: a partial stage retry after a shuffle-
@@ -38,8 +51,24 @@ def _row_salt(df: DataFrame, n_salt: int):
     (key, salt) reducer partitions than the original run — rows
     silently vanish or duplicate (the SPARK-23207 correctness class).
     Content-hash salts are recomputation-stable; identical duplicate
-    rows share a salt, which only costs balance, never correctness."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    rows share a salt, which only costs balance, never correctness.
+    Map-typed columns are excluded (xxhash64 rejects them) — the salt
+    stays deterministic over the remaining columns."""
+    cols = [
+        F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)
+    ]
+    if not cols:  # every column is map-typed: degenerate single salt
+        return F.lit(0)
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salt))
+
+
+def _reject_salt_collision(*dfs: DataFrame) -> None:
+    for df in dfs:
+        if _SALT in df.columns:
+            raise ValueError(
+                f"input already has a {_SALT!r} column — rename it; the "
+                "salted operators would silently overwrite and drop it"
+            )
 
 
 def salted_join(
@@ -62,6 +91,7 @@ def salted_join(
         raise ValueError(f"salted_join supports {sorted(allowed)}, not {how!r}")
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    _reject_salt_collision(skewed, build)
     salted = skewed.withColumn(_SALT, _row_salt(skewed, n_salt))
     replicated = build.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
@@ -83,6 +113,7 @@ def salted_aggregate(
     sum_cols = sum_cols or {}
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    _reject_salt_collision(df)
     salted = df.withColumn(_SALT, _row_salt(df, n_salt))
     stage1 = salted.groupBy(*keys, _SALT).agg(
         F.count(F.lit(1)).alias("_pc"),
@@ -98,7 +129,9 @@ def salted_aggregate(
         for src, alias in sum_cols.items()
     }
     return stage1.groupBy(*keys).agg(
-        F.sum("_pc").alias(count_col),
+        # coalesce: a GLOBAL aggregate (keys=[]) over empty input yields
+        # one row with a NULL sum — the un-salted count() returns 0
+        F.coalesce(F.sum("_pc"), F.lit(0).cast("bigint")).alias(count_col),
         *[
             F.sum(f"_ps_{alias}").cast(single[alias]).alias(alias)
             for alias in sum_cols.values()

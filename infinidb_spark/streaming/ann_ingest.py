@@ -39,6 +39,42 @@ from infinidb_spark.operators.similarity import (
 )
 from infinidb_spark.streaming.sink import read_committed, stream_to_table
 
+_MODEL_FP = "_model_fp"
+
+
+def _centroid_fingerprint(centroids) -> str:
+    """Stable digest of the centroid model — pins the index to the
+    model its cid assignments came from."""
+    import hashlib
+
+    canon = repr([(int(c), [float(x) for x in v]) for c, v in centroids])
+    return hashlib.md5(canon.encode()).hexdigest()
+
+
+def _check_model_fp(index_dir: str, centroids, *, record: bool) -> None:
+    """Serving (or resuming ingest) with centroids DIFFERENT from those
+    used at assignment silently returns wrong neighbors: probes are
+    chosen against model B while stored cids came from model A.  The
+    index therefore carries its model fingerprint; ingest records it
+    once, and every serve/ingest validates (same class as the CMS
+    sketch carrying its parameters)."""
+    fp = _centroid_fingerprint(centroids)
+    path = os.path.join(index_dir, _MODEL_FP)
+    if os.path.exists(path):
+        stored = open(path).read().strip()
+        if stored != fp:
+            raise ValueError(
+                "centroid model does not match the one this index was "
+                f"built with (stored {stored[:12]}…, got {fp[:12]}…) — "
+                "retraining requires an offline index rebuild"
+            )
+        return
+    if record:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(fp)
+        os.replace(tmp, path)
+
 
 def stream_ann_ingest(
     stream: DataFrame,
@@ -55,6 +91,7 @@ def stream_ann_ingest(
     on a streaming DataFrame — the whole ingest is the generic epoch
     sink (stream_to_table) over the assigned stream."""
     os.makedirs(index_dir, exist_ok=True)
+    _check_model_fp(index_dir, centroids, record=True)
     vec = F.col(vec_col).cast("array<double>")
     assigned = stream.select(
         F.col(id_col),
@@ -95,9 +132,14 @@ def ann_index_serve(
     ``ann_ivf_topk`` over the same corpus and model: the streamed index
     introduces no drift."""
     q = [float(x) for x in query_vec]
+    _check_model_fp(index_dir, centroids, record=False)
     probes = ivf_probe_ids(q, centroids, n_probe)
     qcol = F.array(*[F.lit(x) for x in q])
-    idx = read_committed(spark, index_dir)
+    # walk ONLY the probed posting-list partitions: a full-index walk
+    # made per-query driver cost O(total files), not O(probed)
+    idx = read_committed(
+        spark, index_dir, only_dirs=[f"cid={p}" for p in probes]
+    )
     if idx is None:
         # id_type keeps the pre-first-commit schema identical to the
         # committed-data path for non-long id columns (string ids are

@@ -67,6 +67,53 @@ def read_hash_store(
     return spark.read.parquet(*(hadoop_glob_escape(f) for f in files))
 
 
+def compact_hash_store(spark: SparkSession, table_dir: str) -> int:
+    """Rewrite the accumulated hash store as ONE deduplicated file.
+
+    The store gains at least one parquet file per epoch forever, so a
+    long-running stream's every micro-batch pays O(epochs) listing/open
+    cost to classify — this maintenance hook restores O(1).  Run while
+    the ingest is PAUSED (same contract as sink.vacuum_sink_table): a
+    concurrent classify could read a file mid-delete.  Epoch commit
+    MARKERS are kept, so a checkpoint replay of an already-compacted
+    epoch still skips (and if it ever re-landed, the store read
+    dropDuplicates the hashes anyway).  Returns the number of files
+    replaced."""
+    store = os.path.join(table_dir, _STORE_DIR)
+    files = sorted(glob.glob(os.path.join(glob.escape(store), "*.parquet")))
+    if len(files) <= 1:
+        return 0
+    from infinidb_spark.streaming.sink import _fsync_path, hadoop_glob_escape
+
+    df = spark.read.parquet(
+        *(hadoop_glob_escape(f) for f in files)
+    ).dropDuplicates(["content_hash"])
+    tmp = os.path.join(store, ".compact_tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.parquet(tmp)
+    parts = glob.glob(os.path.join(glob.escape(tmp), "part-*.parquet"))
+    if len(parts) != 1:
+        raise RuntimeError(f"expected one compacted part, found {len(parts)}")
+    gen = 1 + max(
+        (int(os.path.basename(f)[10:-8])
+         for f in files
+         if os.path.basename(f).startswith("compacted_")
+         and os.path.basename(f)[10:-8].isdigit()),
+        default=0,
+    )
+    dst = os.path.join(store, f"compacted_{gen:06d}.parquet")
+    os.replace(parts[0], dst)
+    _fsync_path(dst)
+    _fsync_path(store)
+    shutil.rmtree(tmp, ignore_errors=True)
+    for f in files:
+        os.remove(f)
+    _fsync_path(store)
+    return len(files)
+
+
 def stream_dedup_ingest(
     stream: DataFrame,
     table_dir: str,
@@ -97,8 +144,32 @@ def stream_dedup_ingest(
             batch_df, store, text_col=text_col, id_col=id_col
         ).filter(F.col("status") == "new").persist()
         try:
-            fresh = batch_df.join(
-                classified.select(id_col), id_col, "leftsemi"
+            # exact join-back on (id NULL-SAFE, content_hash), then one
+            # row per hash: the old id-only leftsemi dropped NULL-id
+            # docs entirely (while still poisoning their hash into the
+            # store) and let a corpus-dup row sharing a 'new' row's id
+            # slip into the corpus
+            from infinidb_spark.operators.dedup import normalize_text
+
+            hashed = batch_df.withColumn(
+                "content_hash",
+                F.sha2(normalize_text(F.col(text_col)), 256),
+            )
+            cls = classified.select(
+                F.col(id_col).alias("_cid"),
+                F.col("content_hash").alias("_chash"),
+            )
+            fresh = (
+                hashed.join(
+                    cls,
+                    hashed[id_col].eqNullSafe(F.col("_cid"))
+                    & (hashed["content_hash"] == F.col("_chash")),
+                    "leftsemi",
+                )
+                # classified is unique per hash; exact duplicate
+                # (id, hash) batch rows collapse to one landing
+                .dropDuplicates(["content_hash"])
+                .drop("content_hash")
             )
             write_epoch_idempotent(fresh, epoch_id, table_dir, sink_id=sink_id)
             write_epoch_idempotent(

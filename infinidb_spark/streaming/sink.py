@@ -193,8 +193,15 @@ def _fsync_up_to(dirs: set[str], table_dir: str) -> None:
             cur = parent
 
 
-def read_committed(spark, table_dir: str) -> DataFrame | None:
+def read_committed(
+    spark, table_dir: str, only_dirs: list[str] | None = None
+) -> DataFrame | None:
     """Read a stream-sink table EXCLUDING uncommitted epochs.
+
+    ``only_dirs``: restrict the walk to these table-relative
+    subdirectories (plus root-level files) — a partition-pruned reader
+    (e.g. the ANN serve path probing 2 of 500 ``cid=`` partitions) must
+    not pay an O(total files) walk per query.
 
     The epoch protocol links part files BEFORE the commit marker, so a
     reader racing the linker (serve-while-ingest) could otherwise see a
@@ -226,16 +233,36 @@ def read_committed(spark, table_dir: str) -> DataFrame | None:
             sdir = os.path.join(ep_root, sink)
             if os.path.isdir(sdir):
                 committed.update((sink, e) for e in os.listdir(sdir))
+    if only_dirs is None:
+        roots = [table_dir]
+    else:
+        roots = [
+            os.path.join(table_dir, d)
+            for d in only_dirs
+            if os.path.isdir(os.path.join(table_dir, d))
+        ]
+        # root-level files (unpartitioned appends) still participate
+        roots.append(None)  # sentinel: list table_dir non-recursively
     files: list[str] = []
-    for dirpath, dirnames, fnames in os.walk(table_dir):
-        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
-        for f in fnames:
-            if not f.endswith(".parquet") or f.startswith((".", "_")):
-                continue
-            m = re.match(r"ep_(.+)_(\d+)_part-", f)
-            if m and (m.group(1), m.group(2)) not in committed:
-                continue
-            files.append(os.path.join(dirpath, f))
+
+    def _keep(dirpath: str, f: str) -> None:
+        if not f.endswith(".parquet") or f.startswith((".", "_")):
+            return
+        m = re.match(r"ep_(.+)_(\d+)_part-", f)
+        if m and (m.group(1), m.group(2)) not in committed:
+            return
+        files.append(os.path.join(dirpath, f))
+
+    for root in roots:
+        if root is None:
+            for f in os.listdir(table_dir):
+                if os.path.isfile(os.path.join(table_dir, f)):
+                    _keep(table_dir, f)
+            continue
+        for dirpath, dirnames, fnames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+            for f in fnames:
+                _keep(dirpath, f)
     if not files:
         return None
     # basePath is compared as a literal path (never globbed) — only the

@@ -127,3 +127,21 @@ def test_serving_excludes_uncommitted_epoch(spark, built):
         assert len(got) <= 10
     finally:
         shutil.rmtree(clone, ignore_errors=True)
+
+
+def test_model_fingerprint_rejects_different_centroids(spark, built):
+    """r11 review: serving (or re-ingesting) with centroids different
+    from those the stored cids came from silently returned wrong
+    neighbors — the index now pins its model fingerprint."""
+    import pytest as _pytest
+
+    from infinidb_spark.streaming.ann_ingest import ann_index_serve
+
+    index_dir, centroids = built["index_dir"], built["centroids"]
+    qv = [float(x) for x in built["emb"].limit(1).collect()[0].embedding]
+    other = [(c, [v + 0.25 for v in vec]) for c, vec in centroids]
+    with _pytest.raises(ValueError, match="model"):
+        ann_index_serve(spark, index_dir, qv, other, k=3)
+    # the matching model still serves
+    got = ann_index_serve(spark, index_dir, qv, centroids, k=3)
+    assert got.count() > 0

@@ -83,3 +83,58 @@ def test_hash_store_invisible_to_table_readers(spark, workdir):
     assert set(df.columns) == {"doc_id", "text"}
     assert df.count() == 1
     assert os.path.isdir(os.path.join(out_dir, "_hash_store"))
+
+
+def test_null_id_docs_land_and_duplicate_ids_dedup(spark, workdir):
+    """r11 review: a NULL-id doc used to classify 'new', poison the
+    hash store, and then be DROPPED by the id-only join-back — its
+    content permanently uningestable; and two rows sharing an id let a
+    corpus-dup row slip in.  One doc per distinct content must land,
+    NULL ids included."""
+    in_dir, out_dir, ckpt = (
+        os.path.join(workdir, d) for d in ("in", "out", "ckpt")
+    )
+    _write_docs(spark, in_dir, [
+        (None, "null id unique text"),
+        (5, "shared id text a"),
+        (5, "shared id text a"),        # exact duplicate row
+        (None, "null id unique text"),  # duplicate of the NULL-id doc
+        (7, "plain doc"),
+    ])
+    q = stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["null id unique text", "plain doc", "shared id text a"]
+    assert read_hash_store(spark, out_dir).count() == 3
+    # the NULL-id doc is really there with its NULL id
+    assert any(r.doc_id is None for r in rows)
+
+
+def test_compact_hash_store_preserves_classification(spark, workdir):
+    """Compaction folds the per-epoch store files into one and prior
+    content still classifies as dup afterwards."""
+    import glob as _g
+
+    from infinidb_spark.streaming.dedup_ingest import compact_hash_store
+
+    in_dir, out_dir, ckpt = (
+        os.path.join(workdir, d) for d in ("in", "out", "ckpt")
+    )
+    _write_docs(spark, in_dir, [(1, "doc one"), (2, "doc two")])
+    stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt).awaitTermination(120)
+    _write_docs(spark, in_dir, [(3, "doc three")])
+    stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt).awaitTermination(120)
+    store = os.path.join(out_dir, "_hash_store")
+    before = _g.glob(os.path.join(store, "*.parquet"))
+    assert len(before) >= 2
+    n = compact_hash_store(spark, out_dir)
+    assert n == len(before)
+    after = _g.glob(os.path.join(store, "*.parquet"))
+    assert len(after) == 1 and "compacted_" in after[0]
+    assert read_hash_store(spark, out_dir).count() == 3
+    # prior content still classifies as dup; new content lands
+    _write_docs(spark, in_dir, [(20, "DOC one"), (21, "doc four")])
+    stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt).awaitTermination(120)
+    landed = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert 21 in landed and 20 not in landed

@@ -79,3 +79,43 @@ def test_salted_aggregate_decimal_dtype_matches_plain(spark):
     plain = df.groupBy("k").agg(F.sum("p").alias("s"))
     assert salted.schema["s"].dataType == plain.schema["s"].dataType
     assert salted.collect()[0]["s"] == plain.collect()[0]["s"]
+
+
+def test_salted_aggregate_empty_global_count_zero(spark):
+    """r11 review: keys=[] over empty input returned count NULL where
+    the plain global count() returns 0."""
+    from infinidb_spark.operators.skew import salted_aggregate
+
+    empty = spark.createDataFrame([], "k long, v double")
+    row = salted_aggregate(empty, [], count_col="n").collect()[0]
+    assert row.n == 0
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """r11 review: xxhash64 rejects MapType — the salt now hashes only
+    hashable columns instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, {"a": "x"}), (1, {"b": "y"}), (2, {"c": "z"})],
+        "k long, attrs map<string,string>",
+    )
+    build = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    got = salted_join(skewed, build, ["k"]).orderBy("k", "name")
+    assert got.count() == 3
+    assert sorted(r.name for r in got.collect()) == ["one", "one", "two"]
+
+
+def test_salt_column_collision_rejected(spark):
+    import pytest as _pytest
+
+    from infinidb_spark.operators.skew import salted_aggregate, salted_join
+
+    bad = spark.createDataFrame([(1, 0)], "k long, __salt__ int")
+    ok = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="__salt__"):
+        salted_join(bad, ok, ["k"])
+    with _pytest.raises(ValueError, match="__salt__"):
+        salted_aggregate(bad, ["k"])
