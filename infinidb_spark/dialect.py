@@ -1448,6 +1448,34 @@ _CHARSET_INTRODUCERS = frozenset(
 _ARITH_SYMS = frozenset({"+", "-", "*", "/", "%"})
 
 
+def _is_arith_op(toks: list[Token], j: int | None) -> bool:
+    """toks[j] is an arithmetic operator (sym or DIV/MOD keyword) — the
+    ONE shared spelling for every numeric-context fold below (three
+    hand-rolled copies had already drifted: the cmp-side copy lost the
+    unary-sign skip its hex sibling carried)."""
+    return j is not None and (
+        (toks[j][0] == "sym" and toks[j][1] in _ARITH_SYMS)
+        or (toks[j][0] == "word" and toks[j][1].upper() in ("DIV", "MOD"))
+    )
+
+
+def _cmp_adjacent_number(toks: list[Token], j: int | None, forward: bool) -> bool:
+    """toks[j] is a comparison sym whose operand beyond it starts (when
+    forward — a unary +/- sign is skipped) or ends with a NUMBER
+    literal: the other side is provably numeric, so MySQL's double
+    coercion of THIS side is certain."""
+    if j is None or toks[j][0] != "sym" or toks[j][1] not in _CMP_OPS:
+        return False
+    k = _next_code(toks, j + 1) if forward else _prev_code(toks, j)
+    if k is None:
+        return False
+    if forward and toks[k][0] == "sym" and toks[k][1] in ("-", "+"):
+        k = _next_code(toks, k + 1)
+        if k is None:
+            return False
+    return toks[k][0] == "number"
+
+
 def _hex_numeric_context(toks: list[Token], start: int, end: int) -> bool:
     """True when the hex/bit literal spanning toks[start:end+1] sits in
     a syntactically NUMERIC context, where MySQL reads the literal as
@@ -1457,34 +1485,16 @@ def _hex_numeric_context(toks: list[Token], start: int, end: int) -> bool:
     including comparisons with columns/strings, which MySQL resolves by
     the other operand's runtime type (`X'41' = 'A'` is a binary string
     compare; folding to 65 would silently break it)."""
-
-    def _numeric_side(j: int | None, forward: bool) -> bool:
-        # j points at a cmp sym; True if the operand beyond it is a
-        # (possibly signed, when forward) numeric literal
-        if j is None or toks[j][0] != "sym" or toks[j][1] not in _CMP_OPS:
-            return False
-        k = _next_code(toks, j + 1) if forward else _prev_code(toks, j)
-        if k is None:
-            return False
-        if forward and toks[k][0] == "sym" and toks[k][1] in ("-", "+"):
-            k = _next_code(toks, k + 1)
-            if k is None:
-                return False
-        return toks[k][0] == "number"
-
     p = _prev_code(toks, start)
-    if p is not None and (
-        (toks[p][0] == "sym" and toks[p][1] in _ARITH_SYMS)
-        or (toks[p][0] == "word" and toks[p][1].upper() in ("DIV", "MOD"))
-    ):
+    if _is_arith_op(toks, p):
         return True
     n = _next_code(toks, end + 1)
-    if n is not None and (
-        (toks[n][0] == "sym" and toks[n][1] in _ARITH_SYMS)
-        or (toks[n][0] == "word" and toks[n][1].upper() in ("DIV", "MOD"))
-    ):
+    if _is_arith_op(toks, n):
         return True
-    return _numeric_side(p, forward=False) or _numeric_side(n, forward=True)
+    return (
+        _cmp_adjacent_number(toks, p, forward=False)
+        or _cmp_adjacent_number(toks, n, forward=True)
+    )
 
 
 def _bits_to_hex(bits: str) -> str:
@@ -1561,11 +1571,45 @@ _NUM_PREFIX_RE = _re.compile(
 )
 
 
+def _fully_numeric_str(s: str) -> bool:
+    """The whole string is ONE numeric literal by MYSQL'S lexer.  Not
+    Python's float(), which also accepts '1_000', 'nan', 'inf',
+    'Infinity' — strings MySQL prefix-parses to 1/0/0/0 but Spark's
+    double cast either NULLs or (for nan/inf) reads as non-finite, so
+    treating them as 'already coerces correctly' silently diverged."""
+    t = s.strip()
+    m = _NUM_PREFIX_RE.match(t)
+    return m is not None and m.end() == len(t)
+
+
+def _num_prefix_val(s: str) -> float:
+    """MySQL's string→number coercion: longest numeric prefix, else 0
+    (the atoll/strtod class, func_cast.cpp:144)."""
+    m = _NUM_PREFIX_RE.match(s.strip())
+    return float(m.group(0)) if m else 0.0
+
+
+def _render_num_literal(val: float) -> str:
+    """Fold value → SQL literal.  Integral values emit as INT literals:
+    MySQL's string→number coercion yields a double whose STRING
+    rendering drops the point ('3x'+1 renders '4'), while a Spark
+    double literal renders '4.0' — visible in any string context
+    (CONCAT('a'+0,'b') must be '0b', not '0.0b').  Non-finite values
+    (a '9e999' literal prefix) clamp to MySQL's DBL_MAX behavior —
+    repr(inf) is not valid SQL."""
+    import math
+
+    if not math.isfinite(val):
+        return ("-" if val < 0 else "") + "1.7976931348623157e308"
+    if val == int(val) and abs(val) < 2**53:
+        return repr(int(val))
+    return repr(val)
+
+
 def _mysql_str_truthy(s: str) -> bool:
     """MySQL string → bool: atoi-style numeric prefix parse, != 0
     (func_if.cpp:62-66; 'abc'→0→false, '1a'→1→true, '0.5x'→0.5→true)."""
-    m = _NUM_PREFIX_RE.match(s.strip())
-    return bool(m) and float(m.group(0)) != 0.0
+    return _num_prefix_val(s) != 0.0
 
 
 _CMP_OPS = {
@@ -1633,14 +1677,8 @@ def _fold_numeric_string_cmp(toks: list[Token]) -> list[Token]:
                 except ValueError:
                     num_val = None
                 s = _unquote(str_tok)
-                try:
-                    float(s.strip())
-                    fully_numeric = True
-                except ValueError:
-                    fully_numeric = False
-                if num_val is not None and not fully_numeric:
-                    m = _NUM_PREFIX_RE.match(s.strip())
-                    s_val = float(m.group(0)) if m else 0.0
+                if num_val is not None and not _fully_numeric_str(s):
+                    s_val = _num_prefix_val(s)
                     left, right = (
                         (num_val, s_val)
                         if toks[first][0] == "number"
@@ -1671,23 +1709,6 @@ def _fold_string_arith(toks: list[Token]) -> list[Token]:
     arithmetic (`'2020-01-01' - INTERVAL 1 DAY` is DATE math in MySQL,
     not a 2020−interval subtraction)."""
 
-    def _arith(j: int | None) -> bool:
-        return j is not None and (
-            (toks[j][0] == "sym" and toks[j][1] in _ARITH_SYMS)
-            or (toks[j][0] == "word" and toks[j][1].upper() in ("DIV", "MOD"))
-        )
-
-    def _cmp_vs_number(j: int | None, forward: bool) -> bool:
-        # string compared against an expression whose adjacent token is
-        # a NUMBER literal (`3 * 2 = 'abc'`): the other side is
-        # provably numeric, so MySQL's double coercion is certain even
-        # though the literal-vs-literal cmp fold (which needs the WHOLE
-        # side to be one literal) skipped it
-        if j is None or toks[j][0] != "sym" or toks[j][1] not in _CMP_OPS:
-            return False
-        k = _next_code(toks, j + 1) if forward else _prev_code(toks, j)
-        return k is not None and toks[k][0] == "number"
-
     out: list[Token] = []
     for i, tok in enumerate(toks):
         k, t = tok
@@ -1706,17 +1727,18 @@ def _fold_string_arith(toks: list[Token]) -> list[Token]:
                     or toks[p][1].startswith("_")
                 )
             )
+            # _cmp_adjacent_number: string compared against an
+            # expression whose adjacent token is a NUMBER literal
+            # (`3 * 2 = 'abc'`, `'abc' = -3 * 2`) — the other side is
+            # provably numeric even though the literal-vs-literal cmp
+            # fold (which needs the WHOLE side to be one literal)
+            # skipped it
             if not introduced and (
-                _arith(p) or _arith(n)
-                or _cmp_vs_number(p, forward=False)
-                or _cmp_vs_number(n, forward=True)
+                _is_arith_op(toks, p) or _is_arith_op(toks, n)
+                or _cmp_adjacent_number(toks, p, forward=False)
+                or _cmp_adjacent_number(toks, n, forward=True)
             ):
                 s = _unquote(t)
-                try:
-                    float(s.strip())
-                    fully_numeric = True
-                except ValueError:
-                    fully_numeric = False
                 interval_adjacent = False
                 if n is not None and toks[n][0] == "sym" and toks[n][1] in ("+", "-"):
                     n2 = _next_code(toks, n + 1)
@@ -1725,18 +1747,438 @@ def _fold_string_arith(toks: list[Token]) -> list[Token]:
                         interval_adjacent = True
                 if p is not None and toks[p][0] == "sym" and toks[p][1] in ("+", "-"):
                     p2 = _prev_code(toks, p)
+                    # a unit WORD alone is not evidence of interval
+                    # math — hour/day/week/... are everyday column
+                    # names, and `day - '1h'` must still fold; require
+                    # the actual `INTERVAL <quantity> <unit>` chain
                     if p2 is not None and toks[p2][0] == "word" and (
-                        toks[p2][1].upper() in _INTERVAL_UNITS
-                        or toks[p2][1].upper() == "INTERVAL"
+                        toks[p2][1].upper() == "INTERVAL"
+                        or (toks[p2][1].upper() in _INTERVAL_UNITS
+                            and _interval_chain_before(toks, p2))
                     ):
                         interval_adjacent = True
-                if not fully_numeric and not interval_adjacent:
-                    m = _NUM_PREFIX_RE.match(s.strip())
-                    val = float(m.group(0)) if m else 0.0
-                    out.append(("code", repr(val)))
+                if not _fully_numeric_str(s) and not interval_adjacent:
+                    out.append(("code", _render_num_literal(_num_prefix_val(s))))
                     continue
         out.append(tok)
     return out
+
+
+def _interval_chain_before(toks: list[Token], unit_idx: int) -> bool:
+    """True when the unit word at ``unit_idx`` closes an actual
+    ``INTERVAL <quantity> <unit>`` chain.  Quantity forms covered: a
+    (possibly signed) number/string literal or bare word, or a balanced
+    ``(...)`` group optionally preceded by a function name."""
+    j = _prev_code(toks, unit_idx)
+    if j is None:
+        return False
+    if toks[j] == ("sym", ")"):
+        depth = 1
+        j -= 1
+        while j >= 0 and depth:
+            if toks[j] == ("sym", ")"):
+                depth += 1
+            elif toks[j] == ("sym", "("):
+                depth -= 1
+            j -= 1
+        if depth:
+            return False
+        j = _prev_code(toks, j + 1)
+        # the group may be a function call's argument list
+        if j is not None and toks[j][0] == "word" \
+                and toks[j][1].upper() != "INTERVAL":
+            j = _prev_code(toks, j)
+    elif toks[j][0] in ("number", "string", "word"):
+        j = _prev_code(toks, j)
+        # optional unary sign on the quantity (INTERVAL -1 DAY)
+        if j is not None and toks[j][0] == "sym" and toks[j][1] in ("+", "-"):
+            j = _prev_code(toks, j)
+    else:
+        return False
+    return j is not None and toks[j][0] == "word" \
+        and toks[j][1].upper() == "INTERVAL"
+
+
+# ------------------------------------------- MySQL bitwise operators
+#
+# The reference implements << >> & | ^ over uint64 (funcexp.cpp:68-72,
+# func_bitwise.cpp getUIntValFromParm — every operand through uint64;
+# MySQL's result type is BIGINT UNSIGNED).  Spark's operators are
+# SIGNED and width-follow-the-operand: `1 << 35` shifts in 32-bit
+# (silently wrong for counts 32-63), `>>` is an arithmetic shift
+# (uint64(-1) >> 60 must be 15, not -1), and `1 << 63` displays as a
+# negative.  This pass rewrites each bit-op usage into an explicit
+# fragment computing in 64-bit with a logical right shift, the MySQL
+# count rule (count outside 0-63 → 0), and the engine's BIGINT-
+# UNSIGNED stand-in DECIMAL(20,0) (the CAST AS UNSIGNED type).
+#
+# Operand extents follow MYSQL precedence (^ > * / DIV % MOD > + - >
+# << >> > & > |), scanned token-wise with paren/bracket/CASE..END
+# group skips; processing is highest-level-first, leftmost-first, so
+# mixed chains group exactly as mysqld parses them.  The &/|/^
+# fragments re-emit their operator INSIDE the binding lambda — on
+# re-entry (idempotency) the occurrence is recognized by its left
+# operand being exactly the bind variable (the SQRT-guard trick) and
+# passed through.  A scan that cannot find a clean operand extent
+# (empty side, unsupported adjacent syntax) leaves that occurrence to
+# Spark untouched rather than corrupt the statement.
+#
+# Documented narrowing: a STRING operand goes through try_cast → NULL
+# (the reference's getUIntValFromParm reads string parms as 0,
+# func_bitwise.cpp:86-99; MySQL prefix-parses) — garbage-string
+# operands of bit ops hit neither, but NULL is the visible-not-silent
+# choice and string operands of bit math don't appear in migration
+# corpora.
+
+_BITOP_PREC = {
+    "^": 90, "*": 80, "/": 80, "%": 80, "+": 70, "-": 70,
+    "<<": 60, ">>": 60, "&": 50, "|": 40,
+}
+_BITOP_LEVELS = (("^",), ("<<", ">>"), ("&",), ("|",))
+#: bind variables anchoring re-entry detection, per op
+_BITOP_VARS = {"&": "ba_", "|": "bo_", "^": "bx_"}
+#: words that terminate an operand extent (clause/logical keywords);
+#: DIV/MOD are handled as precedence-80 operators, CASE/END as groups
+_BITOP_BOUNDARY_WORDS = frozenset({
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER",
+    "LIMIT", "OFFSET", "AND", "OR", "XOR", "NOT", "AS", "ON", "USING",
+    "JOIN", "INNER", "OUTER", "CROSS", "NATURAL", "STRAIGHT_JOIN",
+    "UNION", "INTERSECT", "EXCEPT", "ALL", "DISTINCT", "DISTINCTROW",
+    "WHEN", "THEN", "ELSE", "IN", "IS", "LIKE", "RLIKE", "REGEXP",
+    "SOUNDS", "BETWEEN", "ESCAPE", "COLLATE", "INTERVAL", "VALUES",
+    "SET", "INTO", "ASC", "DESC", "SEPARATOR", "OVER", "WINDOW",
+    "QUALIFY", "FOR", "RETURNING", "WITH",
+})
+#: words that can never be a function name directly before (...)
+_BITOP_NEVER_FN = frozenset({
+    "WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "XOR", "IN", "ON",
+    "USING", "AS", "SELECT", "WHERE", "FROM", "BY", "HAVING",
+    "VALUES", "SET", "BETWEEN", "LIKE",
+})
+_HEX_TAIL_RE = _re.compile(r"^x[0-9a-fA-F]+$", _re.IGNORECASE)
+_BIN_TAIL_RE = _re.compile(r"^b[01]+$", _re.IGNORECASE)
+
+
+def _bitop_skip_group_left(toks: list[Token], j: int) -> int | None:
+    """toks[j] is ')' or ']'; return the matching opener's index."""
+    close, open_ = toks[j][1], {")": "(", "]": "["}[toks[j][1]]
+    depth = 1
+    j -= 1
+    while j >= 0:
+        if toks[j] == ("sym", close):
+            depth += 1
+        elif toks[j] == ("sym", open_):
+            depth -= 1
+            if depth == 0:
+                return j
+        j -= 1
+    return None
+
+
+def _bitop_skip_group_right(toks: list[Token], j: int) -> int | None:
+    """toks[j] is '(' or '['; return the matching closer's index."""
+    open_, close = toks[j][1], {"(": ")", "[": "]"}[toks[j][1]]
+    depth = 1
+    j += 1
+    while j < len(toks):
+        if toks[j] == ("sym", open_):
+            depth += 1
+        elif toks[j] == ("sym", close):
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    return None
+
+
+def _bitop_case_left(toks: list[Token], end_idx: int) -> int | None:
+    """toks[end_idx] is the word END; index of its matching CASE."""
+    depth = 1
+    j = end_idx - 1
+    while j >= 0:
+        if toks[j][0] == "word":
+            u = toks[j][1].upper()
+            if u == "END":
+                depth += 1
+            elif u == "CASE":
+                depth -= 1
+                if depth == 0:
+                    return j
+        j -= 1
+    return None
+
+
+def _bitop_case_right(toks: list[Token], case_idx: int) -> int | None:
+    """toks[case_idx] is the word CASE; index of its matching END."""
+    depth = 1
+    j = case_idx + 1
+    while j < len(toks):
+        if toks[j][0] == "word":
+            u = toks[j][1].upper()
+            if u == "CASE":
+                depth += 1
+            elif u == "END":
+                depth -= 1
+                if depth == 0:
+                    return j
+        j += 1
+    return None
+
+
+def _bitop_left_extent(toks: list[Token], op_idx: int, prec: int) -> int | None:
+    """Start index of the left operand of the bit op at op_idx, by
+    MySQL precedence; None when no clean extent exists."""
+    start: int | None = None
+    expect_operand = True
+    just_group = False
+    j = _prev_code(toks, op_idx)
+    while j is not None:
+        k, t = toks[j]
+        if k == "sym" and t in (")", "]"):
+            # expect_operand: an operand group.  Otherwise only the
+            # '(...)' a just-consumed postfix '[index]' attaches to
+            # (f(x)[0] read leftward) continues the same operand.
+            if not expect_operand and not (just_group and t == ")"):
+                break
+            opener = _bitop_skip_group_left(toks, j)
+            if opener is None:
+                return None
+            start, j = opener, _prev_code(toks, opener)
+            expect_operand, just_group = False, True
+            continue
+        if k == "sym":
+            p = _BITOP_PREC.get(t)
+            if expect_operand and t in ("~", "!"):
+                start, j = j, _prev_code(toks, j)
+                continue
+            if not expect_operand and t in ("~", "!"):
+                # prefix op attaches to the operand just consumed
+                start, j = j, _prev_code(toks, j)
+                continue
+            if not expect_operand and p is not None and p > prec:
+                start, j = j, _prev_code(toks, j)
+                expect_operand, just_group = True, False
+                continue
+            if expect_operand and t in ("-", "+"):
+                # unary sign at the extent's edge (boundary follows)
+                start, j = j, _prev_code(toks, j)
+                continue
+            break
+        if k == "word":
+            u = t.upper()
+            if u == "END":
+                if not expect_operand:
+                    break
+                case_i = _bitop_case_left(toks, j)
+                if case_i is None:
+                    return None
+                start, j = case_i, _prev_code(toks, case_i)
+                expect_operand, just_group = False, False
+                continue
+            if u in ("DIV", "MOD"):
+                if expect_operand or 80 <= prec:
+                    break
+                start, j = j, _prev_code(toks, j)
+                expect_operand, just_group = True, False
+                continue
+            if u in _BITOP_BOUNDARY_WORDS:
+                break
+            if expect_operand:
+                start, j = j, _prev_code(toks, j)
+                expect_operand, just_group = False, False
+                continue
+            if just_group and u not in _BITOP_NEVER_FN:
+                # function name directly before its argument list
+                start, j = j, _prev_code(toks, j)
+                just_group = False
+                continue
+            break
+        if k in ("number", "string", "bident", "code"):
+            if expect_operand:
+                start, j = j, _prev_code(toks, j)
+                expect_operand, just_group = False, False
+                continue
+            # number '0' completing a 0xNN/0bNN pair, or an introducer
+            # word's string — handled by the pair checks below
+            if k == "number" and t == "0" and start is not None \
+                    and toks[start][0] == "word" \
+                    and (_HEX_TAIL_RE.match(toks[start][1])
+                         or _BIN_TAIL_RE.match(toks[start][1])) \
+                    and start == j + 1:
+                start, j = j, _prev_code(toks, j)
+                continue
+            break
+        break
+    if start is None:
+        return None
+    # absorb a charset/typed introducer directly before a string start
+    if toks[start][0] == "string":
+        p = _prev_code(toks, start)
+        if p is not None and toks[p][0] == "word" and (
+            toks[p][1].upper() in ("X", "B", "N", "_BINARY")
+            or toks[p][1].startswith("_")
+        ) and p == start - 1:
+            start = p
+    return start
+
+
+def _bitop_right_extent(toks: list[Token], op_idx: int, prec: int) -> int | None:
+    """End index of the right operand of the bit op at op_idx."""
+    end: int | None = None
+    expect_operand = True
+    j = _next_code(toks, op_idx + 1)
+    while j is not None:
+        k, t = toks[j]
+        if k == "sym" and t in ("(", "["):
+            if expect_operand and t == "[":
+                break
+            closer = _bitop_skip_group_right(toks, j)
+            if closer is None:
+                return None
+            end, j = closer, _next_code(toks, closer + 1)
+            expect_operand = False
+            continue
+        if k == "sym":
+            p = _BITOP_PREC.get(t)
+            if expect_operand and t in ("-", "+", "~", "!"):
+                j = _next_code(toks, j + 1)
+                continue
+            if not expect_operand and p is not None and p > prec:
+                j = _next_code(toks, j + 1)
+                expect_operand = True
+                continue
+            break
+        if k == "word":
+            u = t.upper()
+            if u == "CASE":
+                if not expect_operand:
+                    break
+                end_i = _bitop_case_right(toks, j)
+                if end_i is None:
+                    return None
+                end, j = end_i, _next_code(toks, end_i + 1)
+                expect_operand = False
+                continue
+            if u in ("DIV", "MOD"):
+                if expect_operand or 80 <= prec:
+                    break
+                j = _next_code(toks, j + 1)
+                expect_operand = True
+                continue
+            if u in _BITOP_BOUNDARY_WORDS:
+                break
+            if expect_operand:
+                end, j = j, _next_code(toks, j + 1)
+                expect_operand = False
+                continue
+            # xNN/bNN word completing an adjacent 0xNN/0bNN pair
+            if end is not None and toks[end] == ("number", "0") \
+                    and end == j - 1 and (_HEX_TAIL_RE.match(t)
+                                          or _BIN_TAIL_RE.match(t)):
+                end, j = j, _next_code(toks, j + 1)
+                continue
+            break
+        if k in ("number", "string", "bident", "code"):
+            if expect_operand:
+                end, j = j, _next_code(toks, j + 1)
+                expect_operand = False
+                continue
+            # string completing an adjacent introducer word (X'0a')
+            if k == "string" and end is not None \
+                    and toks[end][0] == "word" and end == j - 1 and (
+                        toks[end][1].upper() in ("X", "B", "N")
+                        or toks[end][1].startswith("_")):
+                end, j = j, _next_code(toks, j + 1)
+                continue
+            break
+        break
+    return end
+
+
+def _bitop_literal_int(text: str) -> str | None:
+    """When an operand extent IS a single hex/bit literal, fold it to
+    its integer value — inside a bit op the context is certainly
+    numeric (mysqld reads hex literals as numbers there), and the
+    generic hex pass can no longer see the adjacency once the operator
+    token is gone."""
+    t = text.strip()
+    m = _re.fullmatch(r"0x([0-9a-fA-F]+)", t)
+    if m:
+        return str(int(m.group(1), 16))
+    m = _re.fullmatch(r"0b([01]+)", t)
+    if m:
+        return str(int(m.group(1), 2))
+    m = _re.fullmatch(r"[xX]'([0-9a-fA-F]*)'", t)
+    if m:
+        return str(int(m.group(1), 16)) if m.group(1) else "0"
+    m = _re.fullmatch(r"[bB]'([01]*)'", t)
+    if m:
+        return str(int(m.group(1), 2)) if m.group(1) else "0"
+    return None
+
+
+_UNSIGNED_RENDER_BODY = (
+    "(CASE WHEN bu_ < 0"
+    " THEN CAST(bu_ + 18446744073709551616 AS DECIMAL(20,0))"
+    " ELSE CAST(bu_ AS DECIMAL(20,0)) END)"
+)
+
+
+def _bitop_fragment(op: str, left: str, right: str) -> str:
+    lf = _bitop_literal_int(left) or f"try_cast(({left}) AS BIGINT)"
+    rf = _bitop_literal_int(right) or f"try_cast(({right}) AS BIGINT)"
+    if op in ("&", "|", "^"):
+        var = _BITOP_VARS[op]
+        inner = f"({var} {op} {rf})"
+        return _bind1(lf, var, _bind1(inner, "bu_", _UNSIGNED_RENDER_BODY))
+    fn = "shiftleft" if op == "<<" else "shiftrightunsigned"
+    shifted = _bind1(f"{fn}(bv_, CAST(bs_ AS INT))", "bu_",
+                     _UNSIGNED_RENDER_BODY)
+    body = (
+        "(CASE WHEN bs_ IS NULL OR bv_ IS NULL"
+        " THEN CAST(NULL AS DECIMAL(20,0))"
+        " WHEN bs_ < 0 OR bs_ > 63 THEN CAST(0 AS DECIMAL(20,0))"
+        f" ELSE {shifted} END)"
+    )
+    return _bind1(rf, "bs_", _bind1(lf, "bv_", body))
+
+
+def _rewrite_bit_ops(toks: list[Token]) -> list[Token]:
+    """Rewrite << >> & | ^ usages into the uint64 fragments above —
+    highest precedence level first, leftmost first, restarting after
+    every rewrite so mixed chains group exactly as mysqld parses."""
+    guard_vars = frozenset(_BITOP_VARS.values())
+    changed = True
+    while changed:
+        changed = False
+        for level in _BITOP_LEVELS:
+            prec = _BITOP_PREC[level[0]]
+            i = 0
+            while i < len(toks):
+                k, t = toks[i]
+                if k != "sym" or t not in level:
+                    i += 1
+                    continue
+                ls = _bitop_left_extent(toks, i, prec)
+                re_ = _bitop_right_extent(toks, i, prec)
+                if ls is None or re_ is None:
+                    i += 1
+                    continue
+                left = render(toks[ls:i]).strip()
+                if left in guard_vars:
+                    i += 1  # our own emitted fragment — re-entry
+                    continue
+                right = render(toks[i + 1 : re_ + 1]).strip()
+                if not left or not right:
+                    i += 1
+                    continue
+                frag = _bitop_fragment(t, left, right)
+                toks = toks[:ls] + [("code", frag)] + toks[re_ + 1 :]
+                changed = True
+                break
+            if changed:
+                break
+    return toks
 
 
 def _bool_span_end(toks: list[Token], start: int, terminators) -> int:
@@ -3206,9 +3648,9 @@ def translate_mysql(
     # run BEFORE _rewrite so wrapped operands still get their inner
     # MySQL-function translation
     toks = _rewrite(
-        _fold_boolean_contexts(
+        _rewrite_bit_ops(_fold_boolean_contexts(
             _fold_string_arith(_fold_numeric_string_cmp(tokenize(sql)))
-        )
+        ))
     )
     if not strict_group_by:
         toks = _permissive_group_by(toks)
@@ -3260,9 +3702,9 @@ def parse_statement(sql: str) -> dict:
     # same pre-passes as translate_mysql: a DML WHERE takes MySQL
     # truthiness too (`DELETE FROM t WHERE flag`)
     toks = _rewrite(
-        _fold_boolean_contexts(
+        _rewrite_bit_ops(_fold_boolean_contexts(
             _fold_string_arith(_fold_numeric_string_cmp(tokenize(sql)))
-        )
+        ))
     )
     # drop trailing statement terminators HERE — not just in
     # translate_mysql — so a client's `UPDATE t SET a = 1;` doesn't

@@ -179,29 +179,72 @@ def format_(x, d) -> Column:
     return F.format_number(_c(x), d)
 
 
+# MySQL bit operators work on BIGINT UNSIGNED (ref func_bitwise.cpp
+# getUIntValFromParm: every operand through uint64).  Three divergences
+# this closes vs the naive Spark spelling: 32-bit literals shifted in
+# 32-bit width (1 << 35 was silently wrong), arithmetic >> instead of
+# logical (uint64(-1) >> 60 must be 15, not -1), and signed display
+# (1 << 63 renders 9223372036854775808, not a negative).  Results carry
+# the engine's BIGINT-UNSIGNED stand-in, DECIMAL(20,0) — the same type
+# CAST(x AS UNSIGNED) produces.
+_TWO_64 = "18446744073709551616"
+
+
+def _unsigned_render(c: Column) -> Column:
+    """int64 bit pattern → its uint64 value as DECIMAL(20,0)."""
+    return F.when(
+        c < 0, (c.cast("decimal(21,0)") + F.expr(_TWO_64)).cast("decimal(20,0)")
+    ).otherwise(c.cast("decimal(20,0)"))
+
+
+def _shift_count(n) -> Column:
+    """MySQL reads the count as uint64 too: negative (= huge unsigned)
+    or > 63 shifts the value out entirely → 0 (manual: 'If the shift
+    count is outside 0-63, the result is 0')."""
+    return _c(n).cast("long")
+
+
 @_reg("bitand")
 def bitand(a, b) -> Column:
-    return _c(a).bitwiseAND(_c(b))
+    return _unsigned_render(_c(a).cast("long").bitwiseAND(_c(b).cast("long")))
 
 
 @_reg("bitor")
 def bitor(a, b) -> Column:
-    return _c(a).bitwiseOR(_c(b))
+    return _unsigned_render(_c(a).cast("long").bitwiseOR(_c(b).cast("long")))
 
 
 @_reg("bitxor")
 def bitxor(a, b) -> Column:
-    return _c(a).bitwiseXOR(_c(b))
+    return _unsigned_render(_c(a).cast("long").bitwiseXOR(_c(b).cast("long")))
 
 
 @_reg("leftshift")
 def leftshift(a, n) -> Column:
-    return F.shiftleft(_c(a), n)
+    cnt = _shift_count(n)
+    val = _c(a).cast("long")
+    return (
+        F.when(cnt.isNull() | val.isNull(), F.lit(None).cast("decimal(20,0)"))
+        .when((cnt < 0) | (cnt > 63), F.lit(0).cast("decimal(20,0)"))
+        # call_function: F.shiftleft only takes a Python-int count
+        .otherwise(_unsigned_render(
+            F.call_function("shiftleft", val, cnt.cast("int"))
+        ))
+    )
 
 
 @_reg("rightshift")
 def rightshift(a, n) -> Column:
-    return F.shiftright(_c(a), n)
+    cnt = _shift_count(n)
+    val = _c(a).cast("long")
+    return (
+        F.when(cnt.isNull() | val.isNull(), F.lit(None).cast("decimal(20,0)"))
+        .when((cnt < 0) | (cnt > 63), F.lit(0).cast("decimal(20,0)"))
+        # shiftrightunsigned = LOGICAL shift — the uint64 semantics
+        .otherwise(_unsigned_render(
+            F.call_function("shiftrightunsigned", val, cnt.cast("int"))
+        ))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -684,6 +684,7 @@ def dedup_exact_incremental(
     corpus_hashes: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Exact dedup of an incremental batch against a stored hash set.
 
@@ -693,10 +694,19 @@ def dedup_exact_incremental(
     ``corpus_dup`` (hash already stored), ``batch_dup`` (a lower-id doc
     in this batch has the same hash), or ``new``.  One shuffle on the
     hash; the corpus side ships only hashes, never text.
+
+    ``hash_col``: a caller that has ALREADY computed the content hash
+    (e.g. the streaming ingest, which needs the hashed batch again for
+    its join-back) names that column here so the normalize+sha2
+    projection runs once per batch, not once per consumer.
     """
     from pyspark.sql import Window
 
-    h = F.sha2(normalize_text(F.col(text_col)), 256).alias("content_hash")
+    h = (
+        F.col(hash_col)
+        if hash_col
+        else F.sha2(normalize_text(F.col(text_col)), 256)
+    ).alias("content_hash")
     hashed = new_df.select(F.col(id_col), h)
     # row_number, not `id > min(id)`: the min-comparison let EVERY
     # holder of a duplicated id classify 'new' (id == min for all of

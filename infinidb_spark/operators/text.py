@@ -562,7 +562,25 @@ def classify_quality(
     if not weights:
         raise ValueError("classify_quality requires a non-empty weight table")
     n_b = len(weights)
-    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    # On the built-in 1/1024 grid the mean and its 6-dp rounding run in
+    # EXACT integer arithmetic — score6 = floor((2*s*10^6 + d) / (2*d)),
+    # d = 1024*n_tokens — the same formula classify_lang uses: a per-doc
+    # mean landing exactly on a .5 six-decimal boundary rounds
+    # IDENTICALLY in every engine, where Spark's BigDecimal half-up and
+    # a multiply-by-1e6 double round() disagree (caught live at sf1:
+    # doc with sw=-1640/1024, n=25 scored -0.064063 here, -0.064062 in
+    # the replay).  Off-grid caller weights keep the double path.
+    on_grid = all(abs(x * 1024 - round(x * 1024)) < 1e-9 for x in weights)
+    if on_grid:
+        w_arr = F.array(*[F.lit(int(round(x * 1024))) for x in weights])
+        d = F.count(F.lit(1)) * F.lit(1024)
+        score = (
+            F.floor((F.sum("_w") * F.lit(2000000) + d) / (d * F.lit(2)))
+            .cast("double") / F.lit(1000000.0)
+        )
+    else:
+        w_arr = F.array(*[F.lit(float(w)) for w in weights])
+        score = F.round(F.sum("_w") / F.count(F.lit(1)), 6)
     tok = F.col("_tok")
     # ONE source of truth for the portable/fast hash family
     # (dedup._shingle_hash_expr); pmod == % here since the md5-derived
@@ -579,7 +597,7 @@ def classify_quality(
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("_w") / F.count(F.lit(1)), 6).alias("score"),
+            score.alias("score"),
         )
     )
     # ONE ROW PER INPUT DOC (window_dup_fraction keeps the same spine

@@ -297,7 +297,6 @@ def concurrent_dml_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from infinidb_spark.operators.dml import (
         ConcurrentWriteConflict,
-        read_table,
         update_table_optimistic,
     )
 

@@ -507,12 +507,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _classifier_oracle_sql() -> str:
     """DuckDB oracle replaying classify_quality(portable_hash=True):
-    md5-bucketed hashed bag-of-words, literal weight table embedded from
-    operators.text.classifier_weights so the two can never drift."""
+    md5-bucketed hashed bag-of-words, INTEGER weight table (w*1024
+    exact) embedded from operators.text.classifier_weights so the two
+    can never drift — and the same exact half-rounding formula
+    score6 = floor((2*s*10^6 + d) / (2*d)), d = 1024*n_tokens, the
+    engine uses (a double round() here diverged on a genuine .5
+    six-decimal tie at sf1)."""
     from infinidb_spark.operators.text import classifier_weights
 
     w = classifier_weights()
-    w_lit = "[" + ", ".join(repr(x) for x in w) + "]"
+    w_lit = "[" + ", ".join(str(int(round(x * 1024))) for x in w) + "]"
     return f"""
     WITH d AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -531,14 +535,21 @@ def _classifier_oracle_sql() -> str:
       SELECT doc_id, count(*) AS n_tokens,
              sum(({w_lit})[j + 1]) AS sw
       FROM b GROUP BY doc_id
+    ),
+    sc AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((2 * sw * 1000000 + 1024 * n_tokens)
+                        / (2.0 * 1024 * n_tokens)) AS DOUBLE)
+               / 1000000.0 AS score
+      FROM s
     )
     -- one row per input doc (the operator's spine contract): an
     -- all-whitespace doc gets n_tokens=0, neutral score 0.0
     SELECT d.doc_id,
-           CAST(coalesce(s.n_tokens, 0) AS BIGINT)      AS n_tokens,
-           coalesce(round(s.sw / s.n_tokens, 6), 0.0)   AS score,
-           coalesce(round(s.sw / s.n_tokens, 6), 0.0) >= 0 AS keep
-    FROM d LEFT JOIN s USING (doc_id)
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(sc.score, 0.0)                  AS score,
+           coalesce(sc.score, 0.0) >= 0             AS keep
+    FROM d LEFT JOIN sc USING (doc_id)
     """
 
 

@@ -407,7 +407,7 @@ def outfile_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- checksum is NON-vacuous on clean corpus text
     WITH x AS (
       SELECT lang, doc_id, n_chars,
-             text || ' "\qé' || chr(10) || CAST(doc_id AS VARCHAR) AS xt
+             text || ' "\\qé' || chr(10) || CAST(doc_id AS VARCHAR) AS xt
       FROM documents
     )
     SELECT lang,

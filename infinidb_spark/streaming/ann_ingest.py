@@ -44,10 +44,14 @@ _MODEL_FP = "_model_fp"
 
 def _centroid_fingerprint(centroids) -> str:
     """Stable digest of the centroid model — pins the index to the
-    model its cid assignments came from."""
+    model its cid assignments came from.  Canonicalized by sorting on
+    cid: assignment and probing (ivf_assign_expr / ivf_probe_ids) are
+    order-independent, so the same model reloaded in a different
+    centroid ORDER must fingerprint identically — not reject a valid
+    serve as a retrained model."""
     import hashlib
 
-    canon = repr([(int(c), [float(x) for x in v]) for c, v in centroids])
+    canon = repr(sorted((int(c), [float(x) for x in v]) for c, v in centroids))
     return hashlib.md5(canon.encode()).hexdigest()
 
 
@@ -70,10 +74,19 @@ def _check_model_fp(index_dir: str, centroids, *, record: bool) -> None:
             )
         return
     if record:
+        # same durability bar as the sink's commit markers: a power
+        # loss that keeps the (fsynced) epochs but drops this pin would
+        # let a later serve with retrained centroids pass the absent-fp
+        # check and silently return wrong neighbors
+        from infinidb_spark.streaming.sink import _fsync_path
+
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(fp)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, path)
+        _fsync_path(index_dir)
 
 
 def stream_ann_ingest(

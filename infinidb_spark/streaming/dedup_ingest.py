@@ -128,20 +128,39 @@ def stream_dedup_ingest(
     os.makedirs(table_dir, exist_ok=True)
     sink_id = sink_id_for(checkpoint_dir)
     store_dir = os.path.join(table_dir, _STORE_DIR)
+    # 'content_hash' would be silently CLOBBERED by the ingest's own
+    # hash projection (then dropped — user data lost); the join aliases
+    # would fail later with an opaque ambiguity.  Reject up front, the
+    # same contract as skew.py's salt-collision guard.
+    reserved = {"content_hash", "_cid", "_chash"} & set(stream.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with "
+            "stream_dedup_ingest's reserved working names — rename them "
+            "before ingesting"
+        )
 
     def _ingest_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        from infinidb_spark.operators.dedup import normalize_text
+
         # THE shared spelling (sink.epoch_prefix) — a hand-rolled
         # copy that drifted from the writer's prefix would stop
         # excluding the current epoch's partial store files on
         # replay, making the batch's own docs classify as dups
         prefix = epoch_prefix(sink_id, epoch_id)
         store = read_hash_store(spark, table_dir, exclude_prefix=prefix)
-        # persist the CLASSIFICATION — both writes (doc rows + hash
-        # rows) derive from it, so the normalize+hash+store-join runs
-        # once per epoch instead of once per consumer
+        # persist the HASHED batch and derive both the classification
+        # and the join-back from it: normalize+sha2 runs once per epoch
+        # (hash_col tells dedup_exact_incremental to reuse it), and the
+        # classification is persisted too — it feeds two writes
+        hashed = batch_df.withColumn(
+            "content_hash",
+            F.sha2(normalize_text(F.col(text_col)), 256),
+        ).persist()
         classified = dedup_exact_incremental(
-            batch_df, store, text_col=text_col, id_col=id_col
+            hashed, store, text_col=text_col, id_col=id_col,
+            hash_col="content_hash",
         ).filter(F.col("status") == "new").persist()
         try:
             # exact join-back on (id NULL-SAFE, content_hash), then one
@@ -149,12 +168,6 @@ def stream_dedup_ingest(
             # docs entirely (while still poisoning their hash into the
             # store) and let a corpus-dup row sharing a 'new' row's id
             # slip into the corpus
-            from infinidb_spark.operators.dedup import normalize_text
-
-            hashed = batch_df.withColumn(
-                "content_hash",
-                F.sha2(normalize_text(F.col(text_col)), 256),
-            )
             cls = classified.select(
                 F.col(id_col).alias("_cid"),
                 F.col("content_hash").alias("_chash"),
@@ -180,5 +193,6 @@ def stream_dedup_ingest(
             )
         finally:
             classified.unpersist()
+            hashed.unpersist()
 
     return start_epoch_stream(stream, _ingest_epoch, checkpoint_dir, available_now)

@@ -145,3 +145,18 @@ def test_model_fingerprint_rejects_different_centroids(spark, built):
     # the matching model still serves
     got = ann_index_serve(spark, index_dir, qv, centroids, k=3)
     assert got.count() > 0
+
+
+def test_model_fingerprint_is_centroid_order_insensitive():
+    """The same model presented in a different centroid ORDER must
+    fingerprint identically — assignment and probing are
+    order-independent, so rejecting a reordered reload as 'retrained'
+    would block valid serves (models loaded from dicts/parquet carry
+    no order guarantee)."""
+    from infinidb_spark.streaming.ann_ingest import _centroid_fingerprint
+
+    cs = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])]
+    assert _centroid_fingerprint(cs) == _centroid_fingerprint(cs[::-1])
+    assert _centroid_fingerprint(cs) != _centroid_fingerprint(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.6])]
+    )

@@ -138,3 +138,23 @@ def test_compact_hash_store_preserves_classification(spark, workdir):
     stream_dedup_ingest(_doc_stream(spark, in_dir), out_dir, ckpt).awaitTermination(120)
     landed = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert 21 in landed and 20 not in landed
+
+
+def test_reserved_column_collision_rejected(spark, workdir):
+    """A stream already carrying 'content_hash' (or a join-alias name)
+    must be rejected up front: the ingest's own hash projection would
+    silently CLOBBER then drop the user's column (same contract as
+    skew.py's salt-collision guard)."""
+    in_dir = os.path.join(workdir, "in")
+    _write_docs(spark, in_dir, [(1, "alpha")])
+    base = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(in_dir)
+    )
+    for bad in ("content_hash", "_cid", "_chash"):
+        with pytest.raises(ValueError, match="reserved"):
+            stream_dedup_ingest(
+                base.withColumn(bad, F.lit("x")),
+                os.path.join(workdir, "out"),
+                os.path.join(workdir, "ckpt"),
+            )

@@ -551,3 +551,117 @@ def test_r11_truthiness_where_clause(spark):
         assert translate_mysql(t1) == t1, f"not idempotent: {sql}"
         got = [r[0] for r in spark.sql(t1).collect()]
         assert got == want, f"{sql}: got {got}"
+
+
+# --- r11 second-session probes: the post-review fold fixes -----------
+# (float()-vs-MySQL-lexer fully-numeric, signed cmp-vs-number symmetry,
+# integral fold values rendering as INT literals, unit-named columns)
+R11B_PROBES = [
+    # Python float() accepts these; MySQL's lexer prefix-parses them
+    ("'1_0' + 1", 2),
+    ("'nan' + 1", 1),
+    ("'inf' * 2", 0),
+    ("'Infinity' + 0", 0),
+    ("0 = 'nan'", 1),
+    ("1 = '1_0'", 1),
+    # cmp-vs-number fold must see through a unary sign (both orders)
+    ("'abc' = -3 * 2", 0),
+    ("-3 * 2 = 'abc'", 0),
+    ("'abc' >= -1 * 1", 1),
+    # integral fold values emit as INT literals: double rendering
+    # ('0.0b') diverged from MySQL's ('0b') in string contexts
+    ("CONCAT('a' + 0, 'b')", "0b"),
+    ("CONCAT('3x' + 1, '!')", "4!"),
+    ("CONCAT('1.5x' + 1, '!')", "2.5!"),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,expected", R11B_PROBES, ids=[p[0][:50] for p in R11B_PROBES]
+)
+def test_mysql_probe_r11b(spark, expr, expected):
+    got = spark.sql(translate_mysql(f"SELECT {expr} AS v")).collect()[0].v
+    if isinstance(got, bool):
+        got = int(got)
+    if isinstance(expected, (int, float)) and not isinstance(expected, bool):
+        assert float(got) == float(expected), f"{expr}: got {got!r}"
+    else:
+        assert str(got) == str(expected), f"{expr}: got {got!r}"
+
+
+def test_r11b_unit_named_columns_still_fold():
+    """hour/day/week/... are everyday COLUMN names; the interval guard
+    must require an actual `INTERVAL <qty> <unit>` chain, not a unit
+    word alone, or string-arith on such columns silently NULLs."""
+    assert "hour - 1" in translate_mysql("SELECT hour - '1h' FROM t")
+    assert "day + 2" in translate_mysql("SELECT day + '2d' FROM t")
+
+
+def test_r11b_interval_guard_preserved():
+    """Genuine date-INTERVAL arithmetic keeps its string operand —
+    folding '2020-01-01' to 2020 would destroy the date math."""
+    for sql in (
+        "SELECT '2020-01-01' + INTERVAL 1 DAY",
+        "SELECT INTERVAL 1 DAY + '2020-01-01'",
+        "SELECT INTERVAL -1 DAY + '2020-01-01'",
+        "SELECT INTERVAL (1 + 1) DAY + '2020-01-01'",
+        "SELECT INTERVAL FLOOR(2.5) HOUR + '2020-01-01 00:00:00'",
+    ):
+        assert "'2020-01-01" in translate_mysql(sql), sql
+
+
+def test_r11b_nonfinite_prefix_emits_valid_sql():
+    """A '9e999' literal prefix overflows float to inf; repr(inf) is
+    not valid SQL — it must clamp to the DBL_MAX literal instead."""
+    out = translate_mysql("SELECT '9e999x' + 0 AS v")
+    assert "inf" not in out
+    assert "1.7976931348623157e308" in out
+
+
+# --- bitwise operators: uint64 semantics (ref funcexp.cpp:68-72,
+# func_bitwise.cpp getUIntValFromParm — every operand through uint64;
+# result type BIGINT UNSIGNED).  The naive Spark spelling shifted
+# 32-bit literals in 32-bit width (1 << 35 was silently wrong), used
+# an arithmetic right shift, and displayed bit-63 results negative.
+R11_BITOP_PROBES = [
+    ("1 << 2", 4),
+    ("1 << 35", 34359738368),
+    ("1 << 63", 9223372036854775808),
+    ("1 << 64", 0),         # count outside 0-63 -> 0 (MySQL manual)
+    ("1 << -1", 0),         # negative count reads as huge unsigned
+    ("16 >> 2", 4),
+    ("-1 >> 60", 15),       # LOGICAL shift of uint64(-1)
+    ("5 & 3", 1),
+    ("5 | 3", 7),
+    ("5 ^ 3", 6),
+    ("-1 | 0", 18446744073709551615),
+    ("1 | 2 & 3", 3),       # & binds tighter than |
+    ("4 | 2 ^ 3", 5),       # ^ binds tighter than |
+    ("1 << 1 + 1", 4),      # + binds tighter than <<
+    ("2 * 3 << 2", 24),
+    ("1 + 1 << 2 = 8", 1),  # << binds tighter than =
+    ("1 << 2 << 2", 16),    # left-assoc
+    ("0x0a << 1", 20),      # hex literal is numeric inside bit ops
+    ("X'0a' & 0xff", 10),
+    ("0b101 | 0", 5),
+    ("NULL & 1", None),
+    ("1 << NULL", None),
+    ("CASE WHEN 1 THEN 2 ELSE 3 END << 1", 4),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    R11_BITOP_PROBES,
+    ids=[p[0][:50] for p in R11_BITOP_PROBES],
+)
+def test_mysql_probe_bitops(spark, expr, expected):
+    sql = translate_mysql(f"SELECT {expr} AS v")
+    assert translate_mysql(sql) == sql, f"not idempotent: {expr}"
+    got = spark.sql(sql).collect()[0].v
+    if expected is None:
+        assert got is None, f"{expr}: got {got!r}"
+        return
+    if isinstance(got, bool):
+        got = int(got)
+    assert float(got) == float(expected), f"{expr}: got {got!r}"
