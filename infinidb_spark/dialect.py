@@ -1831,12 +1831,16 @@ def _interval_chain_before(toks: list[Token], unit_idx: int) -> bool:
 # corpora.
 
 _BITOP_PREC = {
-    "^": 90, "*": 80, "/": 80, "%": 80, "+": 70, "-": 70,
+    "^": 90, "~": 85, "*": 80, "/": 80, "%": 80, "+": 70, "-": 70,
     "<<": 60, ">>": 60, "&": 50, "|": 40,
 }
-_BITOP_LEVELS = (("^",), ("<<", ">>"), ("&",), ("|",))
+#: '~' is unary bit inversion — BELOW ^ in MySQL's table but processed
+#: as its own level (its operand is one unary-prefixed primary); the
+#: reference FuncMap lacks '~' entirely (it errors), so uint64-exact
+#: support here is a strict superset
+_BITOP_LEVELS = (("^",), ("~",), ("<<", ">>"), ("&",), ("|",))
 #: bind variables anchoring re-entry detection, per op
-_BITOP_VARS = {"&": "ba_", "|": "bo_", "^": "bx_"}
+_BITOP_VARS = {"&": "ba_", "|": "bo_", "^": "bx_", "~": "bn_"}
 #: words that terminate an operand extent (clause/logical keywords);
 #: DIV/MOD are handled as precedence-80 operators, CASE/END as groups
 _BITOP_BOUNDARY_WORDS = frozenset({
@@ -2124,9 +2128,31 @@ _UNSIGNED_RENDER_BODY = (
 )
 
 
+def _bitop_in64(operand: str) -> str:
+    """Operand → its int64 BIT PATTERN.  Goes through DECIMAL(38,0)
+    with the (2^63, 2^64-1] wrap (the SIGNED-cast recipe above) so a
+    CHAINED bit op's own DECIMAL(20,0) result — or a uint64-sized
+    literal — wraps to its bit pattern instead of NULLing in a bigint
+    try_cast ((1 << 63) << 1 must be 0, not NULL); the decimal cast
+    also rounds doubles to nearest like the reference's getIntVal."""
+    lit = _bitop_literal_int(operand)
+    if lit is not None:
+        operand = lit
+    return _bind1(
+        f"try_cast(({operand}) AS DECIMAL(38,0))", "bw_",
+        "(CASE WHEN bw_ > 9223372036854775807"
+        " AND bw_ <= 18446744073709551615"
+        " THEN CAST(bw_ - 18446744073709551616 AS BIGINT)"
+        " ELSE try_cast(bw_ AS BIGINT) END)",
+    )
+
+
 def _bitop_fragment(op: str, left: str, right: str) -> str:
-    lf = _bitop_literal_int(left) or f"try_cast(({left}) AS BIGINT)"
-    rf = _bitop_literal_int(right) or f"try_cast(({right}) AS BIGINT)"
+    rf = _bitop_in64(right)
+    if op == "~":
+        return _bind1(rf, "bn_",
+                      _bind1("(~ bn_)", "bu_", _UNSIGNED_RENDER_BODY))
+    lf = _bitop_in64(left)
     if op in ("&", "|", "^"):
         var = _BITOP_VARS[op]
         inner = f"({var} {op} {rf})"
@@ -2159,6 +2185,30 @@ def _rewrite_bit_ops(toks: list[Token]) -> list[Token]:
                 if k != "sym" or t not in level:
                     i += 1
                     continue
+                # operand slices are rewritten RECURSIVELY before
+                # rendering, so an emitted fragment never embeds a raw
+                # target op (a nested `~ 0` or parenthesized `a ^ b`
+                # would otherwise re-tokenize on re-entry and rewrite
+                # again — breaking translator idempotency)
+                if t == "~":
+                    # unary: operand is one prefixed primary (prec 95
+                    # stops at every binary operator); re-entry shows
+                    # as the fragment's own `~ bn_`
+                    re_ = _bitop_right_extent(toks, i, 95)
+                    if re_ is None:
+                        i += 1
+                        continue
+                    right = render(toks[i + 1 : re_ + 1]).strip()
+                    if not right or right in guard_vars:
+                        i += 1
+                        continue
+                    right = render(
+                        _rewrite_bit_ops(toks[i + 1 : re_ + 1])
+                    ).strip()
+                    frag = _bitop_fragment(t, "", right)
+                    toks = toks[:i] + [("code", frag)] + toks[re_ + 1 :]
+                    changed = True
+                    break
                 ls = _bitop_left_extent(toks, i, prec)
                 re_ = _bitop_right_extent(toks, i, prec)
                 if ls is None or re_ is None:
@@ -2172,6 +2222,10 @@ def _rewrite_bit_ops(toks: list[Token]) -> list[Token]:
                 if not left or not right:
                     i += 1
                     continue
+                left = render(_rewrite_bit_ops(toks[ls:i])).strip()
+                right = render(
+                    _rewrite_bit_ops(toks[i + 1 : re_ + 1])
+                ).strip()
                 frag = _bitop_fragment(t, left, right)
                 toks = toks[:ls] + [("code", frag)] + toks[re_ + 1 :]
                 changed = True

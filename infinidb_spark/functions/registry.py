@@ -219,6 +219,13 @@ def bitxor(a, b) -> Column:
     return _unsigned_render(_c(a).cast("long").bitwiseXOR(_c(b).cast("long")))
 
 
+@_reg("bitnot")
+def bitnot(a) -> Column:
+    # '~' is absent from the reference FuncMap (it errors there); this
+    # MySQL-exact uint64 inversion is a strict superset
+    return _unsigned_render(F.bitwise_not(_c(a).cast("long")))
+
+
 @_reg("leftshift")
 def leftshift(a, n) -> Column:
     cnt = _shift_count(n)

@@ -665,3 +665,31 @@ def test_mysql_probe_bitops(spark, expr, expected):
     if isinstance(got, bool):
         got = int(got)
     assert float(got) == float(expected), f"{expr}: got {got!r}"
+
+
+# '~' unary inversion (uint64; absent from the reference FuncMap —
+# supporting it MySQL-exactly is a strict superset) and bit-op
+# chaining through the DECIMAL(20,0) unsigned stand-in
+R11_BITNOT_PROBES = [
+    ("~0", 18446744073709551615),
+    ("~~0", 0),
+    ("5 & ~1", 4),
+    ("~0 >> 60", 15),
+    ("~(1 | 2)", 18446744073709551612),
+    ("~2.6", 18446744073709551612),     # rounds to 3, then inverts
+    ("(1 << 63) << 1", 0),              # chained uint64 wraps, no NULL
+    ("(1 << 63) | 1", 9223372036854775809),
+    ("0xFFFFFFFFFFFFFFFF & 1", 1),
+]
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    R11_BITNOT_PROBES,
+    ids=[p[0][:50] for p in R11_BITNOT_PROBES],
+)
+def test_mysql_probe_bitnot(spark, expr, expected):
+    sql = translate_mysql(f"SELECT {expr} AS v")
+    assert translate_mysql(sql) == sql, f"not idempotent: {expr}"
+    got = spark.sql(sql).collect()[0].v
+    assert float(got) == float(expected), f"{expr}: got {got!r}"
