@@ -64,7 +64,11 @@ class DialectError(ValueError):
 
 # ---------------------------------------------------------------- lexer
 
-_MULTI_OPS = ("<=>", "<<", ">>", "<=", ">=", "<>", "!=", ":=", "||", "&&")
+#: '->>' / '->' (JSON path extraction, and the lambda arrow in emitted
+#: fragments) lex as ONE sym — split as '-' + '>>' the bit-op pass
+#: mistook a JSON extraction for a right shift
+_MULTI_OPS = ("<=>", "->>", "->", "<<", ">>", "<=", ">=", "<>", "!=",
+              ":=", "||", "&&")
 
 
 def tokenize(sql: str) -> list[Token]:
@@ -1766,37 +1770,42 @@ def _fold_string_arith(toks: list[Token]) -> list[Token]:
 
 def _interval_chain_before(toks: list[Token], unit_idx: int) -> bool:
     """True when the unit word at ``unit_idx`` closes an actual
-    ``INTERVAL <quantity> <unit>`` chain.  Quantity forms covered: a
-    (possibly signed) number/string literal or bare word, or a balanced
-    ``(...)`` group optionally preceded by a function name."""
+    ``INTERVAL <quantity> <unit>`` chain.  The quantity is an arbitrary
+    bounded expression (``INTERVAL 1+1 DAY``, ``INTERVAL t.n DAY``,
+    ``INTERVAL FLOOR(2.5) HOUR``), so the scan walks back over
+    expression tokens — atoms, arithmetic syms, dots, balanced paren
+    groups — until it reaches INTERVAL (chain confirmed), an
+    expression boundary (a comma/semicolon/unbalanced paren or a
+    clause/logical keyword — no chain), or a depth cap."""
     j = _prev_code(toks, unit_idx)
-    if j is None:
-        return False
-    if toks[j] == ("sym", ")"):
-        depth = 1
-        j -= 1
-        while j >= 0 and depth:
-            if toks[j] == ("sym", ")"):
-                depth += 1
-            elif toks[j] == ("sym", "("):
-                depth -= 1
-            j -= 1
-        if depth:
+    for _ in range(24):
+        if j is None:
             return False
-        j = _prev_code(toks, j + 1)
-        # the group may be a function call's argument list
-        if j is not None and toks[j][0] == "word" \
-                and toks[j][1].upper() != "INTERVAL":
+        k, t = toks[j]
+        if k == "word":
+            u = t.upper()
+            if u == "INTERVAL":
+                return True
+            if u in _BITOP_BOUNDARY_WORDS or u in ("AND", "OR", "NOT"):
+                return False
             j = _prev_code(toks, j)
-    elif toks[j][0] in ("number", "string", "word"):
-        j = _prev_code(toks, j)
-        # optional unary sign on the quantity (INTERVAL -1 DAY)
-        if j is not None and toks[j][0] == "sym" and toks[j][1] in ("+", "-"):
+            continue
+        if k == "sym":
+            if t == ")":
+                opener = _bitop_skip_group_left(toks, j)
+                if opener is None:
+                    return False
+                j = _prev_code(toks, opener)
+                continue
+            if t in ("+", "-", "*", "/", "%", "."):
+                j = _prev_code(toks, j)
+                continue
+            return False
+        if k in ("number", "string", "bident", "code"):
             j = _prev_code(toks, j)
-    else:
+            continue
         return False
-    return j is not None and toks[j][0] == "word" \
-        and toks[j][1].upper() == "INTERVAL"
+    return False
 
 
 # ------------------------------------------- MySQL bitwise operators
@@ -1830,11 +1839,15 @@ def _interval_chain_before(toks: list[Token], unit_idx: int) -> bool:
 # choice and string operands of bit math don't appear in migration
 # corpora.
 
+#: '->' / '->>' (JSON extraction) bind tighter than every arith op, so
+#: a JSON chain stays one operand: doc->>'$.a' & 1 groups the whole
+#: extraction on the left
 _BITOP_PREC = {
     "^": 90, "~": 85, "*": 80, "/": 80, "%": 80, "+": 70, "-": 70,
-    "<<": 60, ">>": 60, "&": 50, "|": 40,
+    "<<": 60, ">>": 60, "&": 50, "|": 40, "->": 95, "->>": 95,
 }
-#: '~' is unary bit inversion — BELOW ^ in MySQL's table but processed
+#: '~' is unary bit inversion — ABOVE ^ in MySQL's table (so ~a ^ b is
+#: (~a) ^ b; the left scan's prefix-attach handles that) but processed
 #: as its own level (its operand is one unary-prefixed primary); the
 #: reference FuncMap lacks '~' entirely (it errors), so uint64-exact
 #: support here is a strict superset
@@ -1952,13 +1965,38 @@ def _bitop_left_extent(toks: list[Token], op_idx: int, prec: int) -> int | None:
             continue
         if k == "sym":
             p = _BITOP_PREC.get(t)
-            if expect_operand and t in ("~", "!"):
+            if t in ("~", "!"):
+                # prefix op: attaches to the operand just consumed (or
+                # opens the extent when it stands at the edge)
                 start, j = j, _prev_code(toks, j)
                 continue
-            if not expect_operand and t in ("~", "!"):
-                # prefix op attaches to the operand just consumed
+            if not expect_operand and t == ".":
+                # qualified reference: '.' joins member and qualifier
+                # into ONE operand (t.flags & 4 must not split at the
+                # dot and strand the 't.' prefix)
                 start, j = j, _prev_code(toks, j)
+                expect_operand, just_group = True, False
                 continue
+            if not expect_operand and t in ("-", "+"):
+                # unary vs binary sign: MySQL's unary minus binds
+                # ABOVE ^, so (-1) ^ 2 takes the sign INTO the operand;
+                # a sign preceded by an operand end is binary arith
+                p2 = _prev_code(toks, j)
+                operand_before = p2 is not None and (
+                    toks[p2][0] in ("number", "string", "bident", "code")
+                    or (toks[p2][0] == "sym" and toks[p2][1] in (")", "]"))
+                    or (toks[p2][0] == "word"
+                        and toks[p2][1].upper() not in _BITOP_BOUNDARY_WORDS
+                        and toks[p2][1].upper() not in ("DIV", "MOD"))
+                )
+                if not operand_before:
+                    start, j = j, _prev_code(toks, j)
+                    continue
+                if 70 > prec:
+                    start, j = j, _prev_code(toks, j)
+                    expect_operand, just_group = True, False
+                    continue
+                break
             if not expect_operand and p is not None and p > prec:
                 start, j = j, _prev_code(toks, j)
                 expect_operand, just_group = True, False
@@ -1985,6 +2023,12 @@ def _bitop_left_extent(toks: list[Token], op_idx: int, prec: int) -> int | None:
                 start, j = j, _prev_code(toks, j)
                 expect_operand, just_group = True, False
                 continue
+            if u == "OVER":
+                # what was consumed so far is a window spec (paren
+                # group or named window), not an operand — no clean
+                # extent exists; leave this occurrence to Spark rather
+                # than corrupt it
+                return None
             if u in _BITOP_BOUNDARY_WORDS:
                 break
             if expect_operand:
@@ -2047,6 +2091,12 @@ def _bitop_right_extent(toks: list[Token], op_idx: int, prec: int) -> int | None
             if expect_operand and t in ("-", "+", "~", "!"):
                 j = _next_code(toks, j + 1)
                 continue
+            if not expect_operand and t == ".":
+                # qualified reference (1 & t.flags): the dot joins the
+                # qualifier already consumed with the member ahead
+                j = _next_code(toks, j + 1)
+                expect_operand = True
+                continue
             if not expect_operand and p is not None and p > prec:
                 j = _next_code(toks, j + 1)
                 expect_operand = True
@@ -2069,6 +2119,11 @@ def _bitop_right_extent(toks: list[Token], op_idx: int, prec: int) -> int | None
                 j = _next_code(toks, j + 1)
                 expect_operand = True
                 continue
+            if u == "OVER" and not expect_operand:
+                # the operand just consumed is a window FUNCTION call —
+                # splitting it from its OVER clause would corrupt the
+                # statement; bail and leave this occurrence to Spark
+                return None
             if u in _BITOP_BOUNDARY_WORDS:
                 break
             if expect_operand:
@@ -2128,45 +2183,76 @@ _UNSIGNED_RENDER_BODY = (
 )
 
 
-def _bitop_in64(operand: str) -> str:
-    """Operand → its int64 BIT PATTERN.  Goes through DECIMAL(38,0)
-    with the (2^63, 2^64-1] wrap (the SIGNED-cast recipe above) so a
-    CHAINED bit op's own DECIMAL(20,0) result — or a uint64-sized
-    literal — wraps to its bit pattern instead of NULLing in a bigint
-    try_cast ((1 << 63) << 1 must be 0, not NULL); the decimal cast
-    also rounds doubles to nearest like the reference's getIntVal."""
-    lit = _bitop_literal_int(operand)
+def _bitop_in64_toks(oper: list[Token]) -> list[Token]:
+    """Operand tokens → fragment tokens for its int64 BIT PATTERN.
+    Goes through DECIMAL(38,0) with the (2^63, 2^64-1] wrap (the
+    SIGNED-cast recipe above) so a CHAINED bit op's own DECIMAL(20,0)
+    result — or a uint64-sized literal — wraps to its bit pattern
+    instead of NULLing in a bigint try_cast ((1 << 63) << 1 must be 0,
+    not NULL); the decimal cast also rounds doubles to nearest like
+    the reference's getIntVal.  The operand stays LIVE TOKENS between
+    code scaffolding, so `_rewrite` still translates MySQL constructs
+    inside it (CAST(x AS UNSIGNED) in a bit-op operand must not reach
+    Spark verbatim)."""
+    lit = _bitop_literal_int(render(oper))
     if lit is not None:
-        operand = lit
-    return _bind1(
-        f"try_cast(({operand}) AS DECIMAL(38,0))", "bw_",
+        oper = [("code", lit)]
+    head = "transform(array(try_cast(("
+    tail = (
+        ") AS DECIMAL(38,0))), bw_ -> "
         "(CASE WHEN bw_ > 9223372036854775807"
         " AND bw_ <= 18446744073709551615"
         " THEN CAST(bw_ - 18446744073709551616 AS BIGINT)"
-        " ELSE try_cast(bw_ AS BIGINT) END)",
+        " ELSE try_cast(bw_ AS BIGINT) END))[0]"
     )
+    return [("code", head)] + list(oper) + [("code", tail)]
 
 
-def _bitop_fragment(op: str, left: str, right: str) -> str:
-    rf = _bitop_in64(right)
+def _bitop_fragment_toks(
+    op: str, left: list[Token], right: list[Token]
+) -> list[Token]:
+    """Fragment token list for one rewritten bit-op usage.  The shapes
+    mirror _bind1 (transform-over-1-element-array binding); emitted
+    wrapped in REAL paren tokens by the caller so later extent scans
+    and _rewrite's paren matching see one balanced operand."""
+    rf = _bitop_in64_toks(right)
     if op == "~":
-        return _bind1(rf, "bn_",
-                      _bind1("(~ bn_)", "bu_", _UNSIGNED_RENDER_BODY))
-    lf = _bitop_in64(left)
+        return (
+            [("code", "transform(array(")]
+            + rf
+            + [("code",
+                "), bn_ -> transform(array((~ bn_)), bu_ -> "
+                + _UNSIGNED_RENDER_BODY + ")[0])[0]")]
+        )
+    lf = _bitop_in64_toks(left)
     if op in ("&", "|", "^"):
         var = _BITOP_VARS[op]
-        inner = f"({var} {op} {rf})"
-        return _bind1(lf, var, _bind1(inner, "bu_", _UNSIGNED_RENDER_BODY))
+        return (
+            [("code", "transform(array(")]
+            + lf
+            + [("code", f"), {var} -> transform(array(({var} {op} ")]
+            + rf
+            + [("code",
+                ")), bu_ -> " + _UNSIGNED_RENDER_BODY + ")[0])[0]")]
+        )
     fn = "shiftleft" if op == "<<" else "shiftrightunsigned"
-    shifted = _bind1(f"{fn}(bv_, CAST(bs_ AS INT))", "bu_",
-                     _UNSIGNED_RENDER_BODY)
+    shifted = (
+        "transform(array(" + fn + "(bv_, CAST(bs_ AS INT))), bu_ -> "
+        + _UNSIGNED_RENDER_BODY + ")[0]"
+    )
     body = (
         "(CASE WHEN bs_ IS NULL OR bv_ IS NULL"
         " THEN CAST(NULL AS DECIMAL(20,0))"
         " WHEN bs_ < 0 OR bs_ > 63 THEN CAST(0 AS DECIMAL(20,0))"
-        f" ELSE {shifted} END)"
+        " ELSE " + shifted + " END)"
     )
-    return _bind1(rf, "bs_", _bind1(lf, "bv_", body))
+    return (
+        [("code", "transform(array(")]
+        + rf
+        + [("code", "), bs_ -> transform(array(")]
+        + lf
+        + [("code", f"), bv_ -> {body})[0])[0]")]
+    )
 
 
 def _rewrite_bit_ops(toks: list[Token]) -> list[Token]:
@@ -2202,11 +2288,13 @@ def _rewrite_bit_ops(toks: list[Token]) -> list[Token]:
                     if not right or right in guard_vars:
                         i += 1
                         continue
-                    right = render(
-                        _rewrite_bit_ops(toks[i + 1 : re_ + 1])
-                    ).strip()
-                    frag = _bitop_fragment(t, "", right)
-                    toks = toks[:i] + [("code", frag)] + toks[re_ + 1 :]
+                    frag = _bitop_fragment_toks(
+                        t, [], _rewrite_bit_ops(toks[i + 1 : re_ + 1])
+                    )
+                    toks = (
+                        toks[:i] + [("sym", "(")] + frag + [("sym", ")")]
+                        + toks[re_ + 1 :]
+                    )
                     changed = True
                     break
                 ls = _bitop_left_extent(toks, i, prec)
@@ -2222,12 +2310,15 @@ def _rewrite_bit_ops(toks: list[Token]) -> list[Token]:
                 if not left or not right:
                     i += 1
                     continue
-                left = render(_rewrite_bit_ops(toks[ls:i])).strip()
-                right = render(
-                    _rewrite_bit_ops(toks[i + 1 : re_ + 1])
-                ).strip()
-                frag = _bitop_fragment(t, left, right)
-                toks = toks[:ls] + [("code", frag)] + toks[re_ + 1 :]
+                frag = _bitop_fragment_toks(
+                    t,
+                    _rewrite_bit_ops(toks[ls:i]),
+                    _rewrite_bit_ops(toks[i + 1 : re_ + 1]),
+                )
+                toks = (
+                    toks[:ls] + [("sym", "(")] + frag + [("sym", ")")]
+                    + toks[re_ + 1 :]
+                )
                 changed = True
                 break
             if changed:

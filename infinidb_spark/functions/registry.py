@@ -197,39 +197,56 @@ def _unsigned_render(c: Column) -> Column:
     ).otherwise(c.cast("decimal(20,0)"))
 
 
+def _in64(x) -> Column:
+    """Operand → its int64 BIT PATTERN, through DECIMAL(38,0) with the
+    (2^63, 2^64-1] wrap: a chained bit function's own DECIMAL(20,0)
+    result (or a uint64-sized value) must wrap, not NULL in a plain
+    long cast — func('bitand', func('bitnot', lit(0)), lit(1)) is 1.
+    The decimal cast also rounds doubles to nearest like the
+    reference's getIntVal (2.6 → 3, not a truncated 2)."""
+    d = _c(x).cast("decimal(38,0)")
+    return F.when(
+        (d > F.expr("9223372036854775807")) & (d <= F.expr(_UMAX_64)),
+        (d - F.expr(_TWO_64)).cast("long"),
+    ).otherwise(d.cast("long"))
+
+
+_UMAX_64 = "18446744073709551615"
+
+
 def _shift_count(n) -> Column:
     """MySQL reads the count as uint64 too: negative (= huge unsigned)
     or > 63 shifts the value out entirely → 0 (manual: 'If the shift
     count is outside 0-63, the result is 0')."""
-    return _c(n).cast("long")
+    return _in64(n)
 
 
 @_reg("bitand")
 def bitand(a, b) -> Column:
-    return _unsigned_render(_c(a).cast("long").bitwiseAND(_c(b).cast("long")))
+    return _unsigned_render(_in64(a).bitwiseAND(_in64(b)))
 
 
 @_reg("bitor")
 def bitor(a, b) -> Column:
-    return _unsigned_render(_c(a).cast("long").bitwiseOR(_c(b).cast("long")))
+    return _unsigned_render(_in64(a).bitwiseOR(_in64(b)))
 
 
 @_reg("bitxor")
 def bitxor(a, b) -> Column:
-    return _unsigned_render(_c(a).cast("long").bitwiseXOR(_c(b).cast("long")))
+    return _unsigned_render(_in64(a).bitwiseXOR(_in64(b)))
 
 
 @_reg("bitnot")
 def bitnot(a) -> Column:
     # '~' is absent from the reference FuncMap (it errors there); this
     # MySQL-exact uint64 inversion is a strict superset
-    return _unsigned_render(F.bitwise_not(_c(a).cast("long")))
+    return _unsigned_render(F.bitwise_not(_in64(a)))
 
 
 @_reg("leftshift")
 def leftshift(a, n) -> Column:
     cnt = _shift_count(n)
-    val = _c(a).cast("long")
+    val = _in64(a)
     return (
         F.when(cnt.isNull() | val.isNull(), F.lit(None).cast("decimal(20,0)"))
         .when((cnt < 0) | (cnt > 63), F.lit(0).cast("decimal(20,0)"))
@@ -243,7 +260,7 @@ def leftshift(a, n) -> Column:
 @_reg("rightshift")
 def rightshift(a, n) -> Column:
     cnt = _shift_count(n)
-    val = _c(a).cast("long")
+    val = _in64(a)
     return (
         F.when(cnt.isNull() | val.isNull(), F.lit(None).cast("decimal(20,0)"))
         .when((cnt < 0) | (cnt > 63), F.lit(0).cast("decimal(20,0)"))

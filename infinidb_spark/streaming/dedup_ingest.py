@@ -131,8 +131,13 @@ def stream_dedup_ingest(
     # 'content_hash' would be silently CLOBBERED by the ingest's own
     # hash projection (then dropped — user data lost); the join aliases
     # would fail later with an opaque ambiguity.  Reject up front, the
-    # same contract as skew.py's salt-collision guard.
-    reserved = {"content_hash", "_cid", "_chash"} & set(stream.columns)
+    # same contract as skew.py's salt-collision guard.  Compared
+    # case-insensitively: Spark resolves columns case-insensitively by
+    # default, so a 'Content_Hash' column collides all the same.
+    reserved = {
+        c for c in stream.columns
+        if c.lower() in ("content_hash", "_cid", "_chash")
+    }
     if reserved:
         raise ValueError(
             f"input columns {sorted(reserved)} collide with "

@@ -158,3 +158,21 @@ def test_reserved_column_collision_rejected(spark, workdir):
                 os.path.join(workdir, "out"),
                 os.path.join(workdir, "ckpt"),
             )
+
+
+def test_reserved_collision_case_insensitive(spark, workdir):
+    """Spark resolves columns case-insensitively by default, so a
+    'Content_Hash' column collides with the ingest's projection all
+    the same — the guard must compare case-insensitively."""
+    in_dir = os.path.join(workdir, "in")
+    _write_docs(spark, in_dir, [(1, "alpha")])
+    base = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(in_dir)
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        stream_dedup_ingest(
+            base.withColumn("Content_Hash", F.lit("x")),
+            os.path.join(workdir, "out"),
+            os.path.join(workdir, "ckpt"),
+        )

@@ -760,3 +760,66 @@ def _spark_probe_session():
 def test_cot_zero_divergence(spark):
     got = spark.sql(translate_mysql("SELECT COT(0) AS v")).collect()[0].v
     assert got is None
+
+
+def test_bitop_qualified_columns_and_windows(spark):
+    """Review findings: the extent scanner must keep qualified
+    references whole (t.flags & 4 stranded the 't.' prefix), leave
+    window functions untouched rather than swallow the OVER clause,
+    translate MySQL constructs INSIDE bit-op operands, and take a
+    unary sign into ^'s operand (MySQL's unary minus binds above ^)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW bt AS"
+        " SELECT 5 AS flags, 3 AS n, 2 AS x"
+    )
+    spark.sql("CREATE OR REPLACE TEMP VIEW bt2 AS SELECT 6 AS flags")
+    cases = [
+        ("SELECT bt.flags & 4 AS v FROM bt", 4),
+        ("SELECT bt.flags | bt2.flags AS v FROM bt, bt2", 7),
+        ("SELECT SUM(x) OVER (PARTITION BY n) & 1 AS v FROM bt", 0),
+        ("SELECT 2 & CAST(x AS UNSIGNED) AS v FROM bt", 2),
+        ("SELECT -1 ^ 2 AS v", 18446744073709551613),
+        ("SELECT 1 - 2 ^ 3 AS v", 0),
+    ]
+    for sql_in, exp in cases:
+        sql = translate_mysql(sql_in)
+        assert translate_mysql(sql) == sql, f"not idempotent: {sql_in}"
+        got = spark.sql(sql).collect()[0].v
+        if isinstance(got, bool):
+            got = int(got)
+        assert float(got) == float(exp), f"{sql_in}: got {got!r}"
+
+
+def test_interval_expression_quantity_not_folded():
+    """INTERVAL <expr> DAY + '<date>' must keep the date string — the
+    unit-chain guard walks back over expression quantities (1+1, t.n,
+    FLOOR(...)), not just single literals."""
+    for q in ("1+1", "t.n", "FLOOR(2.5)", "(1+1)*2"):
+        out = translate_mysql(f"SELECT INTERVAL {q} DAY + '2020-06-01'")
+        assert "'2020-06-01'" in out, (q, out)
+
+
+def test_json_arrow_ops_not_right_shift():
+    """doc->>'$.a' lexes as one token, never as '-' + '>>' (a right
+    shift): the translation must not emit a shift fragment."""
+    out = translate_mysql("SELECT doc->>'$.name' AS v FROM t")
+    assert "shiftrightunsigned" not in out
+    out2 = translate_mysql("SELECT doc->>'$.a' & 1 AS v FROM t")
+    assert "doc->>'$.a'" in out2
+
+
+def test_registry_bitops_chain_through_unsigned(spark):
+    """Chained registry bit functions must wrap a DECIMAL(20,0)
+    intermediate above 2^63 back to its bit pattern, not NULL it."""
+    from pyspark.sql import functions as F
+
+    from infinidb_spark.functions.registry import func
+
+    def one(c):
+        return spark.range(1).select(c.alias("v")).collect()[0].v
+
+    assert one(func("bitand", func("bitnot", F.lit(0)), F.lit(1))) == 1
+    assert one(
+        func("leftshift", func("leftshift", F.lit(1), 63), 1)
+    ) == 0
+    assert one(func("bitnot", F.lit(2.6))) == 18446744073709551612
