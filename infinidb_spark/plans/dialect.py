@@ -524,3 +524,58 @@ def multi_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sess._managed_root:
             shutil.rmtree(sess._managed_root, ignore_errors=True)
         spark.catalog.dropTempView("supplier_j")  # no ghost view
+
+
+_BITOPS_MYSQL = """
+SELECT CAST(n_nationkey AS SIGNED) AS n_nationkey,
+       CAST(1 << n_nationkey AS CHAR)                        AS shl_small,
+       CAST(3 << (n_nationkey + 45) AS CHAR)                 AS shl_edge,
+       CAST(~n_nationkey >> (n_nationkey % 8 + 56) AS CHAR)  AS shr_log,
+       CAST(n_nationkey & 6 AS CHAR)                         AS band,
+       CAST(n_nationkey | 3 << 2 & 12 AS CHAR)               AS bor_mix,
+       CAST(n_nationkey ^ 5 AS CHAR)                         AS bxor,
+       CAST(~n_nationkey AS CHAR)                            AS bnot
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query(
+    "mysql_dialect_bitops",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(n_nationkey AS BIGINT)  AS n_nationkey,
+             CAST(n_nationkey AS HUGEINT) AS k
+      FROM nation
+    )
+    SELECT n_nationkey,
+      CAST((1::HUGEINT << CAST(n_nationkey AS INT))
+           % 18446744073709551616 AS VARCHAR)                AS shl_small,
+      CAST(CASE WHEN n_nationkey + 45 <= 63
+            THEN (3::HUGEINT
+                  * (1::HUGEINT << CAST(n_nationkey + 45 AS INT)))
+                 % 18446744073709551616
+            ELSE 0 END AS VARCHAR)                           AS shl_edge,
+      CAST((18446744073709551615::HUGEINT - k)
+           // (1::HUGEINT << CAST(n_nationkey % 8 + 56 AS INT))
+           AS VARCHAR)                                       AS shr_log,
+      CAST(n_nationkey & 6 AS VARCHAR)                       AS band,
+      CAST(n_nationkey | 12 AS VARCHAR)                      AS bor_mix,
+      CAST(xor(n_nationkey, 5) AS VARCHAR)                   AS bxor,
+      CAST(18446744073709551615::HUGEINT - k AS VARCHAR)     AS bnot
+    FROM b
+    ORDER BY n_nationkey
+    """,
+)
+def mysql_dialect_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-operator family via the dialect front-end (ref
+    funcexp.cpp:68-72 registers << >> | ^ &; func_bitwise.cpp computes
+    every operand through uint64): 64-bit shifts with the MySQL count
+    rule (3 << 69 is 0, 3 << 63 wraps to 2^63), a LOGICAL right shift
+    over inverted values, precedence mixing (| above & above <<), and
+    unary ~ (absent from the reference FuncMap — supported here as a
+    MySQL-exact superset).  Every output renders AS CHAR — the proven
+    string/int64 driver-attestation type space; the DuckDB oracle
+    replays the uint64 arithmetic in HUGEINT."""
+    load_tables(spark, sf_dir, names=("nation",))
+    return spark.sql(translate_mysql(_BITOPS_MYSQL))

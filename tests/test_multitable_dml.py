@@ -306,3 +306,20 @@ def test_delete_join_existential_where_duplicate_keys(sess):
     assert n == 1
     ids = {r.id for r in sess.execute("SELECT * FROM m1").collect()}
     assert ids == {0, 2, 99}
+
+
+def test_dml_where_and_set_with_bit_ops(sess):
+    """Bit ops flow through parse_statement too: a WHERE flag mask and
+    a SET computing a uint64 value must use 64-bit unsigned semantics
+    (the DML path shares translate's pre-passes)."""
+    sess.execute("CREATE TABLE bm (id BIGINT, flags BIGINT, v BIGINT)")
+    sess.execute("INSERT INTO bm VALUES (1, 5, 0), (2, 2, 0), (3, 7, 0)")
+    # WHERE flags & 1 — boolean context over a bit expression
+    n = sess.execute("UPDATE bm SET v = flags | 8 WHERE flags & 1")
+    assert n == 2
+    rows = {r.id: int(r.v) for r in sess.execute("SELECT * FROM bm").collect()}
+    assert rows == {1: 13, 2: 0, 3: 15}
+    n2 = sess.execute("DELETE FROM bm WHERE flags >> 1 = 1")
+    assert n2 == 1  # only flags=2 shifts to 1 (5>>1=2, 7>>1=3)
+    left = sorted(r.id for r in sess.execute("SELECT * FROM bm").collect())
+    assert left == [1, 3]
