@@ -3300,6 +3300,36 @@ def _rewrite(toks: list[Token]) -> list[Token]:
                         )
                         i = close + 1
                         continue
+                if upper in ("BIT_AND", "BIT_OR", "BIT_XOR"):
+                    # uint64 bit AGGREGATES (ref rowaggregation.cpp:
+                    # ROWAGG_BIT_AND inits to 0xFFFF…, OR/XOR to 0 —
+                    # an empty/all-NULL group yields the INIT value,
+                    # never NULL; results display unsigned).  Spark's
+                    # bit_and/or/xor NULL on empty and render signed.
+                    # Idempotency via the bg_ bind variable the
+                    # operand wrap introduces (same recipe as the
+                    # SQRT/LOG guards).
+                    bargs = _split_args(inner)
+                    if len(bargs) == 1:
+                        a_txt = render(bargs[0]).strip()
+                        if "bg_" not in a_txt:
+                            init = "-1" if upper == "BIT_AND" else "0"
+                            wrap = _bind1(
+                                f"try_cast(({a_txt}) AS DECIMAL(38,0))",
+                                "bg_",
+                                "(CASE WHEN bg_ > 9223372036854775807"
+                                " AND bg_ <= 18446744073709551615"
+                                " THEN CAST(bg_ - 18446744073709551616"
+                                " AS BIGINT)"
+                                " ELSE try_cast(bg_ AS BIGINT) END)",
+                            )
+                            out.append(("code", _bind1(
+                                f"coalesce({upper.lower()}({wrap}), {init})",
+                                "bu_",
+                                _UNSIGNED_RENDER_BODY,
+                            )))
+                            i = close + 1
+                            continue
                 if upper in _TEMPLATES:
                     args = [_arg_text(a) for a in _split_args(inner)]
                     arity = _template_arity(upper)

@@ -280,16 +280,20 @@ PROBES = [
 #: probes whose MySQL-exact form is deliberately deferred —
 #: documented divergences, not silent wrong values.  The round-8
 #: verdict's one deferred probe (DATE_ADD date-string render) was FIXED
-#: and moved into PROBES.  Current defers: MySQL's BIT_* aggregates
-#: return identity elements over an EMPTY group (2^64-1 / 0 / 0) where
-#: Spark returns NULL — an idempotency-safe SQL-text rewrite would
-#: have to re-spell bit_and/bit_or, which Spark has no alias for, and
-#: the empty-aggregate case is marginal.
-XFAIL_PROBES: list[tuple[str, object]] = [
+#: and moved into PROBES; the round-11 BIT_* empty-group defers were
+#: FIXED by the uint64 bit-aggregate rewrite (init values per
+#: rowaggregation.cpp — see test_bit_aggregates_uint64) and promoted
+#: below.  Currently empty.
+XFAIL_PROBES: list[tuple[str, object]] = []
+
+#: promoted from XFAIL_PROBES when the bit-aggregate rewrite landed
+PROBES.append(
     ("(SELECT BIT_AND(x) FROM (SELECT 1 AS x WHERE FALSE))",
-     18446744073709551615),
-    ("(SELECT BIT_OR(x) FROM (SELECT 1 AS x WHERE FALSE))", 0),
-]
+     18446744073709551615)
+)
+PROBES.append(
+    ("(SELECT BIT_OR(x) FROM (SELECT 1 AS x WHERE FALSE))", 0)
+)
 
 
 def _check(spark, expr: str, expected) -> None:
@@ -823,3 +827,29 @@ def test_registry_bitops_chain_through_unsigned(spark):
         func("leftshift", func("leftshift", F.lit(1), 63), 1)
     ) == 0
     assert one(func("bitnot", F.lit(2.6))) == 18446744073709551612
+
+
+def test_bit_aggregates_uint64(spark):
+    """BIT_AND/BIT_OR/BIT_XOR aggregates are uint64 with the
+    reference's INIT values on empty/all-NULL groups (rowaggregation
+    .cpp: BIT_AND inits 0xFFFF…, OR/XOR 0 — never NULL) and unsigned
+    display; Spark's natives NULL on empty and render signed."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW bav AS"
+        " SELECT * FROM VALUES (5),(3),(-1) AS t(v)"
+    )
+    spark.sql("CREATE OR REPLACE TEMP VIEW bae AS SELECT v FROM bav WHERE v > 99")
+    cases = [
+        ("SELECT BIT_AND(v) AS r FROM bav", 1),
+        ("SELECT BIT_OR(v) AS r FROM bav", 18446744073709551615),
+        ("SELECT BIT_XOR(v) AS r FROM bav", 18446744073709551609),
+        ("SELECT BIT_AND(v) AS r FROM bae", 18446744073709551615),
+        ("SELECT BIT_OR(v) AS r FROM bae", 0),
+        ("SELECT BIT_XOR(v) AS r FROM bae", 0),
+        ("SELECT BIT_AND(v & 7) AS r FROM bav", 1),
+    ]
+    for sql_in, exp in cases:
+        sql = translate_mysql(sql_in)
+        assert translate_mysql(sql) == sql, f"not idempotent: {sql_in}"
+        got = spark.sql(sql).collect()[0].r
+        assert float(got) == float(exp), f"{sql_in}: got {got!r}"
