@@ -853,3 +853,25 @@ def test_bit_aggregates_uint64(spark):
         assert translate_mysql(sql) == sql, f"not idempotent: {sql_in}"
         got = spark.sql(sql).collect()[0].r
         assert float(got) == float(exp), f"{sql_in}: got {got!r}"
+
+
+def test_stats_aggregates_population_default(spark):
+    """MySQL's STD/STDDEV/VARIANCE are POPULATION statistics (the SQL
+    standard's sample variants are the _SAMP spellings) — pinned
+    because Spark's stddev/variance default to SAMPLE."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sv AS"
+        " SELECT * FROM VALUES (1.0),(2.0),(3.0),(4.0) AS t(v)"
+    )
+    cases = [
+        ("STD(v)", 1.118033988749895),
+        ("STDDEV(v)", 1.118033988749895),
+        ("VARIANCE(v)", 1.25),
+        ("STDDEV_SAMP(v)", 1.2909944487358056),
+        ("VAR_SAMP(v)", 1.6666666666666667),
+    ]
+    for expr, exp in cases:
+        got = spark.sql(
+            translate_mysql(f"SELECT {expr} AS r FROM sv")
+        ).collect()[0].r
+        assert abs(float(got) - exp) < 1e-9, (expr, got)
