@@ -2326,6 +2326,70 @@ def _rewrite_bit_ops(toks: list[Token]) -> list[Token]:
     return toks
 
 
+def _soundex_sql(x: str) -> str:
+    """MySQL's EXTENDED soundex as a SQL fragment (doc examples:
+    SOUNDEX('Hello') = 'H400', SOUNDEX('Quadratically') = 'Q36324' —
+    NOT truncated to 4 like Spark's soundex): letters only, standard
+    digit map via translate, adjacent-code collapse BEFORE vowel
+    removal, first letter kept, right-padded with '0' to at least 4.
+    Spelled without length()/greatest()/rpad() — all three get their
+    own MySQL rewrites on re-entry, which would break idempotency;
+    char_length/repeat/translate pass through untouched."""
+    rest = _bind1(
+        "regexp_replace(translate(sd_, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " '01230120022455012623010202'), '(.)\\\\1+', '$1')",
+        "sc_",
+        "regexp_replace(substring(sc_, 2), '0', '')",
+    )
+    core = f"concat(substring(sd_, 1, 1), {rest})"
+    padded = _bind1(
+        core, "sp_",
+        "concat(sp_, repeat('0', 4 - char_length(sp_)))",
+    )
+    body = f"(CASE WHEN sd_ = '' THEN '' ELSE {padded} END)"
+    return _bind1(f"regexp_replace(upper(({x})), '[^A-Z]', '')", "sd_", body)
+
+
+_TEMPLATES["SOUNDEX"] = _soundex_sql("{0}")
+
+
+def _soundex_frag_toks(oper: list[Token]) -> list[Token]:
+    head, tail = _soundex_sql("\x00").split("\x00")
+    return [("code", head)] + list(oper) + [("code", tail)]
+
+
+def _rewrite_sounds_like(toks: list[Token]) -> list[Token]:
+    """`a SOUNDS LIKE b` → SOUNDEX(a) = SOUNDEX(b) (mysqld's
+    Item_func_sounds_like rewrite).  Operand extents reuse the bit-op
+    scanners at comparison precedence; operands splice as LIVE tokens
+    so inner MySQL constructs still translate.  The emission contains
+    no SOUNDS token, so the pass is a no-op on re-entry."""
+    while True:
+        hit = None
+        for i, (k, t) in enumerate(toks):
+            if k == "word" and t.upper() == "SOUNDS":
+                n = _next_code(toks, i + 1)
+                if n is not None and toks[n][0] == "word" \
+                        and toks[n][1].upper() == "LIKE":
+                    hit = (i, n)
+                    break
+        if hit is None:
+            return toks
+        i, n = hit
+        ls = _bitop_left_extent(toks, i, 30)
+        re_ = _bitop_right_extent(toks, n, 30)
+        if ls is None or re_ is None:
+            raise DialectError("SOUNDS LIKE could not parse its operands")
+        frag = (
+            [("sym", "(")]
+            + _soundex_frag_toks(toks[ls:i])
+            + [("code", " = ")]
+            + _soundex_frag_toks(toks[n + 1 : re_ + 1])
+            + [("sym", ")")]
+        )
+        toks = toks[:ls] + frag + toks[re_ + 1 :]
+
+
 def _bool_span_end(toks: list[Token], start: int, terminators) -> int:
     """End of a boolean-context span: first depth-0 terminator keyword,
     depth-0 comma/semicolon, or the closing paren of an enclosing
@@ -3823,9 +3887,9 @@ def translate_mysql(
     # run BEFORE _rewrite so wrapped operands still get their inner
     # MySQL-function translation
     toks = _rewrite(
-        _rewrite_bit_ops(_fold_boolean_contexts(
+        _rewrite_bit_ops(_rewrite_sounds_like(_fold_boolean_contexts(
             _fold_string_arith(_fold_numeric_string_cmp(tokenize(sql)))
-        ))
+        )))
     )
     if not strict_group_by:
         toks = _permissive_group_by(toks)
@@ -3877,9 +3941,9 @@ def parse_statement(sql: str) -> dict:
     # same pre-passes as translate_mysql: a DML WHERE takes MySQL
     # truthiness too (`DELETE FROM t WHERE flag`)
     toks = _rewrite(
-        _rewrite_bit_ops(_fold_boolean_contexts(
+        _rewrite_bit_ops(_rewrite_sounds_like(_fold_boolean_contexts(
             _fold_string_arith(_fold_numeric_string_cmp(tokenize(sql)))
-        ))
+        )))
     )
     # drop trailing statement terminators HERE — not just in
     # translate_mysql — so a client's `UPDATE t SET a = 1;` doesn't

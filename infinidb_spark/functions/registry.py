@@ -282,9 +282,36 @@ for _n, _f in {
     "lcase": F.lower, "lower": F.lower, "ucase": F.upper, "upper": F.upper,
     "ltrim": F.ltrim, "rtrim": F.rtrim, "trim": F.trim, "md5": F.md5,
     "reverse": F.reverse, "sha": F.sha1, "sha1": F.sha1,
-    "soundex": F.soundex, "bin": F.bin,
+    "bin": F.bin,
 }.items():
     FUNC_MAP[_n] = _f
+
+
+@_reg("soundex")
+def soundex(s) -> Column:
+    """MySQL's EXTENDED soundex (SOUNDEX('Quadratically') = 'Q36324',
+    not Spark's 4-char truncation 'Q363'): letters only, standard
+    digit map, adjacent-code collapse BEFORE vowel removal, first
+    letter kept, right-padded with '0' to at least 4 — never
+    truncated.  Absent from the reference FuncMap (it errors); this is
+    a MySQL-exact superset shared with the dialect's SOUNDEX/SOUNDS
+    LIKE fragments."""
+    c = F.regexp_replace(F.upper(_c(s)), "[^A-Z]", "")
+    d = F.translate(
+        c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"
+    )
+    collapsed = F.regexp_replace(d, r"(.)\1+", "$1")
+    rest = F.regexp_replace(
+        F.substring(collapsed, 2, 2147483647), "0", ""
+    )
+    core = F.concat(F.substring(c, 1, 1), rest)
+    padded = F.concat(
+        core,
+        F.call_function(
+            "repeat", F.lit("0"), (F.lit(4) - F.char_length(core)).cast("int")
+        ),
+    )
+    return F.when(c == "", F.lit("")).otherwise(padded)
 
 
 @_reg("concat")

@@ -875,3 +875,30 @@ def test_stats_aggregates_population_default(spark):
             translate_mysql(f"SELECT {expr} AS r FROM sv")
         ).collect()[0].r
         assert abs(float(got) - exp) < 1e-9, (expr, got)
+
+
+def test_soundex_mysql_extended(spark):
+    """MySQL's SOUNDEX is the EXTENDED form — 'Q36324', never Spark's
+    4-char truncation — and `a SOUNDS LIKE b` compares the fragments
+    (mysqld's Item_func_sounds_like; both absent from the reference
+    FuncMap, supported here as a MySQL-exact superset)."""
+    cases = [
+        ("SELECT SOUNDEX('Hello') AS v", "H400"),
+        ("SELECT SOUNDEX('Quadratically') AS v", "Q36324"),
+        ("SELECT SOUNDEX('123') AS v", ""),
+        ("SELECT SOUNDEX(NULL) AS v", None),
+        ("SELECT 'Hello' SOUNDS LIKE 'hallo' AS v", True),
+        ("SELECT 'Hello' SOUNDS LIKE 'world' AS v", False),
+    ]
+    for sql_in, exp in cases:
+        sql = translate_mysql(sql_in)
+        assert translate_mysql(sql) == sql, f"not idempotent: {sql_in}"
+        assert spark.sql(sql).collect()[0].v == exp, sql_in
+
+    from infinidb_spark.functions.registry import func
+    from pyspark.sql import functions as F
+
+    got = spark.range(1).select(
+        func("soundex", F.lit("Quadratically")).alias("v")
+    ).collect()[0].v
+    assert got == "Q36324"
