@@ -902,3 +902,29 @@ def test_soundex_mysql_extended(spark):
         func("soundex", F.lit("Quadratically")).alias("v")
     ).collect()[0].v
     assert got == "Q36324"
+
+
+def test_date_format_token_tail(spark):
+    """The remaining DATE_FORMAT token families, verified MySQL-exact:
+    week numbers (%U %u %V %v) with their year pairs (%X %x),
+    microseconds (%f), 12-hour fields at midnight/noon (%h %I %l %p),
+    no-pad month/day (%c %e), 2-digit year (%y), ordinal days (%D)."""
+    cases = [
+        ("DATE_FORMAT('2020-01-05', '%U %u %V %v %X %x')",
+         "01 01 01 01 2020 2020"),
+        ("DATE_FORMAT('2020-01-01 10:20:30.123456', '%f')", "123456"),
+        ("DATE_FORMAT('2020-01-01 00:30:00', '%h %I %l %p')", "12 12 12 AM"),
+        ("DATE_FORMAT('2020-01-01 12:30:00', '%h %l %p')", "12 12 PM"),
+        ("DATE_FORMAT('2006-06-03', '%c %e %y')", "6 3 06"),
+        ("DATE_FORMAT('2006-06-01', '%D')", "1st"),
+        ("DATE_FORMAT('2006-06-02', '%D')", "2nd"),
+        ("DATE_FORMAT('2006-06-03', '%D')", "3rd"),
+        ("DATE_FORMAT('2006-06-11', '%D')", "11th"),
+        ("DATE_FORMAT('2006-06-21', '%D')", "21st"),
+        ("DATE_FORMAT('2006-06-22', '%D')", "22nd"),
+    ]
+    for expr, exp in cases:
+        got = spark.sql(
+            translate_mysql(f"SELECT {expr} AS v")
+        ).collect()[0].v
+        assert str(got) == exp, (expr, got)
