@@ -122,20 +122,45 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_array(t: Column, k: int) -> Column:
+    """All overlapping character k-shingles of ``t`` as an array, in ONE
+    O(len) regex pass: ``(?s)(?=(.{k}))`` captures the k chars starting
+    at every position (lookahead, so the matcher advances one char per
+    match).  THE shared shingle extractor for every shingling pipeline.
+
+    Replaces the per-position ``substring(t, i, k)`` formulation, which
+    is O(position) per call on UTF8String (UTF-8 is variable-width, so
+    Spark re-walks the prefix on every extraction) — O(len²) per
+    document overall, measured 10 CPU-s vs ~1 for this form on the
+    sf0.1 corpus (guide §1/§2: per-task work on the scan stage).
+
+    Exact equivalence with the substring form (pinned in
+    tests/test_pipeline.py): documents shorter than ``k`` yield ONE
+    partial shingle = the whole text ('' for empty docs, [NULL] for
+    NULL input); ``(?s)`` makes ``.`` match line terminators so
+    non-normalized inputs shingle identically too.  The trailing
+    consumed ``.`` is load-bearing for astral characters: after a
+    zero-width lookahead match Java's matcher advances one code UNIT,
+    which lands inside a surrogate pair and emits a bogus
+    lone-surrogate shingle; consuming one code point per match keeps
+    every start position on a code-point boundary, matching
+    ``substring``'s code-point indexing.
+    """
+    return F.when(
+        F.length(t) >= k,
+        F.regexp_extract_all(t, F.lit(f"(?s)(?=(.{{{k}}}))."), F.lit(1)),
+    ).otherwise(F.array(F.substring(t, F.lit(1), F.lit(k))))
+
+
 def shingles(col: Column, k: int = 5, pre_normalized: bool = False) -> Column:
     """Character k-shingle array of normalized text (distinct).
 
-    Pure SQL expression: transform over a sequence of start offsets.
-    IMPORTANT at scale: pass an already-materialized normalized column
-    with ``pre_normalized=True`` — an expression-tree input would be
-    re-evaluated once per shingle inside the transform lambda (a ~300×
-    regex blowup measured at sf0.1).
+    One regex pass per document (``shingle_array``); still pass an
+    already-materialized normalized column with ``pre_normalized=True``
+    so the normalization regex itself is not re-evaluated per reference.
     """
     t = col if pre_normalized else normalize_text(col)
-    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, F.lit(k)))
-    )
+    return F.array_distinct(shingle_array(t, k))
 
 
 def minhash_signature(hashed_col: Column, n_hashes: int = 64) -> Column:
@@ -222,22 +247,25 @@ def minhash_lsh_pairs(
     p31 = (1 << 31) - 1
     params = _sig_params(n_hashes)
 
-    t = F.col("_t")
-    n_pos = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
     # (doc, shingle-hash) rows (with duplicates): consumed exactly ONCE,
     # by the signature aggregation — the verification stage re-shingles
     # only the candidate docs from source text (a broadcast-filtered
     # scan), so the corpus-wide relation is never cached, checkpointed,
     # or traversed twice.  Zero executor storage held at any scale.
-    shingle = t.substr(F.col("_i"), F.lit(shingle_k))
-    h_expr = _shingle_hash_expr(shingle, portable_hash)
+    # Shingle extraction is ONE O(len) regex pass per doc
+    # (``shingle_array``), not per-position substring — see its
+    # docstring for the measured O(len²) cost of the substring form.
+    h_expr = _shingle_hash_expr(F.col("_s"), portable_hash)
 
     def _shingle_rows(src: DataFrame) -> DataFrame:
         return (
             src.select(
                 F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t")
             )
-            .select("_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"), "_t")
+            .select(
+                "_id",
+                F.explode(shingle_array(F.col("_t"), shingle_k)).alias("_s"),
+            )
             .select("_id", h_expr.alias("_h"))
         )
 
@@ -284,6 +312,19 @@ def minhash_lsh_pairs(
     # shuffle outputs live in the shuffle layer, not executor storage,
     # and nothing is left cached after the query (lineage stays intact
     # for fault recovery, unlike localCheckpoint).
+    # The explicit repartition pins the dedup exchange at cluster width
+    # (defaultParallelism, the same scale knob fan_out uses): its hash
+    # partitioning satisfies the distinct's requirement, so it adds NO
+    # extra shuffle — but, unlike a bare distinct, AQE cannot coalesce
+    # it by byte size.  The verify join runs in the stage reading this
+    # exchange, and its rows are tiny-bytes/heavy-compute (one hash-set
+    # build per candidate pair): byte-based coalescing collapsed the
+    # whole verify to ONE task (measured 462 ms of a 2.2 s query at
+    # sf0.1; worse at lower core counts).  Cross-band repeats of a pair
+    # live in different band partitions, so the map-side dedup the
+    # plain distinct did was already ineffective — shuffle bytes are
+    # unchanged.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
     pairs = (
         buckets.select(F.posexplode("_ids").alias("_p", "id_a"), "_ids")
         .select(
@@ -296,6 +337,7 @@ def minhash_lsh_pairs(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
         )
+        .repartition(n_par, "id_a", "id_b")
         .distinct()
     )
 
@@ -329,10 +371,16 @@ def minhash_lsh_pairs(
     # canonically identical and ReuseExchange materializes the build
     # once — renaming columns per side (the previous formulation) broke
     # canonical equality and paid the build job twice.
+    # _n (the distinct-shingle count) rides along so the verify join
+    # never materializes the union set: |A∪B| = |A|+|B|−|A∩B| exactly
+    # (collect_set arrays are duplicate-free), which halves the per-pair
+    # hash-set builds — array_union built its own OpenHashSet per call,
+    # the same cost as the intersect (measured ~2× on the verify stage).
     shs = F.broadcast(
         _shingle_rows(cand_docs)
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
+        .select("_id", "_sh", F.size("_sh").alias("_n"))
     )
     sa, sb = shs.alias("_sa"), shs.alias("_sb")
     both = (
@@ -343,10 +391,15 @@ def minhash_lsh_pairs(
             "id_b",
             F.col("_sa._sh").alias("_sh_a"),
             F.col("_sb._sh").alias("_sh_b"),
+            F.col("_sa._n").alias("_n_a"),
+            F.col("_sb._n").alias("_n_b"),
         )
     )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
-    union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
+    # the repeated `inter` subtree is eliminated by codegen subexpression
+    # elimination within each operator; integer identity keeps the
+    # double division bit-identical to the array_union formulation
+    union = F.col("_n_a") + F.col("_n_b") - inter
     return (
         both.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -375,15 +428,11 @@ def minhash_signatures(
     """
     p31 = (1 << 31) - 1
     params = _sig_params(n_hashes)
-    t = F.col("_t")
-    n_pos = F.greatest(F.length(t) - (shingle_k - 1), F.lit(1))
-    shingle = t.substr(F.col("_i"), F.lit(shingle_k))
-    h_expr = _shingle_hash_expr(shingle, portable_hash)
     ex = (
         fan_out(df)
         .select(F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_t"))
-        .select("_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"), "_t")
-        .select("_id", h_expr.alias("_h"))
+        .select("_id", F.explode(shingle_array(F.col("_t"), shingle_k)).alias("_s"))
+        .select("_id", _shingle_hash_expr(F.col("_s"), portable_hash).alias("_h"))
     )
     h31 = F.col("_h").bitwiseAND(F.lit(p31))
     sig_aggs = [

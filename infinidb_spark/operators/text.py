@@ -17,6 +17,7 @@ from infinidb_spark.operators.dedup import (
     _shingle_hash_expr,
     fan_out,
     normalize_text,
+    shingle_array,
 )
 
 # Tiny stopword inventories — enough for a scoring heuristic; a real
@@ -119,14 +120,11 @@ def fingerprint(
     xxhash64 — reproducible as plain SQL (the oracle mode; see
     operators.dedup.minhash_lsh_pairs for the contract)."""
     t = col if pre_normalized else normalize_text(col)
-    n = F.greatest(F.length(t) - (window - 1), F.lit(1))
-    if portable_hash:
-        def h(i):
-            return md5_hash56(F.substring(t, i, F.lit(window)))
-    else:
-        def h(i):
-            return F.xxhash64(F.substring(t, i, F.lit(window)))
-    return F.array_min(F.transform(F.sequence(F.lit(1), n), h))
+    # ONE O(len) regex pass extracts every window (operators.dedup.
+    # shingle_array); the per-position substring form was O(len²) per
+    # doc (UTF8String substring re-walks the UTF-8 prefix per call)
+    h = md5_hash56 if portable_hash else F.xxhash64
+    return F.array_min(F.transform(shingle_array(t, window), lambda s: h(s)))
 
 
 def analyze(

@@ -691,3 +691,40 @@ def test_classify_lang_accepts_off_grid_weights(spark):
     ).collect()
     assert out[0]["lang"] == "xx"
     assert out[0]["score"] > 0.0
+
+
+def test_shingle_array_matches_substring_form(spark):
+    """r11 optimization: shingle extraction moved from per-position
+    substring (O(len²) per doc on UTF8String) to one regexp_extract_all
+    pass.  Pin exact equivalence against the original formulation on
+    every edge class: empty, shorter-than-k, exactly-k, multibyte
+    (2/3/4-byte UTF-8), NULL, and raw (non-normalized) text containing
+    newlines — per position, in order, duplicates preserved."""
+    rows = [
+        (1, ""),
+        (2, "ab"),
+        (3, "abcd"),
+        (4, "abcde"),
+        (5, "abcdef"),
+        (6, "héllo wörld"),
+        (7, "日本語のテキストです"),
+        (8, "aé中\U0001F600xyz"),
+        (9, None),
+        (10, "line one\nline two\ttabbed"),
+        (11, "aaaaaa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (3, 5, 8):
+        t = F.coalesce(F.col("text"), F.lit(""))
+        n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+        old = F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, F.lit(k)))
+        got = df.select("doc_id", D.shingle_array(t, k).alias("new"), old.alias("old")).collect()
+        for r in got:
+            assert r.new == r.old, f"k={k} doc={r.doc_id}: {r.new} != {r.old}"
+
+
+def test_shingles_distinct_form(spark):
+    df = spark.createDataFrame([(1, "Aa  aa\taa")], "doc_id long, text string")
+    (row,) = df.select(D.shingles(F.col("text"), k=2).alias("s")).collect()
+    # normalized 'aa aa aa' → 2-grams: aa, 'a ', ' a' (distinct)
+    assert sorted(row.s) == [" a", "a ", "aa"]
