@@ -376,8 +376,13 @@ def minhash_lsh_pairs(
     # (collect_set arrays are duplicate-free), which halves the per-pair
     # hash-set builds — array_union built its own OpenHashSet per call,
     # the same cost as the intersect (measured ~2× on the verify stage).
+    # same pinned-width trick as the pairs dedup below: the final
+    # set-merge is boxed-object-heavy per byte, and AQE's byte-based
+    # coalescing ran it (plus the broadcast build above it) on ONE task
+    # (measured 225 ms at sf0.1)
     shs = F.broadcast(
         _shingle_rows(cand_docs)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "_id")
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_n"))

@@ -107,6 +107,17 @@ def get_spark(app_name: str = "infinidb-spark", cpus: int | None = None) -> Spar
         # events.parquet carries TIMESTAMP(NANOS); read as long then
         # convert (see load_tables) — Spark has no native nanos reader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Generated-class cache (static conf; default 100 entries).  This
+        # engine serves a ~200-query corpus at ~8 codegen stages each:
+        # at 100 entries the cache THRASHES — every query's generated
+        # classes are evicted before its next run, each rerun recompiles
+        # (janino) AND restarts JIT profiling from zero on the fresh
+        # class.  Measured on the 15-query bench: eviction inflated the
+        # minhash verify stage 47× CPU (0.5 → 23.6 CPU-s) and the whole
+        # bench 7.1 → 4.6 s once sized to hold the working set.  Same
+        # reasoning holds on a long-running cluster serving a query
+        # fleet; ~10k entries ≈ at most a few hundred MB of metaspace.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
