@@ -1795,18 +1795,17 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
     ).select("doc_id", "split", D.normalize_text(F.col("text")).alias("_t"))
-    n_pos = F.greatest(F.length("_t") - 7, F.lit(1))
+    # one O(len) regex pass per doc (operators.dedup.shingle_array) — the
+    # per-position substr form was O(len²) per document (r11 optimization;
+    # same equivalence contract incl. the short-doc partial gram)
     grams = labeled.select(
         "doc_id",
         "split",
-        F.explode(F.sequence(F.lit(1), n_pos)).alias("_i"),
-        "_t",
+        F.explode(D.shingle_array(F.col("_t"), 8)).alias("_g"),
     ).select(
         "doc_id",
         "split",
-        F.conv(F.substring(F.md5(F.col("_t").substr(F.col("_i"), F.lit(8))), 1, 14), 16, 10)
-        .cast("long")
-        .alias("h"),
+        D.md5_hash56(F.col("_g")).alias("h"),
     )
     test_grams = grams.filter(F.col("split") == "test").select("h").distinct()
     train_grams = grams.filter(F.col("split") == "train").select("doc_id", "h").distinct()
