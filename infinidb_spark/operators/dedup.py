@@ -933,7 +933,12 @@ def ngram_jaccard_pairs(
         F.col("_id"), grams.alias("_g"), F.col("_k"), F.size(grams).alias("_n")
     )
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
-    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
+    # |A∪B| = |A|+|B|−|A∩B| exactly (gram arrays are array_distinct'd),
+    # so the verify never builds a union hash set — array_union cost the
+    # same per-pair OpenHashSet build as the intersect (the minhash
+    # verify measured ~2× on its stage from the same identity).  Integer
+    # identity → the double division is bit-identical to the size() form.
+    union = F.col("n_a") + F.col("n_b") - inter
     if candidate == "allpairs":
         a = base.select(
             F.col("_k"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"),
@@ -958,19 +963,56 @@ def ngram_jaccard_pairs(
     # base recomputes per use (returning an unexecuted plan must not
     # pin cache on the caller's behalf); callers looping over batches
     # can .persist() the input themselves
-    exploded = base.select("_id", "_k", "_n", F.explode("_g").alias("_gram"))
-    freq = exploded.groupBy("_gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    #
+    # The explode takes the gram EXPRESSION, not a projected `_g`
+    # column: with an attribute child, InferFiltersFromGenerate adds a
+    # `size(_g) > 0` guard that predicate pushdown then rewrites through
+    # the projections into the SCAN stage with `_g`'s whole defining
+    # expression inlined — re-running normalize/split/gram-build once
+    # more per row at raw-scan parallelism, below the fan_out exchange
+    # (measured 2×~60 task-seconds on 4-task scan stages at sf1, ~17 s
+    # of a 33 s pass).  An expression child fails the rule's cheap-input
+    # guard, so no filter is inferred (grams is never empty anyway:
+    # greatest(…, 1) always yields ≥ 1 position).  `_n` is NOT carried
+    # through the explode — it is recovered below as size(_gs), which
+    # equals the distinct-gram count by construction.
+    exploded = pre.select("_id", "_k", F.explode(grams).alias("_gram"))
+    # pinned-width single-phase count: gram frequency is a HIGH-
+    # CARDINALITY groupBy (most 3-grams are rare), so map-side partial
+    # aggregation compresses poorly (measured 1.7× at sf1: 90 → 53 MB)
+    # while its per-map hash build costs real CPU — and the 53 MB
+    # partial-count exchange byte-coalesced the final count onto ONE
+    # task (~4.4 s of an 11.9 s sf1 pass).  The explicit repartition
+    # satisfies the groupBy's distribution (no extra shuffle) and keeps
+    # the count at cluster width at every scale.
+    freq = (
+        exploded.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "_gram"
+        )
+        .groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
     # per doc: grams ordered rarest-first (global frequency asc, gram
-    # asc as the tiebreak — any shared total order keeps exactness)
+    # asc as the tiebreak — any shared total order keeps exactness).
+    # The explicit repartition pins the collect_list stage (and the
+    # prefix Generate + join-side projections that share its stage) at
+    # cluster width: its hash partitioning satisfies the groupBy's
+    # distribution, so no extra shuffle — but AQE cannot byte-coalesce
+    # it (the sorted-gram-array exchange is tiny-bytes/heavy-compute;
+    # byte-based coalescing ran it on ONE task for ~7.7 s at sf1).
     ordered = (
         exploded.join(freq, "_gram")
-        .groupBy("_id", "_k", "_n")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "_id", "_k")
+        .groupBy("_id", "_k")
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("_cnt", "_gram"))),
                 lambda s: s._gram,
             ).alias("_gs")
         )
+        # one joined row per distinct gram (freq is keyed by gram), so
+        # size(_gs) IS the old `_n` — same int type, same values
+        .withColumn("_n", F.size("_gs"))
     )
     # PPJoin prefix: |X| − ⌈t·|X|⌉ + 1 rarest grams.  The 1e-9 slack
     # guards the FP integer crossing: t·n that is exactly integer k in
@@ -999,6 +1041,10 @@ def ngram_jaccard_pairs(
         F.least(pa_.n_a, pb.n_b)
         >= F.lit(threshold) * F.greatest(pa_.n_a, pb.n_b) - F.lit(1e-9)
     )
+    # pinned-width dedup, same reasoning as the minhash pairs distinct:
+    # the verify join (one intersect hash-set build per candidate pair)
+    # runs in the stage reading this exchange; a bare dropDuplicates
+    # lets AQE byte-coalesce the small candidate exchange to one task
     cands = (
         pa_.join(
             pb,
@@ -1006,10 +1052,17 @@ def ngram_jaccard_pairs(
             & (pa_.id_a < pb.id_b) & band,
         )
         .select("id_a", "id_b")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    ga = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
-    gb = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    ga = base.select(
+        F.col("_id").alias("id_a"), F.col("_g").alias("g_a"),
+        F.col("_n").alias("n_a"),
+    )
+    gb = base.select(
+        F.col("_id").alias("id_b"), F.col("_g").alias("g_b"),
+        F.col("_n").alias("n_b"),
+    )
     return (
         cands.join(ga, "id_a").join(gb, "id_b")
         .withColumn("jaccard", inter / union)
