@@ -278,16 +278,27 @@ def window_dup_fraction(
     joining the signal back must not misread short docs as NULL).
     """
     n_win = F.greatest(F.size(F.col("_w")) - (window - 1), F.lit(0))
+    # short docs emit an EMPTY array (no window rows) instead of a
+    # sentinel row dropped by a `_n > 0` filter afterwards: predicate
+    # pushdown inlined that filter's whole tokens() expression into the
+    # scan-stage Filter below the fan_out exchange — one extra
+    # normalize+split pass per row at raw-scan parallelism (same
+    # pushdown-inlining disease as the ngram_jaccard inferred filter).
+    # Row-for-row identical: n_win ≥ 1 docs explode to the same
+    # positions, n_win = 0 docs contribute no rows either way (they
+    # re-enter through the all_ids spine below).
     base = (
         fan_out(df)
         .select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w"))
         .select(
             "_id",
-            F.explode(F.sequence(F.lit(1), F.greatest(n_win, F.lit(1)))).alias("_i"),
+            F.explode(
+                F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("_i"),
             "_w",
-            n_win.alias("_n"),
         )
-        .filter(F.col("_n") > 0)
     )
     win_text = F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), window))
     h = (
