@@ -1783,12 +1783,13 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination — the data-hygiene step of an LLM
     pipeline: flag TRAIN documents sharing character 8-grams with the
     held-out TEST split (hash_split, portable mode), ranked by overlap
-    ratio.  Plan: explode 8-gram hashes once with the split label,
-    aggregate the test side to a DISTINCT gram set, semi-shape join the
-    train grams against it, two groupBys — at 100 TB the test gram set
-    is small (eval sets are), so the join broadcasts and the corpus
-    relation is scanned once.  The oracle replays the split buckets,
-    the md5 gram hashes, and the thresholds literally."""
+    ratio.  Plan: explode the train split's 8-gram hashes in one pass,
+    LEFT-join against the broadcast DISTINCT test gram set, and compute
+    both per-doc totals (all grams / shared grams) in a single
+    aggregation — at 100 TB the test gram set is small (eval sets are),
+    so the join broadcasts and the train corpus is scanned once.  The
+    oracle replays the split buckets, the md5 gram hashes, and the
+    thresholds literally."""
     from infinidb_spark.operators.datasets import hash_split
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -1809,14 +1810,23 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     test_grams = grams.filter(F.col("split") == "test").select("h").distinct()
     train_grams = grams.filter(F.col("split") == "train").select("doc_id", "h").distinct()
-    totals = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    shared = (
-        train_grams.join(F.broadcast(test_grams), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # n_grams and n_shared come out of ONE aggregation over the distinct
+    # train grams: a LEFT join against the broadcast test set (distinct on
+    # h, so it can never duplicate a train row) marks shared grams, then
+    # count(*) vs count(_hit) split the two totals.  The previous
+    # shared-join-totals form consumed train_grams twice, and Spark
+    # recomputes unreferenced subtrees: the train corpus was scanned,
+    # exploded and md5-hashed twice (plus the inner join's inferred
+    # isnotnull(h) re-evaluated the md5 in the scan-stage Filter).
+    marked = train_grams.join(
+        F.broadcast(test_grams.withColumn("_hit", F.lit(1))), "h", "left"
     )
     return (
-        shared.join(totals, "doc_id")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("_hit")).alias("n_shared"),
+        )
         .filter(F.col("n_shared") >= 20)
         .select(
             "doc_id",

@@ -728,3 +728,51 @@ def test_shingles_distinct_form(spark):
     (row,) = df.select(D.shingles(F.col("text"), k=2).alias("s")).collect()
     # normalized 'aa aa aa' → 2-grams: aa, 'a ', ' a' (distinct)
     assert sorted(row.s) == [" a", "a ", "aa"]
+
+
+def test_eval_decontamination_single_pass_matches_two_pass(spark, sf_dir):
+    """r11 optimization: n_grams and n_shared come out of ONE aggregation
+    over the distinct train grams (LEFT join against the broadcast
+    distinct test set), replacing the shared-join-totals form that
+    scanned and hashed the train corpus twice.  Pin the rewrite against
+    the old two-pass shape recomputed here from the same gram stream."""
+    from infinidb_spark.operators.datasets import hash_split
+    from infinidb_spark.plans.pipeline import eval_decontamination
+
+    d = docs(spark, sf_dir)
+    labeled = hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+    ).select("doc_id", "split", D.normalize_text(F.col("text")).alias("_t"))
+    grams = labeled.select(
+        "doc_id", "split", F.explode(D.shingle_array(F.col("_t"), 8)).alias("_g")
+    ).select("doc_id", "split", D.md5_hash56(F.col("_g")).alias("h"))
+    test_grams = grams.filter(F.col("split") == "test").select("h").distinct()
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("doc_id", "h").distinct()
+    )
+    totals = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        train_grams.join(F.broadcast(test_grams), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    old = {
+        r.doc_id: (r.n_shared, r.n_grams, r.overlap)
+        for r in shared.join(totals, "doc_id")
+        .filter(F.col("n_shared") >= 20)
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_grams",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("overlap"),
+        )
+        .collect()
+    }
+    new_rows = eval_decontamination(spark, sf_dir).collect()
+    new = {r.doc_id: (r.n_shared, r.n_grams, r.overlap) for r in new_rows}
+    assert len(new_rows) == len(new)  # one row per doc, so dict compare is total
+    assert old == new
+    assert new  # non-vacuous: the split must produce flagged docs at this SF
+    # ordering contract: overlap desc, doc_id asc
+    keys = [(-r.overlap, r.doc_id) for r in new_rows]
+    assert keys == sorted(keys)
