@@ -50,18 +50,35 @@ def count_min_sketch(
     depth: int = 4,
     width: int = 1024,
     portable: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch relation: one row per non-empty (j, bucket) with
     its counter, plus the build parameters as constant metadata columns
     (depth, width, portable).  One explode (×depth) + one groupBy —
-    fixed ≤ d·w output rows whatever the input size."""
+    fixed ≤ d·w output rows whatever the input size.
+
+    ``weight_col`` counts each input row as that many occurrences
+    (``sum(weight)`` per bucket instead of ``count(*)``) — the
+    pre-aggregated form: reduce the key stream to (key, n) FIRST and
+    build the sketch from that small relation; every counter is
+    identical by integer-sum re-association, but the ×depth explode
+    runs over distinct keys instead of the raw stream, and a plan
+    consuming the same (key, n) aggregate elsewhere shares one scan
+    via exchange reuse."""
     j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    if weight_col is None:
+        keyed = df.select(F.col(key_col).alias("_k"), F.lit(1).alias("_w"))
+    else:
+        keyed = df.select(F.col(key_col).alias("_k"), F.col(weight_col).alias("_w"))
     return (
-        df.select(F.col(key_col).alias("_k"))
-        .select("_k", j)
-        .select("j", _bucket(F.col("_k"), F.col("j"), width, portable).alias("bucket"))
+        keyed.select("_k", "_w", j)
+        .select(
+            "j",
+            _bucket(F.col("_k"), F.col("j"), width, portable).alias("bucket"),
+            "_w",
+        )
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("counter"))
+        .agg(F.sum("_w").cast("long").alias("counter"))
         .withColumn("depth", F.lit(depth))
         .withColumn("width", F.lit(width))
         .withColumn("portable", F.lit(portable))

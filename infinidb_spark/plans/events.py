@@ -230,16 +230,31 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation — at 100 TB the only big shuffles are the two user-keyed
     groupBys; the cohort matrix itself is O(weeks²) rows whatever the
     event volume (the aggregate-of-aggregates cascade shape)."""
+    from pyspark.sql import Window
+
     (events,) = _t(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts"))
-    first = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    # ONE events pass: the distinct (user, week) relation both carries
+    # the activity AND determines the cohort (first-seen week = min of
+    # the user's distinct weeks, a window over the user partition).  The
+    # former two-subtree form (groupBy-min `first` + distinct `activity`
+    # + a third `first` copy under `sizes`) scanned events three times —
+    # column pruning specialised each copy, so AQE exchange reuse never
+    # deduped them.  Cohort sizes fall out of the same relation: each
+    # user's first-week row (week <=> cohort_week, null-safe so an
+    # all-null-ts user still counts once, as groupBy-min counted it)
+    # appears exactly once.
     activity = events.select("user_id", week.alias("week")).distinct()
-    sizes = first.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
+    acts = activity.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    sizes = (
+        acts.filter(F.col("week").eqNullSafe(F.col("cohort_week")))
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
     )
     act = (
-        activity.join(first, "user_id")
-        .groupBy(
+        acts.groupBy(
             "cohort_week",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
             .cast("bigint")
@@ -383,15 +398,29 @@ def events_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    counts = [
-        v.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("step1_view")),
-        c.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("step2_click")),
-        p.agg(F.count(F.lit(1)).alias("n_users")).withColumn("step", F.lit("step3_purchase")),
-    ]
-    out = counts[0]
-    for df_ in counts[1:]:
-        out = out.unionByName(df_)
-    return out.select("step", "n_users").orderBy("step")
+    # All three step counts from ONE funnel relation: LEFT-join the
+    # (monotonically shrinking) stage relations, count in a single
+    # global aggregate, unpivot to the step rows.  The former per-step
+    # `.agg(count)` union consumed v three times and c twice; column
+    # pruning specialised each copy, so AQE exchange reuse never
+    # deduped them — 5 scans executed.  The left joins keep one row per
+    # v-user (c and p are user-unique), so count(*) is step 1 exactly —
+    # including a user whose every view ts is NULL (t_view NULL, which
+    # count("t_view") would miss); t_click / t_purchase are never null
+    # for a surviving user (min over ts values that passed a `>`
+    # filter), so their non-null counts equal the stage row counts.
+    f = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    counts = f.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count("t_click").alias("n2"),
+        F.count("t_purchase").alias("n3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'step1_view', n1, 'step2_click', n2, 'step3_purchase', n3)"
+            " as (step, n_users)"
+        )
+    ).orderBy("step")
 
 
 @query(

@@ -1084,13 +1084,18 @@ def token_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    sketch = count_min_sketch(toks, "tok", depth=4, width=512, portable=True)
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.desc("exact_n"), "tok")
-        .limit(12)
+    # Aggregate the token stream to (tok, exact_n) ONCE and build the
+    # sketch from those counts (weight_col: sum(n) per bucket ==
+    # count(*) over the raw stream by integer-sum re-association).  The
+    # sketch build, the top-12 probe side and the final join all contain
+    # the same groupBy("tok") exchange, so the corpus is scanned and
+    # tokenized once (ReusedExchange) — the raw-stream form scanned it
+    # three times, and exploded every token instance ×depth.
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    sketch = count_min_sketch(
+        counts, "tok", depth=4, width=512, portable=True, weight_col="exact_n"
     )
+    exact = counts.orderBy(F.desc("exact_n"), "tok").limit(12)
     est = cms_estimate(sketch, exact, "tok", depth=4, width=512, portable=True)
     return (
         exact.join(est, "tok")

@@ -44,6 +44,21 @@ def test_cms_fixed_size_and_mass(spark, sf_dir):
         assert sum(r.counter for r in sketch if r.j == j) == n
 
 
+def test_cms_weighted_build_matches_raw_stream(spark, sf_dir):
+    """r11 optimization: building the sketch from pre-aggregated
+    (key, n) rows with weight_col must produce the identical counter
+    matrix as the raw-stream build — integer-sum re-association."""
+    toks = _tokens(spark, sf_dir)
+    raw = count_min_sketch(toks, "tok", DEPTH, WIDTH, portable=True).collect()
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    weighted = count_min_sketch(
+        counts, "tok", DEPTH, WIDTH, portable=True, weight_col="n"
+    ).collect()
+    as_map = lambda rows: {(r.j, r.bucket): r.counter for r in rows}
+    assert as_map(raw) == as_map(weighted)
+    assert {tuple(r)[3:] for r in weighted} == {(DEPTH, WIDTH, True)}
+
+
 def test_cms_exact_without_collisions(spark):
     df = spark.createDataFrame([("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "k string")
     sketch = count_min_sketch(df, "k", depth=4, width=4096)
