@@ -55,6 +55,36 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin_width(df: DataFrame) -> int:
+    """Partition count for the explicit pinned-width repartitions.
+
+    The pinned exchanges exist because AQE's BYTE-based partition
+    coalescing collapses tiny-bytes/heavy-compute stages (per-pair
+    hash-set verifies, per-doc collect_list sorts) to one task — the
+    pin keeps them at cluster width.  But ``REPARTITION_BY_NUM`` is
+    final: AQE can neither coalesce nor subdivide it, so a hard
+    ``defaultParallelism`` (total cores) would CAP the width of these
+    shuffles at any scale — at 100 TB that is far too few partitions
+    (per-partition state → spill, guide §5).
+
+    Width = max(defaultParallelism, spark.sql.shuffle.partitions): the
+    deployment's ordinary shuffle-width knob (sized to the data per
+    guide §2.2, e.g. 2-3× cores or bytes/256 MB) raises the pins
+    together with every other exchange, while the local default
+    (shuffle.partitions = max(cpus, 8)) keeps bench plans identical on
+    this box.  Skew is handled separately: no pinned exchange may key a
+    Zipfian-hot value alone (the gram-frequency count salts, see
+    ``ngram_jaccard_pairs``); the remaining pins key doc-ids or
+    pair-ids, whose per-key row volume is bounded by a single document.
+    """
+    spark = df.sparkSession
+    try:
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        shuffle_p = 0
+    return max(spark.sparkContext.defaultParallelism, shuffle_p)
+
+
 def _hash_params(n: int) -> list[tuple[int, int]]:
     params = []
     state = 0x9E3779B97F4A7C15
@@ -145,6 +175,13 @@ def shingle_array(t: Column, k: int) -> Column:
     lone-surrogate shingle; consuming one code point per match keeps
     every start position on a code-point boundary, matching
     ``substring``'s code-point indexing.
+
+    Memory tradeoff: the full k-shingle array (~k × document bytes) is
+    materialized per row before the caller's explode, where the old
+    form exploded an int position sequence and built one shingle per
+    generated row.  Fine for web/corpus documents (KB-scale); for
+    multi-MB documents cap or chunk the text upstream (the corpus
+    loaders here never produce such rows).
     """
     return F.when(
         F.length(t) >= k,
@@ -313,7 +350,8 @@ def minhash_lsh_pairs(
     # and nothing is left cached after the query (lineage stays intact
     # for fault recovery, unlike localCheckpoint).
     # The explicit repartition pins the dedup exchange at cluster width
-    # (defaultParallelism, the same scale knob fan_out uses): its hash
+    # (``pin_width``: max(defaultParallelism, shuffle.partitions), the
+    # deployment's shuffle-width knob — see its docstring): its hash
     # partitioning satisfies the distinct's requirement, so it adds NO
     # extra shuffle — but, unlike a bare distinct, AQE cannot coalesce
     # it by byte size.  The verify join runs in the stage reading this
@@ -324,7 +362,7 @@ def minhash_lsh_pairs(
     # live in different band partitions, so the map-side dedup the
     # plain distinct did was already ineffective — shuffle bytes are
     # unchanged.
-    n_par = df.sparkSession.sparkContext.defaultParallelism
+    n_par = pin_width(df)
     pairs = (
         buckets.select(F.posexplode("_ids").alias("_p", "id_a"), "_ids")
         .select(
@@ -382,7 +420,7 @@ def minhash_lsh_pairs(
     # (measured 225 ms at sf0.1)
     shs = F.broadcast(
         _shingle_rows(cand_docs)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "_id")
+        .repartition(n_par, "_id")
         .groupBy("_id")
         .agg(F.collect_set("_h").alias("_sh"))
         .select("_id", "_sh", F.size("_sh").alias("_n"))
@@ -977,20 +1015,39 @@ def ngram_jaccard_pairs(
     # through the explode — it is recovered below as size(_gs), which
     # equals the distinct-gram count by construction.
     exploded = pre.select("_id", "_k", F.explode(grams).alias("_gram"))
-    # pinned-width single-phase count: gram frequency is a HIGH-
-    # CARDINALITY groupBy (most 3-grams are rare), so map-side partial
+    width = pin_width(df)
+    # SALTED two-level gram-frequency count.  Gram frequency is a HIGH-
+    # CARDINALITY groupBy (most n-grams are rare), so map-side partial
     # aggregation compresses poorly (measured 1.7× at sf1: 90 → 53 MB)
     # while its per-map hash build costs real CPU — and the 53 MB
     # partial-count exchange byte-coalesced the final count onto ONE
-    # task (~4.4 s of an 11.9 s sf1 pass).  The explicit repartition
-    # satisfies the groupBy's distribution (no extra shuffle) and keeps
-    # the count at cluster width at every scale.
+    # task (~4.4 s of an 11.9 s sf1 pass).  But a bare single-phase
+    # count keyed on `_gram` alone concentrates EVERY instance of a
+    # Zipfian-hot gram (natural-language gram frequency is Zipfian; a
+    # boilerplate gram can appear in 20 % of documents) on ONE reducer
+    # with no combining — the guide-§2.5 straggler.  Two-level salted
+    # aggregation (guide §2.5 "two-level aggregation"): level 1 counts
+    # per (gram, salt) — the salt is DETERMINISTIC (derived from the
+    # doc id, never rand(): re-run tasks must re-derive the same key,
+    # SPARK-38388) and spreads a hot gram over up to 16×width reducers;
+    # level 2 sums the ≤ nsalt partial counts per gram — its input is
+    # vocab-scale (rare grams contribute ONE row), map-side combined,
+    # and carries no skew (≤ nsalt rows per gram), so AQE byte-sizing
+    # is appropriate there.  `sum(count)` per gram equals the flat
+    # `count(*)` by integer-sum re-association — same long type, same
+    # values, so the downstream rarest-first ordering is unchanged.
+    # The level-1 repartition satisfies its groupBy's distribution (no
+    # extra shuffle vs the unsalted pin); the level-2 shuffle is new
+    # but vocab-scale-tiny.
+    nsalt = 16 * width
     freq = (
-        exploded.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "_gram"
-        )
+        exploded
+        .withColumn("_salt", F.pmod(F.xxhash64("_id"), F.lit(nsalt)))
+        .repartition(width, "_gram", "_salt")
+        .groupBy("_gram", "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("_gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(F.sum("_c").alias("_cnt"))
     )
     # per doc: grams ordered rarest-first (global frequency asc, gram
     # asc as the tiebreak — any shared total order keeps exactness).
@@ -1002,7 +1059,7 @@ def ngram_jaccard_pairs(
     # byte-based coalescing ran it on ONE task for ~7.7 s at sf1).
     ordered = (
         exploded.join(freq, "_gram")
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "_id", "_k")
+        .repartition(width, "_id", "_k")
         .groupBy("_id", "_k")
         .agg(
             F.transform(
@@ -1052,7 +1109,7 @@ def ngram_jaccard_pairs(
             & (pa_.id_a < pb.id_b) & band,
         )
         .select("id_a", "id_b")
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
+        .repartition(width, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     ga = base.select(

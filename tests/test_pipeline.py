@@ -671,6 +671,68 @@ def test_ngram_jaccard_fp_integer_crossing(spark):
         assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 0.56)], mode
 
 
+def test_ngram_jaccard_skewed_hot_gram(spark):
+    """r12 salted gram-frequency count: a Zipfian-hot gram (here 100%
+    document frequency — shared boilerplate) must not change results.
+    The corpus embeds known-jaccard pairs: A's grams ⊂ B's grams with
+    |A|=14, |B|=20 → J = 0.7 exactly; the boilerplate suffix makes
+    'boiler plate text' (and its join grams) hot across EVERY doc, so
+    the two-level salted count aggregates multi-salt partials for the
+    hot grams while rare grams take the single-partial path."""
+    from infinidb_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = []
+    suffix = " boiler plate text"
+    for d in range(40):
+        words = " ".join(f"d{d}w{i}" for i in range(10))
+        rows.append((d, words + suffix, "s"))
+    # known pair: 100 ⊂ 101 — 12+2 common words; shared suffix makes
+    # every gram of A also a gram of B
+    a_words = [f"p{i}" for i in range(12)]
+    rows.append((100, " ".join(a_words) + suffix, "s"))
+    rows.append((101, " ".join(a_words + [f"q{i}" for i in range(6)]) + suffix, "s"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    # A: 12 words + 3 suffix = 15 words -> 13 grams + ... compute both
+    # paths and require identity instead of hand-counting
+    fast = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, prefilter_col="source", candidate="prefix"
+    ).collect()
+    brute = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, prefilter_col="source", candidate="allpairs"
+    ).collect()
+    got = {(r.id_a, r.id_b, r.jaccard) for r in fast}
+    want = {(r.id_a, r.id_b, r.jaccard) for r in brute}
+    assert got == want, got ^ want
+    assert (100, 101) in {(a, b) for a, b, _ in got}
+
+
+def test_salted_two_level_count_matches_flat_count(spark):
+    """The identity the r12 freq rewrite rests on: sum of per-(key,
+    salt) counts == flat count(*) per key, with the deterministic
+    pmod(xxhash64(id), nsalt) salt — exact integer re-association,
+    including a hot key owning most rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.col("id").alias("_id"),
+        F.when(F.col("id") % 5 < 4, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("g"), F.col("id") % 97))
+        .alias("_gram"),
+    )
+    nsalt = 64
+    two_level = (
+        df.withColumn("_salt", F.pmod(F.xxhash64("_id"), F.lit(nsalt)))
+        .groupBy("_gram", "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_gram")
+        .agg(F.sum("_c").alias("_cnt"))
+    )
+    flat = df.groupBy("_gram").agg(F.count(F.lit(1)).alias("_cnt"))
+    a = {r._gram: r._cnt for r in two_level.collect()}
+    b = {r._gram: r._cnt for r in flat.collect()}
+    assert a == b and a["HOT"] == 4000
+
+
 def test_classify_lang_accepts_off_grid_weights(spark):
     """r10 review fix: a caller-supplied trained weight table off the
     1/1024 grid used to be quantized (small-magnitude heads collapsed
