@@ -49,20 +49,36 @@ def _local_dir() -> str | None:
     """Shuffle/spill scratch directory (``spark.local.dir``).
 
     Order: $SPARK_GRAFT_LOCAL_DIR override → /dev/shm (tmpfs) when
-    writable → None (Spark default /tmp).  Shuffle files on this box's
-    ext4 VM disk pay millisecond-class create/write latency per block
-    file — measured 10.4 s of shuffleWriteTime (71 % of the stage) on a
-    32-task stage writing 0.5 MB total; tmpfs cuts it ~2.5× (guide §2.1:
-    local disk bandwidth/latency can be the shuffle's tighter limit).
+    writable AND comfortably sized → None (Spark default /tmp).
+    Shuffle files on this box's ext4 VM disk pay millisecond-class
+    create/write latency per block file — measured 10.4 s of
+    shuffleWriteTime (71 % of the stage) on a 32-task stage writing
+    0.5 MB total; tmpfs cuts it ~2.5× (guide §2.1: local disk
+    bandwidth/latency can be the shuffle's tighter limit).
     On a production cluster this is the standard "point local dirs at
     the fast local disks" knob (guide §9) — set the env var to the
-    NVMe/SSD array there; tmpfs is the local-sandbox analog and is
-    sized far below the box's RAM by the tiny bench shuffles.
+    NVMe/SSD array there; tmpfs is the local-sandbox analog.
+
+    Size guard: containers commonly cap /dev/shm at 64 MB, and a tmpfs
+    fills RAM rather than spilling — a shuffle larger than the mount
+    would die mid-stage with a "No space left on device" the user
+    cannot connect to this default.  tmpfs is therefore selected only
+    when it reports ≥ 8 GiB free (far above any local-mode shuffle this
+    engine runs, far below a real deployment's data); anything smaller
+    falls back to the Spark default, which spills to disk gracefully.
+    The env override skips the guard — an operator pointing at a
+    deliberately small fast device owns that sizing.
     """
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override:
         return override
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize < 8 * 1024**3:
+                return None
+        except OSError:
+            return None
         d = "/dev/shm/spark-graft-local"
         try:
             os.makedirs(d, exist_ok=True)
@@ -118,6 +134,19 @@ def get_spark(app_name: str = "infinidb-spark", cpus: int | None = None) -> Spar
         # reasoning holds on a long-running cluster serving a query
         # fleet; ~10k entries ≈ at most a few hundred MB of metaspace.
         .config("spark.sql.codegen.cache.maxEntries", "10000")
+        # Spark UI off by default: the embedded Jetty UI + its listener
+        # bus add measurable DRIVER latency per DataFrame op (measured
+        # 6.7 → 5.0 ms/op on this box; ~0.3 s of a minhash query's ~45
+        # ops — the bench's largest single non-execution cost).  A
+        # query engine serving a fleet wants the listener path lean;
+        # monitoring stays available two ways: the history-server event
+        # log (cluster deployments), or SPARK_GRAFT_UI=1, which the
+        # measurement harnesses (opt_measure --stages etc.) set to read
+        # stage metrics over the UI's REST API.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

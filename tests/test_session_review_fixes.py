@@ -277,3 +277,32 @@ def test_compound_interval_overflow_is_null(spark):
     # beyond Spark's long-microsecond literal cap: NULL (the reference
     # overflows to datetime 0), never an AnalysisException
     assert v is None
+
+
+def test_local_dir_tmpfs_guard(monkeypatch):
+    """r12 advice fix: /dev/shm is only picked as spark.local.dir when it
+    reports comfortable free space — a container's 64 MB tmpfs must fall
+    back to the Spark default (which spills to disk) instead of dying
+    mid-shuffle with ENOSPC; the env override skips the guard."""
+    import os
+
+    from infinidb_spark.session import _local_dir
+
+    class _SmallFS:
+        f_bavail = 16 * 1024  # 64 MB at 4 KiB blocks
+        f_frsize = 4096
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR", raising=False)
+    monkeypatch.setattr(os, "statvfs", lambda p: _SmallFS())
+    assert _local_dir() is None
+
+    class _BigFS:
+        f_bavail = 16 * 1024**2  # 64 GiB
+        f_frsize = 4096
+
+    monkeypatch.setattr(os, "statvfs", lambda p: _BigFS())
+    got = _local_dir()
+    assert got is None or got.startswith("/dev/shm")
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/tiny/fast/device")
+    assert _local_dir() == "/tiny/fast/device"
