@@ -64,12 +64,20 @@ def count_min_sketch(
     identical by integer-sum re-association, but the ×depth explode
     runs over distinct keys instead of the raw stream, and a plan
     consuming the same (key, n) aggregate elsewhere shares one scan
-    via exchange reuse."""
+    via exchange reuse.  Weights must be non-negative occurrence
+    counts; a NULL weight counts as 0 (coalesced below — ``sum``
+    SKIPS nulls, so a bucket whose weights were all NULL would
+    otherwise yield a NULL counter where the unweighted build always
+    produces a number, and ``cms_estimate``'s min over it would
+    misbehave)."""
     j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
     if weight_col is None:
         keyed = df.select(F.col(key_col).alias("_k"), F.lit(1).alias("_w"))
     else:
-        keyed = df.select(F.col(key_col).alias("_k"), F.col(weight_col).alias("_w"))
+        keyed = df.select(
+            F.col(key_col).alias("_k"),
+            F.coalesce(F.col(weight_col), F.lit(0)).alias("_w"),
+        )
     return (
         keyed.select("_k", "_w", j)
         .select(

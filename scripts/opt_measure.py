@@ -23,6 +23,9 @@ import sys
 import time
 import urllib.request
 
+# stage metrics come over the UI REST API; the engine default is UI-off
+os.environ.setdefault("SPARK_GRAFT_UI", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402

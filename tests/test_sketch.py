@@ -59,6 +59,26 @@ def test_cms_weighted_build_matches_raw_stream(spark, sf_dir):
     assert {tuple(r)[3:] for r in weighted} == {(DEPTH, WIDTH, True)}
 
 
+def test_cms_weighted_null_weight_counts_zero(spark):
+    """r12 advice fix: sum() SKIPS nulls, so a bucket whose weights were
+    all NULL used to yield a NULL counter (the unweighted build always
+    produces a number) and cms_estimate's min over it misbehaved; NULL
+    weights now coalesce to 0."""
+    df = spark.createDataFrame(
+        [("a", 3), ("a", None), ("b", None)], "k string, n int"
+    )
+    sketch = count_min_sketch(df, "k", depth=4, width=4096, weight_col="n")
+    rows = sketch.collect()
+    assert all(r.counter is not None for r in rows)
+    est = {
+        r.k: r.est_n
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", 4, 4096
+        ).collect()
+    }
+    assert est == {"a": 3, "b": 0}
+
+
 def test_cms_exact_without_collisions(spark):
     df = spark.createDataFrame([("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "k string")
     sketch = count_min_sketch(df, "k", depth=4, width=4096)
