@@ -100,11 +100,21 @@ def get_spark(app_name: str = "infinidb-spark", cpus: int | None = None) -> Spar
         # splitting — replaces reference RowEstimator + DiskJoinStep logic.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect the advisory target size when coalescing instead of
-        # maximizing parallelism — the Spark-docs-recommended setting:
-        # small shuffle stages collapse to few tasks (scheduling cost ∝
-        # tasks), while large stages still split by the 64 MB advisory
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # coalescePartitions.parallelismFirst stays at Spark's default
+        # (true): the coalesce target is then min(64 MB advisory,
+        # total/defaultParallelism) — a WIDTH FLOOR, so any post-shuffle
+        # stage with enough bytes runs at least cluster-wide while
+        # sub-MB exchanges still collapse to one task.  The previous
+        # `false` (advisory-only) byte-coalesced every 1-64 MB exchange
+        # to ONE task: measured on tpch_q18 at sf1, the HAVING
+        # aggregate's 38.9 MB exchange ran its final agg single-task
+        # for 2.86 s of a 4.9 s wall — the same pathology at any scale
+        # where a high-cardinality aggregation's partial output lands
+        # under the advisory.  Large shuffles still split by the 64 MB
+        # advisory (the floor only ever LOWERS the target).  A 6-round
+        # interleaved bench A/B (plans/r12/parallelismFirst_ab.jsonl)
+        # shows no measurable sf0.1 cost for the default (minima 4.175
+        # vs 4.294 s, inside the box's noise band), so no override.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # PM-join small-side cap 64MB (resourcemanager.h:56) → broadcast cap.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
