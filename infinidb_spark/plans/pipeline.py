@@ -1537,8 +1537,16 @@ def ann_recall_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     ivf = parts[0].unionByName(parts[1])
     exact = S.cosine_topk(emb, _QUERY_VEC, k=10).select("vec_id")
+    # centroids=cents: ann_ivfpq_topk would otherwise RETRAIN the
+    # identical routing model (same df/stride/k_max; train_ivf_centroids
+    # is deterministic by contract) — one full seed-collect + Lloyd
+    # pass paid twice per gate run (measured ~2 s of this query's
+    # ~10.7 s sf0.01 wall, guide §1.2: don't compute what you throw
+    # away).  The PQ codebooks have no earlier twin, so they still
+    # train here.
     pq = E.ann_ivfpq_topk(
-        emb, _QUERY_VEC, k=10, n_probe=2, stride=50, k_max=32
+        emb, _QUERY_VEC, k=10, n_probe=2, stride=50, k_max=32,
+        centroids=cents,
     ).select("vec_id")
     pqdf = (
         pq.join(exact, "vec_id")
