@@ -47,8 +47,13 @@ def fan_out(df: DataFrame) -> DataFrame:
     never ``df.rdd.getNumPartitions()``, which forces an RDD conversion
     and pins the subtree's plan before AQE can re-plan it.  Non-file
     sources (in-memory test frames) report zero files and pass through.
+
+    Width = ``pin_width`` (max(defaultParallelism,
+    spark.sql.shuffle.partitions)) — the same scale knob as the pinned
+    repartitions, so a deployment that raises its shuffle width fans
+    compute-heavy scans out to match; locally identical (32 = 32).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    target = pin_width(df)
     n_files = len(df.inputFiles())
     if 0 < n_files < target:
         return df.repartition(target)
