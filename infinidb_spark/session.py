@@ -14,9 +14,17 @@ cluster reading 100 TB):
   CP-extent row estimates; AQE also coalesces post-shuffle partitions
   and handles skew joins (ref grace-hash ``DiskJoinStep``,
   ``dbcon/joblist/diskjoinstep.h:28``, is Spark-native spill).
-* autoBroadcastJoinThreshold 64 MB mirrors the reference's PM-join
-  small-side cap ``PmMaxMemorySmallSide``
-  (ref ``dbcon/joblist/resourcemanager.h:56``).
+* autoBroadcastJoinThreshold stays at Spark's 10 MB default.  The
+  engine historically raised it to 64 MB to mirror the reference's
+  PM-join small-side cap ``PmMaxMemorySmallSide``
+  (ref ``dbcon/joblist/resourcemanager.h:56``), but the broadcast
+  build is DRIVER-serial (collect + hash-relation construction), and
+  measurement at sf1 showed multi-second builds of 1.5 M-row sides
+  losing 2-4× to a 32-way shuffle (tpch_q5 4.37→1.04 s, q3 3.40→0.84,
+  q21 3.29→1.03; bench at sf0.1 unchanged — no side there sits in the
+  10-64 MB band; plans/r12/bht_ab.jsonl).  At 100 TB oversized
+  broadcasts are driver OOMs, not wins.  ``SPARK_GRAFT_BHT`` overrides
+  (bytes) for deployments whose dimension tables genuinely fit.
 * shuffle.partitions is a local default; on a real cluster set it to
   2-3× total cores or rely on AQE coalescing.
 * session timezone pinned UTC so date/time semantics are deterministic
@@ -116,8 +124,14 @@ def get_spark(app_name: str = "infinidb-spark", cpus: int | None = None) -> Spar
         # shows no measurable sf0.1 cost for the default (minima 4.175
         # vs 4.294 s, inside the box's noise band), so no override.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # PM-join small-side cap 64MB (resourcemanager.h:56) → broadcast cap.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast cap: Spark's 10 MB default (see module docstring —
+        # the 64 MB reference-mirroring cap lost to measurement at sf1:
+        # driver-serial builds of 1.5 M-row sides cost 2-4× a 32-way
+        # shuffle).  Env-overridable (SPARK_GRAFT_BHT, bytes).
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BHT", str(10 * 1024 * 1024)),
+        )
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas_udf path (dedup/similarity/multimodal).

@@ -28,6 +28,7 @@ def bucketed_tables(spark, sf_dir):
 def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     li, ords = bucketed_tables
     # disable broadcast so the join strategy is genuinely shuffle-or-bucket
+    saved_bht = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = bucketed_join(spark, li, ords, ["l_orderkey"])
@@ -35,7 +36,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bht)
 
 
 def test_bucketed_join_matches_shuffled_join(spark, sf_dir, bucketed_tables):
@@ -89,6 +90,7 @@ def test_bucketed_sorted_write_one_file_per_bucket(spark, sf_dir):
     write_bucketed(
         df, "li_bkt_sorted", "l_orderkey", n_buckets=4, sort_col="l_orderkey"
     )
+    saved_bht = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         loc = (
             spark.sql("DESCRIBE TABLE EXTENDED li_bkt_sorted")
@@ -108,9 +110,7 @@ def test_bucketed_sorted_write_one_file_per_bucket(spark, sf_dir):
         # no space-bracket after 'Sort')
         assert " Sort [" not in plan, f"sorted buckets still re-sort:\n{plan}"
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bht)
         spark.conf.set(
             "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
         )

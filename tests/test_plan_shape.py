@@ -108,6 +108,7 @@ def test_broadcast_hint_is_honored(spark, sf_dir):
     from infinidb_spark.session import load_tables
 
     t = load_tables(spark, sf_dir, names=("lineitem", "orders"))
+    saved_bht = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         hinted = t["lineitem"].join(
@@ -120,7 +121,7 @@ def test_broadcast_hint_is_honored(spark, sf_dir):
         )
         assert "BroadcastHashJoin" not in _physical(unhinted)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bht)
 
 
 def test_no_accidental_cartesian_anywhere(queries, spark, sf_dir):
