@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from infinidb_spark.functions.prng import lcg_next
+from infinidb_spark.operators.dedup import fan_out
 
 #: guard against all-zero vectors — scale never reaches 0 so x/scale
 #: stays finite; 1e-12 is far below any real float32 embedding range.
@@ -227,8 +228,12 @@ def pq_train(
         for s in range(m)
     ]
 
+    # the Lloyd assignment evaluates m interpreted argmin trees (k×d0
+    # literal distances each) per row — compute-dense, so a small corpus
+    # must not ride its 1–2 scan partitions (fan_out no-ops at scale)
+    wide = fan_out(base)
     for _ in range(max(iters - 1, 0)):
-        assigned = base.select(
+        assigned = wide.select(
             F.col(id_col),
             "_v",
             *[pq_best_expr(codebooks, s, d0)["c"].alias(f"_c{s}") for s in range(m)],
@@ -386,13 +391,16 @@ def ann_ivfpq_topk(
     distance is ``Σ_s LUT[s][code_s]``, summed s = 0..m-1 in literal
     order (no engine-dependent aggregation order).
 
-    Serving plan shape: scan → nearest-centroid routing projection →
-    ``cid IN probes`` filter → per-subspace code projections → literal
-    LUT lookups → TakeOrderedAndProject.  Zero joins, zero shuffles.
-    At 100 TB the codes are materialized once (m bytes per vector,
-    partitioned by cid) and serving reads ONLY the code columns of the
-    probed cells — the scan is ~m/(4·D) of the raw-vector scan that
-    IVF-Flat pays.
+    Serving plan shape: scan → fan_out widening (no-op on a many-file
+    corpus) → nearest-centroid routing projection → broadcast-SEMI
+    probe filter (``probe_semi`` — a null-safe semi join on the
+    n_probe-row probes relation, never an ``isin`` predicate that
+    Catalyst would push below the widening exchange) → per-subspace
+    code projections → literal LUT lookups → TakeOrderedAndProject.
+    No keyed shuffle, no big-side join build.  At 100 TB the codes are
+    materialized once (m bytes per vector, partitioned by cid) and
+    serving reads ONLY the code columns of the probed cells — the scan
+    is ~m/(4·D) of the raw-vector scan that IVF-Flat pays.
 
     Returns (id, approx_d2) — the ``k`` best candidates by ADC
     distance, ascending, ties to the lowest id.
@@ -400,6 +408,7 @@ def ann_ivfpq_topk(
     from infinidb_spark.operators.similarity import (
         ivf_assign_expr,
         ivf_probe_ids,
+        probe_semi,
         train_ivf_centroids,
     )
 
@@ -444,11 +453,16 @@ def ann_ivfpq_topk(
         lut.append([by_code.get(c) for c in range(max(by_code) + 1)])
 
     vec = F.col(vec_col).cast("array<double>")
-    scored = df.select(
-        F.col(id_col),
-        vec.alias("_v"),
-    ).withColumn("_cid", ivf_assign_expr(F.col("_v"), centroids)).filter(
-        F.col("_cid").isin(probes)
+    # routing (K cosines) + m PQ argmins per row are interpreted
+    # higher-order expressions — fan the scan out so a few-file local
+    # corpus doesn't serialize them on 1–2 tasks (no-op at scale, where
+    # the scan already yields ≥ cluster-width partitions)
+    scored = probe_semi(
+        fan_out(df.select(
+            F.col(id_col),
+            vec.alias("_v"),
+        )).withColumn("_cid", ivf_assign_expr("`_v`", centroids)),
+        probes,
     )
     # one F.expr per subspace (py4j economy, same rationale as
     # pq_best_expr); summed s = 0..m-1 left-to-right

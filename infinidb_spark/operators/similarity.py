@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from infinidb_spark.functions.prng import lcg_next
+from infinidb_spark.operators.dedup import fan_out
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -116,9 +117,11 @@ def cosine_topk_batch(
         F.col(q_id_col).alias("_qid"),
         F.col(q_vec_col).cast("array<double>").alias("_qv"),
     )
-    c = corpus.select(
+    # Q interpreted cosines per corpus row — widen a few-file local scan
+    # (fan_out no-ops at scale)
+    c = fan_out(corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    ))
     sim = cosine_similarity(F.col("_v"), F.col("_qv"))
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -244,7 +247,7 @@ def train_ivf_centroids(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
-def ivf_assign_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def ivf_assign_expr(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> Column:
     """Nearest-centroid id as a pure projection — no join, no shuffle.
 
     ``array_max`` over (rounded cosine, -cid) structs; ties break to the
@@ -253,8 +256,9 @@ def ivf_assign_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Co
     pinning discipline as the corpus oracles).  Delegates to
     ``ivf_best_expr`` — ONE copy of the determinism-critical argmax, so
     the assignment and serving paths can never drift apart.
+    ``vec_sql`` is SQL text for the vector (see ivf_best_expr).
     """
-    return ivf_best_expr(vec, centroids)["cid"]
+    return ivf_best_expr(vec_sql, centroids)["cid"]
 
 
 def ivf_probe_ids(
@@ -288,6 +292,41 @@ def ivf_probe_ids(
     return [-nc for _s, nc in ranked[:n_probe]]
 
 
+def probe_semi(scored: DataFrame, probes: list[int], cid_col: str = "_cid") -> DataFrame:
+    """Keep rows whose routing cell is probed — as a broadcast SEMI JOIN
+    on a tiny probes relation, not ``isin``.
+
+    Same rows as ``.filter(col.isin(probes))`` (probe ids are distinct
+    and non-null; a NULL cid matches neither form).  The join form
+    exists because a deterministic ``isin`` predicate gets pushed below
+    the ``fan_out`` exchange into the scan stage, re-serializing the
+    interpreted K-cosine routing onto a few-file corpus's 1–2 scan
+    partitions — a join never sinks below the exchange, so routing
+    evaluates at cluster width.  At 100 TB ``fan_out`` is a no-op and
+    the broadcast semi join lives in the scan stage like the filter
+    did (a 2-entry hash probe instead of an IN-2 list).
+
+    Two load-bearing details:
+    * the key compares NULL-SAFE (``<=>``, same result — NULL matches
+      no probe): a plain ``=`` lets InferFiltersFromConstraints derive
+      ``IsNotNull(cid)`` and push IT below the exchange, re-running the
+      full routing expression on the narrow scan side (the same
+      inferred-filter artifact as r11's ngram InferFiltersFromGenerate);
+    * the probes relation is built from ``range(1) + explode(literals)``
+      — native, one task — never ``createDataFrame(list)``, whose
+      parallelize-backed RDD scan spins defaultParallelism Python
+      workers per query (a §4 JVM↔Python boundary for 2 rows)."""
+    spark = scored.sparkSession
+    pdf = spark.range(0, 1, 1, 1).select(
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in probes])
+        ).alias("_probe")
+    )
+    return scored.join(
+        F.broadcast(pdf), F.col(cid_col).eqNullSafe(F.col("_probe")), "semi"
+    )
+
+
 def ann_ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -303,9 +342,11 @@ def ann_ivf_topk(
     ``n_probe`` centroids nearest the query, exact-cosine rerank inside
     the probed cells only.
 
-    Serving plan shape (the scale contract): scan → nearest-centroid
-    projection → ``cid IN probes`` filter → ``TakeOrderedAndProject``.
-    Zero joins, zero shuffles.  At 100 TB the assignment is materialized
+    Serving plan shape (the scale contract): scan → fan_out widening
+    (no-op on a many-file corpus) → nearest-centroid projection →
+    broadcast-SEMI probe filter (``probe_semi``) →
+    ``TakeOrderedAndProject``.  No keyed shuffle, no big-side join
+    build.  At 100 TB the assignment is materialized
     once (``df.withColumn("cid", ivf_assign_expr(...)).write
     .partitionBy("cid")``) and the probe filter prunes files before any
     vector math runs — the IVF cell ≅ the reference's extent with its
@@ -323,9 +364,19 @@ def ann_ivf_topk(
 
     vec = F.col(vec_col).cast("array<double>")
     qcol = F.array(*[F.lit(x) for x in q])
+    # the K-cosine routing projection is an interpreted higher-order
+    # expression — widen a few-file local scan so it doesn't serialize
+    # on 1–2 tasks (fan_out no-ops at scale)
     return (
-        df.withColumn("_cid", ivf_assign_expr(vec, centroids))
-        .filter(F.col("_cid").isin(probes))
+        probe_semi(
+            fan_out(df).withColumn(
+                "_cid",
+                ivf_assign_expr(
+                    f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centroids
+                ),
+            ),
+            probes,
+        )
         .select(F.col(id_col), F.round(cosine_similarity(vec, qcol), 6).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -386,23 +437,63 @@ def ann_ivf_topk_batch(
         for r in qrows
         for cid in ivf_probe_ids([float(x) for x in r["_qv"]], centroids, n_probe)
     ]
-    probes = spark.createDataFrame(
-        probe_rows,
-        StructType([StructField("_qid", qid_type), StructField("_cid", LongType())]),
-    )
-    qvecs = spark.createDataFrame(
-        [(r["_qid"], [float(x) for x in r["_qv"]]) for r in qrows],
-        StructType(
-            [
-                StructField("_qid", qid_type),
-                StructField("_qv", ArrayType(DoubleType())),
-            ]
-        ),
-    )
+    if qrows:
+        # native literal relations (range + explode of literal structs) —
+        # createDataFrame(list) is parallelize-backed, and its RDD scan
+        # spins defaultParallelism Python workers per batch (a §4
+        # JVM↔Python boundary paid for a handful of rows); ``{x!r}D``
+        # double literals parse to the exact collected IEEE values (the
+        # pq_best_expr discipline)
+        probes = spark.range(0, 1, 1, 1).select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(qid).cast(qid_type).alias("_qid"),
+                    F.lit(int(cid)).cast("long").alias("_pcid"),
+                )
+                for qid, cid in probe_rows
+            ])).alias("_r")
+        ).select("_r._qid", "_r._pcid")
+        qvecs = spark.range(0, 1, 1, 1).select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(r["_qid"]).cast(qid_type).alias("_qid"),
+                    F.expr(
+                        "array("
+                        + ", ".join(f"{float(x)!r}D" for x in r["_qv"])
+                        + ")"
+                    ).alias("_qv"),
+                )
+                for r in qrows
+            ])).alias("_r")
+        ).select("_r._qid", "_r._qv")
+    else:
+        probes = spark.createDataFrame(
+            [],
+            StructType(
+                [StructField("_qid", qid_type), StructField("_pcid", LongType())]
+            ),
+        )
+        qvecs = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("_qid", qid_type),
+                    StructField("_qv", ArrayType(DoubleType())),
+                ]
+            ),
+        )
     vec = F.col(vec_col).cast("array<double>")
+    # same narrow-scan/compute-dense remedy as ann_ivf_topk: the per-row
+    # K-cosine assignment must not ride 1–2 local scan partitions; the
+    # probe key compares NULL-SAFE for the probe_semi reason — a plain
+    # ``=`` lets InferFiltersFromConstraints push an IsNotNull(_cid)
+    # routing evaluation below the fan_out exchange
     cand = (
-        corpus.withColumn("_cid", ivf_assign_expr(vec, centroids))
-        .join(F.broadcast(probes), "_cid")
+        fan_out(corpus).withColumn(
+            "_cid",
+            ivf_assign_expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centroids),
+        )
+        .join(F.broadcast(probes), F.col("_cid").eqNullSafe(F.col("_pcid")))
         .join(F.broadcast(qvecs), "_qid")
         .select(
             F.col("_qid"),
@@ -539,23 +630,52 @@ def embedding_dedup(
     )
 
 
-def ivf_best_expr(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def ivf_best_expr(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> Column:
     """Struct(sim, cid) of the nearest centroid — ``ivf_assign_expr``
     plus the winning (rounded) cosine, for callers that need both.
     Same determinism pinning: cosine rounded to 9 dp before the argmax,
-    ties to the lowest centroid id."""
-    entries = []
-    for cid, cv in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cv])
-        s = F.round(cosine_similarity(vec, c), 9)
-        entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
-    best = F.array_max(F.array(*entries))
-    # a NULL best cosine (dimension mismatch with the centroid model, a
-    # NULL element) must yield cid NULL — the struct argmax would
-    # otherwise tie on s=NULL and silently dump every bad vector into
-    # the lowest centroid's posting list
-    cid = F.when(best["s"].isNull(), F.lit(None)).otherwise(-best["nc"])
-    return F.struct(best["s"].alias("sim"), cid.cast("long").alias("cid"))
+    ties to the lowest centroid id.
+
+    ``vec_sql`` is SQL text for the (array<double>) vector — a
+    backtick-quoted column name or a CAST fragment — spliced ONCE and
+    bound to ``_iv`` by the transform-array idiom, so the input is
+    evaluated once however many centroids reference it.  Built as ONE
+    SQL string through ``F.expr`` (the pq_best_expr lesson applied to
+    the routing argmax): the previous per-centroid Column-API form cost
+    ~K×(dim+10) py4j round-trips — measured 3.5–4.5 s of pure
+    driver-side Python per build at K=32/dim=64, paid again for every
+    plan that routes (serving, batch recall, Lloyd, streaming ingest).
+    ``{x!r}D`` double literals parse to the exact same IEEE values as
+    ``F.lit(x)`` (the pq_best_expr discipline); the fold shapes —
+    ``aggregate(zip_with(v, c, (x, y) -> x * y), 0.0D, (acc, x) ->
+    acc + x)`` over ``sqrt(Σ x²)·sqrt(Σ c²)`` — are the exact SQL
+    renderings of the old ``_dot``/``_norm`` lambdas, so every cosine
+    is bit-identical.
+
+    NULL guard unchanged: a NULL best cosine (dimension mismatch with
+    the centroid model, a NULL element) must yield cid NULL — the
+    struct argmax would otherwise tie on s=NULL and silently dump every
+    bad vector into the lowest centroid's posting list."""
+
+    def _arr(vals: list[float]) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    entries = ", ".join(
+        "named_struct('s', round("
+        f"aggregate(zip_with(_iv, {_arr(cv)}, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+        " / (SQRT(aggregate(_iv, 0.0D, (acc, x) -> acc + x * x))"
+        f" * SQRT(aggregate({_arr(cv)}, 0.0D, (acc, x) -> acc + x * x)))"
+        f", 9), 'nc', {-cid})"
+        for cid, cv in centroids
+    )
+    return F.expr(
+        f"transform(array({vec_sql}), _iv -> "
+        f"transform(array(array_max(array({entries}))), best_ -> "
+        "named_struct('sim', best_.s, 'cid', "
+        "CAST(CASE WHEN best_.s IS NULL THEN NULL ELSE -best_.nc END"
+        " AS BIGINT)))[0])[0]"
+    )
 
 
 def kmeans_fit_predict(
@@ -594,7 +714,7 @@ def kmeans_fit_predict(
     for _ in range(max(iters - 1, 0)):
         assigned = base.select(
             F.col(id_col),
-            ivf_best_expr(F.col("_v"), model)["cid"].alias("_cid"),
+            ivf_best_expr("`_v`", model)["cid"].alias("_cid"),
             "_v",
         )
         dim_means = (
@@ -627,7 +747,7 @@ def kmeans_fit_predict(
                 model.append((cid, [dims[i] for i in range(expect)]))
             # else: degenerate cluster (some dim's mean was all-NULL)
             # — drop it; members re-route to surviving centroids
-    best = ivf_best_expr(F.col("_v"), model)
+    best = ivf_best_expr("`_v`", model)
     return base.select(
         F.col(id_col),
         best["cid"].alias("cluster_id"),
@@ -738,7 +858,7 @@ def semantic_dedup_incremental(
     vec = F.col(vec_col).cast("array<double>")
     batch = new_df.select(
         F.col(id_col), vec.alias("_v")
-    ).withColumn("cid", ivf_assign_expr(F.col("_v"), centroids))
+    ).withColumn("cid", ivf_assign_expr("`_v`", centroids))
     touched = batch.select("cid").distinct()
     corpus = (
         corpus_index.join(F.broadcast(touched), "cid")

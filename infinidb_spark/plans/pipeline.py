@@ -2417,7 +2417,9 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_index = corpus.select(
         "vec_id",
         vec.alias("embedding"),
-        S.ivf_assign_expr(vec, centroids).alias("cid"),
+        S.ivf_assign_expr(
+            "CAST(`embedding` AS ARRAY<DOUBLE>)", centroids
+        ).alias("cid"),
     )
     return S.semantic_dedup_incremental(
         batch, corpus_index, centroids, threshold=0.3

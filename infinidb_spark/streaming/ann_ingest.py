@@ -109,7 +109,9 @@ def stream_ann_ingest(
     assigned = stream.select(
         F.col(id_col),
         vec.alias("embedding"),
-        ivf_assign_expr(vec, centroids).alias("cid"),
+        ivf_assign_expr(
+            f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centroids
+        ).alias("cid"),
     )
     return stream_to_table(
         assigned,

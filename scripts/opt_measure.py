@@ -147,7 +147,11 @@ def main() -> None:
     queries = entry_mod.queries()
     _warmup(spark, queries)
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("OPT_PLANS_SUBDIR", "r11"),
+    )
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 

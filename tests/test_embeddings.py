@@ -177,7 +177,9 @@ def test_semantic_dedup_incremental_contract(spark, sf_dir):
     cents = train_ivf_centroids(corpus, stride=50)
     vec = F.col("embedding").cast("array<double>")
     index = corpus.select(
-        "vec_id", vec.alias("embedding"), ivf_assign_expr(vec, cents).alias("cid")
+        "vec_id",
+        vec.alias("embedding"),
+        ivf_assign_expr("CAST(`embedding` AS ARRAY<DOUBLE>)", cents).alias("cid"),
     )
     out = semantic_dedup_incremental(batch, index, cents, threshold=0.3).collect()
     assert len(out) == batch.count()

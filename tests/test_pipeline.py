@@ -60,15 +60,26 @@ def test_ann_lsh_subset_of_bruteforce_universe(spark, sf_dir):
 
 
 def test_ivf_plan_is_join_and_shuffle_free(spark, sf_dir):
-    """The IVF serving contract: scan → assign projection → probe filter
-    → bounded-heap top-k.  No join, no exchange — the shape that lets a
-    cid-partitioned layout prune files at 100 TB."""
+    """The IVF serving contract (r12 shape): scan → fan_out widening →
+    assign projection → broadcast-SEMI probe filter → bounded-heap
+    top-k.  No KEYED shuffle and no big-side join build ever; the only
+    exchanges allowed are fan_out's round-robin widening (a no-op on a
+    many-file corpus, where the scan is already cluster-wide) and the
+    broadcast of the n_probe-row probes relation.  The probe filter is
+    a LeftSemi broadcast join rather than ``isin`` so the interpreted
+    K-cosine routing projection cannot be pushed below the fan_out
+    exchange onto a few-file corpus's 1–2 scan tasks (the
+    InferFiltersFromConstraints artifact — see probe_semi); the
+    materialized-index file-pruning path at 100 TB is the streaming
+    ingest serve, which still filters a STORED cid partition column."""
     emb = load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
     qv = [((i * 37) % 13 - 6) / 6.0 for i in range(64)]
     df = S.ann_ivf_topk(emb, qv, k=10, n_probe=2, stride=50)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "Join" not in plan and "Exchange" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning" not in plan  # no keyed shuffle, any scale
+    assert "LeftSemi" in plan  # probes join, never pushed below fan_out
     rows = df.collect()
     assert 0 < len(rows) <= 10
     # deterministic across runs (centroid training included)

@@ -295,8 +295,8 @@ def test_ivf_assign_null_cosine_is_null_cid(spark):
         "SELECT array(1.0D) AS short_vec, array(1.0D, 0.0D) AS ok_vec"
     )
     row = df.select(
-        ivf_best_expr(F.col("short_vec"), cents).alias("bad"),
-        ivf_best_expr(F.col("ok_vec"), cents).alias("ok"),
+        ivf_best_expr("`short_vec`", cents).alias("bad"),
+        ivf_best_expr("`ok_vec`", cents).alias("ok"),
     ).collect()[0]
     assert row.bad.cid is None
     assert row.ok.cid == 3 and abs(row.ok.sim - 1.0) < 1e-9
