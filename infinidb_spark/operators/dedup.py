@@ -612,18 +612,23 @@ def minhash_lsh_pairs_incremental(
     )
 
 
+#: Raw-byte budget for broadcasting a label-shaped relation
+#: ((id, cluster_id) longs ≈ 16 raw bytes/row; the JVM HashedRelation
+#: footprint runs 3-5× raw, so a 16 MB raw cap keeps the materialized
+#: build ≤ ~80 MB, within the 64 MB-raw PM-join posture).  Module-level
+#: so tests can force the shuffle path by shrinking it.
+_LABEL_BCAST_RAW_CAP = 16 * 1024 * 1024
+
+
 def _maybe_broadcast(labels: DataFrame) -> DataFrame:
     """Broadcast a connected-components label relation while small.
 
     The relation is localCheckpointed inside the CC loop, so Catalyst
     has no stats and would sort-merge-join the corpus against it.  The
     scalar count is over the already-materialized checkpoint (bounded
-    by docs-in-pairs).  Cap: 16 raw bytes/row of (id, cluster_id)
-    longs against a 16 MB raw budget — the JVM HashedRelation
-    footprint runs 3-5× raw, so this keeps the materialized build
-    ≤ ~80 MB, within the 64 MB-raw PM-join posture.  Past the cap the
-    shuffle join is the correct shape."""
-    if labels.count() * 16 < 16 * 1024 * 1024:
+    by docs-in-pairs).  Past the cap the shuffle join is the correct
+    shape."""
+    if labels.count() * 16 < _LABEL_BCAST_RAW_CAP:
         return F.broadcast(labels)
     return labels
 
@@ -1156,9 +1161,20 @@ def connected_components(
     The edge relation and each round's labels are ``localCheckpoint``ed:
     iterative plans otherwise nest the whole upstream pipeline (e.g. the
     MinHash candidate generation) once per round, and Catalyst re-plans
-    an exponentially growing tree.  Checkpoint blocks are freed with the
-    DataFrame; on a cluster where executor loss during the loop matters,
-    set a reliable checkpoint dir and swap in ``checkpoint()``.
+    an exponentially growing tree.  Checkpoints are LAZY and fused with
+    the action that already exists (the per-round convergence count /
+    the one-time node count), so each round is ONE job, not two; blocks
+    are freed with the DataFrame.  On a cluster where executor loss
+    during the loop matters, set a reliable checkpoint dir and swap in
+    ``checkpoint()``.
+
+    Join shape: the label relation has exactly one row per node in the
+    pair graph — a count that never changes across rounds — so the
+    broadcast decision is made ONCE from the node count (same raw-byte
+    cap as ``_maybe_broadcast``).  While small, both per-round joins run
+    as broadcast-hash (zero exchanges in the round job beyond the
+    neighbor-min groupBy); past the cap the shuffle join is the correct
+    shape at 100 TB.
 
     Returns (id, cluster_id) for every node that appears in a pair.
     """
@@ -1170,11 +1186,18 @@ def connected_components(
     edges = (
         e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    labels = edges.select(F.col("_s").alias("id")).distinct().select(
-        "id", F.col("id").alias("cluster_id")
+    labels = (
+        edges.select(F.col("_s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=False)
     )
+    # ONE job materializes the upstream miner, the edge checkpoint and
+    # the initial labels, and returns the node count that fixes the
+    # round join strategy.
+    small = labels.count() * 16 < _LABEL_BCAST_RAW_CAP
     for _ in range(max_iter):
         lab_links = labels.filter(F.col("cluster_id") != F.col("id")).select(
             F.col("id").alias("_s"), F.col("cluster_id").alias("_d")
@@ -1182,13 +1205,16 @@ def connected_components(
         aug = edges.unionByName(lab_links).unionByName(
             lab_links.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
         )
+        lab_r = F.broadcast(labels) if small else labels
         neighbor_min = (
-            aug.join(labels, aug["_d"] == labels["id"])
+            aug.join(lab_r, aug["_d"] == lab_r["id"])
             .groupBy(aug["_s"].alias("id"))
             .agg(F.min("cluster_id").alias("_nm"))
         )
+        # neighbor_min is ≤ one row per node — same cap applies
+        nm_r = F.broadcast(neighbor_min) if small else neighbor_min
         new = (
-            labels.join(neighbor_min, "id", "left")
+            labels.join(nm_r, "id", "left")
             .select(
                 "id",
                 F.least(
@@ -1196,7 +1222,8 @@ def connected_components(
                 ).alias("cluster_id"),
                 (F.coalesce(F.col("_nm"), F.col("cluster_id")) < F.col("cluster_id")).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # the convergence count doubles as the checkpoint materializer
         changed = new.filter("_chg").count()
         labels = new.drop("_chg")
         if changed == 0:

@@ -329,6 +329,26 @@ def test_connected_components_long_chain_converges(spark):
     assert len(rows) == 41
 
 
+def test_connected_components_shuffle_path_matches_broadcast(spark, monkeypatch):
+    """The r12 CC loop picks its per-round join strategy once from the
+    node count: force the over-cap SHUFFLE path (cap → 0) and assert it
+    labels a mixed graph (3-chain + pair + 5-star) identically to the
+    default broadcast path."""
+    from infinidb_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23), (20, 24)],
+        "id_a long, id_b long",
+    )
+    want = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    monkeypatch.setattr(D, "_LABEL_BCAST_RAW_CAP", 0)
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == want == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
+
+
 def test_pii_scrub_rules(spark):
     from pyspark.sql import functions as F
 
